@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text operators mirroring the reference's normalization layer.
+  *
+  * All of these are pure Spark built-ins (whole-stage-codegen'd); no UDFs.
+  * Semantics replicate `/root/reference/index_documents.py` exactly:
+  *   - `cleanText`  ≡ `clean_text`        (index_documents.py:58-63)
+  *   - `strip`      ≡ Python `str.strip()` (whitespace, not just spaces)
+  */
+object TextFunctions {
+
+  /** Python str.strip(): removes leading/trailing whitespace (any `\s`,
+    * including newlines/tabs), unlike Spark's `trim` which is space-only.
+    * Implemented as a regex trim so Spark and DuckDB (RE2) agree.
+    */
+  def strip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** The reference's `clean_text` (index_documents.py:58-63):
+    *   1. NBSP (U+00A0) -> space
+    *   2. runs of spaces/tabs -> single space (newlines untouched)
+    *   3. 3+ consecutive newlines -> exactly two
+    *   4. strip
+    * All three regexes are portable across Java regex and RE2 (no
+    * lookaround/backrefs), so the same chain is DuckDB-oracle-checkable.
+    */
+  def cleanText(c: Column): Column =
+    strip(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, " ", " "),
+          "[ \\t]+", " "),
+        "\\n{3,}", "\n\n"))
+
+  /** Lowercased word tokens (letters/digits runs). */
+  def wordTokens(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** BPE-ish token stream: letter runs, digit runs, or single punctuation.
+    * RE2-portable, used by the token-count analysis operator.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Whitespace-delimited word count. */
+  def wordCount(c: Column): Column =
+    when(length(strip(c)) === 0, lit(0))
+      .otherwise(size(split(strip(c), "\\s+")))
+
+  /** Word n-gram shingles (distinct), for MinHash / Jaccard dedup. */
+  def shingles(c: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(wordTokens(c)) - n, lit(0))),
+        i => concat_ws(" ", slice(wordTokens(c), i + 1, n))))
+}
