@@ -1,0 +1,355 @@
+package graft
+
+/** DuckDB-1.0.0 oracle SQL — one entry per oracle-checkable query in
+  * Queries.scala, replaying the exact same computation (same hash functions,
+  * same fold orders, same floor/decimal determinism discipline; see the
+  * Queries scaladoc). Queries q40+ are typed/approximate and have no SQL
+  * twin (driver records a rows-only check for them).
+  *
+  * Portability notes baked in:
+  *   - regexp_replace carries the 'g' flag (Spark replaces all by default);
+  *   - md5-as-integer = ('0x' || substr(md5(x),1,15))::BIGINT
+  *     ≡ Spark conv(substring(md5(x),1,15),16,10)::long  (60 bits, positive);
+  *   - epoch_us(ts) ≡ Spark unix_micros (ns → µs truncation identical);
+  *   - per-row sizes cast to INT (DuckDB len() is BIGINT, Spark size() is
+  *     INT); whole-column sums cast to BIGINT (DuckDB sums ints to HUGEINT).
+  */
+object OracleSql {
+
+  private val toks =
+    raw"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      raw"""SELECT l_returnflag, l_linestatus,
+round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price,
+floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100) / 100 AS avg_qty,
+floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100) / 100 AS avg_price,
+count(*) AS n_items
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_mktsegment_revenue" ->
+      raw"""SELECT c_mktsegment,
+round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q03_region_customers" ->
+      raw"""SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+
+    "q04_customer_orders_outer" ->
+      raw"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q05_big_spenders_semi" ->
+      raw"""SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+ORDER BY c_custkey""",
+
+    "q06_no_events_anti" ->
+      raw"""SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+ORDER BY c_custkey""",
+
+    "q07_events_range_join" ->
+      raw"""WITH ev AS (SELECT *, epoch_us(ts) AS us FROM events)
+SELECT e.event_id AS err_id, count(*) AS n_nearby,
+round(CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM ev e JOIN ev p ON p.event_type = 'purchase'
+  AND p.us >= e.us - 300000000 AND p.us <= e.us + 300000000
+WHERE e.event_type = 'error' AND e.user_id < 10
+GROUP BY e.event_id ORDER BY err_id""",
+
+    "q08_asof_purchase_view" ->
+      raw"""WITH ev AS (SELECT *, epoch_us(ts) AS us FROM events),
+u AS (
+  SELECT user_id, us, 0 AS is_q, NULL::BIGINT AS event_id, value FROM ev WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, us, 1 AS is_q, event_id, NULL::DOUBLE AS value FROM ev
+  WHERE event_type = 'purchase' AND user_id < 20)
+SELECT event_id, user_id, asof_value FROM (
+  SELECT user_id, is_q, event_id,
+    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, is_q, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM u)
+WHERE is_q = 1 AND asof_value IS NOT NULL ORDER BY event_id""",
+
+    "q09_setops" ->
+      raw"""SELECT
+(SELECT count(DISTINCT user_id) FROM events) AS n_users,
+(SELECT count(*) FROM (SELECT DISTINCT user_id FROM events INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS n_common,
+(SELECT count(*) FROM (SELECT user_id FROM events UNION SELECT c_custkey FROM customer)) AS n_union,
+(SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer EXCEPT SELECT DISTINCT user_id FROM events)) AS n_cust_only""",
+
+    "q10_rollup_region_nation" ->
+      raw"""SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+count(*) AS n_customers,
+CAST(grouping(r_name) AS INT) AS g_region, CAST(grouping(n_name) AS INT) AS g_nation
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""",
+
+    "q11_top_orders_per_customer" ->
+      raw"""SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+    "q12_clean_text" ->
+      raw"""WITH m AS (
+  SELECT doc_id,
+    '  ' || text || chr(9) || chr(9) || ' x  y ' || chr(160) || 'z'
+      || chr(10) || chr(10) || chr(10) || chr(10) || 'end  ' AS messy
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(messy, chr(160), ' ', 'g'),
+          '[ \t]+', ' ', 'g'),
+        '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS cleaned
+  FROM m)
+SELECT doc_id, CAST(length(cleaned) AS INT) AS clean_len, substr(cleaned, 1, 40) AS head40
+FROM c WHERE length(cleaned) > 0 ORDER BY doc_id""",
+
+    "q13_fixed_chunker" ->
+      raw"""WITH wins AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, CAST(floor(greatest(length(text) - 21, 0) / 100) AS BIGINT))) AS i
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+    regexp_replace(substring(text, CAST(i * 100 + 1 AS INT), 120), '^\s+|\s+$$', '', 'g') AS chunk_text
+  FROM wins)
+SELECT doc_id, count(*) AS n_chunks, CAST(sum(length(chunk_text)) AS BIGINT) AS sum_len
+FROM chunks WHERE length(chunk_text) > 0
+GROUP BY doc_id ORDER BY doc_id""",
+
+    "q14_paragraph_chunks" ->
+      raw"""SELECT doc_id,
+CAST(len(list_filter(
+  string_split_regex(regexp_replace(text, ' (table|row) ', chr(10) || chr(10), 'g'), '\n\s*\n'),
+  p -> length(regexp_replace(p, '^\s+|\s+$$', '', 'g')) > 0)) AS INT) AS n_paras
+FROM documents ORDER BY doc_id""",
+
+    "q15_cosine_topk" ->
+      raw"""SELECT e.vec_id,
+floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])) / 1000 AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 5""",
+
+    "q16_inner_product_label" ->
+      raw"""SELECT a.label, count(*) AS n_pairs,
+floor(1000 * max(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))) / 1000 AS max_ip
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label ORDER BY a.label""",
+
+    "q17_running_sum" ->
+      raw"""SELECT user_id, CAST(rn AS INT) AS rn, event_id,
+round(CAST(run_dec AS DOUBLE), 2) AS run_sum
+FROM (
+  SELECT user_id, event_id,
+    row_number() OVER w AS rn,
+    sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_dec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "q18_hourly_tumbling" ->
+      raw"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+
+    "q19_json_extract" ->
+      raw"""SELECT event_type,
+CAST(sum(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k,
+count(CAST(json_extract_string(props, '$$.k') AS INT)) AS n_with_k
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q20_exact_dup_triples" ->
+      raw"""SELECT user_id, event_type, value, count(*) AS n_dups
+FROM events GROUP BY user_id, event_type, value HAVING count(*) > 1
+ORDER BY user_id, event_type, value""",
+
+    "q21_minhash_neardup" ->
+      raw"""WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substring(text, 1, 300) AS text FROM documents WHERE doc_id < 60),
+tk AS (SELECT doc_id, $toks AS tk FROM docs),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk),
+shf AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      s -> list_min(list_transform(sh, x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+  FROM shf),
+banded AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, 3),
+      b -> concat_ws(',', b::VARCHAR || ':',
+        array_to_string(list_transform(sig[b*3+1:b*3+3], v -> v::VARCHAR), ',')))) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.id1, c.id2,
+    len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+  FROM cand c JOIN shf x ON x.doc_id = c.id1 JOIN shf y ON y.doc_id = c.id2)
+SELECT id1, id2, floor(j * 1000) / 1 AS jaccard_m FROM scored WHERE j >= 0.4
+ORDER BY id1, id2""",
+
+    "q22_simhash" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 100),
+hs AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM tk)
+SELECT doc_id,
+CAST(list_sum(list_transform(generate_series(0, 15),
+  i -> CASE WHEN 2 * len(list_filter(hs, h -> (h & (1::BIGINT << i)) <> 0)) - len(hs) > 0
+            THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash16
+FROM hs ORDER BY doc_id""",
+
+    "q23_jaccard_pairs" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 20),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+floor(1000 * (len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))) / 1 AS jaccard_m
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY id1, id2""",
+
+    "q24_embedding_neardup" ->
+      raw"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+floor(100 * list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) / 1 AS cos_sim_c
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+ORDER BY id1, id2""",
+
+    "q25_langid" ->
+      raw"""WITH tk AS (SELECT lang, $toks AS tk FROM documents),
+r AS (
+  SELECT lang,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_intersect(tk, ['the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','be','this'])) / len(tk) END AS r_en,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für','von','im','den'])) / len(tk) END AS r_de,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_intersect(tk, ['le','la','les','et','est','un','une','de','des','du','pas','pour','dans','que','qui'])) / len(tk) END AS r_fr
+  FROM tk)
+SELECT lang,
+CASE WHEN greatest(r_en, r_de, r_fr) = 0 THEN 'und'
+     WHEN r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+     WHEN r_en >= r_de THEN 'en'
+     ELSE 'de' END AS lang_id,
+count(*) AS n
+FROM r GROUP BY 1, 2 ORDER BY lang, lang_id""",
+
+    "q26_event_type_sets" ->
+      raw"""SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+count(*) AS n_events
+FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""",
+
+    "q27_token_counts" ->
+      raw"""WITH s AS (SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$$', '', 'g') AS st FROM documents)
+SELECT doc_id,
+CASE WHEN length(st) = 0 THEN 0 ELSE CAST(len(string_split_regex(st, '\s+')) AS INT) END AS word_cnt,
+CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_cnt,
+CAST(length(text) AS INT) AS n_chars_q
+FROM s ORDER BY doc_id""",
+
+    "q28_fingerprint" ->
+      raw"""SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp16
+FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "q29_centroids" ->
+      raw"""SELECT label, CAST(i AS INT) AS pos,
+floor(1000000 * (CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*))) / 1000000 AS centroid_v
+FROM (SELECT label, embedding, unnest(generate_series(0, 63)) AS i FROM embeddings)
+GROUP BY label, i ORDER BY label, pos""",
+
+    "q30_ivf_ann" ->
+      raw"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id, embedding FROM (
+    SELECT e.vec_id, c.cid, e.embedding,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1),
+q AS (SELECT cluster_id AS qc, embedding AS qv FROM assigned WHERE vec_id = 0)
+SELECT a.vec_id, a.cluster_id,
+floor(1000 * list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])) / 1000 AS cos_sim
+FROM assigned a, q WHERE a.cluster_id = q.qc AND a.vec_id <> 0
+ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, a.vec_id
+LIMIT 5""",
+
+    "q31_math_funcs" ->
+      raw"""SELECT p_brand,
+floor(CAST(sum(CAST(sqrt(p_retailprice) AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100 AS sum_sqrt_price,
+least(min(p_size), 10) AS min_size_c,
+greatest(max(p_size), 40) AS max_size_c,
+CAST(sum(abs(p_size - 25)) AS BIGINT) AS sum_absdev,
+count(*) AS n
+FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    "q32_quality_score" ->
+      raw"""WITH tk AS (SELECT doc_id, text, $toks AS tk FROM documents WHERE doc_id < 200),
+c AS (
+  SELECT doc_id,
+    least(length(text) / 500.0, 1.0) AS len_score,
+    least((CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_intersect(tk, ['the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','be','this'])) / len(tk) END) * 4.0, 1.0) AS stop_score,
+    1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g'))) / length(text) END) * 4.0, 1.0) AS punct_score,
+    CASE WHEN (CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, t -> length(t))) / len(tk) END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score
+  FROM tk)
+SELECT doc_id,
+floor(10000 * (len_score * 0.3 + stop_score * 0.3 + punct_score * 0.2 + word_score * 0.2)) / 10000 AS quality
+FROM c ORDER BY doc_id""",
+
+    "q33_strings" ->
+      raw"""SELECT c_custkey, upper(c_name) AS name_upper,
+concat_ws('-', lower(substr(c_name, 1, 8)), lpad(CAST(c_custkey AS VARCHAR), 6, '0')) AS name_code,
+CAST(length(c_name) AS INT) AS name_len
+FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
+
+    "q34_sessions" ->
+      raw"""WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us, epoch_ms(ts) AS ms
+  FROM events WHERE user_id < 10),
+flagged AS (
+  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 300000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged)
+SELECT user_id, CAST(min(ms) AS BIGINT) AS session_start_ms, count(*) AS n,
+round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM sess GROUP BY user_id, sess_id ORDER BY user_id, session_start_ms""",
+
+    "q35_exact_dedup_keepmin" ->
+      raw"""SELECT min(event_id) AS kept_id FROM events
+GROUP BY user_id, event_type, value ORDER BY kept_id""",
+  )
+}

@@ -1,0 +1,558 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
+import graft.operators.{Chunkers, Dedup, Embeddings, Index, Search}
+import graft.model.SplitStrategy
+
+/** The probe-query library: every SURVEY.md §2 operator expressed as an
+  * idiomatic DataFrame query over the driver fixtures, hash-matched against
+  * DuckDB (OracleSql.scala) where SQL-expressible.
+  *
+  * Determinism discipline (SURVEY.md §2.11 + verified in round 2):
+  *   - every query ends in a total ORDER BY;
+  *   - double sums go through DECIMAL(18,2) (exact, order-independent);
+  *   - float ratio/similarity outputs use FLOOR(x*10^k)/10^k, never round()
+  *     (round's tie behavior differs between engines; floor of an identical
+  *     double is bit-stable);
+  *   - event timestamps compare via unix_micros (Spark reads the fixture's
+  *     ns timestamps as long — see Tables.events — DuckDB via epoch_us:
+  *     identical integers), outputs via epoch millis;
+  *   - no lookbehind regex, no approx functions in oracle-checked queries.
+  */
+object Queries {
+
+  import Tables._
+
+  // ---- shared determinism helpers (see OracleSql for the DuckDB spellings)
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+  private def fl(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p) / p
+  }
+  /** events with `us` (µs since epoch, exact parity with DuckDB epoch_us). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("us", unix_micros(col("ts")))
+
+  // ------------------------------------------------------------ relational
+
+  /** Q1 — TPC-H Q1-style pricing summary (P5, A1, F2). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(dsum2(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum2(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+          .cast("double"), 2).as("sum_disc_price"),
+        fl(dsum2(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+        fl(dsum2(col("l_extendedprice")) / count(lit(1)), 2).as("avg_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q2 — inner equi-join + agg (J1, A1): revenue per market segment. */
+  def q02MktsegmentRevenue(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(dsum2(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Q3 — 3-way join with broadcast dims (J1/J2): customers per region. */
+  def q03RegionCustomers(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name"))
+
+  /** Q4 — left outer join + COALESCE (J3): per-customer order stats, 0 kept. */
+  def q04CustomerOrdersOuter(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(dsum2(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Q5 — left semi join (J4): customers with any order > 450k. */
+  def q05BigSpendersSemi(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).where(col("o_totalprice") > 450000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Q6 — left anti join (J5): customers with no events at all. */
+  def q06NoEventsAnti(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(events(s, dir), col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Q7 — non-equi range join (J6): purchases within ±5 min of each error
+    * event of users 0-9. µs-integer bounds on both engines.
+    */
+  def q07EventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val errs = ev.where(col("event_type") === "error" && col("user_id") < 10)
+      .select(col("event_id").as("err_id"), col("us").as("err_us"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("us").as("p_us"), col("value").as("p_value"))
+    errs.join(purch,
+        col("p_us") >= col("err_us") - 300000000L && col("p_us") <= col("err_us") + 300000000L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_nearby"),
+        round(dsum2(col("p_value")), 2).as("sum_value"))
+      .orderBy(col("err_id"))
+  }
+
+  /** Q8 — as-of join via the union+window formulation (J7, W2): for each
+    * purchase of users 0-19, the latest 'view' value at or before it.
+    */
+  def q08AsofPurchaseView(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("us"), lit(0).as("is_q"),
+        lit(null).cast("long").as("event_id"), col("value"))
+    val purch = ev.where(col("event_type") === "purchase" && col("user_id") < 20)
+      .select(col("user_id"), col("us"), lit(1).as("is_q"),
+        col("event_id"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_q"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purch)
+      .withColumn("asof_value", last(col("value"), ignoreNulls = true).over(w))
+      .where(col("is_q") === 1 && col("asof_value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q9 — distinct + set operations (A2, U1, U2), single summary row. */
+  def q09SetOps(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir).select(col("user_id").as("k")).distinct()
+    val custs = customer(s, dir).select(col("c_custkey").as("k")).distinct()
+    val nUsers = events(s, dir).agg(countDistinct(col("user_id")).as("n_users"))
+    val nCommon = users.intersect(custs).agg(count(lit(1)).as("n_common"))
+    val nUnion = users.union(custs).distinct().agg(count(lit(1)).as("n_union"))
+    val nCustOnly = custs.except(users).agg(count(lit(1)).as("n_cust_only"))
+    nUsers.crossJoin(nCommon).crossJoin(nUnion).crossJoin(nCustOnly)
+  }
+
+  /** Q10 — rollup + GROUPING (A4): customer counts over (region, nation). */
+  def q10RollupRegionNation(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_customers"), col("g_region"), col("g_nation"))
+      .orderBy(col("region"), col("nation"))
+
+  /** Q11 — ranking window (W1): top-3 orders per customer. */
+  def q11TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** Q12 — the reference's clean_text chain (P1/P2/F3/F6) over deterministic
+    * messied input (the fixture text is already clean; the mess re-creates
+    * NBSPs, tab runs and newline stacks so every regex stage fires).
+    */
+  def q12CleanText(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "), col("text"), lit("\t\t x  y "),
+      lit("\u00A0"), lit("z\n\n\n\nend  "))
+    documents(s, dir)
+      .select(col("doc_id"), TextFunctions.cleanText(messy).as("cleaned"))
+      .where(length(col("cleaned")) > 0)
+      .select(col("doc_id"), length(col("cleaned")).as("clean_len"),
+        substring(col("cleaned"), 1, 40).as("head40"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q13 — the relational fixed-overlap chunker (C1), size=120 overlap=20. */
+  def q13FixedChunker(s: SparkSession, dir: String): DataFrame =
+    Chunkers.fixedRelational(documents(s, dir).select(col("doc_id"), col("text")),
+        col("text"), chunkSize = 120, overlap = 20)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk_text"))).as("sum_len"))
+      .orderBy(col("doc_id"))
+
+  /** Q14 — paragraph split (C2) after deterministically injecting paragraph
+    * breaks (the fixture text has none).
+    */
+  def q14ParagraphChunks(s: SparkSession, dir: String): DataFrame = {
+    val withBreaks = regexp_replace(col("text"), " (table|row) ", "\n\n")
+    documents(s, dir)
+      .select(col("doc_id"), withBreaks.as("t"))
+      .select(col("doc_id"),
+        size(filter(split(col("t"), "\\n\\s*\\n"),
+          p => length(regexp_replace(p, "^\\s+|\\s+$", "")) > 0)).as("n_paras"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q15 — cosine top-5 of vec_id 0 (V1, J8, O2). Ordered by the exact
+    * similarity (bit-identical across engines), floored to 3 dp for output.
+    */
+  def q15CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("qv")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), fl(col("sim"), 3).as("cos_sim"))
+  }
+
+  /** Q16 — pairwise inner product within label, per-label stats (V2). */
+  def q16InnerProductLabel(s: SparkSession, dir: String): DataFrame = {
+    val a = embeddings(s, dir).select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = embeddings(s, dir).select(col("label").as("label2"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
+      .withColumn("ip", VectorFunctions.dot(col("v1"), col("v2")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"), fl(max(col("ip")), 3).as("max_ip"))
+      .orderBy(col("label"))
+  }
+
+  /** Q17 — running-sum frame (W3): first 3 events per user with running sum. */
+  def q17RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsUs(s, dir)
+      .withColumn("rn", row_number().over(order))
+      .withColumn("run_sum", sum(dec2(col("value"))).over(frame).cast("double"))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), round(col("run_sum"), 2).as("run_sum"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Q18 — tumbling hour window (ST1 batch form, F1), epoch-ms keyed. */
+  def q18HourlyTumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum2(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("hour_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+
+  /** Q19 — JSON extraction (F5): sum of props.k per event type. */
+  def q19JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  /** Q20 — exact-duplicate detection via group-by-having (V4 exact). */
+  def q20ExactDupTriples(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+      .orderBy(col("user_id"), col("event_type"), col("value"))
+
+  // ------------------------------------------- LLM-pipeline operator probes
+
+  /** Documents augmented with mutated near-duplicate copies (id+100000,
+    * last 30 chars dropped) — deterministic near-dup planting so dedup
+    * probes have non-trivial positives. Restricted to doc_id < 60.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).where(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
+      substring(col("text"), 1, 300).as("text"))
+    base.unionByName(mutated)
+  }
+
+  /** Q21 — MinHash + LSH near-dup pairs with exact-Jaccard verification
+    * (V4): the full shingle → minhash → band → bucket-join → verify pipeline,
+    * portable md5 hashing so DuckDB replays it exactly.
+    */
+  def q21MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    Dedup.minhashNearDupPairs(docs, "doc_id", "toks",
+        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+      .select(col("id1"), col("id2"), fl(col("jaccard") * 1000, 0).as("jaccard_m"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Q22 — SimHash fingerprints (V4): 16-bit portable simhash per doc. */
+  def q22Simhash(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 100)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), Dedup.simhash(col("toks"), 16).as("simhash16"))
+      .orderBy(col("doc_id"))
+
+  /** Q23 — exact n-gram Jaccard on an id-bounded pair set (V4 verify path). */
+  def q23JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).where(col("doc_id") < 20)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = docs.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .select(col("id1"), col("id2"), fl(col("jaccard") * 1000, 0).as("jaccard_m"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Q24 — embedding-cosine near-dup pairs ≥ 0.3 (V4 embedding variant). */
+  def q24EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(embeddings(s, dir), "vec_id", "embedding", 0.3)
+      .select(col("id1"), col("id2"), fl(col("cos_sim") * 100, 0).as("cos_sim_c"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** Q25 — heuristic language-ID (V5) vs the labeled lang column. */
+  def q25LangId(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select(col("lang"), TextAnalysis.langId(col("toks")).as("lang_id"))
+      .groupBy(col("lang"), col("lang_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_id"))
+
+  /** Q26 — collect aggregates (A5): sorted distinct event types per user. */
+  def q26EventTypeSets(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).where(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Q27 — token counting (V5): whitespace words + BPE-ish regex tokens. */
+  def q27TokenCounts(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("word_cnt"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe_cnt"),
+        length(col("text")).as("n_chars_q"))
+      .orderBy(col("doc_id"))
+
+  /** Q28 — content fingerprint (V5): md5-16 identity per doc. */
+  def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 100)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp16"))
+      .orderBy(col("doc_id"))
+
+  /** Q29 — per-label embedding centroid, relational decimal-exact form
+    * (A6's oracle twin; the typed Aggregator itself is q44, rows-only).
+    */
+  def q29Centroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(fl(sum(col("v").cast("double").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("centroid_v"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Q30 — IVF-style ANN (V3): assign every vector to its nearest of 8 seed
+    * centroids (window argmax — mirrors the oracle), then search only the
+    * query's cluster. Same relational shape DuckDB replays.
+    */
+  def q30IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", VectorFunctions.cosine(col("embedding"), col("cv")))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("embedding"))
+    val qCluster = assigned.where(col("vec_id") === 0)
+      .select(col("cluster_id").as("qc"), col("embedding").as("qv"))
+    assigned.join(broadcast(qCluster), col("cluster_id") === col("qc"))
+      .where(col("vec_id") =!= 0)
+      .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("qv")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), col("cluster_id"), fl(col("sim"), 3).as("cos_sim"))
+  }
+
+  /** Q31 — math functions (F2): sqrt/least/greatest/abs per brand. */
+  def q31MathFuncs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        fl(sum(sqrt(col("p_retailprice")).cast("decimal(18,6)")).cast("double"), 2)
+          .as("sum_sqrt_price"),
+        least(min(col("p_size")), lit(10)).as("min_size_c"),
+        greatest(max(col("p_size")), lit(40)).as("max_size_c"),
+        sum(abs(col("p_size") - 25)).as("sum_absdev"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+
+  /** Q32 — composite quality score (V5). */
+  def q32QualityScore(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 200)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"),
+        fl(TextAnalysis.qualityScore(col("text"), col("toks")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Q33 — string functions (F3): case/substring/concat_ws/lpad. */
+  def q33Strings(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).where(col("c_custkey") < 100)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        concat_ws("-", lower(substring(col("c_name"), 1, 8)),
+          lpad(col("c_custkey").cast("string"), 6, "0")).as("name_code"),
+        length(col("c_name")).as("name_len"))
+      .orderBy(col("c_custkey"))
+
+  /** Q34 — session windows (ST2b, batch form): 5-minute-gap sessions. */
+  def q34Sessions(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).where(col("user_id") < 10)
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(dsum2(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
+  /** Q35 — deterministic exact-dedup (keep min event_id per value triple). */
+  def q35ExactDedupKeepMin(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"), col("value"))
+      .agg(min(col("event_id")).as("kept_id"))
+      .select(col("kept_id"))
+      .orderBy(col("kept_id"))
+
+  // --------------------------- typed / non-oracle probes (rows-only checks)
+
+  /** Q40 — the full typed index pipeline (S6→P1→C1→E1→schema): clean →
+    * chunk fixed(1200,200) → hashed-TF embed(64) via mapPartitions batches.
+    */
+  def q40IndexPipeline(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Index.buildIndex(documents(s, dir))
+      .toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+      .select(col("doc_id"), col("chunk_index"), col("split_strategy"),
+        length(col("chunk_text")).as("chunk_len"), size(col("embedding")).as("dim"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  /** Q41 — the flagship semantic-search read path (SURVEY.md §3.3). */
+  def q41SearchText(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val index = Index.buildIndex(documents(s, dir))
+      .toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+    Index.searchText(index, "spark join query fast", k = 5, dim = 64)
+  }
+
+  /** Q42 — sentence chunking (C3/C4; lookbehind ⇒ golden-tested, not oracle). */
+  def q42SentenceChunks(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val prepared = Index.prepare(documents(s, dir))
+    Chunkers.chunkDataset(prepared, SplitStrategy.Sentence(200))
+      .groupBy(col("docId").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunkText"))).as("sum_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q43 — MLlib random-projection LSH approximate near-dup pairs (V3). */
+  def q43LshAnn(s: SparkSession, dir: String): DataFrame =
+    new Search.LshIndex(bucketLength = 0.5, numTables = 3, seed = 42L)
+      .approxPairs(embeddings(s, dir), "vec_id", "embedding", maxL2Dist = 1.18)
+      .select(col("id1"), col("id2"), fl(col("l2_dist"), 3).as("l2_dist"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** Q44 — the typed CentroidAggregator (A6) over label groups. */
+  def q44CentroidTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new Dedup.CentroidAggregator(64).toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), fl(col("v").cast("double"), 5).as("centroid_v"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** Q45 — multimodal plumbing: synthetic media → per-partition feature
+    * extraction (stub decoder) → frame sampling (binary slicing).
+    */
+  def q45Multimodal(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import graft.sources.Multimodal
+    val media = Multimodal.syntheticMedia(s, 100)
+    val feats = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, maxFrames = 3)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    feats
+      .select(col("media_id"), col("meta.media_type").as("media_type"),
+        fl(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .join(frames, Seq("media_id"), "left_outer")
+      .orderBy(col("media_id"))
+  }
+
+  /** All queries exposed to the driver contract. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_mktsegment_revenue" -> q02MktsegmentRevenue _,
+    "q03_region_customers" -> q03RegionCustomers _,
+    "q04_customer_orders_outer" -> q04CustomerOrdersOuter _,
+    "q05_big_spenders_semi" -> q05BigSpendersSemi _,
+    "q06_no_events_anti" -> q06NoEventsAnti _,
+    "q07_events_range_join" -> q07EventsRangeJoin _,
+    "q08_asof_purchase_view" -> q08AsofPurchaseView _,
+    "q09_setops" -> q09SetOps _,
+    "q10_rollup_region_nation" -> q10RollupRegionNation _,
+    "q11_top_orders_per_customer" -> q11TopOrdersPerCustomer _,
+    "q12_clean_text" -> q12CleanText _,
+    "q13_fixed_chunker" -> q13FixedChunker _,
+    "q14_paragraph_chunks" -> q14ParagraphChunks _,
+    "q15_cosine_topk" -> q15CosineTopK _,
+    "q16_inner_product_label" -> q16InnerProductLabel _,
+    "q17_running_sum" -> q17RunningSum _,
+    "q18_hourly_tumbling" -> q18HourlyTumbling _,
+    "q19_json_extract" -> q19JsonExtract _,
+    "q20_exact_dup_triples" -> q20ExactDupTriples _,
+    "q21_minhash_neardup" -> q21MinhashNearDup _,
+    "q22_simhash" -> q22Simhash _,
+    "q23_jaccard_pairs" -> q23JaccardPairs _,
+    "q24_embedding_neardup" -> q24EmbeddingNearDup _,
+    "q25_langid" -> q25LangId _,
+    "q26_event_type_sets" -> q26EventTypeSets _,
+    "q27_token_counts" -> q27TokenCounts _,
+    "q28_fingerprint" -> q28Fingerprint _,
+    "q29_centroids" -> q29Centroids _,
+    "q30_ivf_ann" -> q30IvfAnn _,
+    "q31_math_funcs" -> q31MathFuncs _,
+    "q32_quality_score" -> q32QualityScore _,
+    "q33_strings" -> q33Strings _,
+    "q34_sessions" -> q34Sessions _,
+    "q35_exact_dedup_keepmin" -> q35ExactDedupKeepMin _,
+    "q40_index_pipeline" -> q40IndexPipeline _,
+    "q41_search_text" -> q41SearchText _,
+    "q42_sentence_chunks" -> q42SentenceChunks _,
+    "q43_lsh_ann" -> q43LshAnn _,
+    "q44_centroid_typed" -> q44CentroidTyped _,
+    "q45_multimodal" -> q45Multimodal _,
+  )
+}

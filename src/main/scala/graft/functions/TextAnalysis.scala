@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Text-analysis operators for training-data pipelines (EXT mandate,
+  * SURVEY.md §2.9 V5): language-ID, quality scoring, token counting,
+  * fingerprinting. All pure Column expressions (codegen'd, no UDFs) and
+  * RE2-portable so every one of them is DuckDB-oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Tiny stopword inventories for the n-gram/stopword language heuristic.
+    * Deliberately small and hardcoded: the point is the OPERATOR SHAPE
+    * (tokenize once → set-intersect → argmax), which at 100 TB is a narrow
+    * per-row expression over a broadcast-literal word list.
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is",
+    "that", "it", "for", "on", "with", "as", "are", "was", "be", "this")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht",
+    "ein", "eine", "zu", "mit", "auf", "für", "von", "im", "den")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une",
+    "de", "des", "du", "pas", "pour", "dans", "que", "qui")
+
+  private def hitRatio(tokens: Column, words: Seq[String]): Column =
+    when(size(tokens) === 0, lit(0.0)).otherwise(
+      size(array_intersect(tokens, lit(words.toArray))).cast("double") / size(tokens))
+
+  /** Heuristic language id over a materialized token-array column: the
+    * language whose stopword hit-ratio is highest; 'und' (undetermined) when
+    * all ratios are zero. Argmax via array_max over (ratio, lang) structs —
+    * ties break to the lexicographically LARGEST lang tag, deterministic.
+    */
+  def langId(tokens: Column): Column = {
+    val scored = array(
+      struct(hitRatio(tokens, StopwordsEn).as("r"), lit("en").as("l")),
+      struct(hitRatio(tokens, StopwordsDe).as("r"), lit("de").as("l")),
+      struct(hitRatio(tokens, StopwordsFr).as("r"), lit("fr").as("l")))
+    val best = array_max(scored)
+    when(best.getField("r") === 0.0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  /** Ratio of punctuation chars to total chars (0 for empty text). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[\\p{P}]", ""))).cast("double") / length(c))
+
+  /** Mean word length over a token array (0 for no tokens). */
+  def meanWordLen(tokens: Column): Column =
+    when(size(tokens) === 0, lit(0.0)).otherwise(
+      aggregate(tokens, lit(0L), (a, t) => a + length(t)).cast("double") / size(tokens))
+
+  /** Composite quality score in [0,1]: rewards reasonable length, a healthy
+    * stopword ratio, moderate punctuation, and plausible mean word length.
+    * The exact weights are ours (the reference has no quality scoring); the
+    * formula is deterministic and portable for oracle checking.
+    */
+  def qualityScore(text: Column, tokens: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(hitRatio(tokens, StopwordsEn) * 4.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val mwl = meanWordLen(tokens)
+    val wordScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.5)
+    lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2
+  }
+
+  /** Content fingerprint: first 16 hex chars of md5 of the
+    * whitespace-normalized, lowercased text — a stable doc identity for
+    * exact-dedup across formatting variants. Portable (md5 in both engines).
+    */
+  def fingerprint(c: Column): Column =
+    substring(md5(lower(regexp_replace(c, "\\s+", " "))), 1, 16)
+
+  /** Polynomial rolling hash over the token stream (base 131, mod 1e9+7 —
+    * every intermediate fits a Long: acc < 2^30, acc*131 + 2^28 < 2^38): an
+    * order-sensitive document fingerprint, the building block for
+    * winnowing-style near-dup detection. Portable arithmetic (same fold is
+    * expressible in DuckDB via list_reduce); oracle probes use the cheaper
+    * [[fingerprint]].
+    */
+  def rollingTokenHash(tokens: Column): Column =
+    aggregate(tokens, lit(0L),
+      (acc, t) => (acc * 131L + conv(substring(md5(t), 1, 7), 16, 10).cast("long")) % 1000000007L)
+}

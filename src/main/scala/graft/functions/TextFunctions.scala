@@ -52,10 +52,19 @@ object TextFunctions {
     when(length(strip(c)) === 0, lit(0))
       .otherwise(size(split(strip(c), "\\s+")))
 
-  /** Word n-gram shingles (distinct), for MinHash / Jaccard dedup. */
-  def shingles(c: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(wordTokens(c)) - n, lit(0))),
-        i => concat_ws(" ", slice(wordTokens(c), i + 1, n))))
+  /** Word n-gram shingles (distinct) over a precomputed token-array column,
+    * for MinHash / Jaccard dedup. Callers must materialize the token array
+    * once (`withColumn("toks", wordTokens(c))`) — passing `wordTokens(c)`
+    * directly here would re-evaluate the tokenization per shingle position
+    * (O(len^2) expression work per row; a scale-killer on long documents).
+    * Documents with fewer than `n` tokens yield an empty array (no partial
+    * shingles — an empty doc must not Jaccard-match every other empty doc).
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(tokens) - n),
+            i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
 }

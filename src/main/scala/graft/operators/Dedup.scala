@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (EXT mandate; SURVEY.md §2.9 V4). The reference stores blindly duplicated
+  * rows on re-run (SERIAL ids, no dedup — index_documents.py:217,248-249);
+  * dedup is therefore a pure extension, designed Spark-first.
+  *
+  * Scale notes (100 TB posture):
+  *   - exact dedup = one hash-shuffle on a 64-hex digest, not on the text;
+  *   - MinHash/LSH candidate generation = band-bucket equi-join (shuffle on
+  *     short band keys), NEVER an all-pairs cross join;
+  *   - verification (exact Jaccard / cosine) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate removal on a column's content hash. Keeps the row with
+    * the minimum `keyCol` per duplicate group (deterministic winner).
+    * Shuffles on the 256-bit digest — constant-width keys regardless of text
+    * length.
+    */
+  def exactDedup(df: DataFrame, textCol: Column, keyCol: Column): DataFrame = {
+    val h = sha2(textCol, 256)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(h).orderBy(keyCol)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Portable MinHash signature of a shingle-array column: for each of
+    * `numHashes` seeded hash functions, the minimum md5-bucket value over the
+    * shingles. md5(seed || '|' || shingle) is identical in Spark and DuckDB,
+    * so signatures (and the LSH pipeline built on them) are
+    * oracle-checkable — unlike MLlib's MinHashLSH (JVM-internal hashes).
+    * Empty shingle sets yield NULL (no signature, never matches).
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    when(size(shinglesCol) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), lit(numHashes - 1)),
+          seed =>
+            array_min(transform(shinglesCol, s =>
+              conv(substring(md5(concat(seed.cast("string"), lit("|"), s)), 1, 15), 16, 10)
+                .cast("long")))))
+
+  /** LSH banding over a minhash signature: `numBands` band keys, each a
+    * concatenation of `rowsPerBand` consecutive signature entries. Docs
+    * sharing ANY band key are candidate pairs.
+    */
+  def lshBandKeys(sigCol: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => concat_ws(",",
+        concat(b.cast("string"), lit(":")),
+        concat_ws(",", transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string")))))
+
+  /** End-to-end MinHash+LSH near-dup candidate pairs with exact-Jaccard
+    * verification, fully relational:
+    *
+    *   shingle → minhash → band → self-equi-join on band key (the only
+    *   shuffle) → distinct candidate pairs (id1 < id2) → exact Jaccard on
+    *   the shingle sets → keep pairs ≥ `threshold`.
+    *
+    * @param df       input with `idCol` (numeric id) and `tokensCol`
+    *                 (materialized token array)
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, tokensCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(tokensCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(lshBandKeys(col("sig"), numBands, rowsPerBand)))
+      .select(col("id"), col("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      // shingle arrays are distinct ⇒ |∪| = |a|+|b|-|∩| (size arithmetic is
+      // portable; array_union's element order is not)
+      .withColumn("_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.
+    * Portable: bit i of md5-hash(token) taken via integer div/mod — identical
+    * in DuckDB. Near-dups = fingerprints within small Hamming distance.
+    */
+  def simhash(tokensCol: Column, bits: Int = 16): Column = {
+    val hashes = transform(tokensCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => {
+        // votes = count of tokens with bit i set, minus count with it unset
+        val mask = call_function("shiftleft", lit(1L), i.cast("int"))
+        val ones = size(filter(hashes, h => h.bitwiseAND(mask) =!= 0L))
+        val votes = ones * 2 - size(hashes)
+        acc + when(votes > 0, mask).otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two simhash fingerprints (popcount of XOR —
+    * `bit_count` exists in both Spark and DuckDB).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup pairs over an `array<float>` column.
+    * Brute-force O(N²) within-group; callers MUST pre-bucket at scale (e.g.
+    * via [[Search.ivfAssign]] clusters or LSH) — this is the verifier, not
+    * the candidate generator.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("v1"), col("v2")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+  }
+
+  /** Typed mean-of-vectors Aggregator (SURVEY.md §2.6 A6): element-wise sum
+    * in Double + count → mean vector. The one genuinely custom aggregate in
+    * the engine (no built-in vector centroid). Partial-aggregation friendly:
+    * merge is element-wise sum, so map-side combine applies.
+    */
+  final class CentroidAggregator(dim: Int)
+      extends Aggregator[Array[Float], (Array[Double], Long), Array[Float]] {
+    def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+      require(a.length == dim, s"dimension mismatch: ${a.length} != $dim")
+      var i = 0
+      while (i < dim) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(r: (Array[Double], Long)): Array[Float] =
+      if (r._2 == 0L) new Array[Float](dim)
+      else r._1.map(s => (s / r._2).toFloat)
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: Encoder[Array[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+  }
+}

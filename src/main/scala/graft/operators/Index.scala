@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.model._
+
+/** The end-to-end indexing pipeline — the reference's whole purpose
+  * (`/root/reference/index_documents.py:253-311`), as ONE lazy narrow
+  * DataFrame chain: read → clean → chunk → embed → write. Zero shuffles
+  * (SURVEY.md §3.1): ids are per-document chunk indices, not a global
+  * SERIAL, so no global ordering exchange is needed.
+  *
+  * Failure semantics deliberately upgraded from the reference: parquet job
+  * commit is all-or-nothing and task-retry-idempotent, vs the reference's
+  * per-batch transactions that leave a partially-indexed, duplicating state
+  * on re-run (index_documents.py:248-249; SURVEY.md §3.1).
+  */
+object Index {
+
+  final case class IndexConfig(
+      strategy: SplitStrategy = SplitStrategy.Fixed(1200, 200),
+      embeddingDim: Int = 64,
+      batchSize: Int = 32)
+
+  /** documents-table DataFrame → cleaned Dataset[RawDocument].
+    * Mirrors main()'s extract→clean→guard prefix (index_documents.py:274-277).
+    */
+  def prepare(docs: DataFrame)(implicit spark: SparkSession): Dataset[RawDocument] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").cast("long").as("docId"),
+        concat(col("source"), lit("/"), col("doc_id"), lit(".txt")).as("filename"),
+        TextFunctions.cleanText(col("text")).as("text"))
+      .where(length(col("text")) > 0) // empty-text guard (index_documents.py:276-277)
+      .as[RawDocument]
+  }
+
+  /** Full pipeline: documents DataFrame → Dataset[ChunkRow] (not yet written). */
+  def buildIndex(docs: DataFrame, cfg: IndexConfig = IndexConfig())(
+      implicit spark: SparkSession): Dataset[ChunkRow] = {
+    val prepared = prepare(docs)
+    val chunks = Chunkers.chunkDataset(prepared, cfg.strategy)
+    Embeddings.embedDataset(chunks,
+      () => new Embeddings.HashingTfEmbedder(cfg.embeddingDim), cfg.batchSize)
+  }
+
+  /** Write the index. Partitioned by split_strategy (low cardinality — enables
+    * partition pruning per strategy); embedding stays a `list<float>` column
+    * so text-only queries never read it (column pruning, SURVEY.md §4.4).
+    */
+  def writeIndex(rows: Dataset[ChunkRow], path: String): Unit =
+    rows.toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("split_strategy")
+      .parquet(path)
+
+  /** The semantic-search read path (SURVEY.md §3.3): embed the query text
+    * with the same provider, score, top-k.
+    */
+  def searchText(index: DataFrame, queryText: String, k: Int, dim: Int): DataFrame = {
+    val provider = new Embeddings.HashingTfEmbedder(dim)
+    val qv = provider.embed(Seq(queryText)).head
+    Search.topK(index, "embedding", qv.toSeq, k, "cosine")
+      .select(col("doc_id"), col("chunk_index"), col("chunk_text"),
+        col("filename"), round(col("score"), 3).as("score"))
+  }
+}

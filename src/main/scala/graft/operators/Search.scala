@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search — the reference's implied query surface (pgvector
+  * `ORDER BY embedding <=> q LIMIT k`, `/root/reference/README.md:16,83-91`),
+  * re-expressed Spark-first (SURVEY.md §2.9, §3.3).
+  *
+  * Three tiers, by scale:
+  *   1. [[topK]] — brute-force exact, single query vector: narrow scan +
+  *      `TakeOrderedAndProject` (partial top-k per partition, driver merge —
+  *      no global sort, no shuffle of the data).
+  *   2. [[topKPerQuery]] — exact, a small batch of query vectors: broadcast
+  *      the queries, per-query window top-k.
+  *   3. [[ivfAssign]] / [[ivfTopK]] — IVF-style ANN: assign vectors to their
+  *      nearest centroid once (narrow), search only the query's cluster —
+  *      the 100 TB path (scan cost /= nClusters; fully relational).
+  *   4. [[LshIndex]] — MLlib random-projection LSH for approximate joins.
+  */
+object Search {
+
+  /** Metric names match pgvector's operators: cosine `<=>`, l2 `<->`, ip `<#>`. */
+  def score(metric: String, v: Column, q: Column): Column = metric match {
+    case "cosine" => cosine(v, q)
+    case "l2"     => l2Distance(v, q)
+    case "ip"     => dot(v, q)
+    case other    => throw new IllegalArgumentException(s"Unknown metric: $other")
+  }
+
+  /** Exact top-k for ONE query vector. Plans as scan → project →
+    * TakeOrderedAndProject: each partition keeps only k rows, the driver
+    * merges — the optimal distributed plan for single-query search.
+    * For l2 the order is ascending (distance), else descending (similarity).
+    */
+  def topK(index: DataFrame, vecCol: String, query: Seq[Float], k: Int,
+      metric: String = "cosine"): DataFrame = {
+    val q = lit(query.toArray)
+    val scored = index.withColumn("score", score(metric, col(vecCol), q))
+    val ordered =
+      if (metric == "l2") scored.orderBy(col("score").asc)
+      else scored.orderBy(col("score").desc)
+    ordered.limit(k)
+  }
+
+  /** Exact top-k per query row (queries small ⇒ broadcast). The data side
+    * streams once past every query — one scan regardless of query count.
+    */
+  def topKPerQuery(index: DataFrame, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, metric: String = "cosine"): DataFrame = {
+    val scored = index
+      .crossJoin(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("_qv"))))
+      .withColumn("score", score(metric, col(vecCol), col("_qv")))
+      .drop("_qv")
+    val ord = if (metric == "l2") col("score").asc else col("score").desc
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(ord)))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF cluster assignment: nearest centroid id per vector (cosine), as ONE
+    * narrow expression — centroids inlined as literals (they are few; this is
+    * the broadcast), argmax via `array_max` over `(sim, -cid)` structs
+    * (struct comparison is lexicographic ⇒ max sim, ties to the LOWEST
+    * centroid id — deterministic). No join, no window, no shuffle; persist
+    * the result partitioned by `cluster_id` so queries prune to one
+    * cluster's files.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    val candidates = array(centroids.map { case (cid, v) =>
+      struct(cosine(col(vecCol), lit(v)).as("sim"), lit(-cid).as("neg_cid"))
+    }: _*)
+    df.withColumn("cluster_id", -array_max(candidates).getField("neg_cid"))
+  }
+
+  /** IVF ANN top-k: restrict the scan to the query's `nProbe` nearest
+    * clusters (driver-side centroid argmax — centroids are tiny), then exact
+    * top-k within. Approximate (recall < 1 when the true neighbor lives in an
+    * unprobed cluster); recall tested vs [[topK]].
+    */
+  def ivfTopK(indexWithClusters: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])],
+      query: Seq[Float], k: Int, nProbe: Int = 1): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.lazyZip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2)
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val probeIds = centroids
+      .map { case (cid, v) => (cos(v.toSeq, query), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
+    indexWithClusters
+      .where(col("cluster_id").isin(probeIds: _*))
+      .withColumn("score", cosine(col(vecCol), lit(query.toArray)))
+      .orderBy(col("score").desc).limit(k)
+  }
+
+  /** MLlib BucketedRandomProjectionLSH wrapper over `array<float>` columns
+    * (converts to ml Vector only at the boundary — SURVEY.md §7.4 risk 6).
+    */
+  final class LshIndex(bucketLength: Double = 2.0, numTables: Int = 3, seed: Long = 42L) {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+
+    private def withVec(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("_features", array_to_vector(
+        col(vecCol).cast("array<double>")))
+
+    def fit(df: DataFrame, vecCol: String): org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel =
+      new BucketedRandomProjectionLSH()
+        .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+        .setInputCol("_features").setOutputCol("_hashes")
+        .fit(withVec(df, vecCol))
+
+    /** Approximate self-join: pairs within `maxL2Dist`, id1 < id2. */
+    def approxPairs(df: DataFrame, idCol: String, vecCol: String,
+        maxL2Dist: Double): DataFrame = {
+      val prepared = withVec(df, vecCol)
+      val model = new BucketedRandomProjectionLSH()
+        .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+        .setInputCol("_features").setOutputCol("_hashes")
+        .fit(prepared)
+      model.approxSimilarityJoin(prepared, prepared, maxL2Dist, "l2_dist")
+        .select(col(s"datasetA.$idCol").as("id1"),
+          col(s"datasetB.$idCol").as("id2"), col("l2_dist"))
+        .where(col("id1") < col("id2"))
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the `events` shape (EXT mandate,
+  * SURVEY.md §2.9 ST1–ST3). Every transform here takes a DataFrame and works
+  * identically on a batch frame and a `readStream` frame — the batch t2
+  * probes (Q18) and the streaming harness tests share these definitions, so
+  * batch/stream parity is by construction.
+  */
+object Streams {
+
+  /** ST1 — tumbling window aggregate: per (window, event_type) count and
+    * rounded sum. On a stream, pair with [[withEventTimeWatermark]] so state
+    * is bounded (append-mode emission after watermark passes window end).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** ST2 — sliding window: overlapping windows of `width` every `slide`. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"), col("n"))
+
+  /** ST2b — session window: gap-based sessions per user. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  /** Watermark wrapper (streaming only — no-op semantics on batch frames). */
+  def withEventTimeWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** ST3 — stateful streaming dedup on a business key within the watermark:
+    * late duplicates beyond the delay are dropped with bounded state.
+    * On a batch frame use `dropDuplicates` (same key set) instead.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Demo/IT wiring: events parquet dir → stream → tumbling counts → memory
+    * sink. Used by the streaming spec; production sinks would be
+    * kafka/parquet with checkpointLocation.
+    */
+  def streamTumblingToMemory(spark: SparkSession, dir: String, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    tumblingCounts(withEventTimeWatermark(stream))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+  }
+}
