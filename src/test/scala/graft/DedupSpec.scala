@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Dedup family (V4 + A6): exact keep-min, MinHash/LSH near-dup recall on
+  * planted duplicates, simhash locality, centroid aggregator correctness.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("exactDedup keeps exactly one row per content, the min-key one") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val out = Dedup.exactDedup(df, col("t"), col("id")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("shingles: fewer than n tokens → empty (no partial shingles)") {
+    import spark.implicits._
+    val df = Seq("one two", "one two three four").toDF("t")
+      .withColumn("toks", TextFunctions.wordTokens(col("t")))
+      .select(TextFunctions.shingles(col("toks"), 3).as("sh"))
+    val Seq(a, b) = df.as[Seq[String]].collect().toSeq
+    assert(a.isEmpty)
+    assert(b == Seq("one two three", "two three four"))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base + " extra"
+    val far = "completely different content about database engines and columnar storage"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 6, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("simhash: identical docs identical; near docs close in Hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark query engine with columnar storage and fast joins here"),
+      (2L, "spark query engine with columnar storage and fast joins there"),
+      (3L, "unrelated poetry about mountains rivers clouds sunsets horizons"))
+      .toDF("id", "t")
+      .withColumn("toks", TextFunctions.wordTokens(col("t")))
+      .withColumn("sh", Dedup.simhash(col("toks"), 16))
+    val m = df.select("id", "sh").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    // hammingDistance column ≡ bitCount
+    val hd = df.as("a").crossJoin(df.as("b"))
+      .where(col("a.id") === 1 && col("b.id") === 3)
+      .select(Dedup.hammingDistance(col("a.sh"), col("b.sh"))).head().getInt(0)
+    assert(hd == ham(m(1L), m(3L)))
+  }
+
+  test("embeddingNearDupPairs finds the planted near-identical vector") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val vNear = v.clone(); vNear(0) += 0.01f
+    val vFar = Array.tabulate(8)(i => if (i % 2 == 0) 5f else -5f)
+    val df = Seq((1L, v.toSeq), (2L, vNear.toSeq), (3L, vFar.toSeq)).toDF("id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "emb", 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("CentroidAggregator computes per-dimension means (A6, G5)") {
+    import spark.implicits._
+    val data = Seq(
+      (0, Array(1f, 2f, 3f)), (0, Array(3f, 4f, 5f)),
+      (1, Array(10f, 0f, -2f)))
+    val out = data.toDS()
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new Dedup.CentroidAggregator(3).toColumn.name("c"))
+      .collect().toMap
+    assert(out(0).toSeq == Seq(2f, 3f, 4f))
+    assert(out(1).toSeq == Seq(10f, 0f, -2f))
+  }
+
+  test("CentroidAggregator rejects mismatched dimensions") {
+    import spark.implicits._
+    val data = Seq((0, Array(1f, 2f)), (0, Array(1f, 2f, 3f)))
+    val e = intercept[org.apache.spark.SparkException] {
+      data.toDS().groupByKey(_._1).mapValues(_._2)
+        .agg(new Dedup.CentroidAggregator(2).toColumn.name("c")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

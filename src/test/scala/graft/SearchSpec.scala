@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+
+/** Similarity search (V1–V3) + the plan assertions of SURVEY.md §5.2.6:
+  * top-k correctness vs a driver-side reference, IVF expression ≡ window
+  * argmax, LSH recall vs exact, and physical-plan shape checks
+  * (TakeOrderedAndProject, broadcast joins, parquet pushdown/pruning).
+  */
+class SearchSpec extends SparkSpec {
+
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map(p => p._1.toDouble * p._2).sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    d / (na * nb)
+  }
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val vecs: Map[Long, Seq[Float]] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+  test("topK matches a driver-side brute-force reference") {
+    val q = vecs(0L)
+    val got = Search.topK(emb.where(col("vec_id") =!= 0), "embedding", q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosRef(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got == want)
+  }
+
+  test("topK single-query plan uses TakeOrderedAndProject (partial top-k, no global sort)") {
+    val plan = Search.topK(emb, "embedding", vecs(0L), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("topKPerQuery returns k rows per query, ranked") {
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Search.topKPerQuery(emb, "embedding", queries, "qid", "qv", k = 3)
+    val counts = out.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 3L) && counts.size == 3)
+    // rank 1 of each query is the vector itself (cosine with itself = 1)
+    val self = out.where(col("rank") === 1).select("query_id", "vec_id").collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ivfAssign (argmax expression) ≡ window-argmax assignment") {
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val byExpr = Search.ivfAssign(emb, "embedding", centroids)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byRef = vecs.map { case (id, v) =>
+      id -> centroids.map { case (cid, cv) => (cosRef(v, cv.toSeq), cid) }
+        .maxBy { case (s, cid) => (s, -cid) }._2
+    }
+    assert(byExpr == byRef)
+  }
+
+  test("ivfTopK prunes to probed clusters and finds neighbors within them") {
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val assigned = Search.ivfAssign(emb, "embedding", centroids)
+    val out = Search.ivfTopK(assigned.where(col("vec_id") =!= 0), "embedding",
+      centroids, vecs(0L), k = 5, nProbe = 2)
+    val rows = out.select("vec_id", "cluster_id").collect()
+    assert(rows.length == 5)
+    val probed = rows.map(_.getInt(1)).distinct.toSet
+    assert(probed.size <= 2)
+  }
+
+  test("LSH approx pairs reach ≥0.6 recall vs exact pairs at L2<1.18") {
+    val exact = {
+      val ids = vecs.keys.toSeq.sorted
+      (for {
+        i <- ids; j <- ids if i < j
+        d = math.sqrt(vecs(i).zip(vecs(j)).map(p => math.pow(p._1 - p._2, 2)).sum)
+        if d < 1.18
+      } yield (i, j)).toSet
+    }
+    val approx = new Search.LshIndex(bucketLength = 1.0, numTables = 4, seed = 42L)
+      .approxPairs(emb, "vec_id", "embedding", maxL2Dist = 1.18)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall exact=${exact.size} approx=${approx.size}")
+    assert(approx.subsetOf(exact.union(exact))) // no pair beyond threshold (join filters)
+  }
+
+  // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
+
+  test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
+    val plan = Queries.q03RegionCustomers(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("parquet scan gets filter pushdown and column pruning") {
+    val df = Tables.lineitem(spark, sf001)
+      .where(col("l_quantity") > 49.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"),
+      scan.take(1200))
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      scan.take(1200))
+  }
+
+  test("whole-stage codegen covers the clean/chunk expression chain") {
+    val df = Queries.q13FixedChunker(spark, sf001)
+    df.collect() // AQE only finalizes codegen spans in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators render as "*(n) Op" in the final plan string
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured Streaming operators (ST1–ST3) on MemoryStream — deterministic,
+  * processing-time-free (SURVEY.md §5.2.5), plus batch/stream parity for the
+  * tumbling window.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("ST1: tumbling hour counts — batch and stream agree; watermark drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 2.0),
+      Ev(3, ts(59), 2, "view", 3.0),
+      Ev(4, Timestamp.valueOf("2024-01-01 11:01:00"), 1, "click", 4.0))
+
+    // batch form
+    val batch = Streams.tumblingCounts(rows.toDF()).orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(batch.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L), ("2024-01-01 10:00:00.0", "view", 1L),
+      ("2024-01-01 11:00:00.0", "click", 1L)))
+
+    // stream form: first batch advances watermark past 10:00 window, then a
+    // too-late event for that window arrives and must be dropped.
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(Streams.withEventTimeWatermark(mem.toDF(), "10 minutes"))
+      .writeStream.format("memory").queryName("st1").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(5, Timestamp.valueOf("2024-01-01 12:30:00"), 3, "view", 5.0))
+      q.processAllAvailable() // watermark → 12:20; closes the 10:00 and 11:00 windows
+      mem.addData(Ev(6, ts(30), 9, "late", 9.9)) // 10:30 < watermark ⇒ dropped
+      q.processAllAvailable()
+      val got = spark.table("st1").orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L), ("2024-01-01 10:00:00.0", "view", 1L),
+        ("2024-01-01 11:00:00.0", "click", 1L)))
+      assert(!got.exists(_._2 == "late"))
+    } finally q.stop()
+  }
+
+  test("ST2: sliding windows produce overlapping membership") {
+    import spark.implicits._
+    val rows = Seq(Ev(1, ts(10), 1, "click", 1.0))
+    val out = Streams.slidingCounts(rows.toDF(), "1 hour", "15 minutes")
+      .collect().map(_.getLong(2))
+    assert(out.length == 4) // a point belongs to 4 overlapping 1h/15m windows
+  }
+
+  test("ST2b: session windows close after the gap") {
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 1.0), // session 1
+      Ev(3, ts(20), 1, "a", 1.0),                            // session 2
+      Ev(4, ts(1), 2, "a", 1.0))                             // user 2
+    val out = Streams.sessionCounts(rows.toDF(), "5 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("ST3: dropDuplicatesWithinWatermark drops the in-window duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(mem.toDF(), "10 minutes")
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("st3").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("st3").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}

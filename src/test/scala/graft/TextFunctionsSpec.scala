@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis, TextFunctions}
+
+/** clean_text chain (P1, bit-for-bit vs the reference semantics), tokenizers,
+  * and the text-analysis operator family (V5).
+  */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def clean(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextFunctions.cleanText(col("t"))).head().getString(0)
+  }
+
+  test("cleanText: NBSP → space, space/tab runs → one space, newlines untouched by step 2") {
+    assert(clean("a b") == "a b")
+    assert(clean("a  \t  b") == "a b")
+    assert(clean("a \n b") == "a \n b")
+  }
+
+  test("cleanText: 3+ newlines → exactly two; exactly-two preserved") {
+    assert(clean("a\n\n\n\n\nb") == "a\n\nb")
+    assert(clean("a\n\nb") == "a\n\nb")
+  }
+
+  test("cleanText: leading/trailing whitespace stripped (incl newlines/tabs)") {
+    assert(clean(" \t\n hello \n\t ") == "hello")
+    assert(clean("   ") == "")
+  }
+
+  test("wordTokens: lowercased letter/digit runs, unicode letters kept") {
+    import spark.implicits._
+    val toks = Seq("Héllo, Wörld—42 times!").toDF("t")
+      .select(TextFunctions.wordTokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("héllo", "wörld", "42", "times"))
+  }
+
+  test("wordCount: empty and whitespace-only → 0") {
+    import spark.implicits._
+    val counts = Seq("", "   ", "one two  three").toDF("t")
+      .select(TextFunctions.wordCount(col("t"))).as[Int].collect().toSeq
+    assert(counts == Seq(0, 0, 3))
+  }
+
+  test("bpeishTokenCount: letter runs + digit runs + single punctuation") {
+    import spark.implicits._
+    val n = Seq("ab12,cd!").toDF("t")
+      .select(TextFunctions.bpeishTokenCount(col("t"))).as[Int].head()
+    assert(n == 5) // ab | 12 | , | cd | !
+  }
+
+  test("langId: stopword argmax with deterministic tie-break; 'und' when no hits") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog in the house",   // en
+      "der hund und die katze ist da",      // de
+      "le chat et la maison est grande",    // fr
+      "xyzzy qwerty asdf")                  // und
+      .toDF("t").withColumn("toks", TextFunctions.wordTokens(col("t")))
+    val out = df.select(TextAnalysis.langId(col("toks"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint: stable across whitespace variants, 16 hex chars") {
+    import spark.implicits._
+    val fps = Seq("hello   world", "hello world", "hello world!").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[String].collect().toSeq
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps.forall(_.matches("[0-9a-f]{16}")))
+  }
+
+  test("rollingTokenHash: order-sensitive, stable, within modulus") {
+    import spark.implicits._
+    val hs = Seq("a b c", "c b a", "a b c").toDF("t")
+      .withColumn("toks", TextFunctions.wordTokens(col("t")))
+      .select(TextAnalysis.rollingTokenHash(col("toks"))).as[Long].collect().toSeq
+    assert(hs(0) == hs(2))
+    assert(hs(0) != hs(1))
+    assert(hs.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("qualityScore: clean prose beats punctuation soup") {
+    import spark.implicits._
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and it is a fine day in the park with many people walking.",
+      "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")
+      .toDF("t").withColumn("toks", TextFunctions.wordTokens(col("t")))
+    val Seq(good, bad) = df.select(TextAnalysis.qualityScore(col("t"), col("toks")))
+      .as[Double].collect().toSeq
+    assert(good > bad)
+    assert(good > 0.6 && bad < 0.5)
+  }
+}
