@@ -1,0 +1,145 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the vector hot path (SURVEY.md §2.10's
+  * "optional codegen'd Expression if zip_with profiling disappoints").
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*), 0d, +)`) allocates an intermediate array per
+  * row per pair — on an O(N²) near-dup scan that is the dominant cost. These
+  * expressions compute dot/cosine/L2 in ONE fused loop over the two
+  * `ArrayData`, no allocation, with full whole-stage codegen.
+  *
+  * Semantics match VectorFunctions exactly (same left-to-right double
+  * accumulation, cosine = dot / (sqrt(na) * sqrt(nb))), so results are
+  * bit-identical and the DuckDB oracle discipline is unaffected.
+  * Length-mismatched or null inputs yield null (like zip_with + aggregate).
+  */
+object VectorKernels {
+  /** mode: 0 = dot, 1 = cosine, 2 = l2 */
+  def compute(mode: Int, a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    mode match {
+      case 0 =>
+        while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+        dot
+      case 1 =>
+        while (i < n) {
+          val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val d = math.sqrt(na) * math.sqrt(nb)
+        if (d == 0.0) null else dot / d
+      case 2 =>
+        while (i < n) {
+          val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+          val diff = x - y; dot += diff * diff; i += 1
+        }
+        math.sqrt(dot)
+    }
+  }
+}
+
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  def mode: Int
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(FloatType, containsNull = false), ArrayType(FloatType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.compute(mode, a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      val body = mode match {
+        case 0 =>
+          s"""
+             |double $dot = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+             |}
+             |${ev.value} = $dot;
+           """.stripMargin
+        case 1 =>
+          s"""
+             |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $x = (double) $a.getFloat($i);
+             |  double $y = (double) $b.getFloat($i);
+             |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+             |}
+             |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+             |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+           """.stripMargin
+        case 2 =>
+          s"""
+             |double $dot = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $x = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+             |  $dot += $x * $x;
+             |}
+             |${ev.value} = java.lang.Math.sqrt($dot);
+           """.stripMargin
+      }
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $body
+         |}
+       """.stripMargin
+    })
+}
+
+case class DotProductExpr(left: Expression, right: Expression) extends VectorBinaryExpression {
+  def mode = 0
+  override def prettyName: String = "graft_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CosineSimilarityExpr(left: Expression, right: Expression) extends VectorBinaryExpression {
+  def mode = 1
+  override def prettyName: String = "graft_cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBinaryExpression {
+  def mode = 2
+  override def prettyName: String = "graft_l2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column ⇄ Expression bridge for the DataFrame API (ExpressionUtils is
+  * private[sql], hence this package).
+  */
+object VectorColumns {
+  private def toCol(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+  def dotFast(a: Column, b: Column): Column = toCol(DotProductExpr(ex(a), ex(b)))
+  def cosineFast(a: Column, b: Column): Column = toCol(CosineSimilarityExpr(ex(a), ex(b)))
+  def l2Fast(a: Column, b: Column): Column = toCol(L2DistanceExpr(ex(a), ex(b)))
+}

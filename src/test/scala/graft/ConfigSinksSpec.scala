@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.SplitStrategy
+import graft.sources.Sinks
+
+/** Config (S4) and sink (S5) behavior. */
+class ConfigSinksSpec extends SparkSpec {
+
+  test("GraftConfig: session-conf override + argparse-default parity + guards") {
+    assert(GraftConfig().chunkSize == 1200 && GraftConfig().overlap == 200
+      && GraftConfig().batchSize == 32)
+    spark.conf.set("spark.graft.chunkSize", "300")
+    spark.conf.set("spark.graft.strategy", "sentence")
+    try {
+      val c = GraftConfig.fromSession(spark)
+      assert(c.chunkSize == 300 && c.strategy == "sentence")
+      assert(c.splitStrategy == SplitStrategy.Sentence(300))
+    } finally {
+      spark.conf.unset("spark.graft.chunkSize")
+      spark.conf.unset("spark.graft.strategy")
+    }
+    intercept[IllegalArgumentException](GraftConfig(overlap = 1300))
+    intercept[IllegalArgumentException](GraftConfig(chunkSize = 0))
+  }
+
+  test("parquet index sink: partitioned layout, embedding column prunable, idempotent overwrite") {
+    val dir = Files.createTempDirectory("idx").toString
+    val rows = operators.Index.buildIndex(
+      Tables.documents(spark, sf001).limit(20),
+      operators.Index.IndexConfig(embeddingDim = 8))
+    operators.Index.writeIndex(rows, dir)
+    operators.Index.writeIndex(rows, dir) // overwrite must be clean (job commit)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rows.count())
+    // partition directory per strategy
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("split_strategy=fixed")))
+    // text-only scan prunes the embedding column
+    val scan = back.select("doc_id", "chunk_text").queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,chunk_text:string>"), scan.take(900))
+  }
+
+  test("jdbc sink serializes embeddings to pgvector text literals") {
+    import spark.implicits._
+    // no database offline — check the serialization expression itself
+    val df = Seq((1L, Seq(1.5f, -2f, 3f))).toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val lit = df.select(
+      concat(org.apache.spark.sql.functions.lit("["),
+        concat_ws(",", col("embedding")),
+        org.apache.spark.sql.functions.lit("]"))).head().getString(0)
+    assert(lit == "[1.5,-2.0,3.0]")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.plans.GraftFunctions
+
+/** The custom codegen'd vector expressions must be bit-identical to the
+  * higher-order-function reference forms (same left-to-right double
+  * accumulation) — that identity is what keeps the DuckDB oracle green
+  * after the hot path switched to the fused expressions.
+  */
+class VectorExprSpec extends SparkSpec {
+
+  private lazy val pairs = {
+    val e = Tables.embeddings(spark, sf001)
+    e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .crossJoin(e.select(col("vec_id").as("id2"), col("embedding").as("v2")))
+      .where(col("id1") < 3)
+  }
+
+  test("fused cosine ≡ HOF cosine, bit-for-bit on real vectors") {
+    val n = pairs
+      .select(VectorFunctions.cosine(col("v1"), col("v2")).as("fast"),
+        VectorFunctions.cosineHof(col("v1"), col("v2")).as("ref"))
+      .where(col("fast") =!= col("ref") ||
+        (col("fast").isNull =!= col("ref").isNull))
+      .count()
+    assert(n == 0)
+  }
+
+  test("fused dot and l2 ≡ HOF forms, bit-for-bit") {
+    val n = pairs
+      .select(VectorFunctions.dot(col("v1"), col("v2")).as("fd"),
+        VectorFunctions.dotHof(col("v1"), col("v2")).as("rd"),
+        VectorFunctions.l2Distance(col("v1"), col("v2")).as("fl"),
+        VectorFunctions.l2DistanceHof(col("v1"), col("v2")).as("rl"))
+      .where(col("fd") =!= col("rd") || col("fl") =!= col("rl"))
+      .count()
+    assert(n == 0)
+  }
+
+  test("null semantics: zero vector → null cosine; length mismatch → null") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(0f, 0f), Seq(1f, 2f)),   // zero norm
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)) // length mismatch
+    ).toDF("a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+    val rows = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("c"),
+      VectorFunctions.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).isNullAt(0)) // zero-norm cosine null
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // mismatch null
+  }
+
+  test("SQL registration: graft_cosine usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("fused expression stays inside whole-stage codegen") {
+    val df = pairs.select(VectorFunctions.cosine(col("v1"), col("v2")).as("c"))
+      .agg(count(col("c")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(600))
+  }
+}
