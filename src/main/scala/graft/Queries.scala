@@ -54,14 +54,23 @@ object Queries {
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** Q2 — inner equi-join + agg (J1, A1): revenue per market segment. */
-  def q02MktsegmentRevenue(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir)
+  /** Q2 — inner equi-join + agg (J1, A1): revenue per market segment.
+    * Shape: pre-aggregate orders per custkey BEFORE the join (partial sums
+    * are decimal — exact, so re-aggregating per segment is lossless). At
+    * scale this joins |customers| pre-aggregated rows instead of |orders|
+    * full-width rows.
+    */
+  def q02MktsegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("cust_rev"), count(lit(1)).as("cust_n"))
+    perCust
       .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(round(dsum2(col("o_totalprice")), 2).as("revenue"),
-        count(lit(1)).as("n_orders"))
+      .agg(round(sum(col("cust_rev")).cast("double"), 2).as("revenue"),
+        sum(col("cust_n")).as("n_orders"))
       .orderBy(col("c_mktsegment"))
+  }
 
   /** Q3 — 3-way join with broadcast dims (J1/J2): customers per region. */
   def q03RegionCustomers(s: SparkSession, dir: String): DataFrame =
@@ -72,14 +81,21 @@ object Queries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("r_name"))
 
-  /** Q4 — left outer join + COALESCE (J3): per-customer order stats, 0 kept. */
-  def q04CustomerOrdersOuter(s: SparkSession, dir: String): DataFrame =
+  /** Q4 — left outer join + COALESCE (J3): per-customer order stats, 0 kept.
+    * Shape: aggregate orders per custkey first, THEN left-join — the outer
+    * join carries one row per customer instead of one per order.
+    */
+  def q04CustomerOrdersOuter(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(col("o_orderkey")).as("o_n"), dsum2(col("o_totalprice")).as("o_sum"))
     customer(s, dir)
-      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(dsum2(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("o_n"), lit(0L)).as("n_orders"),
+        round(coalesce(col("o_sum"), lit(0.0)), 2).as("total_spent"))
       .orderBy(col("c_custkey"))
+  }
 
   /** Q5 — left semi join (J4): customers with any order > 450k. */
   def q05BigSpendersSemi(s: SparkSession, dir: String): DataFrame =

@@ -73,13 +73,18 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // Both frames are consumed twice (self-join sides / pair verification);
+    // without persist Spark re-derives the shingle+signature subplan per use
+    // — the dominant cost of the pipeline. MEMORY_AND_DISK: spill, don't OOM.
     val sh = df
       .select(col(idCol).as("id"), TextFunctions.shingles(col(tokensCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band", explode(lshBandKeys(col("sig"), numBands, rowsPerBand)))
       .select(col("id"), col("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))

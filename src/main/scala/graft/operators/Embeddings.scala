@@ -76,10 +76,13 @@ object Embeddings {
     * equivalence-tested).
     */
   final class HashingTfEmbedder(val dim: Int) extends EmbeddingProvider {
+    // one digest instance per embedder (≅ per partition via embedDataset) —
+    // MessageDigest.getInstance per token dominated the index-build profile
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     def embed(texts: Seq[String]): Seq[Array[Float]] =
       texts.map { t =>
         val counts = new Array[Float](dim)
-        tokensOf(t).foreach { tok => counts(md5Bucket(tok, dim)) += 1f }
+        tokensOf(t).foreach { tok => counts((md5Long60(md, tok) % dim).toInt) += 1f }
         val norm = math.sqrt(counts.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
         if (norm == 0f) counts else counts.map(_ / norm)
       }
@@ -89,11 +92,25 @@ object Embeddings {
   private[graft] def tokensOf(t: String): Seq[String] =
     t.toLowerCase.split("[^\\p{L}\\p{N}]+").iterator.filter(_.nonEmpty).toSeq
 
+  /** First 15 hex chars of md5 as a non-negative long (= 60 bits: digest
+    * bytes 0..6 and the high nibble of byte 7) — computed straight from the
+    * digest bytes, no hex-string round-trip. Portable: equals Spark
+    * `conv(substring(md5(x),1,15),16,10)` and DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`.
+    */
+  private def md5Long60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** Low 60 bits of md5 hex, mod dim — portable (Spark conv / DuckDB 0x-cast). */
   private[graft] def md5Bucket(s: String, dim: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % dim).toInt
+    (md5Long60(md, s) % dim).toInt
   }
 
   /** Typed execution: per-partition micro-batching — the distributed
