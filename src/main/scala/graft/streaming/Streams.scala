@@ -49,14 +49,21 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Demo/IT wiring: events parquet dir → stream → tumbling counts → memory
-    * sink. Used by the streaming spec; production sinks would be
-    * kafka/parquet with checkpointLocation.
+  /** File-stream wiring: an events parquet directory tailed as a stream →
+    * watermarked tumbling counts → memory sink. The fixture's
+    * TIMESTAMP(NANOS) column needs the same long-schema workaround as the
+    * batch loader (Tables.events); `readStream` shares it here. Production
+    * sinks would be kafka/parquet with a checkpointLocation.
     */
-  def streamTumblingToMemory(spark: SparkSession, dir: String, queryName: String)
+  def streamTumblingToMemory(spark: SparkSession, eventsDir: String, queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types._
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(raw).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     tumblingCounts(withEventTimeWatermark(stream))
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
