@@ -18,6 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + shuffle machinery, so the first timed
+    // query doesn't absorb JVM startup noise
+    spark.range(2000000).selectExpr("sum(id * 2)", "count(distinct id % 97)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

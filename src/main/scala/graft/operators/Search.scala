@@ -132,5 +132,21 @@ object Search {
           col(s"datasetB.$idCol").as("id2"), col("l2_dist"))
         .where(col("id1") < col("id2"))
     }
+
+    /** Approximate k-nearest-neighbors of one query vector (MLlib
+      * `approxNearestNeighbors`: hash-bucket probe first, distance rank
+      * within — the single-query ANN read path at scale).
+      */
+    def approxTopK(df: DataFrame, idCol: String, vecCol: String,
+        query: Seq[Float], k: Int): DataFrame = {
+      val prepared = withVec(df, vecCol)
+      val model = new BucketedRandomProjectionLSH()
+        .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+        .setInputCol("_features").setOutputCol("_hashes")
+        .fit(prepared)
+      val q = org.apache.spark.ml.linalg.Vectors.dense(query.map(_.toDouble).toArray)
+      model.approxNearestNeighbors(prepared, q, k, "l2_dist")
+        .select(col(idCol), col("l2_dist"))
+    }
   }
 }

@@ -38,11 +38,16 @@ object GraftFunctions {
   def l2Fast(a: Column, b: Column): Column = VectorColumns.l2Fast(a, b)
 }
 
-/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` — installs the
+  * SQL functions plus the analysis-time vector-dimension check rule
+  * (org.apache.spark.sql.graft.VectorDimCheck).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarityExpr].getName, name), b))
     }
+    ext.injectCheckRule(_ => org.apache.spark.sql.graft.VectorDimCheck)
+  }
 }

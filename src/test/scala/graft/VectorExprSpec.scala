@@ -61,6 +61,35 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("dim-check rule rejects statically mismatched vector literals at analysis") {
+    import org.apache.spark.sql.graft.VectorDimCheck
+    val bad = spark.range(1).select(
+      VectorFunctions.cosine(
+        array(lit(1.0f), lit(2.0f)),
+        array(lit(1.0f), lit(2.0f), lit(3.0f))).as("c"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      VectorDimCheck(bad.queryExecution.analyzed)
+    }
+    assert(e.getMessage.contains("dimension mismatch"))
+    // matching dims pass
+    val ok = spark.range(1).select(
+      VectorFunctions.cosine(array(lit(1.0f)), array(lit(2.0f))).as("c"))
+    VectorDimCheck(ok.queryExecution.analyzed)
+    // extension installer wires functions + check rule without error
+    new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("LSH approxTopK returns k near neighbors of the query") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") === 0).head().getSeq[Float](1)
+    val out = new graft.operators.Search.LshIndex(bucketLength = 1.0, numTables = 4)
+      .approxTopK(e, "vec_id", "embedding", q, k = 5)
+      .collect()
+    assert(out.length == 5)
+    // the query vector itself is in the dataset → distance 0 neighbor first
+    assert(out.map(_.getLong(0)).contains(0L))
+  }
+
   test("fused expression stays inside whole-stage codegen") {
     val df = pairs.select(VectorFunctions.cosine(col("v1"), col("v2")).as("c"))
       .agg(count(col("c")))
