@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.SplitStrategy
+import graft.operators.{Chunkers, Embeddings, Index, Search}
+import graft.sources.DocumentSources
+
+/** CLI entry point mirroring the reference's argparse surface
+  * (`/root/reference/index_documents.py:256-264`): ingest a directory of
+  * documents, chunk, embed, write the parquet index — then optionally run a
+  * semantic query against it.
+  *
+  * Usage:
+  *   IndexCli --input <docsDir> --output <indexDir>
+  *            [--strategy fixed|sentence|paragraph] [--chunk-size 1200]
+  *            [--overlap 200] [--batch-size 32] [--embedding-dim 64]
+  *            [--query "some text"] [--top-k 5]
+  */
+object IndexCli {
+
+  final case class Args(
+      input: String = "", output: String = "",
+      strategy: String = "fixed", chunkSize: Int = 1200, overlap: Int = 200,
+      batchSize: Int = 32, embeddingDim: Int = 64,
+      query: Option[String] = None, topK: Int = 5)
+
+  def parse(argv: Array[String]): Args = {
+    def loop(a: Args, rest: List[String]): Args = rest match {
+      case Nil => a
+      case "--input" :: v :: t => loop(a.copy(input = v), t)
+      case "--output" :: v :: t => loop(a.copy(output = v), t)
+      case "--strategy" :: v :: t => loop(a.copy(strategy = v), t)
+      case "--chunk-size" :: v :: t => loop(a.copy(chunkSize = v.toInt), t)
+      case "--overlap" :: v :: t => loop(a.copy(overlap = v.toInt), t)
+      case "--batch-size" :: v :: t => loop(a.copy(batchSize = v.toInt), t)
+      case "--embedding-dim" :: v :: t => loop(a.copy(embeddingDim = v.toInt), t)
+      case "--query" :: v :: t => loop(a.copy(query = Some(v)), t)
+      case "--top-k" :: v :: t => loop(a.copy(topK = v.toInt), t)
+      case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
+    }
+    val a = loop(Args(), argv.toList)
+    require(a.input.nonEmpty, "--input is required")
+    require(a.output.nonEmpty, "--output is required")
+    a
+  }
+
+  /** The pipeline body, separated from main() for testability. */
+  def run(spark: SparkSession, args: Args): Long = {
+    implicit val s: SparkSession = spark
+    val strategy = SplitStrategy.fromName(args.strategy, args.chunkSize, args.overlap)
+    val docs = DocumentSources.readDocuments(spark, args.input)
+    val cleaned = {
+      import spark.implicits._
+      docs.map(d => d.copy(text = d.text)) // extraction already raw text
+        .toDF("docId", "filename", "text")
+        .withColumn("text", graft.functions.TextFunctions.cleanText(col("text")))
+        .where(length(col("text")) > 0)
+        .as[graft.model.RawDocument]
+    }
+    val chunks = Chunkers.chunkDataset(cleaned, strategy)
+    val rows = Embeddings.embedDataset(chunks,
+      () => new Embeddings.HashingTfEmbedder(args.embeddingDim), args.batchSize)
+    Index.writeIndex(rows, args.output)
+    val written = spark.read.parquet(args.output)
+    val n = written.count()
+    args.query.foreach { q =>
+      Index.searchText(written, q, args.topK, args.embeddingDim)
+        .show(args.topK, truncate = false)
+    }
+    n
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = run(spark, args)
+    println(s"Indexed $n chunks into ${args.output}")
+    spark.stop()
+  }
+}

@@ -351,5 +351,39 @@ FROM sess GROUP BY user_id, sess_id ORDER BY user_id, session_start_ms""",
     "q35_exact_dedup_keepmin" ->
       raw"""SELECT min(event_id) AS kept_id FROM events
 GROUP BY user_id, event_type, value ORDER BY kept_id""",
+
+    "q36_lag_lead" ->
+      raw"""SELECT user_id, CAST(rn AS INT) AS rn,
+CAST(dv AS DOUBLE) AS delta, coalesce(nt, '(none)') AS next_type
+FROM (
+  SELECT user_id, row_number() OVER w AS rn,
+    CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS dv,
+    lead(event_type, 1) OVER w AS nt
+  FROM events WHERE user_id < 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+WHERE rn <= 5 ORDER BY user_id, rn""",
+
+    "q37_cube" ->
+      raw"""SELECT coalesce(event_type, '(all)') AS event_type,
+coalesce(user_bucket, -1) AS user_bucket, count(*) AS n,
+CAST(grouping(event_type) AS INT) AS g_type,
+CAST(grouping(user_bucket) AS INT) AS g_bucket
+FROM (SELECT event_type, CAST(user_id % 10 AS INT) AS user_bucket FROM events)
+GROUP BY CUBE(event_type, user_bucket)
+ORDER BY event_type, user_bucket, g_type, g_bucket""",
+
+    "q38_ntile" ->
+      raw"""SELECT CAST(quartile AS INT) AS quartile, count(*) AS n,
+min(value) AS min_value, max(value) AS max_value
+FROM (
+  SELECT value, ntile(4) OVER (ORDER BY value, event_id) AS quartile
+  FROM events WHERE user_id < 50)
+GROUP BY quartile ORDER BY quartile""",
+
+    "q39_dates" ->
+      raw"""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+count(*) AS n_orders,
+round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
   )
 }

@@ -456,6 +456,52 @@ object Queries {
       .select(col("kept_id"))
       .orderBy(col("kept_id"))
 
+  /** Q36 — analytic windows (W2): lag/lead deltas per user, first 5 events. */
+  def q36LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    eventsUs(s, dir).where(col("user_id") < 20)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("delta",
+        (dec2(col("value")) - lag(dec2(col("value")), 1).over(w)).cast("double"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("rn") <= 5)
+      .select(col("user_id"), col("rn"), col("delta"),
+        coalesce(col("next_type"), lit("(none)")).as("next_type"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Q37 — cube + grouping ids (A4 beyond rollup). */
+  def q37Cube(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("user_bucket")).cast("int").as("g_bucket"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("user_bucket"), lit(-1)).as("user_bucket"),
+        col("n"), col("g_type"), col("g_bucket"))
+      .orderBy(col("event_type"), col("user_bucket"), col("g_type"), col("g_bucket"))
+
+  /** Q38 — ntile quartiles (W1 variant) over a bounded, totally-ordered set. */
+  def q38Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("value"), col("event_id"))
+    events(s, dir).where(col("user_id") < 50)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("quartile"))
+  }
+
+  /** Q39 — date part functions (F1): monthly order rollup. */
+  def q39Dates(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum2(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("yr"), col("mo"))
+
   // --------------------------- typed / non-oracle probes (rows-only checks)
 
   /** Q40 — the full typed index pipeline (S6→P1→C1→E1→schema): clean →
@@ -564,6 +610,10 @@ object Queries {
     "q33_strings" -> q33Strings _,
     "q34_sessions" -> q34Sessions _,
     "q35_exact_dedup_keepmin" -> q35ExactDedupKeepMin _,
+    "q36_lag_lead" -> q36LagLead _,
+    "q37_cube" -> q37Cube _,
+    "q38_ntile" -> q38Ntile _,
+    "q39_dates" -> q39Dates _,
     "q40_index_pipeline" -> q40IndexPipeline _,
     "q41_search_text" -> q41SearchText _,
     "q42_sentence_chunks" -> q42SentenceChunks _,

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** Salted-join/aggregation equivalence, bucketed co-located joins, CLI. */
+class JoinsCliSpec extends SparkSpec {
+
+  test("saltedEquiJoin result ≡ plain inner join on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share key 1 — the hot-key shape salting is for
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 1, i.toLong))
+      .toDF("k", "rowid")
+    val small = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k2", "name")
+    val plain = big.join(small, col("k") === col("k2"))
+      .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Joins.saltedEquiJoin(big, small, "k", "k2", col("rowid"), numSalts = 8)
+      .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("saltedGroupBy ≡ direct groupBy for decomposable aggs") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val direct = df.groupBy(col("k")).agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Joins.saltedGroupBy(df, col("k"), col("v"), 8)(
+        Seq(sum("v").as("ps"), count(lit(1)).as("pn")))(
+        Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("wh").toString
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    try {
+      a.write.bucketBy(8, "k").sortBy("k").option("path", s"$wh/ta").saveAsTable("graft_ta")
+      b.write.bucketBy(8, "k").sortBy("k").option("path", s"$wh/tb").saveAsTable("graft_tb")
+      // force the sort-merge path (tiny test tables would broadcast otherwise)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_ta").join(spark.table("graft_tb"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      // bucketed scans supply the hash distribution — no shuffle exchange
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_ta")
+      spark.sql("DROP TABLE IF EXISTS graft_tb")
+    }
+  }
+
+  test("IndexCli: parse defaults mirror the reference argparse; end-to-end run") {
+    val a = IndexCli.parse(Array("--input", "/in", "--output", "/out"))
+    assert(a.chunkSize == 1200 && a.overlap == 200 && a.batchSize == 32)
+    intercept[IllegalArgumentException](IndexCli.parse(Array("--input", "/in")))
+    intercept[IllegalArgumentException](
+      IndexCli.parse(Array("--input", "a", "--output", "b", "--bogus", "x")))
+
+    val in = Files.createTempDirectory("cliin").toFile
+    Files.write(new java.io.File(in, "d1.txt").toPath, ("alpha beta " * 30).getBytes)
+    Files.write(new java.io.File(in, "d2.txt").toPath, ("gamma delta " * 25).getBytes)
+    val out = Files.createTempDirectory("cliout").toString + "/idx"
+    val n = IndexCli.run(spark, IndexCli.Args(
+      input = in.getAbsolutePath, output = out,
+      chunkSize = 100, overlap = 20, embeddingDim = 8,
+      query = Some("alpha")))
+    assert(n > 0)
+    val back = spark.read.parquet(out)
+    assert(back.select("filename").distinct().count() == 2)
+  }
+}
