@@ -385,5 +385,12 @@ GROUP BY quartile ORDER BY quartile""",
 count(*) AS n_orders,
 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
 FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
+
+    // salting is an execution-strategy change only — the plain join is the oracle
+    "q46_salted_join" ->
+      raw"""SELECT c_mktsegment, count(*) AS n_events,
+round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

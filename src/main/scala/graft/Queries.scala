@@ -573,6 +573,31 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  /** Q46 — salted skew-resistant join (Joins.saltedEquiJoin): result is
+    * identical to the plain inner join, so the plain join IS the oracle.
+    */
+  def q46SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Joins.saltedEquiJoin(
+        events(s, dir), customer(s, dir),
+        "user_id", "c_custkey", col("event_id"), numSalts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Q47 — MLlib tf-idf features (V5 classical path; rows-only: learned
+    * vocabulary makes the vector contents data-order-dependent).
+    */
+  def q47Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = documents(s, dir).where(col("doc_id") < 200)
+    val (_, out) = functions.TextFeatures.fitTransform(docs,
+      functions.TextFeatures.TfIdfConfig(vocabSize = 128, minDocFreq = 2))
+    out.select(col("doc_id"),
+        size(filter(vector_to_array(col("tfidf")), x => x =!= 0.0)).as("n_active_terms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -620,5 +645,7 @@ object Queries {
     "q43_lsh_ann" -> q43LshAnn _,
     "q44_centroid_typed" -> q44CentroidTyped _,
     "q45_multimodal" -> q45Multimodal _,
+    "q46_salted_join" -> q46SaltedJoin _,
+    "q47_tfidf" -> q47Tfidf _,
   )
 }
