@@ -101,6 +101,53 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Connected-components-lite over near-dup pairs: resolve each id to the
+    * MINIMUM id reachable through the pair graph (transitive closure), so a
+    * whole near-dup cluster keeps exactly one representative.
+    *
+    * Distributed min-label propagation: each iteration joins labels across
+    * the symmetrized edge list and takes the element-wise min; fixpoint in
+    * ≤ diameter iterations (near-dup clusters are shallow — chains of
+    * mutated copies — so `maxIter` 10 covers real data; the loop exits early
+    * when an iteration changes nothing). `localCheckpoint` truncates the
+    * growing lineage each round.
+    *
+    * @param pairs DataFrame with `id1`, `id2` columns (id1 < id2)
+    * @return (id, rep) — one row per id appearing in any pair
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("nbr_rep"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .where(col("rep") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end keep-min near-dup removal: every row whose id resolves to a
+    * cluster representative other than itself is dropped.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = resolveClusters(pairs).where(col("rep") =!= col("id")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.
     * Portable: bit i of md5-hash(token) taken via integer div/mod — identical
     * in DuckDB. Near-dups = fingerprints within small Hamming distance.

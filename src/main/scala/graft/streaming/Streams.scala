@@ -49,6 +49,38 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom keyed state (EXT mandate: `mapGroupsWithState` for state the
+    * built-in windows can't express): per-user cumulative count + sum with a
+    * processing-time idle timeout that finalizes and removes a user's state.
+    * Works on `Dataset[(Long, Double)]` (user_id, value) from any stream.
+    */
+  def runningTotalsWithState(
+      pairs: org.apache.spark.sql.Dataset[(Long, Double)],
+      idleTimeout: Option[String] = None)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import pairs.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout // timeouts retrigger batches — opt-in
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](timeoutConf) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            (user, n, s)
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var s = s0
+            rows.foreach { r => n += 1; s += r._2 }
+            state.update((n, s))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            (user, n, s)
+          }
+      }
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

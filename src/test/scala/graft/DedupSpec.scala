@@ -69,6 +69,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("resolveClusters: transitive min-label over chains and separate clusters") {
+    import spark.implicits._
+    // cluster {1,2,3,9} via chain 1-2, 2-3, 3-9; cluster {5,7}; singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("id1", "id2")
+    val reps = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("dropNearDuplicates keeps exactly the cluster representatives") {
+    import spark.implicits._
+    val df = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L, 8L, 9L)) // dropped: 2,3 (rep 1), 7 (rep 5)
+  }
+
   test("CentroidAggregator computes per-dimension means (A6, G5)") {
     import spark.implicits._
     val data = Seq(

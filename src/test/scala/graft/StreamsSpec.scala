@@ -73,6 +73,28 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("mapGroupsWithState: per-user running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.runningTotalsWithState(mem.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // update mode: latest emission per user per batch
+      assert(rows.contains((1L, 2L, 5.0)))   // batch 1: two events
+      assert(rows.contains((2L, 1L, 10.0)))
+      assert(rows.contains((1L, 3L, 10.0)))  // batch 2: state carried over
+    } finally q.stop()
+  }
+
   test("ST3: dropDuplicatesWithinWatermark drops the in-window duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
