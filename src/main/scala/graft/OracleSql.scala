@@ -392,5 +392,49 @@ FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // cluster representative = min reachable id over the undirected pair
+    // graph; recursive CTE closure (clusters are tiny) vs Spark's iterative
+    // min-label propagation
+    "q48_neardup_clusters" ->
+      raw"""WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substring(text, 1, 300) AS text FROM documents WHERE doc_id < 60),
+tk AS (SELECT doc_id, $toks AS tk FROM docs),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk),
+shf AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      s -> list_min(list_transform(sh, x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+  FROM shf),
+banded AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, 3),
+      b -> concat_ws(',', b::VARCHAR || ':',
+        array_to_string(list_transform(sig[b*3+1:b*3+3], v -> v::VARCHAR), ',')))) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shf x ON x.doc_id = c.id1 JOIN shf y ON y.doc_id = c.id2
+  WHERE len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.4),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id, min(label) AS rep FROM reach GROUP BY id ORDER BY id""",
   )
 }

@@ -598,6 +598,20 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q48 — near-dup cluster resolution (V4 keep-min): the minhash pair graph
+    * resolved to minimum-reachable-id representatives via distributed
+    * min-label propagation; oracle = DuckDB recursive-CTE transitive closure.
+    */
+  def q48NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    Dedup.resolveClusters(pairs)
+      .select(col("id"), col("rep"))
+      .orderBy(col("id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -647,5 +661,6 @@ object Queries {
     "q45_multimodal" -> q45Multimodal _,
     "q46_salted_join" -> q46SaltedJoin _,
     "q47_tfidf" -> q47Tfidf _,
+    "q48_neardup_clusters" -> q48NeardupClusters _,
   )
 }
