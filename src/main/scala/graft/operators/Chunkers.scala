@@ -24,6 +24,27 @@ object Chunkers {
 
   // ---------------------------------------------------------------- typed ---
 
+  /** Python str.strip() semantics, exactly: Python's str.isspace() is true
+    * for Unicode Zs/Zl/Zp plus \t\n\v\f\r\x1c-\x1f\x85 — a SUPERSET of
+    * Java's Character.isWhitespace, which excludes the non-breaking spaces
+    * (U+00A0, U+2007, U+202F) and U+0085. Golden-tested against the
+    * executed reference (GoldenChunkersSpec).
+    */
+  private[operators] def pyIsSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || (Character.getType(c) match {
+      case Character.SPACE_SEPARATOR | Character.LINE_SEPARATOR |
+           Character.PARAGRAPH_SEPARATOR => true
+      case _ => c == '\u0085'
+    })
+
+  private[operators] def pyStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && pyIsSpace(s.charAt(i))) i += 1
+    while (j > i && pyIsSpace(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
   /** Fixed-size char windows with overlap (index_documents.py:79-103).
     * Exact semantics: window `[start, start+chunkSize)`, stripped; empty
     * windows are dropped but the cursor still advances (:93-95); the loop
@@ -41,7 +62,7 @@ object Chunkers {
     var done = n == 0
     while (!done) {
       val end = math.min(start + chunkSize, n)
-      val piece = text.substring(start, end).strip()
+      val piece = pyStrip(text.substring(start, end))
       if (piece.nonEmpty) out += piece
       if (end >= n) done = true else start += stride
     }
@@ -53,14 +74,15 @@ object Chunkers {
     * strip each, drop empty.
     */
   def paragraphsTyped(text: String): Seq[String] =
-    text.split("\\n\\s*\\n", -1).iterator.map(_.strip()).filter(_.nonEmpty).toSeq
+    // (?U): Python's re \s is Unicode-aware (NBSP etc.); Java default is ASCII
+    text.split("(?U)\\n\\s*\\n", -1).iterator.map(pyStrip).filter(_.nonEmpty).toSeq
 
   /** Naive sentence split (index_documents.py:72-77): split after `.` `!` `?`
     * followed by whitespace (lookbehind keeps the punctuation); strip; drop
     * empty. Abbreviations split ("Dr. Smith" → ["Dr.", "Smith ..."]).
     */
   def sentencesTyped(text: String): Seq[String] =
-    text.strip().split("(?<=[.!?])\\s+", -1).iterator.map(_.strip()).filter(_.nonEmpty).toSeq
+    pyStrip(text).split("(?U)(?<=[.!?])\\s+", -1).iterator.map(pyStrip).filter(_.nonEmpty).toSeq
 
   /** Greedy sentence grouping (index_documents.py:110-129): pack sentences
     * into chunks of ≈ `target = max(200, chunkSize)` chars; a sentence starts
