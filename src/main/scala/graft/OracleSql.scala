@@ -436,5 +436,23 @@ reach AS (
   UNION
   SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
 SELECT id, min(label) AS rep FROM reach GROUP BY id ORDER BY id""",
+
+    "q49_winnowing" ->
+      raw"""WITH g AS (
+  SELECT doc_id, text,
+    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+      p -> ('0x' || substr(md5(substr(text, CAST(p AS INT), 8)), 1, 15))::BIGINT) AS grams,
+    length(text) - 10 AS n_wins
+  FROM documents WHERE doc_id < 100),
+f AS (
+  SELECT doc_id,
+    CASE WHEN n_wins < 1 THEN []
+         ELSE list_sort(list_distinct(
+           list_transform(generate_series(1, greatest(n_wins, 1)),
+             p -> list_min(grams[p:p+3])))) END AS fp
+  FROM g)
+SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
+list_min(fp) AS fp_min, list_max(fp) AS fp_max
+FROM f ORDER BY doc_id""",
   )
 }

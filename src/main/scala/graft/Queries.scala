@@ -612,6 +612,16 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** Q49 — winnowing fingerprints (V5/V4): MOSS-style k-gram local-min
+    * document signatures, k=8 w=4.
+    */
+  def q49Winnowing(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 100)
+      .withColumn("fp", TextAnalysis.winnowingFingerprints(col("text"), 8, 4))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+      .orderBy(col("doc_id"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -662,5 +672,6 @@ object Queries {
     "q46_salted_join" -> q46SaltedJoin _,
     "q47_tfidf" -> q47Tfidf _,
     "q48_neardup_clusters" -> q48NeardupClusters _,
+    "q49_winnowing" -> q49Winnowing _,
   )
 }

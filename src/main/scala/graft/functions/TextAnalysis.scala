@@ -82,4 +82,29 @@ object TextAnalysis {
   def rollingTokenHash(tokens: Column): Column =
     aggregate(tokens, lit(0L),
       (acc, t) => (acc * 131L + conv(substring(md5(t), 1, 7), 16, 10).cast("long")) % 1000000007L)
+
+  /** Winnowing fingerprints (the MOSS local-minimum scheme): hash every
+    * k-char gram of the text, slide a window of `w` consecutive gram hashes,
+    * keep each window's minimum, return the distinct selected hashes sorted.
+    * Guarantees every match of length ≥ k+w-1 shares a fingerprint, with at
+    * most ~2/(w+1) of grams selected — the standard sub-linear document
+    * signature for near-dup/plagiarism detection.
+    *
+    * Fully relational (sequence/transform/slice/array_min — codegen'd) and
+    * portable: md5-60-bit gram hashes reproduce in DuckDB. Texts shorter
+    * than k+w-1 chars yield an empty fingerprint array.
+    */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0)
+    val nGrams = length(text) - (k - 1) // gram count (may be <= 0)
+    val grams = transform(
+      sequence(lit(1), greatest(nGrams, lit(1))), // 1-based gram start positions
+      p => conv(substring(md5(substr(text, p, lit(k))), 1, 15), 16, 10).cast("long"))
+    val nWins = nGrams - (w - 1)
+    val mins = transform(
+      sequence(lit(1), greatest(nWins, lit(1))),
+      p => array_min(slice(grams, p, lit(w))))
+    when(nWins < 1, array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(mins)))
+  }
 }

@@ -81,6 +81,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < 1000000007L))
   }
 
+  test("winnowing: shared substrings share fingerprints; short text empty") {
+    import spark.implicits._
+    val common = "the common shared span of text here"
+    val df = Seq(
+      ("AAAA " + common + " TAIL1 TAIL1", "a"),
+      ("BBBBBB " + common + " OTHER TAIL", "b"),
+      ("completely unrelated wording !!", "c"),
+      ("tiny", "d"))
+      .toDF("t", "id")
+      .withColumn("fp", graft.functions.TextAnalysis.winnowingFingerprints(col("t"), 8, 4))
+    val m = df.select("id", "fp").as[(String, Seq[Long])].collect().toMap
+    assert(m("d").isEmpty) // shorter than k+w-1
+    val ab = m("a").toSet.intersect(m("b").toSet)
+    val ac = m("a").toSet.intersect(m("c").toSet)
+    assert(ab.nonEmpty, "docs sharing a long span must share fingerprints")
+    assert(ac.size < ab.size)
+    // sorted distinct
+    assert(m("a") == m("a").distinct.sorted)
+  }
+
   test("qualityScore: clean prose beats punctuation soup") {
     import spark.implicits._
     val df = Seq(
