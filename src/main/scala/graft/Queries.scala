@@ -622,6 +622,47 @@ object Queries {
         array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
       .orderBy(col("doc_id"))
 
+  /** Q50 — a real Structured Streaming run (ST1, rows-only): the events
+    * fixture staged as a file stream → watermarked tumbling counts → memory
+    * sink, drained to completion and returned as a batch frame.
+    */
+  def q50Streaming(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("q50ev")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val name = "q50_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams.streamTumblingToMemory(s, staged.toString, name)
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(unix_millis(col("window_start")).as("hour_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+  }
+
+  /** Q51 — binaryFile document ingestion (S1–S3, rows-only): fixture texts
+    * staged as .txt/.pdf/.docx files → distributed extraction → index-ready
+    * chunk rows.
+    */
+  def q51FileIngest(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val staged = java.nio.file.Files.createTempDirectory("q51docs")
+    val texts = documents(s, dir).where(col("doc_id") < 30)
+      .select(col("doc_id"), col("text")).collect()
+    val exts = Seq("txt", "pdf", "docx")
+    texts.foreach { r =>
+      val ext = exts((r.getLong(0) % 3).toInt)
+      java.nio.file.Files.write(staged.resolve(s"doc${r.getLong(0)}.$ext"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    val docs = graft.sources.DocumentSources.readDocuments(s, staged.toString)
+    val chunks = Chunkers.chunkDataset(docs, SplitStrategy.Fixed(200, 40))
+    chunks
+      .groupBy(col("filename"))
+      .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunkText"))).as("sum_len"))
+      .orderBy(col("filename"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -673,5 +714,7 @@ object Queries {
     "q47_tfidf" -> q47Tfidf _,
     "q48_neardup_clusters" -> q48NeardupClusters _,
     "q49_winnowing" -> q49Winnowing _,
+    "q50_streaming" -> q50Streaming _,
+    "q51_file_ingest" -> q51FileIngest _,
   )
 }
