@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Python str.strip(): removes leading/trailing whitespace (any `\s`,
-    * including newlines/tabs), unlike Spark's `trim` which is space-only.
-    * Implemented as a regex trim so Spark and DuckDB (RE2) agree.
+  /** Leading/trailing whitespace strip over ASCII `\s` (space/tab/newline/
+    * CR/FF/VT) — deliberately ASCII, because Java-default and RE2/DuckDB
+    * `\s` agree on exactly this set, keeping the whole cleanText chain
+    * oracle-portable. Python's str.strip() additionally strips NBSP/U+0085/
+    * Unicode Zs — that EXACT semantics lives in the typed chunkers
+    * (Chunkers.pyStrip, golden-tested); here the only NBSP in play is
+    * already normalized to a plain space by cleanText step 1.
     */
   def strip(c: Column): Column =
     regexp_replace(c, "^\\s+|\\s+$", "")
