@@ -454,5 +454,34 @@ f AS (
 SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
 list_min(fp) AS fp_min, list_max(fp) AS fp_max
 FROM f ORDER BY doc_id""",
+
+    "q52_pivot" ->
+      raw"""SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+count(*) FILTER (WHERE event_type = 'click') AS click,
+count(*) FILTER (WHERE event_type = 'error') AS error,
+count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+count(*) FILTER (WHERE event_type = 'signup') AS signup,
+count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY user_bucket""",
+
+    "q53_grouping_sets" ->
+      raw"""SELECT coalesce(event_type, '(all)') AS event_type,
+coalesce(CAST(user_id % 5 AS INT), -1) AS user_mod,
+count(*) AS n,
+CAST(grouping(event_type) AS INT) AS g_type
+FROM (SELECT event_type, user_id FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_id % 5), (event_type, user_id % 5))
+ORDER BY event_type, user_mod, g_type""",
+
+    "q54_unpivot" ->
+      raw"""WITH w AS (
+  SELECT p_brand, CAST(min(p_size) AS BIGINT) AS min_size,
+    CAST(max(p_size) AS BIGINT) AS max_size, count(*) AS n_parts
+  FROM part GROUP BY p_brand)
+SELECT p_brand, stat, value_l FROM (
+  SELECT p_brand, 'min_size' AS stat, min_size AS value_l FROM w
+  UNION ALL SELECT p_brand, 'max_size', max_size FROM w
+  UNION ALL SELECT p_brand, 'n_parts', n_parts FROM w)
+ORDER BY p_brand, stat""",
   )
 }

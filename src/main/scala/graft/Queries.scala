@@ -663,6 +663,44 @@ object Queries {
       .orderBy(col("filename"))
   }
 
+  /** Q52 — pivot (A-family reshaping): per user-bucket event-type counts as
+    * columns. DuckDB oracle uses FILTER aggregations (same result shape).
+    */
+  def q52Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
+  /** Q53 — explicit GROUPING SETS via the SQL front-end (A4 completes). */
+  def q53GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("graft_events_gs")
+    s.sql("""
+      SELECT coalesce(event_type, '(all)') AS event_type,
+             coalesce(CAST(user_id % 5 AS INT), -1) AS user_mod,
+             count(*) AS n,
+             CAST(grouping(event_type) AS INT) AS g_type
+      FROM (SELECT event_type, user_id FROM graft_events_gs)
+      GROUP BY GROUPING SETS ((event_type), (user_id % 5), (event_type, user_id % 5))
+      ORDER BY event_type, user_mod, g_type""")
+  }
+
+  /** Q54 — unpivot/melt: wide per-brand stats back to long form. */
+  def q54Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(min(col("p_size")).cast("long").as("min_size"),
+        max(col("p_size")).cast("long").as("max_size"),
+        count(lit(1)).as("n_parts"))
+    wide.unpivot(Array(col("p_brand")),
+        Array(col("min_size"), col("max_size"), col("n_parts")),
+        "stat", "value_l")
+      .orderBy(col("p_brand"), col("stat"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -716,5 +754,8 @@ object Queries {
     "q49_winnowing" -> q49Winnowing _,
     "q50_streaming" -> q50Streaming _,
     "q51_file_ingest" -> q51FileIngest _,
+    "q52_pivot" -> q52Pivot _,
+    "q53_grouping_sets" -> q53GroupingSets _,
+    "q54_unpivot" -> q54Unpivot _,
   )
 }
