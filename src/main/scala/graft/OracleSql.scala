@@ -483,5 +483,28 @@ SELECT p_brand, stat, value_l FROM (
   UNION ALL SELECT p_brand, 'max_size', max_size FROM w
   UNION ALL SELECT p_brand, 'n_parts', n_parts FROM w)
 ORDER BY p_brand, stat""",
+
+    "q55_full_outer" ->
+      raw"""WITH pu AS (
+  SELECT user_id * 13 AS ukey, count(*) AS n_events FROM events GROUP BY 1)
+SELECT coalesce(c_custkey, ukey) AS k,
+CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_cust,
+coalesce(n_events, 0) AS n_events
+FROM customer FULL OUTER JOIN pu ON c_custkey = ukey
+ORDER BY k""",
+
+    "q56_predicates" ->
+      raw"""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE (c_name LIKE '%00001%' OR c_mktsegment IN ('BUILDING', 'MACHINERY'))
+  AND c_acctbal BETWEEN 0.0 AND 5000.0
+  AND NOT (c_nationkey = 13)
+ORDER BY c_custkey""",
+
+    "q57_date_arith" ->
+      raw"""SELECT o_orderkey,
+epoch_ms(CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)) AS plus30d_ms,
+epoch_ms(CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP)) AS plus2mo_ms,
+CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""",
   )
 }

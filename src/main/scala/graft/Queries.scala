@@ -701,6 +701,42 @@ object Queries {
       .orderBy(col("p_brand"), col("stat"))
   }
 
+  /** Q55 — full outer join (J3 completes): per-user event stats vs customers
+    * on a skewed derived key so both unmatched sides are non-empty.
+    */
+  def q55FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .withColumn("ukey", col("user_id") * 13)
+      .groupBy(col("ukey"))
+      .agg(count(lit(1)).as("n_events"))
+    customer(s, dir)
+      .join(perUser, col("c_custkey") === col("ukey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("ukey")).as("k"),
+        when(col("c_custkey").isNull, 0).otherwise(1).as("has_cust"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("k"))
+  }
+
+  /** Q56 — predicate surface (P5): LIKE / IN / BETWEEN / boolean algebra. */
+  def q56Predicates(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .where((col("c_name").like("%00001%") ||
+        col("c_mktsegment").isin("BUILDING", "MACHINERY")) &&
+        col("c_acctbal").between(0.0, 5000.0) &&
+        !(col("c_nationkey") === 13))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Q57 — date arithmetic (F1): day offsets and month adds with clamping. */
+  def q57DateArith(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        unix_millis(date_add(col("o_orderdate"), 30).cast("timestamp")).as("plus30d_ms"),
+        unix_millis(add_months(col("o_orderdate"), 2).cast("timestamp")).as("plus2mo_ms"),
+        datediff(to_date(lit("2002-01-01")), col("o_orderdate").cast("date")).as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -757,5 +793,8 @@ object Queries {
     "q52_pivot" -> q52Pivot _,
     "q53_grouping_sets" -> q53GroupingSets _,
     "q54_unpivot" -> q54Unpivot _,
+    "q55_full_outer" -> q55FullOuter _,
+    "q56_predicates" -> q56Predicates _,
+    "q57_date_arith" -> q57DateArith _,
   )
 }
