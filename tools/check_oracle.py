@@ -57,6 +57,17 @@ def main(sf, out):
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # rows-only probes (no oracle): report dump counts so empties are visible
+    import glob, os
+    for d in sorted(glob.glob(f"{out}/q*")):
+        name = os.path.basename(d)
+        if name in oracle or not os.path.isdir(d):
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+            print(f"ROWS {name}: {n}" + ("  <-- EMPTY" if n == 0 else ""))
+        except Exception as e:
+            print(f"ROWS {name}: unreadable ({str(e)[:80]})")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
