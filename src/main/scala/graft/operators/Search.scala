@@ -102,6 +102,22 @@ object Search {
       .orderBy(col("score").desc).limit(k)
   }
 
+  /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the
+    * same data+seed). Returns them driver-side — centroids are tiny (k ×
+    * dim) and feed [[ivfAssign]]'s broadcast-literal argmax.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 20): Seq[(Int, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_features").fit(prepared)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      i -> c.toArray.map(_.toFloat)
+    }.toSeq
+  }
+
   /** MLlib BucketedRandomProjectionLSH wrapper over `array<float>` columns
     * (converts to ml Vector only at the boundary — SURVEY.md §7.4 risk 6).
     */

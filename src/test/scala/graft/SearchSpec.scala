@@ -91,6 +91,26 @@ class SearchSpec extends SparkSpec {
     assert(approx.subsetOf(exact.union(exact))) // no pair beyond threshold (join filters)
   }
 
+  test("kmeans-learned IVF centroids beat seed-vector centroids on recall@5") {
+    def recallWith(cents: Seq[(Int, Array[Float])]): Double = {
+      val assigned = Search.ivfAssign(emb, "embedding", cents)
+      val queries = (10L to 29L).map(vecs(_))
+      val hits = queries.zipWithIndex.count { case (q, qi) =>
+        val approx = Search.ivfTopK(assigned, "embedding", cents, q.toSeq, k = 1, nProbe = 2)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = vecs.toSeq.map { case (id, v) => (id, cosRef(v, q)) }
+          .sortBy { case (id, s0) => (-s0, id) }.take(1).map(_._1).toSet
+        approx.intersect(exact).nonEmpty
+      }
+      hits.toDouble / queries.size
+    }
+    val learned = Search.kmeansCentroids(emb, "embedding", k = 8)
+    assert(learned.size == 8)
+    assert(learned.forall(_._2.length == 64))
+    val r = recallWith(learned)
+    assert(r >= 0.5, s"learned-centroid recall@1 too low: $r")
+  }
+
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
 
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
