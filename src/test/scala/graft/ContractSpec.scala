@@ -1,0 +1,33 @@
+package graft
+
+/** Driver-contract wiring guards: every oracle entry must have a registered
+  * query, names must be well-formed, and the flagship entry must exist —
+  * catching map-wiring mistakes before the driver does.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("probe names are well-formed and stable") {
+    val names = SparkEntry.queries.keySet
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.size == SparkEntry.queries.size)
+    assert(names.size >= 57, s"probe count regressed: ${names.size}")
+    assert(SparkEntry.oracleSql.size >= 48, s"oracle count regressed: ${SparkEntry.oracleSql.size}")
+  }
+
+  test("oracle SQL strings are DuckDB-shaped (no Spark-only spellings)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("get_json_object"), s"$name uses Spark JSON fn in oracle")
+      assert(!sql.contains("(?<="), s"$name uses lookbehind (RE2-unsafe)")
+      assert(!sql.toLowerCase.contains("approx_"), s"$name uses approx fn in oracle")
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
