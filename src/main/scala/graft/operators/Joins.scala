@@ -36,6 +36,42 @@ object Joins {
       .drop("_salt")
   }
 
+  /** As-of join (J7): for each left row, the value of the LATEST right row
+    * with the same key and `rightTime <= leftTime`. Spark has no native
+    * ASOF JOIN; the scalable formulation is union + one window pass —
+    * shuffle is one exchange on the key (vs a range-join's quadratic
+    * fallback). Ties at equal time resolve to the right row ("at or
+    * before" includes simultaneous rows).
+    *
+    * @param left      probe side; must contain `keyCol` and `timeCol`
+    * @param right     reference side; must contain `keyCol`, `timeCol`, `valueCol`
+    * @param leftId    a unique left-row id column name (deterministic window order)
+    * @return left rows + `asof_<valueCol>` (null when no prior right row)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, valueCol: String, leftId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns
+    val l = left.select(
+      col(keyCol), col(timeCol), lit(1).as("_is_probe"),
+      lit(null).cast(right.schema(valueCol).dataType).as("_asof_v"),
+      struct(lCols.map(col): _*).as("_row"))
+    val r = right.select(
+      col(keyCol), col(timeCol), lit(0).as("_is_probe"),
+      col(valueCol).as("_asof_v"),
+      lit(null).cast(l.schema("_row").dataType).as("_row"))
+    // order: time, then reference-before-probe at equal time ("at or before"
+    // includes simultaneous rows), then value (deterministic winner among
+    // same-timestamp reference rows: the max), then probe id
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_is_probe"), col("_asof_v"), col(s"_row.$leftId"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_asof_v"), ignoreNulls = true).over(w))
+      .where(col("_is_probe") === 1)
+      .select(lCols.map(c => col(s"_row.$c").as(c)) :+ col("_asof").as(s"asof_$valueCol"): _*)
+  }
+
   /** Salted aggregation: two-phase groupBy for a skewed grouping key —
     * partial aggregate on (key, salt), then final on key. `partialAggs`
     * must be decomposable (sum/count/min/max); the caller re-aggregates the

@@ -59,6 +59,25 @@ class JoinsCliSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: latest at-or-before value per key; null when none") {
+    import spark.implicits._
+    val quotes = Seq( // (key, time, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 2.5), ("B", 5L, 9.0))
+      .toDF("sym", "t", "px")
+    val trades = Seq( // (id, key, time)
+      (1L, "A", 15L),  // -> 1.0
+      (2L, "A", 20L),  // simultaneous -> 2.5 (max of same-ts quotes)
+      (3L, "A", 99L),  // -> 2.5
+      (4L, "B", 4L),   // before any quote -> null
+      (5L, "C", 50L))  // no quotes for key -> null
+      .toDF("trade_id", "sym", "t")
+    val out = graft.operators.Joins.asofJoin(trades, quotes, "sym", "t", "px", "trade_id")
+      .orderBy("trade_id")
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.5, 3L -> 2.5, 4L -> null, 5L -> null))
+  }
+
   test("IndexCli: parse defaults mirror the reference argparse; end-to-end run") {
     val a = IndexCli.parse(Array("--input", "/in", "--output", "/out"))
     assert(a.chunkSize == 1200 && a.overlap == 200 && a.batchSize == 32)
