@@ -26,9 +26,11 @@ object Tables {
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's reader rejects ([PARQUET_TYPE_ILLEGAL], verified on 4.1.2).
     * Read the column as raw int64 nanos with an explicit schema, then
-    * convert to TimestampType at microsecond precision (truncation toward
-    * zero — DuckDB's epoch_us does the same, so µs-integer comparisons are
-    * exactly portable).
+    * convert to TimestampType at microsecond precision. The ns→µs step MUST
+    * be integer division (`ts div 1000`): `col/1000L` is DOUBLE division, and
+    * epoch-ns magnitudes (~1.7e18) exceed double's 53-bit mantissa, so values
+    * not a multiple of 512 ns can come back off-by-1 µs vs DuckDB's exact
+    * integer epoch_us.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -37,8 +39,7 @@ object Tables {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.read.schema(raw).parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

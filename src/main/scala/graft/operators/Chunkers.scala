@@ -50,21 +50,33 @@ object Chunkers {
     * windows are dropped but the cursor still advances (:93-95); the loop
     * breaks on the first window whose end reaches the text length (:97-98),
     * so the last chunk may be short; stride = chunkSize - overlap (:100).
+    *
+    * "char" means UNICODE CODE POINT, not UTF-16 unit: Python `len`/slicing
+    * (the reference), Spark `length`/`substring` ([[fixedRelational]]) and
+    * DuckDB (the oracle) all count code points, so astral-plane text (emoji)
+    * must window identically here. Cursor arithmetic walks char offsets
+    * incrementally via `offsetByCodePoints` — O(text), no per-window rescan.
     */
   def fixedTyped(text: String, chunkSize: Int, overlap: Int): Seq[String] = {
     require(chunkSize > 0, "chunk_size must be positive")
     require(overlap >= 0 && overlap < chunkSize,
       "overlap must be >= 0 and smaller than chunk_size")
-    val n = text.length
+    val nCp = text.codePointCount(0, text.length)
     val stride = chunkSize - overlap
     val out = Seq.newBuilder[String]
-    var start = 0
-    var done = n == 0
+    var startCp = 0
+    var startChar = 0
+    var done = nCp == 0
     while (!done) {
-      val end = math.min(start + chunkSize, n)
-      val piece = pyStrip(text.substring(start, end))
+      val endCp = math.min(startCp + chunkSize, nCp)
+      val endChar = text.offsetByCodePoints(startChar, endCp - startCp)
+      val piece = pyStrip(text.substring(startChar, endChar))
       if (piece.nonEmpty) out += piece
-      if (end >= n) done = true else start += stride
+      if (endCp >= nCp) done = true
+      else {
+        startChar = text.offsetByCodePoints(startChar, stride)
+        startCp += stride
+      }
     }
     out.result()
   }
@@ -89,18 +101,31 @@ object Chunkers {
     * a new group iff the buffer is non-empty AND `bufLen + len(s) + 1 >
     * target`; groups joined with a single space (original whitespace NOT
     * preserved); a single over-long sentence becomes its own chunk.
+    *
+    * `bufLen` replicates the reference's counter EXACTLY, which is NOT the
+    * joined length: it adds `len(s)+1` on every append — including the first
+    * sentence of the document, so the initial buffer carries a phantom +1 —
+    * but resets to exactly `len(s)` after an overflow flush (:121-124). The
+    * two differ by one at the `bufLen + len(s) + 1 == target` boundary.
     */
   def sentenceGroupsTyped(text: String, chunkSize: Int): Seq[String] = {
     val target = math.max(200, chunkSize)
     val out = Seq.newBuilder[String]
     val buf = new StringBuilder
+    var bufLen = 0
     for (s <- sentencesTyped(text)) {
-      if (buf.nonEmpty && buf.length + s.length + 1 > target) {
+      // Python len = code points (astral chars count once, as in fixedTyped)
+      val sLen = s.codePointCount(0, s.length)
+      if (buf.nonEmpty && bufLen + sLen + 1 > target) {
         out += buf.toString
         buf.clear()
+        buf.append(s)
+        bufLen = sLen
+      } else {
+        if (buf.nonEmpty) buf.append(' ')
+        buf.append(s)
+        bufLen += sLen + 1
       }
-      if (buf.nonEmpty) buf.append(' ')
-      buf.append(s)
     }
     if (buf.nonEmpty) out += buf.toString
     out.result()

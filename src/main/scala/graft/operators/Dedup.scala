@@ -71,7 +71,8 @@ object Dedup {
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bandSalts: Int = 4): DataFrame = {
+    require(bandSalts > 0)
     val rowsPerBand = numHashes / numBands
     // Both frames are consumed twice (self-join sides / pair verification);
     // without persist Spark re-derives the shingle+signature subplan per use
@@ -85,11 +86,21 @@ object Dedup {
       .withColumn("band", explode(lshBandKeys(col("sig"), numBands, rowsPerBand)))
       .select(col("id"), col("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    // Salted self-join: join key = (band, salt) so a pathological mega-band
+    // (every doc sharing one band key) spreads over `bandSalts` reduce tasks
+    // instead of one. Left side carries a deterministic id-hash salt; right
+    // side is replicated bandSalts× — pair (i<j) matches exactly once, where
+    // b's replicated salt equals hash(a.id) % bandSalts, so the result set is
+    // identical to the unsalted join (DedupSpec asserts both properties).
+    val a = banded.withColumn("_sa", pmod(hash(col("id")), lit(bandSalts)))
+    val b = banded.withColumn("_sb", explode(sequence(lit(0), lit(bandSalts - 1))))
+    val cand = a.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") && col("a._sa") === col("b._sb") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand
+    val verified = cand
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       // shingle arrays are distinct ⇒ |∪| = |a|+|b|-|∩| (size arithmetic is
@@ -99,6 +110,15 @@ object Dedup {
         col("_inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("_inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+    // Eagerly materialize the (small, by construction) verified pair set,
+    // then RELEASE the cached intermediates: leaving them pinned leaked the
+    // full shingle+signature blocks for the life of the session — under an
+    // 8g driver that accumulation regressed the round-2 bench 8.5× on this
+    // one probe. localCheckpoint holds only the output rows.
+    val out = verified.localCheckpoint(true)
+    sh.unpersist(false)
+    banded.unpersist(false)
+    out
   }
 
   /** Connected-components-lite over near-dup pairs: resolve each id to the

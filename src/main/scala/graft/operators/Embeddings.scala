@@ -31,8 +31,10 @@ object Embeddings {
   }
 
   /** Validation + retry wrapper replicating index_documents.py:142-194:
-    *   - retry ≤ maxRetries attempts, sleeping min(2^attempt, 16) s between
-    *     (attempt counted from 0), final failure rethrows the last error;
+    *   - retry ≤ maxRetries attempts, sleeping min(2^attempt, 16) s after
+    *     EVERY failed attempt — 1,2,4,8,16 s from attempt 0, including one
+    *     final sleep before the terminal rethrow (:189-192 sleeps inside the
+    *     except block on the last loop iteration too);
     *   - response must be non-null, count == len(texts), every vector
     *     non-null and of exactly `dim` elements.
     */
@@ -60,8 +62,8 @@ object Embeddings {
         } catch {
           case e: Throwable =>
             last = e
+            sleeper(math.min(1L << attempt, 16L) * 1000L)
             attempt += 1
-            if (attempt < maxRetries) sleeper(math.min(1L << attempt, 16L) * 1000L)
         }
       }
       throw new RuntimeException(

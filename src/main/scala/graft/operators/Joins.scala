@@ -31,8 +31,10 @@ object Joins {
     val salted = big.withColumn("_salt", pmod(hash(saltSource), lit(numSalts)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
+    // resolve each key against its own frame: with same-named keys on both
+    // sides (the common true-equi-join case) bare col(...) is ambiguous
     salted.join(replicated,
-        salted("_salt") === replicated("_salt") && col(bigKey) === col(smallKey))
+        salted("_salt") === replicated("_salt") && salted(bigKey) === replicated(smallKey))
       .drop("_salt")
   }
 

@@ -95,7 +95,8 @@ object Streams {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(raw).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: ns magnitudes overflow double's mantissa (see Tables.events)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     tumblingCounts(withEventTimeWatermark(stream))
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()

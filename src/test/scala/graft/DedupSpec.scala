@@ -39,6 +39,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.8)
   }
 
+  test("band-salted candidate join: adversarial mega-band, no pair lost or duplicated") {
+    import spark.implicits._
+    // 80 near-identical docs (one shared token stream, distinct tails): every
+    // doc lands in the SAME LSH band buckets — the pathological hot key the
+    // salt exists for. With bandSalts=8 the candidate join's key space is
+    // (band × 8), so the mega-bucket spreads; results must be identical to
+    // the unsalted (bandSalts=1) join.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = (1L to 80L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    def run(salts: Int) =
+      Dedup.minhashNearDupPairs(df, "doc_id", "toks",
+          shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5, bandSalts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = run(8)
+    assert(salted == run(1))
+    assert(salted.nonEmpty && salted.size == salted.distinct.size)
+  }
+
   test("simhash: identical docs identical; near docs close in Hamming distance") {
     import spark.implicits._
     val df = Seq(

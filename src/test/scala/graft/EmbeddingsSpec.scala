@@ -42,15 +42,20 @@ class EmbeddingsSpec extends SparkSpec {
     val out = p.embed(Seq("hello world"))
     assert(out.length == 1 && out.head.length == 8)
     assert(flaky.calls == 3)
-    assert(sleeps.toSeq == Seq(2000L, 4000L)) // attempts 1,2 → min(2^k,16)s
+    // reference schedule: sleep min(2^attempt,16)s from attempt 0 → 1s, 2s
+    assert(sleeps.toSeq == Seq(1000L, 2000L))
   }
 
-  test("retry wrapper: exhausts retries and rethrows with last error") {
+  test("retry wrapper: exhausts retries, sleeps after EVERY failure, rethrows last error") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
     val flaky = new FlakyProvider(99, new HashingTfEmbedder(8))
-    val p = new ValidatingRetryProvider(flaky, maxRetries = 3, sleeper = _ => ())
+    val p = new ValidatingRetryProvider(flaky, maxRetries = 6, sleeper = sleeps += _)
     val e = intercept[RuntimeException](p.embed(Seq("x")))
-    assert(e.getMessage.contains("after 3 attempts"))
-    assert(flaky.calls == 3)
+    assert(e.getMessage.contains("after 6 attempts"))
+    assert(flaky.calls == 6)
+    // includes the final sleep before rethrow (index_documents.py:189-192),
+    // and the 16s cap from attempt 4 on
+    assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L, 8000L, 16000L, 16000L))
   }
 
   test("validation: count mismatch and dim mismatch are rejected") {

@@ -46,6 +46,21 @@ adversarial = [
     "a\n\xa0\nb\n\u2003\nc",          # NBSP / em-space between newlines (unicode \s)
     "end.\xa0Next sentence!\u2009Third.", # unicode whitespace after sentence punct
     "\xa0\xa0padded\xa0\xa0",
+    # astral-plane (surrogate pairs in UTF-16): Python len counts code points
+    "\U0001F600" * 15,                          # emoji-only, windows split mid-run
+    "ab\U0001F600cd \U0001F680ef. tail\U0001F984!",  # mixed BMP + astral
+    "\U0001F600\U0001F601. " * 12,              # astral sentences for grouping
+    ("\U0001F6801234567890" * 12) + ". " + "plain tail.",
+    # sentence-grouping boundary: buf_len + len(s) + 1 == target (target=200)
+    # s0=100 -> buf_len=101 (phantom +1); s1=98: 101+98+1==200 -> appends;
+    # any next sentence flushes. A buf_len tracker based on joined length
+    # (199) would differ exactly here.
+    "a" * 99 + ". " + "b" * 97 + ". " + "c" * 10 + ".",
+    # post-flush reset: s0=150 -> bl=151; s1=60: flush, bl=60 (NOT 61);
+    # s2=138: 60+138+1==199 <= 200 appends -- phantom +1 after flush would flush
+    "d" * 149 + ". " + "e" * 59 + ". " + "f" * 137 + ".",
+    # one past the boundary: s0=100, s1=99 -> 101+99+1==201 > 200 flushes
+    "g" * 99 + ". " + "h" * 98 + ".",
 ]
 corpus = adversarial + texts
 
