@@ -506,5 +506,43 @@ epoch_ms(CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)) AS plus30d_ms,
 epoch_ms(CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP)) AS plus2mo_ms,
 CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
 FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""",
+
+    // the flagship pipeline twin: clean → fixed(1200,200) → tokens → 64-dim
+    // hashed-TF, non-zero coordinates only. Counts are integers so the c²
+    // norm sum is order-independent-exact in double; v = c/norm is a single
+    // IEEE division — bit-identical to Spark's tfEmbedding.
+    "q58_relational_index" ->
+      raw"""WITH c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      chr(160), ' ', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS text
+  FROM documents),
+nz AS (SELECT doc_id, text FROM c WHERE length(text) > 0),
+wins AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, CAST(floor(greatest(length(text) - 201, 0) / 1000) AS BIGINT))) AS i
+  FROM nz),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS win_pos,
+    regexp_replace(substring(text, CAST(i * 1000 + 1 AS INT), 1200), '^\s+|\s+$$', '', 'g') AS chunk_text
+  FROM wins),
+kept AS (SELECT doc_id, win_pos, chunk_text FROM chunks WHERE length(chunk_text) > 0),
+tk AS (
+  SELECT doc_id, win_pos, CAST(length(chunk_text) AS INT) AS chunk_len,
+    unnest(list_filter(string_split_regex(lower(chunk_text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+  FROM kept),
+bucketed AS (
+  SELECT doc_id, win_pos, chunk_len, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+  FROM tk),
+counts AS (
+  SELECT doc_id, win_pos, chunk_len, b, CAST(count(*) AS DOUBLE) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3, 4),
+norms AS (
+  SELECT doc_id, win_pos, sqrt(sum(cnt * cnt)) AS nrm FROM counts GROUP BY 1, 2)
+SELECT co.doc_id, co.win_pos, co.chunk_len, CAST(co.b AS INT) AS dim,
+  CAST(floor(co.cnt / n.nrm * 1000000) AS BIGINT) AS v_u
+FROM counts co JOIN norms n ON co.doc_id = n.doc_id AND co.win_pos = n.win_pos
+ORDER BY co.doc_id, co.win_pos, dim""",
   )
 }

@@ -505,14 +505,17 @@ object Queries {
   // --------------------------- typed / non-oracle probes (rows-only checks)
 
   /** Q40 — the full typed index pipeline (S6→P1→C1→E1→schema): clean →
-    * chunk fixed(1200,200) → hashed-TF embed(64) via mapPartitions batches.
+    * chunk fixed(1200,200) → hashed-TF embed(64) via mapPartitions batches,
+    * materialized with the reference's `created_at` batch timestamp
+    * (deterministic instant here so the rows-check is stable).
     */
   def q40IndexPipeline(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    Index.buildIndex(documents(s, dir))
-      .toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+    val batchTs = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    Index.indexFrame(Index.buildIndex(documents(s, dir)), Some(batchTs))
       .select(col("doc_id"), col("chunk_index"), col("split_strategy"),
-        length(col("chunk_text")).as("chunk_len"), size(col("embedding")).as("dim"))
+        length(col("chunk_text")).as("chunk_len"), size(col("embedding")).as("dim"),
+        unix_millis(col("created_at")).as("created_ms"))
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
@@ -737,6 +740,31 @@ object Queries {
         datediff(to_date(lit("2002-01-01")), col("o_orderdate").cast("date")).as("days_to_2002"))
       .orderBy(col("o_orderkey"))
 
+  /** Q58 — the flagship index pipeline's RELATIONAL twin, hash-oracle-checked
+    * end to end: cleanText → fixedRelational(1200,200) → wordTokens →
+    * tfEmbedding(64), emitting each chunk's NON-ZERO embedding coordinates.
+    * Every step is double-precision portable SQL, so DuckDB replays it
+    * bit-for-bit (counts are integers, c² sums are exact in double
+    * regardless of order, c/norm is one IEEE division). The typed pipeline
+    * (q40) is equivalence-tested against these operators (ChunkersSpec G1,
+    * EmbeddingsSpec), closing the oracle gap on the engine's flagship path.
+    */
+  def q58RelationalIndex(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = documents(s, dir)
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("text"))
+      .where(length(col("text")) > 0)
+    Chunkers.fixedRelational(cleaned, col("text"), 1200, 200)
+      .withColumn("toks", TextFunctions.wordTokens(col("chunk_text")))
+      .withColumn("emb", Embeddings.tfEmbedding(col("toks"), 64))
+      .select(col("doc_id"), col("win_pos"),
+        length(col("chunk_text")).as("chunk_len"),
+        posexplode(col("emb")).as(Seq("dim", "v")))
+      .where(col("v") =!= 0.0)
+      .select(col("doc_id"), col("win_pos"), col("chunk_len"), col("dim"),
+        fl(col("v") * 1000000, 0).cast("long").as("v_u"))
+      .orderBy(col("doc_id"), col("win_pos"), col("dim"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -796,5 +824,6 @@ object Queries {
     "q55_full_outer" -> q55FullOuter _,
     "q56_predicates" -> q56Predicates _,
     "q57_date_arith" -> q57DateArith _,
+    "q58_relational_index" -> q58RelationalIndex _,
   )
 }

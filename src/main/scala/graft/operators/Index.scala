@@ -46,12 +46,25 @@ object Index {
       () => new Embeddings.HashingTfEmbedder(cfg.embeddingDim), cfg.batchSize)
   }
 
+  /** The materialized `document_chunks` frame, reference column set INCLUDING
+    * `created_at` — one shared UTC timestamp per write batch, exactly like
+    * the reference's single `datetime.now(timezone.utc)` captured once per
+    * insert call (index_documents.py:222,235; README.md:89). Deterministic
+    * when `createdAt` is supplied (tests/oracles); wall-clock otherwise.
+    */
+  def indexFrame(rows: Dataset[ChunkRow],
+      createdAt: Option[java.time.Instant] = None): DataFrame =
+    rows.toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+      .withColumn("created_at",
+        createdAt.map(i => lit(java.sql.Timestamp.from(i))).getOrElse(current_timestamp()))
+
   /** Write the index. Partitioned by split_strategy (low cardinality — enables
     * partition pruning per strategy); embedding stays a `list<float>` column
     * so text-only queries never read it (column pruning, SURVEY.md §4.4).
     */
-  def writeIndex(rows: Dataset[ChunkRow], path: String): Unit =
-    rows.toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+  def writeIndex(rows: Dataset[ChunkRow], path: String,
+      createdAt: Option[java.time.Instant] = None): Unit =
+    indexFrame(rows, createdAt)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("split_strategy")
       .parquet(path)
