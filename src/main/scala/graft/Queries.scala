@@ -753,13 +753,11 @@ object Queries {
     val cleaned = documents(s, dir)
       .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("text"))
       .where(length(col("text")) > 0)
-    Chunkers.fixedRelational(cleaned, col("text"), 1200, 200)
+    val chunks = Chunkers.fixedRelational(cleaned, col("text"), 1200, 200)
       .withColumn("toks", TextFunctions.wordTokens(col("chunk_text")))
-      .withColumn("emb", Embeddings.tfEmbedding(col("toks"), 64))
       .select(col("doc_id"), col("win_pos"),
-        length(col("chunk_text")).as("chunk_len"),
-        posexplode(col("emb")).as(Seq("dim", "v")))
-      .where(col("v") =!= 0.0)
+        length(col("chunk_text")).as("chunk_len"), col("toks"))
+    Embeddings.tfEmbeddingSparse(chunks, Seq("doc_id", "win_pos", "chunk_len"), "toks", 64)
       .select(col("doc_id"), col("win_pos"), col("chunk_len"), col("dim"),
         fl(col("v") * 1000000, 0).cast("long").as("v_u"))
       .orderBy(col("doc_id"), col("win_pos"), col("dim"))

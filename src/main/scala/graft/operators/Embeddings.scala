@@ -146,12 +146,15 @@ object Embeddings {
   def md5BucketCol(c: Column, dim: Int): Column =
     (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % dim).cast("int")
 
-  /** Relational hashed-TF embedding: `array<double>` of length `dim`,
-    * L2-normalized counts of md5-bucketed tokens. Equivalent to
+  /** Relational hashed-TF embedding as ONE Column: equivalent to
     * [[HashingTfEmbedder]] (tested), expressible in DuckDB for the oracle.
     *
-    * `tokens` must be a materialized token-array column
-    * (TextFunctions.wordTokens applied once via withColumn).
+    * WARNING — per-row cost is O(dim × tokens × refs): the bucket subtree is
+    * re-evaluated per dim inside the counting lambda, and Catalyst's
+    * CollapseProject inlines the whole tree into every downstream reference
+    * (withColumn does NOT materialize). Fine for small dim / short text /
+    * unit tests; on real data use [[tfEmbeddingSparse]] (measured ~60×
+    * faster on the q58 pipeline at sf0.01).
     */
   def tfEmbedding(tokens: Column, dim: Int): Column = {
     val buckets = transform(tokens, t => md5BucketCol(t, dim))
@@ -160,5 +163,27 @@ object Embeddings {
       d => size(filter(buckets, b => b === d)).cast("double"))
     val nrm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
     when(nrm === 0.0, counts).otherwise(transform(counts, x => x / nrm))
+  }
+
+  /** Sparse relational hashed-TF — the 100 TB form: explode tokens →
+    * md5-bucket → hash-aggregate counts → L2-norm join. One md5 per token
+    * (no HOF subtree re-evaluation), shuffles only on the narrow
+    * (idCols, dim) keys, map-side partial aggregation applies. Emits one row
+    * per NON-ZERO coordinate: idCols ++ (`dim` INT, `v` DOUBLE with
+    * v = count/norm). Zero-token rows vanish (the dense form's zero vector).
+    */
+  def tfEmbeddingSparse(df: org.apache.spark.sql.DataFrame, idCols: Seq[String],
+      tokensCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    val ids = idCols.map(col)
+    val counts = df
+      .select(ids :+ explode(col(tokensCol)).as("_tok"): _*)
+      .groupBy(ids :+ md5BucketCol(col("_tok"), dim).as("dim"): _*)
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+    val norms = counts.groupBy(ids: _*)
+      // counts are integer-valued doubles: the c² sum is exact in double
+      // regardless of aggregation order (bit-stable vs DuckDB)
+      .agg(sqrt(sum(col("_cnt") * col("_cnt"))).as("_nrm"))
+    counts.join(norms, idCols)
+      .select(ids ++ Seq(col("dim"), (col("_cnt") / col("_nrm")).as("v")): _*)
   }
 }

@@ -103,6 +103,21 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("tfEmbeddingSparse ≡ dense tfEmbedding non-zero coordinates") {
+    import spark.implicits._
+    val texts = Seq((1L, "spark join query join"), (2L, "a a a b"), (3L, ""), (4L, "!!!"))
+    val df = texts.toDF("id", "text")
+      .withColumn("toks", graft.functions.TextFunctions.wordTokens(col("text")))
+    val dense = df.select(col("id"),
+        posexplode(Embeddings.tfEmbedding(col("toks"), 16)).as(Seq("dim", "v")))
+      .where(col("v") =!= 0.0)
+      .as[(Long, Int, Double)].collect().sorted.toSeq
+    val sparse = Embeddings.tfEmbeddingSparse(df, Seq("id"), "toks", 16)
+      .as[(Long, Int, Double)].collect().sorted.toSeq
+    assert(sparse == dense) // bit-identical, incl. zero-token rows vanishing
+    assert(!sparse.exists(_._1 >= 3L))
+  }
+
   test("md5 bucketing is the documented portable function") {
     // matches ('0x'||substr(md5('hello'),1,15))::BIGINT % dim = 419982666956583591 % 16
     assert(Embeddings.md5Bucket("hello", 16) == (419982666956583591L % 16).toInt)
