@@ -67,9 +67,9 @@ object Search {
     * narrow expression — centroids inlined as literals (they are few; this is
     * the broadcast), argmax via `array_max` over `(sim, -cid)` structs
     * (struct comparison is lexicographic ⇒ max sim, ties to the LOWEST
-    * centroid id — deterministic). No join, no window, no shuffle; persist
-    * the result partitioned by `cluster_id` so queries prune to one
-    * cluster's files.
+    * centroid id — deterministic). No join, no window, no shuffle;
+    * [[writeIvfIndex]] persists the result partitioned by `cluster_id` so
+    * queries prune to the probed clusters' files.
     */
   def ivfAssign(df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
@@ -77,6 +77,23 @@ object Search {
       struct(cosine(col(vecCol), lit(v)).as("sim"), lit(-cid).as("neg_cid"))
     }: _*)
     df.withColumn("cluster_id", -array_max(candidates).getField("neg_cid"))
+  }
+
+  /** Driver-side probe selection: the `nProbe` centroids nearest the query
+    * (cosine; ties to the lowest id). Centroids are tiny — this is plain
+    * Scala, never a Spark job.
+    */
+  def probeClusters(centroids: Seq[(Int, Array[Float])],
+      query: Seq[Float], nProbe: Int): Seq[Int] = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.lazyZip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2)
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    centroids
+      .map { case (cid, v) => (cos(v.toSeq, query), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
   }
 
   /** IVF ANN top-k: restrict the scan to the query's `nProbe` nearest
@@ -87,16 +104,52 @@ object Search {
   def ivfTopK(indexWithClusters: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Float])],
       query: Seq[Float], k: Int, nProbe: Int = 1): DataFrame = {
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.lazyZip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2)
-      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
-      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
-      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
-    }
-    val probeIds = centroids
-      .map { case (cid, v) => (cos(v.toSeq, query), cid) }
-      .sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2)
+    val probeIds = probeClusters(centroids, query, nProbe)
     indexWithClusters
+      .where(col("cluster_id").isin(probeIds: _*))
+      .withColumn("score", cosine(col(vecCol), lit(query.toArray)))
+      .orderBy(col("score").desc).limit(k)
+  }
+
+  // ------------------------------------------------- persisted IVF index ---
+
+  /** Materialize an IVF index on disk: vectors assigned to their nearest
+    * centroid, written parquet PARTITIONED BY `cluster_id`, plus the
+    * centroids as a tiny sidecar table. This is what turns IVF from a query
+    * shape into an index: a query reads ONLY the probed clusters' files
+    * (partition pruning — `PartitionFilters` in the scan, asserted in
+    * SearchSpec), so scan cost divides by nClusters/nProbe at any scale.
+    */
+  def writeIvfIndex(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    ivfAssign(df, vecCol, centroids)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$path/vectors")
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Load the sidecar centroids of a persisted IVF index (driver-side). */
+  def readIvfCentroids(spark: SparkSession, path: String): Seq[(Int, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .select(col("cluster_id"), col("centroid").cast("array<float>"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+  }
+
+  /** ANN top-k against a persisted IVF index: probe clusters chosen
+    * driver-side from the sidecar, then a scan whose `cluster_id IN (...)`
+    * predicate prunes to the probed partitions' files only.
+    */
+  def ivfTopKFromIndex(spark: SparkSession, path: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 1): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val probeIds = probeClusters(centroids, query, nProbe)
+    spark.read.parquet(s"$path/vectors")
       .where(col("cluster_id").isin(probeIds: _*))
       .withColumn("score", cosine(col(vecCol), lit(query.toArray)))
       .orderBy(col("score").desc).limit(k)

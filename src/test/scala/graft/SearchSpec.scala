@@ -73,6 +73,39 @@ class SearchSpec extends SparkSpec {
     assert(probed.size <= 2)
   }
 
+  test("persisted IVF index: pruned read path ≡ in-memory ivfTopK, PartitionFilters in scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    Search.writeIvfIndex(emb, "embedding", centroids, dir)
+
+    // sidecar round-trips exactly
+    val loaded = Search.readIvfCentroids(spark, dir)
+    assert(loaded.map(_._1) == centroids.map(_._1))
+    assert(loaded.zip(centroids).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+
+    val q = vecs(0L)
+    val fromIndex = Search.ivfTopKFromIndex(spark, dir, "embedding", q, k = 5, nProbe = 2)
+    val inMemory = Search.ivfTopK(
+      Search.ivfAssign(emb, "embedding", centroids), "embedding", centroids, q, 5, nProbe = 2)
+    assert(fromIndex.select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      inMemory.select("vec_id").collect().map(_.getLong(0)).toSeq)
+
+    // the scan prunes partitions: cluster_id IN (...) lands in PartitionFilters,
+    // and only the probed clusters' directories are read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan.take(1500))
+    // and the FileIndex, given those partition filters, selects exactly the
+    // probed clusters' directories (the actual pruning, not just the intent)
+    val probed = Search.probeClusters(loaded, q, 2)
+    val scan = fromIndex.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.isDefined, plan.take(1500))
+    val selected = scan.get.relation.location.listFiles(
+      scan.get.partitionFilters, scan.get.dataFilters)
+    assert(selected.size == probed.size,
+      s"expected ${probed.size} pruned partitions, got ${selected.size}")
+  }
+
   test("LSH approx pairs reach ≥0.6 recall vs exact pairs at L2<1.18") {
     val exact = {
       val ids = vecs.keys.toSeq.sorted
