@@ -483,16 +483,19 @@ object Queries {
         col("n"), col("g_type"), col("g_bucket"))
       .orderBy(col("event_type"), col("user_bucket"), col("g_type"), col("g_bucket"))
 
-  /** Q38 — ntile quartiles (W1 variant) over a bounded, totally-ordered set. */
-  def q38Ntile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("value"), col("event_id"))
-    events(s, dir).where(col("user_id") < 50)
-      .withColumn("quartile", ntile(4).over(w))
+  /** Q38 — ntile quartiles (W1 variant), scale-safe: Ranks.ntileExact
+    * (range-partitioned rank + offset arithmetic) instead of a global
+    * `Window.orderBy` that would funnel all rows through one task. Same
+    * ntile semantics bit-for-bit (RanksSpec), same DuckDB oracle.
+    */
+  def q38Ntile(s: SparkSession, dir: String): DataFrame =
+    operators.Ranks.ntileExact(
+        events(s, dir).where(col("user_id") < 50),
+        4, Seq(col("value"), col("event_id")), tileCol = "quartile")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .orderBy(col("quartile"))
-  }
 
   /** Q39 — date part functions (F1): monthly order rollup. */
   def q39Dates(s: SparkSession, dir: String): DataFrame =
