@@ -544,5 +544,30 @@ SELECT co.doc_id, co.win_pos, co.chunk_len, CAST(co.b AS INT) AS dim,
   CAST(floor(co.cnt / n.nrm * 1000000) AS BIGINT) AS v_u
 FROM counts co JOIN norms n ON co.doc_id = n.doc_id AND co.win_pos = n.win_pos
 ORDER BY co.doc_id, co.win_pos, dim""",
+
+    // sentence split, lookbehind-free: maximal segments whose internal
+    // whitespace never directly follows [.!?] — identical to the reference
+    // split for ASCII whitespace (see Chunkers.SentenceSegmentPattern)
+    "q59_sentence_split" ->
+      raw"""WITH c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      chr(160), ' ', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS text
+  FROM documents),
+nz AS (SELECT doc_id, text FROM c WHERE length(text) > 0),
+segs AS (
+  SELECT doc_id,
+    unnest(list_filter(
+      list_transform(
+        regexp_extract_all(regexp_replace(text, '^\s+|\s+$$', '', 'g'),
+          '[^.!?]*(?:[.!?]+[^.!?\s][^.!?]*)*[.!?]*'),
+        s -> regexp_replace(s, '^\s+|\s+$$', '', 'g')),
+      s -> length(s) > 0)) AS sent
+  FROM nz)
+SELECT doc_id, count(*) AS n_sents,
+CAST(sum(length(sent)) AS BIGINT) AS sum_len,
+CAST(max(length(sent)) AS INT) AS max_len
+FROM segs GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -766,6 +766,24 @@ object Queries {
       .orderBy(col("doc_id"), col("win_pos"), col("dim"))
   }
 
+  /** Q59 — sentence split (C3) made oracle-checkable: the lookbehind split
+    * re-expressed RE2-portably (Chunkers.SentenceSegmentPattern — no
+    * lookaround), so DuckDB replays it. Per-doc sentence stats over cleaned
+    * documents. The typed path keeps exact reference parity incl. Unicode
+    * whitespace (goldens); this probe pins the ASCII-portable twin.
+    */
+  def q59SentenceSplit(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = documents(s, dir)
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("text"))
+      .where(length(col("text")) > 0)
+    Chunkers.sentencesRelationalPortable(cleaned, col("text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(length(col("sent_text"))).cast("bigint").as("sum_len"),
+        max(length(col("sent_text"))).as("max_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -826,5 +844,6 @@ object Queries {
     "q56_predicates" -> q56Predicates _,
     "q57_date_arith" -> q57DateArith _,
     "q58_relational_index" -> q58RelationalIndex _,
+    "q59_sentence_split" -> q59SentenceSplit _,
   )
 }

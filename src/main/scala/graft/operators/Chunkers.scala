@@ -194,4 +194,32 @@ object Chunkers {
       .withColumn("sent_text", rstrip(col("sent_raw")))
       .where(length(col("sent_text")) > 0)
       .drop("sent_raw")
+
+  /** RE2-portable sentence segment pattern — the lookbehind split
+    * `(?<=[.!?])\s+` re-expressed without lookaround: a segment is a maximal
+    * run whose internal whitespace never directly follows `[.!?]` (a
+    * punctuation run inside a segment must be followed by a non-space
+    * char; a trailing punctuation run ends the segment). Whitespace the
+    * split would consume lands at the next segment's head and is stripped,
+    * so stripped outputs are identical.
+    */
+  val SentenceSegmentPattern = "[^.!?]*(?:[.!?]+[^.!?\\s][^.!?]*)*[.!?]*"
+
+  /** DuckDB-oracle-portable relational sentence split via
+    * [[SentenceSegmentPattern]] (regexp_extract_all — no lookaround, runs
+    * identically under Java regex and RE2). One deliberate divergence from
+    * the typed/reference path: `\s` here is ASCII, so Unicode whitespace
+    * (NBSP, thin space) after punctuation does NOT split — the same
+    * documented portability stance as TextFunctions.strip. Equivalence with
+    * [[sentencesTyped]] on ASCII-whitespace text is spec-tested.
+    */
+  def sentencesRelationalPortable(df: DataFrame, textCol: Column): DataFrame =
+    df.select(col("*"),
+        posexplode(
+          filter(
+            transform(
+              regexp_extract_all(rstrip(textCol), lit(SentenceSegmentPattern), lit(0)),
+              s => rstrip(s)),
+            s => length(s) > 0))
+          .as(Seq("sent_pos", "sent_text")))
 }

@@ -188,7 +188,16 @@ object Search {
         .setInputCol("_features").setOutputCol("_hashes")
         .fit(withVec(df, vecCol))
 
-    /** Approximate self-join: pairs within `maxL2Dist`, id1 < id2. */
+    /** Approximate self-join: pairs within `maxL2Dist`, id1 < id2.
+      *
+      * The hashed frame is computed ONCE and persisted before the join —
+      * approxSimilarityJoin skips its internal transform when the output
+      * column already exists, so the self-join's two sides share one
+      * hashing pass instead of re-deriving it per side (this recompute was
+      * the round-2 bench's 3.5–16 s run-to-run variance: two concurrent
+      * hashing subplans GC-thrashing). The small result is materialized
+      * eagerly and the hash cache released — no session-lifetime blocks.
+      */
     def approxPairs(df: DataFrame, idCol: String, vecCol: String,
         maxL2Dist: Double): DataFrame = {
       val prepared = withVec(df, vecCol)
@@ -196,10 +205,15 @@ object Search {
         .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
         .setInputCol("_features").setOutputCol("_hashes")
         .fit(prepared)
-      model.approxSimilarityJoin(prepared, prepared, maxL2Dist, "l2_dist")
+      val hashed = model.transform(prepared)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = model.approxSimilarityJoin(hashed, hashed, maxL2Dist, "l2_dist")
         .select(col(s"datasetA.$idCol").as("id1"),
           col(s"datasetB.$idCol").as("id2"), col("l2_dist"))
         .where(col("id1") < col("id2"))
+      val out = pairs.localCheckpoint(true)
+      hashed.unpersist(false)
+      out
     }
 
     /** Approximate k-nearest-neighbors of one query vector (MLlib

@@ -117,6 +117,41 @@ class ChunkersSpec extends SparkSpec {
     })
   }
 
+  test("sentencesRelationalPortable ≡ sentencesTyped on ASCII-whitespace text") {
+    import spark.implicits._
+    // adversarial ASCII cases incl. the golden corpus shapes; Unicode
+    // whitespace (NBSP etc.) is the documented divergence and excluded
+    val cases = Seq(
+      "Dr. Smith went. Then Mr. Jones came! Did he? yes",
+      "one. two. three.", "A!? B?! C.", "!!!. ???. ...",
+      "no terminal punctuation at all just words",
+      "a .b", "a. .b", "x" * 500 + ". " + "y" * 90 + ". short.",
+      "trailing space. ", "  leading. ws", "", "   ", "a\nb. c\nd",
+      "multi  spaces.   after.  punct")
+    val typed = cases.map(Chunkers.sentencesTyped)
+    val rel = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = Chunkers.sentencesRelationalPortable(rel, col("text"))
+      .orderBy("id", "sent_pos").select("id", "sent_text").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    cases.indices.foreach { i =>
+      assert(got.getOrElse(i.toLong, Seq.empty) == typed(i), s"case $i: '${cases(i).take(60)}'")
+    }
+
+    val asciiGen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n', '\t'),
+        2 -> Gen.oneOf('.', '!', '?')))
+    } yield cs.mkString
+    checkProp(Prop.forAll(asciiGen) { text =>
+      val t = Chunkers.sentencesTyped(text)
+      val r = Chunkers.sentencesRelationalPortable(
+          Seq((0L, text)).toDF("id", "text"), col("text"))
+        .orderBy("sent_pos").select("sent_text").as[String].collect().toSeq
+      t == r
+    })
+  }
+
   test("chunkDataset assigns per-doc chunk indices in emit order") {
     import spark.implicits._
     val docs = Seq(RawDocument(1, "a.txt", "abcdefghij"), RawDocument(2, "b.txt", "xy")).toDS()
