@@ -569,5 +569,53 @@ SELECT doc_id, count(*) AS n_sents,
 CAST(sum(length(sent)) AS BIGINT) AS sum_len,
 CAST(max(length(sent)) AS INT) AS max_len
 FROM segs GROUP BY doc_id ORDER BY doc_id""",
+
+    // PII redaction chain: email -> IPv4 -> phone, all RE2-portable; the
+    // planted input is rebuilt from doc_id so redaction replays exactly
+    "q60_pii_redaction" ->
+      raw"""WITH planted AS (
+  SELECT doc_id,
+    'contact user' || doc_id::VARCHAR || '@example.com before '
+      || substring(text, 1, 120)
+      || ' or call +1 (555) 01' || doc_id::VARCHAR
+      || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1 thanks' AS pii_text
+  FROM documents WHERE doc_id < 200),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(pii_text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      '\+?[0-9][0-9()\-\. ]{5,}[0-9]', '<PHONE>', 'g') AS red
+  FROM planted)
+SELECT doc_id, CAST(length(red) AS INT) AS red_len,
+substr(md5(red), 1, 16) AS red_fp,
+CAST(len(string_split(red, '<EMAIL>')) - 1 AS INT) AS n_email,
+CAST(len(string_split(red, '<PHONE>')) - 1 AS INT) AS n_phone,
+CAST(len(string_split(red, '<IP>')) - 1 AS INT) AS n_ip
+FROM red ORDER BY doc_id""",
+
+    // content-addressed 25% sample: md5-60bit('v1' || key) < 0.25 * 2^60
+    "q61_hash_sample" ->
+      raw"""SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT < 288230376151711744
+ORDER BY doc_id""",
+
+    // per-source token budget: partitioned running word-count sum <= 2000
+    "q62_token_budget" ->
+      raw"""WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN length(st) = 0 THEN 0 ELSE len(string_split_regex(st, '\s+')) END AS n_tok
+  FROM (SELECT doc_id, source,
+          regexp_replace(text, '^\s+|\s+$$', '', 'g') AS st FROM documents)),
+r AS (
+  SELECT doc_id, source, n_tok,
+    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d)
+SELECT source, count(*) AS n_docs,
+CAST(sum(n_tok) AS BIGINT) AS tokens_used, max(doc_id) AS last_doc
+FROM r WHERE run <= 2000 GROUP BY source ORDER BY source""",
   )
 }

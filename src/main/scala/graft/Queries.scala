@@ -784,6 +784,60 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q60 — PII redaction (EXT pipeline op): synthetic PII planted into doc
+    * text (emails/phones/IPv4 keyed off doc_id so the oracle rebuilds the
+    * identical input), redacted by the RE2-portable chain, fingerprinted.
+    */
+  def q60PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val planted = documents(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(
+          lit("contact user"), col("doc_id"), lit("@example.com before "),
+          substring(col("text"), 1, 120),
+          lit(" or call +1 (555) 01"), col("doc_id"), lit(" from 10."),
+          col("doc_id") % 256, lit(".0.1 thanks")).as("pii_text"))
+    planted
+      .select(col("doc_id"),
+        TextFunctions.redactPii(col("pii_text")).as("red"))
+      .select(col("doc_id"),
+        length(col("red")).as("red_len"),
+        substring(md5(col("red")), 1, 16).as("red_fp"),
+        (size(split(col("red"), "<EMAIL>", -1)) - 1).as("n_email"),
+        (size(split(col("red"), "<PHONE>", -1)) - 1).as("n_phone"),
+        (size(split(col("red"), "<IP>", -1)) - 1).as("n_ip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q61 — deterministic hash sampling (EXT): content-addressed 25% sample
+    * + the exact-partition property of the complementary split, replayed by
+    * DuckDB on the same md5-60bit hash.
+    */
+  def q61HashSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = documents(s, dir)
+    Sampling.sampleByHash(docs, col("doc_id"), 0.25, salt = "v1")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q62 — per-source token budget (EXT data mixing): keep docs in doc_id
+    * order until each source's running word-token total passes 2000; report
+    * per-source kept counts and consumed tokens. Partitioned running-sum
+    * window — no global funnel.
+    */
+  def q62TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = documents(s, dir)
+      .withColumn("n_tok", TextFunctions.wordCount(col("text")))
+    Sampling.tokenBudgetFilter(docs, col("source"), col("n_tok"),
+        Seq(col("doc_id")), budget = 2000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("tokens_used"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -845,5 +899,8 @@ object Queries {
     "q57_date_arith" -> q57DateArith _,
     "q58_relational_index" -> q58RelationalIndex _,
     "q59_sentence_split" -> q59SentenceSplit _,
+    "q60_pii_redaction" -> q60PiiRedaction _,
+    "q61_hash_sample" -> q61HashSample _,
+    "q62_token_budget" -> q62TokenBudget _,
   )
 }

@@ -56,6 +56,26 @@ object TextFunctions {
     when(length(strip(c)) === 0, lit(0))
       .otherwise(size(split(strip(c), "\\s+")))
 
+  /** PII redaction for training-data pipelines (EXT): emails, then
+    * international/US-style phone numbers, then IPv4 addresses replaced by
+    * typed placeholder tags, in that fixed order (email first so its
+    * digit runs can't be half-eaten by the phone pattern). All three
+    * patterns are RE2-portable (no lookaround, no backrefs) — the chain is
+    * DuckDB-oracle-checkable (q60). Deliberately conservative patterns:
+    * a redactor must not mangle prose, so phone requires 7+ digits with
+    * separators and IPv4 requires the full dotted quad.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\. ]{5,}[0-9]"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Word n-gram shingles (distinct) over a precomputed token-array column,
     * for MinHash / Jaccard dedup. Callers must materialize the token array
     * once (`withColumn("toks", wordTokens(c))`) — passing `wordTokens(c)`
