@@ -236,7 +236,19 @@ object Queries {
       .select(col("vec_id"), fl(col("sim"), 3).as("cos_sim"))
   }
 
-  /** Q16 — pairwise inner product within label, per-label stats (V2). */
+  /** Q16 — pairwise inner product within label, per-label stats (V2).
+    *
+    * SCALE POSTURE: this is deliberately the exact all-pairs-within-group
+    * form — O(N²/labels) with a shuffle on `label` — because the probe's
+    * semantics (exact per-label MAX inner product) admit no general
+    * sub-quadratic exact algorithm, and the fixture's near-uniform vector
+    * norms defeat Cauchy–Schwarz norm pruning. At 100 TB you don't run
+    * this shape: candidate generation goes through LSH bands (q21/q43),
+    * IVF cluster pruning (q30, writeIvfIndex), or embedding-bucket
+    * prefilters, and the pairwise kernel is only the VERIFIER on bounded
+    * candidate sets (Dedup.embeddingNearDupPairs documents the same
+    * contract). Kept exact here so the DuckDB oracle stays meaningful.
+    */
   def q16InnerProductLabel(s: SparkSession, dir: String): DataFrame = {
     val a = embeddings(s, dir).select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
     val b = embeddings(s, dir).select(col("label").as("label2"), col("vec_id").as("id2"), col("embedding").as("v2"))
