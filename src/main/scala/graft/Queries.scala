@@ -667,11 +667,17 @@ object Queries {
     val staged = java.nio.file.Files.createTempDirectory("q51docs")
     val texts = documents(s, dir).where(col("doc_id") < 30)
       .select(col("doc_id"), col("text")).collect()
-    val exts = Seq("txt", "pdf", "docx")
+    // stage REAL files per format: txt raw bytes, a valid Flate-compressed
+    // PDF, a valid DOCX zip — the extractors genuinely parse them
+    import graft.sources.DocFormats.{MinimalDocx, MinimalPdf}
     texts.foreach { r =>
-      val ext = exts((r.getLong(0) % 3).toInt)
-      java.nio.file.Files.write(staged.resolve(s"doc${r.getLong(0)}.$ext"),
-        r.getString(1).getBytes("UTF-8"))
+      val (docId, text) = (r.getLong(0), r.getString(1))
+      val (ext, bytes) = (docId % 3) match {
+        case 0 => ("txt", text.getBytes("UTF-8"))
+        case 1 => ("pdf", MinimalPdf.write(text))
+        case _ => ("docx", MinimalDocx.write(text.split("\n", -1).toSeq))
+      }
+      java.nio.file.Files.write(staged.resolve(s"doc$docId.$ext"), bytes)
     }
     val docs = graft.sources.DocumentSources.readDocuments(s, staged.toString)
     val chunks = Chunkers.chunkDataset(docs, SplitStrategy.Fixed(200, 40))

@@ -10,10 +10,11 @@ import graft.model._
   * (`/root/reference/index_documents.py:38-55,270-274`). Spark-first, the
   * source is `spark.read.format("binaryFile")` over a directory tree —
   * distributed, partitioned by file — with per-format text extraction behind
-  * a [[TextExtractor]] trait. The extraction libraries (PDF/DOCX parsers)
-  * are not available in this offline container, so those extractors are
-  * clearly-marked deterministic stubs; the Spark-side plumbing (schema,
-  * dispatch, partitioning, error semantics) is real and tested.
+  * a [[TextExtractor]] trait. PDF/DOCX extraction is JDK-only and honestly
+  * scoped (see [[DocFormats]]): DOCX is a full real implementation
+  * (zip + document.xml, python-docx paragraph semantics); PDF covers the
+  * machine-generated common case (Flate content streams, Tj/TJ text
+  * operators) — not encrypted or CMap-encoded documents.
   */
 object DocumentSources {
 
@@ -24,24 +25,22 @@ object DocumentSources {
     def extract(path: String, content: Array[Byte]): String
   }
 
-  /** STUB — a real impl would parse the PDF (per-page text, joined with \n,
-    * as index_documents.py:38-47). Offline container has no JVM PDF lib;
-    * this stub deterministically decodes bytes as UTF-8 so the pipeline
-    * plumbing is exercised end-to-end.
+  /** Real minimal PDF text extraction (scope: DocFormats.MinimalPdf) —
+    * per-page text joined with \n, as index_documents.py:38-47.
     */
-  final class PdfExtractorStub extends TextExtractor {
+  final class PdfExtractor extends TextExtractor {
     val extensions = Seq("pdf")
     def extract(path: String, content: Array[Byte]): String =
-      new String(content, "UTF-8")
+      DocFormats.MinimalPdf.extractText(content)
   }
 
-  /** STUB — a real impl would parse DOCX paragraphs, keep non-empty ones,
-    * join with \n (index_documents.py:51-55). Same UTF-8 stand-in as PDF.
+  /** Real DOCX extraction: body paragraphs, non-blank kept, joined with \n
+    * (index_documents.py:51-55; python-docx `paragraphs` semantics).
     */
-  final class DocxExtractorStub extends TextExtractor {
+  final class DocxExtractor extends TextExtractor {
     val extensions = Seq("docx")
     def extract(path: String, content: Array[Byte]): String =
-      new String(content, "UTF-8").split("\n").filter(_.nonEmpty).mkString("\n")
+      DocFormats.MinimalDocx.extractText(content)
   }
 
   final class TxtExtractor extends TextExtractor {
@@ -51,7 +50,7 @@ object DocumentSources {
   }
 
   val defaultExtractors: Seq[TextExtractor] =
-    Seq(new PdfExtractorStub, new DocxExtractorStub, new TxtExtractor)
+    Seq(new PdfExtractor, new DocxExtractor, new TxtExtractor)
 
   private def extensionOf(path: String): String = {
     val name = path.substring(path.lastIndexOf('/') + 1)

@@ -8,15 +8,52 @@ import graft.sources.{DocumentSources, Multimodal}
 class SourcesSpec extends SparkSpec {
 
   test("readDocuments: binaryFile scan + extension dispatch + filename basename") {
+    import graft.sources.DocFormats.{MinimalDocx, MinimalPdf}
     val dir = Files.createTempDirectory("docs").toFile
     Files.write(new java.io.File(dir, "a.txt").toPath, "hello world".getBytes)
-    Files.write(new java.io.File(dir, "b.pdf").toPath, "pdf-ish content".getBytes)
-    Files.write(new java.io.File(dir, "c.docx").toPath, "para one\n\npara two".getBytes)
+    Files.write(new java.io.File(dir, "b.pdf").toPath, MinimalPdf.write("pdf real content"))
+    Files.write(new java.io.File(dir, "c.docx").toPath,
+      MinimalDocx.write(Seq("para one", "", "para two")))
     val docs = DocumentSources.readDocuments(spark, dir.getAbsolutePath)
       .collect().map(d => d.filename -> d.text).toMap
     assert(docs("a.txt") == "hello world")
-    assert(docs("b.pdf") == "pdf-ish content")
-    assert(docs("c.docx") == "para one\npara two") // docx stub drops empty lines
+    assert(docs("b.pdf") == "pdf real content")
+    assert(docs("c.docx") == "para one\npara two") // blank paragraphs dropped (reference :53-55)
+  }
+
+  test("MinimalPdf: Flate round-trip, escapes, blank lines, hex strings, TJ arrays") {
+    import graft.sources.DocFormats.MinimalPdf
+    val text = "line (with) parens\\ and back\n\nafter a blank line\ttabbed"
+    assert(MinimalPdf.extractText(MinimalPdf.write(text)) == text)
+    // header really is a valid PDF envelope with a correct xref trailer
+    val bytes = MinimalPdf.write("x")
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.4") && s.contains("/FlateDecode") &&
+      s.contains("startxref") && s.endsWith("%%EOF\n"))
+    // hand-written uncompressed PDF fragment with hex string + TJ array
+    val hand = ("%PDF-1.4\n1 0 obj << /Length 64 >> stream\n" +
+      "BT 72 720 Td [(AB) -250 <43N44>] TJ 0 -14 Td (x) Tj ET\n" +
+      "endstream endobj\n%%EOF\n").replace("N", "") // 0x43,0x44 = C,D
+    assert(MinimalPdf.extractText(hand.getBytes("UTF-8")) == "ABCD\nx")
+  }
+
+  test("MinimalDocx: zip+xml round-trip; tabs/breaks; table paragraphs excluded") {
+    import graft.sources.DocFormats.MinimalDocx
+    val roundTrip = MinimalDocx.extractText(
+      MinimalDocx.write(Seq("first", "", "  ", "second & <third>")))
+    assert(roundTrip == "first\nsecond & <third>") // blank/whitespace-only dropped
+    // hand-built document.xml: run split, w:tab, w:br, and a table to skip
+    val doc =
+      """<?xml version="1.0"?><w:document xmlns:w="http://x"><w:body>
+        |<w:p><w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t></w:r></w:p>
+        |<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell text</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+        |<w:p><w:r><w:t>c</w:t><w:br/><w:t>d</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(doc.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    assert(MinimalDocx.extractText(bos.toByteArray) == "a\tb\nc\nd")
   }
 
   test("readDocuments: unsupported extension fails the job (S3 dispatch)") {
