@@ -617,5 +617,17 @@ r AS (
 SELECT source, count(*) AS n_docs,
 CAST(sum(n_tok) AS BIGINT) AS tokens_used, max(doc_id) AS last_doc
 FROM r WHERE run <= 2000 GROUP BY source ORDER BY source""",
+
+    // interval join compares epoch_us: the parquet ts is TIMESTAMP(NANOS)
+    // in DuckDB but µs-truncated in Spark (Tables.events) — ns-precision
+    // comparisons could flip at boundaries, µs-integer ones cannot
+    "q63_interval_join" ->
+      raw"""SELECT a.event_id AS l_id, b.event_id AS r_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY l_id, r_id""",
   )
 }

@@ -856,6 +856,21 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Q63 — event-time interval join (ST4's batch twin): click → purchase
+    * attribution within 1h per user. The same Streams.intervalJoin
+    * definition runs on streams with bounded state (StreamsSpec ST4);
+    * here its batch semantics are hash-oracle-checked (DuckDB compares
+    * epoch_us — the fixture's ns timestamps truncate identically).
+    */
+  def q63IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.streaming.Streams.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"), "1 hour")
+      .select(col("l_id"), col("r_id"))
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -920,5 +935,6 @@ object Queries {
     "q60_pii_redaction" -> q60PiiRedaction _,
     "q61_hash_sample" -> q61HashSample _,
     "q62_token_budget" -> q62TokenBudget _,
+    "q63_interval_join" -> q63IntervalJoin _,
   )
 }

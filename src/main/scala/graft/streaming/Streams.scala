@@ -81,6 +81,62 @@ object Streams {
       }
   }
 
+  /** ST4 — stream-stream inner join with event-time interval bounds: for
+    * each left event, right events of the SAME user whose timestamp falls in
+    * `[l_ts, l_ts + maxDelay]` (e.g. click → purchase attribution). On
+    * streams, watermark BOTH inputs before calling (Spark derives the state
+    * retention from the watermark + the interval condition, so join state is
+    * bounded); identical semantics on batch frames (spec-tested parity).
+    * One shuffle per side on user_id — the scalable stream-join shape.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+      col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+      col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** ST5 — `flatMapGroupsWithState`: gap-based sessionization that EMITS
+    * closed sessions (0..n outputs per trigger — the flatMap shape the
+    * built-in `session_window` can't give you when you need custom
+    * state/output logic). Input rows are (user_id, epochMillis); state is
+    * the open session; a row more than `gapMillis` after the previous one
+    * closes the session and emits (user, start, end, count). Open sessions
+    * stay in state until a later batch closes them.
+    */
+  def closedSessions(
+      pairs: org.apache.spark.sql.Dataset[(Long, Long)], gapMillis: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var open = state.getOption // (start, last, count)
+          val closed = Seq.newBuilder[(Long, Long, Long, Long)]
+          sorted.foreach { t =>
+            open match {
+              case Some((start, last, n)) if t - last > gapMillis =>
+                closed += ((user, start, last, n))
+                open = Some((t, t, 1L))
+              case Some((start, _, n)) =>
+                open = Some((start, t, n + 1))
+              case None =>
+                open = Some((t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

@@ -95,6 +95,67 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST4: stream-stream interval join ≡ batch twin; state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(1, ts(0), 1, "click", 0), Ev(2, ts(30), 1, "click", 0), Ev(3, ts(0), 2, "click", 0))
+    val buys = Seq(
+      Ev(10, ts(20), 1, "purchase", 9.99),  // joins click 1 (+20m) only
+      Ev(11, ts(45), 1, "purchase", 5.0),   // joins clicks 1 (+45m) and 2 (+15m)
+      Ev(12, ts(50), 3, "purchase", 1.0))   // no matching user
+    val expect = Set((1L, 10L), (1L, 11L), (2L, 11L))
+
+    // batch twin
+    val batch = Streams.intervalJoin(clicks.toDF(), buys.toDF(), "1 hour")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(batch == expect)
+
+    // streaming: both sides watermarked, append output
+    val ml = MemoryStream[Ev]; val mr = MemoryStream[Ev]
+    val joined = Streams.intervalJoin(
+      Streams.withEventTimeWatermark(ml.toDF(), "2 hours"),
+      Streams.withEventTimeWatermark(mr.toDF(), "2 hours"), "1 hour")
+    val q = joined.select("l_id", "r_id")
+      .writeStream.format("memory").queryName("st4").outputMode("append").start()
+    try {
+      ml.addData(clicks: _*); mr.addData(buys: _*)
+      q.processAllAvailable()
+      // advance watermarks so pending results flush
+      ml.addData(Ev(99, Timestamp.valueOf("2024-01-01 23:00:00"), 99, "click", 0))
+      mr.addData(Ev(98, Timestamp.valueOf("2024-01-01 23:00:00"), 98, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("st4").as[(Long, Long)].collect().toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("ST5: flatMapGroupsWithState emits closed sessions only; open session carries over") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ms(minute: Int): Long = ts(minute).getTime
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.closedSessions(mem.toDS(), gapMillis = 5 * 60 * 1000)
+      .toDF("user_id", "start_ms", "end_ms", "n")
+      .writeStream.format("memory").queryName("st5").outputMode("append").start()
+    try {
+      mem.addData((1L, ms(0)), (1L, ms(2)), (2L, ms(1)))
+      q.processAllAvailable()
+      assert(spark.table("st5").count() == 0) // both sessions still open
+      mem.addData((1L, ms(20))) // >5m gap closes user 1's first session
+      q.processAllAvailable()
+      val got = spark.table("st5")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, ms(0), ms(2), 2L)))
+      mem.addData((1L, ms(40)), (2L, ms(30))) // close 1's second and 2's first
+      q.processAllAvailable()
+      val all = spark.table("st5")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(all == Set(
+        (1L, ms(0), ms(2), 2L), (1L, ms(20), ms(20), 1L), (2L, ms(1), ms(1), 1L)))
+    } finally q.stop()
+  }
+
   test("ST3: dropDuplicatesWithinWatermark drops the in-window duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
