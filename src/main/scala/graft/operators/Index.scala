@@ -79,4 +79,29 @@ object Index {
       .select(col("doc_id"), col("chunk_index"), col("chunk_text"),
         col("filename"), round(col("score"), 3).as("score"))
   }
+
+  /** Materialize the ANN read path for a written chunk index: learn IVF
+    * centroids over the chunk embeddings and persist the cluster-partitioned
+    * index + centroid sidecar next to it (see Search.writeIvfIndex). One
+    * batch job; queries then touch only the probed clusters' files.
+    */
+  def buildIvfIndex(index: DataFrame, ivfPath: String, nClusters: Int = 64,
+      seed: Long = 42L): Unit = {
+    val centroids = Search.kmeansCentroids(index, "embedding", nClusters, seed)
+    Search.writeIvfIndex(index, "embedding", centroids, ivfPath)
+  }
+
+  /** ANN text search against a [[buildIvfIndex]] output: embed the query
+    * with the same provider, probe `nProbe` clusters, exact top-k within —
+    * the at-scale sibling of [[searchText]] (recall traded for scan cost
+    * ÷ nClusters/nProbe; recall spec in SearchSpec).
+    */
+  def searchTextIvf(spark: SparkSession, ivfPath: String, queryText: String,
+      k: Int, dim: Int, nProbe: Int = 2): DataFrame = {
+    val provider = new Embeddings.HashingTfEmbedder(dim)
+    val qv = provider.embed(Seq(queryText)).head
+    Search.ivfTopKFromIndex(spark, ivfPath, "embedding", qv.toSeq, k, nProbe)
+      .select(col("doc_id"), col("chunk_index"), col("chunk_text"),
+        col("filename"), round(col("score"), 3).as("score"))
+  }
 }

@@ -106,6 +106,24 @@ class SearchSpec extends SparkSpec {
       s"expected ${probed.size} pruned partitions, got ${selected.size}")
   }
 
+  test("searchTextIvf: end-to-end flagship ANN read path over a persisted index") {
+    import graft.operators.Index
+    val chunkIdx = Index.indexFrame(
+      Index.buildIndex(Tables.documents(spark, sf001)),
+      Some(java.time.Instant.parse("2026-01-01T00:00:00Z")))
+    val dir = java.nio.file.Files.createTempDirectory("ivftext").toString
+    Index.buildIvfIndex(chunkIdx, dir, nClusters = 8)
+    val got = Index.searchTextIvf(spark, dir, "fast spark join query", k = 3, dim = 64)
+      .collect()
+    assert(got.length == 3)
+    // ANN hit should agree with exact search at rank 1 on this small corpus
+    // with 2 probes of 8 clusters (holds for the fixture; recall specs cover
+    // the general claim)
+    val exact = Index.searchText(chunkIdx, "fast spark join query", k = 3, dim = 64)
+      .collect()
+    assert(got.head.getLong(0) == exact.head.getLong(0))
+  }
+
   test("LSH approx pairs reach ≥0.6 recall vs exact pairs at L2<1.18") {
     val exact = {
       val ids = vecs.keys.toSeq.sorted
