@@ -629,5 +629,25 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 ORDER BY l_id, r_id""",
+
+    // exact quantiles (quantile_cont ≡ Spark percentile interpolation) and
+    // stddev from exact decimal sums (built-in var/stddev aggregates are
+    // combine-order-dependent — never oracle those directly)
+    "q64_quantiles" ->
+      raw"""WITH c AS (
+  SELECT event_type, value,
+    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS cents
+  FROM events),
+a AS (
+  SELECT event_type, count(*) AS n,
+    floor(quantile_cont(value, 0.5) * 1000000) / 1000000 AS median,
+    floor(quantile_cont(value, 0.9) * 1000000) / 1000000 AS p90,
+    CAST(sum(cents) AS DECIMAL(38,0)) AS s1,
+    CAST(sum(cents * cents) AS DECIMAL(38,0)) AS s2
+  FROM c GROUP BY event_type)
+SELECT event_type, n, median, p90,
+floor(sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (n - 1))) / 100 * 10000) / 10000 AS sd
+FROM a ORDER BY event_type""",
   )
 }

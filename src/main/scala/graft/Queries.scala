@@ -871,6 +871,35 @@ object Queries {
       .orderBy(col("l_id"), col("r_id"))
   }
 
+  /** Q64 — exact quantiles + order-independent dispersion (A-family).
+    * `percentile` (exact, sort-based — deterministic on a fixed multiset;
+    * same linear interpolation as DuckDB quantile_cont) and stddev via the
+    * DECIMAL-sum formula n·Σx²−(Σx)² — NOT the built-in var_samp/stddev,
+    * whose Welford-style merge is combine-order-dependent and therefore
+    * not hash-stable across engines. The discipline demo: every
+    * nondeterministic float aggregate has an exact-decimal reformulation.
+    */
+  def q64Quantiles(s: SparkSession, dir: String): DataFrame = {
+    // integer cents (value has 2 decimals); narrow to DECIMAL(12,0) so the
+    // square stays inside 38-digit precision on both engines
+    val cents = (dec2(col("value")) * 100).cast("decimal(12,0)")
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        fl(expr("percentile(value, 0.5)"), 6).as("median"),
+        fl(expr("percentile(value, 0.9)"), 6).as("p90"),
+        sum(cents).cast("decimal(38,0)").as("_s1"),
+        sum(cents * cents).cast("decimal(38,0)").as("_s2"))
+      .select(col("event_type"), col("n"), col("median"), col("p90"),
+        // sample stddev from exact sums, floored: all inputs exact decimals,
+        // one double sqrt at the end
+        fl(sqrt((col("_s2").cast("double") * col("n") -
+                 col("_s1").cast("double") * col("_s1").cast("double")) /
+                (col("n").cast("double") * (col("n") - 1))) / 100, 4).as("sd"))
+      .orderBy(col("event_type"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -936,5 +965,6 @@ object Queries {
     "q61_hash_sample" -> q61HashSample _,
     "q62_token_budget" -> q62TokenBudget _,
     "q63_interval_join" -> q63IntervalJoin _,
+    "q64_quantiles" -> q64Quantiles _,
   )
 }
