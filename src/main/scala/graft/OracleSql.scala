@@ -649,5 +649,18 @@ SELECT event_type, n, median, p90,
 floor(sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
            / (CAST(n AS DOUBLE) * (n - 1))) / 100 * 10000) / 10000 AS sd
 FROM a ORDER BY event_type""",
+
+    // forward as-of with tolerance: first purchase at-or-after each click
+    // within 30 min; equal-time tie -> max value (the repo's deterministic
+    // as-of tie rule). epoch_us on both sides (ns-truncation parity).
+    "q65_asof_forward" ->
+      raw"""SELECT a.event_id, a.user_id,
+  (SELECT b.value FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+      AND epoch_us(b.ts) >= epoch_us(a.ts)
+      AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+    ORDER BY epoch_us(b.ts), b.value DESC LIMIT 1) AS asof_value
+FROM events a WHERE a.event_type = 'click'
+ORDER BY a.event_id""",
   )
 }

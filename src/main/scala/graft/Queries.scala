@@ -900,6 +900,23 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Q65 — FORWARD as-of join with tolerance (J7 completes the
+    * merge_asof surface): per click, the earliest purchase value
+    * at-or-after within 30 minutes, per user. Union+window — one shuffle
+    * on user_id; oracle = DuckDB correlated first-match subquery.
+    */
+  def q65AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("value"))
+    operators.Joins.asofJoin(clicks, buys, "user_id", "us", "value", "event_id",
+        direction = "forward", tolerance = Some(1800L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -966,5 +983,6 @@ object Queries {
     "q62_token_budget" -> q62TokenBudget _,
     "q63_interval_join" -> q63IntervalJoin _,
     "q64_quantiles" -> q64Quantiles _,
+    "q65_asof_forward" -> q65AsofForward _,
   )
 }

@@ -38,40 +38,64 @@ object Joins {
       .drop("_salt")
   }
 
-  /** As-of join (J7): for each left row, the value of the LATEST right row
-    * with the same key and `rightTime <= leftTime`. Spark has no native
-    * ASOF JOIN; the scalable formulation is union + one window pass —
-    * shuffle is one exchange on the key (vs a range-join's quadratic
-    * fallback). Ties at equal time resolve to the right row ("at or
-    * before" includes simultaneous rows).
+  /** As-of join (J7), pandas-merge_asof-complete: for each left row, the
+    * NEAREST right row with the same key at-or-before (`direction =
+    * "backward"`, default) or at-or-after (`"forward"`) the left time,
+    * optionally within `tolerance` time units. Spark has no native ASOF
+    * JOIN; the scalable formulation is union + ONE window pass — shuffle is
+    * one exchange on the key (vs a range-join's quadratic fallback). Ties
+    * at equal time resolve to the right row ("at or before/after" includes
+    * simultaneous rows); among same-timestamp right rows the MAX value wins
+    * (deterministic).
     *
     * @param left      probe side; must contain `keyCol` and `timeCol`
     * @param right     reference side; must contain `keyCol`, `timeCol`, `valueCol`
     * @param leftId    a unique left-row id column name (deterministic window order)
-    * @return left rows + `asof_<valueCol>` (null when no prior right row)
+    * @param direction "backward" (latest at-or-before) | "forward" (earliest at-or-after)
+    * @param tolerance max |leftTime − rightTime| in the time column's own
+    *                  units; requires a NUMERIC time column (pass
+    *                  unix_micros(ts) for timestamps)
+    * @return left rows + `asof_<valueCol>` (null when no match in range)
     */
   def asofJoin(left: DataFrame, right: DataFrame,
-      keyCol: String, timeCol: String, valueCol: String, leftId: String): DataFrame = {
+      keyCol: String, timeCol: String, valueCol: String, leftId: String,
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got: $direction")
     val lCols = left.columns
+    val asofType = new org.apache.spark.sql.types.StructType()
+      .add("_t", left.schema(timeCol).dataType)
+      .add("_v", right.schema(valueCol).dataType)
     val l = left.select(
       col(keyCol), col(timeCol), lit(1).as("_is_probe"),
-      lit(null).cast(right.schema(valueCol).dataType).as("_asof_v"),
+      lit(null).cast(asofType).as("_asof_s"),
       struct(lCols.map(col): _*).as("_row"))
     val r = right.select(
       col(keyCol), col(timeCol), lit(0).as("_is_probe"),
-      col(valueCol).as("_asof_v"),
+      struct(col(timeCol).cast(left.schema(timeCol).dataType).as("_t"),
+        col(valueCol).as("_v")).as("_asof_s"),
       lit(null).cast(l.schema("_row").dataType).as("_row"))
-    // order: time, then reference-before-probe at equal time ("at or before"
-    // includes simultaneous rows), then value (deterministic winner among
-    // same-timestamp reference rows: the max), then probe id
+    // scan order: time toward the probe (asc for backward, desc for
+    // forward), reference-before-probe at equal time (inclusive bound),
+    // then value (last = max among same-timestamp references), probe id
+    val timeOrd = if (direction == "backward") col(timeCol).asc else col(timeCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("_is_probe"), col("_asof_v"), col(s"_row.$leftId"))
+      .orderBy(timeOrd, col("_is_probe"), col("_asof_s._v"), col(s"_row.$leftId"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("_asof", last(col("_asof_v"), ignoreNulls = true).over(w))
+    val matched = l.unionByName(r)
+      .withColumn("_asof", last(col("_asof_s"), ignoreNulls = true).over(w))
       .where(col("_is_probe") === 1)
-      .select(lCols.map(c => col(s"_row.$c").as(c)) :+ col("_asof").as(s"asof_$valueCol"): _*)
+    val inRange = tolerance match {
+      case None => col("_asof._v")
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward") col(timeCol) - col("_asof._t")
+          else col("_asof._t") - col(timeCol)
+        when(gap <= tol, col("_asof._v"))
+    }
+    matched.select(
+      lCols.map(c => col(s"_row.$c").as(c)) :+ inRange.as(s"asof_$valueCol"): _*)
   }
 
   /** Salted aggregation: two-phase groupBy for a skewed grouping key —

@@ -78,6 +78,38 @@ class JoinsCliSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 2.5, 3L -> 2.5, 4L -> null, 5L -> null))
   }
 
+  test("asofJoin forward + tolerance: earliest at-or-after within range") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 2.5), ("B", 50L, 9.0))
+      .toDF("sym", "t", "px")
+    val trades = Seq(
+      (1L, "A", 15L),  // next quote at 20 -> 2.5 (max of simultaneous)
+      (2L, "A", 20L),  // at-or-after includes t=20 -> 2.5
+      (3L, "A", 21L),  // nothing after -> null
+      (4L, "B", 10L),  // next at 50, gap 40 > tol 30 -> null
+      (5L, "B", 30L))  // gap 20 <= 30 -> 9.0
+      .toDF("trade_id", "sym", "t")
+    val out = graft.operators.Joins.asofJoin(trades, quotes, "sym", "t", "px",
+        "trade_id", direction = "forward", tolerance = Some(30L))
+      .orderBy("trade_id")
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(1L -> 2.5, 2L -> 2.5, 3L -> null, 4L -> null, 5L -> 9.0))
+  }
+
+  test("asofJoin backward + tolerance: stale matches nulled") {
+    import spark.implicits._
+    val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "t", "px")
+    val trades = Seq((1L, "A", 15L), (2L, "A", 60L)).toDF("trade_id", "sym", "t")
+    val out = graft.operators.Joins.asofJoin(trades, quotes, "sym", "t", "px",
+        "trade_id", tolerance = Some(10L))
+      .orderBy("trade_id")
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> null)) // 60-10=50 > 10 -> stale
+  }
+
   test("IndexCli: parse defaults mirror the reference argparse; end-to-end run") {
     val a = IndexCli.parse(Array("--input", "/in", "--output", "/out"))
     assert(a.chunkSize == 1200 && a.overlap == 200 && a.batchSize == 32)
