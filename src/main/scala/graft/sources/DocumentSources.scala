@@ -69,21 +69,48 @@ object DocumentSources {
       spark: SparkSession, dir: String,
       extractors: Seq[TextExtractor] = defaultExtractors): Dataset[RawDocument] = {
     import spark.implicits._
+    readDocumentsLenient(spark, dir, extractors).map {
+      case (doc, None) => doc
+      case (_, Some(err)) => throw new IllegalArgumentException(err)
+    }
+  }
+
+  /** Fault-tolerant ingestion for the 100 TB posture: one corrupt or
+    * unsupported file must NOT kill a 1000-executor job. Each row is
+    * (document, error): `error = None` for clean extractions; on failure
+    * the document carries empty text and `error = Some(message)` so callers
+    * route rows to the pipeline or a quarantine sink with one filter —
+    * the binaryFile-scan analog of `mode=PERMISSIVE` + `_corrupt_record`.
+    * [[readDocuments]] is the strict wrapper (any error fails the job,
+    * matching the reference's explicit rejection).
+    */
+  def readDocumentsLenient(
+      spark: SparkSession, dir: String,
+      extractors: Seq[TextExtractor] = defaultExtractors)
+      : Dataset[(RawDocument, Option[String])] = {
+    import spark.implicits._
     val byExt = extractors.flatMap(e => e.extensions.map(_ -> e)).toMap
     val files = spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
     files.map { case (path, content) =>
       val ext = extensionOf(path)
-      val extractor = byExt.getOrElse(ext,
-        throw new IllegalArgumentException(s"Unsupported file type: .$ext"))
       val name = path.substring(path.lastIndexOf('/') + 1)
       // docId from a stable content-independent hash of the path: no global
       // sort/exchange needed; collision-free enough for ingest (64-bit).
       val id = java.lang.Long.parseLong(
         java.security.MessageDigest.getInstance("MD5")
           .digest(path.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
-      RawDocument(id, name, extractor.extract(path, content))
+      byExt.get(ext) match {
+        case None =>
+          (RawDocument(id, name, ""), Some(s"Unsupported file type: .$ext"))
+        case Some(extractor) =>
+          try (RawDocument(id, name, extractor.extract(path, content)), None)
+          catch { case e: Exception =>
+            (RawDocument(id, name, ""),
+             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+          }
+      }
     }
   }
 }

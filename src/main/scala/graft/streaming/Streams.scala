@@ -137,6 +137,19 @@ object Streams {
       }
   }
 
+  /** Production file sink: append the streaming frame to a parquet
+    * directory with exactly-once file-commit semantics (the sink's commit
+    * log + the source's offset log via `checkpoint`). The memory sink in
+    * tests is for assertions; this is the durable shape.
+    */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

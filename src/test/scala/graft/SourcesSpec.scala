@@ -66,6 +66,25 @@ class SourcesSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("Unsupported file type"))
   }
 
+  test("readDocumentsLenient: corrupt and unsupported files quarantined, not fatal") {
+    import graft.sources.DocFormats.MinimalDocx
+    val dir = Files.createTempDirectory("docs4").toFile
+    Files.write(new java.io.File(dir, "good.txt").toPath, "fine".getBytes)
+    Files.write(new java.io.File(dir, "broken.docx").toPath, Array[Byte](1, 2, 3)) // not a zip
+    Files.write(new java.io.File(dir, "odd.xyz").toPath, "???".getBytes)
+    Files.write(new java.io.File(dir, "ok.docx").toPath, MinimalDocx.write(Seq("p1")))
+    val rows = DocumentSources.readDocumentsLenient(spark, dir.getAbsolutePath)
+      .collect().map { case (d, e) => d.filename -> (d.text, e) }.toMap
+    assert(rows("good.txt") == ("fine", None))
+    assert(rows("ok.docx") == ("p1", None))
+    assert(rows("broken.docx")._2.isDefined && rows("broken.docx")._1 == "")
+    assert(rows("odd.xyz")._2.exists(_.contains("Unsupported file type")))
+    // strict wrapper still fails on the same tree
+    intercept[org.apache.spark.SparkException] {
+      DocumentSources.readDocuments(spark, dir.getAbsolutePath).collect()
+    }
+  }
+
   test("multimodal: stub features are a normalized byte histogram") {
     val media = Multimodal.syntheticMedia(spark, 12)
     val out = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))

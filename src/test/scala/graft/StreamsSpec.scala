@@ -156,6 +156,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet streaming sink: durable append with checkpoint, read-back matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.writeParquetStream(
+      Streams.tumblingCounts(Streams.withEventTimeWatermark(mem.toDF(), "10 minutes")),
+      out, ckpt)
+    try {
+      mem.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 3.0))
+      q.processAllAvailable() // watermark closes the 10:00 window -> appended
+      val rows = spark.read.parquet(out)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("click", 2L)))
+    } finally q.stop()
+  }
+
   test("ST3: dropDuplicatesWithinWatermark drops the in-window duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
