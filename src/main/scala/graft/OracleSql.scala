@@ -662,5 +662,39 @@ FROM a ORDER BY event_type""",
     ORDER BY epoch_us(b.ts), b.value DESC LIMIT 1) AS asof_value
 FROM events a WHERE a.event_type = 'click'
 ORDER BY a.event_id""",
+
+    // Gopher/C4 repetition + rule filters: all ratios are int/int double
+    // divisions (bit-portable); line strip is the ASCII regexp chain
+    "q66_gopher_rules" ->
+      raw"""WITH d AS (
+  SELECT doc_id, text, $toks AS tk,
+    list_filter(
+      list_transform(string_split(text, chr(10)),
+        l -> regexp_replace(l, '^\s+|\s+$$', '', 'g')),
+      l -> length(l) > 0) AS ls
+  FROM documents WHERE doc_id < 300),
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS INT) AS word_cnt,
+    CASE WHEN len(tk) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) END AS mwl,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dlr,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls) END AS blr,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$$'))) AS DOUBLE) / len(ls) END AS elr,
+    len(list_intersect(tk, ['the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','be','this'])) AS stop_hits
+  FROM d)
+SELECT doc_id, word_cnt,
+floor(mwl * 10000) / 10000 AS mwl,
+floor(dlr * 10000) / 10000 AS dup_line_ratio,
+floor(blr * 10000) / 10000 AS bullet_ratio,
+floor(elr * 10000) / 10000 AS ellipsis_ratio,
+CASE WHEN word_cnt >= 50 AND word_cnt <= 100000
+      AND mwl >= 3.0 AND mwl <= 10.0
+      AND dlr < 0.3 AND blr < 0.9 AND elr < 0.3
+      AND stop_hits >= 2 THEN 1 ELSE 0 END AS passes
+FROM m ORDER BY doc_id""",
   )
 }

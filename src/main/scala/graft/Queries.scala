@@ -917,6 +917,26 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Q66 — Gopher/C4-style repetition + rule filters (V5/EXT): per-doc
+    * duplicate-line ratio, bullet/ellipsis line ratios, mean word length,
+    * and the keep/drop rule conjunction. All int/int double divisions —
+    * bit-portable, hash-oracle-checked.
+    */
+  def q66GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).where(col("doc_id") < 300)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .withColumn("ls", TextAnalysis.docLines(col("text")))
+    docs.select(
+        col("doc_id"),
+        size(col("toks")).as("word_cnt"),
+        fl(TextAnalysis.meanWordLen(col("toks")), 4).as("mwl"),
+        fl(TextAnalysis.dupRatio(col("ls")), 4).as("dup_line_ratio"),
+        fl(TextAnalysis.lineRatio(col("ls"), "^[-*•]"), 4).as("bullet_ratio"),
+        fl(TextAnalysis.lineRatio(col("ls"), "\\.\\.\\.$"), 4).as("ellipsis_ratio"),
+        TextAnalysis.gopherRulesPass(col("text"), col("toks")).cast("int").as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -984,5 +1004,6 @@ object Queries {
     "q63_interval_join" -> q63IntervalJoin _,
     "q64_quantiles" -> q64Quantiles _,
     "q65_asof_forward" -> q65AsofForward _,
+    "q66_gopher_rules" -> q66GopherRules _,
   )
 }

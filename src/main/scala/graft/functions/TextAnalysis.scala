@@ -65,6 +65,42 @@ object TextAnalysis {
     lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2
   }
 
+  // ---------------- repetition & rule filters (Gopher/C4-style, EXT) -----
+
+  /** Non-empty stripped lines of a document (ASCII-\s strip — portable). */
+  def docLines(c: Column): Column =
+    filter(transform(split(c, "\n"), l => TextFunctions.strip(l)), l => length(l) > 0)
+
+  /** Fraction of duplicated elements: 1 − distinct/total (0 when empty) —
+    * the C4/Gopher repetition signal over lines or paragraphs.
+    */
+  def dupRatio(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+
+  /** Fraction of lines matching an RE2-portable pattern (e.g. bullet heads
+    * `^[-*•]`, ellipsis tails `\.\.\.$` — the Gopher layout heuristics).
+    */
+  def lineRatio(linesCol: Column, pattern: String): Column =
+    when(size(linesCol) === 0, lit(0.0)).otherwise(
+      size(filter(linesCol, l => l.rlike(pattern))).cast("double") / size(linesCol))
+
+  /** Gopher-style keep/drop rule conjunction (arXiv:2112.11446 table A1
+    * shape, thresholds simplified): word count bounds, mean-word-length
+    * window, bounded line repetition, not mostly bullets, not mostly
+    * ellipsis lines, and ≥2 distinct common stopwords. Pure Column
+    * expression — a narrow filter at any scale, DuckDB-replayable (q66).
+    */
+  def gopherRulesPass(text: Column, tokens: Column): Column = {
+    val ls = docLines(text)
+    (size(tokens) >= 50) && (size(tokens) <= 100000) &&
+      meanWordLen(tokens).between(3.0, 10.0) &&
+      (dupRatio(ls) < 0.3) &&
+      (lineRatio(ls, "^[-*•]") < 0.9) &&
+      (lineRatio(ls, "\\.\\.\\.$") < 0.3) &&
+      (size(array_intersect(tokens, lit(StopwordsEn.toArray))) >= 2)
+  }
+
   /** Content fingerprint: first 16 hex chars of md5 of the
     * whitespace-normalized, lowercased text — a stable doc identity for
     * exact-dedup across formatting variants. Portable (md5 in both engines).

@@ -101,6 +101,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m("a") == m("a").distinct.sorted)
   }
 
+  test("gopherRulesPass: prose passes; bullets, repetition, and tiny docs fail") {
+    import spark.implicits._
+    val prose = ("the data pipeline reads documents and it is written to the store " +
+      "with a stable schema for every run in this test corpus ") * 3
+    val bullets = (1 to 60).map(i => s"- item $i with the words of a list").mkString("\n")
+    val repeated = ("the same line with enough words to count here\n" * 60)
+    val tiny = "too short"
+    val df = Seq(prose, bullets, repeated, tiny).toDF("t")
+      .withColumn("toks", TextFunctions.wordTokens(col("t")))
+    val out = df.select(TextAnalysis.gopherRulesPass(col("t"), col("toks")))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, false, false))
+  }
+
+  test("dupRatio / lineRatio: exact fractions") {
+    import spark.implicits._
+    val df = Seq("a\nb\na\n\n- x\nend...").toDF("t")
+      .withColumn("ls", TextAnalysis.docLines(col("t")))
+    val row = df.select(
+      TextAnalysis.dupRatio(col("ls")),
+      TextAnalysis.lineRatio(col("ls"), "^[-*•]"),
+      TextAnalysis.lineRatio(col("ls"), "\\.\\.\\.$")).head()
+    assert(row.getDouble(0) == 1.0 - 4.0 / 5.0) // "a" duplicated: 5 lines, 4 distinct
+    assert(row.getDouble(1) == 1.0 / 5.0)
+    assert(row.getDouble(2) == 1.0 / 5.0)
+  }
+
   test("qualityScore: clean prose beats punctuation soup") {
     import spark.implicits._
     val df = Seq(
