@@ -69,6 +69,30 @@ object Index {
       .partitionBy("split_strategy")
       .parquet(path)
 
+  /** Observed index write: attach Spark `Observation` metrics to the write
+    * job so chunk/character/zero-vector counts come back WITH the job — no
+    * second scan, no accumulator plumbing. At 100 TB an extra "count my
+    * output" pass is real money; observe() rides the existing action.
+    * Returns (chunk rows written, total chunk chars, zero-vector chunks).
+    */
+  def writeIndexObserved(rows: Dataset[ChunkRow], path: String,
+      createdAt: Option[java.time.Instant] = None): (Long, Long, Long) = {
+    val obs = new org.apache.spark.sql.Observation("graft_index_write")
+    indexFrame(rows, createdAt)
+      .observe(obs,
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk_text"))).cast("long").as("n_chars"),
+        sum(when(expr("aggregate(embedding, 0.0D, (a, x) -> a + abs(x))") === 0.0, 1L)
+          .otherwise(0L)).as("n_zero_vectors"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("split_strategy")
+      .parquet(path)
+    val m = obs.get
+    (m("n_chunks").asInstanceOf[Long],
+     Option(m("n_chars")).map(_.asInstanceOf[Long]).getOrElse(0L),
+     m("n_zero_vectors").asInstanceOf[Long])
+  }
+
   /** The semantic-search read path (SURVEY.md §3.3): embed the query text
     * with the same provider, score, top-k.
     */

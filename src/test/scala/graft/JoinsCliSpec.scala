@@ -129,4 +129,24 @@ class JoinsCliSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.select("filename").distinct().count() == 2)
   }
+
+  test("writeIndexObserved: metrics ride the write job and match the output") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src0", ("alpha beta " * 30).trim),
+      (2L, "src1", ""),                       // empty: dropped by prepare
+      (3L, "src0", "!!! ??? ###"))            // tokenless: zero vector
+      .toDF("doc_id", "source", "text")
+    val rows = graft.operators.Index.buildIndex(docs,
+      graft.operators.Index.IndexConfig(graft.model.SplitStrategy.Fixed(100, 20), 8))
+    val out = Files.createTempDirectory("obsidx").toString + "/idx"
+    val (nChunks, nChars, nZero) =
+      graft.operators.Index.writeIndexObserved(rows, out,
+        Some(java.time.Instant.parse("2026-01-01T00:00:00Z")))
+    val back = spark.read.parquet(out)
+    assert(nChunks == back.count())
+    assert(nChars == back.select(sum(length(col("chunk_text")))).head().getLong(0))
+    assert(nZero >= 1) // doc 3's chunk embeds to the zero vector
+    assert(back.schema.fieldNames.contains("created_at"))
+  }
 }
