@@ -15,8 +15,18 @@ class ContractSpec extends SparkSpec {
     val names = SparkEntry.queries.keySet
     assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
     assert(names.size == SparkEntry.queries.size)
-    assert(names.size >= 57, s"probe count regressed: ${names.size}")
-    assert(SparkEntry.oracleSql.size >= 48, s"oracle count regressed: ${SparkEntry.oracleSql.size}")
+    assert(names.size >= 66, s"probe count regressed: ${names.size}")
+    assert(SparkEntry.oracleSql.size >= 57, s"oracle count regressed: ${SparkEntry.oracleSql.size}")
+  }
+
+  test("rows-only probes are exactly the declared set (new probes need oracles)") {
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    val declared = Set( // typed/approximate/streaming/file-ingest — reasons in SURVEY §2.11-2.12
+      "q40_index_pipeline", "q41_search_text", "q42_sentence_chunks",
+      "q43_lsh_ann", "q44_centroid_typed", "q45_multimodal",
+      "q47_tfidf", "q50_streaming", "q51_file_ingest")
+    assert(rowsOnly == declared,
+      s"undeclared rows-only probes: ${rowsOnly.diff(declared)}; stale declarations: ${declared.diff(rowsOnly)}")
   }
 
   test("oracle SQL strings are DuckDB-shaped (no Spark-only spellings)") {
