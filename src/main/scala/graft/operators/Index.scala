@@ -69,6 +69,38 @@ object Index {
       .partitionBy("split_strategy")
       .parquet(path)
 
+  /** Incremental index maintenance — the idempotent re-run the reference
+    * lacks (it re-inserts every chunk with fresh SERIAL ids on each run,
+    * index_documents.py:248-249): anti-join the incoming documents against
+    * doc_ids already in the index, chunk+embed ONLY the new ones, append.
+    * The anti-join reads just the doc_id column of the existing index
+    * (column pruning — never the text or vectors); the append is a parquet
+    * job commit, so a failed run leaves the index unchanged.
+    *
+    * @return number of chunk rows appended (0 when everything was indexed)
+    */
+  def appendIndex(docs: DataFrame, path: String,
+      cfg: IndexConfig = IndexConfig(),
+      createdAt: Option[java.time.Instant] = None)(
+      implicit spark: SparkSession): Long = {
+    val existingIds =
+      try spark.read.parquet(path).select(col("doc_id")).distinct()
+      catch { case e: Exception if String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
+          String.valueOf(e.getMessage).contains("Path does not exist") =>
+        spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
+      }
+    val fresh = docs.join(existingIds,
+      docs("doc_id") === existingIds("doc_id"), "left_anti")
+    val rows = buildIndex(fresh, cfg)
+    val obs = new org.apache.spark.sql.Observation()
+    indexFrame(rows, createdAt)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("split_strategy")
+      .parquet(path)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** Observed index write: attach Spark `Observation` metrics to the write
     * job so chunk/character/zero-vector counts come back WITH the job — no
     * second scan, no accumulator plumbing. At 100 TB an extra "count my

@@ -130,6 +130,28 @@ class JoinsCliSpec extends SparkSpec {
     assert(back.select("filename").distinct().count() == 2)
   }
 
+  test("appendIndex: idempotent re-run — only new docs chunked, re-runs append zero") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("incr").toString + "/idx"
+    val cfg = graft.operators.Index.IndexConfig(
+      graft.model.SplitStrategy.Fixed(100, 20), 8)
+    val batch1 = Seq((1L, "s", "alpha beta " * 30), (2L, "s", "gamma delta " * 30))
+      .toDF("doc_id", "source", "text")
+    val n1 = graft.operators.Index.appendIndex(batch1, path, cfg)
+    assert(n1 > 0)
+    // overlap: docs 1,2 already indexed; only 3 is new
+    val batch2 = Seq((1L, "s", "alpha beta " * 30), (2L, "s", "gamma delta " * 30),
+      (3L, "s", "epsilon zeta " * 30)).toDF("doc_id", "source", "text")
+    val n2 = graft.operators.Index.appendIndex(batch2, path, cfg)
+    assert(n2 > 0 && n2 < n1 + n2)
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id").distinct().count() == 3)
+    assert(back.count() == n1 + n2) // no duplicated chunks
+    // exact re-run: nothing new
+    assert(graft.operators.Index.appendIndex(batch2, path, cfg) == 0L)
+    assert(spark.read.parquet(path).count() == n1 + n2)
+  }
+
   test("writeIndexObserved: metrics ride the write job and match the output") {
     import spark.implicits._
     val docs = Seq(
