@@ -37,6 +37,30 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(hand.getBytes("UTF-8")) == "ABCD\nx")
   }
 
+  test("property: MinimalPdf round-trips adversarial text (escapes, unicode, blank lines)") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.sources.DocFormats.MinimalPdf
+    val charGen: Gen[String] = Gen.frequency(
+      10 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf("(", ")", "\\", "\n", "\t", " ", "[", "]", "<", ">"),
+      1 -> Gen.oneOf("é", "北", "😀", "•")) // incl. astral emoji
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    checkProp(Prop.forAll(textGen) { t =>
+      MinimalPdf.extractText(MinimalPdf.write(t)) == t
+    })
+  }
+
+  test("property: MinimalDocx round-trips non-blank paragraph lists") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.sources.DocFormats.MinimalDocx
+    val para = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('&', '<', '>', ' ', '"', '\''))).map(_.mkString)
+      .suchThat(_.trim.nonEmpty)
+    checkProp(Prop.forAll(Gen.listOf(para)) { ps =>
+      MinimalDocx.extractText(MinimalDocx.write(ps)) == ps.mkString("\n")
+    })
+  }
+
   test("MinimalDocx: zip+xml round-trip; tabs/breaks; table paragraphs excluded") {
     import graft.sources.DocFormats.MinimalDocx
     val roundTrip = MinimalDocx.extractText(
