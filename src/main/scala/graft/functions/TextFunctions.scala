@@ -56,14 +56,17 @@ object TextFunctions {
     when(length(strip(c)) === 0, lit(0))
       .otherwise(size(split(strip(c), "\\s+")))
 
-  /** PII redaction for training-data pipelines (EXT): emails, then
-    * international/US-style phone numbers, then IPv4 addresses replaced by
-    * typed placeholder tags, in that fixed order (email first so its
-    * digit runs can't be half-eaten by the phone pattern). All three
-    * patterns are RE2-portable (no lookaround, no backrefs) — the chain is
-    * DuckDB-oracle-checkable (q60). Deliberately conservative patterns:
-    * a redactor must not mangle prose, so phone requires 7+ digits with
-    * separators and IPv4 requires the full dotted quad.
+  /** PII redaction for training-data pipelines (EXT): emails, then IPv4
+    * addresses, then phone numbers, replaced by typed placeholder tags —
+    * IN THAT ORDER, and the order is load-bearing: email first so its
+    * digit/dot runs can't be half-eaten by the later patterns, and IPv4
+    * BEFORE phone because the phone pattern (digits with dot/dash/space
+    * separators) would otherwise consume dotted quads as phone numbers.
+    * The q60 DuckDB oracle replays exactly this chain — reordering here
+    * diverges from it. All three patterns are RE2-portable (no lookaround,
+    * no backrefs). Deliberately conservative: phone requires 7+ chars of
+    * digits-with-separators between digit endpoints, IPv4 the full dotted
+    * quad; date-like strings are accepted casualties, as in most scrubbers.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9()\\-\\. ]{5,}[0-9]"

@@ -85,9 +85,17 @@ object Index {
       implicit spark: SparkSession): Long = {
     val existingIds =
       try spark.read.parquet(path).select(col("doc_id")).distinct()
-      catch { case e: Exception if String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
-          String.valueOf(e.getMessage).contains("Path does not exist") =>
-        spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
+      catch {
+        // no index yet: path absent, OR present but without parquet footers
+        // (a directory left by a failed first write) — both mean "empty
+        // index", otherwise the advertised idempotent re-run could never
+        // recover from a failed initial run
+        case e: Exception if {
+          val m = String.valueOf(e.getMessage)
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+            m.contains("UNABLE_TO_INFER_SCHEMA") || m.contains("Unable to infer schema")
+        } =>
+          spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
       }
     val fresh = docs.join(existingIds,
       docs("doc_id") === existingIds("doc_id"), "left_anti")

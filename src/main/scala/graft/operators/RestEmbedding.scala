@@ -68,13 +68,20 @@ object RestEmbeddingProvider {
     }
   }
 
+  /** Shared client: HttpClient is thread-safe and pools connections; one
+    * per JVM (≅ per executor) instead of one per request — a per-batch
+    * client would redo TCP+TLS setup thousands of times per partition.
+    */
+  private lazy val sharedClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
+
   /** Default transport: POST the JSON body, require a 2xx, return the body.
     * Non-2xx throws (and is retried by ValidatingRetryProvider, matching the
     * reference's retry-on-rate-limit/5xx intent, index_documents.py:157).
     */
   def httpPost(endpoint: String, body: String): String = {
-    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-    val client = HttpClient.newHttpClient()
+    import java.net.http.{HttpRequest, HttpResponse}
+    val client = sharedClient
     val req = HttpRequest.newBuilder(java.net.URI.create(endpoint))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body))

@@ -103,7 +103,10 @@ object DocFormats {
                 case "br" | "cr" if inParagraph => current.append('\n')
                 case _ =>
               }
-            case javax.xml.stream.XMLStreamConstants.CHARACTERS if inText =>
+            case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+                 javax.xml.stream.XMLStreamConstants.CDATA if inText =>
+              // CDATA: non-coalescing StAX reports <![CDATA[...]]> text as a
+              // separate event type — some generators wrap w:t content in it
               current.appendAll(reader.getTextCharacters,
                 reader.getTextStart, reader.getTextLength)
             case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
@@ -219,7 +222,7 @@ object DocFormats {
             if (payloadEnd > payloadStart && pdf(payloadEnd - 1) == '\r') payloadEnd -= 1
             val raw = java.util.Arrays.copyOfRange(pdf, payloadStart, payloadEnd)
             val decoded =
-              if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(Array.emptyByteArray)
+              if (dict.contains("/FlateDecode")) inflate(raw)
               else raw
             val head = new String(decoded, 0, math.min(decoded.length, 4096), UTF_8)
             if (head.contains("BT") || head.contains("Tj") || head.contains("TJ"))
@@ -231,19 +234,30 @@ object DocFormats {
       streams.result()
     }
 
-    private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    /** Fully inflate or THROW: truncated/malformed deflate data must be an
+      * error, never a silent partial page — lenient ingestion routes the
+      * file to quarantine, strict ingestion fails it.
+      */
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater()
       try {
-        val inf = new Inflater()
         inf.setInput(data)
         val out = new ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         while (!inf.finished() && !inf.needsInput()) {
           val n = inf.inflate(buf)
-          if (n > 0) out.write(buf, 0, n) else if (n == 0 && !inf.finished()) return None
+          if (n == 0 && !inf.finished() && inf.needsDictionary())
+            throw new IllegalArgumentException("FlateDecode stream needs preset dictionary")
+          if (n > 0) out.write(buf, 0, n)
         }
-        inf.end()
-        Some(out.toByteArray)
-      } catch { case _: Exception => None }
+        if (!inf.finished())
+          throw new IllegalArgumentException("truncated FlateDecode stream")
+        out.toByteArray
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"malformed FlateDecode stream: ${e.getMessage}")
+      } finally inf.end()
+    }
 
     /** Walk one content stream: collect shown strings, break lines on text
       * positioning. Handles literal-string escapes (incl. octal and nested
@@ -318,7 +332,12 @@ object DocFormats {
           while (i < s.length && !s.charAt(i).isWhitespace &&
             !"()<>[]/".contains(s.charAt(i))) i += 1
           s.substring(start, i) match {
-            case "Tj" | "TJ" | "'" | "\"" => emit()
+            case "Tj" | "TJ" => emit()
+            case "'" | "\"" =>
+              // PDF spec: ' ≡ T* then Tj (" additionally sets spacing) —
+              // the implicit move-to-next-line precedes the show
+              if (sawText) pendingNewlines += 1
+              emit()
             case "Td" | "TD" | "T*" =>
               lastStrings.clear() // positioning args are not text
               if (sawText) pendingNewlines += 1

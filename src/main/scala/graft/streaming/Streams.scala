@@ -123,11 +123,21 @@ object Streams {
           val closed = Seq.newBuilder[(Long, Long, Long, Long)]
           sorted.foreach { t =>
             open match {
-              case Some((start, last, n)) if t - last > gapMillis =>
+              // rows are sorted only WITHIN a batch; a later batch can carry
+              // events before the open session. Merge when the event falls
+              // inside the session's gap envelope [start-gap, last+gap]
+              // (start/last move outward, never backward); an event beyond
+              // the gap AFTER `last` closes the session; a very-late event
+              // before start-gap is its own already-closed singleton (its
+              // session window has provably passed).
+              case Some((start, last, n)) if t > last + gapMillis =>
                 closed += ((user, start, last, n))
                 open = Some((t, t, 1L))
-              case Some((start, _, n)) =>
-                open = Some((start, t, n + 1))
+              case Some((start, last, n)) if t < start - gapMillis =>
+                closed += ((user, t, t, 1L))
+                open = Some((start, last, n))
+              case Some((start, last, n)) =>
+                open = Some((math.min(start, t), math.max(last, t), n + 1))
               case None =>
                 open = Some((t, t, 1L))
             }

@@ -35,6 +35,27 @@ class SourcesSpec extends SparkSpec {
       "BT 72 720 Td [(AB) -250 <43N44>] TJ 0 -14 Td (x) Tj ET\n" +
       "endstream endobj\n%%EOF\n").replace("N", "") // 0x43,0x44 = C,D
     assert(MinimalPdf.extractText(hand.getBytes("UTF-8")) == "ABCD\nx")
+    // the ' operator carries an implicit move-to-next-line (T* + Tj)
+    val quoteOp = ("%PDF-1.4\n1 0 obj << /Length 48 >> stream\n" +
+      "BT 72 720 Td (line1) Tj (line2) ' (line3) ' ET\n" +
+      "endstream endobj\n%%EOF\n")
+    assert(MinimalPdf.extractText(quoteOp.getBytes("UTF-8")) == "line1\nline2\nline3")
+  }
+
+  test("MinimalPdf: truncated FlateDecode stream errors (quarantined by lenient read)") {
+    import graft.sources.DocFormats.MinimalPdf
+    val good = MinimalPdf.write("real content here that compresses to something")
+    // truncate the file mid-stream: cut 12 bytes before 'endstream' and re-add it
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("endstream")
+    val truncated = (s.substring(0, at - 12) + "\nendstream endobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](MinimalPdf.extractText(truncated))
+    // and the lenient reader quarantines rather than fails
+    val dir = Files.createTempDirectory("docs5").toFile
+    Files.write(new java.io.File(dir, "cut.pdf").toPath, truncated)
+    val rows = DocumentSources.readDocumentsLenient(spark, dir.getAbsolutePath).collect()
+    assert(rows.length == 1 && rows.head._2.isDefined)
   }
 
   test("property: MinimalPdf round-trips adversarial text (escapes, unicode, blank lines)") {

@@ -156,6 +156,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5: out-of-order late events merge into the open session, never corrupt it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ms(minute: Int): Long = ts(minute).getTime
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.closedSessions(mem.toDS(), gapMillis = 5 * 60 * 1000)
+      .toDF("user_id", "start_ms", "end_ms", "n")
+      .writeStream.format("memory").queryName("st5late").outputMode("append").start()
+    try {
+      mem.addData((1L, ms(10)))            // open session (10,10,1)
+      q.processAllAvailable()
+      mem.addData((1L, ms(7)))             // LATE: inside gap envelope → merge (7,10,2)
+      q.processAllAvailable()
+      mem.addData((1L, ms(13)))            // in-gap continuation → (7,13,3)
+      q.processAllAvailable()
+      mem.addData((1L, ms(30)))            // closes (7,13,3)
+      q.processAllAvailable()
+      val got = spark.table("st5late")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((ms(7), ms(13), 3L))) // end >= start, no spurious splits
+    } finally q.stop()
+  }
+
   test("parquet streaming sink: durable append with checkpoint, read-back matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
