@@ -696,5 +696,62 @@ CASE WHEN word_cnt >= 50 AND word_cnt <= 100000
       AND dlr < 0.3 AND blr < 0.9 AND elr < 0.3
       AND stop_hits >= 2 THEN 1 ELSE 0 END AS passes
 FROM m ORDER BY doc_id""",
+
+    // the end-to-end drop: q48's pipeline + anti-join of losers (rep <> id)
+    "q67_drop_neardups" ->
+      raw"""WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substring(text, 1, 300) AS text FROM documents WHERE doc_id < 60),
+tk AS (SELECT doc_id, text, $toks AS tk FROM docs),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk),
+shf AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      s -> list_min(list_transform(sh, x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+  FROM shf),
+banded AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, 3),
+      b -> concat_ws(',', b::VARCHAR || ':',
+        array_to_string(list_transform(sig[b*3+1:b*3+3], v -> v::VARCHAR), ',')))) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shf x ON x.doc_id = c.id1 JOIN shf y ON y.doc_id = c.id2
+  WHERE len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.4),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+losers AS (
+  SELECT id FROM (SELECT id, min(label) AS rep FROM reach GROUP BY id) WHERE rep <> id)
+SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+FROM docs d WHERE d.doc_id NOT IN (SELECT id FROM losers)
+ORDER BY d.doc_id""",
+
+    // stratified mixing: driver-computed LONG thresholds inlined (no
+    // double->long cast semantics cross-engine)
+    "q68_stratified_sample" ->
+      raw"""SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE ('0x' || substr(md5('mix1' || doc_id::VARCHAR), 1, 15))::BIGINT <
+  CASE source WHEN 'src0' THEN 576460752303423488
+              WHEN 'src1' THEN 115292150460684704
+              ELSE 288230376151711744 END
+GROUP BY source ORDER BY source""",
   )
 }

@@ -937,6 +937,35 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q67 — end-to-end near-dup DROP (V4 capstone): the minhash pair graph
+    * resolved to clusters, losers (rep ≠ id) anti-joined away — the rows a
+    * user actually keeps. Oracle replays the whole pipeline incl. the
+    * recursive-CTE closure and the anti join.
+    */
+  def q67DropNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    Dedup.dropNearDuplicates(docs.select(col("doc_id"), col("text")), "doc_id", pairs)
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q68 — stratified hash sampling (EXT data mixing): per-source keep
+    * fractions (50% src0, 10% src1, 25% default) with driver-computed LONG
+    * thresholds (engine-portable — no double→long cast semantics in play).
+    */
+  def q68StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.stratifiedSampleByHash(documents(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.1), defaultFraction = 0.25, salt = "mix1")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1005,5 +1034,7 @@ object Queries {
     "q64_quantiles" -> q64Quantiles _,
     "q65_asof_forward" -> q65AsofForward _,
     "q66_gopher_rules" -> q66GopherRules _,
+    "q67_drop_neardups" -> q67DropNearDups _,
+    "q68_stratified_sample" -> q68StratifiedSample _,
   )
 }

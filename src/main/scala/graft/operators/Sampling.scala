@@ -44,6 +44,26 @@ object Sampling {
      df.where(sampleHash(key, salt) >= threshold))
   }
 
+  /** Stratified deterministic sampling — per-group fractions (the data-
+    * mixing weights of a training corpus: "50% of src0, 10% of src1, 25%
+    * of everything else"). Thresholds are computed driver-side as exact
+    * longs and inlined as literals: comparing the hash against a LONG
+    * avoids double→long cast semantics differing between engines (Spark
+    * truncates, DuckDB rounds). Same partition/retry/engine stability as
+    * [[sampleByHash]].
+    */
+  def stratifiedSampleByHash(df: DataFrame, key: Column, group: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val dflt: Column = lit((defaultFraction * HashSpace).toLong)
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(dflt) {
+      case (acc, (g, f)) => when(group === g, lit((f * HashSpace).toLong)).otherwise(acc)
+    }
+    df.where(sampleHash(key, salt) < threshold)
+  }
+
   /** Token-budget cap per group (e.g. per source/domain): keep rows, in
     * deterministic `orderCols` order, while the running token total within
     * `groupCol` stays ≤ `budget`. The running sum is a PARTITIONED window —

@@ -32,6 +32,23 @@ class SamplingSpec extends SparkSpec {
     assert(s.union(r).size == 2000)
   }
 
+  test("stratifiedSampleByHash: per-group fractions honored, default applies, deterministic") {
+    import spark.implicits._
+    val df = (1L to 6000L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+    val out = Sampling.stratifiedSampleByHash(df, col("k"), col("g"),
+      Map("g0" -> 0.5, "g1" -> 0.1), defaultFraction = 0.25, salt = "s")
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("g0") / 2000.0 - 0.5) < 0.05, counts.toString)
+    assert(math.abs(counts("g1") / 2000.0 - 0.1) < 0.05, counts.toString)
+    assert(math.abs(counts("g2") / 2000.0 - 0.25) < 0.05, counts.toString)
+    // repartition-stable
+    val again = Sampling.stratifiedSampleByHash(df.repartition(17), col("k"), col("g"),
+      Map("g0" -> 0.5, "g1" -> 0.1), defaultFraction = 0.25, salt = "s")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(again == out.select("k").as[Long].collect().sorted.toSeq)
+  }
+
   test("tokenBudgetFilter: per-group prefix under budget, later rows cut") {
     import spark.implicits._
     val df = Seq(
