@@ -753,5 +753,30 @@ WHERE ('0x' || substr(md5('mix1' || doc_id::VARCHAR), 1, 15))::BIGINT <
               WHEN 'src1' THEN 115292150460684704
               ELSE 288230376151711744 END
 GROUP BY source ORDER BY source""",
+
+    // per-query top-k: rank by the bit-identical cosine, vec_id tiebreak
+    "q69_topk_per_query" ->
+      raw"""SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+floor(1000 * cos) AS cos_m
+FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+               e.vec_id) AS rank
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+  WHERE e.vec_id >= 3)
+WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // sliding 1h/15m windows: each event belongs to 4 epoch-aligned windows
+    "q70_sliding_windows" ->
+      raw"""WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+w AS (
+  SELECT (us // 900000000 - k) * 900000000 AS start_us
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS k) ks)
+SELECT CAST(start_us // 1000 AS BIGINT) AS start_ms,
+CAST((start_us + 3600000000) // 1000 AS BIGINT) AS end_ms,
+count(*) AS n
+FROM w GROUP BY 1, 2 ORDER BY start_ms""",
   )
 }

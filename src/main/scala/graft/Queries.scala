@@ -966,6 +966,31 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Q69 — batched per-query exact top-k (V1 batched, Search.topKPerQuery):
+    * queries broadcast, one scan of the data side, per-query window rank.
+    * Oracle = DuckDB window over the equivalent join.
+    */
+  def q69TopKPerQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Search.topKPerQuery(emb.where(col("vec_id") >= 3), "embedding",
+        queries, "qid", "qv", k = 3, tiebreak = Seq("vec_id"))
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"),
+        fl(col("score") * 1000, 0).as("cos_m"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Q70 — sliding-window batch twin (ST2): overlapping 1h/15m windows.
+    * Spark's `window()` assigns each event to width/slide epoch-aligned
+    * windows; the oracle expands the same membership with generate_series.
+    */
+  def q70SlidingWindows(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.slidingCounts(events(s, dir), "1 hour", "15 minutes")
+      .select(unix_millis(col("window_start")).as("start_ms"),
+        unix_millis(col("window_end")).as("end_ms"), col("n"))
+      .orderBy(col("start_ms"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1036,5 +1061,7 @@ object Queries {
     "q66_gopher_rules" -> q66GopherRules _,
     "q67_drop_neardups" -> q67DropNearDups _,
     "q68_stratified_sample" -> q68StratifiedSample _,
+    "q69_topk_per_query" -> q69TopKPerQuery _,
+    "q70_sliding_windows" -> q70SlidingWindows _,
   )
 }

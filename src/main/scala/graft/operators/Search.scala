@@ -48,18 +48,23 @@ object Search {
   /** Exact top-k per query row (queries small ⇒ broadcast). The data side
     * streams once past every query — one scan regardless of query count.
     */
+  /** @param tiebreak extra ascending order columns after the score — pass
+    *                  a unique id for fully deterministic ranks (ties on
+    *                  exact score are otherwise partition-order-dependent)
+    */
   def topKPerQuery(index: DataFrame, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, metric: String = "cosine"): DataFrame = {
+      k: Int, metric: String = "cosine", tiebreak: Seq[String] = Nil): DataFrame = {
     val scored = index
       .crossJoin(broadcast(queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("_qv"))))
       .withColumn("score", score(metric, col(vecCol), col("_qv")))
       .drop("_qv")
-    val ord = if (metric == "l2") col("score").asc else col("score").desc
+    val ord = (if (metric == "l2") col("score").asc else col("score").desc) +:
+      tiebreak.map(col(_).asc)
     scored
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(ord)))
+        Window.partitionBy(col("query_id")).orderBy(ord: _*)))
       .where(col("rank") <= k)
   }
 

@@ -15,8 +15,8 @@ class ContractSpec extends SparkSpec {
     val names = SparkEntry.queries.keySet
     assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
     assert(names.size == SparkEntry.queries.size)
-    assert(names.size >= 68, s"probe count regressed: ${names.size}")
-    assert(SparkEntry.oracleSql.size >= 59, s"oracle count regressed: ${SparkEntry.oracleSql.size}")
+    assert(names.size >= 70, s"probe count regressed: ${names.size}")
+    assert(SparkEntry.oracleSql.size >= 61, s"oracle count regressed: ${SparkEntry.oracleSql.size}")
   }
 
   test("rows-only probes are exactly the declared set (new probes need oracles)") {
