@@ -160,6 +160,28 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming index maintenance: a stream of documents (doc_id, source,
+    * text) continuously folded into a chunk index via `foreachBatch` +
+    * [[graft.operators.Index.appendIndex]] — each micro-batch anti-joins
+    * against what is already indexed, so replayed/overlapping batches
+    * (at-least-once sources, restarts) stay idempotent. The streaming
+    * complement of the reference's one-shot main(): same pipeline, same
+    * schema, arriving data.
+    */
+  def streamingIndexMaintenance(docs: DataFrame, indexPath: String,
+      checkpoint: String,
+      cfg: graft.operators.Index.IndexConfig = graft.operators.Index.IndexConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        implicit val spark: SparkSession = batch.sparkSession
+        graft.operators.Index.appendIndex(batch.toDF(), indexPath, cfg)
+        () // foreachBatch is Unit-typed; appendIndex returns the row count
+      }
+      .outputMode("update")
+      .start()
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

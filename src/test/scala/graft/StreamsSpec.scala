@@ -199,6 +199,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index maintenance: overlapping micro-batches stay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("sidx").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("sckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.streamingIndexMaintenance(
+      mem.toDF().toDF("doc_id", "source", "text"), idx, ckpt,
+      graft.operators.Index.IndexConfig(graft.model.SplitStrategy.Fixed(100, 20), 8))
+    try {
+      mem.addData((1L, "s", "alpha beta " * 30), (2L, "s", "gamma delta " * 30))
+      q.processAllAvailable()
+      val doc2ChunksFirst = spark.read.parquet(idx).where(col("doc_id") === 2).count()
+      assert(doc2ChunksFirst > 0)
+      // second batch overlaps doc 2 and adds doc 3: only 3 must be appended
+      mem.addData((2L, "s", "gamma delta " * 30), (3L, "s", "epsilon zeta " * 30))
+      q.processAllAvailable()
+      val back = spark.read.parquet(idx)
+      assert(back.select("doc_id").distinct().count() == 3)
+      // the replayed doc 2 appended nothing — chunk count unchanged
+      assert(back.where(col("doc_id") === 2).count() == doc2ChunksFirst)
+    } finally q.stop()
+  }
+
   test("ST3: dropDuplicatesWithinWatermark drops the in-window duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
