@@ -97,8 +97,12 @@ object Index {
         } =>
           spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
       }
+    // the anti join only excludes docs already ON DISK; an at-least-once
+    // source can deliver the same doc_id twice WITHIN one batch — keep one
+    // (retries carry identical payloads, so the winner is immaterial)
     val fresh = docs.join(existingIds,
-      docs("doc_id") === existingIds("doc_id"), "left_anti")
+        docs("doc_id") === existingIds("doc_id"), "left_anti")
+      .dropDuplicates("doc_id")
     val rows = buildIndex(fresh, cfg)
     val obs = new org.apache.spark.sql.Observation()
     indexFrame(rows, createdAt)

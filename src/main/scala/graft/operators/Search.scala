@@ -47,10 +47,10 @@ object Search {
 
   /** Exact top-k per query row (queries small ⇒ broadcast). The data side
     * streams once past every query — one scan regardless of query count.
-    */
-  /** @param tiebreak extra ascending order columns after the score — pass
-    *                  a unique id for fully deterministic ranks (ties on
-    *                  exact score are otherwise partition-order-dependent)
+    *
+    * @param tiebreak extra ascending order columns after the score — pass
+    *                 a unique id for fully deterministic ranks (ties on
+    *                 exact score are otherwise partition-order-dependent)
     */
   def topKPerQuery(index: DataFrame, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,

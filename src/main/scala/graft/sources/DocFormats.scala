@@ -221,8 +221,16 @@ object DocFormats {
             if (payloadEnd > payloadStart && pdf(payloadEnd - 1) == '\n') payloadEnd -= 1
             if (payloadEnd > payloadStart && pdf(payloadEnd - 1) == '\r') payloadEnd -= 1
             val raw = java.util.Arrays.copyOfRange(pdf, payloadStart, payloadEnd)
+            // streams with filters beyond pure Flate (image codecs, ascii
+            // wrappers, crypt) are out of scope — skip them; a PURE
+            // /FlateDecode stream that fails to inflate is corruption and
+            // throws (quarantined by lenient ingestion)
+            val otherFilter = Seq("/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode",
+              "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",
+              "/JPXDecode", "/Crypt").exists(dict.contains)
             val decoded =
-              if (dict.contains("/FlateDecode")) inflate(raw)
+              if (otherFilter) Array.emptyByteArray
+              else if (dict.contains("/FlateDecode")) inflate(raw)
               else raw
             val head = new String(decoded, 0, math.min(decoded.length, 4096), UTF_8)
             if (head.contains("BT") || head.contains("Tj") || head.contains("TJ"))

@@ -104,46 +104,49 @@ object Streams {
   /** ST5 — `flatMapGroupsWithState`: gap-based sessionization that EMITS
     * closed sessions (0..n outputs per trigger — the flatMap shape the
     * built-in `session_window` can't give you when you need custom
-    * state/output logic). Input rows are (user_id, epochMillis); state is
-    * the open session; a row more than `gapMillis` after the previous one
-    * closes the session and emits (user, start, end, count). Open sessions
-    * stay in state until a later batch closes them.
+    * state/output logic). Input rows are (user_id, epochMillis).
+    *
+    * Handles ARBITRARY event order: state is the set of disjoint open
+    * session intervals per key; each event merges into every interval whose
+    * gap envelope it touches (possibly bridging several into one). A
+    * session closes — is emitted as (user, start, end, count) — only when
+    * the key's high-water mark passes `end + gap + allowedLateness`, i.e.
+    * no in-contract event can extend it anymore (the per-key analog of a
+    * watermark; events later than the lateness contract start a fresh
+    * interval and close by the same rule). State is bounded by the number
+    * of concurrently-open intervals, not by history.
     */
   def closedSessions(
-      pairs: org.apache.spark.sql.Dataset[(Long, Long)], gapMillis: Long)
+      pairs: org.apache.spark.sql.Dataset[(Long, Long)], gapMillis: Long,
+      allowedLatenessMillis: Long = 0L)
       : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import pairs.sparkSession.implicits._
+    // state: (highWater, open intervals sorted by start: (start, last, n))
     pairs.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long, Long)]), (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var open = state.getOption // (start, last, count)
-          val closed = Seq.newBuilder[(Long, Long, Long, Long)]
-          sorted.foreach { t =>
-            open match {
-              // rows are sorted only WITHIN a batch; a later batch can carry
-              // events before the open session. Merge when the event falls
-              // inside the session's gap envelope [start-gap, last+gap]
-              // (start/last move outward, never backward); an event beyond
-              // the gap AFTER `last` closes the session; a very-late event
-              // before start-gap is its own already-closed singleton (its
-              // session window has provably passed).
-              case Some((start, last, n)) if t > last + gapMillis =>
-                closed += ((user, start, last, n))
-                open = Some((t, t, 1L))
-              case Some((start, last, n)) if t < start - gapMillis =>
-                closed += ((user, t, t, 1L))
-                open = Some((start, last, n))
-              case Some((start, last, n)) =>
-                open = Some((math.min(start, t), math.max(last, t), n + 1))
-              case None =>
-                open = Some((t, t, 1L))
+        case (user, rows, state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          val ts = rows.map(_._2).toSeq
+          var (highWater, intervals) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[(Long, Long, Long)]))
+          ts.foreach { t =>
+            val (touching, rest) = intervals.partition { case (s, l, _) =>
+              t >= s - gapMillis && t <= l + gapMillis
             }
+            val merged =
+              if (touching.isEmpty) (t, t, 1L)
+              else ((touching.map(_._1) :+ t).min,
+                    (touching.map(_._2) :+ t).max,
+                    touching.map(_._3).sum + 1L)
+            intervals = (rest :+ merged).sortBy(_._1)
+            highWater = math.max(highWater, t)
           }
-          open.foreach(state.update)
-          closed.result().iterator
+          val (closed, open) = intervals.partition { case (_, l, _) =>
+            l + gapMillis + allowedLatenessMillis < highWater
+          }
+          state.update((highWater, open))
+          closed.map { case (s, l, n) => (user, s, l, n) }.iterator
       }
   }
 

@@ -150,6 +150,11 @@ class JoinsCliSpec extends SparkSpec {
     // exact re-run: nothing new
     assert(graft.operators.Index.appendIndex(batch2, path, cfg) == 0L)
     assert(spark.read.parquet(path).count() == n1 + n2)
+    // at-least-once WITHIN a batch: duplicate doc_id rows collapse to one
+    val dupBatch = Seq((9L, "s", "eta theta " * 30), (9L, "s", "eta theta " * 30))
+      .toDF("doc_id", "source", "text")
+    val n3 = graft.operators.Index.appendIndex(dupBatch, path, cfg)
+    assert(spark.read.parquet(path).where(col("doc_id") === 9).count() == n3)
   }
 
   test("writeIndexObserved: metrics ride the write job and match the output") {

@@ -199,6 +199,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5: very-late events form their own session together; one event bridges two intervals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ms(minute: Int): Long = ts(minute).getTime
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.closedSessions(mem.toDS(), gapMillis = 5 * 60 * 1000)
+      .toDF("user_id", "start_ms", "end_ms", "n")
+      .writeStream.format("memory").queryName("st5vl").outputMode("append").start()
+    try {
+      mem.addData((1L, ms(50)))               // open (50,50,1), hw=50
+      q.processAllAvailable()
+      // two very-late events 4m apart: ONE late session, closed by hw=50
+      mem.addData((1L, ms(11)), (1L, ms(15)))
+      q.processAllAvailable()
+      val afterLate = spark.table("st5vl")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterLate == Set((ms(11), ms(15), 2L)))
+      // bridging within one batch: 58 opens apart from (50,50); 54 touches
+      // both envelopes and merges everything into (50,58,3). (Across
+      // batches the high-water would have already closed (50,50) under
+      // allowedLateness=0 — that is the contract, not a bug.)
+      mem.addData((1L, ms(58)), (1L, ms(54)))
+      q.processAllAvailable()
+      mem.addData((1L, ms(90)))               // hw passes → close the bridged session
+      q.processAllAvailable()
+      val all = spark.table("st5vl")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(all == Set((ms(11), ms(15), 2L), (ms(50), ms(58), 3L)))
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: overlapping micro-batches stay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
