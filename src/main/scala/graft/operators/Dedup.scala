@@ -74,17 +74,27 @@ object Dedup {
       threshold: Double = 0.5, bandSalts: Int = 4): DataFrame = {
     require(bandSalts > 0)
     val rowsPerBand = numHashes / numBands
-    // Both frames are consumed twice (self-join sides / pair verification);
-    // without persist Spark re-derives the shingle+signature subplan per use
-    // — the dominant cost of the pipeline. MEMORY_AND_DISK: spill, don't OOM.
+    // The shingle subplan is consumed three times (both self-join sides and
+    // pair verification). Persisting the raw shingle-STRING arrays (round ≤3)
+    // was the engine's one memory cliff: at sf0.1/8g the cached string blocks
+    // GC-thrashed the driver bench 3s↔17s, and at 100 TB they simply don't
+    // fit. Instead, ONE pass over the strings computes (a) the minhash
+    // signature and (b) each shingle hashed to a 60-bit md5 long, and only
+    // (id, sig, shl) is persisted — ~10× smaller, constant-width elements.
+    // Exact-Jaccard verification runs on the long arrays: the md5 mapping is
+    // injective on real shingle sets (2^60 space), so |∩|/|∪| is unchanged
+    // and the DuckDB oracle (which verifies on strings) still hash-matches.
     val sh = df
-      .select(col(idCol).as("id"), TextFunctions.shingles(col(tokensCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(tokensCol), shingleN).as("sh0"))
+      .where(size(col("sh0")) > 0)
+      .select(
+        col("id"),
+        minhashSignature(col("sh0"), numHashes).as("sig"),
+        transform(col("sh0"), s =>
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(lshBandKeys(col("sig"), numBands, rowsPerBand)))
-      .select(col("id"), col("band"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Salted self-join: join key = (band, salt) so a pathological mega-band
     // (every doc sharing one band key) spreads over `bandSalts` reduce tasks
@@ -101,8 +111,8 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val verified = cand
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(sh.select(col("id").as("id1"), col("shl").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("shl").as("sh2")), "id2")
       // shingle arrays are distinct ⇒ |∪| = |a|+|b|-|∩| (size arithmetic is
       // portable; array_union's element order is not)
       .withColumn("_inter", size(array_intersect(col("sh1"), col("sh2"))))

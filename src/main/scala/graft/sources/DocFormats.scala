@@ -13,16 +13,21 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     body-level `<w:p>` only (paragraphs inside `<w:tbl>` excluded),
   *     run text = `<w:t>` content with `<w:tab/>`→\t and `<w:br/>`/`<w:cr/>`→\n,
   *     then the reference's filter-empty + join-"\n" (:53-55).
-  *   - [[MinimalPdf]] covers the machine-generated-PDF common case: objects
-  *     scanned for content streams, `/FlateDecode` inflated
-  *     (java.util.zip.Inflater), text drawn via `Tj`/`'`/`"`/`TJ` operators
-  *     with literal-string escapes and hex strings decoded, a line break per
-  *     `Td`/`TD`/`T*` after text has started, page streams joined with "\n"
-  *     (the reference's per-page join, :44-46). NOT a full PDF renderer: no
-  *     encryption, no CMap/ToUnicode font decoding (strings are taken as
-  *     UTF-8/ASCII bytes), no cross-reference validation — the writer below
-  *     emits files inside exactly this envelope, and so do most simple
-  *     generators.
+  *   - [[MinimalPdf]] covers the machine-generated-PDF common case plus
+  *     simple-font decoding: objects scanned for content streams,
+  *     `/FlateDecode` inflated (java.util.zip.Inflater), text drawn via
+  *     `Tj`/`'`/`"`/`TJ` operators with literal-string escapes and hex
+  *     strings decoded, a line break per `Td`/`TD`/`T*` after text has
+  *     started, page streams joined with "\n" (the reference's per-page
+  *     join, :44-46). Font handling (round-4): `/ToUnicode` CMap streams
+  *     (`bfchar`/`bfrange`, 1- or 2-byte codes) and `/Encoding` dicts with
+  *     `/Differences` (AGL glyph-name subset) are decoded per the public
+  *     PDF-1.7 spec §9.10, with the font switched by the `Tf` operator —
+  *     so font-encoded text extracts correctly, as the reference gets from
+  *     PyMuPDF (index_documents.py:38-47). Fonts without either mapping
+  *     fall back to UTF-8/latin-1 byte identity. Still NOT a full PDF
+  *     renderer: no encryption, no composite-font CID→GID tables beyond
+  *     ToUnicode, no cross-reference validation.
   */
 object DocFormats {
 

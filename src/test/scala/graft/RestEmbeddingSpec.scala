@@ -97,4 +97,71 @@ class RestEmbeddingSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(lastBody.contains(""""contents":["hello","world"]"""))
     } finally server.stop(0)
   }
+
+  // ---------- GeminiEmbeddingProvider: the public REST wire contract ----------
+
+  import graft.operators.GeminiEmbeddingProvider
+
+  test("Gemini request JSON matches the public batchEmbedContents schema") {
+    val body = GeminiEmbeddingProvider.requestJson("gemini-embedding-001", 768, Seq("alpha", "beta"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val reqs = root.get("requests")
+    assert(reqs != null && reqs.isArray && reqs.size == 2)
+    val r0 = reqs.get(0)
+    assert(r0.get("model").asText == "models/gemini-embedding-001")
+    assert(r0.get("outputDimensionality").asInt == 768)
+    assert(r0.get("content").get("parts").get(0).get("text").asText == "alpha")
+    assert(reqs.get(1).get("content").get("parts").get(0).get("text").asText == "beta")
+  }
+
+  test("Gemini endpoint URL and x-goog-api-key header are the public contract") {
+    var seenUrl = ""; var seenHeaders = Map.empty[String, String]
+    val p = new GeminiEmbeddingProvider("test-key", 4, "gemini-embedding-001",
+      "https://generativelanguage.googleapis.com",
+      (url, _, hs) => { seenUrl = url; seenHeaders = hs; okJson(4, 1) })
+    p.embed(Seq("a"))
+    assert(seenUrl ==
+      "https://generativelanguage.googleapis.com/v1beta/models/gemini-embedding-001:batchEmbedContents")
+    assert(seenHeaders == Map("x-goog-api-key" -> "test-key"))
+  }
+
+  test("Gemini valid response round-trips to exact float vectors") {
+    val p = new GeminiEmbeddingProvider("k", 4, post = (_, _, _) => okJson(4, 3))
+    val out = p.embed(Seq("a", "b", "c"))
+    assert(out.length == 3)
+    assert(out.forall(_.toSeq == Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+  }
+
+  test("Gemini provider reproduces the reference's four validation failures verbatim") {
+    def withResp(resp: String, n: Int = 1, dim: Int = 4) =
+      intercept[RuntimeException](
+        new GeminiEmbeddingProvider("k", dim, post = (_, _, _) => resp)
+          .embed(Seq.fill(n)("x"))).getMessage
+    // index_documents.py:166
+    assert(withResp("""{"other": 1}""") ==
+      "Unexpected embedding response format (missing embeddings)")
+    assert(withResp("""{"embeddings": []}""") ==
+      "Unexpected embedding response format (missing embeddings)")
+    // index_documents.py:171
+    assert(withResp("""{"embeddings":[{"novalues":[]}]}""") ==
+      "Unexpected embedding object format (missing values)")
+    // index_documents.py:176-178
+    assert(withResp(okJson(4, 1), n = 2) ==
+      "Embedding count mismatch: got 1 results for 2 inputs")
+    // index_documents.py:182-185
+    assert(withResp(okJson(3, 1), n = 1, dim = 4) ==
+      "Embedding dimensionality mismatch. Expected 4, got [3]...")
+  }
+
+  test("Gemini provider composes with the reference retry schedule") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val flaky = new GeminiEmbeddingProvider("k", 4, post = (_, _, _) => {
+      calls += 1
+      if (calls <= 2) throw new RuntimeException("429 simulated") else okJson(4, 1)
+    })
+    val out = new ValidatingRetryProvider(flaky, 5, sleeps += _).embed(Seq("a"))
+    assert(out.length == 1 && calls == 3)
+    assert(sleeps.toSeq == Seq(1000L, 2000L))
+  }
 }
