@@ -682,6 +682,9 @@ object Queries {
       val (docId, text) = (r.getLong(0), r.getString(1))
       val (ext, bytes) = (docId % 3) match {
         case 0 => ("txt", text.getBytes("UTF-8"))
+        // alternate plain and symbolic-font PDFs: the ToUnicode CMap path
+        // extracts the SAME text, so q51's rows are invariant to it
+        case 1 if docId % 2 == 0 => ("pdf", MinimalPdf.writeWithToUnicode(text))
         case 1 => ("pdf", MinimalPdf.write(text))
         case _ => ("docx", MinimalDocx.write(text.split("\n", -1).toSeq))
       }

@@ -127,8 +127,9 @@ object DocFormats {
           }
         }
       } finally reader.close()
-      // reference: keep paragraphs with non-blank text, join with \n (:53-55)
-      paragraphs.result().filter(_.trim.nonEmpty).mkString("\n")
+      // reference: `if p.text` is Python truthiness — keep any NON-EMPTY
+      // paragraph (whitespace-only included), join with \n (:53-55)
+      paragraphs.result().filter(_.nonEmpty).mkString("\n")
     }
 
     private def documentXml(docx: Array[Byte]): Option[Array[Byte]] = {
@@ -198,53 +199,254 @@ object DocFormats {
       out.toByteArray
     }
 
-    /** Extract text from every content stream (see object doc for scope). */
+    /** Extract text from every content stream, decoding shown strings
+      * through the font active at show time (see object doc for scope).
+      */
     def extractText(pdf: Array[Byte]): String = {
-      val pages = contentStreams(pdf).map(streamText).filter(_.nonEmpty)
-      pages.mkString("\n") // per-page join, index_documents.py:44-46
+      val objs = parseObjects(pdf)
+      val fonts = fontDecoders(objs)
+      val pages = contentStreamsOf(objs).map(streamText(_, fonts))
+      // per-page join, index_documents.py:44-46 — empty pages included, so
+      // a blank page contributes the same consecutive "\n" PyMuPDF yields
+      pages.mkString("\n")
     }
 
-    /** All decoded stream payloads that look like content streams. */
-    private def contentStreams(pdf: Array[Byte]): Seq[Array[Byte]] = {
-      val streams = Seq.newBuilder[Array[Byte]]
-      var i = 0
-      while (i >= 0 && i < pdf.length) {
-        val at = indexOf(pdf, "stream", i)
-        if (at < 0) i = -1
-        else {
-          // dict text between the enclosing "obj" and this "stream"
-          val dictStart = math.max(lastIndexOf(pdf, "obj", at), 0)
-          val dict = new String(pdf, dictStart, at - dictStart, UTF_8)
-          var payloadStart = at + "stream".length
-          if (payloadStart < pdf.length && pdf(payloadStart) == '\r') payloadStart += 1
-          if (payloadStart < pdf.length && pdf(payloadStart) == '\n') payloadStart += 1
-          val end = indexOf(pdf, "endstream", payloadStart)
-          if (end < 0) i = -1
+    // ------------------------------------------------- object-level parsing
+
+    /** One indirect object: its dict text and, if present, the DECODED
+      * stream payload (None when the filter chain is out of scope).
+      */
+    private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+
+    private val ObjHeader = """(\d+)\s+\d+\s+obj""".r
+
+    /** Scan every `N G obj … endobj` region. Latin-1 gives a 1:1 char↔byte
+      * view, so string indexes are byte offsets. Streams with filters beyond
+      * pure Flate (image codecs, ascii wrappers, crypt) decode to None; a
+      * PURE /FlateDecode stream that fails to inflate is corruption and
+      * throws (quarantined by lenient ingestion).
+      */
+    private def parseObjects(pdf: Array[Byte]): Vector[PdfObj] = {
+      val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      ObjHeader.findAllMatchIn(s).flatMap { m =>
+        val start = m.end
+        val endObj = s.indexOf("endobj", start)
+        val streamAt = s.indexOf("stream", start)
+        val hasStream = streamAt >= 0 && (endObj < 0 || streamAt < endObj)
+        val dictEnd =
+          if (hasStream) streamAt
+          else if (endObj >= 0) endObj
+          else s.length
+        val dict = s.substring(start, dictEnd)
+        val payload =
+          if (!hasStream) None
           else {
-            var payloadEnd = end
-            // the EOL before "endstream" is not part of the payload
-            if (payloadEnd > payloadStart && pdf(payloadEnd - 1) == '\n') payloadEnd -= 1
-            if (payloadEnd > payloadStart && pdf(payloadEnd - 1) == '\r') payloadEnd -= 1
-            val raw = java.util.Arrays.copyOfRange(pdf, payloadStart, payloadEnd)
-            // streams with filters beyond pure Flate (image codecs, ascii
-            // wrappers, crypt) are out of scope — skip them; a PURE
-            // /FlateDecode stream that fails to inflate is corruption and
-            // throws (quarantined by lenient ingestion)
-            val otherFilter = Seq("/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode",
-              "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",
-              "/JPXDecode", "/Crypt").exists(dict.contains)
-            val decoded =
-              if (otherFilter) Array.emptyByteArray
-              else if (dict.contains("/FlateDecode")) inflate(raw)
-              else raw
-            val head = new String(decoded, 0, math.min(decoded.length, 4096), UTF_8)
-            if (head.contains("BT") || head.contains("Tj") || head.contains("TJ"))
-              streams += decoded
-            i = end + "endstream".length
+            var ps = streamAt + "stream".length
+            if (ps < pdf.length && pdf(ps) == '\r') ps += 1
+            if (ps < pdf.length && pdf(ps) == '\n') ps += 1
+            val end = s.indexOf("endstream", ps)
+            if (end < 0) None
+            else {
+              var pe = end
+              // the EOL before "endstream" is not part of the payload
+              if (pe > ps && pdf(pe - 1) == '\n') pe -= 1
+              if (pe > ps && pdf(pe - 1) == '\r') pe -= 1
+              val raw = java.util.Arrays.copyOfRange(pdf, ps, pe)
+              val otherFilter = Seq("/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode",
+                "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",
+                "/JPXDecode", "/Crypt").exists(dict.contains)
+              if (otherFilter) None
+              else if (dict.contains("/FlateDecode")) Some(inflate(raw))
+              else Some(raw)
+            }
+          }
+        Some(PdfObj(m.group(1).toInt, dict, payload))
+      }.toVector
+    }
+
+    /** Decoded payloads that look like page content (BT/Tj/TJ operators),
+      * in document order. CMap streams never match (no text operators).
+      */
+    private def contentStreamsOf(objs: Vector[PdfObj]): Seq[Array[Byte]] =
+      objs.flatMap(_.stream).filter { decoded =>
+        val head = new String(decoded, 0, math.min(decoded.length, 4096), UTF_8)
+        head.contains("BT") || head.contains("Tj") || head.contains("TJ")
+      }
+
+    // --------------------------------------------------------- font decoding
+
+    /** Maps raw shown-string char codes (latin-1, 1:1 with stream bytes) to
+      * extracted text.
+      */
+    private sealed trait FontDecoder { def decode(raw: String): String }
+
+    /** No font mapping: recover the bytes and try strict UTF-8 (what simple
+      * generators — including [[write]] — emit), falling back to latin-1.
+      */
+    private object IdentityDecoder extends FontDecoder {
+      def decode(raw: String): String = {
+        val bytes = new Array[Byte](raw.length)
+        var i = 0
+        while (i < raw.length) { bytes(i) = raw.charAt(i).toByte; i += 1 }
+        val dec = UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        catch { case _: java.nio.charset.CharacterCodingException => raw }
+      }
+    }
+
+    /** Code→unicode table decoder (`codeLen` 1 or 2 bytes per code, per the
+      * CMap's codespacerange). Unmapped 1-byte codes pass through as
+      * themselves (the PyMuPDF-ish graceful default); unmapped 2-byte codes
+      * have no byte identity and become U+FFFD.
+      */
+    private final class MapDecoder(map: Map[Int, String], codeLen: Int) extends FontDecoder {
+      def decode(raw: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          val code =
+            if (codeLen == 2)
+              if (i + 1 < raw.length) (raw.charAt(i) << 8) | raw.charAt(i + 1) else raw.charAt(i).toInt
+            else raw.charAt(i).toInt
+          sb.append(map.getOrElse(code,
+            if (codeLen == 1) raw.charAt(i).toString else "�"))
+          i += codeLen
+        }
+        sb.toString
+      }
+    }
+
+    private val Ref = """(\d+)\s+\d+\s+R""".r
+
+    /** Resource-name → decoder for every font reachable from a `/Font`
+      * resource dict anywhere in the file (inline `<< /F1 5 0 R >>` or an
+      * indirect resources object). Names are global (last wins) — simple
+      * generators use unique names; full page-tree scoping is out of scope.
+      */
+    private def fontDecoders(objs: Vector[PdfObj]): Map[String, FontDecoder] = {
+      val byNum = objs.map(o => o.num -> o).toMap
+      val out = scala.collection.mutable.LinkedHashMap[String, FontDecoder]()
+      for (o <- objs) {
+        var at = o.dict.indexOf("/Font")
+        while (at >= 0) {
+          val after = o.dict.drop(at + "/Font".length)
+          val fontDict: Option[String] = after.dropWhile(_.isWhitespace) match {
+            case d if d.startsWith("<<") => Some(balancedDict(d))
+            case d => Ref.findPrefixMatchOf(d).flatMap(m => byNum.get(m.group(1).toInt).map(_.dict))
+          }
+          fontDict.foreach { fd =>
+            for (m <- """/([\w.-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fd))
+              byNum.get(m.group(2).toInt).filter(_.dict.contains("/Font"))
+                .foreach(f => out(m.group(1)) = decoderFor(f, byNum))
+          }
+          at = o.dict.indexOf("/Font", at + 5)
+        }
+      }
+      out.toMap
+    }
+
+    /** The innermost balanced `<< … >>` starting at s's `<<`. */
+    private def balancedDict(s: String): String = {
+      var depth = 0; var i = 0
+      while (i < s.length) {
+        if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (s.startsWith(">>", i)) {
+          depth -= 1; i += 2
+          if (depth == 0) return s.substring(0, i)
+        }
+        else i += 1
+      }
+      s
+    }
+
+    /** Build one font's decoder: /ToUnicode CMap wins; else /Encoding with
+      * /Differences (glyph names via the AGL subset); else byte identity.
+      */
+    private def decoderFor(font: PdfObj, byNum: Map[Int, PdfObj]): FontDecoder = {
+      val toUnicode = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+        .findFirstMatchIn(font.dict)
+        .flatMap(m => byNum.get(m.group(1).toInt))
+        .flatMap(_.stream)
+      toUnicode.map(parseToUnicodeCMap) match {
+        case Some(d) => d
+        case None =>
+          encodingDifferences(font, byNum) match {
+            case Some(map) => new MapDecoder(map, 1)
+            case None => IdentityDecoder
+          }
+      }
+    }
+
+    /** Parse a /ToUnicode CMap stream (PDF-1.7 §9.10.3): `bfchar` pairs and
+      * `bfrange` runs (both `<lo> <hi> <dstStart>` and the array form), code
+      * width from `begincodespacerange`. Destination hex is UTF-16BE.
+      */
+    private def parseToUnicodeCMap(bytes: Array[Byte]): FontDecoder = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def utf16(hex: String): String =
+        hex.grouped(4).filter(_.length == 4).map(Integer.parseInt(_, 16).toChar).mkString
+      val codeLen = """begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
+        .findFirstMatchIn(s).map(_.group(1).length / 2).filter(l => l == 1 || l == 2).getOrElse(1)
+      val map = scala.collection.mutable.HashMap[Int, String]()
+      val block = "(?s)beginbfchar(.*?)endbfchar".r
+      for (b <- block.findAllMatchIn(s); m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r.findAllMatchIn(b.group(1)))
+        map(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
+      val rangeBlock = "(?s)beginbfrange(.*?)endbfrange".r
+      val rangeEntry =
+        """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])""".r
+      for (b <- rangeBlock.findAllMatchIn(s); m <- rangeEntry.findAllMatchIn(b.group(1))) {
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        if (m.group(3) != null) {
+          val dst = utf16(m.group(3))
+          for (c <- lo to hi)
+            // continuous run: last UTF-16 unit increments with the code
+            map(c) =
+              if (dst.isEmpty) ""
+              else dst.init + (dst.last + (c - lo)).toChar
+        } else {
+          val dsts = """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(m.group(4)).map(_.group(1)).toVector
+          for ((d, k) <- dsts.zipWithIndex if lo + k <= hi) map(lo + k) = utf16(d)
+        }
+      }
+      new MapDecoder(map.toMap, codeLen)
+    }
+
+    /** /Encoding with /Differences → code→char map through the AGL glyph
+      * subset. The encoding may be inline (`/Encoding << … >>`) or an
+      * indirect object. Codes whose glyph name is outside the subset keep
+      * byte identity (MapDecoder's 1-byte fallback).
+      */
+    private def encodingDifferences(font: PdfObj, byNum: Map[Int, PdfObj]): Option[Map[Int, String]] = {
+      val at = font.dict.indexOf("/Encoding")
+      if (at < 0) return None
+      val after = font.dict.drop(at + "/Encoding".length).dropWhile(_.isWhitespace)
+      val encDict: Option[String] =
+        if (after.startsWith("<<")) Some(balancedDict(after))
+        else Ref.findPrefixMatchOf(after).flatMap(m => byNum.get(m.group(1).toInt).map(_.dict))
+      encDict.flatMap { ed =>
+        val da = ed.indexOf("/Differences")
+        if (da < 0) None
+        else {
+          val arr = ed.drop(da + "/Differences".length).dropWhile(_.isWhitespace)
+          if (!arr.startsWith("[")) None
+          else {
+            val body = arr.drop(1).takeWhile(_ != ']')
+            val map = scala.collection.mutable.HashMap[Int, String]()
+            var code = 0
+            for (m <- """(\d+)|/([\w.-]+)""".r.findAllMatchIn(body)) {
+              if (m.group(1) != null) code = m.group(1).toInt
+              else {
+                GlyphNames.toChar.get(m.group(2)).foreach(ch => map(code) = ch)
+                code += 1
+              }
+            }
+            if (map.isEmpty) None else Some(map.toMap)
           }
         }
       }
-      streams.result()
     }
 
     /** Fully inflate or THROW: truncated/malformed deflate data must be an
@@ -274,13 +476,17 @@ object DocFormats {
 
     /** Walk one content stream: collect shown strings, break lines on text
       * positioning. Handles literal-string escapes (incl. octal and nested
-      * parens) and hex strings.
+      * parens) and hex strings. Raw string codes (latin-1 view — 1:1 with
+      * stream bytes) pass through the decoder of the font selected by the
+      * most recent `Tf`; with no font in scope, byte identity + UTF-8.
       */
-    private def streamText(stream: Array[Byte]): String = {
-      val s = new String(stream, UTF_8)
+    private def streamText(stream: Array[Byte], fonts: Map[String, FontDecoder]): String = {
+      val s = new String(stream, java.nio.charset.StandardCharsets.ISO_8859_1)
       val text = new StringBuilder
       var pendingNewlines = 0
       var sawText = false
+      var lastName = ""
+      var font: FontDecoder = IdentityDecoder
       val lastStrings = scala.collection.mutable.ArrayBuffer[String]()
       def emit(): Unit = {
         if (lastStrings.nonEmpty) {
@@ -335,11 +541,18 @@ object DocFormats {
       }
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '(') lastStrings += parseLiteral()
+        if (c == '(') lastStrings += font.decode(parseLiteral())
         else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') i += 2 // dict
-        else if (c == '<') lastStrings += parseHex()
+        else if (c == '<') lastStrings += font.decode(parseHex())
         else if (c == '[') i += 1 // array: keep collecting strings until TJ
         else if (c == ']') i += 1
+        else if (c == '/') { // name token — remember for a following Tf
+          val start = i + 1
+          i += 1
+          while (i < s.length && !s.charAt(i).isWhitespace &&
+            !"()<>[]/".contains(s.charAt(i))) i += 1
+          lastName = s.substring(start, i)
+        }
         else if (c.isLetter || c == '\'' || c == '"') {
           val start = i
           while (i < s.length && !s.charAt(i).isWhitespace &&
@@ -354,7 +567,10 @@ object DocFormats {
             case "Td" | "TD" | "T*" =>
               lastStrings.clear() // positioning args are not text
               if (sawText) pendingNewlines += 1
-            case _ => lastStrings.clear() // e.g. Tf font-name args
+            case "Tf" =>
+              font = fonts.getOrElse(lastName, IdentityDecoder)
+              lastStrings.clear()
+            case _ => lastStrings.clear() // e.g. font-size args
           }
         }
         else i += 1
@@ -362,28 +578,117 @@ object DocFormats {
       text.toString
     }
 
-    private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
-      val n = needle.getBytes(UTF_8)
-      var i = math.max(from, 0)
-      while (i <= hay.length - n.length) {
-        var j = 0
-        while (j < n.length && hay(i + j) == n(j)) j += 1
-        if (j == n.length) return i
-        i += 1
+    /** Write a single-page PDF whose text is drawn with a SYMBOLIC simple
+      * font: every distinct character gets an arbitrary 1-byte code (0x21+),
+      * strings are emitted in code space, and a `/ToUnicode` CMap stream
+      * maps the codes back. Byte-identity reading extracts garbage; only a
+      * CMap-aware reader recovers `text` — the round-trip golden for
+      * [[extractText]]'s font decoding.
+      */
+    def writeWithToUnicode(text: String): Array[Byte] = {
+      val distinct = text.filterNot(_ == '\n').distinct
+      require(distinct.length <= 220, s"symbolic writer supports ≤220 distinct chars, got ${distinct.length}")
+      val code = distinct.zipWithIndex.map { case (ch, k) => ch -> (0x21 + k).toChar }.toMap
+      val content = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      text.split("\n", -1).zipWithIndex.foreach { case (line, i) =>
+        if (i > 0) content.append("0 -14 Td\n")
+        content.append(s"(${escapeString(line.map(code))}) Tj\n")
       }
-      -1
+      content.append("ET\n")
+      val bfchars = distinct.zipWithIndex
+        .map { case (ch, k) => f"<${0x21 + k}%02X> <${ch.toInt}%04X>" }
+        .grouped(100) // spec caps bfchar blocks at 100 entries
+        .map(g => s"${g.length} beginbfchar\n${g.mkString("\n")}\nendbfchar")
+        .mkString("\n")
+      val cmap =
+        s"""/CIDInit /ProcSet findresource begin
+           |12 dict begin
+           |begincmap
+           |/CMapName /GraftSymbolic def
+           |/CMapType 2 def
+           |1 begincodespacerange
+           |<21> <FF>
+           |endcodespacerange
+           |$bfchars
+           |endcmap
+           |CMapName currentdict /CMap defineresource pop
+           |end end""".stripMargin
+      val out = new ByteArrayOutputStream()
+      def w(str: String): Unit = out.write(str.getBytes(UTF_8))
+      val offsets = Array.newBuilder[Int]
+      w("%PDF-1.4\n")
+      offsets += out.size(); w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      offsets += out.size(); w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      offsets += out.size(); w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+      val contentBytes = content.toString.getBytes(UTF_8)
+      offsets += out.size()
+      w(s"4 0 obj << /Length ${contentBytes.length} >> stream\n")
+      out.write(contentBytes)
+      w("\nendstream endobj\n")
+      offsets += out.size(); w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /GraftSymbolic " +
+        "/ToUnicode 6 0 R >> endobj\n")
+      val cmapBytes = cmap.getBytes(UTF_8)
+      offsets += out.size()
+      w(s"6 0 obj << /Length ${cmapBytes.length} >> stream\n")
+      out.write(cmapBytes)
+      w("\nendstream endobj\n")
+      val xrefAt = out.size()
+      val offs = offsets.result()
+      w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+      offs.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer << /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
     }
+  }
 
-    private def lastIndexOf(hay: Array[Byte], needle: String, before: Int): Int = {
-      val n = needle.getBytes(UTF_8)
-      var i = math.min(before, hay.length) - n.length
-      while (i >= 0) {
-        var j = 0
-        while (j < n.length && hay(i + j) == n(j)) j += 1
-        if (j == n.length) return i
-        i -= 1
-      }
-      -1
+  /** Compact Adobe Glyph List subset for `/Differences` decoding: full ASCII
+    * plus the common Latin-1 / typographic names. Public AGL data.
+    */
+  private[sources] object GlyphNames {
+    val toChar: Map[String, String] = {
+      val ascii = Map(
+        "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+        "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+        "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+        "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+        "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+        "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+        "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+        "greater" -> ">", "question" -> "?", "at" -> "@",
+        "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+        "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+        "braceleft" -> "{", "bar" -> "|", "braceright" -> "}", "asciitilde" -> "~")
+      val letters =
+        (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString).toMap
+      val latin = Map(
+        "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â", "atilde" -> "ã",
+        "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç",
+        "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+        "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+        "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+        "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø", "ugrave" -> "ù",
+        "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+        "ydieresis" -> "ÿ", "thorn" -> "þ", "eth" -> "ð", "germandbls" -> "ß",
+        "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â", "Atilde" -> "Ã",
+        "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+        "Egrave" -> "È", "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+        "Igrave" -> "Ì", "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+        "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocircumflex" -> "Ô",
+        "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø", "Ugrave" -> "Ù",
+        "Uacute" -> "Ú", "Ucircumflex" -> "Û", "Udieresis" -> "Ü", "Yacute" -> "Ý",
+        "Thorn" -> "Þ", "Eth" -> "Ð")
+      val typographic = Map(
+        "quoteleft" -> "‘", "quoteright" -> "’",
+        "quotedblleft" -> "“", "quotedblright" -> "”",
+        "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+        "ellipsis" -> "…", "Euro" -> "€", "dagger" -> "†",
+        "daggerdbl" -> "‡", "trademark" -> "™", "copyright" -> "©",
+        "registered" -> "®", "degree" -> "°", "plusminus" -> "±",
+        "multiply" -> "×", "divide" -> "÷", "exclamdown" -> "¡",
+        "questiondown" -> "¿", "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+        "section" -> "§", "paragraph" -> "¶", "middot" -> "·", "nbspace" -> " ")
+      ascii ++ letters ++ latin ++ typographic
     }
   }
 }

@@ -42,6 +42,57 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(quoteOp.getBytes("UTF-8")) == "line1\nline2\nline3")
   }
 
+  test("MinimalPdf: ToUnicode CMap round-trip recovers symbolically-encoded text") {
+    import graft.sources.DocFormats.MinimalPdf
+    val text = "The quick brown fox!\nSecond line, 42 degrees.\n\naccents: éüñ€"
+    val pdf = MinimalPdf.writeWithToUnicode(text)
+    // the content stream genuinely does NOT contain the plaintext — byte
+    // identity would extract garbage; only the CMap recovers it
+    val raw = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!raw.contains("quick") && !raw.contains("Second"))
+    assert(MinimalPdf.extractText(pdf) == text)
+  }
+
+  test("MinimalPdf: bfrange CMaps (continuous and array forms, 2-byte codes)") {
+    import graft.sources.DocFormats.MinimalPdf
+    // hand-built uncompressed PDF: 2-byte hex-string codes 0x0001-0x0004,
+    // CMap maps 1-3 via a continuous bfrange starting at 'A', 4 via the
+    // array form to "Z!"
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0001> <0003> <0041>
+        |<0004> <0004> [<005A0021>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val content = "BT /F1 12 Tf 72 720 Td <0001000200030004> Tj ET"
+    val pdf = (s"%PDF-1.4\n" +
+      s"1 0 obj << /Type /Page /Contents 2 0 R /Resources << /Font << /F1 3 0 R >> >> >> endobj\n" +
+      s"2 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      s"3 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n%%EOF\n")
+      .getBytes("UTF-8")
+    assert(MinimalPdf.extractText(pdf) == "ABCZ!")
+  }
+
+  test("MinimalPdf: /Encoding /Differences decodes glyph-named codes") {
+    import graft.sources.DocFormats.MinimalPdf
+    // codes 0x80.. remapped via Differences to H,i,space,eacute; 0x21 keeps
+    // byte identity (outside the Differences array)
+    val content = "BT /F9 10 Tf 10 10 Td (!) Tj ET"
+    val contentBytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Page /Contents 2 0 R /Resources << /Font << /F9 3 0 R >> >> >> endobj\n" +
+      s"2 0 obj << /Length ${contentBytes.length} >> stream\n$content\nendstream endobj\n" +
+      "3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /Differences [ 128 /H /i /space /eacute ] >> >> endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(MinimalPdf.extractText(pdf) == "Hi é!")
+  }
+
   test("MinimalPdf: truncated FlateDecode stream errors (quarantined by lenient read)") {
     import graft.sources.DocFormats.MinimalPdf
     val good = MinimalPdf.write("real content here that compresses to something")
@@ -86,7 +137,9 @@ class SourcesSpec extends SparkSpec {
     import graft.sources.DocFormats.MinimalDocx
     val roundTrip = MinimalDocx.extractText(
       MinimalDocx.write(Seq("first", "", "  ", "second & <third>")))
-    assert(roundTrip == "first\nsecond & <third>") // blank/whitespace-only dropped
+    // reference truthiness (`if p.text`): EMPTY paragraphs dropped,
+    // whitespace-only KEPT (index_documents.py:53-55)
+    assert(roundTrip == "first\n  \nsecond & <third>")
     // hand-built document.xml: run split, w:tab, w:br, and a table to skip
     val doc =
       """<?xml version="1.0"?><w:document xmlns:w="http://x"><w:body>
