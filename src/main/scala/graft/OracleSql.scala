@@ -548,6 +548,48 @@ ORDER BY co.doc_id, co.win_pos, dim""",
     // sentence split, lookbehind-free: maximal segments whose internal
     // whitespace never directly follows [.!?] — identical to the reference
     // split for ASCII whitespace (see Chunkers.SentenceSegmentPattern)
+    // C4 greedy sentence grouping (index_documents.py:110-129) as a
+    // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
+    // ordering hazard), replicating the reference's counter exactly — the
+    // phantom +1 on the first append (buf_len = len+1), reset to len after
+    // an overflow flush, flush condition buf_len + len + 1 > 200. closed_len
+    // accumulates finished chunks' joined lengths; cur_len tracks the open
+    // buffer's joined length (sentences are pre-stripped, so the final
+    // .strip() is a no-op and join-length arithmetic is exact).
+    "q42_sentence_chunks" ->
+      raw"""WITH RECURSIVE c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      chr(160), ' ', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS text
+  FROM documents),
+lists AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_extract_all(text, '[^.!?]*(?:[.!?]+[^.!?\s][^.!?]*)*[.!?]*'),
+        s -> regexp_replace(s, '^\s+|\s+$$', '', 'g')),
+      s -> length(s) > 0) AS lst
+  FROM c WHERE length(text) > 0),
+grouped AS (
+  SELECT doc_id, lst, 1 AS idx, 1 AS n_chunks,
+    length(lst[1]) + 1 AS buf_len, length(lst[1]) AS cur_len, 0 AS closed_len
+  FROM lists WHERE len(lst) > 0
+  UNION ALL
+  SELECT doc_id, lst, idx + 1,
+    CASE WHEN buf_len + length(lst[idx + 1]) + 1 > 200 THEN n_chunks + 1 ELSE n_chunks END,
+    CASE WHEN buf_len + length(lst[idx + 1]) + 1 > 200 THEN length(lst[idx + 1])
+         ELSE buf_len + length(lst[idx + 1]) + 1 END,
+    CASE WHEN buf_len + length(lst[idx + 1]) + 1 > 200 THEN length(lst[idx + 1])
+         ELSE cur_len + 1 + length(lst[idx + 1]) END,
+    CASE WHEN buf_len + length(lst[idx + 1]) + 1 > 200 THEN closed_len + cur_len
+         ELSE closed_len END
+  FROM grouped WHERE idx < len(lst))
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+CAST(closed_len + cur_len AS BIGINT) AS sum_len
+FROM grouped WHERE idx = len(lst)
+ORDER BY doc_id""",
+
     "q59_sentence_split" ->
       raw"""WITH c AS (
   SELECT doc_id,
