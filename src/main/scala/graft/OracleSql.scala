@@ -548,6 +548,30 @@ ORDER BY co.doc_id, co.win_pos, dim""",
     // sentence split, lookbehind-free: maximal segments whose internal
     // whitespace never directly follows [.!?] — identical to the reference
     // split for ASCII whitespace (see Chunkers.SentenceSegmentPattern)
+    // Real-image-decode probe: Spark encodes formula pixels as PNG and
+    // decodes them back with ImageIO; the oracle recomputes the same sums
+    // straight from the closed-form pixel formula (PNG is lossless, so the
+    // encode→decode round-trip must reproduce it bit-exactly).
+    "q45_multimodal" ->
+      raw"""WITH ids AS (SELECT unnest(generate_series(0, 99)) AS media_id),
+px AS (
+  SELECT media_id,
+    CAST(sum((media_id*31 + x*7 + y*13) % 256
+           + (media_id*17 + x*11 + y*3) % 256
+           + (media_id*23 + x*5 + y*19) % 256) AS BIGINT) AS px_sum
+  FROM ids, generate_series(0, 63) AS gx(x), generate_series(0, 47) AS gy(y)
+  WHERE media_id % 3 = 0
+  GROUP BY media_id)
+SELECT i.media_id,
+  CASE WHEN i.media_id % 3 = 0 THEN 'image'
+       WHEN i.media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(CASE WHEN i.media_id % 3 = 0 THEN 64 END AS INT) AS img_w,
+  CAST(CASE WHEN i.media_id % 3 = 0 THEN 48 END AS INT) AS img_h,
+  px.px_sum,
+  CAST(CASE WHEN i.media_id % 3 = 2 THEN least((64 + i.media_id) // 32, 3) END AS BIGINT) AS n_frames
+FROM ids i LEFT JOIN px USING (media_id)
+ORDER BY media_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

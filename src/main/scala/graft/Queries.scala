@@ -574,19 +574,24 @@ object Queries {
       .orderBy(col("label"), col("pos"))
   }
 
-  /** Q45 — multimodal plumbing: synthetic media → per-partition feature
-    * extraction (stub decoder) → frame sampling (binary slicing).
+  /** Q45 — multimodal with REAL image decode: image rows carry actual PNG
+    * bytes (formula pixels), decoded back to exact integer stats via
+    * javax.imageio; video rows go through byte-strided frame sampling.
+    * PNG is lossless and the pixels are closed-form in (id,x,y), so the
+    * DuckDB oracle recomputes px_sum from the formula — a full
+    * encode→decode round-trip is hash-checked end-to-end.
     */
   def q45Multimodal(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import graft.sources.Multimodal
     val media = Multimodal.syntheticMedia(s, 100)
-    val feats = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
-    val frames = Multimodal.sampleFrames(media, frameBytes = 32, maxFrames = 3)
-      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
-    feats
-      .select(col("media_id"), col("meta.media_type").as("media_type"),
-        fl(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    val stats = Multimodal.decodeImageStats(media)
+    val frames = Multimodal.sampleFrames(
+        media.where(col("meta.media_type") === "video"), frameBytes = 32, maxFrames = 3)
+      .groupBy(col("media_id")).agg(count(lit(1)).cast("long").as("n_frames"))
+    media
+      .select(col("media_id"), col("meta.media_type").as("media_type"))
+      .join(stats, Seq("media_id"), "left_outer")
       .join(frames, Seq("media_id"), "left_outer")
       .orderBy(col("media_id"))
   }

@@ -22,8 +22,9 @@ class ContractSpec extends SparkSpec {
   test("rows-only probes are exactly the declared set (new probes need oracles)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     val declared = Set( // typed/approximate/streaming/file-ingest — reasons in SURVEY §2.11-2.12
-      "q40_index_pipeline", "q41_search_text", "q42_sentence_chunks",
-      "q43_lsh_ann", "q44_centroid_typed", "q45_multimodal",
+      // (q42 gained a recursive-CTE oracle and q45 a pixel-formula oracle in round 4)
+      "q40_index_pipeline", "q41_search_text",
+      "q43_lsh_ann", "q44_centroid_typed",
       "q47_tfidf", "q50_streaming", "q51_file_ingest")
     assert(rowsOnly == declared,
       s"undeclared rows-only probes: ${rowsOnly.diff(declared)}; stale declarations: ${declared.diff(rowsOnly)}")

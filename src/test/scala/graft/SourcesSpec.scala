@@ -197,12 +197,48 @@ class SourcesSpec extends SparkSpec {
     val counts = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts.values.forall(n => n >= 2 && n <= 3))
+    // audio/video blobs are 64+i bytes — shorter than one 1000-byte frame
     val short = Multimodal.sampleFrames(
-      Multimodal.syntheticMedia(spark, 1), frameBytes = 1000, maxFrames = 3)
+      Multimodal.syntheticMedia(spark, 3)
+        .where(col("meta.media_type") =!= "image"),
+      frameBytes = 1000, maxFrames = 3)
     assert(short.count() == 0)
     // every frame is exactly frameBytes long
     val lens = frames.select(length(col("frame"))).collect().map(_.getInt(0)).toSet
     assert(lens == Set(32))
+  }
+
+  test("multimodal: ImageIO decode recovers exact formula pixel stats from real PNGs") {
+    // PNG encode → decode round-trip: px_sum must equal the closed-form
+    // pixel formula (lossless), for every image row, in the real Spark job
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val stats = Multimodal.decodeImageStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(stats.keySet == Set(0L, 3L, 6L))
+    for ((id, (w, h, pxSum)) <- stats) {
+      assert(w == 64 && h == 48)
+      var expected = 0L
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val p = Multimodal.synthPixel(id, x, y)
+        expected += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      assert(pxSum == expected, s"media $id")
+    }
+    // ImageDecoder features: dims lead, luminance histogram sums to 1
+    val f = new Multimodal.ImageDecoder(21).features(null, Multimodal.synthPng(3L))
+    assert(f(0) == 64f && f(1) == 48f)
+    assert(math.abs(f.drop(5).sum - 1.0f) < 1e-4)
+  }
+
+  test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
+    // JPEG is lossy so no exact stats — but decode must work (dims exact)
+    val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val f = new Multimodal.ImageDecoder(6).features(null, bos.toByteArray)
+    assert(f(0) == 10f && f(1) == 7f)
+    intercept[IllegalArgumentException](
+      new Multimodal.ImageDecoder(6).features(null, Array[Byte](1, 2, 3)))
   }
 
   test("index pipeline end-to-end over file sources (S1→P1→C1→E1)") {
