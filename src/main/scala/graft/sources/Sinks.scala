@@ -26,6 +26,41 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy("split_strategy").parquet(path)
 
+  /** The DDL the reference's `ensure_schema` produces (index_documents.py:
+    * 202-224 / README.md:83-91), as executable statements: the pgvector
+    * extension, then `document_chunks` with SQLAlchemy's type mapping —
+    * Integer+autoincrement ⇒ SERIAL PRIMARY KEY, Text NOT NULL, pgvector
+    * `Vector(dim)` ⇒ VECTOR(dim), DateTime(timezone=True) ⇒ TIMESTAMPTZ.
+    * Run these over plain JDBC before [[writeJdbcChunks]]; offline they are
+    * contract-tested as strings (no Postgres in this environment).
+    */
+  def ensureSchemaDdl(vectorDim: Int): Seq[String] = Seq(
+    "CREATE EXTENSION IF NOT EXISTS vector;",
+    s"""CREATE TABLE IF NOT EXISTS document_chunks (
+       |  id SERIAL PRIMARY KEY,
+       |  chunk_text TEXT NOT NULL,
+       |  embedding VECTOR($vectorDim) NOT NULL,
+       |  filename TEXT NOT NULL,
+       |  split_strategy TEXT NOT NULL,
+       |  created_at TIMESTAMPTZ NOT NULL
+       |);""".stripMargin)
+
+  /** pgvector input literal for one vector: '[v1,v2,...]' — the text form
+    * pgvector's input function accepts (same shape psycopg sends). Plain
+    * float rendering, no spaces.
+    */
+  def vectorLiteral(v: Array[Float]): String =
+    v.mkString("[", ",", "]")
+
+  /** The Column expression [[writeJdbcChunks]] uses to serialize the
+    * embedding array — must produce exactly [[vectorLiteral]]'s text
+    * (equivalence is contract-tested).
+    */
+  def vectorLiteralCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("["), concat_ws(",", c), lit("]"))
+  }
+
   /** pgvector-parity JDBC sink. The embedding array is serialized to the
     * pgvector text literal '[v1,v2,...]' so a `::vector` cast (or a typed
     * target column) ingests it server-side — mirroring the table of
@@ -34,8 +69,7 @@ object Sinks {
   def writeJdbcChunks(df: DataFrame, url: String, table: String,
       properties: java.util.Properties = new java.util.Properties()): Unit = {
     import org.apache.spark.sql.functions._
-    df.withColumn("embedding",
-        concat(lit("["), concat_ws(",", col("embedding")), lit("]")))
+    df.withColumn("embedding", vectorLiteralCol(col("embedding")))
       .write.mode(SaveMode.Append)
       .option("batchsize", 1000) // executemany granularity (ref used 32)
       .jdbc(url, table, properties)

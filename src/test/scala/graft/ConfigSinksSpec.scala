@@ -46,10 +46,41 @@ class ConfigSinksSpec extends SparkSpec {
     // no database offline — check the serialization expression itself
     val df = Seq((1L, Seq(1.5f, -2f, 3f))).toDF("id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-    val lit = df.select(
-      concat(org.apache.spark.sql.functions.lit("["),
-        concat_ws(",", col("embedding")),
-        org.apache.spark.sql.functions.lit("]"))).head().getString(0)
+    val lit = df.select(Sinks.vectorLiteralCol(col("embedding"))).head().getString(0)
     assert(lit == "[1.5,-2.0,3.0]")
+  }
+
+  test("pgvector DDL matches the reference schema (index_documents.py:202-224)") {
+    val ddl = Sinks.ensureSchemaDdl(768)
+    // the reference creates the extension first, then the table
+    assert(ddl.head == "CREATE EXTENSION IF NOT EXISTS vector;")
+    val table = ddl(1)
+    assert(table.startsWith("CREATE TABLE IF NOT EXISTS document_chunks"))
+    // SQLAlchemy type mapping, column by column (README.md:83-91)
+    assert(table.contains("id SERIAL PRIMARY KEY"))              // Integer, autoincrement, pk
+    assert(table.contains("chunk_text TEXT NOT NULL"))           // Text, nullable=False
+    assert(table.contains("embedding VECTOR(768) NOT NULL"))     // Vector(vector_dim)
+    assert(table.contains("filename TEXT NOT NULL"))
+    assert(table.contains("split_strategy TEXT NOT NULL"))
+    assert(table.contains("created_at TIMESTAMPTZ NOT NULL"))    // DateTime(timezone=True)
+    // dim is parameterized (--embedding-dim, index_documents.py:263)
+    assert(Sinks.ensureSchemaDdl(1536)(1).contains("VECTOR(1536)"))
+  }
+
+  test("vector literal: Scala helper and Spark column expression agree exactly") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.5f, -2f, 3f),
+      Array(0.1f, 1e-7f, -1.25e8f),
+      Array(Float.MinPositiveValue, 42f))
+    val fromCol = vecs.map(Tuple1(_)).toDF("embedding")
+      .select(Sinks.vectorLiteralCol(col("embedding"))).collect().map(_.getString(0))
+    val fromScala = vecs.map(Sinks.vectorLiteral)
+    assert(fromCol.toSeq == fromScala,
+      s"Spark cast and Scala Float.toString must render identically")
+    // pgvector input shape: bracketed, comma-separated, no spaces
+    fromScala.foreach { s =>
+      assert(s.head == '[' && s.last == ']' && !s.contains(" "))
+    }
   }
 }
