@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial scale smoke for the MinHash+LSH band join (VERDICT r3 item
+  * 9): 100k synthetic documents engineered to stress exactly what breaks a
+  * naive LSH at scale —
+  *
+  *   - 10% near-duplicate mutated copies (the signal: pairs must be found);
+  *   - a 5% HOT CLUSTER sharing a long common prefix, so thousands of docs
+  *     land in the same band buckets (the skew the salted join exists for);
+  *   - the rest unique background noise.
+  *
+  * Runs `Dedup.minhashNearDupPairs` + count 3×, prints one JSON line with
+  * min/median seconds and the pair count. Recorded in BASELINE.md so a
+  * persist/salting regression shows up as a number, not an anecdote.
+  */
+object DedupBench {
+
+  /** Deterministic doc text for `id` (seeded per-id Random — no global
+    * state, identical across runs/partitions).
+    */
+  def synthText(id: Long, nDocs: Long): String = {
+    val rnd = new scala.util.Random(id * 2654435761L + 11)
+    def word() = s"w${rnd.nextInt(5000)}"
+    if (id % 10 == 1 && id > 0) {
+      // near-dup of id-1: same token stream, tail mutated
+      val src = new scala.util.Random((id - 1) * 2654435761L + 11)
+      val base = Seq.fill(100)(s"w${src.nextInt(5000)}")
+      (base.dropRight(5) ++ Seq.fill(5)(word())).mkString(" ")
+    } else if (id < nDocs / 20) {
+      // hot cluster: 5% of docs share an identical 60-token prefix
+      val hot = (0 until 60).map(i => s"hot$i")
+      (hot ++ Seq.fill(40)(word())).mkString(" ")
+    } else {
+      Seq.fill(100)(word()).mkString(" ")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "100000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup, same rationale as graft.Bench
+    spark.range(2000000).selectExpr("sum(id * 2)", "count(distinct id % 97)").collect()
+    import spark.implicits._
+
+    val docs = spark.range(n).map(id => (id, synthText(id, n)))
+      .toDF("id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("id"), col("toks"))
+
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashNearDupPairs(
+        docs, "id", "toks", shingleN = 3, numHashes = 12, numBands = 4,
+        threshold = 0.5, bandSalts = 8)
+      val count = pairs.count()
+      ((System.nanoTime() - t0) / 1e9, count)
+    }
+    val secs = runs.map(_._1).sorted
+    val pairCount = runs.head._2
+    require(runs.forall(_._2 == pairCount), "pair count must be run-stable")
+    require(pairCount > 0, "near-dup mutated copies must be found")
+    println(s"""{"metric":"dedup_smoke_100k","docs":$n,"pairs":$pairCount,""" +
+      s""""min_sec":${secs.head},"median_sec":${secs(1)},"max_sec":${secs(2)},""" +
+      s""""runs_sec":[${runs.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+    spark.stop()
+  }
+}

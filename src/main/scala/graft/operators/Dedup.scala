@@ -125,6 +125,12 @@ object Dedup {
     // full shingle+signature blocks for the life of the session — under an
     // 8g driver that accumulation regressed the round-2 bench 8.5× on this
     // one probe. localCheckpoint holds only the output rows.
+    // DEPLOYMENT NOTE: localCheckpoint blocks are executor-local and
+    // NON-replicated — on a multi-executor cluster, losing an executor
+    // after this point makes the returned frame unrecoverable. For cluster
+    // runs, swap for reliable checkpointing (sc.setCheckpointDir +
+    // .checkpoint()) or write the pairs to parquet; the unpersist pattern
+    // is unchanged.
     val out = verified.localCheckpoint(true)
     sh.unpersist(false)
     banded.unpersist(false)

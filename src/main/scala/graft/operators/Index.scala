@@ -83,20 +83,42 @@ object Index {
       cfg: IndexConfig = IndexConfig(),
       createdAt: Option[java.time.Instant] = None)(
       implicit spark: SparkSession): Long = {
-    val existingIds =
-      try spark.read.parquet(path).select(col("doc_id")).distinct()
-      catch {
-        // no index yet: path absent, OR present but without parquet footers
-        // (a directory left by a failed first write) — both mean "empty
-        // index", otherwise the advertised idempotent re-run could never
-        // recover from a failed initial run
-        case e: Exception if {
-          val m = String.valueOf(e.getMessage)
-          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
-            m.contains("UNABLE_TO_INFER_SCHEMA") || m.contains("Unable to infer schema")
-        } =>
-          spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
+    // Classify the target EXPLICITLY via the filesystem (not by matching
+    // exception messages, which shift across Spark versions/locales):
+    //   - absent, or present with no visible files (e.g. only _SUCCESS /
+    //     _temporary from a failed first write) → EMPTY index, proceed —
+    //     the advertised idempotent re-run must recover from that;
+    //   - contains parquet data files → read it (corrupt footers then fail
+    //     the read loudly, as they should);
+    //   - contains OTHER visible files → loud error: appending chunks into
+    //     a directory that isn't an index would duplicate/mix data.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visibleFiles: Iterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(hPath, true)
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .filterNot { f =>
+          // hidden files and commit-protocol leftovers don't make an index
+          val parts = f.getPath.toUri.getPath.split('/')
+          parts.exists(p => p.startsWith("_") || p.startsWith("."))
+        }
+    }
+    val state =
+      if (!fs.exists(hPath)) "empty"
+      else {
+        val files = visibleFiles.take(1000).toVector
+        if (files.isEmpty) "empty"
+        else if (files.exists(_.getPath.getName.endsWith(".parquet"))) "index"
+        else "foreign"
       }
+    require(state != "foreign",
+      s"appendIndex target '$path' exists but contains no parquet data files — " +
+        "refusing to append into a directory that is not an index")
+    val existingIds =
+      if (state == "empty")
+        spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
+      else spark.read.parquet(path).select(col("doc_id")).distinct()
     // the anti join only excludes docs already ON DISK; an at-least-once
     // source can deliver the same doc_id twice WITHIN one batch — keep one
     // (retries carry identical payloads, so the winner is immaterial)

@@ -32,6 +32,15 @@ object Ranks {
     */
   def globalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String,
       partitions: Int = 0): DataFrame = {
+    // Correctness REQUIRES the two consumers below to share one physical
+    // range exchange (ReusedExchangeExec): with reuse off, each consumer
+    // re-samples range boundaries under a different seed and the _pid
+    // assignments silently diverge. Fail loudly instead (RanksSpec also
+    // pins the reuse in the executed plan, catching optimizer regressions).
+    require(
+      df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "globalRank requires spark.sql.exchange.reuse=true (shared range exchange); " +
+        "with reuse disabled, persist the input and use a per-partition rank instead")
     val p = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(p, orderCols: _*)

@@ -216,6 +216,10 @@ object Search {
         .select(col(s"datasetA.$idCol").as("id1"),
           col(s"datasetB.$idCol").as("id2"), col("l2_dist"))
         .where(col("id1") < col("id2"))
+      // localCheckpoint: eager cut so `hashed` can be released immediately
+      // (round-2 variance fix). DEPLOYMENT NOTE: its blocks are
+      // executor-local and non-replicated — single-JVM assumption; cluster
+      // runs should use reliable checkpointing or a parquet hand-off.
       val out = pairs.localCheckpoint(true)
       hashed.unpersist(false)
       out

@@ -157,6 +157,28 @@ class JoinsCliSpec extends SparkSpec {
     assert(spark.read.parquet(path).where(col("doc_id") === 9).count() == n3)
   }
 
+  test("appendIndex target classification: empty-dir recovers, foreign dir refuses") {
+    import spark.implicits._
+    val cfg = graft.operators.Index.IndexConfig(
+      graft.model.SplitStrategy.Fixed(100, 20), 8)
+    val batch = Seq((1L, "s", "alpha beta " * 30)).toDF("doc_id", "source", "text")
+    // an existing but EMPTY directory (failed first write) is an empty index
+    val emptyDir = Files.createTempDirectory("emptyIdx").toString
+    assert(graft.operators.Index.appendIndex(batch, emptyDir, cfg) > 0)
+    // leftover commit markers alone are still "empty"
+    val markerDir = Files.createTempDirectory("markerIdx")
+    Files.write(markerDir.resolve("_SUCCESS"), Array.emptyByteArray)
+    assert(graft.operators.Index.appendIndex(batch, markerDir.toString, cfg) > 0)
+    // a directory with visible NON-parquet content is NOT an index: refuse
+    // loudly instead of appending into it (previous behavior treated any
+    // unreadable dir as empty and duplicated data into it)
+    val foreign = Files.createTempDirectory("notAnIndex")
+    Files.write(foreign.resolve("data.csv"), "a,b\n1,2\n".getBytes)
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Index.appendIndex(batch, foreign.toString, cfg))
+    assert(e.getMessage.contains("not an index"))
+  }
+
   test("writeIndexObserved: metrics ride the write job and match the output") {
     import spark.implicits._
     val docs = Seq(

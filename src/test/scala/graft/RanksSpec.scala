@@ -28,6 +28,25 @@ class RanksSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("globalRank plan: the range exchange is physically REUSED by both consumers") {
+    // correctness depends on one shared exchange — if reuse ever stops
+    // firing (config or optimizer change), _pid assignments can diverge
+    // between the ranking and offsets branches and ranks silently corrupt;
+    // this assertion turns that into a loud failure
+    val ranked = Ranks.globalRank(randomDf(300, seed = 7L), Seq(col("v"), col("id")), "r")
+    ranked.collect() // execute THIS frame so its AQE plan is finalized
+    val plan = ranked.queryExecution.executedPlan.toString
+    // non-AQE: ReusedExchange; AQE: the second consumer reads a ReusedQueryStage
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+        || plan.contains("(reuses"),
+      s"range exchange not reused in:\n$plan")
+    // and the disabled-reuse case fails loudly instead of corrupting
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try intercept[IllegalArgumentException](
+      Ranks.globalRank(randomDf(10, seed = 8L), Seq(col("id")), "r"))
+    finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("ntileExact ≡ built-in ntile for n dividing, not dividing, and exceeding N") {
     import spark.implicits._
     for ((rows, n) <- Seq((120, 4), (121, 4), (7, 10), (123, 7))) {
