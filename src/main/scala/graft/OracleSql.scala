@@ -844,5 +844,47 @@ SELECT CAST(start_us // 1000 AS BIGINT) AS start_ms,
 CAST((start_us + 3600000000) // 1000 AS BIGINT) AS end_ms,
 count(*) AS n
 FROM w GROUP BY 1, 2 ORDER BY start_ms""",
+
+    // benchmark-contamination 8-gram overlap: docs 0-4 are the benchmark;
+    // per doc, the fraction of its distinct 8-grams present in the set
+    "q71_contamination" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 8 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' '))) END AS grams
+  FROM tk),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+  JOIN bench USING (gram)
+  GROUP BY doc_id)
+SELECT g.doc_id, CAST(len(grams) AS INT) AS n_grams,
+CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+CASE WHEN len(grams) = 0 THEN 0.0
+     ELSE floor(1000 * coalesce(ov.n_overlap, 0) / len(grams)) / 1 END AS score_m
+FROM g LEFT JOIN ov USING (doc_id) ORDER BY g.doc_id""",
+
+    // BM25 (Robertson idf, k1=1.2 b=0.75) for query terms data/model/search;
+    // per-doc sum through DECIMAL(24,12) = combine-order independent, then
+    // floor-3dp (as thousandths) absorbing cross-engine ln() ulps
+    "q72_bm25" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)::DOUBLE) AS avgdl FROM tk),
+hits AS (
+  SELECT doc_id, len(tk) AS dl, t.term, count(*)::DOUBLE AS tf
+  FROM tk, unnest(tk) AS t(term)
+  WHERE t.term IN ('data', 'model', 'search')
+  GROUP BY doc_id, len(tk), t.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term)
+SELECT doc_id,
+floor(1000 * CAST(sum(CAST(
+  ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+    * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+  AS DECIMAL(24,12))) AS DOUBLE)) / 1 AS score_m
+FROM hits h JOIN dfreq d USING (term), stats s
+GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -1007,6 +1007,35 @@ object Queries {
         unix_millis(col("window_end")).as("end_ms"), col("n"))
       .orderBy(col("start_ms"))
 
+  /** Q71 — benchmark-contamination n-gram overlap (V4/V5, training-data
+    * hygiene): docs 0–4 act as the "benchmark set"; every corpus doc gets
+    * the fraction of its distinct 8-grams found in the benchmark. The
+    * benchmark n-gram set is broadcast; the corpus never self-joins.
+    */
+  def q71Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    val bench = docs.where(col("doc_id") < 5)
+    Dedup.contaminationScores(docs, "doc_id", "toks", bench, "toks", n = 8)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_overlap"),
+        fl(col("score") * 1000, 0).as("score_m"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q72 — BM25 ranked keyword search (V5/V1 lexical sibling): corpus
+    * df/tf/doclen statistics + the Robertson idf, scores for every doc
+    * containing a query term. Decimal-summed per doc (order-independent);
+    * floor-3dp for the cross-engine ln() tolerance.
+    */
+  def q72Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    Search.bm25Scores(docs, "doc_id", "toks",
+        queryTerms = Seq("data", "model", "search"))
+      .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1079,5 +1108,7 @@ object Queries {
     "q68_stratified_sample" -> q68StratifiedSample _,
     "q69_topk_per_query" -> q69TopKPerQuery _,
     "q70_sliding_windows" -> q70SlidingWindows _,
+    "q71_contamination" -> q71Contamination _,
+    "q72_bm25" -> q72Bm25 _,
   )
 }

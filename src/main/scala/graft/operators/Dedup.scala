@@ -224,6 +224,46 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** Benchmark-contamination scores (EXT, training-data hygiene): for each
+    * document, the fraction of its distinct n-grams that appear in ANY text
+    * of a (small) benchmark/eval set — the decontamination signal used by
+    * pretraining pipelines (the reference stores raw documents untested,
+    * index_documents.py has no analogue; pure extension).
+    *
+    * Shape at 100 TB: the benchmark side is distinct-aggregated (tiny — eval
+    * sets are thousands of rows) and BROADCAST; the corpus explodes its
+    * n-grams once, hits the broadcast semi-join (no corpus-side wide
+    * shuffle beyond the per-doc count re-aggregation keyed by doc id), and
+    * per-doc totals ride a narrow size() — the corpus is never joined to
+    * itself and never shuffled on n-gram keys.
+    *
+    * @param docs       corpus with `idCol` and `tokensCol` (token array)
+    * @param benchmark  eval texts with `benchTokensCol` (token array)
+    * @return (id, n_grams, n_overlap, score) — score in [0,1], 0 for docs
+    *         with fewer than n tokens (no n-grams)
+    */
+  def contaminationScores(docs: DataFrame, idCol: String, tokensCol: String,
+      benchmark: DataFrame, benchTokensCol: String, n: Int = 8): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(col(tokensCol), n).as("grams"))
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.shingles(col(benchTokensCol), n)).as("gram"))
+      .distinct()
+    val overlap = docGrams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), "gram") // doc grams are distinct ⇒ 1 hit/gram
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    docGrams
+      .select(col("id"), size(col("grams")).as("n_grams"))
+      .join(overlap, Seq("id"), "left_outer")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("score",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast("double") / col("n_grams")))
+  }
+
   /** Typed mean-of-vectors Aggregator (SURVEY.md §2.6 A6): element-wise sum
     * in Double + count → mean vector. The one genuinely custom aggregate in
     * the engine (no built-in vector centroid). Partial-aggregation friendly:

@@ -22,6 +22,59 @@ import graft.functions.VectorFunctions._
   */
 object Search {
 
+  /** BM25 ranked keyword search (EXT): the lexical sibling of the vector
+    * tiers — RAG stacks pair pgvector ANN with a keyword ranker, and the
+    * corpus-statistics shape (df/tf/doclen) is the canonical "aggregate
+    * twice, broadcast the small side" Spark pattern.
+    *
+    * Formula (Robertson/Lucene practice):
+    *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *   score(d)= Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: tokens explode ONCE and are filtered to the query terms
+    * BEFORE any shuffle (the per-term frames are tiny from that point on);
+    * doc lengths are a narrow size(); N and avgdl are one scalar aggregate;
+    * df joins broadcast. No corpus-wide term-keyed shuffle for a query —
+    * only the final per-doc sum keyed by doc id over query-term hits.
+    *
+    * Determinism note: per-doc summation goes through DECIMAL(24,12) (the
+    * repo's double-sum discipline — combine-order independent), so scores
+    * are reproducible run-to-run and floor-at-3dp oracle-checkable.
+    *
+    * @return (id, score) — every doc containing ≥1 query term
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, tokensCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    val hits = base
+      .select(col("id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*)) // prune BEFORE the shuffle
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = hits.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    hits
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats)) // one row: N + avgdl
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(24,12)")).cast("double").as("score"))
+  }
+
+  /** Top-k over [[bm25Scores]], ties broken by id — deterministic ranking. */
+  def bm25TopK(docs: DataFrame, idCol: String, tokensCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, tokensCol, queryTerms, k1, b)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+
   /** Metric names match pgvector's operators: cosine `<=>`, l2 `<->`, ip `<#>`. */
   def score(metric: String, v: Column, q: Column): Column = metric match {
     case "cosine" => cosine(v, q)

@@ -106,6 +106,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L, 8L, 9L)) // dropped: 2,3 (rep 1), 7 (rep 5)
   }
 
+  test("contaminationScores: benchmark members 1.0, partial overlap exact, disjoint 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    def toks(s: String) = s.split(" ").toSeq
+    val docs = Seq(
+      (1L, "a b c d e f"),            // = benchmark doc → score 1.0
+      (2L, "a b c d x y"),            // 3-grams: abc bcd cde? n=3: abc bcd cdx dxy → 2 of 4 in bench
+      (3L, "p q r s t u"),            // disjoint → 0
+      (4L, "a b")                     // too short for 3-grams → 0, n_grams 0
+    ).toDF("id", "text").withColumn("toks", split(col("text"), " "))
+    val bench = Seq(Tuple1("a b c d e f")).toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val out = graft.operators.Dedup
+      .contaminationScores(docs, "id", "toks", bench, "toks", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4, 4L, 1.0)))
+    assert(out(2L) == ((4, 2L, 0.5)))  // "a b c","b c d" hit; "c d x","d x y" miss
+    assert(out(3L) == ((4, 0L, 0.0)))
+    assert(out(4L) == ((0, 0L, 0.0)))
+  }
+
   test("CentroidAggregator computes per-dimension means (A6, G5)") {
     import spark.implicits._
     val data = Seq(

@@ -32,6 +32,40 @@ class SearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bm25Scores matches a driver-side reference implementation exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "data model data search engine"),
+      (2L, "model of a data lake"),
+      (3L, "search search search"),
+      (4L, "nothing relevant here at all whatsoever"))
+    val docs = corpus.toDF("id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val terms = Seq("data", "model", "search")
+    val got = Search.bm25Scores(docs, "id", "toks", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: plain Scala, same formula
+    val tokss = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = tokss.values.map(_.size).sum / n
+    val dfm = terms.map(t => t -> tokss.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long): Double = terms.map { t =>
+      val tf = tokss(id).count(_ == t).toDouble
+      if (tf == 0 || dfm(t) == 0) 0.0
+      else {
+        val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+        idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * tokss(id).size / avgdl))
+      }
+    }.sum
+    assert(got.keySet == Set(1L, 2L, 3L)) // doc 4 has no query term
+    got.foreach { case (id, s) => assert(math.abs(s - score(id)) < 1e-9, s"doc $id") }
+    // top-k ranks by score desc with id tiebreak
+    val top = Search.bm25TopK(docs, "id", "toks", terms, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val wantTop = Seq(1L, 2L, 3L).sortBy(id => (-score(id), id)).take(2)
+    assert(top == wantTop)
+  }
+
   test("topK single-query plan uses TakeOrderedAndProject (partial top-k, no global sort)") {
     val plan = Search.topK(emb, "embedding", vecs(0L), 5)
       .queryExecution.executedPlan.toString
