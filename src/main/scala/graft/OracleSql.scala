@@ -886,5 +886,31 @@ floor(1000 * CAST(sum(CAST(
   AS DECIMAL(24,12))) AS DOUBLE)) / 1 AS score_m
 FROM hits h JOIN dfreq d USING (term), stats s
 GROUP BY doc_id ORDER BY doc_id""",
+
+    // greedy first-fit sequence packing per shard: recursive CTE folds over
+    // each shard's id-ordered (id, n_tokens) list carrying the pack state;
+    // a doc opens a new pack iff the current pack is non-empty and would
+    // overflow 1000 tokens (over-long docs get their own pack)
+    "q73_pack_sequences" ->
+      raw"""WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, CAST(len($toks) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 400),
+lists AS (
+  SELECT shard, list(struct_pack(id := doc_id, n := n) ORDER BY doc_id) AS lst
+  FROM t GROUP BY shard),
+f AS (
+  SELECT shard, lst, 1 AS idx,
+    CAST(0 AS BIGINT) AS pack, 0 AS pos, CAST(0 AS BIGINT) AS before_t
+  FROM lists WHERE len(lst) > 0
+  UNION ALL
+  SELECT shard, lst, idx + 1,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN pack + 1 ELSE pack END,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN 0 ELSE pos + 1 END,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN CAST(0 AS BIGINT)
+         ELSE before_t + lst[idx].n END
+  FROM f WHERE idx < len(lst))
+SELECT lst[idx].id AS doc_id, shard, pack AS pack_id, pos AS pack_pos,
+before_t AS pack_tokens_before
+FROM f ORDER BY doc_id""",
   )
 }

@@ -1036,6 +1036,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q73 — greedy sequence packing (EXT, training-context assembly): docs
+    * fold into ≤1000-token packs per shard, first-fit in id order. The
+    * typed per-shard fold is oracle-checked by a DuckDB recursive CTE
+    * carrying (pack, pos, tokens_before) over the shard's ordered list.
+    */
+  def q73PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).where(col("doc_id") < 400)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("shard"),
+        size(TextFunctions.wordTokens(col("text"))).cast("long").as("n_tokens"))
+    operators.Sampling.packSequences(docs, "doc_id", "shard", "n_tokens", budget = 1000)
+      .select(col("id").as("doc_id"), col("shard"), col("pack_id"),
+        col("pack_pos"), col("pack_tokens_before"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1110,5 +1125,6 @@ object Queries {
     "q70_sliding_windows" -> q70SlidingWindows _,
     "q71_contamination" -> q71Contamination _,
     "q72_bm25" -> q72Bm25 _,
+    "q73_pack_sequences" -> q73PackSequences _,
   )
 }

@@ -79,4 +79,47 @@ object Sampling {
       .where(col("_run_tokens") <= budget)
       .drop("_run_tokens")
   }
+
+  /** Greedy sequence packing (EXT): assign documents to fixed-token-budget
+    * training contexts ("packs"). Within each shard, documents are taken in
+    * ascending id order and a document OPENS A NEW PACK iff the current
+    * pack is non-empty and adding it would exceed `budget` (an over-long
+    * document gets a pack of its own) — the standard first-fit-in-order
+    * packing every pretraining data loader uses.
+    *
+    * Scale shape: exact greedy packing is inherently sequential, so it runs
+    * PER SHARD — one shuffle on the shard key, then a typed `mapGroups`
+    * fold (sorted in-memory per shard; size shards to thousands of docs,
+    * which is also what keeps packs shard-local for downstream loaders).
+    * Pack ids are globally unique as (shard, pack_in_shard).
+    *
+    * @param docs  (idCol: long, shardCol: int-castable, nTokensCol: long)
+    * @return (id, shard, pack_id, pack_pos, pack_tokens_before) — pack_pos
+    *         is the 0-based position within the pack, pack_tokens_before
+    *         the tokens already in the pack when this doc was placed
+    */
+  def packSequences(docs: DataFrame, idCol: String, shardCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        col(shardCol).cast("int").as("shard"),
+        col(nTokensCol).cast("long").as("n_tokens"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(_._1)
+        val out = Array.newBuilder[(Long, Int, Long, Int, Long)]
+        var pack = 0L; var pos = 0; var inPack = 0L
+        for ((id, _, n) <- sorted) {
+          if (pos > 0 && inPack + n > budget) { pack += 1; pos = 0; inPack = 0L }
+          out += ((id, shard, pack, pos, inPack))
+          pos += 1; inPack += n
+        }
+        out.result().iterator
+      }
+      .toDF("id", "shard", "pack_id", "pack_pos", "pack_tokens_before")
+  }
 }

@@ -59,6 +59,26 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 4L))
   }
 
+  test("packSequences: first-fit greedy — exact fit, overflow, over-long doc, shard isolation") {
+    import spark.implicits._
+    // shard 0, budget 10: [4,6] fill pack 0 exactly; 3 overflows -> pack 1;
+    // 25 (over-long) -> own pack 2; 2 follows in pack 3 (25 overflows it out)
+    val docs = Seq(
+      (1L, 0, 4L), (2L, 0, 6L), (3L, 0, 3L), (4L, 0, 25L), (5L, 0, 2L),
+      (10L, 1, 9L), (11L, 1, 2L)) // other shard: independent numbering
+      .toDF("id", "shard", "n")
+    val out = Sampling.packSequences(docs, "id", "shard", "n", budget = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    assert(out(1L) == ((0, 0L, 0, 0L)))
+    assert(out(2L) == ((0, 0L, 1, 4L)))  // 4+6 = 10 fits exactly
+    assert(out(3L) == ((0, 1L, 0, 0L)))  // 10+3 would overflow
+    assert(out(4L) == ((0, 2L, 0, 0L)))  // over-long doc: own pack
+    assert(out(5L) == ((0, 3L, 0, 0L)))  // 25+2 overflows
+    assert(out(10L) == ((1, 0L, 0, 0L))) // shards are independent
+    assert(out(11L) == ((1, 1L, 0, 0L))) // 9+2 > 10
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; prose untouched") {
     import spark.implicits._
     val texts = Seq(
