@@ -912,5 +912,43 @@ f AS (
 SELECT lst[idx].id AS doc_id, shard, pack AS pack_id, pos AS pack_pos,
 before_t AS pack_tokens_before
 FROM f ORDER BY doc_id""",
+
+    // hybrid retrieval: BM25 top-20 + cosine top-20 fused by reciprocal
+    // rank (K=60). Both ranks sort FLOORED scores with id tiebreaks, so the
+    // rank assignments (and the exact double 1/(60+r) sums) are
+    // engine-deterministic
+    "q74_hybrid_fusion" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)::DOUBLE) AS avgdl FROM tk),
+hits AS (
+  SELECT doc_id, len(tk) AS dl, t.term, count(*)::DOUBLE AS tf
+  FROM tk, unnest(tk) AS t(term)
+  WHERE t.term IN ('data', 'model', 'search')
+  GROUP BY doc_id, len(tk), t.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term),
+bm AS (
+  SELECT doc_id AS id,
+    floor(1000 * CAST(sum(CAST(
+      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+      AS DECIMAL(24,12))) AS DOUBLE)) / 1 AS score_m
+  FROM hits h JOIN dfreq d USING (term), stats s
+  GROUP BY doc_id),
+bmr AS (
+  SELECT id, row_number() OVER (ORDER BY score_m DESC, id) AS rank_a
+  FROM bm QUALIFY rank_a <= 20),
+cos AS (
+  SELECT e.vec_id AS id,
+    floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])) / 1 AS cos_m
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0),
+cosr AS (
+  SELECT id, row_number() OVER (ORDER BY cos_m DESC, id) AS rank_b
+  FROM cos QUALIFY rank_b <= 20)
+SELECT coalesce(bmr.id, cosr.id) AS id,
+floor(1000000 * (coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_b), 0.0))) / 1 AS rrf_u,
+CAST(rank_a AS BIGINT) AS rank_a, CAST(rank_b AS BIGINT) AS rank_b
+FROM bmr FULL JOIN cosr ON bmr.id = cosr.id
+ORDER BY rrf_u DESC, id""",
   )
 }

@@ -1051,6 +1051,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q74 — hybrid retrieval fusion (V1+V5 capstone): BM25 keyword top-20
+    * and embedding-cosine top-20 merged by reciprocal-rank fusion (K=60).
+    * Both sides rank on FLOORED scores with id tiebreaks, so ranks — and
+    * therefore the fused scores — are engine-deterministic.
+    */
+  def q74HybridFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    val bm25 = Search.bm25Scores(docs, "doc_id", "toks",
+        queryTerms = Seq("data", "model", "search"))
+      .select(col("id"), fl(col("score") * 1000, 0).as("score_m"))
+    val bmRanked = Search.rankByScore(bm25, Seq(col("score_m").desc, col("id")))
+      .where(col("rank") <= 20)
+    val emb = embeddings(s, dir)
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cos = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        fl(VectorFunctions.cosine(col("embedding"), col("qv")) * 1000, 0).as("cos_m"))
+    val cosRanked = Search.rankByScore(cos, Seq(col("cos_m").desc, col("id")))
+      .where(col("rank") <= 20)
+    Search.reciprocalRankFusion(bmRanked, cosRanked, "id")
+      .select(col("id"), fl(col("rrf_score") * 1000000, 0).as("rrf_u"),
+        col("rank_a"), col("rank_b"))
+      .orderBy(col("rrf_u").desc, col("id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1126,5 +1153,6 @@ object Queries {
     "q71_contamination" -> q71Contamination _,
     "q72_bm25" -> q72Bm25 _,
     "q73_pack_sequences" -> q73PackSequences _,
+    "q74_hybrid_fusion" -> q74HybridFusion _,
   )
 }

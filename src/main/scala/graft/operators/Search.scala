@@ -75,6 +75,41 @@ object Search {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
 
+  /** 1-based rank of each row by `orderCols` — a helper for fusion inputs.
+    * The single-partition window is FINE here by contract: fusion inputs
+    * are top-k lists (tens of rows), not corpora.
+    */
+  def rankByScore(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String = "rank"): DataFrame =
+    df.withColumn(rankCol,
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*))
+        .cast("long"))
+
+  /** Reciprocal-rank fusion (EXT): merge two ranked retrieval lists (e.g.
+    * BM25 keyword top-k and embedding-cosine top-k — the standard hybrid
+    * RAG pattern) into one ranking with
+    *
+    *   rrf(d) = Σ_lists 1 / (rrfK + rank_list(d))
+    *
+    * (Cormack/Clarke/Buettcher's K=60 default). Rank-based, so the two
+    * lists' score scales never need calibration. Both inputs are tiny
+    * (top-k lists) — the join broadcasts; determinism comes from the
+    * CALLERS ranking on floored scores with id tiebreaks.
+    *
+    * @param a,b  frames with `idCol` and a 1-based `rankCol`
+    * @return (id, rrf_score, rank_a, rank_b) sorted by rrf desc, id asc
+    */
+  def reciprocalRankFusion(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
+    val left = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val right = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    left.join(right, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("id"))
+  }
+
   /** Metric names match pgvector's operators: cosine `<=>`, l2 `<->`, ip `<#>`. */
   def score(metric: String, v: Column, q: Column): Column = metric match {
     case "cosine" => cosine(v, q)

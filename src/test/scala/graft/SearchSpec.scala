@@ -66,6 +66,24 @@ class SearchSpec extends SparkSpec {
     assert(top == wantTop)
   }
 
+  test("reciprocalRankFusion: overlap outranks single-list hits; exact arithmetic") {
+    import spark.implicits._
+    // list A ranks: x=1, y=2, z=3 ; list B ranks: y=1, w=2
+    val a = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("id", "rank")
+    val b = Seq(("y", 1L), ("w", 2L)).toDF("id", "rank")
+    val out = Search.reciprocalRankFusion(a, b, "id")
+      .collect().map(r => (r.getString(0), r.getDouble(3),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    // y is in both lists → 1/62 + 1/61 beats every single-list score
+    assert(out.head._1 == "y")
+    assert(math.abs(out.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(out.head._3.contains(2L) && out.head._4.contains(1L))
+    // then x (1/61), w (1/62), z (1/63); absent ranks are null
+    assert(out.map(_._1).toSeq == Seq("y", "x", "w", "z"))
+    assert(out(1)._4.isEmpty && out(2)._3.isEmpty)
+  }
+
   test("topK single-query plan uses TakeOrderedAndProject (partial top-k, no global sort)") {
     val plan = Search.topK(emb, "embedding", vecs(0L), 5)
       .queryExecution.executedPlan.toString
