@@ -950,5 +950,28 @@ floor(1000000 * (coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_
 CAST(rank_a AS BIGINT) AS rank_a, CAST(rank_b AS BIGINT) AS rank_b
 FROM bmr FULL JOIN cosr ON bmr.id = cosr.id
 ORDER BY rrf_u DESC, id""",
+
+    // int8-quantized cosine: scale = max|v|/127, code = floor(v/s + 0.5);
+    // scales cancel in cosine, so the similarity is integer dot / integer
+    // norms. Codes as integer-valued DOUBLEs stay EXACT in list_inner_product
+    // (≤ 127²·dim ≪ 2^53), so the only float op is the final sqrt/divide
+    "q75_quantized_cosine" ->
+      raw"""WITH sc AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+  FROM embeddings),
+c AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
+  FROM sc),
+q AS (SELECT codes AS qc FROM c WHERE vec_id = 0)
+SELECT c.vec_id,
+CASE WHEN list_inner_product(c.codes, c.codes) = 0
+       OR list_inner_product(q.qc, q.qc) = 0 THEN 0.0
+     ELSE floor(1000 * list_inner_product(c.codes, q.qc)
+            / (sqrt(list_inner_product(c.codes, c.codes))
+               * sqrt(list_inner_product(q.qc, q.qc)))) / 1 END AS cos8_m
+FROM c, q WHERE c.vec_id <> 0 ORDER BY c.vec_id""",
   )
 }

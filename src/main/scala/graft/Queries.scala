@@ -1078,6 +1078,23 @@ object Queries {
       .orderBy(col("rrf_u").desc, col("id"))
   }
 
+  /** Q75 — int8-quantized cosine (V2 storage tier): embeddings quantized
+    * to symmetric int8 codes (4× smaller), similarity computed ENTIRELY on
+    * the codes (scales cancel; integer dot + integer norms, so the math is
+    * engine-exact and the oracle replays it bit-for-bit).
+    */
+  def q75QuantizedCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val q = emb.where(col("vec_id") === 0)
+      .select(VectorFunctions.i8Codes(col("embedding")).as("qc"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        fl(VectorFunctions.i8Cosine(
+          VectorFunctions.i8Codes(col("embedding")), col("qc")) * 1000, 0).as("cos8_m"))
+      .orderBy(col("vec_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1154,5 +1171,6 @@ object Queries {
     "q72_bm25" -> q72Bm25 _,
     "q73_pack_sequences" -> q73PackSequences _,
     "q74_hybrid_fusion" -> q74HybridFusion _,
+    "q75_quantized_cosine" -> q75QuantizedCosine _,
   )
 }

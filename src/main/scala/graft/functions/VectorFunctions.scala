@@ -55,4 +55,46 @@ object VectorFunctions {
     val n = norm2(a)
     when(n === 0.0, toDouble(a)).otherwise(transform(toDouble(a), x => x / n))
   }
+
+  // ---- int8 scalar quantization (EXT, 100 TB storage lever) ------------
+  //
+  // Symmetric per-vector quantization: scale = max|v|/127, code_i =
+  // floor(v_i/scale + 0.5) ∈ [-127, 127]. Vectors shrink 4× (float32 →
+  // int8 + one float scale), and cosine over codes needs NO dequantization:
+  // the per-vector scales cancel, so the similarity is integer dot / integer
+  // norms — exact integer arithmetic, engine-portable, oracle-checkable.
+  // Rounding uses floor(x+0.5) (not round()) for cross-engine determinism.
+
+  /** Per-vector quantization scale (max|v|/127; 0 for the zero vector). */
+  def i8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / 127.0
+
+  /** int8 code array for `v` (INT-typed for portable arithmetic; cast to
+    * tinyint at the storage boundary). Zero vectors quantize to zeros.
+    */
+  def i8Codes(v: Column): Column = {
+    val s = i8Scale(v)
+    when(s === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x.cast("double") / s + 0.5).cast("int")))
+  }
+
+  /** Dequantized approximation (codes × scale). */
+  def i8Dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
+  /** Exact-integer dot of two code arrays (long accumulator). */
+  def i8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity computed entirely on int8 codes (scales cancel):
+    * int dot / (√int-norm · √int-norm). Zero-code vectors → 0.0.
+    */
+  def i8Cosine(a: Column, b: Column): Column = {
+    val na = i8Dot(a, a)
+    val nb = i8Dot(b, b)
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(i8Dot(a, b).cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+  }
 }

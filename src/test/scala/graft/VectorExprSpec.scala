@@ -54,6 +54,40 @@ class VectorExprSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // mismatch null
   }
 
+  test("int8 quantization: codes bounded, round-trip error ≤ scale/2, cosine close") {
+    val e = Tables.embeddings(spark, sf001).where(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("s", VectorFunctions.i8Scale(col("embedding")))
+      .withColumn("codes", VectorFunctions.i8Codes(col("embedding")))
+    // codes within [-127, 127] (symmetric range — floor(x+0.5) of |x|≤127)
+    val outOfRange = e.select(explode(col("codes")).as("c"))
+      .where(abs(col("c")) > 127).count()
+    assert(outOfRange == 0)
+    // per-element reconstruction error ≤ scale/2
+    val badErr = e
+      .select(col("s"), explode(
+        zip_with(VectorFunctions.toDouble(col("embedding")),
+          VectorFunctions.i8Dequantize(col("codes"), col("s")),
+          (x, y) => abs(x - y))).as("err"))
+      .where(col("err") > col("s") * 0.5 + 1e-12).count()
+    assert(badErr == 0)
+    // quantized cosine tracks exact cosine (both vs vec 0's codes)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("codes").as("qc"), col("embedding").as("qv"))
+    val drift = e.where(col("vec_id") =!= 0).crossJoin(q)
+      .select(abs(VectorFunctions.i8Cosine(col("codes"), col("qc")) -
+        VectorFunctions.cosine(col("embedding"), col("qv"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(drift < 0.02, s"int8 cosine drift $drift")
+    // zero vector quantizes to zero codes and 0.0 similarity
+    import spark.implicits._
+    val z = Seq((Seq(0f, 0f, 0f), Seq(1f, 2f, 3f))).toDF("za", "vb")
+      .select(VectorFunctions.i8Cosine(
+        VectorFunctions.i8Codes(col("za")), VectorFunctions.i8Codes(col("vb"))).as("c"))
+      .head().getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("SQL registration: graft_cosine usable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
