@@ -248,6 +248,64 @@ object Search {
       .orderBy(col("score").desc).limit(k)
   }
 
+  /** Materialize a QUANTIZED IVF index: like [[writeIvfIndex]] but storing
+    * int8 codes (tinyint array) + one float scale per vector instead of the
+    * float32 array — the index is ~4× smaller, so every probed-cluster scan
+    * moves 4× fewer bytes. Full-precision vectors stay in the PRIMARY
+    * store; ANN reads rescore candidates against it by id
+    * ([[ivfTopKFromIndexQuantized]]).
+    */
+  def writeIvfIndexQuantized(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import graft.functions.VectorFunctions
+    ivfAssign(df, vecCol, centroids)
+      .select(col(idCol), col("cluster_id"),
+        transform(VectorFunctions.i8Codes(col(vecCol)), _.cast("byte")).as("codes"),
+        VectorFunctions.i8Scale(col(vecCol)).cast("float").as("scale"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$path/vectors")
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** ANN over a quantized IVF index with full-precision rescoring: probe
+    * clusters (partition-pruned scan of the small code arrays), rank by
+    * code-space cosine, keep `rescore` candidates, then join the candidate
+    * ids back to `fullPrecision` (broadcast — candidate sets are tiny) and
+    * return the exact-cosine top-k. Classic coarse-then-exact ANN: the
+    * expensive float vectors are read for `rescore` rows, not the cluster.
+    */
+  def ivfTopKFromIndexQuantized(spark: SparkSession, path: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 1, rescore: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(rescore >= k, "rescore candidate count must be >= k")
+    val centroids = readIvfCentroids(spark, path)
+    val probeIds = probeClusters(centroids, query, nProbe)
+    val qCodes = {
+      // quantize the query driver-side with the same floor(x+0.5) rule
+      val maxAbs = query.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+      val s = maxAbs / 127.0
+      if (s == 0.0) query.map(_ => 0) else query.map(x => math.floor(x / s + 0.5).toInt)
+    }
+    val candidates = spark.read.parquet(s"$path/vectors")
+      .where(col("cluster_id").isin(probeIds: _*))
+      .withColumn("qscore", VectorFunctions.i8Cosine(
+        transform(col("codes"), _.cast("int")), lit(qCodes.toArray)))
+      .orderBy(col("qscore").desc, col(idCol))
+      .limit(rescore)
+      .select(col(idCol))
+    fullPrecision
+      .join(broadcast(candidates), idCol)
+      .withColumn("score", cosine(col(vecCol), lit(query.toArray)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the
     * same data+seed). Returns them driver-side — centroids are tiny (k ×
     * dim) and feed [[ivfAssign]]'s broadcast-literal argmax.

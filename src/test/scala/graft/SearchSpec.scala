@@ -125,6 +125,32 @@ class SearchSpec extends SparkSpec {
     assert(probed.size <= 2)
   }
 
+  test("quantized IVF index: byte storage, coarse+rescore matches exact search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfq").toString
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    Search.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, dir)
+    // index stores int8 codes (byte array) + one float scale — 4× smaller
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    assert(stored.schema("scale").dataType == org.apache.spark.sql.types.FloatType)
+    // coarse code-space ranking + full-precision rescore: with generous
+    // probes/rescore the result must EQUAL the exact brute-force top-k
+    val q = vecs(0L)
+    val base = emb.where(col("vec_id") =!= 0)
+    val got = Search.ivfTopKFromIndexQuantized(spark, dir, base,
+        "vec_id", "embedding", q, k = 5, nProbe = 8, rescore = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = Search.topK(base, "embedding", q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // realistic setting: recall@5 ≥ 0.6 with 2 probes and small rescore
+    val approx = Search.ivfTopKFromIndexQuantized(spark, dir, base,
+        "vec_id", "embedding", q, k = 5, nProbe = 2, rescore = 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(want.toSet).size >= 3)
+  }
+
   test("persisted IVF index: pruned read path ≡ in-memory ivfTopK, PartitionFilters in scan") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
