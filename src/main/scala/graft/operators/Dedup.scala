@@ -224,6 +224,96 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** Incremental near-dup detection against a persisted sketch store (EXT):
+    * the shape a streaming/batch-ingest pipeline actually needs — each
+    * arriving batch is checked against the ENTIRE historical corpus without
+    * rescanning any text, then folded into the store.
+    *
+    * The store (`$path/sketches`) holds one row per seen doc: (id, sig,
+    * shl) — minhash signature + 60-bit-hashed shingles, the compact form
+    * from [[minhashNearDupPairs]]; text is never stored. Per batch:
+    *
+    *   1. sketch the new docs (one pass over their text);
+    *   2. anti-join on id vs the store — replayed docs drop out, so
+    *      at-least-once delivery stays idempotent;
+    *   3. LSH-band join of new sketches against (store ∪ new) sketches —
+    *      candidates are new×old and new×new, never old×old (already
+    *      reported when those docs arrived);
+    *   4. exact-Jaccard verify on the hashed shingles, threshold;
+    *   5. job-commit append of the new sketches to the store.
+    *
+    * @return verified pairs (id1 < id2, jaccard) involving ≥1 new doc
+    */
+  def incrementalNearDupPairs(batch: DataFrame, idCol: String, tokensCol: String,
+      storePath: String, shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5, bandSalts: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val rowsPerBand = numHashes / numBands
+    val sketchPath = s"$storePath/sketches"
+    val hPath = new org.apache.hadoop.fs.Path(sketchPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit FS classification, not exception sniffing (same discipline
+    // as Index.appendIndex): the store exists iff parquet data files do
+    val storeExists = fs.exists(hPath) && {
+      val it = fs.listFiles(hPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val store =
+      if (storeExists) spark.read.parquet(sketchPath)
+      else spark.emptyDataFrame
+        .withColumn("id", lit(null).cast("long"))
+        .withColumn("sig", lit(null).cast("array<bigint>"))
+        .withColumn("shl", lit(null).cast("array<bigint>")).limit(0)
+    val fresh = batch
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(tokensCol), shingleN).as("sh0"))
+      .where(size(col("sh0")) > 0)
+      .select(col("id"),
+        minhashSignature(col("sh0"), numHashes).as("sig"),
+        transform(col("sh0"), s =>
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shl"))
+      .dropDuplicates("id")
+      .join(store.select(col("id")), Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = fresh.withColumn("_new", lit(true))
+      .unionByName(store.withColumn("_new", lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bands(df: DataFrame) = df.select(col("id"), col("_new"),
+      explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    // salted asymmetric join: the (small) new side replicates over salts,
+    // the full side carries a deterministic id-hash salt — same result set
+    // as the unsalted join, mega-bands spread over bandSalts tasks
+    val a = bands(fresh.withColumn("_new", lit(true)))
+      .withColumn("_sa", explode(sequence(lit(0), lit(bandSalts - 1))))
+    val b = bands(all).withColumn("_sb", pmod(hash(col("id")), lit(bandSalts)))
+    val cand = a.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a._sa") === col("b._sb") &&
+          // new×new once (a.id < b.id); new×old always from the new side
+          (when(col("b._new"), col("a.id") < col("b.id"))
+            .otherwise(col("a.id") =!= col("b.id"))))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    val verified = cand
+      .join(all.select(col("id").as("id1"), col("shl").as("sh1")), "id1")
+      .join(all.select(col("id").as("id2"), col("shl").as("sh2")), "id2")
+      .withColumn("_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    // materialize pairs BEFORE mutating the store (same-batch consistency),
+    // then fold the new sketches in (job-commit append) and release caches.
+    // Single-JVM localCheckpoint caveat as in minhashNearDupPairs.
+    val out = verified.localCheckpoint(true)
+    fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sketchPath)
+    fresh.unpersist(false)
+    all.unpersist(false)
+    out
+  }
+
   /** Benchmark-contamination scores (EXT, training-data hygiene): for each
     * document, the fraction of its distinct n-grams that appear in ANY text
     * of a (small) benchmark/eval set — the decontamination signal used by

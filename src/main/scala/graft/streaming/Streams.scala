@@ -185,6 +185,28 @@ object Streams {
       .outputMode("update")
       .start()
 
+  /** Streaming near-dup maintenance: every micro-batch is checked against
+    * the ENTIRE historical corpus via the persisted sketch store
+    * ([[graft.operators.Dedup.incrementalNearDupPairs]] — no text is ever
+    * re-read), verified pairs append to `pairsOut`, and the batch's
+    * sketches fold into the store. Replayed batches (at-least-once
+    * sources) add nothing — the id anti-join keeps the whole loop
+    * idempotent.
+    */
+  def streamingNearDupMaintenance(docs: DataFrame, idCol: String, tokensCol: String,
+      storePath: String, checkpoint: String, pairsOut: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pairs = graft.operators.Dedup.incrementalNearDupPairs(
+          batch.toDF(), idCol, tokensCol, storePath, threshold = threshold)
+        pairs.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pairsOut)
+        ()
+      }
+      .outputMode("update")
+      .start()
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

@@ -106,6 +106,37 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L, 8L, 9L)) // dropped: 2,3 (rep 1), 7 (rep 5)
   }
 
+  test("incrementalNearDupPairs: cross-batch detection, replay idempotence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.split
+    val store = java.nio.file.Files.createTempDirectory("nds").toString + "/store"
+    def mk(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("toks", split(col("text"), " "))
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val mutated = base + " omega psi"
+    // batch 1: A and B are near-dups of each other, C unrelated
+    val p1 = graft.operators.Dedup.incrementalNearDupPairs(
+      mk(1L -> base, 2L -> mutated, 3L -> ("uno dos tres cuatro cinco seis " * 8).trim),
+      "doc_id", "toks", store, threshold = 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 2L)))
+    // batch 2: D is a near-dup of A (seen only via the STORE — text gone)
+    val p2 = graft.operators.Dedup.incrementalNearDupPairs(
+      mk(4L -> (base + " extra token"), 5L -> ("qqq www eee rrr ttt yyy " * 8).trim),
+      "doc_id", "toks", store, threshold = 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(p2.contains((1L, 4L)) && p2.contains((2L, 4L)))
+    assert(!p2.exists(p => p._1 == 3L || p._2 == 3L))
+    // replaying batch 2 (at-least-once delivery) reports nothing new and
+    // leaves the store row count unchanged
+    val p3 = graft.operators.Dedup.incrementalNearDupPairs(
+      mk(4L -> (base + " extra token"), 5L -> ("qqq www eee rrr ttt yyy " * 8).trim),
+      "doc_id", "toks", store, threshold = 0.4).count()
+    assert(p3 == 0L)
+    assert(spark.read.parquet(s"$store/sketches").count() == 5L)
+  }
+
   test("contaminationScores: benchmark members 1.0, partial overlap exact, disjoint 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, split}

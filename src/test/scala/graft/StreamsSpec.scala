@@ -230,6 +230,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup maintenance: cross-batch pairs via the sketch store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("ndstore").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("ndckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ndout").toString + "/pairs"
+    val mem = MemoryStream[(Long, String)]
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val q = Streams.streamingNearDupMaintenance(
+      mem.toDF().toDF("doc_id", "text")
+        .withColumn("toks", split(col("text"), " ")),
+      "doc_id", "toks", store, ckpt, out, threshold = 0.4)
+    try {
+      mem.addData(1L -> base, 2L -> ((41 to 80).map(i => s"tok$i").mkString(" ")))
+      q.processAllAvailable()
+      // batch 2's near-dup of doc 1 is caught via the STORE, not the batch
+      mem.addData(3L -> (base + " extra trailer"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(out)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)))
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+      assert(spark.read.parquet(s"$store/sketches").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: overlapping micro-batches stay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
