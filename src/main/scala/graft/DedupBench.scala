@@ -24,7 +24,11 @@ object DedupBench {
   def synthText(id: Long, nDocs: Long): String = {
     val rnd = new scala.util.Random(id * 2654435761L + 11)
     def word() = s"w${rnd.nextInt(5000)}"
-    if (id % 10 == 1 && id > 0) {
+    // branch order matters: the near-dup branch must only source from
+    // BACKGROUND docs (id-1 outside the hot cluster), else the "copy"
+    // regenerates background text while its source is a hot doc and the
+    // pair isn't a near-dup at all
+    if (id % 10 == 1 && id - 1 >= nDocs / 20) {
       // near-dup of id-1: same token stream, tail mutated
       val src = new scala.util.Random((id - 1) * 2654435761L + 11)
       val base = Seq.fill(100)(s"w${src.nextInt(5000)}")

@@ -651,16 +651,27 @@ object Queries {
     */
   def q50Streaming(s: SparkSession, dir: String): DataFrame = {
     // Idempotent staging keyed by the input dir: the copy happens once per
-    // JVM/sf, so repeated bench runs time the STREAMING query, not temp-dir
-    // I/O (round-3 verdict: staging inflated q50 to 5.7 s).
+    // sf, so repeated bench runs time the STREAMING query, not temp-dir
+    // I/O (round-3 verdict: staging inflated q50 to 5.7 s). Staleness is
+    // detected by size mismatch (regenerated fixtures re-stage), and the
+    // copy goes through a unique temp name + atomic move so concurrent
+    // JVMs can't race each other into a half-copied file.
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "q50ev_" + Integer.toHexString(dir.hashCode))
     val target = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target)) {
+    val fresh = java.nio.file.Files.exists(target) &&
+      java.nio.file.Files.size(target) == java.nio.file.Files.size(src)
+    if (!fresh) {
       java.nio.file.Files.createDirectories(staged)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      // dot-prefixed: Spark file sources ignore hidden files, so a
+      // concurrent stream over this dir never sees the half-copied temp
+      val tmp = staged.resolve(s".events.parquet.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.copy(src, tmp)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val name = "q50_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.Streams.streamTumblingToMemory(s, staged.toString, name)
@@ -1059,19 +1070,23 @@ object Queries {
   def q74HybridFusion(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
       .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    // cut each corpus-sized frame to its top-20 FIRST (TakeOrderedAndProject
+    // — distributed partial top-k), then rank the 20-row result; the
+    // (floored score desc, id) total order makes limit-then-rank identical
+    // to rank-then-filter, without a corpus-wide single-partition window
     val bm25 = Search.bm25Scores(docs, "doc_id", "toks",
         queryTerms = Seq("data", "model", "search"))
       .select(col("id"), fl(col("score") * 1000, 0).as("score_m"))
+      .orderBy(col("score_m").desc, col("id")).limit(20)
     val bmRanked = Search.rankByScore(bm25, Seq(col("score_m").desc, col("id")))
-      .where(col("rank") <= 20)
     val emb = embeddings(s, dir)
     val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     val cos = emb.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("id"),
         fl(VectorFunctions.cosine(col("embedding"), col("qv")) * 1000, 0).as("cos_m"))
+      .orderBy(col("cos_m").desc, col("id")).limit(20)
     val cosRanked = Search.rankByScore(cos, Seq(col("cos_m").desc, col("id")))
-      .where(col("rank") <= 20)
     Search.reciprocalRankFusion(bmRanked, cosRanked, "id")
       .select(col("id"), fl(col("rrf_score") * 1000000, 0).as("rrf_u"),
         col("rank_a"), col("rank_b"))

@@ -246,21 +246,20 @@ object Dedup {
     */
   def incrementalNearDupPairs(batch: DataFrame, idCol: String, tokensCol: String,
       storePath: String, shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
-      threshold: Double = 0.5, bandSalts: Int = 4): DataFrame = {
+      threshold: Double = 0.5, bandSalts: Int = 4,
+      onPairs: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     val rowsPerBand = numHashes / numBands
     val sketchPath = s"$storePath/sketches"
-    val hPath = new org.apache.hadoop.fs.Path(sketchPath)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // explicit FS classification, not exception sniffing (same discipline
-    // as Index.appendIndex): the store exists iff parquet data files do
-    val storeExists = fs.exists(hPath) && {
-      val it = fs.listFiles(hPath, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
+    // explicit FS classification shared with Index.appendIndex: a
+    // crashed previous append (only _temporary leftovers) classifies as
+    // Empty and RECOVERS; visible foreign content refuses loudly
+    val state = graft.sources.PathState.classify(
+      sketchPath, spark.sparkContext.hadoopConfiguration)
+    require(state != graft.sources.PathState.Foreign,
+      s"sketch store '$sketchPath' exists but holds no parquet data files — " +
+        "refusing to fold sketches into a directory that is not a store")
+    val storeExists = state == graft.sources.PathState.Data
     val store =
       if (storeExists) spark.read.parquet(sketchPath)
       else spark.emptyDataFrame
@@ -304,10 +303,15 @@ object Dedup {
         col("_inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("_inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
-    // materialize pairs BEFORE mutating the store (same-batch consistency),
-    // then fold the new sketches in (job-commit append) and release caches.
+    // ORDERING MATTERS for durability: materialize pairs, hand them to the
+    // caller's sink (`onPairs` — e.g. the streaming wrapper's parquet
+    // append) and only THEN fold sketches into the store. A crash after
+    // the sink but before the store append replays the batch and at worst
+    // re-emits the same pairs (at-least-once); the reverse order would
+    // LOSE them forever (replayed ids anti-join out, pairs never written).
     // Single-JVM localCheckpoint caveat as in minhashNearDupPairs.
     val out = verified.localCheckpoint(true)
+    onPairs(out)
     fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sketchPath)
     fresh.unpersist(false)
     all.unpersist(false)

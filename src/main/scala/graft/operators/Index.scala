@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.model._
+import graft.sources.PathState
 
 /** The end-to-end indexing pipeline — the reference's whole purpose
   * (`/root/reference/index_documents.py:253-311`), as ONE lazy narrow
@@ -83,40 +84,17 @@ object Index {
       cfg: IndexConfig = IndexConfig(),
       createdAt: Option[java.time.Instant] = None)(
       implicit spark: SparkSession): Long = {
-    // Classify the target EXPLICITLY via the filesystem (not by matching
-    // exception messages, which shift across Spark versions/locales):
-    //   - absent, or present with no visible files (e.g. only _SUCCESS /
-    //     _temporary from a failed first write) → EMPTY index, proceed —
-    //     the advertised idempotent re-run must recover from that;
-    //   - contains parquet data files → read it (corrupt footers then fail
-    //     the read loudly, as they should);
-    //   - contains OTHER visible files → loud error: appending chunks into
-    //     a directory that isn't an index would duplicate/mix data.
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def visibleFiles: Iterator[org.apache.hadoop.fs.LocatedFileStatus] = {
-      val it = fs.listFiles(hPath, true)
-      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
-        .takeWhile(_.isDefined).flatten
-        .filterNot { f =>
-          // hidden files and commit-protocol leftovers don't make an index
-          val parts = f.getPath.toUri.getPath.split('/')
-          parts.exists(p => p.startsWith("_") || p.startsWith("."))
-        }
-    }
-    val state =
-      if (!fs.exists(hPath)) "empty"
-      else {
-        val files = visibleFiles.take(1000).toVector
-        if (files.isEmpty) "empty"
-        else if (files.exists(_.getPath.getName.endsWith(".parquet"))) "index"
-        else "foreign"
-      }
-    require(state != "foreign",
+    // Explicit filesystem classification (graft.sources.PathState — shared
+    // with the dedup sketch store): empty/failed-first-write targets
+    // recover, parquet targets are read (corrupt footers fail the read
+    // loudly), and a directory holding OTHER visible files is refused —
+    // appending chunks into a non-index would duplicate/mix data.
+    val state = PathState.classify(path, spark.sparkContext.hadoopConfiguration)
+    require(state != PathState.Foreign,
       s"appendIndex target '$path' exists but contains no parquet data files — " +
         "refusing to append into a directory that is not an index")
     val existingIds =
-      if (state == "empty")
+      if (state == PathState.Empty)
         spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long")).limit(0)
       else spark.read.parquet(path).select(col("doc_id")).distinct()
     // the anti join only excludes docs already ON DISK; an at-least-once

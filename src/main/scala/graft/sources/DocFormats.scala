@@ -228,7 +228,13 @@ object DocFormats {
       */
     private def parseObjects(pdf: Array[Byte]): Vector[PdfObj] = {
       val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
-      ObjHeader.findAllMatchIn(s).flatMap { m =>
+      val out = Vector.newBuilder[PdfObj]
+      // linear walk: a header match INSIDE a previously-consumed object's
+      // region (e.g. an "N G obj" byte pattern occurring in compressed
+      // stream payload) is not an object — skipping those keeps each
+      // stream region consumed exactly once
+      var cursor = 0
+      for (m <- ObjHeader.findAllMatchIn(s) if m.start >= cursor) {
         val start = m.end
         val endObj = s.indexOf("endobj", start)
         val streamAt = s.indexOf("stream", start)
@@ -260,8 +266,18 @@ object DocFormats {
               else Some(raw)
             }
           }
-        Some(PdfObj(m.group(1).toInt, dict, payload))
-      }.toVector
+        cursor =
+          if (hasStream) {
+            val end = s.indexOf("endstream", streamAt + "stream".length)
+            if (end >= 0) end + "endstream".length
+            else if (endObj >= 0) endObj + "endobj".length
+            else s.length
+          }
+          else if (endObj >= 0) endObj + "endobj".length
+          else s.length
+        out += PdfObj(m.group(1).toInt, dict, payload)
+      }
+      out.result()
     }
 
     /** Decoded payloads that look like page content (BT/Tj/TJ operators),
@@ -621,7 +637,11 @@ object DocFormats {
       offsets += out.size(); w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
       offsets += out.size(); w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
-      val contentBytes = content.toString.getBytes(UTF_8)
+      // latin-1, NOT UTF-8: code chars ≥ 0x80 (assigned once a text has
+      // >95 distinct chars) must stay single bytes — the decoder maps the
+      // stream byte-by-byte through the 1-byte CMap
+      val contentBytes = content.toString
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       offsets += out.size()
       w(s"4 0 obj << /Length ${contentBytes.length} >> stream\n")
       out.write(contentBytes)

@@ -199,9 +199,13 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val pairs = graft.operators.Dedup.incrementalNearDupPairs(
-          batch.toDF(), idCol, tokensCol, storePath, threshold = threshold)
-        pairs.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pairsOut)
+        // pairs are written via onPairs BEFORE the sketch store mutates:
+        // a crash between the two replays the batch and re-emits the same
+        // pairs (at-least-once) instead of losing them (see
+        // Dedup.incrementalNearDupPairs ordering note)
+        graft.operators.Dedup.incrementalNearDupPairs(
+          batch.toDF(), idCol, tokensCol, storePath, threshold = threshold,
+          onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pairsOut))
         ()
       }
       .outputMode("update")

@@ -53,6 +53,16 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(pdf) == text)
   }
 
+  test("MinimalPdf: ToUnicode round-trip survives >95 distinct chars (codes ≥ 0x80)") {
+    import graft.sources.DocFormats.MinimalPdf
+    // 120 distinct chars force symbolic codes past 0x7F — the content
+    // stream must be written latin-1 (single byte per code) or the CMap
+    // decodes garbage
+    val text = ((33 to 126).map(_.toChar) ++ "äöüßéèñ€†‡“”…–—•°±").mkString
+    assert(text.distinct.length > 95)
+    assert(MinimalPdf.extractText(MinimalPdf.writeWithToUnicode(text)) == text)
+  }
+
   test("MinimalPdf: bfrange CMaps (continuous and array forms, 2-byte codes)") {
     import graft.sources.DocFormats.MinimalPdf
     // hand-built uncompressed PDF: 2-byte hex-string codes 0x0001-0x0004,
