@@ -913,6 +913,56 @@ SELECT lst[idx].id AS doc_id, shard, pack AS pack_id, pos AS pack_pos,
 before_t AS pack_tokens_before
 FROM f ORDER BY doc_id""",
 
+    // materialized packs: the q73 recursion's assignments joined back to
+    // text, one row per pack, texts concatenated in pack order with \n\n;
+    // md5 of the packed text = byte-exact cross-engine check
+    "q76_materialize_packs" ->
+      raw"""WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, CAST(len($toks) AS BIGINT) AS n, text
+  FROM documents WHERE doc_id < 200),
+lists AS (
+  SELECT shard, list(struct_pack(id := doc_id, n := n) ORDER BY doc_id) AS lst
+  FROM t GROUP BY shard),
+f AS (
+  SELECT shard, lst, 1 AS idx,
+    CAST(0 AS BIGINT) AS pack, 0 AS pos, CAST(0 AS BIGINT) AS before_t
+  FROM lists WHERE len(lst) > 0
+  UNION ALL
+  SELECT shard, lst, idx + 1,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN pack + 1 ELSE pack END,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN 0 ELSE pos + 1 END,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN CAST(0 AS BIGINT)
+         ELSE before_t + lst[idx].n END
+  FROM f WHERE idx < len(lst)),
+asg AS (SELECT lst[idx].id AS doc_id, shard, pack AS pack_id, pos FROM f)
+SELECT a.shard, a.pack_id, count(*) AS n_docs,
+substr(md5(string_agg(t.text, chr(10) || chr(10) ORDER BY a.pos)), 1, 16) AS text_h
+FROM asg a JOIN t USING (doc_id)
+GROUP BY a.shard, a.pack_id ORDER BY a.shard, a.pack_id""",
+
+    // char-trigram LM quality scoring: model = P(c3|c1c2) from exact counts
+    // over docs >= 100; score docs < 100 by mean trigram ln-prob (unseen ->
+    // the exact double literal, never a computed ln), decimal-summed
+    "q77_lm_quality" ->
+      raw"""WITH ref AS (SELECT lower(text) AS t FROM documents WHERE doc_id >= 100),
+rt AS (
+  SELECT unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tri
+  FROM ref WHERE length(t) >= 3),
+m0 AS (SELECT tri, count(*) AS n_tri FROM rt GROUP BY tri),
+m AS (
+  SELECT tri,
+    ln(n_tri::DOUBLE / sum(n_tri) OVER (PARTITION BY substr(tri, 1, 2))) AS logp
+  FROM m0),
+d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
+dt AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tri
+  FROM d WHERE length(t) >= 3)
+SELECT doc_id, count(*) AS n_tri,
+floor(1000 * (CAST(sum(CAST(coalesce(m.logp, -23.025850929940457) AS DECIMAL(24,12))) AS DOUBLE) / count(*))) / 1 AS lp_m
+FROM dt LEFT JOIN m USING (tri)
+GROUP BY doc_id ORDER BY doc_id""",
+
     // hybrid retrieval: BM25 top-20 + cosine top-20 fused by reciprocal
     // rank (K=60). Both ranks sort FLOORED scores with id tiebreaks, so the
     // rank assignments (and the exact double 1/(60+r) sums) are

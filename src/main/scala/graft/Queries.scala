@@ -1110,6 +1110,39 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Q76 — materialized training packs (R40 completion): the pack
+    * assignments joined back to text, one row per pack with member texts
+    * concatenated in pack order ("\n\n" separator). The md5 of each packed
+    * text is the strong cross-engine check (byte-exact concatenation).
+    */
+  def q76MaterializePacks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = documents(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 4).cast("int").as("shard"),
+        size(TextFunctions.wordTokens(col("text"))).cast("long").as("n_tokens"))
+    val asg = Sampling.packSequences(docs, "doc_id", "shard", "n_tokens", budget = 1000)
+    Sampling.materializePacks(docs, "doc_id", "text", asg)
+      .select(col("shard"), col("pack_id"), col("n_docs"),
+        substring(md5(col("text")), 1, 16).as("text_h"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** Q77 — statistical LM quality scoring (CCNet-style): a char-trigram
+    * model trained on docs ≥ 100 scores docs < 100 by mean trigram
+    * log-probability (unseen → exact-literal floor). Exact counts + one ln
+    * per distinct trigram + decimal sums ⇒ oracle-checkable.
+    */
+  def q77LmQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LmScore
+    val docs = documents(s, dir)
+    val model = LmScore.trainTrigramModel(docs.where(col("doc_id") >= 100), col("text"))
+    LmScore.scoreDocs(docs.where(col("doc_id") < 100), "doc_id", col("text"), model)
+      .select(col("id").as("doc_id"), col("n_tri"),
+        fl(col("avg_logp") * 1000, 0).as("lp_m"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1187,5 +1220,7 @@ object Queries {
     "q73_pack_sequences" -> q73PackSequences _,
     "q74_hybrid_fusion" -> q74HybridFusion _,
     "q75_quantized_cosine" -> q75QuantizedCosine _,
+    "q76_materialize_packs" -> q76MaterializePacks _,
+    "q77_lm_quality" -> q77LmQuality _,
   )
 }

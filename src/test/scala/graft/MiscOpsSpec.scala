@@ -29,4 +29,34 @@ class MiscOpsSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(full == Seq(1, 2, 3))
   }
+
+  test("LmScore: trigram probabilities exact, unseen floor, mean log-prob") {
+    import spark.implicits._
+    import graft.operators.LmScore
+    // reference corpus "abcabc": trigrams abc, bca, cab, abc → counts
+    // abc=2, bca=1, cab=1; contexts ab·=2, bc·=1, ca·=1 → P(abc)=1,
+    // P(bca)=1, P(cab)=1 (each context fully determines its successor)
+    val ref = Seq(Tuple1("abcabc")).toDF("text")
+    val model = LmScore.trainTrigramModel(ref, col("text"))
+    val probs = model.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(probs("abc") == ((2L, 2L, 0.0)))
+    assert(probs("bca") == ((1L, 1L, 0.0)))
+    assert(probs("cab") == ((1L, 1L, 0.0)))
+    // "abca": abc (ln 1 = 0), bca (0) → avg 0; "xyz": unseen → floor
+    val scored = LmScore.scoreDocs(
+      Seq((1L, "abca"), (2L, "xyz"), (3L, "ab")).toDF("id", "text"),
+      "id", col("text"), model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored(1L) == ((2L, 0.0)))
+    // the DECIMAL(24,12) sum rounds at 1e-12 (identically in the oracle)
+    assert(scored(2L)._1 == 1L &&
+      math.abs(scored(2L)._2 - LmScore.UnseenLogProb) < 1e-12)
+    assert(!scored.contains(3L)) // <3 chars: no trigrams, absent
+    // mixed-case input folds: "ABCabc" scores like "abcabc"
+    val folded = LmScore.scoreDocs(
+      Seq((9L, "ABCabc")).toDF("id", "text"), "id", col("text"), model)
+      .collect().head
+    assert(folded.getLong(1) == 4L && folded.getDouble(2) == 0.0)
+  }
 }
