@@ -944,19 +944,19 @@ GROUP BY a.shard, a.pack_id ORDER BY a.shard, a.pack_id""",
     // over docs >= 100; score docs < 100 by mean trigram ln-prob (unseen ->
     // the exact double literal, never a computed ln), decimal-summed
     "q77_lm_quality" ->
-      raw"""WITH ref AS (SELECT lower(text) AS t FROM documents WHERE doc_id >= 100),
+      raw"""WITH ref AS (SELECT text AS t FROM documents WHERE doc_id >= 100),
 rt AS (
-  SELECT unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tri
+  SELECT unnest(list_transform(generate_series(1, length(t) - 2), i -> lower(substr(t, i, 3)))) AS tri
   FROM ref WHERE length(t) >= 3),
 m0 AS (SELECT tri, count(*) AS n_tri FROM rt GROUP BY tri),
 m AS (
   SELECT tri,
     ln(n_tri::DOUBLE / sum(n_tri) OVER (PARTITION BY substr(tri, 1, 2))) AS logp
   FROM m0),
-d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
+d AS (SELECT doc_id, text AS t FROM documents WHERE doc_id < 100),
 dt AS (
   SELECT doc_id,
-    unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tri
+    unnest(list_transform(generate_series(1, length(t) - 2), i -> lower(substr(t, i, 3)))) AS tri
   FROM d WHERE length(t) >= 3)
 SELECT doc_id, count(*) AS n_tri,
 floor(1000 * (CAST(sum(CAST(coalesce(m.logp, -23.025850929940457) AS DECIMAL(24,12))) AS DOUBLE) / count(*))) / 1 AS lp_m

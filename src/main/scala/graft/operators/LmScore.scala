@@ -23,14 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  /** Character trigrams of lower-cased text (code-point positions, same
-    * semantics as DuckDB substr). Texts shorter than 3 chars → empty.
+  /** Character trigrams, case-folded (code-point positions, same semantics
+    * as DuckDB substr). Texts shorter than 3 chars → empty.
+    *
+    * The fold is applied to each 3-char SLICE, not the whole text: Catalyst
+    * re-evaluates HOF lambda subtrees per element (the repo's q58 lesson),
+    * so `lower(text)` inside the lambda would cost O(len²) per document —
+    * `lower(substr)` is O(1) per element and the oracle lowers the same
+    * slices, so the definition stays engine-identical.
     */
-  def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-  }
+  def charTrigrams(text: Column): Column =
+    when(length(text) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - 2),
+        i => lower(text.substr(i, lit(3)))))
 
   /** Unseen-trigram log-probability floor: an exact double literal (NOT a
     * computed ln) so Spark and the oracle agree bit-for-bit. ≈ ln(1e-10).

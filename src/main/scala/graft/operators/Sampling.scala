@@ -130,23 +130,19 @@ object Sampling {
     * (shard, pack_id); the in-group sort is an array_sort over a pack's
     * ≤budget tokens of text, bounded by construction.
     *
-    * @return (shard, pack_id, n_docs, pack_tokens, text)
+    * @return (shard, pack_id, n_docs, text)
     */
   def materializePacks(docs: DataFrame, idCol: String, textCol: String,
-      assignments: DataFrame, separator: String = "\n\n"): DataFrame = {
-    val joined = assignments
+      assignments: DataFrame, separator: String = "\n\n"): DataFrame =
+    assignments
       .join(docs.select(col(idCol).as("id"), col(textCol).as("_text")), "id")
-    joined
       .groupBy(col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),
-        max(col("pack_tokens_before")).as("_maxbefore"),
         array_join(
           transform(
             array_sort(collect_list(struct(col("pack_pos"), col("_text")))),
             s => s.getField("_text")),
           separator).as("text"))
-      .drop("_maxbefore")
       .select(col("shard"), col("pack_id"), col("n_docs"), col("text"))
-  }
 }

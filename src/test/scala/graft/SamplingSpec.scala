@@ -79,6 +79,22 @@ class SamplingSpec extends SparkSpec {
     assert(out(11L) == ((1, 1L, 0, 0L))) // 9+2 > 10
   }
 
+  test("materializePacks: texts concatenate in pack order with the separator") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0, 4L, "one"), (2L, 0, 6L, "two"), (3L, 0, 3L, "three"),
+      (10L, 1, 9L, "ten"))
+      .toDF("id", "shard", "n", "text")
+    val asg = Sampling.packSequences(docs, "id", "shard", "n", budget = 10L)
+    val packs = Sampling.materializePacks(docs, "id", "text", asg)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // shard 0: [4,6] fill pack 0 ("one\n\ntwo" in pack order), 3 -> pack 1
+    assert(packs((0, 0L)) == ((2L, "one\n\ntwo")))
+    assert(packs((0, 1L)) == ((1L, "three")))
+    assert(packs((1, 0L)) == ((1L, "ten")))
+    assert(packs.size == 3)
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; prose untouched") {
     import spark.implicits._
     val texts = Seq(
