@@ -1023,5 +1023,25 @@ CASE WHEN list_inner_product(c.codes, c.codes) = 0
             / (sqrt(list_inner_product(c.codes, c.codes))
                * sqrt(list_inner_product(q.qc, q.qc)))) / 1 END AS cos8_m
 FROM c, q WHERE c.vec_id <> 0 ORDER BY c.vec_id""",
+
+    // URL/domain hygiene: planted URLs (q60's pattern), domain = host
+    // lower-cased www-stripped, blocked = exact or subdomain-suffix match
+    "q78_url_filter" ->
+      raw"""WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+         ELSE 'https://' ||
+           (['spamfarm.example','news.goodsite.example','www.mirror.example',
+             'ads.example','docs.example','tracker.ads.example','blog.example'])[(doc_id % 7 + 1)::INT]
+           || '/p/' || doc_id::VARCHAR END AS url
+  FROM documents WHERE doc_id < 300),
+d AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^www\.', '') AS domain
+  FROM u)
+SELECT doc_id, domain,
+len(list_filter(['spamfarm.example', 'ads.example'],
+  b -> domain = b OR ends_with(domain, '.' || b))) > 0 AS blocked
+FROM d ORDER BY doc_id""",
   )
 }

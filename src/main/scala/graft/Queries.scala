@@ -1143,6 +1143,27 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q78 — URL/domain hygiene (crawl-data curation): deterministic URLs
+    * planted from doc_id (q60's planted-input pattern), domains extracted
+    * (lower-cased, www-stripped) and screened against a blocklist with
+    * subdomain suffix semantics. All RE2-portable expressions.
+    */
+  def q78UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val pool = Seq("spamfarm.example", "news.goodsite.example", "www.mirror.example",
+      "ads.example", "docs.example", "tracker.ads.example", "blog.example")
+    documents(s, dir).where(col("doc_id") < 300)
+      .withColumn("url",
+        when(col("doc_id") % 11 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://"),
+            element_at(lit(pool.toArray), (col("doc_id") % 7).cast("int") + 1),
+            lit("/p/"), col("doc_id").cast("string"))))
+      .withColumn("domain", TextFunctions.urlDomain(col("url")))
+      .withColumn("blocked",
+        TextFunctions.domainBlocked(col("domain"), Seq("spamfarm.example", "ads.example")))
+      .select(col("doc_id"), col("domain"), col("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1222,5 +1243,6 @@ object Queries {
     "q75_quantized_cosine" -> q75QuantizedCosine _,
     "q76_materialize_packs" -> q76MaterializePacks _,
     "q77_lm_quality" -> q77LmQuality _,
+    "q78_url_filter" -> q78UrlFilter _,
   )
 }

@@ -79,6 +79,24 @@ object TextFunctions {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Registered host of a URL, lower-cased, leading "www." stripped —
+    * the key for crawl-data domain filtering/mixing. RE2-portable (no
+    * lookarounds); non-URLs yield the empty string.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)),
+      "^www\\.", "")
+
+  /** True when `domain` is a blocklisted domain OR a subdomain of one
+    * (suffix match on ".<blocked>") — standard crawl blocklist semantics.
+    * The blocklist is a broadcast literal: per-row work is a bounded scan
+    * of a small array, no join.
+    */
+  def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
+    exists(lit(blocklist.map(_.toLowerCase).toArray),
+      b => domain === b || domain.endsWith(concat(lit("."), b)))
+
   /** Word n-gram shingles (distinct) over a precomputed token-array column,
     * for MinHash / Jaccard dedup. Callers must materialize the token array
     * once (`withColumn("toks", wordTokens(c))`) — passing `wordTokens(c)`

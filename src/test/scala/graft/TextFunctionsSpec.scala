@@ -139,4 +139,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(good > bad)
     assert(good > 0.6 && bad < 0.5)
   }
+
+  test("urlDomain + domainBlocked: scheme/port/path handling, www strip, subdomain block") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://WWW.Example.COM/path?q=1",   // case + www strip
+      "http://sub.ads.example:8080/x",      // port excluded, subdomain of blocked
+      "ftp://files.example/readme",         // any scheme
+      "not a url at all",                   // → empty domain
+      "https://ads.example",                // exact blocked, no path
+      "https://notads.example/x")           // NOT a subdomain (no dot boundary)
+    val out = urls.toDF("url")
+      .select(TextFunctions.urlDomain(col("url")).as("d"))
+      .withColumn("b", TextFunctions.domainBlocked(col("d"), Seq("ads.example")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(out == Seq(
+      "example.com" -> false,
+      "sub.ads.example" -> true,
+      "files.example" -> false,
+      "" -> false,
+      "ads.example" -> true,
+      "notads.example" -> false))
+  }
 }
