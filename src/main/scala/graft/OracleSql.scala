@@ -1043,5 +1043,26 @@ SELECT doc_id, domain,
 len(list_filter(['spamfarm.example', 'ads.example'],
   b -> domain = b OR ends_with(domain, '.' || b))) > 0 AS blocked
 FROM d ORDER BY doc_id""",
+
+    // token-share rebalancing: thresholds from exact BIGINT token sums with
+    // the same IEEE double ops (m*share/tokens, least 1.0, floor*2^60) and
+    // the same salted content hash as the Spark driver computes
+    "q79_rebalance" ->
+      raw"""WITH t AS (
+  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n FROM documents),
+g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tg FROM t GROUP BY lang),
+tgt AS (SELECT * FROM (VALUES ('de', 0.3), ('en', 0.5), ('fr', 0.2)) s(lang, share)),
+m AS (
+  SELECT min(g.tg::DOUBLE / tgt.share) AS m
+  FROM g JOIN tgt USING (lang) WHERE g.tg > 0),
+th AS (
+  SELECT g.lang,
+    CAST(floor(least(1.0, m.m * tgt.share / g.tg::DOUBLE) * 1152921504606846976) AS BIGINT) AS thr
+  FROM g JOIN tgt USING (lang), m WHERE g.tg > 0),
+kept AS (
+  SELECT t.lang, t.n FROM t JOIN th USING (lang)
+  WHERE ('0x' || substr(md5('mix1' || t.doc_id::VARCHAR), 1, 15))::BIGINT < th.thr)
+SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY lang ORDER BY lang""",
   )
 }

@@ -1164,6 +1164,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q79 — token-share rebalancing (data mixing): the corpus downsampled
+    * so kept token mass targets en 50% / de 30% / fr 20% (es/zh dropped —
+    * the mix is the spec). Thresholds derive from exact token sums with
+    * floor-to-long arithmetic the oracle replays bit-for-bit.
+    */
+  def q79Rebalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.wordTokens(col("text"))).cast("long").as("n_tok"))
+    Sampling.rebalanceTokenShares(docs, col("lang"), col("doc_id"), col("n_tok"),
+        targetShares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), salt = "mix1")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1244,5 +1261,6 @@ object Queries {
     "q76_materialize_packs" -> q76MaterializePacks _,
     "q77_lm_quality" -> q77LmQuality _,
     "q78_url_filter" -> q78UrlFilter _,
+    "q79_rebalance" -> q79Rebalance _,
   )
 }

@@ -80,6 +80,44 @@ object Sampling {
       .drop("_run_tokens")
   }
 
+  /** Rebalance a corpus to target per-group token shares (EXT, the
+    * data-mixing step: "en 60%, code 25%, de 15%"): compute each group's
+    * exact token mass, find the largest total `M` at which every group can
+    * meet its target share (`M = min_g tokens_g / share_g`), and
+    * down-sample each group to keep-fraction `M·share_g / tokens_g` with
+    * the content-addressed hash sample (partition/retry/engine-stable).
+    * Groups absent from `targetShares` are dropped — the mix is the spec.
+    *
+    * Kept token mass per group matches the target in expectation (rows are
+    * sampled whole; per-row token counts are independent of the sampling
+    * hash). The group-stats aggregate collects to the driver — #groups is
+    * the domain/source count, human-scale by construction.
+    *
+    * All threshold arithmetic is exact-integer sums + deterministic IEEE
+    * double ops + floor-to-long, so the oracle replays it bit-for-bit.
+    */
+  def rebalanceTokenShares(df: DataFrame, groupCol: Column, keyCol: Column,
+      tokenCountCol: Column, targetShares: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(s => s > 0.0),
+      "target shares must be positive")
+    val tokens = df.groupBy(groupCol.as("_g"))
+      .agg(sum(tokenCountCol).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = targetShares.collect {
+      case (g, s) if tokens.getOrElse(g, 0L) > 0 => tokens(g).toDouble / s
+    }.minOption.getOrElse(0.0)
+    val thresholds: Map[String, Long] = targetShares.collect {
+      case (g, s) if tokens.getOrElse(g, 0L) > 0 =>
+        val f = math.min(1.0, m * s / tokens(g).toDouble)
+        g -> math.floor(f * HashSpace).toLong
+    }
+    val thresholdCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (g, t)) => when(groupCol === g, lit(t)).otherwise(acc)
+    }
+    df.where(sampleHash(keyCol, salt) < thresholdCol)
+  }
+
   /** Greedy sequence packing (EXT): assign documents to fixed-token-budget
     * training contexts ("packs"). Within each shard, documents are taken in
     * ascending id order and a document OPENS A NEW PACK iff the current

@@ -79,6 +79,28 @@ class SamplingSpec extends SparkSpec {
     assert(out(11L) == ((1, 1L, 0, 0L))) // 9+2 > 10
   }
 
+  test("rebalanceTokenShares: binding group kept whole, shares approached, absent groups dropped") {
+    import spark.implicits._
+    // a: 10k tokens, b: 3k, c: 2k; targets a .5 / b .3 — c dropped.
+    // M = min(10000/.5, 3000/.3) = 10000 → keep a: 5000/10000 = .5, b: all
+    val docs = (1 to 100).map(i => (i.toLong, "a", 100L)) ++
+      (101 to 130).map(i => (i.toLong, "b", 100L)) ++
+      (131 to 150).map(i => (i.toLong, "c", 100L))
+    val df = docs.toDF("id", "grp", "n")
+    val kept = Sampling.rebalanceTokenShares(df, col("grp"), col("id"), col("n"),
+        Map("a" -> 0.5, "b" -> 0.3))
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("c"))          // not in the mix spec
+    assert(kept("b") == 30L)             // binding group: keep-fraction 1.0
+    // group a targets half its rows; the content hash approximates
+    assert(kept("a") > 30L && kept("a") < 70L, s"kept=${kept("a")}")
+    // deterministic: an identical second call keeps the identical set
+    val again = Sampling.rebalanceTokenShares(df, col("grp"), col("id"), col("n"),
+        Map("a" -> 0.5, "b" -> 0.3))
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("materializePacks: texts concatenate in pack order with the separator") {
     import spark.implicits._
     val docs = Seq(
