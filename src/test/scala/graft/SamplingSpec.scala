@@ -117,6 +117,41 @@ class SamplingSpec extends SparkSpec {
     assert(packs.size == 3)
   }
 
+  test("property: packSequences invariants — exactly-once, budget, contiguous positions") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val genDocs = Gen.nonEmptyListOf(for {
+      shard <- Gen.choose(0, 2)
+      n <- Gen.frequency(8 -> Gen.choose(1L, 40L), 1 -> Gen.choose(80L, 150L))
+    } yield (shard, n)).map(_.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) })
+    checkProp(Prop.forAll(genDocs) { docs =>
+      val budget = 60L
+      val df = docs.toDF("id", "shard", "n")
+      val out = Sampling.packSequences(df, "id", "shard", "n", budget)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      val byId = out.groupBy(_._1)
+      val nMap = docs.map(d => d._1 -> d._3).toMap
+      // 1. every doc assigned exactly once
+      val exactlyOnce = out.length == docs.length && byId.forall(_._2.length == 1)
+      // 2. pack totals within budget unless the pack is a single over-long doc
+      val packs = out.groupBy(t => (t._2, t._3))
+      val budgetOk = packs.values.forall { members =>
+        val total = members.map(m => nMap(m._1)).sum
+        total <= budget || members.length == 1
+      }
+      // 3. positions within a pack are 0..k-1 in id order, and
+      //    pack_tokens_before is the running sum of earlier members
+      val posOk = packs.values.forall { members =>
+        val sorted = members.sortBy(_._1)
+        sorted.map(_._4).toSeq == sorted.indices &&
+          sorted.zipWithIndex.forall { case (m, i) =>
+            m._5 == sorted.take(i).map(x => nMap(x._1)).sum
+          }
+      }
+      exactlyOnce && budgetOk && posOk
+    }, minTests = 15)
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; prose untouched") {
     import spark.implicits._
     val texts = Seq(
