@@ -253,10 +253,26 @@ object DocFormats {
             val end = s.indexOf("endstream", ps)
             if (end < 0) None
             else {
-              var pe = end
-              // the EOL before "endstream" is not part of the payload
-              if (pe > ps && pdf(pe - 1) == '\n') pe -= 1
-              if (pe > ps && pdf(pe - 1) == '\r') pe -= 1
+              // /Length is the AUTHORITY on the payload extent when direct
+              // (PDF-1.7 §7.3.8): scanning back from "endstream" and
+              // trimming an EOL mis-truncates any payload whose own last
+              // byte is 0x0D/0x0A (deflate output ends on either with
+              // p≈1/128 — a real flake caught by the round-trip property).
+              // Indirect /Length (N 0 R) falls back to the scan+trim.
+              val direct = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+                .findFirstMatchIn(dict).map(_.group(1).toInt)
+              val pe = direct match {
+                case Some(len) if ps + len <= end => ps + len
+                case _ =>
+                  var e = end
+                  // no direct Length: the EOL before "endstream" is not
+                  // part of the payload (strip one CRLF/LF/CR)
+                  if (e > ps && pdf(e - 1) == '\n') {
+                    e -= 1
+                    if (e > ps && pdf(e - 1) == '\r') e -= 1
+                  } else if (e > ps && pdf(e - 1) == '\r') e -= 1
+                  e
+              }
               val raw = java.util.Arrays.copyOfRange(pdf, ps, pe)
               val otherFilter = Seq("/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode",
                 "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",

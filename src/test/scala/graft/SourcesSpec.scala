@@ -103,6 +103,18 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(pdf) == "Hi é!")
   }
 
+  test("MinimalPdf: payload extent from /Length (deflate output ending in CR regression)") {
+    import graft.sources.DocFormats.MinimalPdf
+    // this exact text deflates to bytes ending 0x0D; the old scan-back-from-
+    // endstream EOL trim ate that byte ("truncated FlateDecode stream")
+    val text = ")北Hi)\\FF<KoSzGPM)DDAzmp"
+    assert(MinimalPdf.extractText(MinimalPdf.write(text)) == text)
+    // indirect-Length-free streams still work via the scan+trim fallback
+    val hand = ("%PDF-1.4\n1 0 obj << >> stream\n" +
+      "BT 72 720 Td (ok) Tj ET\nendstream endobj\n%%EOF\n")
+    assert(MinimalPdf.extractText(hand.getBytes("UTF-8")) == "ok")
+  }
+
   test("MinimalPdf: truncated FlateDecode stream errors (quarantined by lenient read)") {
     import graft.sources.DocFormats.MinimalPdf
     val good = MinimalPdf.write("real content here that compresses to something")
