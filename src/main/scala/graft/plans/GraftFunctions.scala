@@ -39,8 +39,10 @@ object GraftFunctions {
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` — installs the
-  * SQL functions plus the analysis-time vector-dimension check rule
-  * (org.apache.spark.sql.graft.VectorDimCheck).
+  * SQL functions, the analysis-time vector-dimension check rule
+  * (org.apache.spark.sql.graft.VectorDimCheck), and the optimizer rewrite
+  * that swaps naive HOF dot-product trees for the fused codegen'd kernel
+  * (org.apache.spark.sql.graft.VectorHofRewrite).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -49,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CosineSimilarityExpr].getName, name), b))
     }
     ext.injectCheckRule(_ => org.apache.spark.sql.graft.VectorDimCheck)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.VectorHofRewrite)
   }
 }

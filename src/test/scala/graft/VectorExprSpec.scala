@@ -113,6 +113,35 @@ class VectorExprSpec extends SparkSpec {
     new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("optimizer rule rewrites HOF dot trees to the fused kernel, bit-identically") {
+    import org.apache.spark.sql.graft.{DotProductExpr, PlanBridge, VectorHofRewrite}
+    val base = Tables.embeddings(spark, sf001).limit(100)
+    val hof = base.select(col("vec_id"),
+      VectorFunctions.dotHof(col("embedding"), col("embedding")).as("d"))
+    // the rule fires on the analyzed plan...
+    val rewritten = VectorHofRewrite(hof.queryExecution.analyzed)
+    val fused = rewritten.expressions.flatMap(_.collect { case e: DotProductExpr => e })
+    assert(fused.nonEmpty, s"rule did not fire:\n${rewritten.treeString.take(1200)}")
+    // ...and the rewritten plan executes to bit-identical results
+    val want = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = PlanBridge.ofRows(spark, rewritten)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    // near-miss shapes are left alone: non-zero seed / non-multiply zip
+    val seeded = base.select(aggregate(
+      zip_with(VectorFunctions.toDouble(col("embedding")),
+        VectorFunctions.toDouble(col("embedding")), (x, y) => x * y),
+      lit(1.0), (acc, x) => acc + x).as("d"))
+    assert(VectorHofRewrite(seeded.queryExecution.analyzed)
+      .expressions.flatMap(_.collect { case e: DotProductExpr => e }).isEmpty)
+    val summed = base.select(aggregate(
+      zip_with(VectorFunctions.toDouble(col("embedding")),
+        VectorFunctions.toDouble(col("embedding")), (x, y) => x + y),
+      lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(VectorHofRewrite(summed.queryExecution.analyzed)
+      .expressions.flatMap(_.collect { case e: DotProductExpr => e }).isEmpty)
+  }
+
   test("LSH approxTopK returns k near neighbors of the query") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") === 0).head().getSeq[Float](1)
