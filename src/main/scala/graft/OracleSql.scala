@@ -1064,5 +1064,37 @@ kept AS (
   WHERE ('0x' || substr(md5('mix1' || t.doc_id::VARCHAR), 1, 15))::BIGINT < th.thr)
 SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tokens_kept
 FROM kept GROUP BY lang ORDER BY lang""",
+
+    // HTML -> text: identical planted markup, identical RE2 strip chain
+    // (blocks, comments, tags, entities, whitespace collapse, edge trim)
+    "q80_html_extract" ->
+      raw"""WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>t</title></head><body>'
+    || '<script>var x = 1 < 2;</script><style>p { color: red; }</style>'
+    || '<!-- hidden --><h1>Doc &amp; ' || doc_id::VARCHAR
+    || '</h1><p class="main">' || substring(text, 1, 200)
+    || '</p><div>&lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</div></body></html>' AS html
+  FROM documents WHERE doc_id < 300),
+e AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(html,
+        '(?is)<(script|style|head)\b[^>]*>.*?</(script|style|head)>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' ', 'g'),
+        '&amp;', '&', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '&#39;', '''', 'g'),
+        '\s+', ' ', 'g'),
+        '^ | $$', '', 'g') AS extracted
+  FROM h)
+SELECT doc_id, CAST(length(extracted) AS INT) AS n_chars,
+substr(md5(extracted), 1, 16) AS text_h
+FROM e ORDER BY doc_id""",
   )
 }

@@ -1181,6 +1181,25 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Q80 — HTML → text extraction (crawl ingestion): deterministic HTML
+    * planted around each doc's text (q60's planted-input pattern) with
+    * script/style blocks, comments, tags and entities; extraction strips
+    * to prose. Hash-compared via md5 of the extracted text.
+    */
+  def q80HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>t</title></head><body>"),
+      lit("<script>var x = 1 < 2;</script><style>p { color: red; }</style>"),
+      lit("<!-- hidden --><h1>Doc &amp; "), col("doc_id").cast("string"),
+      lit("</h1><p class=\"main\">"), substring(col("text"), 1, 200),
+      lit("</p><div>&lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</div></body></html>"))
+    documents(s, dir).where(col("doc_id") < 300)
+      .withColumn("extracted", TextFunctions.stripHtml(html))
+      .select(col("doc_id"), length(col("extracted")).as("n_chars"),
+        substring(md5(col("extracted")), 1, 16).as("text_h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1262,5 +1281,6 @@ object Queries {
     "q77_lm_quality" -> q77LmQuality _,
     "q78_url_filter" -> q78UrlFilter _,
     "q79_rebalance" -> q79Rebalance _,
+    "q80_html_extract" -> q80HtmlExtract _,
   )
 }

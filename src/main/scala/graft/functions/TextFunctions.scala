@@ -79,6 +79,31 @@ object TextFunctions {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** HTML → text for crawl corpora: drop script/style/head blocks wholesale
+    * (their content is never prose), strip comments and all remaining tags,
+    * decode the common entities, collapse runs of whitespace, trim. All
+    * RE2-portable ((?is) inline flags, no lookarounds) so extraction
+    * replays exactly in the oracle. Not a DOM parser by design: crawl
+    * pipelines favor a deterministic regex chain over tag-soup recovery,
+    * and malformed fragments degrade to leaving text in place rather than
+    * failing.
+    */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style|head)\\b[^>]*>.*?</(script|style|head)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    // entity names are regex-safe literals (no metachars) — keep them as
+    // plain patterns so the DuckDB twin can use the identical strings
+    val decoded = entities.foldLeft(noTags) { case (col0, (e, r)) =>
+      regexp_replace(col0, e, r)
+    }
+    regexp_replace(regexp_replace(decoded, "\\s+", " "), "^ | $", "")
+  }
+
   /** Registered host of a URL, lower-cased, leading "www." stripped —
     * the key for crawl-data domain filtering/mixing. RE2-portable (no
     * lookarounds); non-URLs yield the empty string.

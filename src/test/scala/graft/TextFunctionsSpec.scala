@@ -140,6 +140,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(good > 0.6 && bad < 0.5)
   }
 
+  test("stripHtml: blocks dropped wholesale, tags stripped, entities decoded, ws collapsed") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>skip me</title><style>p{x:1}</style></head>
+        |<body><!-- comment --><script type="text/js">if (1 < 2) alert('hi');</script>
+        |<h1>Title</h1>
+        |<p class="a">Hello &amp; welcome to &quot;the&quot; &lt;best&gt;&nbsp;page.</p>
+        |<P>UPPER tags too</P></body></html>""".stripMargin
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).head().getString(0)
+    assert(out == """Title Hello & welcome to "the" <best> page. UPPER tags too""")
+    // prose with a stray '<' that never closes degrades gracefully
+    val stray = Seq(Tuple1("a < b and done")).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).head().getString(0)
+    assert(stray == "a < b and done")
+  }
+
   test("urlDomain + domainBlocked: scheme/port/path handling, www strip, subdomain block") {
     import spark.implicits._
     val urls = Seq(
