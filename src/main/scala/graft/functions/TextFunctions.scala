@@ -88,21 +88,28 @@ object TextFunctions {
     * and malformed fragments degrade to leaving text in place rather than
     * failing.
     */
-  def stripHtml(c: Column): Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style|head)\\b[^>]*>.*?</(script|style|head)>", " ")
-    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
-    val entities = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
-    // entity names are regex-safe literals (no metachars) — keep them as
-    // plain patterns so the DuckDB twin can use the identical strings
-    val decoded = entities.foldLeft(noTags) { case (col0, (e, r)) =>
-      regexp_replace(col0, e, r)
-    }
-    regexp_replace(regexp_replace(decoded, "\\s+", " "), "^ | $", "")
-  }
+  /** The strip chain, shared verbatim by the Column form, the plain-String
+    * form (file-ingestion extractor), and — pattern for pattern — the
+    * DuckDB oracle. Entity names are regex-safe literals; replacements
+    * contain no $ or \, so Column regexp_replace and String.replaceAll
+    * behave identically.
+    */
+  private val HtmlStripSteps: Seq[(String, String)] = Seq(
+    "(?is)<(script|style|head)\\b[^>]*>.*?</(script|style|head)>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?s)<[^>]*>" -> " ",
+    "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'",
+    "\\s+" -> " ", "^ | $" -> "")
+
+  def stripHtml(c: Column): Column =
+    HtmlStripSteps.foldLeft(c) { case (col0, (p, r)) => regexp_replace(col0, p, r) }
+
+  /** Plain-Scala twin of [[stripHtml]] for per-file extraction contexts
+    * (equivalence-tested against the Column form).
+    */
+  def stripHtmlString(s: String): String =
+    HtmlStripSteps.foldLeft(s) { case (s0, (p, r)) => s0.replaceAll(p, r) }
 
   /** Registered host of a URL, lower-cased, leading "www." stripped —
     * the key for crawl-data domain filtering/mixing. RE2-portable (no

@@ -49,8 +49,17 @@ object DocumentSources {
       new String(content, "UTF-8")
   }
 
+  /** HTML → prose via the shared RE2-portable strip chain (EXT, crawl
+    * ingestion — beyond the reference's pdf/docx/txt surface).
+    */
+  final class HtmlExtractor extends TextExtractor {
+    val extensions = Seq("html", "htm")
+    def extract(path: String, content: Array[Byte]): String =
+      graft.functions.TextFunctions.stripHtmlString(new String(content, "UTF-8"))
+  }
+
   val defaultExtractors: Seq[TextExtractor] =
-    Seq(new PdfExtractor, new DocxExtractor, new TxtExtractor)
+    Seq(new PdfExtractor, new DocxExtractor, new TxtExtractor, new HtmlExtractor)
 
   private def extensionOf(path: String): String = {
     val name = path.substring(path.lastIndexOf('/') + 1)

@@ -176,6 +176,23 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalDocx.extractText(bos.toByteArray) == "a\tb\nc\nd")
   }
 
+  test("readDocuments: html files dispatch to the strip chain (Column ≡ String twin)") {
+    import graft.sources.DocumentSources
+    val dir = Files.createTempDirectory("htmldocs")
+    val html = "<html><body><script>no()</script><p>Real &amp; text</p></body></html>"
+    Files.write(dir.resolve("page.html"), html.getBytes("UTF-8"))
+    Files.write(dir.resolve("page2.htm"), "<b>bold</b> words".getBytes("UTF-8"))
+    val docs = DocumentSources.readDocuments(spark, dir.toString)
+      .collect().map(d => d.filename -> d.text).toMap
+    assert(docs("page.html") == "Real & text")
+    assert(docs("page2.htm") == "bold words")
+    // the String twin and the Column form agree on the same input
+    import spark.implicits._
+    val viaCol = Seq(Tuple1(html)).toDF("h")
+      .select(graft.functions.TextFunctions.stripHtml(col("h"))).head().getString(0)
+    assert(viaCol == docs("page.html"))
+  }
+
   test("readDocuments: unsupported extension fails the job (S3 dispatch)") {
     val dir = Files.createTempDirectory("docs2").toFile
     Files.write(new java.io.File(dir, "x.exe").toPath, Array[Byte](1, 2))
