@@ -3,8 +3,10 @@ package graft
 /** DuckDB-1.0.0 oracle SQL — one entry per oracle-checkable query in
   * Queries.scala, replaying the exact same computation (same hash functions,
   * same fold orders, same floor/decimal determinism discipline; see the
-  * Queries scaladoc). Queries q40+ are typed/approximate and have no SQL
-  * twin (driver records a rows-only check for them).
+  * Queries scaladoc). The remaining probes without an entry here are the
+  * structurally non-replayable ones (approximate ANN, streaming, binary
+  * file ingest, learned-vocabulary tf-idf) — the driver records a
+  * rows-only check for those.
   *
   * Portability notes baked in:
   *   - regexp_replace carries the 'g' flag (Spark replaces all by default);
@@ -288,6 +290,17 @@ floor(1000000 * (CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9)))
 FROM (SELECT label, embedding, unnest(generate_series(0, 63)) AS i FROM embeddings)
 GROUP BY label, i ORDER BY label, pos""",
 
+    // the TYPED QuantizedCentroidAggregator (q44): per-dim sums of
+    // DECIMAL(18,9)-quantized floats as exact integers + group count —
+    // the decimal quantization is the same cast q29 already pins cross-
+    // engine; everything after it is integer arithmetic.
+    "q44_centroid_typed" ->
+      raw"""SELECT label, CAST(i AS INT) AS pos,
+CAST(sum(CAST(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS sum_u,
+count(*) AS n
+FROM (SELECT label, embedding, unnest(generate_series(0, 63)) AS i FROM embeddings)
+GROUP BY label, i ORDER BY label, pos""",
+
     "q30_ivf_ann" ->
       raw"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
 assigned AS (
@@ -544,6 +557,107 @@ SELECT co.doc_id, co.win_pos, co.chunk_len, CAST(co.b AS INT) AS dim,
   CAST(floor(co.cnt / n.nrm * 1000000) AS BIGINT) AS v_u
 FROM counts co JOIN norms n ON co.doc_id = n.doc_id AND co.win_pos = n.win_pos
 ORDER BY co.doc_id, co.win_pos, dim""",
+
+    // the TYPED index pipeline (q40) replayed through the relational twin's
+    // SQL: every output column is an integer-exact projection — chunk md5
+    // fingerprint, non-zero embedding coordinates = the DISTINCT md5 token
+    // buckets (float-free), chunk_index = kept-chunk rank (the typed path
+    // renumbers kept chunks; win_pos is the cursor index). LEFT JOIN keeps
+    // zero-token chunks (their embedding is the zero vector ⇒ nnz 0).
+    "q40_index_pipeline" ->
+      raw"""WITH c AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      chr(160), ' ', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS text
+  FROM documents),
+nz AS (SELECT doc_id, source, text FROM c WHERE length(text) > 0),
+wins AS (
+  SELECT doc_id, source, text,
+    unnest(generate_series(0, CAST(floor(greatest(length(text) - 201, 0) / 1000) AS BIGINT))) AS i
+  FROM nz),
+kept AS (
+  SELECT doc_id, source, CAST(i AS INT) AS win_pos, chunk_text FROM (
+    SELECT doc_id, source, i,
+      regexp_replace(substring(text, CAST(i * 1000 + 1 AS INT), 1200), '^\s+|\s+$$', '', 'g') AS chunk_text
+    FROM wins)
+  WHERE length(chunk_text) > 0),
+idx AS (
+  SELECT doc_id, source, win_pos, chunk_text,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY win_pos) - 1 AS INT) AS chunk_index
+  FROM kept),
+tk AS (
+  SELECT doc_id, win_pos,
+    unnest(list_filter(string_split_regex(lower(chunk_text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+  FROM kept),
+buckets AS (
+  SELECT DISTINCT doc_id, win_pos, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+  FROM tk),
+agg AS (
+  SELECT doc_id, win_pos, CAST(count(*) AS INT) AS nnz, CAST(sum(b) AS INT) AS nz_dim_sum
+  FROM buckets GROUP BY 1, 2)
+SELECT i.doc_id,
+  i.source || '/' || CAST(i.doc_id AS VARCHAR) || '.txt' AS filename,
+  i.chunk_index, 'fixed' AS split_strategy,
+  CAST(length(i.chunk_text) AS INT) AS chunk_len,
+  substr(md5(i.chunk_text), 1, 16) AS chunk_fp,
+  coalesce(a.nnz, 0) AS nnz, coalesce(a.nz_dim_sum, 0) AS nz_dim_sum,
+  epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS created_ms
+FROM idx i LEFT JOIN agg a ON i.doc_id = a.doc_id AND i.win_pos = a.win_pos
+ORDER BY i.doc_id, i.chunk_index""",
+
+    // semantic search (q41): sparse cosine on unnormalized integer counts —
+    // scale-invariant, so the score equals the normalized form's; dot and
+    // norm² are exact integers, the sqrt/multiply/divide are single IEEE
+    // double ops, bit-identical to Spark's. The query vector is recomputed
+    // in SQL from the literal query text via the same md5 bucketing.
+    "q41_search_text" ->
+      raw"""WITH c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      chr(160), ' ', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS text
+  FROM documents),
+nz AS (SELECT doc_id, text FROM c WHERE length(text) > 0),
+wins AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, CAST(floor(greatest(length(text) - 201, 0) / 1000) AS BIGINT))) AS i
+  FROM nz),
+kept AS (
+  SELECT doc_id, CAST(i AS INT) AS win_pos, chunk_text FROM (
+    SELECT doc_id, i,
+      regexp_replace(substring(text, CAST(i * 1000 + 1 AS INT), 1200), '^\s+|\s+$$', '', 'g') AS chunk_text
+    FROM wins)
+  WHERE length(chunk_text) > 0),
+tk AS (
+  SELECT doc_id, win_pos,
+    unnest(list_filter(string_split_regex(lower(chunk_text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+  FROM kept),
+counts AS (
+  SELECT doc_id, win_pos, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM tk GROUP BY 1, 2, 3),
+q AS (
+  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b, CAST(count(*) AS BIGINT) AS qc
+  FROM (SELECT unnest(list_filter(string_split_regex(lower('spark join query fast'),
+    '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok)
+  GROUP BY 1),
+qn AS (SELECT sqrt(CAST(sum(qc * qc) AS DOUBLE)) AS qnorm FROM q),
+scored AS (
+  SELECT co.doc_id, co.win_pos,
+    CAST(sum(co.cnt * coalesce(q.qc, 0)) AS DOUBLE) AS dot,
+    CAST(sum(co.cnt * co.cnt) AS DOUBLE) AS ss
+  FROM counts co LEFT JOIN q ON co.b = q.b
+  GROUP BY 1, 2),
+top AS (
+  SELECT s.doc_id, s.win_pos, s.dot / (sqrt(s.ss) * qn.qnorm) AS score
+  FROM scored s CROSS JOIN qn
+  ORDER BY score DESC, s.doc_id, s.win_pos LIMIT 5)
+SELECT t.doc_id, t.win_pos,
+  substr(md5(k.chunk_text), 1, 16) AS chunk_fp,
+  CAST(floor(t.score * 1000000) AS BIGINT) AS score_u
+FROM top t JOIN kept k ON t.doc_id = k.doc_id AND t.win_pos = k.win_pos
+ORDER BY score_u DESC, t.doc_id, t.win_pos""",
 
     // sentence split, lookbehind-free: maximal segments whose internal
     // whitespace never directly follows [.!?] — identical to the reference

@@ -517,30 +517,46 @@ object Queries {
         round(dsum2(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("yr"), col("mo"))
 
-  // --------------------------- typed / non-oracle probes (rows-only checks)
+  // ------------------------------------ typed / approximate probes (q40+)
 
-  /** Q40 — the full typed index pipeline (S6→P1→C1→E1→schema): clean →
-    * chunk fixed(1200,200) → hashed-TF embed(64) via mapPartitions batches,
-    * materialized with the reference's `created_at` batch timestamp
-    * (deterministic instant here so the rows-check is stable).
+  /** Q40 — the full TYPED index pipeline (S6→P1→C1→E1→schema), promoted to
+    * oracle-green: clean → chunk fixed(1200,200) → hashed-TF embed(64) via
+    * mapPartitions batches, `created_at` pinned to a deterministic instant.
+    * The projections are all INTEGER-EXACT functions of the pipeline output
+    * — chunk md5 fingerprint, non-zero embedding coordinate count and
+    * index-sum (= the distinct md5 token buckets, float-free) — so DuckDB
+    * replays the whole typed path through the relational twin's SQL
+    * (tokens → md5 % 64 buckets; OracleSql q40). This hash-checks the typed
+    * mapPartitions embedder and typed chunker END-TO-END, not just their
+    * relational siblings (q58).
     */
   def q40IndexPipeline(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val batchTs = java.time.Instant.parse("2026-01-01T00:00:00Z")
     Index.indexFrame(Index.buildIndex(documents(s, dir)), Some(batchTs))
-      .select(col("doc_id"), col("chunk_index"), col("split_strategy"),
-        length(col("chunk_text")).as("chunk_len"), size(col("embedding")).as("dim"),
+      .select(col("doc_id"), col("filename"), col("chunk_index"), col("split_strategy"),
+        length(col("chunk_text")).as("chunk_len"),
+        substring(md5(col("chunk_text")), 1, 16).as("chunk_fp"),
+        expr("size(filter(embedding, v -> v != cast(0 as float)))").as("nnz"),
+        expr("aggregate(zip_with(embedding, sequence(0, size(embedding) - 1)," +
+          " (v, i) -> if(v != cast(0 as float), i, 0)), 0, (a, x) -> a + x)").as("nz_dim_sum"),
         unix_millis(col("created_at")).as("created_ms"))
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
-  /** Q41 — the flagship semantic-search read path (SURVEY.md §3.3). */
-  def q41SearchText(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    val index = Index.buildIndex(documents(s, dir))
-      .toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
-    Index.searchText(index, "spark join query fast", k = 5, dim = 64)
-  }
+  /** Q41 — the flagship semantic-search read path (SURVEY.md §3.3), promoted
+    * to oracle-green via [[Index.searchTextRelational]]: sparse cosine on
+    * integer term counts (scale-invariant ⇒ same score as the normalized
+    * form, exactly DuckDB-replayable). The typed dense path stays spec-
+    * covered (EmbeddingsSpec/SearchSpec); IndexSearchParitySpec pins the two
+    * paths to the same ranking.
+    */
+  def q41SearchText(s: SparkSession, dir: String): DataFrame =
+    Index.searchTextRelational(documents(s, dir), "spark join query fast", k = 5)
+      .select(col("doc_id"), col("win_pos"),
+        substring(md5(col("chunk_text")), 1, 16).as("chunk_fp"),
+        floor(col("score") * 1000000).cast("long").as("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id"), col("win_pos"))
 
   /** Q42 — sentence chunking (C3/C4; lookbehind ⇒ golden-tested, not oracle). */
   def q42SentenceChunks(s: SparkSession, dir: String): DataFrame = {
@@ -559,7 +575,15 @@ object Queries {
       .select(col("id1"), col("id2"), fl(col("l2_dist"), 3).as("l2_dist"))
       .orderBy(col("id1"), col("id2"))
 
-  /** Q44 — the typed CentroidAggregator (A6) over label groups. */
+  /** Q44 — the TYPED centroid Aggregator path (A6), promoted to oracle-green
+    * via [[Dedup.QuantizedCentroidAggregator]]: element sums carried as
+    * DECIMAL(18,9)-scaled longs (exact, combine-order-independent — the
+    * double-sum nondeterminism that kept this probe rows-only is gone by
+    * construction). Emits the integer scaled sums + count; DuckDB replays
+    * them with a decimal sum (OracleSql q44). The float-mean sibling
+    * (CentroidAggregator) stays spec-covered (DedupSpec) and its relational
+    * twin is q29.
+    */
   def q44CentroidTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     embeddings(s, dir)
@@ -567,10 +591,9 @@ object Queries {
       .as[(Int, Array[Float])]
       .groupByKey(_._1)
       .mapValues(_._2)
-      .agg(new Dedup.CentroidAggregator(64).toColumn.name("centroid"))
-      .toDF("label", "centroid")
-      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
-      .select(col("label"), col("pos"), fl(col("v").cast("double"), 5).as("centroid_v"))
+      .agg(new Dedup.QuantizedCentroidAggregator(64).toColumn.name("c"))
+      .toDF("label", "c")
+      .select(col("label"), posexplode(col("c._1")).as(Seq("pos", "sum_u")), col("c._2").as("n"))
       .orderBy(col("label"), col("pos"))
   }
 
@@ -598,6 +621,12 @@ object Queries {
 
   /** Q46 — salted skew-resistant join (Joins.saltedEquiJoin): result is
     * identical to the plain inner join, so the plain join IS the oracle.
+    * Round-5 note (the r4 bench regression): customer at probe scale is
+    * broadcastable, and a BroadcastHashJoin never shuffles the big side —
+    * salting there was pure overhead (numSalts× broadcast build). The
+    * operator now detects the broadcast regime and joins plain; the salted
+    * shape (and its correctness/plan asserts) is pinned under forced-SMJ in
+    * JoinsCliSpec.
     */
   def q46SaltedJoin(s: SparkSession, dir: String): DataFrame =
     operators.Joins.saltedEquiJoin(

@@ -385,4 +385,38 @@ object Dedup {
     def outputEncoder: Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
   }
+
+  /** [[CentroidAggregator]]'s exact sibling: element-wise sums carried as
+    * DECIMAL(18,9)-scaled LONGS (each float quantized exactly the way
+    * Spark's `cast(x as decimal(18,9))` does — BigDecimal.valueOf HALF_UP),
+    * so the sum is an integer: order-independent across partitions/retries
+    * and bit-replayable by a DuckDB decimal sum (the q64/q29 discipline,
+    * applied to the typed path). Returns (per-dim scaled sums, count); the
+    * mean is `sums[i] / 1e9 / n` downstream at whatever rounding the caller
+    * wants. Map-side combine applies (merge = element-wise long add).
+    */
+  final class QuantizedCentroidAggregator(dim: Int)
+      extends Aggregator[Array[Float], (Array[Long], Long), (Array[Long], Long)] {
+    private def scaled(v: Float): Long =
+      java.math.BigDecimal.valueOf(v.toDouble)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
+    def reduce(b: (Array[Long], Long), a: Array[Float]): (Array[Long], Long) = {
+      require(a.length == dim, s"dimension mismatch: ${a.length} != $dim")
+      var i = 0
+      while (i < dim) { b._1(i) += scaled(a(i)); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(r: (Array[Long], Long)): (Array[Long], Long) = r
+    def bufferEncoder: Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    def outputEncoder: Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+  }
 }

@@ -148,6 +148,56 @@ object Index {
         col("filename"), round(col("score"), 3).as("score"))
   }
 
+  /** The oracle-portable relational twin of [[searchText]] — the same
+    * clean → chunk → hashed-TF → cosine → top-k read path, expressed as one
+    * declarative plan over portable SQL primitives: fixedRelational windows,
+    * md5-bucket term counts, and a sparse cosine computed on UNNORMALIZED
+    * integer counts (cosine is scale-invariant, so the score equals the
+    * normalized form's while every intermediate stays an exact integer —
+    * order-independent, hence DuckDB-replayable bit-for-bit; one sqrt and
+    * one division at the end are single IEEE ops).
+    *
+    * 100 TB shape: token explode → one hash-aggregate on the narrow
+    * (doc_id, win_pos, bucket) key (map-side partial combine applies), the
+    * query vector rides along as a LITERAL map (never shuffled, no join for
+    * the dot product), and the top-k is a TakeOrderedAndProject. The final
+    * join rehydrating chunk_text touches only the k winners (broadcast).
+    */
+  def searchTextRelational(docs: DataFrame, queryText: String, k: Int,
+      dim: Int = 64, chunkSize: Int = 1200, overlap: Int = 200): DataFrame = {
+    import graft.functions.TextFunctions
+    val qCounts: Map[Int, Long] = Embeddings.tokensOf(queryText)
+      .groupBy(t => Embeddings.md5Bucket(t, dim))
+      .view.mapValues(_.size.toLong).toMap
+    require(qCounts.nonEmpty, s"query text '$queryText' contains no tokens")
+    val qNorm = math.sqrt(qCounts.values.map(c => c.toDouble * c).sum)
+    val cleaned = docs
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("text"))
+      .where(length(col("text")) > 0)
+    val chunks = Chunkers.fixedRelational(cleaned, col("text"), chunkSize, overlap)
+      .select(col("doc_id"), col("win_pos"), col("chunk_text"))
+    val counts = chunks
+      .select(col("doc_id"), col("win_pos"),
+        explode(TextFunctions.wordTokens(col("chunk_text"))).as("_tok"))
+      .groupBy(col("doc_id"), col("win_pos"),
+        Embeddings.md5BucketCol(col("_tok"), dim).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val qMap = typedlit(qCounts)
+    val scored = counts
+      .groupBy(col("doc_id"), col("win_pos"))
+      .agg(
+        sum(col("cnt") * coalesce(element_at(qMap, col("b")), lit(0L))).as("dot"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("doc_id"), col("win_pos"),
+        (col("dot").cast("double") /
+          (sqrt(col("ss").cast("double")) * lit(qNorm))).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id"), col("win_pos")).limit(k)
+      .join(chunks, Seq("doc_id", "win_pos"))
+      .select(col("doc_id"), col("win_pos"), col("chunk_text"), col("score"))
+      // the k-row rehydration join does not preserve the TakeOrdered order
+      .orderBy(col("score").desc, col("doc_id"), col("win_pos"))
+  }
+
   /** Materialize the ANN read path for a written chunk index: learn IVF
     * centroids over the chunk embeddings and persist the cluster-partitioned
     * index + centroid sidecar next to it (see Search.writeIvfIndex). One

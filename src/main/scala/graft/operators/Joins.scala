@@ -21,21 +21,40 @@ object Joins {
     * (inner; equality spec-tested) but the shuffle spreads each hot key over
     * numSalts partitions.
     *
-    * Cost: small side × numSalts — keep numSalts modest (8–32) and the
-    * small side genuinely small.
+    * Salting only helps a SHUFFLE join — it spreads a hot key's rows across
+    * numSalts shuffle partitions. When the small side fits the broadcast
+    * threshold Catalyst picks a BroadcastHashJoin: the big side is never
+    * shuffled, skew cannot concentrate on one task, and replicating the
+    * build side numSalts× only bloats the broadcast build (measured 2–3× on
+    * the q46 probe). So when the optimizer's own size estimate says the
+    * small side will broadcast, this joins PLAIN (same result set); the
+    * salted shape kicks in exactly where it pays — the SMJ/SHJ regime.
+    * Pass `forceSalt = true` to keep the salted shape regardless (tests;
+    * or when the estimate is known to be wrong).
+    *
+    * Cost in the salted regime: small side × numSalts — keep numSalts
+    * modest (8–32) and the small side genuinely small.
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
-      saltSource: Column, numSalts: Int = 16): DataFrame = {
+      saltSource: Column, numSalts: Int = 16,
+      forceSalt: Boolean = false): DataFrame = {
     require(numSalts > 0)
-    val salted = big.withColumn("_salt", pmod(hash(saltSource), lit(numSalts)))
-    val replicated = small.withColumn("_salt",
-      explode(sequence(lit(0), lit(numSalts - 1))))
-    // resolve each key against its own frame: with same-named keys on both
-    // sides (the common true-equi-join case) bare col(...) is ambiguous
-    salted.join(replicated,
-        salted("_salt") === replicated("_salt") && salted(bigKey) === replicated(smallKey))
-      .drop("_salt")
+    val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val willBroadcast = threshold > 0 &&
+      small.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    if (willBroadcast && !forceSalt)
+      big.join(small, big(bigKey) === small(smallKey))
+    else {
+      val salted = big.withColumn("_salt", pmod(hash(saltSource), lit(numSalts)))
+      val replicated = small.withColumn("_salt",
+        explode(sequence(lit(0), lit(numSalts - 1))))
+      // resolve each key against its own frame: with same-named keys on both
+      // sides (the common true-equi-join case) bare col(...) is ambiguous
+      salted.join(replicated,
+          salted("_salt") === replicated("_salt") && salted(bigKey) === replicated(smallKey))
+        .drop("_salt")
+    }
   }
 
   /** As-of join (J7), pandas-merge_asof-complete: for each left row, the

@@ -21,10 +21,10 @@ class ContractSpec extends SparkSpec {
 
   test("rows-only probes are exactly the declared set (new probes need oracles)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    val declared = Set( // typed/approximate/streaming/file-ingest — reasons in SURVEY §2.11-2.12
-      // (q42 gained a recursive-CTE oracle and q45 a pixel-formula oracle in round 4)
-      "q40_index_pipeline", "q41_search_text",
-      "q43_lsh_ann", "q44_centroid_typed",
+    val declared = Set( // approximate/streaming/file-ingest — reasons in SURVEY §2.11-2.12
+      // (q42/q45 gained oracles in round 4; q40/q41/q44 in round 5 via the
+      // portable md5-TF embedder, sparse cosine, and decimal-quantized sums)
+      "q43_lsh_ann",
       "q47_tfidf", "q50_streaming", "q51_file_ingest")
     assert(rowsOnly == declared,
       s"undeclared rows-only probes: ${rowsOnly.diff(declared)}; stale declarations: ${declared.diff(rowsOnly)}")

@@ -7,7 +7,7 @@ import graft.operators.Joins
 /** Salted-join/aggregation equivalence, bucketed co-located joins, CLI. */
 class JoinsCliSpec extends SparkSpec {
 
-  test("saltedEquiJoin result ≡ plain inner join on a skewed key") {
+  test("saltedEquiJoin result ≡ plain inner join on a skewed key (salted regime)") {
     import spark.implicits._
     // 90% of rows share key 1 — the hot-key shape salting is for
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 1, i.toLong))
@@ -15,10 +15,43 @@ class JoinsCliSpec extends SparkSpec {
     val small = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k2", "name")
     val plain = big.join(small, col("k") === col("k2"))
       .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val salted = Joins.saltedEquiJoin(big, small, "k", "k2", col("rowid"), numSalts = 8)
+    // forceSalt: this tiny small side would otherwise take the broadcast
+    // skip path — here we pin the SALTED shape's correctness
+    val saltedDf = Joins.saltedEquiJoin(big, small, "k", "k2", col("rowid"),
+      numSalts = 8, forceSalt = true)
+    val salted = saltedDf
       .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(salted == plain)
     assert(plain.nonEmpty)
+    // the salted shape actually salts: _salt participates in the join keys
+    assert(saltedDf.queryExecution.optimizedPlan.toString.contains("_salt"))
+  }
+
+  test("saltedEquiJoin skips salting when the small side will broadcast") {
+    import spark.implicits._
+    val big = (1 to 2000).map(i => (i % 7, i.toLong)).toDF("k", "rowid")
+    val small = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k2", "name")
+    // broadcast regime (default 10MB threshold): a BroadcastHashJoin never
+    // shuffles the big side, so skew cannot concentrate — salting would only
+    // replicate the broadcast build numSalts×. The operator must join plain.
+    val skipped = Joins.saltedEquiJoin(big, small, "k", "k2", col("rowid"), numSalts = 8)
+    assert(!skipped.queryExecution.optimizedPlan.toString.contains("_salt"),
+      "broadcastable small side must take the unsalted path")
+    val plain = big.join(small, col("k") === col("k2"))
+      .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = skipped.select("rowid", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == plain)
+    // and with broadcast disabled, the same call salts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Joins.saltedEquiJoin(big, small, "k", "k2", col("rowid"), numSalts = 8)
+      assert(salted.queryExecution.optimizedPlan.toString.contains("_salt"),
+        "with broadcast off the salted shape must engage")
+      val got2 = salted.select("rowid", "name")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got2 == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
   test("saltedGroupBy ≡ direct groupBy for decomposable aggs") {

@@ -32,6 +32,31 @@ class SearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("searchTextRelational ≡ dense typed searchText: same ranking, same scores") {
+    // The portable sparse-cosine read path (q41's oracle-green form) must
+    // rank identically to the typed HashingTfEmbedder + dense cosine path:
+    // cosine is scale-invariant, so normalized-float vs integer-count
+    // scoring may differ only by float rounding, never by ordering here.
+    val docs = Tables.documents(spark, sf001)
+    val query = "spark join query fast"
+    val sparse = graft.operators.Index
+      .searchTextRelational(docs, query, k = 5)
+      .select("doc_id", "chunk_text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val index = graft.operators.Index.buildIndex(docs)
+      .toDF("doc_id", "filename", "chunk_index", "split_strategy", "chunk_text", "embedding")
+    val dense = graft.operators.Index.searchText(index, query, k = 5, dim = 64)
+      .select("doc_id", "chunk_text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(sparse.length == 5 && dense.length == 5)
+    assert(sparse.map(t => (t._1, t._2)).toSeq == dense.map(t => (t._1, t._2)).toSeq,
+      "sparse and dense search must return the same chunks in the same order")
+    sparse.zip(dense).foreach { case ((_, _, s), (_, _, d)) =>
+      // dense path rounds its score to 3dp for display; compare at that grain
+      assert(math.abs(s - d) < 2e-3, s"score drift: sparse=$s dense=$d")
+    }
+  }
+
   test("bm25Scores matches a driver-side reference implementation exactly") {
     import spark.implicits._
     val corpus = Seq(
