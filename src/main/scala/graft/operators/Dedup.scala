@@ -67,11 +67,17 @@ object Dedup {
     *
     * @param df       input with `idCol` (numeric id) and `tokensCol`
     *                 (materialized token array)
+    * @param checkpoint how the verified pair set is eagerly materialized so
+    *                 the shingle/band caches can be released: Local
+    *                 (single-JVM default), Reliable (cluster-durable via
+    *                 setCheckpointDir) or Parquet(dir) — see
+    *                 [[CheckpointStrategy]]
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
-      threshold: Double = 0.5, bandSalts: Int = 4): DataFrame = {
+      threshold: Double = 0.5, bandSalts: Int = 4,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(bandSalts > 0)
     val rowsPerBand = numHashes / numBands
     // The shingle subplan is consumed three times (both self-join sides and
@@ -124,14 +130,10 @@ object Dedup {
     // then RELEASE the cached intermediates: leaving them pinned leaked the
     // full shingle+signature blocks for the life of the session — under an
     // 8g driver that accumulation regressed the round-2 bench 8.5× on this
-    // one probe. localCheckpoint holds only the output rows.
-    // DEPLOYMENT NOTE: localCheckpoint blocks are executor-local and
-    // NON-replicated — on a multi-executor cluster, losing an executor
-    // after this point makes the returned frame unrecoverable. For cluster
-    // runs, swap for reliable checkpointing (sc.setCheckpointDir +
-    // .checkpoint()) or write the pairs to parquet; the unpersist pattern
-    // is unchanged.
-    val out = verified.localCheckpoint(true)
+    // one probe. The materialized cut holds only the output rows; HOW it is
+    // cut (executor-local blocks vs reliable checkpoint vs parquet) is the
+    // caller's durability decision — see CheckpointStrategy.
+    val out = CheckpointStrategy.materialize(verified, checkpoint)
     sh.unpersist(false)
     banded.unpersist(false)
     out
@@ -247,7 +249,8 @@ object Dedup {
   def incrementalNearDupPairs(batch: DataFrame, idCol: String, tokensCol: String,
       storePath: String, shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
       threshold: Double = 0.5, bandSalts: Int = 4,
-      onPairs: DataFrame => Unit = _ => ()): DataFrame = {
+      onPairs: DataFrame => Unit = _ => (),
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val spark = batch.sparkSession
     val rowsPerBand = numHashes / numBands
     val sketchPath = s"$storePath/sketches"
@@ -309,8 +312,10 @@ object Dedup {
     // the sink but before the store append replays the batch and at worst
     // re-emits the same pairs (at-least-once); the reverse order would
     // LOSE them forever (replayed ids anti-join out, pairs never written).
-    // Single-JVM localCheckpoint caveat as in minhashNearDupPairs.
-    val out = verified.localCheckpoint(true)
+    // Durability of the cut itself is the caller's CheckpointStrategy
+    // (cluster runs: Reliable or Parquet — the default Local cut is
+    // single-JVM, as in minhashNearDupPairs).
+    val out = CheckpointStrategy.materialize(verified, checkpoint)
     onPairs(out)
     fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sketchPath)
     fresh.unpersist(false)

@@ -350,7 +350,8 @@ object Search {
       * eagerly and the hash cache released — no session-lifetime blocks.
       */
     def approxPairs(df: DataFrame, idCol: String, vecCol: String,
-        maxL2Dist: Double): DataFrame = {
+        maxL2Dist: Double,
+        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
       val prepared = withVec(df, vecCol)
       val model = new BucketedRandomProjectionLSH()
         .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
@@ -362,11 +363,10 @@ object Search {
         .select(col(s"datasetA.$idCol").as("id1"),
           col(s"datasetB.$idCol").as("id2"), col("l2_dist"))
         .where(col("id1") < col("id2"))
-      // localCheckpoint: eager cut so `hashed` can be released immediately
-      // (round-2 variance fix). DEPLOYMENT NOTE: its blocks are
-      // executor-local and non-replicated — single-JVM assumption; cluster
-      // runs should use reliable checkpointing or a parquet hand-off.
-      val out = pairs.localCheckpoint(true)
+      // eager cut so `hashed` can be released immediately (round-2 variance
+      // fix); the cut's durability is the caller's CheckpointStrategy —
+      // default Local is single-JVM, cluster runs pass Reliable/Parquet.
+      val out = CheckpointStrategy.materialize(pairs, checkpoint)
       hashed.unpersist(false)
       out
     }

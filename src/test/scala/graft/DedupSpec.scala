@@ -58,6 +58,33 @@ class DedupSpec extends SparkSpec {
     assert(salted.nonEmpty && salted.size == salted.distinct.size)
   }
 
+  test("CheckpointStrategy: Local / Reliable / Parquet cuts return identical pairs") {
+    import spark.implicits._
+    import graft.operators.CheckpointStrategy
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base + " extra"),
+        (3L, "completely different content about database engines and columnar storage"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    def run(s: CheckpointStrategy) =
+      Dedup.minhashNearDupPairs(df, "doc_id", "toks",
+          shingleN = 3, numHashes = 12, numBands = 6, threshold = 0.5, checkpoint = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // Reliable without a checkpoint dir must fail FAST (before any job)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] { run(CheckpointStrategy.Reliable) }
+    val local = run(CheckpointStrategy.Local)
+    val pqDir = java.nio.file.Files.createTempDirectory("ckpt-pq").toString
+    val viaParquet = run(CheckpointStrategy.Parquet(s"$pqDir/pairs"))
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("ckpt-rel").toString)
+    val reliable = run(CheckpointStrategy.Reliable)
+    assert(local == Seq((1L, 2L)))
+    assert(viaParquet == local && reliable == local)
+    // the Parquet cut is a durable artifact: re-readable after the fact
+    assert(spark.read.parquet(s"$pqDir/pairs").count() == 1)
+  }
+
   test("simhash: identical docs identical; near docs close in Hamming distance") {
     import spark.implicits._
     val df = Seq(
