@@ -727,9 +727,11 @@ object Queries {
       val (docId, text) = (r.getLong(0), r.getString(1))
       val (ext, bytes) = (docId % 3) match {
         case 0 => ("txt", text.getBytes("UTF-8"))
-        // alternate plain and symbolic-font PDFs: the ToUnicode CMap path
-        // extracts the SAME text, so q51's rows are invariant to it
-        case 1 if docId % 2 == 0 => ("pdf", MinimalPdf.writeWithToUnicode(text))
+        // rotate plain 1.4, symbolic-font, and 1.5 ObjStm+xref-stream PDFs:
+        // all three extract the SAME text, so q51's rows are invariant
+        case 1 if docId % 6 == 4 => ("pdf", MinimalPdf.writeWithToUnicode(text))
+        case 1 if docId % 6 == 1 =>
+          ("pdf", MinimalPdf.writeObjStm(text, usePredictor = docId % 4 == 1))
         case 1 => ("pdf", MinimalPdf.write(text))
         case _ => ("docx", MinimalDocx.write(text.split("\n", -1).toSeq))
       }

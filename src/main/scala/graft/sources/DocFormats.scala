@@ -25,9 +25,12 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     PDF-1.7 spec §9.10, with the font switched by the `Tf` operator —
   *     so font-encoded text extracts correctly, as the reference gets from
   *     PyMuPDF (index_documents.py:38-47). Fonts without either mapping
-  *     fall back to UTF-8/latin-1 byte identity. Still NOT a full PDF
-  *     renderer: no encryption, no composite-font CID→GID tables beyond
-  *     ToUnicode, no cross-reference validation.
+  *     fall back to UTF-8/latin-1 byte identity. PDF 1.5+ file structure
+  *     (round-5): `/ObjStm` object streams expanded (§7.5.7), cross-
+  *     reference streams decoded incl. PNG-predictor DecodeParms (§7.5.8)
+  *     with type-0 entries dropping freed objects, and incremental updates
+  *     resolved last-version-wins (§7.5.6). Still NOT a full PDF renderer:
+  *     no encryption, no composite-font CID→GID tables beyond ToUnicode.
   */
 object DocFormats {
 
@@ -199,11 +202,103 @@ object DocFormats {
       out.toByteArray
     }
 
+    /** Write a PDF-1.5 document exercising the modern file structure most
+      * real-world PDFs use (and [[write]] doesn't): catalog/pages/page/font
+      * dicts packed into a Flate-compressed OBJECT STREAM (§7.5.7), located
+      * by a CROSS-REFERENCE STREAM (§7.5.8) with `/W [1 2 2]` type-2
+      * entries — optionally PNG-Up-predicted (`/DecodeParms /Predictor 12`,
+      * the encoding real generators emit). The drawn text itself matches
+      * [[write]] exactly, so extraction parity between the 1.4 and 1.5
+      * forms is directly assertable.
+      */
+    def writeObjStm(text: String, usePredictor: Boolean = false): Array[Byte] = {
+      val lines = text.split("\n", -1)
+      val content = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (i > 0) content.append("0 -14 Td\n")
+        content.append(s"(${escapeString(line)}) Tj\n")
+      }
+      content.append("ET\n")
+      def deflate(b: Array[Byte]): Array[Byte] = {
+        val bos = new ByteArrayOutputStream()
+        val dos = new DeflaterOutputStream(bos, new Deflater(Deflater.DEFAULT_COMPRESSION))
+        dos.write(b); dos.close()
+        bos.toByteArray
+      }
+      val contentZ = deflate(content.toString.getBytes(UTF_8))
+      // object stream payload: objects 1 (catalog), 2 (pages), 3 (page),
+      // 5 (font) — offsets relative to /First
+      val bodies = Vector(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+      val offsets = bodies.scanLeft(0) { case (acc, (_, b)) => acc + b.length + 1 }
+      val header = bodies.zip(offsets).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+      val objStmPlain = header + bodies.map(_._2).mkString("\n") + "\n"
+      val objStmZ = deflate(objStmPlain.getBytes(UTF_8))
+      val out = new ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+      w("%PDF-1.5\n")
+      val off4 = out.size()
+      w(s"4 0 obj << /Length ${contentZ.length} /Filter /FlateDecode >> stream\n")
+      out.write(contentZ); w("\nendstream endobj\n")
+      val off6 = out.size()
+      w(s"6 0 obj << /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
+        s"/Length ${objStmZ.length} /Filter /FlateDecode >> stream\n")
+      out.write(objStmZ); w("\nendstream endobj\n")
+      val off7 = out.size()
+      // xref entries, /W [1 2 2]: (type, field2, field3)
+      val entries = Vector[(Int, Int, Int)](
+        (0, 0, 65535),    // 0: head of free list
+        (2, 6, 0),        // 1..3, 5: compressed in ObjStm 6 at index i
+        (2, 6, 1),
+        (2, 6, 2),
+        (1, off4, 0),     // 4: direct offset
+        (2, 6, 3),
+        (1, off6, 0),     // 6: the ObjStm itself
+        (1, off7, 0))     // 7: this xref stream
+      val rowLen = 5
+      val rows = entries.map { case (t, f2, f3) =>
+        Array[Byte](t.toByte, (f2 >> 8).toByte, f2.toByte, (f3 >> 8).toByte, f3.toByte)
+      }
+      val xrefData =
+        if (!usePredictor) rows.flatten.toArray
+        else { // PNG Up filter (tag 2): row = cur - prev, prev₀ = zeros
+          val buf = new ByteArrayOutputStream()
+          var prev = new Array[Byte](rowLen)
+          rows.foreach { cur =>
+            buf.write(2)
+            var i = 0
+            while (i < rowLen) { buf.write((cur(i) - prev(i)) & 0xff); i += 1 }
+            prev = cur
+          }
+          buf.toByteArray
+        }
+      val xrefZ = deflate(xrefData)
+      val parms = if (usePredictor) s" /DecodeParms << /Predictor 12 /Columns $rowLen >>" else ""
+      w(s"7 0 obj << /Type /XRef /Size ${entries.length} /W [1 2 2] /Root 1 0 R" +
+        s" /Length ${xrefZ.length} /Filter /FlateDecode$parms >> stream\n")
+      out.write(xrefZ); w("\nendstream endobj\n")
+      w(s"startxref\n$off7\n%%EOF\n")
+      out.toByteArray
+    }
+
     /** Extract text from every content stream, decoding shown strings
       * through the font active at show time (see object doc for scope).
+      *
+      * PDF 1.5+ (round-5): object streams (`/Type /ObjStm`, spec §7.5.7)
+      * are expanded in place — their contained objects (catalogs, pages,
+      * FONT dicts in real-world files) join the object table; cross-
+      * reference STREAMS (`/Type /XRef`, §7.5.8, incl. PNG-predictor
+      * DecodeParms) are decoded and their type-0 entries drop FREED
+      * objects still physically present in the file; and incremental
+      * updates resolve to the LAST version of each object number (§7.5.6
+      * append-only semantics), so superseded content isn't extracted twice.
       */
     def extractText(pdf: Array[Byte]): String = {
-      val objs = parseObjects(pdf)
+      val objs = liveObjects(expandObjStreams(parseObjects(pdf)))
       val fonts = fontDecoders(objs)
       val pages = contentStreamsOf(objs).map(streamText(_, fonts))
       // per-page join, index_documents.py:44-46 — empty pages included, so
@@ -278,7 +373,8 @@ object DocFormats {
                 "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",
                 "/JPXDecode", "/Crypt").exists(dict.contains)
               if (otherFilter) None
-              else if (dict.contains("/FlateDecode")) Some(inflate(raw))
+              else if (dict.contains("/FlateDecode"))
+                Some(applyDecodeParms(dict, inflate(raw)))
               else Some(raw)
             }
           }
@@ -294,6 +390,168 @@ object DocFormats {
         out += PdfObj(m.group(1).toInt, dict, payload)
       }
       out.result()
+    }
+
+    // --------------------------------------------- PDF 1.5+ object plumbing
+
+    /** Expand `/Type /ObjStm` object streams (PDF-1.7 §7.5.7) in place:
+      * the stream payload is `/N` pairs of `objnum offset` (offsets
+      * relative to `/First`), followed by the objects' serialized bodies —
+      * dicts only, never streams, so each becomes a stream-less [[PdfObj]]
+      * spliced right after its container (preserving incremental-update
+      * version order for [[latestVersions]]).
+      */
+    private def expandObjStreams(objs: Vector[PdfObj]): Vector[PdfObj] =
+      objs.flatMap { o =>
+        if (!o.dict.contains("/ObjStm") || o.stream.isEmpty) Vector(o)
+        else {
+          val s = new String(o.stream.get, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(0)
+          val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(0)
+          val pairs = s.substring(0, math.min(first, s.length)).trim
+            .split("\\s+").iterator.filter(_.nonEmpty).map(_.toInt)
+            .grouped(2).collect { case Seq(num, off) => (num, off) }
+            .take(n).toVector
+          val contained = pairs.zipWithIndex.map { case ((num, off), i) =>
+            val start = math.min(first + off, s.length)
+            val end =
+              if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+              else s.length
+            PdfObj(num, s.substring(start, math.max(start, end)), None)
+          }
+          o +: contained
+        }
+      }
+
+    /** big-endian unsigned int of `len` bytes at `off` */
+    private def beInt(data: Array[Byte], off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (data(off + i) & 0xffL); i += 1 }
+      v
+    }
+
+    /** Object numbers whose NEWEST cross-reference STREAM entry (§7.5.8)
+      * is type 0 — freed objects whose bytes may still sit in the file
+      * (incremental-update deletes). Classic xref TABLES are not consulted:
+      * the linear object scan replaces offset lookup entirely, and table
+      * free-lists in the wild overwhelmingly refer to objects whose bytes
+      * are gone. Entry fields are `/W`-sized big-endian ints; a zero width
+      * for field 1 defaults the type to 1 (§7.5.8.3).
+      */
+    private def xrefFreedObjects(objs: Vector[PdfObj]): Set[Int] = {
+      val tpe = scala.collection.mutable.Map[Int, Long]()
+      for {
+        o <- objs
+        if """/Type\s*/XRef""".r.findFirstIn(o.dict).isDefined
+        data <- o.stream
+      } {
+        val w = """/W\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict)
+          .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt).toSeq)
+          .getOrElse(Seq(1, 1, 1))
+        val size = """/Size\s+(\d+)""".r.findFirstMatchIn(o.dict)
+          .map(_.group(1).toInt).getOrElse(0)
+        val index = """/Index\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict)
+          .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt).toSeq)
+          .getOrElse(Seq(0, size))
+        val rowLen = w.sum
+        var pos = 0
+        for (sub <- index.grouped(2) if sub.length == 2; k <- 0 until sub(1)) {
+          if (pos + rowLen <= data.length) {
+            val t = if (w(0) == 0) 1L else beInt(data, pos, w(0))
+            tpe(sub(0) + k) = t // later xref sections (appended updates) win
+          }
+          pos += rowLen
+        }
+      }
+      tpe.collect { case (num, 0L) => num }.toSet
+    }
+
+    /** Incremental updates append NEW versions of existing object numbers
+      * (§7.5.6): resolve each number to its LAST occurrence (newest),
+      * keeping first-occurrence document position so page order is stable.
+      */
+    private def latestVersions(objs: Vector[PdfObj]): Vector[PdfObj] = {
+      val last = objs.groupBy(_.num).map { case (n, vs) => n -> vs.last }
+      val seen = scala.collection.mutable.Set[Int]()
+      objs.flatMap(o => if (seen.add(o.num)) Some(last(o.num)) else None)
+    }
+
+    private def liveObjects(objs: Vector[PdfObj]): Vector[PdfObj] = {
+      val freed = xrefFreedObjects(objs)
+      latestVersions(objs).filterNot(o => freed(o.num))
+    }
+
+    /** Apply `/DecodeParms` predictors to an inflated payload: PNG
+      * predictors 10–15 (per-row filter tag: None/Sub/Up/Average/Paeth —
+      * what real xref streams use, usually Up=12) and TIFF predictor 2
+      * (8-bit). Predictor 1/absent = identity.
+      */
+    private def applyDecodeParms(dict: String, data: Array[Byte]): Array[Byte] = {
+      val at = dict.indexOf("/DecodeParms")
+      if (at < 0) return data
+      val rest = dict.substring(at + "/DecodeParms".length)
+      val lt = rest.indexOf("<<")
+      if (lt < 0) return data
+      val d = balancedDict(rest.substring(lt))
+      def iv(name: String, dflt: Int) =
+        (java.util.regex.Pattern.quote(name) + """\s+(\d+)""").r
+          .findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(dflt)
+      unpredict(data, iv("/Predictor", 1), iv("/Columns", 1),
+        iv("/Colors", 1), iv("/BitsPerComponent", 8))
+    }
+
+    private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+        colors: Int, bpc: Int): Array[Byte] = {
+      if (predictor < 2) data
+      else if (predictor == 2) {
+        require(bpc == 8, s"TIFF predictor needs 8-bit components, got $bpc")
+        val bpp = math.max(1, colors)
+        val rowLen = columns * colors
+        val out = data.clone()
+        var r = 0
+        while ((r + 1) * rowLen <= out.length) {
+          var i = r * rowLen + bpp
+          while (i < (r + 1) * rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+          r += 1
+        }
+        out
+      } else {
+        val bpp = math.max(1, colors * bpc / 8)
+        val rowLen = (columns * colors * bpc + 7) / 8
+        val stride = rowLen + 1
+        val rows = data.length / stride
+        val out = new Array[Byte](rows * rowLen)
+        val prev = new Array[Byte](rowLen)
+        var r = 0
+        while (r < rows) {
+          val tag = data(r * stride) & 0xff
+          val cur = java.util.Arrays.copyOfRange(data, r * stride + 1, r * stride + 1 + rowLen)
+          var i = 0
+          while (i < rowLen) {
+            val a = if (i >= bpp) cur(i - bpp) & 0xff else 0 // left (reconstructed)
+            val b = prev(i) & 0xff                           // up
+            val c = if (i >= bpp) prev(i - bpp) & 0xff else 0 // up-left
+            val x = cur(i) & 0xff
+            val v = tag match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + (a + b) / 2
+              case 4 =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+                x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              case t => throw new IllegalArgumentException(s"unknown PNG filter tag $t")
+            }
+            cur(i) = (v & 0xff).toByte
+            i += 1
+          }
+          System.arraycopy(cur, 0, out, r * rowLen, rowLen)
+          System.arraycopy(cur, 0, prev, 0, rowLen)
+          r += 1
+        }
+        out
+      }
     }
 
     /** Decoded payloads that look like page content (BT/Tj/TJ operators),

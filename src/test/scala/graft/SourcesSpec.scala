@@ -42,6 +42,73 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(quoteOp.getBytes("UTF-8")) == "line1\nline2\nline3")
   }
 
+  test("MinimalPdf 1.5: ObjStm + xref-stream round-trip ≡ the 1.4 form") {
+    import graft.sources.DocFormats.MinimalPdf
+    val text = "modern pdf body\n\nwith (escapes) and a blank line\ttab"
+    // plain xref stream and PNG-Up-predicted xref stream both extract
+    assert(MinimalPdf.extractText(MinimalPdf.writeObjStm(text)) == text)
+    assert(MinimalPdf.extractText(MinimalPdf.writeObjStm(text, usePredictor = true)) == text)
+    // same drawn text as the 1.4 writer ⇒ identical extraction
+    assert(MinimalPdf.extractText(MinimalPdf.writeObjStm(text)) ==
+      MinimalPdf.extractText(MinimalPdf.write(text)))
+    // the envelope really is 1.5-shaped: ObjStm + XRef stream, no xref table
+    val s = new String(MinimalPdf.writeObjStm(text), java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.5") && s.contains("/ObjStm") && s.contains("/XRef"))
+    assert(!s.contains("trailer"))
+  }
+
+  test("MinimalPdf 1.5: font dict inside the ObjStm is reachable (ToUnicode-free path)") {
+    import graft.sources.DocFormats.MinimalPdf
+    // the 1.5 writer's font lives only inside the compressed object stream;
+    // if ObjStm expansion broke, /F1 would be unmapped but extraction would
+    // still identity-decode — this pins that the font dict is actually FOUND
+    val text = "font in objstm"
+    val objs = MinimalPdf.writeObjStm(text)
+    val plain = new String(objs, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!plain.contains("/BaseFont /Helvetica"), "font dict must be compressed away")
+    assert(MinimalPdf.extractText(objs) == text)
+  }
+
+  test("MinimalPdf: incremental updates — superseded versions and freed objects drop") {
+    import graft.sources.DocFormats.MinimalPdf
+    val base = MinimalPdf.write("original body")
+    val baseStr = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def flatObj(num: Int, body: String): String = {
+      val z = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.util.zip.DeflaterOutputStream(bos)
+        dos.write(body.getBytes("UTF-8")); dos.close()
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      s"$num 0 obj << /Length ${z.length} /Filter /FlateDecode >> stream\n$z\nendstream endobj\n"
+    }
+    // (a) appended NEW VERSION of content object 4 replaces the original
+    val updated = baseStr.stripSuffix("%%EOF\n") +
+      flatObj(4, "BT /F1 12 Tf 72 720 Td (updated body) Tj ET\n") + "%%EOF\n"
+    assert(MinimalPdf.extractText(
+      updated.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) == "updated body")
+    // (b) appended ghost object + xref STREAM marking it free ⇒ excluded
+    val ghost = flatObj(8, "BT /F1 12 Tf 72 720 Td (ghost text) Tj ET\n")
+    // W=[1 2 2], Index [8 1], one type-0 entry: object 8 is freed
+    val entry = Array[Byte](0, 0, 0, 0, 0)
+    val xz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(bos)
+      dos.write(entry); dos.close()
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val xref = s"9 0 obj << /Type /XRef /Size 10 /W [1 2 2] /Index [8 1] /Root 1 0 R" +
+      s" /Length ${xz.length} /Filter /FlateDecode >> stream\n$xz\nendstream endobj\n"
+    val withGhost = baseStr.stripSuffix("%%EOF\n") + ghost + xref + "%%EOF\n"
+    assert(MinimalPdf.extractText(
+      withGhost.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) == "original body")
+    // sanity: without the freeing xref stream the ghost WOULD extract
+    val noXref = baseStr.stripSuffix("%%EOF\n") + ghost + "%%EOF\n"
+    assert(MinimalPdf.extractText(
+      noXref.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      == "original body\nghost text")
+  }
+
   test("MinimalPdf: ToUnicode CMap round-trip recovers symbolically-encoded text") {
     import graft.sources.DocFormats.MinimalPdf
     val text = "The quick brown fox!\nSecond line, 42 degrees.\n\naccents: éüñ€"
