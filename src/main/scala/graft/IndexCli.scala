@@ -15,7 +15,20 @@ import graft.sources.DocumentSources
   *   IndexCli --input <docsDir> --output <indexDir>
   *            [--strategy fixed|sentence|paragraph] [--chunk-size 1200]
   *            [--overlap 200] [--batch-size 32] [--embedding-dim 64]
+  *            [--provider hashing-tf|gemini]
+  *            [--embedding-model gemini-embedding-001]
+  *            [--api-key-env GEMINI_API_KEY]
+  *            [--jdbc-url jdbc:...] [--jdbc-table document_chunks]
   *            [--query "some text"] [--top-k 5]
+  *
+  * Provider selection matches `--embedding-model`/the reference's Gemini
+  * client (index_documents.py:262, :142-164): `hashing-tf` is the
+  * deterministic offline default; `gemini` speaks the public
+  * batchEmbedContents REST contract ([[operators.GeminiEmbeddingProvider]])
+  * with the key read from `--api-key-env`. `--jdbc-url` additionally loads
+  * the chunk rows into a pgvector-style table via
+  * [[graft.sources.Sinks.writeJdbcChunks]] (the reference's INSERT target,
+  * index_documents.py:213-224); the parquet index is always written.
   */
 object IndexCli {
 
@@ -23,6 +36,10 @@ object IndexCli {
       input: String = "", output: String = "",
       strategy: String = "fixed", chunkSize: Int = 1200, overlap: Int = 200,
       batchSize: Int = 32, embeddingDim: Int = 64,
+      provider: String = "hashing-tf",
+      embeddingModel: String = "gemini-embedding-001",
+      apiKeyEnv: String = "GEMINI_API_KEY",
+      jdbcUrl: Option[String] = None, jdbcTable: String = "document_chunks",
       query: Option[String] = None, topK: Int = 5)
 
   def parse(argv: Array[String]): Args = {
@@ -35,6 +52,11 @@ object IndexCli {
       case "--overlap" :: v :: t => loop(a.copy(overlap = v.toInt), t)
       case "--batch-size" :: v :: t => loop(a.copy(batchSize = v.toInt), t)
       case "--embedding-dim" :: v :: t => loop(a.copy(embeddingDim = v.toInt), t)
+      case "--provider" :: v :: t => loop(a.copy(provider = v), t)
+      case "--embedding-model" :: v :: t => loop(a.copy(embeddingModel = v), t)
+      case "--api-key-env" :: v :: t => loop(a.copy(apiKeyEnv = v), t)
+      case "--jdbc-url" :: v :: t => loop(a.copy(jdbcUrl = Some(v)), t)
+      case "--jdbc-table" :: v :: t => loop(a.copy(jdbcTable = v), t)
       case "--query" :: v :: t => loop(a.copy(query = Some(v)), t)
       case "--top-k" :: v :: t => loop(a.copy(topK = v.toInt), t)
       case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
@@ -42,11 +64,34 @@ object IndexCli {
     val a = loop(Args(), argv.toList)
     require(a.input.nonEmpty, "--input is required")
     require(a.output.nonEmpty, "--output is required")
+    require(a.provider == "hashing-tf" || a.provider == "gemini",
+      s"--provider must be hashing-tf|gemini, got: ${a.provider}")
     a
   }
 
+  /** Provider factory for the parsed args. `post` is the HTTP transport
+    * (injectable for tests — the Gemini provider's only side effect);
+    * `env` is the secret lookup (defaults to the process environment).
+    */
+  def providerFactory(args: Args,
+      post: (String, String, Map[String, String]) => String =
+        operators.RestEmbeddingProvider.httpPostHeaders,
+      env: String => Option[String] = sys.env.get): () => Embeddings.EmbeddingProvider =
+    args.provider match {
+      case "hashing-tf" => () => new Embeddings.HashingTfEmbedder(args.embeddingDim)
+      case "gemini" =>
+        val key = env(args.apiKeyEnv).getOrElse(throw new IllegalArgumentException(
+          s"--provider gemini needs the API key env var ${args.apiKeyEnv} (override with --api-key-env)"))
+        () => new operators.GeminiEmbeddingProvider(
+          key, args.embeddingDim, args.embeddingModel, post = post)
+      case other => throw new IllegalArgumentException(s"Unknown provider: $other")
+    }
+
   /** The pipeline body, separated from main() for testability. */
-  def run(spark: SparkSession, args: Args): Long = {
+  def run(spark: SparkSession, args: Args,
+      post: (String, String, Map[String, String]) => String =
+        operators.RestEmbeddingProvider.httpPostHeaders,
+      env: String => Option[String] = sys.env.get): Long = {
     implicit val s: SparkSession = spark
     val strategy = SplitStrategy.fromName(args.strategy, args.chunkSize, args.overlap)
     val docs = DocumentSources.readDocuments(spark, args.input)
@@ -60,10 +105,13 @@ object IndexCli {
     }
     val chunks = Chunkers.chunkDataset(cleaned, strategy)
     val rows = Embeddings.embedDataset(chunks,
-      () => new Embeddings.HashingTfEmbedder(args.embeddingDim), args.batchSize)
+      providerFactory(args, post, env), args.batchSize)
     Index.writeIndex(rows, args.output)
     val written = spark.read.parquet(args.output)
     val n = written.count()
+    args.jdbcUrl.foreach { url =>
+      graft.sources.Sinks.writeJdbcChunks(written, url, args.jdbcTable)
+    }
     args.query.foreach { q =>
       Index.searchText(written, q, args.topK, args.embeddingDim)
         .show(args.topK, truncate = false)

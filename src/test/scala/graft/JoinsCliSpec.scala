@@ -163,6 +163,61 @@ class JoinsCliSpec extends SparkSpec {
     assert(back.select("filename").distinct().count() == 2)
   }
 
+  test("IndexCli: --provider gemini routes through the REST wire contract (mock transport)") {
+    // provider/model flags parse like the reference argparse
+    // (index_documents.py:262: --embedding-model, default gemini-embedding-001)
+    val g = IndexCli.parse(Array("--input", "/in", "--output", "/out",
+      "--provider", "gemini", "--embedding-model", "my-model", "--api-key-env", "MY_KEY"))
+    assert(g.provider == "gemini" && g.embeddingModel == "my-model" && g.apiKeyEnv == "MY_KEY")
+    intercept[IllegalArgumentException](
+      IndexCli.parse(Array("--input", "a", "--output", "b", "--provider", "nope")))
+    // missing key env fails fast with the flag name in the message
+    val noKey = intercept[IllegalArgumentException] {
+      IndexCli.providerFactory(g, env = _ => None)
+    }
+    assert(noKey.getMessage.contains("MY_KEY"))
+
+    // end-to-end with a mock transport: echo back one dim-sized vector per
+    // request entry; capture endpoint + auth header to pin the wire shape
+    val dim = 8
+    // the transport closure is task-serialized even on local[*]; captures
+    // must route through the JVM-singleton probe, not a captured buffer
+    MockTransportProbe.seen.clear()
+    val mockPost = MockTransportProbe.post(dim)
+    val in = Files.createTempDirectory("cligem").toFile
+    Files.write(new java.io.File(in, "d1.txt").toPath, ("alpha beta " * 30).getBytes)
+    val out = Files.createTempDirectory("cligemout").toString + "/idx"
+    val n = IndexCli.run(spark,
+      IndexCli.Args(input = in.getAbsolutePath, output = out,
+        chunkSize = 100, overlap = 20, embeddingDim = dim,
+        provider = "gemini", embeddingModel = "my-model"),
+      post = mockPost, env = Map("GEMINI_API_KEY" -> "sekrit").get)
+    assert(n > 0)
+    val (ep, headers) = MockTransportProbe.seen.synchronized(MockTransportProbe.seen.head)
+    assert(ep.endsWith("/v1beta/models/my-model:batchEmbedContents"))
+    assert(headers.get("x-goog-api-key").contains("sekrit"))
+    // the mock's vectors landed in the index
+    val v = spark.read.parquet(out).selectExpr("embedding[2]").head().getFloat(0)
+    assert(v == 0.25f)
+  }
+
+  test("IndexCli: --jdbc-url loads chunks into a live JDBC table (embedded Derby)") {
+    val in = Files.createTempDirectory("clijdbc").toFile
+    Files.write(new java.io.File(in, "d1.txt").toPath, ("epsilon zeta " * 30).getBytes)
+    val out = Files.createTempDirectory("clijdbcout").toString + "/idx"
+    val url = "jdbc:derby:memory:graftcli;create=true"
+    val n = IndexCli.run(spark, IndexCli.parse(Array(
+      "--input", in.getAbsolutePath, "--output", out,
+      "--chunk-size", "100", "--overlap", "20", "--embedding-dim", "8",
+      "--jdbc-url", url, "--jdbc-table", "document_chunks")))
+    assert(n > 0)
+    val loaded = spark.read.jdbc(url, "document_chunks", new java.util.Properties())
+    assert(loaded.count() == n)
+    // embeddings arrive as pgvector-style '[v1,...]' literals, castable server-side
+    val lit = loaded.select("embedding").head().getString(0)
+    assert(lit.startsWith("[") && lit.endsWith("]") && lit.count(_ == ',') == 7)
+  }
+
   test("appendIndex: idempotent re-run — only new docs chunked, re-runs append zero") {
     import spark.implicits._
     val path = Files.createTempDirectory("incr").toString + "/idx"
@@ -230,5 +285,27 @@ class JoinsCliSpec extends SparkSpec {
     assert(nChars == back.select(sum(length(col("chunk_text")))).head().getLong(0))
     assert(nZero >= 1) // doc 3's chunk embeds to the zero vector
     assert(back.schema.fieldNames.contains("created_at"))
+  }
+}
+
+/** JVM-singleton transport mock for the Gemini CLI spec: task closures are
+  * serialized even on local[*], so executor-side calls must record into a
+  * static object the test can read back — a captured buffer would be a copy.
+  */
+object MockTransportProbe {
+  val seen = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+  def post(dim: Int): (String, String, Map[String, String]) => String = {
+    (ep, body, headers) => {
+      seen.synchronized { seen += ((ep, headers)) }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val nReq = mapper.readTree(body).get("requests").size
+      val resp = mapper.createObjectNode()
+      val arr = resp.putArray("embeddings")
+      (0 until nReq).foreach { _ =>
+        val vals = arr.addObject().putArray("values")
+        (0 until dim).foreach(d => vals.add(0.125f * d))
+      }
+      mapper.writeValueAsString(resp)
+    }
   }
 }
