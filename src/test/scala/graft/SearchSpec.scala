@@ -245,6 +245,48 @@ class SearchSpec extends SparkSpec {
     assert(approx.subsetOf(exact.union(exact))) // no pair beyond threshold (join filters)
   }
 
+  test("recall gate: frozen BASELINE.md floors hold (IVF by nProbe, quantized rescore)") {
+    // Floors are the round-5 RecallBench numbers at sf0.001 minus margin
+    // (BASELINE.md §ANN-recall: np1 0.368, np2 0.460, np4 0.602, qivf ==
+    // its IVF tier). A Search.scala change that silently trades recall for
+    // speed fails here instead of shipping.
+    import graft.operators.Search
+    val k = 10
+    val queries = emb.orderBy("vec_id").limit(25)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val exact: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> vecs.toSeq
+        .map { case (id, v) => (id, cosRef(v, qv.map(_.toFloat))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }.toMap
+    val centroids = Search.kmeansCentroids(emb, "embedding", 16, seed = 42L)
+    val assigned = Search.ivfAssign(emb, "embedding", centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    try {
+      def recall(nProbe: Int): Double = RecallBench.ivfRecall(
+        spark, assigned, centroids, queries, exact, k, nProbe)
+      val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+      assert(r1 >= 0.28, s"IVF nProbe=1 recall regressed: $r1 < 0.28 (frozen 0.368)")
+      assert(r2 >= 0.38, s"IVF nProbe=2 recall regressed: $r2 < 0.38 (frozen 0.460)")
+      assert(r4 >= 0.52, s"IVF nProbe=4 recall regressed: $r4 < 0.52 (frozen 0.602)")
+      assert(r1 <= r2 && r2 <= r4, "recall must be monotone in nProbe")
+      // quantized tier must match its IVF tier after full-precision rescore
+      val qPath = java.nio.file.Files.createTempDirectory("gate-qivf").toString
+      Search.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, qPath)
+      val qHits = queries.map { case (qid, qv) =>
+        val got = Search.ivfTopKFromIndexQuantized(spark, qPath, emb, "vec_id",
+            "embedding", qv, k, nProbe = 2, rescore = 50)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact(qid).count(got.contains).toDouble / exact(qid).size
+      }
+      val qr = qHits.sum / qHits.size
+      assert(qr >= r2 - 0.02,
+        s"quantized IVF (rescore=50) lost recall vs its IVF tier: $qr < $r2 - 0.02")
+    } finally assigned.unpersist()
+  }
+
   test("kmeans-learned IVF centroids beat seed-vector centroids on recall@5") {
     def recallWith(cents: Seq[(Int, Array[Float])]): Double = {
       val assigned = Search.ivfAssign(emb, "embedding", cents)
