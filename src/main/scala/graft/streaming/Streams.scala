@@ -195,21 +195,30 @@ object Streams {
     */
   def streamingNearDupMaintenance(docs: DataFrame, idCol: String, tokensCol: String,
       storePath: String, checkpoint: String, pairsOut: String,
-      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.5,
+      pairsSink: Option[DataFrame => Unit] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = pairsSink.getOrElse { df: DataFrame =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pairsOut)
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // pairs are written via onPairs BEFORE the sketch store mutates:
         // a crash between the two replays the batch and re-emits the same
         // pairs (at-least-once) instead of losing them (see
-        // Dedup.incrementalNearDupPairs ordering note)
+        // Dedup.incrementalNearDupPairs ordering note; the kill-between-
+        // sink-and-append recovery is an executable proof in StreamsSpec).
+        // `pairsSink` is injectable so that proof can crash at exactly the
+        // sink/store boundary.
         graft.operators.Dedup.incrementalNearDupPairs(
           batch.toDF(), idCol, tokensCol, storePath, threshold = threshold,
-          onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(pairsOut))
+          onPairs = sink)
         ()
       }
       .outputMode("update")
       .start()
+  }
 
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's

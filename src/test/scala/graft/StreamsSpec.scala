@@ -256,6 +256,68 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup crash recovery: kill between pairs-sink and store-append, restart") {
+    // Executable proof of the durability ordering (Dedup.incrementalNearDupPairs):
+    // pairs reach their sink BEFORE the sketch store mutates, so a crash at
+    // exactly that boundary (a) loses no sketches — the store is untouched,
+    // (b) replays the batch on restart from the same checkpoint, and
+    // (c) re-emits the same pairs (at-least-once), never zero-emits them.
+    val root = java.nio.file.Files.createTempDirectory("ndcrash")
+    val src = root.resolve("src").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("pairs").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // file source: real checkpoint recovery semantics across query restarts
+    import spark.implicits._
+    Seq((1L, base), (2L, base + " extra trailer"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def docsStream = spark.readStream.schema(schema).parquet(src)
+      .withColumn("toks", split(col("text"), " "))
+    // run 1: the sink writes pairs, then the process "dies" before the
+    // store append (the injected crash throws at the sink/store boundary)
+    val crashing = Streams.streamingNearDupMaintenance(
+      docsStream, "doc_id", "toks", store, ckpt, out, threshold = 0.4,
+      pairsSink = Some { df =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+        throw new RuntimeException("injected crash between pairs sink and store append")
+      })
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.processAllAvailable()
+    }
+    assert(failure.getMessage.contains("injected crash"))
+    crashing.stop()
+    // after the crash: pairs are durable, the store was NOT mutated
+    val pairsAfterCrash = spark.read.parquet(out)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(pairsAfterCrash == Seq((1L, 2L)), "pairs must be sunk before the crash point")
+    assert(!new java.io.File(s"$store/sketches").exists() ||
+      spark.read.parquet(s"$store/sketches").count() == 0,
+      "a crash before the store append must leave the store unchanged")
+    // run 2 (restart, same checkpoint): the uncommitted batch replays
+    val recovered = Streams.streamingNearDupMaintenance(
+      docsStream, "doc_id", "toks", store, ckpt, out, threshold = 0.4)
+    try {
+      recovered.processAllAvailable()
+      // at-least-once: the pair was re-emitted, duplicates allowed, never lost
+      val all = spark.read.parquet(out).select("id1", "id2").as[(Long, Long)].collect().toSeq
+      assert(all.nonEmpty && all.toSet == Set((1L, 2L)))
+      assert(all.size >= 2, "replayed batch re-emits the sunk pairs (at-least-once)")
+      // no lost sketches: both docs' sketches landed on the restart
+      assert(spark.read.parquet(s"$store/sketches").select("id")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      // and a later batch still dedups against the recovered store
+      Seq((3L, base + " another tail")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      recovered.processAllAvailable()
+      val withB2 = spark.read.parquet(out).select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(withB2.contains((1L, 3L)) && withB2.contains((2L, 3L)))
+      assert(spark.read.parquet(s"$store/sketches").count() == 3)
+    } finally recovered.stop()
+  }
+
   test("streaming index maintenance: overlapping micro-batches stay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
