@@ -686,6 +686,22 @@ SELECT i.media_id,
 FROM ids i LEFT JOIN px USING (media_id)
 ORDER BY media_id""",
 
+    // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
+    // formula PCM16 samples as real RIFF containers and decodes them with
+    // javax.sound; the oracle recomputes the same |sample| sums straight
+    // from the closed-form formula (PCM is lossless ⇒ exact).
+    "q81_audio_decode" ->
+      raw"""WITH a AS (
+  SELECT unnest(generate_series(0, 99)) AS media_id),
+aud AS (SELECT media_id FROM a WHERE media_id % 3 = 1),
+samp AS (
+  SELECT media_id, unnest(generate_series(0, 63 + media_id)) AS i FROM aud)
+SELECT media_id,
+  CAST(count(*) AS INT) AS n_samples,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(sum(abs(((media_id * 73 + i * 37) % 65536) - 32768)) AS BIGINT) AS amp_sum
+FROM samp GROUP BY media_id ORDER BY media_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1231,6 +1231,20 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q81 — REAL audio decode (multimodal, the q45 pattern applied to WAV):
+    * audio rows carry actual RIFF/WAV PCM16 containers of formula samples;
+    * javax.sound.sampled parses them back and the probe emits exact integer
+    * sample statistics. PCM is lossless and the samples closed-form in
+    * (id, i), so DuckDB recomputes amp_sum from the formula — a full
+    * encode→container→decode round trip, hash-checked end-to-end.
+    */
+  def q81AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import graft.sources.Multimodal
+    Multimodal.decodeAudioStats(Multimodal.syntheticMedia(s, 100))
+      .orderBy(col("media_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1313,5 +1327,6 @@ object Queries {
     "q78_url_filter" -> q78UrlFilter _,
     "q79_rebalance" -> q79Rebalance _,
     "q80_html_extract" -> q80HtmlExtract _,
+    "q81_audio_decode" -> q81AudioDecode _,
   )
 }

@@ -392,19 +392,26 @@ object Dedup {
   }
 
   /** [[CentroidAggregator]]'s exact sibling: element-wise sums carried as
-    * DECIMAL(18,9)-scaled LONGS (each float quantized exactly the way
-    * Spark's `cast(x as decimal(18,9))` does — BigDecimal.valueOf HALF_UP),
-    * so the sum is an integer: order-independent across partitions/retries
-    * and bit-replayable by a DuckDB decimal sum (the q64/q29 discipline,
-    * applied to the typed path). Returns (per-dim scaled sums, count); the
-    * mean is `sums[i] / 1e9 / n` downstream at whatever rounding the caller
-    * wants. Map-side combine applies (merge = element-wise long add).
+    * DECIMAL(18,9)-scaled LONGS, so the sum is an integer: order-independent
+    * across partitions/retries and bit-replayable by a DuckDB decimal sum
+    * (the q64/q29 discipline, applied to the typed path). Returns (per-dim
+    * scaled sums, count); the mean is `sums[i] / 1e9 / n` downstream at
+    * whatever rounding the caller wants. Map-side combine applies (merge =
+    * element-wise long add).
+    *
+    * Rounding: HALF_EVEN on the EXACT binary double (`new BigDecimal(d)`,
+    * not `valueOf`) — this is what DuckDB's `CAST(double AS DECIMAL(18,9))`
+    * does. Ties are REAL here: a dyadic float like 0.1494140625 lands
+    * exactly on …062.5 at scale 9 (10⁹ carries 2⁹, so any float with ≤9
+    * fractional bits ties); HALF_UP/valueOf diverged on exactly one element
+    * at sf0.1. Spark's own decimal cast rounds HALF_UP, so this aggregator
+    * matches DuckDB, not `cast(x as decimal(18,9))`.
     */
   final class QuantizedCentroidAggregator(dim: Int)
       extends Aggregator[Array[Float], (Array[Long], Long), (Array[Long], Long)] {
     private def scaled(v: Float): Long =
-      java.math.BigDecimal.valueOf(v.toDouble)
-        .setScale(9, java.math.RoundingMode.HALF_UP)
+      new java.math.BigDecimal(v.toDouble)
+        .setScale(9, java.math.RoundingMode.HALF_EVEN)
         .unscaledValue().longValueExact()
     def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
     def reduce(b: (Array[Long], Long), a: Array[Float]): (Array[Long], Long) = {

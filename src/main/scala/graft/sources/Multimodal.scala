@@ -12,8 +12,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL (round-4): [[ImageDecoder]] and
   * [[decodeImageStats]] use `javax.imageio` (JDK built-in — PNG/JPEG/BMP/
-  * GIF) to decode actual encoded bytes into pixel statistics. Audio/video
-  * codecs are NOT in this container, so those stay behind the
+  * GIF) to decode actual encoded bytes into pixel statistics. AUDIO decode
+  * is REAL for RIFF/WAV PCM (round-5): [[AudioDecoder]] and
+  * [[decodeAudioStats]] use `javax.sound.sampled` (JDK built-in) to parse
+  * actual WAV containers into sample statistics — and PCM is lossless, so
+  * the stats are oracle-checkable end-to-end like the PNG path (q45/q81).
+  * VIDEO codecs are NOT in this container, so video stays behind the
   * clearly-marked deterministic [[StubDecoder]] / byte-strided
   * [[sampleFrames]]; a real codec drops in by implementing [[MediaDecoder]].
   */
@@ -38,11 +42,12 @@ object Multimodal {
     def features(meta: org.apache.spark.sql.Row, content: Array[Byte]): Array[Float]
   }
 
-  /** STUB decoder for AUDIO/VIDEO — ??? in spirit: a real implementation
-    * would decode the media and run a feature extractor; those codecs are
-    * not in this container. Offline stand-in: a deterministic
-    * byte-histogram folded to `featureDim` buckets (so tests can assert
-    * exact outputs and the pipeline shape is real).
+  /** STUB decoder for VIDEO — ??? in spirit: a real implementation would
+    * decode frames and run a feature extractor; video codecs are not in
+    * this container. Offline stand-in: a deterministic byte-histogram
+    * folded to `featureDim` buckets (so tests can assert exact outputs and
+    * the pipeline shape is real). Image and WAV audio have REAL decoders —
+    * [[ImageDecoder]] / [[AudioDecoder]].
     */
   final class StubDecoder(val featureDim: Int = 16) extends MediaDecoder {
     def features(meta: org.apache.spark.sql.Row, content: Array[Byte]): Array[Float] = {
@@ -84,6 +89,86 @@ object Multimodal {
       val n = (w.toLong * h).toFloat
       Array(w.toFloat, h.toFloat, rs / n, gs / n, bs / n) ++ hist.map(_ / n)
     }
+  }
+
+  /** REAL audio decoder: `javax.sound.sampled` (JDK built-in) parses the
+    * RIFF/WAV container; features = [frame count, sample rate, mean |s|,
+    * (featureDim-3)-bin |amplitude| histogram] over 16-bit PCM samples.
+    * Undecodable bytes throw (same quarantine contract as images).
+    */
+  final class AudioDecoder(val featureDim: Int = 11) extends MediaDecoder {
+    require(featureDim >= 4, "featureDim must fit frames,rate,mean + >=1 bin")
+    def features(meta: org.apache.spark.sql.Row, content: Array[Byte]): Array[Float] = {
+      val (rate, samples) = decodeWavPcm16(content)
+      val bins = featureDim - 3
+      val hist = new Array[Float](bins)
+      var absSum = 0L
+      samples.foreach { s =>
+        val a = math.abs(s.toInt)
+        absSum += a
+        hist(math.min(a * bins / 32769, bins - 1)) += 1f
+      }
+      val n = math.max(samples.length, 1).toFloat
+      Array(samples.length.toFloat, rate, absSum / n) ++ hist.map(_ / n)
+    }
+  }
+
+  /** Decode a WAV container to (sampleRate, 16-bit PCM samples) via
+    * javax.sound.sampled — a real container parse, not a byte cast: the
+    * RIFF/fmt/data chunking, sample width and endianness all come from the
+    * decoded `AudioFormat`. Mono 16-bit PCM only (the synth fixtures'
+    * shape); other layouts throw rather than mis-decode.
+    */
+  def decodeWavPcm16(content: Array[Byte]): (Float, Array[Short]) = {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(s"undecodable audio bytes: ${e.getMessage}")
+    }
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"expected mono 16-bit signed PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        out(i) =
+          (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+        i += 1
+      }
+      (fmt.getSampleRate, out)
+    } finally in.close()
+  }
+
+  /** Decode every `audio` row's WAV bytes and emit exact integer sample
+    * statistics: `(media_id, n_samples, sample_rate, amp_sum)` with
+    * amp_sum = Σ|sample|. PCM is lossless, so these are oracle-checkable
+    * end-to-end against the sample formula (q81) — the audio twin of
+    * [[decodeImageStats]]. Narrow, per-partition, no shuffle.
+    */
+  def decodeAudioStats(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("amp_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.where(col("meta.media_type") === "audio")
+      .select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val (rate, samples) = decodeWavPcm16(row.getAs[Array[Byte]]("content"))
+          var sum = 0L
+          samples.foreach(s => sum += math.abs(s.toInt))
+          org.apache.spark.sql.Row(row.getLong(0), samples.length, rate.toInt, sum)
+        }
+      }(enc)
   }
 
   private def decodeImage(content: Array[Byte]): java.awt.image.BufferedImage = {
@@ -187,22 +272,56 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit PCM sample formula shared by the WAV generator
+    * and the DuckDB oracle (q81): s(i) = ((id·73 + i·37) mod 65536) − 32768.
+    * PCM is lossless, so decode recovers every sample exactly — the audio
+    * twin of [[synthPixel]].
+    */
+  def synthSample(id: Long, i: Int): Int =
+    (((id * 73 + i.toLong * 37) % 65536) - 32768).toInt
+
+  /** Encode the formula samples for `id` as a REAL RIFF/WAV (mono 16-bit
+    * little-endian PCM) container. Hand-rolled header + javax.sound decode
+    * on the read side = a genuine container round trip.
+    */
+  def synthWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { buf.putShort(synthSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
   /** Build a deterministic in-memory media table for tests/demos: image
-    * rows carry REAL encoded PNG bytes (the formula image), audio/video
-    * rows carry synthetic blobs (codecs out of scope).
+    * rows carry REAL encoded PNG bytes (the formula image), audio rows
+    * carry REAL RIFF/WAV PCM bytes (the formula samples), video rows carry
+    * synthetic blobs (video codecs out of scope).
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
-      val isImage = i % 3 == 0
-      val bytes =
-        if (isImage) synthPng(i.toLong)
-        else Array.tabulate[Byte](64 + i)(j => ((i * 31 + j * 7) % 251).toByte)
+      val kind = i % 3 // 0 = image, 1 = audio, 2 = video
+      val bytes = kind match {
+        case 0 => synthPng(i.toLong)
+        case 1 => synthWav(i.toLong, nSamples = 64 + i)
+        case _ => Array.tabulate[Byte](64 + i)(j => ((i * 31 + j * 7) % 251).toByte)
+      }
       org.apache.spark.sql.Row(i.toLong,
-        org.apache.spark.sql.Row(if (isImage) "image" else if (i % 3 == 1) "audio" else "video",
-          if (isImage) "png" else if (i % 3 == 1) "wav" else "mp4",
-          if (isImage) 64 else null,
-          if (isImage) 48 else null,
-          if (isImage) null else java.lang.Long.valueOf(1000L + i)),
+        org.apache.spark.sql.Row(if (kind == 0) "image" else if (kind == 1) "audio" else "video",
+          if (kind == 0) "png" else if (kind == 1) "wav" else "mp4",
+          if (kind == 0) 64 else null,
+          if (kind == 0) 48 else null,
+          if (kind == 0) null else java.lang.Long.valueOf(1000L + i)),
         bytes)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), MediaRowSchema)

@@ -336,6 +336,25 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(f.drop(5).sum - 1.0f) < 1e-4)
   }
 
+  test("multimodal: WAV PCM round-trip recovers exact formula samples; garbage rejected") {
+    import graft.sources.Multimodal
+    // container round trip: hand-rolled RIFF writer → javax.sound decode
+    val (rate, samples) = Multimodal.decodeWavPcm16(Multimodal.synthWav(7L, 100))
+    assert(rate == 8000f && samples.length == 100)
+    (0 until 100).foreach { i =>
+      assert(samples(i).toInt == Multimodal.synthSample(7L, i), s"sample $i")
+    }
+    // AudioDecoder features: frame count, rate, mean |s|, histogram sums to 1
+    val dec = new Multimodal.AudioDecoder(11)
+    val f = dec.features(null, Multimodal.synthWav(3L, 64))
+    assert(f(0) == 64f && f(1) == 8000f)
+    assert(math.abs(f.drop(3).sum - 1.0f) < 1e-5)
+    // non-audio bytes are rejected, not mis-decoded
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("not a wav at all".getBytes)
+    }
+  }
+
   test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
     // JPEG is lossy so no exact stats — but decode must work (dims exact)
     val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
