@@ -29,8 +29,12 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     (round-5): `/ObjStm` object streams expanded (§7.5.7), cross-
   *     reference streams decoded incl. PNG-predictor DecodeParms (§7.5.8)
   *     with type-0 entries dropping freed objects, and incremental updates
-  *     resolved last-version-wins (§7.5.6). Still NOT a full PDF renderer:
-  *     no encryption, no composite-font CID→GID tables beyond ToUnicode.
+  *     resolved last-version-wins (§7.5.6). Encrypted files (round-5):
+  *     standard security handler with an empty user password — RC4
+  *     (R2/R3), AES-128 (R4 AESV2), AES-256 (R6 AESV3) — decrypted
+  *     transparently; password-protected files throw (quarantine). Still
+  *     NOT a full PDF renderer: no public-key encryption, no composite-
+  *     font CID→GID tables beyond ToUnicode.
   */
 object DocFormats {
 
@@ -296,9 +300,16 @@ object DocFormats {
       * objects still physically present in the file; and incremental
       * updates resolve to the LAST version of each object number (§7.5.6
       * append-only semantics), so superseded content isn't extracted twice.
+      *
+      * Encrypted files (round-5): the standard security handler (§7.6.3)
+      * with an EMPTY user password — the common "permissions-protected"
+      * case — is decrypted transparently: RC4 (R2/R3, V1/V2), AES-128-CBC
+      * (R4 `/AESV2`) and AES-256-CBC (R6 `/AESV3`, ISO 32000-2 hardened
+      * hash). A non-empty user password or a non-Standard handler throws
+      * (quarantined by lenient ingestion) rather than extracting garbage.
       */
     def extractText(pdf: Array[Byte]): String = {
-      val objs = liveObjects(expandObjStreams(parseObjects(pdf)))
+      val objs = liveObjects(expandObjStreams(parseObjects(pdf, Crypto.detect(pdf))))
       val fonts = fontDecoders(objs)
       val pages = contentStreamsOf(objs).map(streamText(_, fonts))
       // per-page join, index_documents.py:44-46 — empty pages included, so
@@ -313,15 +324,22 @@ object DocFormats {
       */
     private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
 
-    private val ObjHeader = """(\d+)\s+\d+\s+obj""".r
+    private val ObjHeader = """(\d+)\s+(\d+)\s+obj""".r
 
     /** Scan every `N G obj … endobj` region. Latin-1 gives a 1:1 char↔byte
       * view, so string indexes are byte offsets. Streams with filters beyond
       * pure Flate (image codecs, ascii wrappers, crypt) decode to None; a
       * PURE /FlateDecode stream that fails to inflate is corruption and
       * throws (quarantined by lenient ingestion).
+      *
+      * `decrypt`, when present, is applied to each raw stream payload
+      * BEFORE filters (§7.6.2: encryption wraps the filtered bytes on
+      * disk) — except cross-reference streams, which are never encrypted
+      * (§7.5.8.2). The encryption dictionary itself has no stream, so it
+      * round-trips untouched.
       */
-    private def parseObjects(pdf: Array[Byte]): Vector[PdfObj] = {
+    private def parseObjects(pdf: Array[Byte],
+        decrypt: Option[Crypto.Decryptor] = None): Vector[PdfObj] = {
       val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
       val out = Vector.newBuilder[PdfObj]
       // linear walk: a header match INSIDE a previously-consumed object's
@@ -368,7 +386,12 @@ object DocFormats {
                   } else if (e > ps && pdf(e - 1) == '\r') e -= 1
                   e
               }
-              val raw = java.util.Arrays.copyOfRange(pdf, ps, pe)
+              val stored = java.util.Arrays.copyOfRange(pdf, ps, pe)
+              val raw = decrypt match {
+                case Some(d) if """/Type\s*/XRef""".r.findFirstIn(dict).isEmpty =>
+                  d(m.group(1).toInt, m.group(2).toInt, stored)
+                case _ => stored
+              }
               val otherFilter = Seq("/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode",
                 "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",
                 "/JPXDecode", "/Crypt").exists(dict.contains)
@@ -390,6 +413,294 @@ object DocFormats {
         out += PdfObj(m.group(1).toInt, dict, payload)
       }
       out.result()
+    }
+
+    // ------------------------------------------------- encryption (§7.6)
+
+    /** Standard-security-handler decryption (PDF-1.7 §7.6.3; ISO 32000-2
+      * §7.6.4 for R6), scoped to the EMPTY-user-password case — the
+      * overwhelmingly common "owner password restricts printing/editing,
+      * anyone can read" configuration. Primitives are `private[graft]` so
+      * the test fixtures can build spec-valid encrypted files with the
+      * exact same arithmetic they are decrypted with.
+      *
+      * Out of scope (throws, honoring the quarantine contract): non-empty
+      * user passwords, non-Standard handlers, public-key (`/Adobe.PubSec`)
+      * encryption. String-valued metadata (Info dict) is never decrypted —
+      * text extraction reads streams only, and stream decryption covers
+      * shown strings because they live INSIDE content streams.
+      */
+    private[graft] object Crypto {
+      import java.security.MessageDigest
+
+      /** §7.6.3.3 Algorithm 2 padding constant. */
+      val Pad: Array[Byte] = Array(
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+      def md5(parts: Array[Byte]*): Array[Byte] = {
+        val d = MessageDigest.getInstance("MD5")
+        parts.foreach(d.update)
+        d.digest()
+      }
+
+      /** RC4 is public-domain arithmetic (and absent from some JCE
+        * providers), so it's implemented directly: KSA + PRGA.
+        */
+      def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+        val s = Array.tabulate(256)(identity)
+        var j = 0
+        for (i <- 0 until 256) {
+          j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+          val t = s(i); s(i) = s(j); s(j) = t
+        }
+        val out = new Array[Byte](data.length)
+        var a = 0; var b = 0
+        for (n <- data.indices) {
+          a = (a + 1) & 0xff
+          b = (b + s(a)) & 0xff
+          val t = s(a); s(a) = s(b); s(b) = t
+          out(n) = (data(n) ^ s((s(a) + s(b)) & 0xff)).toByte
+        }
+        out
+      }
+
+      /** AES-CBC, NoPadding, explicit IV — the shared block primitive
+        * (decrypt for payloads, encrypt for fixtures and the 2.B hash).
+        */
+      def aesCbc(encrypting: Boolean, key: Array[Byte], iv: Array[Byte],
+          data: Array[Byte]): Array[Byte] = {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(
+          if (encrypting) javax.crypto.Cipher.ENCRYPT_MODE
+          else javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        c.doFinal(data)
+      }
+
+      /** §7.6.2 AES payload layout: leading 16-byte IV, CBC body, RFC-2898
+        * padding. Padding is stripped only when well-formed — a malformed
+        * final block is kept verbatim (lenient), never an exception, since
+        * the filter stage downstream is the real corruption gate.
+        */
+      def aesDecryptPayload(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+        if (data.length < 32) return Array.empty
+        val body = data.drop(16)
+        val whole = body.length - body.length % 16
+        val plain = aesCbc(encrypting = false, key, data.take(16), body.take(whole))
+        val p = if (plain.isEmpty) 0 else plain.last & 0xff
+        if (p >= 1 && p <= 16 && p <= plain.length &&
+            plain.takeRight(p).forall(b => (b & 0xff) == p))
+          plain.dropRight(p)
+        else plain
+      }
+
+      /** §7.6.3.3 Algorithm 2: file key from the (empty, padded) user
+        * password, /O, /P, first file ID; R≥3 runs the 50-fold MD5
+        * hardening over the first `n` bytes.
+        */
+      def legacyFileKey(r: Int, lengthBits: Int, o: Array[Byte], p: Int,
+          id0: Array[Byte], encryptMetadata: Boolean): Array[Byte] = {
+        val n = if (r == 2) 5 else lengthBits / 8
+        val pBytes = Array(p, p >> 8, p >> 16, p >> 24).map(x => (x & 0xff).toByte)
+        val metaExtra =
+          if (r >= 4 && !encryptMetadata) Array.fill(4)(0xff.toByte)
+          else Array.empty[Byte]
+        var h = md5(Pad, o.take(32), pBytes, id0, metaExtra)
+        if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+        h.take(n)
+      }
+
+      /** §7.6.3.4 Algorithms 4/5: the /U value an empty user password
+        * produces — equality against the stored /U is the password check.
+        * R2 returns 32 bytes; R3/R4 return the 16 significant bytes.
+        */
+      def legacyUserValue(r: Int, fileKey: Array[Byte], id0: Array[Byte]): Array[Byte] =
+        if (r == 2) rc4(fileKey, Pad)
+        else {
+          var enc = rc4(fileKey, md5(Pad, id0))
+          for (i <- 1 to 19)
+            enc = rc4(fileKey.map(b => (b ^ i).toByte), enc)
+          enc
+        }
+
+      /** §7.6.3.3 Algorithm 3: the /O entry from an owner password (used
+        * by fixtures; decryption only consumes /O as key-derivation input).
+        */
+      def legacyOwnerValue(r: Int, lengthBits: Int, ownerPw: Array[Byte]): Array[Byte] = {
+        val n = if (r == 2) 5 else lengthBits / 8
+        var h = md5(ownerPw.take(32) ++ Pad.drop(ownerPw.length min 32) take 32)
+        if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+        val rc4Key = h.take(n)
+        var o = rc4(rc4Key, Pad) // empty user password = Pad itself
+        if (r >= 3) for (i <- 1 to 19)
+          o = rc4(rc4Key.map(b => (b ^ i).toByte), o)
+        o
+      }
+
+      /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash: SHA-256 seed,
+        * then AES-128-CBC rounds over a 64-fold repeat, digest choice by
+        * `sum(E[0..16]) mod 3`, until round ≥ 64 and E.last ≤ round − 32.
+        */
+      def hash2B(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+        var k = MessageDigest.getInstance("SHA-256").digest(pw ++ salt ++ udata)
+        var round = 0
+        var done = false
+        while (!done) {
+          val block = pw ++ k ++ udata
+          val k1 = new Array[Byte](block.length * 64)
+          for (j <- 0 until 64) System.arraycopy(block, 0, k1, j * block.length, block.length)
+          val e = aesCbc(encrypting = true, k.take(16), k.slice(16, 32), k1)
+          val alg = e.take(16).map(_ & 0xff).sum % 3 match {
+            case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+          }
+          k = MessageDigest.getInstance(alg).digest(e)
+          round += 1
+          done = round >= 64 && (e.last & 0xff) <= round - 32
+        }
+        k.take(32)
+      }
+
+      /** §7.6.2 Algorithm 1 per-object key: MD5(fileKey ‖ num₃LE ‖ gen₂LE
+        * ‖ "sAlT" if AES), truncated to min(n+5, 16).
+        */
+      def objectKey(fileKey: Array[Byte], num: Int, gen: Int, aes: Boolean): Array[Byte] = {
+        val numGen = Array(
+          (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+          (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+        val salt = if (aes) "sAlT".getBytes(UTF_8) else Array.empty[Byte]
+        md5(fileKey, numGen, salt).take(math.min(fileKey.length + 5, 16))
+      }
+
+      /** Per-payload decryptor. Legacy (R≤4) derives the per-object key
+        * ([[objectKey]]); R6 uses the file key directly.
+        */
+      final case class Decryptor(fileKey: Array[Byte], aes: Boolean, perObjectKey: Boolean) {
+        def apply(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+          val key = if (perObjectKey) objectKey(fileKey, num, gen, aes) else fileKey
+          if (aes) aesDecryptPayload(key, data) else rc4(key, data)
+        }
+      }
+
+      /** A PDF string value (`(literal)` with escapes/octal or `<hex>`)
+        * following `key` in dict text, as raw bytes. `key` must match as a
+        * whole name (`/O` must not match `/OE`).
+        */
+      def stringValue(dict: String, key: String): Option[Array[Byte]] = {
+        val m = (java.util.regex.Pattern.quote(key) + """(?![\w])\s*""").r
+          .findFirstMatchIn(dict).getOrElse(return None)
+        var i = m.end
+        if (i >= dict.length) return None
+        dict.charAt(i) match {
+          case '<' =>
+            val end = dict.indexOf('>', i)
+            if (end < 0) None
+            else {
+              val hex = dict.substring(i + 1, end).filterNot(_.isWhitespace)
+              val padded = if (hex.length % 2 == 1) hex + "0" else hex
+              Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+            }
+          case '(' =>
+            val out = new ByteArrayOutputStream()
+            var depth = 1; i += 1
+            while (i < dict.length && depth > 0) {
+              val c = dict.charAt(i)
+              if (c == '\\' && i + 1 < dict.length) {
+                dict.charAt(i + 1) match {
+                  case 'n' => out.write('\n'); i += 2
+                  case 'r' => out.write('\r'); i += 2
+                  case 't' => out.write('\t'); i += 2
+                  case 'b' => out.write('\b'); i += 2
+                  case 'f' => out.write('\f'); i += 2
+                  case d if d >= '0' && d <= '7' =>
+                    var j = i + 1; var v = 0
+                    while (j < dict.length && j < i + 4 &&
+                        dict.charAt(j) >= '0' && dict.charAt(j) <= '7') {
+                      v = v * 8 + (dict.charAt(j) - '0'); j += 1
+                    }
+                    out.write(v & 0xff); i = j
+                  case '\n' => i += 2 // escaped EOL: line continuation
+                  case other => out.write(other & 0xff); i += 2
+                }
+              } else if (c == '(') { depth += 1; out.write('('); i += 1 }
+              else if (c == ')') { depth -= 1; if (depth > 0) out.write(')'); i += 1 }
+              else { out.write(c & 0xff); i += 1 }
+            }
+            Some(out.toByteArray)
+          case _ => None
+        }
+      }
+
+      private def intValue(dict: String, key: String): Option[Int] =
+        (java.util.regex.Pattern.quote(key) + """(?![\w])\s+(-?\d+)""").r
+          .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+      /** Locate /Encrypt in the trailer, resolve the encryption dictionary
+        * (never inside an ObjStm, §7.5.7 — a raw scan suffices), validate
+        * the EMPTY user password, and return the payload decryptor. None
+        * when the file is unencrypted or `/StmF /Identity` leaves streams
+        * in the clear; throws on wrong password / unsupported handler.
+        */
+      def detect(pdf: Array[Byte]): Option[Decryptor] = {
+        val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
+          .getOrElse(return None)
+        val dict = (encRef.group(1) + """\s+\d+\s+obj\s*(<<)""").r
+          .findFirstMatchIn(s)
+          .map(m => balancedDict(s.substring(m.start(1))))
+          .getOrElse(throw new IllegalArgumentException(
+            s"encrypted PDF: /Encrypt ${encRef.group(1)} 0 R does not resolve"))
+        require(dict.contains("/Standard"),
+          "encrypted PDF: only the /Standard security handler is supported")
+        val v = intValue(dict, "/V").getOrElse(0)
+        val r = intValue(dict, "/R").getOrElse(2)
+        // V4/V5 name crypt filters; /StmF /Identity means plaintext streams
+        val stmIdentity = v >= 4 && """/StmF\s*/Identity""".r.findFirstIn(dict).isDefined
+        val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(dict).map(_.group(1))
+        // /ID is an array of two strings; element 0 is permanent across
+        // incremental updates (§14.4), so the first occurrence serves
+        val id0 = """/ID\s*\[""".r.findFirstMatchIn(s)
+          .flatMap(m => stringValue(s.substring(m.end), ""))
+          .getOrElse(Array.empty[Byte])
+        val u = stringValue(dict, "/U").getOrElse(
+          throw new IllegalArgumentException("encrypted PDF: missing /U"))
+        v match {
+          case 1 | 2 | 4 =>
+            val o = stringValue(dict, "/O").getOrElse(
+              throw new IllegalArgumentException("encrypted PDF: missing /O"))
+            val p = intValue(dict, "/P").getOrElse(-1)
+            val meta = !dict.contains("/EncryptMetadata false")
+            val bits = if (v == 1) 40 else intValue(dict, "/Length").getOrElse(40)
+            val key = legacyFileKey(r, bits, o, p, id0, meta)
+            val expect = legacyUserValue(r, key, id0)
+            val ok =
+              if (r == 2) java.util.Arrays.equals(expect, u.take(32))
+              else java.util.Arrays.equals(expect.take(16), u.take(16))
+            if (!ok) throw new IllegalArgumentException(
+              "password-protected PDF: user password is not empty")
+            if (stmIdentity) None
+            else Some(Decryptor(key, aes = cfm.contains("AESV2"), perObjectKey = true))
+          case 5 =>
+            // R6 (ISO 32000-2): U = hash(32) ‖ validationSalt(8) ‖ keySalt(8)
+            require(u.length >= 48, "encrypted PDF: /U must be 48 bytes for R6")
+            val hash = u.take(32)
+            val vSalt = u.slice(32, 40)
+            val kSalt = u.slice(40, 48)
+            if (!java.util.Arrays.equals(hash2B(Array.empty, vSalt, Array.empty), hash))
+              throw new IllegalArgumentException(
+                "password-protected PDF: user password is not empty")
+            val ue = stringValue(dict, "/UE").getOrElse(
+              throw new IllegalArgumentException("encrypted PDF: missing /UE"))
+            val fileKey = aesCbc(encrypting = false,
+              hash2B(Array.empty, kSalt, Array.empty), new Array[Byte](16), ue.take(32))
+            if (stmIdentity) None
+            else Some(Decryptor(fileKey, aes = true, perObjectKey = false))
+          case other => throw new IllegalArgumentException(
+            s"encrypted PDF: unsupported /V $other")
+        }
+      }
     }
 
     // --------------------------------------------- PDF 1.5+ object plumbing

@@ -366,6 +366,136 @@ class SourcesSpec extends SparkSpec {
       new Multimodal.ImageDecoder(6).features(null, Array[Byte](1, 2, 3)))
   }
 
+  // ------------------- PDF encryption (standard security handler, §7.6.3)
+  // Fixtures are built from the SAME Crypto primitives the reader decrypts
+  // with — every value (O, U, UE, file key, per-object keys) is computed by
+  // the published algorithms, so these are spec-valid encrypted files, not
+  // mirror-image round trips of private helpers.
+
+  private def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+
+  /** PDF literal-string escape of arbitrary bytes (octal for non-print). */
+  private def pdfLiteral(b: Array[Byte]): String =
+    b.map {
+      case c if c == '\\' || c == '(' || c == ')' => "\\" + c.toChar
+      case c if (c & 0xff) >= 32 && (c & 0xff) < 127 => (c & 0xff).toChar.toString
+      case c => f"\\${c & 0xff}%03o"
+    }.mkString
+
+  /** Re-encrypt a [[graft.sources.DocFormats.MinimalPdf.write]]-shaped
+    * file: each stream payload ciphered per object (dict /Length synced),
+    * the encryption dictionary appended, the trailer gaining /Encrypt +
+    * /ID. xref offsets go stale — extraction scans linearly and never
+    * consults them (matching its tolerance for sloppy real-world files).
+    */
+  private def encryptFixture(plain: Array[Byte], encNum: Int, encDict: String,
+      id0: Array[Byte], enc: (Int, Int, Array[Byte]) => Array[Byte]): Array[Byte] = {
+    val s = new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val StreamObj = """(\d+)\s+(\d+)\s+obj\s*<<\s*/Length\s+(\d+)([^>]*)>>\s*stream\n""".r
+    val sb = new StringBuilder
+    var cursor = 0
+    for (m <- StreamObj.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      val gen = m.group(2).toInt
+      val len = m.group(3).toInt
+      val payload = Array.tabulate[Byte](len)(i => s.charAt(m.end + i).toByte)
+      val cipher = enc(num, gen, payload)
+      sb.append(s.substring(cursor, m.start))
+      sb.append(s"$num $gen obj << /Length ${cipher.length}${m.group(4)}>> stream\n")
+      cipher.foreach(b => sb.append((b & 0xff).toChar))
+      cursor = m.end + len
+    }
+    sb.append(s.substring(cursor))
+    sb.toString
+      .replace("trailer <<", s"$encNum 0 obj << $encDict >> endobj\ntrailer <<")
+      .replace("/Root 1 0 R >>",
+        s"/Root 1 0 R /Encrypt $encNum 0 R /ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  test("PDF encryption: RC4 R3 (V2, 128-bit) with empty user password decrypts") {
+    import graft.sources.DocFormats.MinimalPdf
+    val C = MinimalPdf.Crypto
+    val text = "restricted but readable\nsecond line"
+    val id0 = Array.tabulate[Byte](16)(i => (i * 17).toByte)
+    val o = C.legacyOwnerValue(3, 128, "owner-secret".getBytes("UTF-8"))
+    val p = -44
+    val key = C.legacyFileKey(3, 128, o, p, id0, encryptMetadata = true)
+    val u = C.legacyUserValue(3, key, id0) ++ Array.fill[Byte](16)(0xab.toByte)
+    // /O as an escaped LITERAL string, /U as hex — both §7.3.4 forms parsed
+    val dict = s"/Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+      s"/O (${pdfLiteral(o)}) /U <${hexStr(u)}>"
+    val encd = encryptFixture(MinimalPdf.write(text), 6, dict, id0,
+      (n, g, b) => C.rc4(C.objectKey(key, n, g, aes = false), b))
+    assert(MinimalPdf.extractText(encd) == text)
+    // wrong (non-empty) user password: /U mismatch must throw, not garble
+    val tampered = java.util.Arrays.copyOf(u, u.length)
+    tampered(0) = (tampered(0) ^ 0x5a).toByte
+    val bad = encryptFixture(MinimalPdf.write(text), 6,
+      s"/Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+        s"/O (${pdfLiteral(o)}) /U <${hexStr(tampered)}>", id0,
+      (n, g, b) => C.rc4(C.objectKey(key, n, g, aes = false), b))
+    val e = intercept[IllegalArgumentException](MinimalPdf.extractText(bad))
+    assert(e.getMessage.contains("password"))
+  }
+
+  private def aesPayload(C: graft.sources.DocFormats.MinimalPdf.Crypto.type,
+      key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - data.length % 16
+    iv ++ C.aesCbc(encrypting = true, key, iv, data ++ Array.fill(padLen)(padLen.toByte))
+  }
+
+  test("PDF encryption: AES-128 R4 (/AESV2 crypt filter) decrypts; /StmF /Identity skips") {
+    import graft.sources.DocFormats.MinimalPdf
+    val C = MinimalPdf.Crypto
+    val text = "aes-128 protected body"
+    val id0 = Array.tabulate[Byte](16)(i => (i * 13 + 5).toByte)
+    val o = C.legacyOwnerValue(4, 128, "owner".getBytes("UTF-8"))
+    val key = C.legacyFileKey(4, 128, o, -44, id0, encryptMetadata = true)
+    val u = C.legacyUserValue(4, key, id0) ++ Array.fill[Byte](16)(0.toByte)
+    val iv = Array.tabulate[Byte](16)(i => (i * 31 + 7).toByte)
+    def dict(stmf: String) =
+      "/Filter /Standard /V 4 /R 4 /Length 128 " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        s"/StmF $stmf /StrF $stmf /P -44 /O <${hexStr(o)}> /U <${hexStr(u)}>"
+    val encd = encryptFixture(MinimalPdf.write(text), 6, dict("/StdCF"), id0,
+      (n, g, b) => aesPayload(C, C.objectKey(key, n, g, aes = true), iv, b))
+    assert(MinimalPdf.extractText(encd) == text)
+    // /StmF /Identity: streams stay plaintext; U still validates
+    val identity = encryptFixture(MinimalPdf.write(text), 6, dict("/Identity"), id0,
+      (_, _, b) => b)
+    assert(MinimalPdf.extractText(identity) == text)
+  }
+
+  test("PDF encryption: AES-256 R6 (/AESV3, ISO 32000-2 hardened hash) decrypts") {
+    import graft.sources.DocFormats.MinimalPdf
+    val C = MinimalPdf.Crypto
+    val text = "aes-256 protected body\nwith a second line"
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 11 + 3).toByte)
+    val vSalt = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    val kSalt = Array.tabulate[Byte](8)(i => (i * 7 + 2).toByte)
+    val u = C.hash2B(Array.empty, vSalt, Array.empty) ++ vSalt ++ kSalt
+    val ue = C.aesCbc(encrypting = true,
+      C.hash2B(Array.empty, kSalt, Array.empty), new Array[Byte](16), fileKey)
+    val dict = "/Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P -44 /O <${hexStr(Array.fill[Byte](48)(1))}> /U <${hexStr(u)}> " +
+      s"/OE <${hexStr(Array.fill[Byte](32)(2))}> /UE <${hexStr(ue)}> " +
+      "/Perms <00000000000000000000000000000000>"
+    val iv = Array.tabulate[Byte](16)(i => (i * 3 + 1).toByte)
+    val encd = encryptFixture(MinimalPdf.write(text), 6, dict,
+      Array.tabulate[Byte](16)(i => i.toByte),
+      (_, _, b) => aesPayload(C, fileKey, iv, b))
+    assert(MinimalPdf.extractText(encd) == text)
+    // a non-empty user password (different validation salt ⇒ hash mismatch)
+    val badU = C.hash2B("secret".getBytes("UTF-8"), vSalt, Array.empty) ++ vSalt ++ kSalt
+    val bad = encryptFixture(MinimalPdf.write(text), 6,
+      dict.replace(hexStr(u), hexStr(badU)), Array.tabulate[Byte](16)(i => i.toByte),
+      (_, _, b) => aesPayload(C, fileKey, iv, b))
+    val e = intercept[IllegalArgumentException](MinimalPdf.extractText(bad))
+    assert(e.getMessage.contains("password"))
+  }
+
   test("index pipeline end-to-end over file sources (S1→P1→C1→E1)") {
     val dir = Files.createTempDirectory("docs3").toFile
     Files.write(new java.io.File(dir, "doc1.txt").toPath,
