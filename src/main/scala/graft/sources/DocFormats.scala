@@ -32,9 +32,12 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     resolved last-version-wins (§7.5.6). Encrypted files (round-5):
   *     standard security handler with an empty user password — RC4
   *     (R2/R3), AES-128 (R4 AESV2), AES-256 (R6 AESV3) — decrypted
-  *     transparently; password-protected files throw (quarantine). Still
-  *     NOT a full PDF renderer: no public-key encryption, no composite-
-  *     font CID→GID tables beyond ToUnicode.
+  *     transparently; password-protected files throw (quarantine).
+  *     Composite fonts (round-5): Type0 /Identity-H without ToUnicode
+  *     falls back to the embedded TrueType program's own `cmap` table
+  *     (inverted GID→Unicode), honoring /CIDToGIDMap streams. Still NOT a
+  *     full PDF renderer: no public-key encryption, no predefined ordered
+  *     CJK CMaps (those fall through to byte identity).
   */
 object DocFormats {
 
@@ -962,8 +965,10 @@ object DocFormats {
       s
     }
 
-    /** Build one font's decoder: /ToUnicode CMap wins; else /Encoding with
-      * /Differences (glyph names via the AGL subset); else byte identity.
+    /** Build one font's decoder: /ToUnicode CMap wins; else a composite
+      * (Type0 /Identity-H) font's embedded TrueType `cmap` inverted to
+      * GID→Unicode; else /Encoding with /Differences (glyph names via the
+      * AGL subset); else byte identity.
       */
     private def decoderFor(font: PdfObj, byNum: Map[Int, PdfObj]): FontDecoder = {
       val toUnicode = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
@@ -973,11 +978,100 @@ object DocFormats {
       toUnicode.map(parseToUnicodeCMap) match {
         case Some(d) => d
         case None =>
-          encodingDifferences(font, byNum) match {
-            case Some(map) => new MapDecoder(map, 1)
-            case None => IdentityDecoder
-          }
+          cidFontDecoder(font, byNum)
+            .orElse(encodingDifferences(font, byNum).map(new MapDecoder(_, 1)))
+            .getOrElse(IdentityDecoder)
       }
+    }
+
+    /** Composite-font text WITHOUT a /ToUnicode CMap (PDF-1.7 §9.7): a
+      * /Type0 font with /Encoding /Identity-H(-V) shows 2-byte CIDs; its
+      * /DescendantFonts CIDFontType2 maps CID→GID (`/CIDToGIDMap`
+      * /Identity, or a 2-byte-BE-per-CID stream), and the embedded
+      * TrueType program's own `cmap` table (inverted) supplies GID→Unicode
+      * — the same font-file fallback PyMuPDF uses when ToUnicode is
+      * absent. Non-Identity predefined CMaps (ordered CJK collections)
+      * stay out of scope and fall through to byte identity.
+      */
+    private def cidFontDecoder(font: PdfObj, byNum: Map[Int, PdfObj]): Option[FontDecoder] = {
+      if (!font.dict.contains("/Type0") ||
+          """/Encoding\s*/Identity-[HV]""".r.findFirstIn(font.dict).isEmpty)
+        return None
+      def resolve(dict: String, key: String): Option[PdfObj] =
+        (java.util.regex.Pattern.quote(key) + """(?![\w])\s*\[?\s*(\d+)\s+\d+\s+R""").r
+          .findFirstMatchIn(dict).flatMap(m => byNum.get(m.group(1).toInt))
+      for {
+        descendant <- resolve(font.dict, "/DescendantFonts")
+        descriptor <- resolve(descendant.dict, "/FontDescriptor")
+        fontFile <- resolve(descriptor.dict, "/FontFile2")
+        program <- fontFile.stream
+        gidToUni = invertTrueTypeCmap(program)
+        if gidToUni.nonEmpty
+      } yield {
+        val cidToGid = resolve(descendant.dict, "/CIDToGIDMap").flatMap(_.stream)
+        cidToGid match {
+          case None => new MapDecoder(gidToUni, 2) // /Identity (the default)
+          case Some(tbl) =>
+            val viaGid = (0 until tbl.length / 2).flatMap { cid =>
+              val gid = ((tbl(2 * cid) & 0xff) << 8) | (tbl(2 * cid + 1) & 0xff)
+              gidToUni.get(gid).map(cid -> _)
+            }.toMap
+            new MapDecoder(viaGid, 2)
+        }
+      }
+    }
+
+    /** GID→Unicode from a TrueType `cmap` table (OpenType spec): walk the
+      * table directory for 'cmap', prefer the Windows-BMP (3,1) format-4
+      * subtable (any format-4 otherwise), and invert its unicode→GID
+      * segments. First unicode wins per GID — stable for the common case
+      * of distinct glyphs. Malformed programs yield an empty map (caller
+      * falls through) rather than throwing: fonts are best-effort inputs.
+      */
+    private def invertTrueTypeCmap(font: Array[Byte]): Map[Int, String] = {
+      def u16(off: Int): Int =
+        if (off + 1 < font.length) ((font(off) & 0xff) << 8) | (font(off + 1) & 0xff) else 0
+      def u32(off: Int): Long =
+        if (off + 3 < font.length) beInt(font, off, 4) else -1L
+      try {
+        val numTables = u16(4)
+        val cmapAt = (0 until numTables).iterator.map(12 + 16 * _).collectFirst {
+          case rec if u32(rec) == 0x636d6170L => u32(rec + 8).toInt // 'cmap'
+        }.getOrElse(return Map.empty)
+        val subCount = u16(cmapAt + 2)
+        val subOffsets = (0 until subCount).map { i =>
+          val rec = cmapAt + 4 + 8 * i
+          (u16(rec), u16(rec + 2), cmapAt + u32(rec + 4).toInt)
+        }
+        val fmt4 = subOffsets.find { case (p, e, off) => p == 3 && e == 1 && u16(off) == 4 }
+          .orElse(subOffsets.find { case (_, _, off) => u16(off) == 4 })
+          .map(_._3).getOrElse(return Map.empty)
+        val segCount = u16(fmt4 + 6) / 2
+        val endAt = fmt4 + 14
+        val startAt = endAt + 2 * segCount + 2 // +2: reservedPad
+        val deltaAt = startAt + 2 * segCount
+        val rangeAt = deltaAt + 2 * segCount
+        val out = scala.collection.mutable.HashMap[Int, String]()
+        for (seg <- 0 until segCount) {
+          val end = u16(endAt + 2 * seg)
+          val start = u16(startAt + 2 * seg)
+          val delta = u16(deltaAt + 2 * seg)
+          val rangeOff = u16(rangeAt + 2 * seg)
+          if (start != 0xffff || end != 0xffff) {
+            for (c <- start to end) {
+              val gid =
+                if (rangeOff == 0) (c + delta) & 0xffff
+                else {
+                  val gi = rangeAt + 2 * seg + rangeOff + 2 * (c - start)
+                  val g = u16(gi)
+                  if (g == 0) 0 else (g + delta) & 0xffff
+                }
+              if (gid != 0 && !out.contains(gid)) out(gid) = c.toChar.toString
+            }
+          }
+        }
+        out.toMap
+      } catch { case _: IndexOutOfBoundsException => Map.empty }
     }
 
     /** Parse a /ToUnicode CMap stream (PDF-1.7 §9.10.3): `bfchar` pairs and

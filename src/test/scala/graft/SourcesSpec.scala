@@ -366,6 +366,70 @@ class SourcesSpec extends SparkSpec {
       new Multimodal.ImageDecoder(6).features(null, Array[Byte](1, 2, 3)))
   }
 
+  /** Minimal TrueType program: a table directory holding a single `cmap`
+    * (format 4, Windows-BMP), one segment per mapped char plus the 0xFFFF
+    * terminator — the only table [[DocFormats.MinimalPdf]]'s composite-font
+    * fallback reads.
+    */
+  private def ttfWithCmap(mapping: Seq[(Char, Int)]): Array[Byte] = {
+    val segs = mapping.sortBy(_._1) // format 4 requires ascending endCode
+    val segCount = segs.size + 1
+    val fmt4Len = 16 + 8 * segCount
+    val buf = java.nio.ByteBuffer.allocate(28 + 12 + fmt4Len) // big-endian
+    buf.putInt(0x00010000).putShort(1).putShort(0).putShort(0).putShort(0)
+    buf.put("cmap".getBytes("US-ASCII")).putInt(0).putInt(28).putInt(12 + fmt4Len)
+    buf.putShort(0).putShort(1) // cmap v0, one subtable
+    buf.putShort(3).putShort(1).putInt(12) // (3,1) at cmap+12
+    buf.putShort(4).putShort(fmt4Len.toShort).putShort(0) // format 4 header
+    buf.putShort((2 * segCount).toShort).putShort(0).putShort(0).putShort(0)
+    segs.foreach(s => buf.putShort(s._1.toShort)); buf.putShort(-1) // endCode
+    buf.putShort(0) // reservedPad
+    segs.foreach(s => buf.putShort(s._1.toShort)); buf.putShort(-1) // startCode
+    segs.foreach { case (c, gid) => buf.putShort(((gid - c) & 0xffff).toShort) }
+    buf.putShort(1) // terminator delta: 0xFFFF + 1 ≡ gid 0 (unmapped)
+    (0 until segCount).foreach(_ => buf.putShort(0)) // idRangeOffset
+    buf.array()
+  }
+
+  private def cidPdf(content: String, font: Array[Byte], cidToGid: String,
+      extraObjs: String = ""): Array[Byte] = {
+    val fontStr = new String(font, java.nio.charset.StandardCharsets.ISO_8859_1)
+    ("%PDF-1.4\n" +
+      s"1 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "2 0 obj << /Type /Page /Resources << /Font << /F1 3 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Font /Subtype /Type0 /BaseFont /T /Encoding /Identity-H " +
+      "/DescendantFonts [4 0 R] >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /T " +
+      s"/FontDescriptor 5 0 R /CIDToGIDMap $cidToGid >> endobj\n" +
+      "5 0 obj << /Type /FontDescriptor /FontName /T /FontFile2 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${font.length} >> stream\n$fontStr\nendstream endobj\n" +
+      extraObjs + "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  test("MinimalPdf: Type0/Identity-H WITHOUT ToUnicode decodes via embedded TrueType cmap") {
+    import graft.sources.DocFormats.MinimalPdf
+    // glyph ids 1..3 for H, i, ! — the shown CIDs are the GIDs (Identity)
+    val font = ttfWithCmap(Seq('H' -> 1, 'i' -> 2, '!' -> 3))
+    val content = "BT /F1 12 Tf 72 720 Td <000100020003> Tj ET"
+    assert(MinimalPdf.extractText(cidPdf(content, font, "/Identity")) == "Hi!")
+    // the content stream never contains the plaintext — only the font
+    // program's cmap recovers it
+    val raw = new String(cidPdf(content, font, "/Identity"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!raw.contains("Hi!"))
+  }
+
+  test("MinimalPdf: /CIDToGIDMap stream remaps CIDs before the font cmap") {
+    import graft.sources.DocFormats.MinimalPdf
+    val font = ttfWithCmap(Seq('A' -> 5, 'B' -> 6))
+    // CID 1 → GID 6 ('B'), CID 2 → GID 5 ('A'): 2-byte-BE entries, CID 0 free
+    val tbl = new String(Array[Byte](0, 0, 0, 6, 0, 5),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val extra = s"7 0 obj << /Length ${tbl.length} >> stream\n$tbl\nendstream endobj\n"
+    val content = "BT /F1 12 Tf 72 720 Td <00010002> Tj ET"
+    assert(MinimalPdf.extractText(cidPdf(content, font, "7 0 R", extra)) == "BA")
+  }
+
   // ------------------- PDF encryption (standard security handler, §7.6.3)
   // Fixtures are built from the SAME Crypto primitives the reader decrypts
   // with — every value (O, U, UE, file key, per-object keys) is computed by
