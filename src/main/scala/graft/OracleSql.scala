@@ -702,6 +702,36 @@ SELECT media_id,
   CAST(sum(abs(((media_id * 73 + i * 37) % 65536) - 32768)) AS BIGINT) AS amp_sum
 FROM samp GROUP BY media_id ORDER BY media_id""",
 
+    // C4-style corpus-level line dedup (q82): keep-first per distinct
+    // line (window over the LINE VALUE — Spark windows over its sha2,
+    // identical classes), rebuild with ORDER BY idx inside string_agg.
+    // Line indexes come from generate_series over the split list (no
+    // unnest-ordering dependency); blank = space-trimmed empty on BOTH
+    // sides (Spark trim ≡ DuckDB trim: 0x20 only).
+    "q82_line_dedup" ->
+      raw"""WITH d AS (
+  SELECT doc_id, regexp_replace(text, ' (table|row) ', chr(10), 'g') AS t
+  FROM documents),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+l AS (
+  SELECT ls.doc_id, i.i AS idx, ls.l[i.i] AS line
+  FROM ls, LATERAL (SELECT unnest(generate_series(1, len(ls.l))) AS i) i
+  WHERE length(trim(ls.l[i.i])) > 0),
+k AS (SELECT doc_id, idx, line,
+        row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      FROM l),
+r AS (SELECT doc_id,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        CAST(count(*) AS INT) AS n_lines,
+        string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx) AS txt
+      FROM k GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(r.n_kept, 0) AS n_kept,
+  coalesce(r.n_lines, 0) AS n_lines,
+  coalesce(r.txt, '') AS text
+FROM d LEFT JOIN r USING (doc_id)
+ORDER BY doc_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

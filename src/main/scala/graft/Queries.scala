@@ -1245,6 +1245,20 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  /** Q82 — C4-style corpus-level line dedup: synthesize line breaks the
+    * q14 way (replace ' table '/' row ' with a newline), then keep the
+    * FIRST occurrence of every distinct line across ALL documents and
+    * rebuild each document from its survivors (Dedup.dedupLinesAcrossCorpus;
+    * Raffel et al. 2020 §2.2). Full rebuilt text is hash-compared.
+    */
+  def q82LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " (table|row) ", "\n").as("text"))
+    graft.operators.Dedup.dedupLinesAcrossCorpus(lined, "doc_id", "text", "\n")
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1328,5 +1342,6 @@ object Queries {
     "q79_rebalance" -> q79Rebalance _,
     "q80_html_extract" -> q80HtmlExtract _,
     "q81_audio_decode" -> q81AudioDecode _,
+    "q82_line_dedup" -> q82LineDedup _,
   )
 }

@@ -29,6 +29,53 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** C4-style LINE-level dedup ACROSS the corpus (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once" — generalized here to the delimiter-defined line, the unit
+    * C4's public implementation hashes): every distinct non-blank line
+    * keeps exactly its FIRST occurrence (min `(idCol, position)`), each
+    * document is rebuilt from its surviving lines in original order, and
+    * documents whose every line was claimed elsewhere come back with empty
+    * text (caller decides whether to drop).
+    *
+    * Scale shape: the keep-first window shuffles on the line's 256-bit
+    * digest (constant-width key regardless of line length — the line text
+    * rides as a value, which any text pipeline pays), then one `groupBy`
+    * on the document id rebuilds. No self-join, no collect; both shuffle
+    * keys are bounded-width. Digest collisions conflate lines at the
+    * usual 2⁻²⁵⁶ odds.
+    *
+    * @return one row per input row: `idCol`, n_kept (lines surviving),
+    *         n_lines (non-blank lines before dedup), text rebuilt with
+    *         `delim`
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_line")
+      .where(length(trim(col("_line"))) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("_line"), 256)).orderBy(col(idCol), col("_idx"))
+    val kept = lines.withColumn("_rn", row_number().over(w))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        count(lit(1)).cast("int").as("n_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_rn") === 1, struct(col("_idx"), col("_line"))))),
+            x => x.getField("_line")),
+          delim).as("_text"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("n_lines"), lit(0)).as("n_lines"),
+        coalesce(col("_text"), lit("")).as("text"))
+  }
+
   /** Portable MinHash signature of a shingle-array column: for each of
     * `numHashes` seeded hash functions, the minimum md5-bucket value over the
     * shingles. md5(seed || '|' || shingle) is identical in Spark and DuckDB,

@@ -16,6 +16,24 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("dedupLinesAcrossCorpus: keep-first across docs, in-doc repeats, emptied doc") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha"),   // in-doc repeat: second alpha dropped
+      (2L, "beta\ngamma"),          // beta claimed by doc 1
+      (3L, "alpha\nbeta"),          // fully claimed ⇒ empty text
+      (4L, "  \ndelta")             // blank line ignored entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((2, 3, "alpha\nbeta")))
+    assert(out(2L) == ((1, 2, "gamma")))
+    assert(out(3L) == ((0, 2, "")))
+    assert(out(4L) == ((1, 1, "delta")))
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")
