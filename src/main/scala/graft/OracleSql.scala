@@ -732,6 +732,69 @@ SELECT d.doc_id,
 FROM d LEFT JOIN r USING (doc_id)
 ORDER BY doc_id""",
 
+    // Boilerplate stripping (q83): remove EVERY occurrence of lines whose
+    // distinct-doc frequency exceeds 1 (q82's split/blank conventions).
+    "q83_boilerplate_strip" ->
+      raw"""WITH d AS (
+  SELECT doc_id, regexp_replace(text, ' (table|row) ', chr(10), 'g') AS t
+  FROM documents),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+l AS (
+  SELECT ls.doc_id, i.i AS idx, ls.l[i.i] AS line
+  FROM ls, LATERAL (SELECT unnest(generate_series(1, len(ls.l))) AS i) i
+  WHERE length(trim(ls.l[i.i])) > 0),
+f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+k AS (SELECT l.doc_id, l.idx, l.line, f.df <= 1 AS keep
+      FROM l JOIN f USING (line)),
+r AS (SELECT doc_id,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        CAST(count(*) AS INT) AS n_lines,
+        string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx) AS txt
+      FROM k GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(r.n_kept, 0) AS n_kept,
+  coalesce(r.n_lines, 0) AS n_lines,
+  coalesce(r.txt, '') AS text
+FROM d LEFT JOIN r USING (doc_id)
+ORDER BY doc_id""",
+
+    // Gopher repetition metrics (q84): overlapping n-grams over the shared
+    // tokenization; most-frequent ties resolve to larger coverage (the
+    // Spark max(struct(cnt, cov)) rule ≡ max cov among cnt = per-doc max);
+    // ppm is an exact integer quotient (// here, scaled-minus-pmod there).
+    "q84_ngram_repetition" ->
+      raw"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+tot AS (SELECT doc_id,
+  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tchars
+  FROM t),
+g2 AS (SELECT t.doc_id, array_to_string(toks[i.i:i.i+1], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt,
+         CAST(length(gram) - 1 AS BIGINT) AS gchars
+       FROM g2 GROUP BY doc_id, gram),
+c2w AS (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS mx FROM c2),
+p2 AS (SELECT doc_id,
+         CAST(max(CASE WHEN cnt = mx THEN cnt * gchars END) AS BIGINT) AS topcov,
+         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * gchars END), 0) AS BIGINT) AS dupcov
+       FROM c2w GROUP BY doc_id),
+g5 AS (SELECT t.doc_id, array_to_string(toks[i.i:i.i+4], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i) i),
+c5 AS (SELECT doc_id, gram, count(*) AS cnt,
+         CAST(length(gram) - 4 AS BIGINT) AS gchars
+       FROM g5 GROUP BY doc_id, gram),
+c5w AS (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS mx FROM c5),
+p5 AS (SELECT doc_id,
+         CAST(max(CASE WHEN cnt = mx THEN cnt * gchars END) AS BIGINT) AS topcov,
+         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * gchars END), 0) AS BIGINT) AS dupcov
+       FROM c5w GROUP BY doc_id)
+SELECT tot.doc_id,
+  CASE WHEN tchars > 0 THEN least(coalesce(p2.topcov, 0) * 1000000 // tchars, 1000000) ELSE 0 END AS top2_ppm,
+  CASE WHEN tchars > 0 THEN least(coalesce(p2.dupcov, 0) * 1000000 // tchars, 1000000) ELSE 0 END AS dup2_ppm,
+  CASE WHEN tchars > 0 THEN least(coalesce(p5.topcov, 0) * 1000000 // tchars, 1000000) ELSE 0 END AS top5_ppm,
+  CASE WHEN tchars > 0 THEN least(coalesce(p5.dupcov, 0) * 1000000 // tchars, 1000000) ELSE 0 END AS dup5_ppm
+FROM tot LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
+ORDER BY doc_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1259,6 +1259,32 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q83 — RefinedWeb-style boilerplate stripping: lines appearing in MORE
+    * THAN one distinct document (synthesized breaks, q82's convention) are
+    * removed from every document; survivors keep their order. The
+    * complement of q82's keep-first dedup (Dedup.stripBoilerplateLines).
+    */
+  def q83BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " (table|row) ", "\n").as("text"))
+    graft.operators.Dedup.stripBoilerplateLines(lined, "doc_id", "text", maxDocFreq = 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q84 — Gopher repetition metrics (Rae et al. 2021 Table A1 family):
+    * per-doc ppm of characters covered by the most frequent 2-gram and by
+    * all duplicated 2-grams / 5-grams, exact integer quotients
+    * (TextAnalysis.ngramRepetition over the shared word tokenization).
+    */
+  def q84NgramRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = TextFunctions.wordTokens(col("text"))
+    TextAnalysis.ngramRepetition(docs, "doc_id", toks, 2)
+      .join(TextAnalysis.ngramRepetition(docs, "doc_id", toks, 5), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1343,5 +1369,7 @@ object Queries {
     "q80_html_extract" -> q80HtmlExtract _,
     "q81_audio_decode" -> q81AudioDecode _,
     "q82_line_dedup" -> q82LineDedup _,
+    "q83_boilerplate_strip" -> q83BoilerplateStrip _,
+    "q84_ngram_repetition" -> q84NgramRepetition _,
   )
 }

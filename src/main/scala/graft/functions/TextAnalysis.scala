@@ -143,4 +143,60 @@ object TextAnalysis {
     when(nWins < 1, array().cast("array<bigint>"))
       .otherwise(array_sort(array_distinct(mins)))
   }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 Table A1 family) for
+    * one n-gram order, exact and integer-portable. Per document:
+    *
+    *   - `top{n}_ppm`: characters covered by the MOST FREQUENT n-gram
+    *     (count × non-separator gram chars) as parts-per-million of total
+    *     token characters;
+    *   - `dup{n}_ppm`: characters covered by ALL n-grams occurring more
+    *     than once, same scale.
+    *
+    * Occurrences are counted overlapping and coverage multiplies count ×
+    * gram length (the common public-pipeline simplification — overlap can
+    * double-count, so ppm is capped at 10⁶). Ties for most-frequent
+    * resolve to the larger coverage — value-deterministic, since the
+    * metric needs the coverage, not the winning gram's identity. The ppm
+    * is an exact integer quotient (scaled-minus-pmod, no double rounding),
+    * so it replays bit-identically in DuckDB's `//`.
+    *
+    * Scale shape: explode to (doc, gram) → count `groupBy` keyed (doc id,
+    * gram) — gram width bounded by n tokens — → per-doc agg joined back
+    * to pre-explode totals. No self-join, no collect.
+    */
+  def ngramRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokensCol: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val base = df.select(col(idCol), tokensCol.as("_toks"))
+      .withColumn("_tchars",
+        aggregate(transform(col("_toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+    val starts = when(size(col("_toks")) >= n,
+        sequence(lit(1), size(col("_toks")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = base.select(col(idCol),
+      explode(transform(starts, i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+        .as("_gram"))
+    val gchars = (length(col("_gram")) - lit(n - 1)).cast("long")
+    val perDoc = grams
+      .groupBy(col(idCol), col("_gram")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cov", col("_cnt") * gchars)
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("_cnt"), col("_cov"))).as("_top"),
+        sum(when(col("_cnt") > 1, col("_cov")).otherwise(0L)).as("_dupcov"))
+    def ppm(cov: Column, total: Column): Column = {
+      val scaled = cov * lit(1000000L)
+      // exact integer quotient: subtract the remainder, then the double
+      // division is of an exactly-divisible pair (≤2⁵³) — no rounding edge
+      val q = ((scaled - pmod(scaled, total)) / total).cast("long")
+      when(total > 0, least(q, lit(1000000L))).otherwise(lit(0L))
+    }
+    base.select(col(idCol), col("_tchars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        ppm(coalesce(col("_top._cov"), lit(0L)), col("_tchars")).as(s"top${n}_ppm"),
+        ppm(coalesce(col("_dupcov"), lit(0L)), col("_tchars")).as(s"dup${n}_ppm"))
+  }
 }

@@ -51,21 +51,61 @@ object Dedup {
     */
   def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n"): DataFrame = {
-    val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
-      .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_line")
-      .where(length(trim(col("_line"))) > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sha2(col("_line"), 256)).orderBy(col(idCol), col("_idx"))
-    val kept = lines.withColumn("_rn", row_number().over(w))
-    val rebuilt = kept
+    val flagged = explodeLines(df, idCol, textCol, delim)
+      .withColumn("_keep", row_number().over(w) === 1)
+    rebuildFromLines(df, flagged, idCol, delim)
+  }
+
+  /** RefinedWeb-style BOILERPLATE stripping: a line appearing in MORE THAN
+    * `maxDocFreq` distinct documents (nav bars, cookie banners, footers) is
+    * removed from EVERY document; everything else is kept in place. The
+    * complement of [[dedupLinesAcrossCorpus]] — that keeps one canonical
+    * occurrence, this removes all occurrences of over-frequent lines.
+    *
+    * Scale shape: doc-frequency is a `groupBy` on the line's sha2 digest
+    * (map-side partial counts; bounded key), joined back to the exploded
+    * lines on the same digest — co-partitioned by construction, so the
+    * join adds no extra shuffle of the lines — then one `groupBy` on the
+    * doc id rebuilds.
+    */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, delim: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = explodeLines(df, idCol, textCol, delim)
+      .withColumn("_h", sha2(col("_line"), 256))
+    val freq = lines.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+    val flagged = lines.join(freq, "_h")
+      .withColumn("_keep", col("_df") <= maxDocFreq)
+    rebuildFromLines(df, flagged, idCol, delim)
+  }
+
+  /** Delimiter-split lines with per-doc positions, blanks (space-trimmed
+    * empty) dropped: `(idCol, _idx, _line)`.
+    */
+  private def explodeLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_line")
+      .where(length(trim(col("_line"))) > 0)
+
+  /** Rebuild each document from its `_keep`-flagged lines in original
+    * order; docs whose every line was removed (or that had none) come back
+    * with empty text via the left join on the original ids.
+    */
+  private def rebuildFromLines(df: DataFrame, flagged: DataFrame, idCol: String,
+      delim: String): DataFrame = {
+    val rebuilt = flagged
       .groupBy(col(idCol))
       .agg(
-        sum(when(col("_rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("_keep"), 1).otherwise(0)).cast("int").as("n_kept"),
         count(lit(1)).cast("int").as("n_lines"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("_rn") === 1, struct(col("_idx"), col("_line"))))),
+            array_sort(collect_list(when(col("_keep"), struct(col("_idx"), col("_line"))))),
             x => x.getField("_line")),
           delim).as("_text"))
     df.select(col(idCol))

@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1, 1, "delta")))
   }
 
+  test("stripBoilerplateLines: over-frequent lines removed EVERYWHERE, rest kept in place") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "cookie banner\nreal content one"), // "real content one" df=2 ≤ 2 kept
+      (4L, "unique only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // "cookie banner" df=3 > 2 ⇒ stripped from ALL docs (incl. every copy)
+    assert(out(1L) == ((1, 2, "real content one")))
+    assert(out(2L) == ((1, 2, "real content two")))
+    assert(out(3L) == ((1, 2, "real content one")))
+    assert(out(4L) == ((1, 1, "unique only")))
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")

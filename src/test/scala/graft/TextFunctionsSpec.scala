@@ -128,6 +128,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(row.getDouble(2) == 1.0 / 5.0)
   }
 
+  test("ngramRepetition: hand-computed top/dup coverage ppm, caps and empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // 2-grams "a b"×2, "b a"×2; tchars=5
+      (2L, "x y z"),     // no repetition; no 5-gram (3 < 5)
+      (3L, "")           // tchars=0 ⇒ all zero
+    ).toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.wordTokens(col("text"))
+    val two = TextAnalysis.ngramRepetition(docs, "doc_id", toks, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two(1L) == ((800000L, 1000000L))) // top 2×2/5; dup 8/5 capped at 1e6
+    assert(two(2L) == ((666666L, 0L)))       // exact integer quotient 2e6/3
+    assert(two(3L) == ((0L, 0L)))
+    val five = TextAnalysis.ngramRepetition(docs, "doc_id", toks, 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(five(1L) == ((1000000L, 0L)))     // the single 5-gram covers all chars
+    assert(five(2L) == ((0L, 0L)))
+  }
+
   test("qualityScore: clean prose beats punctuation soup") {
     import spark.implicits._
     val df = Seq(
