@@ -51,10 +51,19 @@ object Dedup {
     */
   def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(col("_line"), 256)).orderBy(col(idCol), col("_idx"))
-    val flagged = explodeLines(df, idCol, textCol, delim)
-      .withColumn("_keep", row_number().over(w) === 1)
+    // keep-first as a MIN aggregation, not a row_number window: a
+    // boilerplate line duplicated across millions of docs is one hot
+    // digest key, and a window must sort its whole occurrence list in one
+    // task — min(struct(id, idx)) combines map-side, so the hot key
+    // reduces before it ever shuffles. The winner join is digest-keyed on
+    // both sides (co-partitioned with the groupBy, no extra line shuffle).
+    val lines = explodeLines(df, idCol, textCol, delim)
+      .withColumn("_h", sha2(col("_line"), 256))
+    val winners = lines.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_win"))
+    val flagged = lines.join(winners, "_h")
+      .withColumn("_keep",
+        col("_win")(idCol) === col(idCol) && col("_win")("_idx") === col("_idx"))
     rebuildFromLines(df, flagged, idCol, delim)
   }
 
