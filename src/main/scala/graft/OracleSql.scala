@@ -795,6 +795,38 @@ SELECT tot.doc_id,
 FROM tot LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
 ORDER BY doc_id""",
 
+    // ExactSubstr duplicate-span removal (q85): duplicated 10-token
+    // windows mark non-canonical occurrences' positions (rn > 1 over
+    // (doc_id, p) ≡ Spark's min(struct) exemption); covered positions are
+    // dropped, docs rebuilt token-ordered. Grouping is on the window TEXT
+    // here vs its sha2 there — identical classes.
+    "q85_duplicate_spans" ->
+      raw"""WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+o AS (SELECT t.doc_id, i.i AS p, array_to_string(toks[i.i:i.i+9], ' ') AS g
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 9)) AS i) i),
+ow AS (SELECT doc_id, p,
+         count(*) OVER (PARTITION BY g) AS cnt,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+       FROM o),
+cov AS (SELECT DISTINCT doc_id, i.i AS pos
+        FROM ow, LATERAL (SELECT unnest(generate_series(p, p + 9)) AS i) i
+        WHERE cnt > 1 AND rn > 1),
+tok AS (SELECT t.doc_id, i.i AS pos, toks[i.i] AS tok
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+k AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok ANTI JOIN cov USING (doc_id, pos)),
+r AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM k GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  coalesce(r.n_kept_tokens, 0) AS n_kept_tokens,
+  coalesce(r.txt, '') AS text
+FROM t LEFT JOIN r USING (doc_id)
+ORDER BY doc_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1285,6 +1285,16 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q85 — ExactSubstr duplicate-span removal (Lee et al. 2022): 10-token
+    * windows duplicated across the corpus are removed from every
+    * non-canonical occurrence; the earliest copy survives. Full rebuilt
+    * text hash-compared (Dedup.removeDuplicateSpans).
+    */
+  def q85DuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.removeDuplicateSpans(
+        Tables.documents(s, dir), "doc_id", "text", spanTokens = 10)
+      .orderBy(col("doc_id"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1371,5 +1381,6 @@ object Queries {
     "q82_line_dedup" -> q82LineDedup _,
     "q83_boilerplate_strip" -> q83BoilerplateStrip _,
     "q84_ngram_repetition" -> q84NgramRepetition _,
+    "q85_duplicate_spans" -> q85DuplicateSpans _,
   )
 }

@@ -91,6 +91,71 @@ object Dedup {
     rebuildFromLines(df, flagged, idCol, delim)
   }
 
+  /** Exact duplicate-SPAN removal (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr policy): any
+    * `spanTokens`-token window whose text occurs more than once ACROSS the
+    * corpus marks its occurrences' token positions; covered positions are
+    * removed and each document is rebuilt from its surviving tokens in
+    * order (single-space joined — token-normalized output, whitespace runs
+    * collapse).
+    *
+    * Coverage is EXACTLY the union of maximal duplicated substrings of
+    * ≥ `spanTokens` tokens: every L-window inside a duplicated span is
+    * itself duplicated, and every duplicated L-window lies inside such a
+    * span — the windowed formulation needs no suffix array. With
+    * `keepFirst` (the paper's leave-one-occurrence policy), each window's
+    * canonical occurrence — min `(id, position)` — is exempt from
+    * coverage, so for non-overlapping copies the earliest copy survives
+    * intact and every later copy is removed whole.
+    *
+    * Scale shape: window digests shuffle as bounded 256-bit keys with
+    * partial-aggregatable `count`/`min(struct)` verdicts (hot boilerplate
+    * windows combine map-side); the verdict joins back digest-keyed
+    * (co-partitioned); coverage explodes duplicated occurrences ×L then
+    * `distinct`s on `(id, pos)` — bounded both. No self-join, no collect,
+    * no suffix-array build.
+    *
+    * @return `(idCol, n_tokens, n_kept_tokens, text)`
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, keepFirst: Boolean = true): DataFrame = {
+    require(spanTokens >= 2, "span length must be >= 2 tokens")
+    val L = spanTokens
+    val base = df.select(col(idCol),
+      filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("_toks"))
+    val starts = when(size(col("_toks")) >= L,
+        sequence(lit(1), size(col("_toks")) - (L - 1)))
+      .otherwise(array().cast("array<int>"))
+    val occs = base.select(col(idCol),
+        explode(transform(starts, p => struct(p.as("_p"),
+          sha2(array_join(slice(col("_toks"), p, lit(L)), " "), 256).as("_h")))).as("_o"))
+      .select(col(idCol), col("_o._p").as("_p"), col("_o._h").as("_h"))
+    val stats = occs.groupBy(col("_h")).agg(
+      count(lit(1)).as("_cnt"),
+      min(struct(col(idCol), col("_p"))).as("_win"))
+    val canonical =
+      if (keepFirst) col("_win")(idCol) === col(idCol) && col("_win")("_p") === col("_p")
+      else lit(false)
+    val covered = occs.join(stats, "_h")
+      .where(col("_cnt") > 1 && !canonical)
+      .select(col(idCol), explode(sequence(col("_p"), col("_p") + (L - 1))).as("_pos"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("_toks")))
+      .select(col(idCol), (col("pos") + 1).as("_pos"), col("col").as("_tok"))
+    val rebuilt = toks.join(covered, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            x => x.getField("_tok")), " ").as("_text"))
+    base.select(col(idCol), size(col("_toks")).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0)).as("n_kept_tokens"),
+        coalesce(col("_text"), lit("")).as("text"))
+  }
+
   /** Delimiter-split lines with per-doc positions, blanks (space-trimmed
     * empty) dropped: `(idCol, _idx, _line)`.
     */

@@ -53,6 +53,32 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1, 1, "unique only")))
   }
 
+  test("removeDuplicateSpans: later copy removed whole, earliest intact; keepFirst=false removes both") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // doc 1 and doc 2 share the 4-token span "p q r s"; doc 3 is clean
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "x p q r s y z w"),
+      (3L, "m n o t u v a b")
+    ).toDF("doc_id", "text")
+    val keepFirst = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(keepFirst(1L) == ((8, 8, "a b p q r s c d"))) // canonical copy untouched
+    assert(keepFirst(2L) == ((8, 4, "x y z w")))         // span excised, rest in order
+    assert(keepFirst(3L) == ((8, 8, "m n o t u v a b")))
+    val removeAll = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        spanTokens = 4, keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(removeAll(1L) == "a b c d" && removeAll(2L) == "x y z w")
+    // doc shorter than the span: untouched even if identical to a window
+    val tiny = Dedup.removeDuplicateSpans(
+        Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(tiny(1L) == "p q r" && tiny(2L) == "p q r")
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")
