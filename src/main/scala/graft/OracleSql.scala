@@ -827,6 +827,38 @@ SELECT t.doc_id,
 FROM t LEFT JOIN r USING (doc_id)
 ORDER BY doc_id""",
 
+    // DSIR importance weights (q86): hashed uni+bigram buckets (portable
+    // md5-60-bit % 1024), add-one-smoothed target/corpus probabilities,
+    // ln of the ratio with the EXACT expression shape of the Spark side,
+    // DECIMAL(24,12) per-doc sums, milli-floored (the q77 discipline).
+    "q86_dsir_weights" ->
+      raw"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+f AS (
+  SELECT doc_id, u.f
+  FROM t, LATERAL (
+    SELECT unnest(list_concat(toks,
+      CASE WHEN len(toks) >= 2
+        THEN list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])
+        ELSE []::VARCHAR[] END)) AS f) u),
+bk AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS b FROM f),
+tc AS (SELECT b, count(*) AS tc FROM bk WHERE doc_id < 50 GROUP BY b),
+cc AS (SELECT b, count(*) AS cc FROM bk GROUP BY b),
+tt AS (SELECT sum(tc) AS ttot FROM tc),
+ct AS (SELECT sum(cc) AS ctot FROM cc),
+w AS (SELECT cc.b,
+        ln(((coalesce(tc.tc, 0) + 1.0) / (tt.ttot + 1024)) /
+           ((cc.cc + 1.0) / (ct.ctot + 1024))) AS w
+      FROM cc LEFT JOIN tc USING (b), tt, ct),
+s AS (SELECT bk.doc_id, CAST(count(*) AS INT) AS n_feats,
+        CAST(sum(CAST(w.w AS DECIMAL(24,12))) AS DOUBLE) AS weight
+      FROM bk JOIN w USING (b) GROUP BY bk.doc_id)
+SELECT d.doc_id,
+  coalesce(s.n_feats, 0) AS n_feats,
+  floor(coalesce(s.weight, 0.0) * 1000) / 1 AS w_m
+FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1295,6 +1295,21 @@ object Queries {
         Tables.documents(s, dir), "doc_id", "text", spanTokens = 10)
       .orderBy(col("doc_id"))
 
+  /** Q86 — DSIR importance weights (Xie et al. 2023): docs 0–49 are the
+    * "target domain" sample, the whole table the raw corpus; per-doc
+    * Σ ln(p_target/p_raw) over hashed uni+bigram buckets, decimal-summed,
+    * reported milli-floored (the q77 discipline)
+    * (Sampling.dsirWeights).
+    */
+  def q86DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Sampling.dsirWeights(
+        docs, docs.where(col("doc_id") < 50), "doc_id", col("text"), buckets = 1024)
+      .select(col("doc_id"), col("n_feats"),
+        fl(col("weight") * 1000, 0).as("w_m"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1382,5 +1397,6 @@ object Queries {
     "q83_boilerplate_strip" -> q83BoilerplateStrip _,
     "q84_ngram_repetition" -> q84NgramRepetition _,
     "q85_duplicate_spans" -> q85DuplicateSpans _,
+    "q86_dsir_weights" -> q86DsirWeights _,
   )
 }

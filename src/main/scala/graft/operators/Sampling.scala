@@ -183,4 +183,71 @@ object Sampling {
             s => s.getField("_text")),
           separator).as("text"))
       .select(col("shard"), col("pack_id"), col("n_docs"), col("text"))
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hashed-n-gram bucket probabilities are estimated on a small TARGET
+    * sample and on the RAW corpus, and each corpus document is weighted by
+    * Σ ln(p_target(b) / p_raw(b)) over its feature occurrences — high
+    * weight ⇒ looks like the target domain. Selection composes downstream
+    * (rank/top-k, or threshold + the content-addressed hash sample).
+    *
+    * Features are word uni- and bigrams hashed to `buckets` md5 buckets
+    * (the repo's portable 60-bit hash); probabilities are add-one-smoothed
+    * exact counts, the ln runs on the exact-count ratio with an expression
+    * shape mirrored verbatim in the oracle, and per-doc summation goes
+    * through DECIMAL(24,12) (combine-order independent) — the q77
+    * discipline, so floor-3dp scores hash-match DuckDB.
+    *
+    * Scale shape: both probability tables have exactly `buckets` rows —
+    * broadcast; feature explode → count is a bounded-key `groupBy` with
+    * map-side partials; scoring is explode + broadcast join + one
+    * `groupBy` on the doc id. The corpus is scanned twice (counts, then
+    * scoring) — cache or re-read, caller's choice. No self-join, no
+    * driver-side state.
+    *
+    * @return `(idCol, n_feats, weight)` — one row per corpus row; docs
+    *         with no features weigh 0.0
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "bucket count must be >= 2")
+    val toks = graft.functions.TextFunctions.wordTokens(textCol)
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(toks, bigrams)
+    val bucket = pmod(
+      conv(substring(md5(col("_f")), 1, 15), 16, 10).cast("long"), lit(buckets))
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(feats).as("_f"))
+        .select(bucket.as("_b"))
+        .groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+    val tc = bucketCounts(target).withColumnRenamed("_cnt", "_tc")
+    val cc = bucketCounts(corpus).withColumnRenamed("_cnt", "_cc")
+    val tTot = tc.agg(sum(col("_tc")).as("_ttot"))
+    val cTot = cc.agg(sum(col("_cc")).as("_ctot"))
+    // smoothed log-ratio per bucket; only corpus-present buckets can be
+    // scored, so the left join covers every bucket that matters
+    val weights = cc.join(tc, Seq("_b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(cTot))
+      .select(col("_b"),
+        log(
+          ((coalesce(col("_tc"), lit(0L)) + lit(1.0)) / (col("_ttot") + lit(buckets))) /
+          ((col("_cc") + lit(1.0)) / (col("_ctot") + lit(buckets)))).as("_w"))
+    corpus.select(col(idCol))
+      .join(
+        corpus.select(col(idCol), explode(feats).as("_f"))
+          .select(col(idCol), bucket.as("_b"))
+          .join(broadcast(weights), "_b")
+          .groupBy(col(idCol))
+          .agg(
+            count(lit(1)).cast("int").as("n_feats"),
+            sum(col("_w").cast("decimal(24,12)")).cast("double").as("weight")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0)).as("n_feats"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
 }

@@ -152,6 +152,31 @@ class SamplingSpec extends SparkSpec {
     }, minTests = 15)
   }
 
+  test("dsirWeights: target-domain docs outweigh off-domain; empty doc weighs 0") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // target domain = cooking; corpus has cooking and legal docs
+    val corpus = Seq(
+      (1L, "stir the sauce and bake the bread"),
+      (2L, "whisk the sauce then bake fresh bread"),
+      (3L, "the court ruled the statute unconstitutional today"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "bake bread and stir sauce gently"),
+      (11L, "whisk the sauce and bake")
+    ).toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(corpus, target, "doc_id", col("text"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2,
+      s"cooking docs must outweigh the legal doc: $out")
+    assert(out(4L) == ((0, 0.0)))
+    // weights are deterministic across recomputation (content-addressed)
+    val again = Sampling.dsirWeights(corpus, target, "doc_id", col("text"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (k, (_, w)) => again(k) == w })
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; prose untouched") {
     import spark.implicits._
     val texts = Seq(
