@@ -160,8 +160,11 @@ object Index {
     * 100 TB shape: token explode → one hash-aggregate on the narrow
     * (doc_id, win_pos, bucket) key (map-side partial combine applies), the
     * query vector rides along as a LITERAL map (never shuffled, no join for
-    * the dot product), and the top-k is a TakeOrderedAndProject. The final
-    * join rehydrating chunk_text touches only the k winners (broadcast).
+    * the dot product), and the top-k is a TakeOrderedAndProject. Winner
+    * rehydration re-chunks ONLY the winning documents (k-row driver
+    * materialization + id pushdown) — the operator is therefore EAGER: the
+    * scoring job runs at call time, like the library's other top-k read
+    * paths.
     */
   def searchTextRelational(docs: DataFrame, queryText: String, k: Int,
       dim: Int = 64, chunkSize: Int = 1200, overlap: Int = 200): DataFrame = {
@@ -191,10 +194,19 @@ object Index {
       .select(col("doc_id"), col("win_pos"),
         (col("dot").cast("double") /
           (sqrt(col("ss").cast("double")) * lit(qNorm))).as("score"))
-    scored.orderBy(col("score").desc, col("doc_id"), col("win_pos")).limit(k)
-      .join(chunks, Seq("doc_id", "win_pos"))
+    // materialize the k winners (k rows to the driver — the same budget as
+    // any top-k read path), then rehydrate chunk_text by re-chunking ONLY
+    // the winning documents: without the id pushdown, the join's probe
+    // side re-cleans and re-chunks the ENTIRE corpus to serve k rows — a
+    // full extra corpus pass at 100 TB (and a measured 1.5× on q41).
+    val winners = scored
+      .orderBy(col("score").desc, col("doc_id"), col("win_pos")).limit(k)
+      .collect()
+    val winIds = winners.map(_.get(0)).distinct.toSeq
+    val winDf = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(winners: _*), scored.schema)
+    winDf.join(chunks.where(col("doc_id").isin(winIds: _*)), Seq("doc_id", "win_pos"))
       .select(col("doc_id"), col("win_pos"), col("chunk_text"), col("score"))
-      // the k-row rehydration join does not preserve the TakeOrdered order
       .orderBy(col("score").desc, col("doc_id"), col("win_pos"))
   }
 
