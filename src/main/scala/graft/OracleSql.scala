@@ -859,6 +859,31 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
 ORDER BY doc_id""",
 
+    // SemDeDup (q87): q30's seed-centroid argmax assignment, within-cluster
+    // cosine pairs >= 0.45, components via recursive transitive closure
+    // (min reachable id ≡ Spark's min-label propagation at convergence),
+    // losers anti-joined away.
+    "q87_semantic_dedup" ->
+      raw"""WITH RECURSIVE c AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+a AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT e.vec_id, c.cid, e.embedding,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS r
+    FROM embeddings e, c) t WHERE r = 1),
+p AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.45),
+e2 AS (SELECT id1 AS s, id2 AS d FROM p UNION ALL SELECT id2 AS s, id1 AS d FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e2
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e2 ON r.d = e2.s),
+losers AS (SELECT s AS id FROM reach GROUP BY s HAVING least(s, min(d)) <> s)
+SELECT vec_id FROM embeddings ANTI JOIN losers ON vec_id = losers.id
+ORDER BY vec_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

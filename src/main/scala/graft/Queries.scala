@@ -1310,6 +1310,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q87 — SemDeDup (Abbas et al. 2023): assign embeddings to the q30 seed
+    * centroids, prune within-cluster pairs with cosine ≥ 0.45 (the fixture
+    * geometry's near-dup band — real embedding spaces use ~0.95+), keep the
+    * min id per semantic group (Dedup.semanticDedup). Survivor id list is
+    * hash-compared; the oracle resolves components with a recursive
+    * transitive closure.
+    */
+  def q87SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    graft.operators.Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.45)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1398,5 +1413,6 @@ object Queries {
     "q84_ngram_repetition" -> q84NgramRepetition _,
     "q85_duplicate_spans" -> q85DuplicateSpans _,
     "q86_dsir_weights" -> q86DsirWeights _,
+    "q87_semantic_dedup" -> q87SemanticDedup _,
   )
 }

@@ -91,6 +91,44 @@ object Dedup {
     rebuildFromLines(df, flagged, idCol, delim)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings, prune
+    * near-identical pairs WITHIN each cluster, keep one representative per
+    * semantic-duplicate group (min id via [[resolveClusters]] /
+    * [[dropNearDuplicates]]). Clustering is what makes the pairwise step
+    * tractable — O(Σ clusterSize²) instead of O(N²), the paper's central
+    * trick.
+    *
+    * `centroids` is `(cid, cv)` — from [[Search.kmeansCentroids]] in the
+    * real path, or any deterministic seed set for oracle replay. Assignment
+    * broadcasts the centroids (k×dim, tiny) and takes the per-row argmax —
+    * narrow, no shuffle; the within-cluster self-join shuffles on the
+    * cluster id. Cluster-size skew is the operator's scale hazard: cap it
+    * by raising k (the paper uses k ≈ √N·c) — the candidate-generation /
+    * verification separation the repo's other near-dup tiers enforce.
+    *
+    * @return the input rows minus semantic duplicates (keep-min-id policy)
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, simThreshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("cid"))
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_csim", VectorFunctions.cosine(col(vecCol), col("cv")))
+      .withColumn("_r", row_number().over(wAssign))
+      .where(col("_r") === 1)
+      .select(col(idCol), col("cid"), col(vecCol))
+    val pairs = assigned
+      .select(col("cid"), col(idCol).as("id1"), col(vecCol).as("_v1"))
+      .join(assigned.select(col("cid"), col(idCol).as("id2"), col(vecCol).as("_v2")), Seq("cid"))
+      .where(col("id1") < col("id2"))
+      .where(VectorFunctions.cosine(col("_v1"), col("_v2")) >= simThreshold)
+      .select(col("id1"), col("id2"))
+    dropNearDuplicates(df, idCol, pairs)
+  }
+
   /** Exact duplicate-SPAN removal (Lee et al. 2022 "Deduplicating Training
     * Data Makes Language Models Better", the ExactSubstr policy): any
     * `spanTokens`-token window whose text occurs more than once ACROSS the

@@ -79,6 +79,32 @@ class DedupSpec extends SparkSpec {
     assert(tiny(1L) == "p q r" && tiny(2L) == "p q r")
   }
 
+  test("semanticDedup: within-cluster near-identicals collapse to min id; distinct vectors survive") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f, 0.0f)), // ≈ dup of 1 ⇒ dropped
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.999f, 0.001f)), // ≈ dup of 3 ⇒ dropped
+      (5L, Array(0.0f, 0.0f, 1.0f))      // alone in its neighborhood
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val kept = Dedup.semanticDedup(vecs, "id", "vec", cents, 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // duplicates in DIFFERENT clusters are NOT compared (the SemDeDup
+    // trade: candidate generation is the cluster) — both survive
+    val crossCluster = Seq(
+      (1L, Array(0.71f, 0.70f, 0.0f)),  // argmax → cluster 0 (tie broken by cid? no: sim differs)
+      (2L, Array(0.70f, 0.71f, 0.0f))   // argmax → cluster 1
+    ).toDF("id", "vec")
+    val kept2 = Dedup.semanticDedup(crossCluster, "id", "vec", cents, 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L))
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")
