@@ -26,6 +26,28 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy("split_strategy").parquet(path)
 
+  /** Spark-native BUCKETED layout sink: rows hash into `buckets` files by
+    * `key` (optionally sorted within each bucket), registered as a table
+    * whose files live at `path`. Two tables bucketed on the same key with
+    * the same count join EXCHANGE-FREE — the planner sees the matching
+    * output partitioning and elides both shuffles (and with `sortKeys` the
+    * sort too). At 100 TB this is THE tool for repeatedly-joined pairs
+    * (chunks ↔ embeddings, docs ↔ scores): pay the layout shuffle once at
+    * write time instead of on every join. Plan-asserted in SinksSpec
+    * (SortMergeJoin with zero exchanges beneath).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String, key: String,
+      buckets: Int, sortKeys: Seq[String] = Nil): Unit = {
+    require(buckets > 0, "bucket count must be positive")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").option("path", path)
+    val b = sortKeys match {
+      case Nil => w.bucketBy(buckets, key)
+      case s :: rest => w.bucketBy(buckets, key).sortBy(s, rest: _*)
+    }
+    b.saveAsTable(table)
+  }
+
   /** The DDL the reference's `ensure_schema` produces (index_documents.py:
     * 202-224 / README.md:83-91), as executable statements: the pgvector
     * extension, then `document_chunks` with SQLAlchemy's type mapping —

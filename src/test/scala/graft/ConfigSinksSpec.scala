@@ -83,4 +83,29 @@ class ConfigSinksSpec extends SparkSpec {
       assert(s.head == '[' && s.last == ']' && !s.contains(" "))
     }
   }
+
+  test("writeBucketed: co-bucketed tables join exchange-free (plan-asserted)") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("bka").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("bkb").toFile.getAbsolutePath
+    val a = (1 to 1000).map(i => (i.toLong, s"text$i")).toDF("id", "t")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    Sinks.writeBucketed(a, "bk_a", dirA, "id", 4, Seq("id"))
+    Sinks.writeBucketed(b, "bk_b", dirB, "id", 4, Seq("id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bk_a").join(spark.table("bk_b"), "id")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      // the whole point of the layout: matching bucket partitioning on
+      // both sides, so the join plans with ZERO shuffles
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
 }
