@@ -884,6 +884,70 @@ losers AS (SELECT s AS id FROM reach GROUP BY s HAVING least(s, min(d)) <> s)
 SELECT vec_id FROM embeddings ANTI JOIN losers ON vec_id = losers.id
 ORDER BY vec_id""",
 
+    // Curation funnel (q88): q66's rule arithmetic (raw, unfloored, over
+    // ALL docs) gates q77's trigram scorer (model on doc_id >= 100); the
+    // top half of survivors by (avg_logp desc, doc_id) keeps — rnk·2 ≤ m+1
+    // is the integer ⌈m/2⌉ cut on both sides. Ranking on the raw double is
+    // safe: avg_logp = exact-decimal-sum / count, bit-identical engines.
+    "q88_curation_funnel" ->
+      raw"""WITH d AS (
+  SELECT doc_id, text, $toks AS tk,
+    list_filter(
+      list_transform(string_split(text, chr(10)),
+        l -> regexp_replace(l, '^\s+|\s+$$', '', 'g')),
+      l -> length(l) > 0) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id, text,
+    CAST(len(tk) AS INT) AS word_cnt,
+    CASE WHEN len(tk) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) END AS mwl,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dlr,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls) END AS blr,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$$'))) AS DOUBLE) / len(ls) END AS elr,
+    len(list_intersect(tk, ['the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','be','this'])) AS stop_hits
+  FROM d),
+g AS (
+  SELECT doc_id, text,
+    CASE WHEN word_cnt >= 50 AND word_cnt <= 100000
+          AND mwl >= 3.0 AND mwl <= 10.0
+          AND dlr < 0.3 AND blr < 0.9 AND elr < 0.3
+          AND stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
+  FROM m),
+ref AS (SELECT text AS t FROM documents WHERE doc_id >= 100),
+rt AS (
+  SELECT unnest(list_transform(generate_series(1, length(t) - 2), i -> lower(substr(t, i, 3)))) AS tri
+  FROM ref WHERE length(t) >= 3),
+m0 AS (SELECT tri, count(*) AS n_tri FROM rt GROUP BY tri),
+mdl AS (
+  SELECT tri,
+    ln(n_tri::DOUBLE / sum(n_tri) OVER (PARTITION BY substr(tri, 1, 2))) AS logp
+  FROM m0),
+sd AS (SELECT doc_id, text FROM g WHERE gopher_pass = 1 AND length(text) >= 3),
+dt AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(text) - 2), i -> lower(substr(text, i, 3)))) AS tri
+  FROM sd),
+sc AS (
+  SELECT doc_id,
+    CAST(sum(CAST(coalesce(mdl.logp, -23.025850929940457) AS DECIMAL(24,12))) AS DOUBLE) / count(*) AS avg_logp
+  FROM dt LEFT JOIN mdl USING (tri) GROUP BY doc_id),
+rk AS (
+  SELECT doc_id, avg_logp,
+    row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rnk,
+    count(*) OVER () AS mm
+  FROM sc)
+SELECT g.doc_id,
+  g.gopher_pass,
+  coalesce(floor(rk.avg_logp * 1000) / 1, -999999.0) AS lp_m,
+  coalesce(rk.rnk, 0) AS rnk,
+  CASE WHEN rk.rnk IS NOT NULL AND rk.rnk * 2 <= rk.mm + 1 THEN 1 ELSE 0 END AS kept
+FROM g LEFT JOIN rk USING (doc_id)
+ORDER BY doc_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

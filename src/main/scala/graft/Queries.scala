@@ -1325,6 +1325,41 @@ object Queries {
       .select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** Q88 — the CURATION FUNNEL, end to end: Gopher rule gate → trigram-LM
+    * scoring (model trained on the doc_id ≥ 100 reference slice) → keep
+    * the top half of survivors by score via the shuffle-free global rank.
+    * One probe proving the quality operators COMPOSE into the pipeline
+    * they exist for; every stage's verdict is emitted per doc and
+    * hash-compared.
+    */
+  def q88CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LmScore, Ranks}
+    val docs = documents(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .withColumn("gopher_pass",
+        TextAnalysis.gopherRulesPass(col("text"), col("toks")))
+    val model = LmScore.trainTrigramModel(docs.where(col("doc_id") >= 100), col("text"))
+    val scored = LmScore.scoreDocs(docs.where(col("gopher_pass")), "doc_id",
+        col("text"), model)
+      .select(col("id").as("doc_id"), col("avg_logp"))
+    val ranked = Ranks.globalRank(scored,
+      Seq(col("avg_logp").desc, col("doc_id").asc), "rnk")
+    val total = scored.agg(count(lit(1)).as("_m"))
+    val kept = ranked.crossJoin(broadcast(total))
+      // rnk·2 ≤ m+1 ⟺ rnk ≤ ⌈m/2⌉, in pure integer arithmetic
+      .withColumn("keep", col("rnk") * 2 <= col("_m") + 1)
+    docs.select(col("doc_id"), col("gopher_pass"))
+      .join(kept.select(col("doc_id"), col("rnk"), col("keep"),
+          fl(col("avg_logp") * 1000, 0).as("lp_m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("gopher_pass").cast("int").as("gopher_pass"),
+        coalesce(col("lp_m"), lit(-999999.0)).as("lp_m"),
+        coalesce(col("rnk"), lit(0L)).as("rnk"),
+        coalesce(col("keep").cast("int"), lit(0)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1414,5 +1449,6 @@ object Queries {
     "q85_duplicate_spans" -> q85DuplicateSpans _,
     "q86_dsir_weights" -> q86DsirWeights _,
     "q87_semantic_dedup" -> q87SemanticDedup _,
+    "q88_curation_funnel" -> q88CurationFunnel _,
   )
 }
