@@ -105,6 +105,25 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("line/span verdict plans stay partial-aggregatable (skew posture pinned)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"shared boilerplate line\nunique $i line"))
+      .toDF("doc_id", "text")
+    // keep-first verdict must be a map-side-combinable min, NOT a window
+    // sort of the hot digest's whole occurrence list
+    val lines = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+    lines.collect()
+    val linePlan = lines.queryExecution.executedPlan.toString
+    assert(linePlan.contains("partial_min"), linePlan.take(600))
+    assert(!linePlan.contains("Window"), linePlan.take(600))
+    val spans = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanTokens = 3)
+    spans.collect()
+    val spanPlan = spans.queryExecution.executedPlan.toString
+    assert(spanPlan.contains("partial_min") && spanPlan.contains("partial_count"),
+      spanPlan.take(600))
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")
