@@ -509,6 +509,35 @@ class SourcesSpec extends SparkSpec {
     iv ++ C.aesCbc(encrypting = true, key, iv, data ++ Array.fill(padLen)(padLen.toByte))
   }
 
+  test("PDF encryption: RC4 R2 (V1, 40-bit) and /EncryptMetadata false (R4) key paths") {
+    import graft.sources.DocFormats.MinimalPdf
+    val C = MinimalPdf.Crypto
+    val text = "forty bit rc4 body"
+    val id0 = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    // R2: 5-byte key, no 50-fold hardening, U = RC4(key, Pad) full 32 bytes
+    val o2 = C.legacyOwnerValue(2, 40, "own".getBytes("UTF-8"))
+    val key2 = C.legacyFileKey(2, 40, o2, -1, id0, encryptMetadata = true)
+    assert(key2.length == 5)
+    val u2 = C.legacyUserValue(2, key2, id0)
+    val encd2 = encryptFixture(MinimalPdf.write(text), 6,
+      s"/Filter /Standard /V 1 /R 2 /P -1 /O <${hexStr(o2)}> /U <${hexStr(u2)}>",
+      id0, (n, g, b) => C.rc4(C.objectKey(key2, n, g, aes = false), b))
+    assert(MinimalPdf.extractText(encd2) == text)
+    // R4 with /EncryptMetadata false: the 0xFFFFFFFF salt enters the key —
+    // a decoder ignoring it derives a wrong key and U validation throws
+    val o4 = C.legacyOwnerValue(4, 128, "own".getBytes("UTF-8"))
+    val key4 = C.legacyFileKey(4, 128, o4, -44, id0, encryptMetadata = false)
+    val u4 = C.legacyUserValue(4, key4, id0) ++ Array.fill[Byte](16)(0.toByte)
+    val dict4 = "/Filter /Standard /V 4 /R 4 /Length 128 /EncryptMetadata false " +
+      "/CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P -44 /O <${hexStr(o4)}> /U <${hexStr(u4)}>"
+    val encd4 = encryptFixture(MinimalPdf.write(text), 6, dict4, id0,
+      (n, g, b) => C.rc4(C.objectKey(key4, n, g, aes = false), b))
+    assert(MinimalPdf.extractText(encd4) == text)
+    val keyWrong = C.legacyFileKey(4, 128, o4, -44, id0, encryptMetadata = true)
+    assert(!java.util.Arrays.equals(key4, keyWrong))
+  }
+
   test("PDF encryption: AES-128 R4 (/AESV2 crypt filter) decrypts; /StmF /Identity skips") {
     import graft.sources.DocFormats.MinimalPdf
     val C = MinimalPdf.Crypto
