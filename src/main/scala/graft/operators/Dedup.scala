@@ -129,6 +129,73 @@ object Dedup {
     dropNearDuplicates(df, idCol, pairs)
   }
 
+  /** Incremental cross-batch LINE dedup: each arriving batch keeps only
+    * lines whose digest has never been seen — not in the persisted line
+    * store (every previous batch) and not earlier in this batch
+    * (keep-first within the batch) — rebuilds its documents from the
+    * survivors, hands them to the caller's sink, and folds the new
+    * digests in. The streaming sibling of [[dedupLinesAcrossCorpus]],
+    * following [[incrementalNearDupPairs]]'s store discipline.
+    *
+    * The store holds only 32-byte digests (`lines`) and processed doc ids
+    * (`docs`) — never text. Replay safety: processed doc ids anti-join
+    * out, so a replayed batch emits nothing instead of emptied documents.
+    * Durability ordering: the output sink runs FIRST (a crash before any
+    * append replays and re-emits — at-least-once); then doc ids append,
+    * then line digests. A crash between the two appends leaks at most
+    * duplicate-line tolerance into FUTURE batches (benign); the reverse
+    * order would make a replayed batch see its own lines as foreign and
+    * emit empty docs (corruption).
+    *
+    * @return the deduped batch rows `(idCol, n_kept, n_lines, text)` —
+    *         already-processed doc ids excluded
+    */
+  def incrementalLineDedup(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String, delim: String = "\n",
+      onBatch: DataFrame => Unit = _ => (),
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val spark = batch.sparkSession
+    val linePath = s"$storePath/lines"
+    val docPath = s"$storePath/docs"
+    def classified(p: String): graft.sources.PathState.Value =
+      graft.sources.PathState.classify(p, spark.sparkContext.hadoopConfiguration)
+    Seq(linePath, docPath).foreach { p =>
+      require(classified(p) != graft.sources.PathState.Foreign,
+        s"line-dedup store '$p' exists but holds no parquet data files — " +
+          "refusing to fold state into a directory that is not a store")
+    }
+    val lineStore =
+      if (classified(linePath) == graft.sources.PathState.Data)
+        spark.read.parquet(linePath)
+      else spark.emptyDataFrame.withColumn("_h", lit(null).cast("string")).limit(0)
+    val docStore =
+      if (classified(docPath) == graft.sources.PathState.Data)
+        spark.read.parquet(docPath)
+      else spark.emptyDataFrame.withColumn("_id", lit(null).cast("long")).limit(0)
+    val fresh = batch.dropDuplicates(idCol)
+      .join(docStore, batch(idCol) === docStore("_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lines = explodeLines(fresh, idCol, textCol, delim)
+      .withColumn("_h", sha2(col("_line"), 256))
+    val winners = lines.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_win"))
+      .join(lineStore, Seq("_h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = lines.join(winners, Seq("_h"), "left")
+      .withColumn("_keep", col("_win").isNotNull &&
+        col("_win")(idCol) === col(idCol) && col("_win")("_idx") === col("_idx"))
+    val out = CheckpointStrategy.materialize(
+      rebuildFromLines(fresh, flagged, idCol, delim), checkpoint)
+    onBatch(out)
+    fresh.select(col(idCol).as("_id")).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(docPath)
+    winners.select(col("_h")).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(linePath)
+    fresh.unpersist(false)
+    winners.unpersist(false)
+    out
+  }
+
   /** Exact duplicate-SPAN removal (Lee et al. 2022 "Deduplicating Training
     * Data Makes Language Models Better", the ExactSubstr policy): any
     * `spanTokens`-token window whose text occurs more than once ACROSS the

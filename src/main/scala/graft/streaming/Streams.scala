@@ -220,6 +220,32 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus-level line dedup: each micro-batch keeps only
+    * never-seen lines (cross-batch, via the digest store) and appends its
+    * rebuilt documents to `outPath`. Same sink-before-store ordering as
+    * [[streamingNearDupMaintenance]] — the sink is injectable so recovery
+    * tests can crash at the boundary (see
+    * [[graft.operators.Dedup.incrementalLineDedup]]'s ordering note).
+    */
+  def streamingLineDedup(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, checkpoint: String, outPath: String,
+      delim: String = "\n",
+      batchSink: Option[DataFrame => Unit] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = batchSink.getOrElse { df: DataFrame =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.incrementalLineDedup(
+          batch.toDF(), idCol, textCol, storePath, delim, onBatch = sink)
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

@@ -124,6 +124,28 @@ class DedupSpec extends SparkSpec {
       spanPlan.take(600))
   }
 
+  test("incrementalLineDedup: cross-batch line suppression, doc replay idempotence") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("ldstore").toString + "/st"
+    val b1 = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val o1 = Dedup.incrementalLineDedup(b1, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(o1 == Map(1L -> "a\nb", 2L -> "c")) // "b" claimed in-batch by doc 1
+    // batch 2: "c" and "a" are suppressed via the STORE, not the batch
+    val b2 = Seq((3L, "c\nd\na")).toDF("doc_id", "text")
+    val o2 = Dedup.incrementalLineDedup(b2, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(o2 == Map(3L -> "d"))
+    // replayed batch: processed doc ids anti-join out — NO emptied docs
+    val o2again = Dedup.incrementalLineDedup(b2, "doc_id", "text", store)
+    assert(o2again.count() == 0)
+    // the store holds digests and ids only, never text
+    val cols = spark.read.parquet(s"$store/lines").columns.toSeq
+    assert(cols == Seq("_h"))
+    assert(spark.read.parquet(s"$store/docs").count() == 3)
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")

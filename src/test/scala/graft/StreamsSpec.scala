@@ -230,6 +230,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line dedup: cross-batch suppression via the digest store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("ldsstore").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("ldsckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ldsout").toString + "/docs"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingLineDedup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store, ckpt, out)
+    try {
+      mem.addData(1L -> "alpha\nbeta", 2L -> "beta\ngamma")
+      q.processAllAvailable()
+      mem.addData(3L -> "gamma\ndelta\nalpha")
+      q.processAllAvailable()
+      val docs = spark.read.parquet(out)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(docs == Map(1L -> "alpha\nbeta", 2L -> "gamma", 3L -> "delta"))
+    } finally q.stop()
+  }
+
   test("streaming near-dup maintenance: cross-batch pairs via the sketch store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
