@@ -77,6 +77,29 @@ object DedupBench {
     println(s"""{"metric":"dedup_smoke_100k","docs":$n,"pairs":$pairCount,""" +
       s""""min_sec":${secs.head},"median_sec":${secs(1)},"max_sec":${secs(2)},""" +
       s""""runs_sec":[${runs.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+
+    // Hot-key floor for corpus line dedup: every doc opens with the SAME
+    // three boilerplate lines (one digest key holding n occurrences each —
+    // the skew the partial-aggregatable min verdict exists for), followed
+    // by unique lines. Correctness pins: each boilerplate line survives
+    // exactly once corpus-wide, all unique lines survive.
+    val lineDocs = spark.range(n).map { id =>
+      val uniq = (0 until 5).map(j => s"unique line $id $j").mkString("\n")
+      (id, s"shared header one\nshared header two\nshared header three\n$uniq")
+    }.toDF("id", "text")
+    val lineRuns = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.dedupLinesAcrossCorpus(lineDocs, "id", "text")
+      val kept = out.agg(sum(col("n_kept"))).head().getLong(0)
+      ((System.nanoTime() - t0) / 1e9, kept)
+    }
+    val lineSecs = lineRuns.map(_._1).sorted
+    val keptLines = lineRuns.head._2
+    require(lineRuns.forall(_._2 == keptLines), "kept-line count must be run-stable")
+    require(keptLines == 5L * n + 3, s"expected ${5L * n + 3} survivors, got $keptLines")
+    println(s"""{"metric":"line_dedup_hotkey_100k","docs":$n,"kept_lines":$keptLines,""" +
+      s""""min_sec":${lineSecs.head},"median_sec":${lineSecs(1)},"max_sec":${lineSecs(2)},""" +
+      s""""runs_sec":[${lineRuns.map(r => f"${r._1}%.2f").mkString(",")}]}""")
     spark.stop()
   }
 }

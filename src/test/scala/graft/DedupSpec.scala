@@ -146,6 +146,45 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/docs").count() == 3)
   }
 
+  test("property: line dedup & span removal invariants on random corpora") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val line = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val doc = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, line)).map(_.mkString("\n"))
+    val corpus = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    checkProp(Prop.forAll(corpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val deduped = Dedup.dedupLinesAcrossCorpus(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val keptLines = docs.flatMap { case (id, _) =>
+        deduped(id).split("\n", -1).filter(_.nonEmpty) }
+      val distinctInput = docs.flatMap(_._2.split("\n", -1)).filter(_.trim.nonEmpty).distinct
+      // 1. every distinct non-blank line survives EXACTLY once corpus-wide
+      val once = keptLines.sorted.toSeq == distinctInput.sorted.toSeq
+      // 2. each doc's kept lines are a subsequence of its original lines
+      def isSubseq(sub: Seq[String], full: Seq[String]): Boolean = {
+        var i = 0
+        full.foreach(x => if (i < sub.length && sub(i) == x) i += 1)
+        i == sub.length
+      }
+      val ordered = docs.forall { case (id, t) =>
+        isSubseq(deduped(id).split("\n", -1).filter(_.nonEmpty).toSeq,
+          t.split("\n", -1).filter(_.trim.nonEmpty).toSeq)
+      }
+      // 3. span removal keeps a token-subsequence and never grows a doc
+      val spans = Dedup.removeDuplicateSpans(df, "doc_id", "text", spanTokens = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val spanOk = docs.forall { case (id, t) =>
+        val orig = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        isSubseq(spans(id).split(" ").filter(_.nonEmpty).toSeq, orig)
+      }
+      once && ordered && spanOk
+    }, minTests = 15)
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")
