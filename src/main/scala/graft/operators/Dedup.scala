@@ -435,12 +435,26 @@ object Dedup {
         .agg(min(col("nrep")).as("nbr_rep"))
       val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
         .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jumping: rep := rep(rep). With it each round squares the
+      // reach (O(log diameter) rounds), so maxIter=10 covers chains of
+      // ~2¹⁰ hops that plain neighbor-min would need 1024 rounds for.
+      // Every rep is itself a node id, so the self-join always resolves.
+      val jumped = next.as("a")
+        .join(next.select(col("id").as("_rid"), col("rep").as("_rrep")),
+          col("a.rep") === col("_rid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("_rrep"), col("a.rep")).as("rep"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+      converged = jumped.join(labels.withColumnRenamed("rep", "prev"), "id")
         .where(col("rep") =!= col("prev")).isEmpty
-      labels = next
+      labels = jumped
       i += 1
     }
+    // silence would mean WRONG components (chains longer than the budget
+    // keep stale labels) — refuse instead; callers raise maxIter
+    require(converged,
+      s"resolveClusters did not converge within $maxIter iterations — " +
+        "component diameter exceeds the budget; raise maxIter")
     labels
   }
 

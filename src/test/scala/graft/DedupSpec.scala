@@ -284,6 +284,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("resolveClusters: pointer jumping resolves a 100-hop chain in the 10-round budget") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // plain neighbor-min needs ~100 rounds here; rep := rep(rep) squares
+    // the reach each round, and non-convergence now throws, never returns
+    // stale labels
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 100 && labels.values.forall(_ == 1L))
+  }
+
   test("resolveClusters: transitive min-label over chains and separate clusters") {
     import spark.implicits._
     // cluster {1,2,3,9} via chain 1-2, 2-3, 3-9; cluster {5,7}; singleton pairs absent
