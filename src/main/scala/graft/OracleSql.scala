@@ -948,6 +948,14 @@ SELECT g.doc_id,
 FROM g LEFT JOIN rk USING (doc_id)
 ORDER BY doc_id""",
 
+    // Native NFC expression vs DuckDB nfc_normalize (q89): the combining
+    // acute (chr(769)) is appended on both sides so composition really
+    // happens; md5 of the normalized bytes compares.
+    "q89_nfc_normalize" ->
+      raw"""SELECT doc_id,
+md5(nfc_normalize(text || ' cafe' || chr(769) || ' test')) AS nfc_md5
+FROM documents ORDER BY doc_id""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1360,6 +1360,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q89 — Unicode NFC normalization (the native codegen'd expression) vs
+    * DuckDB's nfc_normalize: fixture text is ASCII, so a decomposed
+    * combining-acute suffix is appended in-query on BOTH sides; md5 of the
+    * normalized result is compared per doc.
+    */
+  def q89NfcNormalize(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(TextFunctions.normalizeUnicode(
+          // DECOMPOSED e + combining acute, same bytes the oracle appends
+          concat(col("text"), lit(" cafe\u0301 test")), "NFC")).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1450,5 +1463,6 @@ object Queries {
     "q86_dsir_weights" -> q86DsirWeights _,
     "q87_semantic_dedup" -> q87SemanticDedup _,
     "q88_curation_funnel" -> q88CurationFunnel _,
+    "q89_nfc_normalize" -> q89NfcNormalize _,
   )
 }

@@ -105,6 +105,28 @@ object TextFunctions {
   def stripHtml(c: Column): Column =
     HtmlStripSteps.foldLeft(c) { case (col0, (p, r)) => regexp_replace(col0, p, r) }
 
+  /** Unicode normalization (codegen'd native expression — see
+    * [[org.apache.spark.sql.graft.UnicodeNormalizeExpr]]): NFKC for
+    * tokenizer prep (ligatures split, full-width folded), NFC for
+    * exact-dedup canonicalization (combining sequences composed).
+    */
+  def normalizeUnicode(c: Column, form: String = "NFKC"): Column =
+    org.apache.spark.sql.graft.TextColumns.normalizeUnicode(c, form)
+
+  /** Repair MOJIBAKE — UTF-8 text that was mis-decoded as Latin-1 and
+    * re-encoded ("cafÃ©" for "café"), endemic in web crawls. The repair is
+    * the inverse trip: re-encode as Latin-1, STRICTLY re-decode as UTF-8 —
+    * applied only when the round trip succeeds and strictly shrinks the
+    * string (real double-encoding always does; legitimate Latin-1-range
+    * text fails the strict decode and healthy multibyte text fails the
+    * Latin-1 re-encode, so both pass through unchanged). Idempotent. A
+    * native codegen'd expression — Spark 4's `decode` throws on malformed
+    * bytes, so the built-ins cannot express the try-and-fall-back
+    * ([[org.apache.spark.sql.graft.MojibakeFixExpr]]).
+    */
+  def fixMojibake(c: Column): Column =
+    org.apache.spark.sql.graft.TextColumns.fixMojibake(c)
+
   /** Plain-Scala twin of [[stripHtml]] for per-file extraction contexts
     * (equivalence-tested against the Column form).
     */

@@ -147,6 +147,54 @@ class TextFunctionsSpec extends SparkSpec {
     assert(five(2L) == ((0L, 0L)))
   }
 
+  test("normalizeUnicode: NFC composes, NFKC folds compatibility forms; codegen path") {
+    import spark.implicits._
+    val cases = Seq(
+      "café",      // e + combining acute
+      "ﬁle",        // ﬁ ligature + "le"
+      "Ｈｉ",    // full-width "Ｈｉ"
+      "plain ascii")
+    val df = cases.toDF("t").select(
+      TextFunctions.normalizeUnicode(col("t"), "NFC").as("nfc"),
+      TextFunctions.normalizeUnicode(col("t"), "NFKC").as("nfkc"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) == (("café", "café")))          // composed under both
+    assert(rows(1)._1 == "ﬁle" && rows(1)._2 == "file") // ligature: NFKC only
+    assert(rows(2)._1 == "Ｈｉ" && rows(2)._2 == "Hi") // full-width: NFKC only
+    assert(rows(3) == (("plain ascii", "plain ascii")))
+    // invalid form fails at construction, not per row
+    intercept[IllegalArgumentException] {
+      TextFunctions.normalizeUnicode(col("t"), "NFX")
+    }
+    // the expression participates in whole-stage codegen (no fence);
+    // non-foldable input so the plan can't collapse to a LocalTableScan
+    val gen = spark.range(3)
+      .select(TextFunctions.normalizeUnicode(
+        concat(lit("ﬁle"), col("id").cast("string")), "NFKC").as("t"))
+    assert(gen.collect().map(_.getString(0)).toSeq == Seq("file0", "file1", "file2"))
+    val plan = gen.queryExecution.executedPlan.toString
+    // the "*(n)" star prefix marks whole-stage-codegen'd operators
+    assert(plan.contains("*(1) Project [unicode_normalize"), plan.take(400))
+  }
+
+  test("fixMojibake: double-encoded UTF-8 repaired; legitimate text untouched; idempotent") {
+    import spark.implicits._
+    val cases = Seq(
+      "cafÃ©",                 // mojibake for café
+      "JoÃ£o foi lÃ¡",         // mojibake for João foi lá
+      "café",                  // already correct — must NOT change
+      "João",                  // legit Latin-1-range text
+      "日本語",                 // healthy multibyte
+      "plain")
+    val out = cases.toDF("t")
+      .select(TextFunctions.fixMojibake(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("café", "João foi lá", "café", "João", "日本語", "plain"))
+    // idempotent: a second pass is the identity
+    val twice = out.toSeq.toDF("t")
+      .select(TextFunctions.fixMojibake(col("t"))).collect().map(_.getString(0))
+    assert(twice.toSeq == out.toSeq)
+  }
+
   test("qualityScore: clean prose beats punctuation soup") {
     import spark.implicits._
     val df = Seq(
