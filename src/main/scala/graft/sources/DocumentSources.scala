@@ -122,4 +122,43 @@ object DocumentSources {
       }
     }
   }
+
+  /** JSONL document source — one JSON object per line, the interchange
+    * format most training corpora ship in (c4/pile/dolma dumps). Lenient
+    * by the S3 discipline: `PERMISSIVE` parse retains malformed lines in
+    * `_corrupt_record`, and the result splits into (documents, quarantine)
+    * with one filter instead of killing the job. Schema is EXPLICIT (id +
+    * text + passthrough meta as a raw JSON string via the whole-line
+    * `_corrupt`-safe projection), so the reader never runs schema
+    * inference — at 100 TB an inference pre-pass is a full extra scan.
+    *
+    * @return (docs `(doc_id, filename, text)`, quarantined raw lines)
+    */
+  def readDocumentsJsonl(spark: SparkSession, path: String,
+      idField: String = "id", textField: String = "text")
+      : (DataFrame, DataFrame) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idField, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(textField, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark requires caching/materialization barriers before filtering
+      // on the corrupt-record column alone; selecting it WITH data columns
+      // is the supported pattern
+      .select(col(idField), col(textField), col("_corrupt_record"))
+    val bad = raw.where(col("_corrupt_record").isNotNull ||
+        col(idField).isNull || col(textField).isNull)
+      .select(coalesce(col("_corrupt_record"),
+        to_json(struct(col(idField), col(textField)))).as("raw_line"))
+    val ok = raw.where(col("_corrupt_record").isNull &&
+        col(idField).isNotNull && col(textField).isNotNull)
+      .select(col(idField).as("doc_id"),
+        concat(lit("jsonl:"), col(idField)).as("filename"),
+        col(textField).as("text"))
+    (ok, bad)
+  }
 }

@@ -589,6 +589,22 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("password"))
   }
 
+  test("readDocumentsJsonl: good lines parse, malformed/missing-field lines quarantine") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    Files.write(new java.io.File(dir, "part0.jsonl").toPath,
+      ("""{"id": 1, "text": "first doc"}""" + "\n" +
+       """{"id": 2, "text": "second doc", "extra": "ignored"}""" + "\n" +
+       """{broken json line}""" + "\n" +
+       """{"id": 3}""" + "\n" +             // missing text → quarantine
+       """{"text": "no id"}""" + "\n").getBytes("UTF-8"))
+    val (ok, bad) = DocumentSources.readDocumentsJsonl(spark, dir.getAbsolutePath)
+    val docs = ok.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(docs == Set((1L, "jsonl:1", "first doc"), (2L, "jsonl:2", "second doc")))
+    assert(bad.count() == 3)
+    // the malformed raw line survives verbatim for forensic replay
+    assert(bad.collect().map(_.getString(0)).exists(_.contains("broken json line")))
+  }
+
   test("index pipeline end-to-end over file sources (S1→P1→C1→E1)") {
     val dir = Files.createTempDirectory("docs3").toFile
     Files.write(new java.io.File(dir, "doc1.txt").toPath,
