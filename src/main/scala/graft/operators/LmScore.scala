@@ -69,7 +69,9 @@ object LmScore {
       model: DataFrame): DataFrame =
     docs
       .select(col(idCol).as("id"), explode(charTrigrams(textCol)).as("tri"))
-      .join(model.select(col("tri"), col("logp")), Seq("tri"), "left_outer")
+      // the model is bounded by |charset|³ rows regardless of corpus size —
+      // broadcast it so the exploded corpus trigrams never shuffle
+      .join(broadcast(model.select(col("tri"), col("logp"))), Seq("tri"), "left_outer")
       .withColumn("_lp", coalesce(col("logp"), lit(UnseenLogProb)))
       .groupBy(col("id"))
       .agg(
