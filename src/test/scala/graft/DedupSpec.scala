@@ -185,6 +185,30 @@ class DedupSpec extends SparkSpec {
     }, minTests = 15)
   }
 
+  test("property: incremental line dedup over batch splits — exactly-once per distinct line") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val line = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val doc = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, line)).map(_.mkString("\n"))
+    val corpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    checkProp(Prop.forAll(corpus) { docs =>
+      val store = java.nio.file.Files.createTempDirectory("ldprop").toString + "/st"
+      val (b1, b2) = docs.partition(_._1 % 2 == 0)
+      val out = Seq(b1, b2).filter(_.nonEmpty).flatMap { b =>
+        Dedup.incrementalLineDedup(b.toDF("doc_id", "text"), "doc_id", "text", store)
+          .collect().map(r => r.getLong(0) -> r.getString(3))
+      }.toMap
+      val keptAll = docs.flatMap { case (id, _) =>
+        out(id).split("\n", -1).filter(_.nonEmpty) }
+      val distinctInput = docs.flatMap(_._2.split("\n", -1)).filter(_.trim.nonEmpty).distinct
+      // exactly-once corpus-wide, regardless of which batch won the line
+      keptAll.sorted.toSeq == distinctInput.sorted.toSeq
+    }, minTests = 8)
+  }
+
   test("shingles: fewer than n tokens → empty (no partial shingles)") {
     import spark.implicits._
     val df = Seq("one two", "one two three four").toDF("t")

@@ -276,6 +276,61 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("line-dedup crash recovery: kill between doc-sink and store-append, restart") {
+    // Executable proof of incrementalLineDedup's durability ordering: the
+    // rebuilt documents reach their sink BEFORE the doc-id/line stores
+    // mutate, so a crash at exactly that boundary (a) leaves both stores
+    // untouched, (b) replays the batch on restart from the same
+    // checkpoint, and (c) re-emits the same documents (at-least-once) —
+    // never empty-text docs, which is what the reverse ordering would
+    // produce on replay.
+    val root = java.nio.file.Files.createTempDirectory("ldcrash")
+    val src = root.resolve("src").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("docs").toString
+    import spark.implicits._
+    Seq((1L, "alpha\nbeta"), (2L, "beta\ngamma")).toDF("doc_id", "text")
+      .write.parquet(src)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def docsStream = spark.readStream.schema(schema).parquet(src)
+    val crashing = Streams.streamingLineDedup(
+      docsStream, "doc_id", "text", store, ckpt, out,
+      batchSink = Some { df =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+        throw new RuntimeException("injected crash between doc sink and store append")
+      })
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.processAllAvailable()
+    }
+    assert(failure.getMessage.contains("injected crash"))
+    crashing.stop()
+    // docs are durable; NEITHER store mutated
+    val sunk = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(sunk == Map(1L -> "alpha\nbeta", 2L -> "gamma"))
+    Seq("docs", "lines").foreach { d =>
+      assert(!new java.io.File(s"$store/$d").exists() ||
+        spark.read.parquet(s"$store/$d").count() == 0,
+        s"a crash before the store append must leave $d unchanged")
+    }
+    // restart from the same checkpoint: the uncommitted batch replays with
+    // full output (the doc ids were never marked processed)
+    val recovered = Streams.streamingLineDedup(
+      docsStream, "doc_id", "text", store, ckpt, out)
+    try {
+      recovered.processAllAvailable()
+      val all = spark.read.parquet(out)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      assert(all.size >= 4, "replayed batch re-emits its documents (at-least-once)")
+      assert(all.toSet == Set(1L -> "alpha\nbeta", 2L -> "gamma"),
+        "re-emitted docs carry full text, never emptied by their own store entries")
+      assert(spark.read.parquet(s"$store/docs").count() == 2)
+      assert(spark.read.parquet(s"$store/lines").count() == 3)
+    } finally recovered.stop()
+  }
+
   test("near-dup crash recovery: kill between pairs-sink and store-append, restart") {
     // Executable proof of the durability ordering (Dedup.incrementalNearDupPairs):
     // pairs reach their sink BEFORE the sketch store mutates, so a crash at
