@@ -120,13 +120,20 @@ object Dedup {
       .withColumn("_r", row_number().over(wAssign))
       .where(col("_r") === 1)
       .select(col(idCol), col("cid"), col(vecCol))
+      // both sides of the pair self-join read this — persist so the
+      // centroid argmax runs once, released after the (eager) resolution
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned
       .select(col("cid"), col(idCol).as("id1"), col(vecCol).as("_v1"))
       .join(assigned.select(col("cid"), col(idCol).as("id2"), col(vecCol).as("_v2")), Seq("cid"))
       .where(col("id1") < col("id2"))
       .where(VectorFunctions.cosine(col("_v1"), col("_v2")) >= simThreshold)
       .select(col("id1"), col("id2"))
-    dropNearDuplicates(df, idCol, pairs)
+    // dropNearDuplicates resolves components EAGERLY (localCheckpoint
+    // inside resolveClusters), so pairs are fully consumed before release
+    val out = dropNearDuplicates(df, idCol, pairs)
+    assigned.unpersist(false)
+    out
   }
 
   /** Incremental cross-batch LINE dedup: each arriving batch keeps only
