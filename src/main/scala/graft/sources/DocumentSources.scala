@@ -127,10 +127,10 @@ object DocumentSources {
     * format most training corpora ship in (c4/pile/dolma dumps). Lenient
     * by the S3 discipline: `PERMISSIVE` parse retains malformed lines in
     * `_corrupt_record`, and the result splits into (documents, quarantine)
-    * with one filter instead of killing the job. Schema is EXPLICIT (id +
-    * text + passthrough meta as a raw JSON string via the whole-line
-    * `_corrupt`-safe projection), so the reader never runs schema
-    * inference — at 100 TB an inference pre-pass is a full extra scan.
+    * with one filter instead of killing the job. Schema is EXPLICIT (the
+    * id and text fields only; other keys are ignored by the parse), so
+    * the reader never runs schema inference — at 100 TB an inference
+    * pre-pass is a full extra scan.
     *
     * @return (docs `(doc_id, filename, text)`, quarantined raw lines)
     */
