@@ -662,6 +662,16 @@ object DocFormats {
         // V4/V5 name crypt filters; /StmF /Identity means plaintext streams
         val stmIdentity = v >= 4 && """/StmF\s*/Identity""".r.findFirstIn(dict).isDefined
         val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(dict).map(_.group(1))
+        // the crypt-filter subdict carries its own /Length (KEY BYTES, e.g.
+        // 16) — excise it so the top-level /Length (key BITS) lookup can't
+        // land there when /CF precedes /Length in the dict
+        val topDict = dict.indexOf("/CF") match {
+          case at if at >= 0 =>
+            val after = dict.drop(at).dropWhile(c => c != '<')
+            val sub = balancedDict(after)
+            if (sub.endsWith(">>")) dict.replace(sub, "") else dict
+          case _ => dict
+        }
         // /ID is an array of two strings; element 0 is permanent across
         // incremental updates (§14.4), so the first occurrence serves
         val id0 = """/ID\s*\[""".r.findFirstMatchIn(s)
@@ -675,7 +685,7 @@ object DocFormats {
               throw new IllegalArgumentException("encrypted PDF: missing /O"))
             val p = intValue(dict, "/P").getOrElse(-1)
             val meta = !dict.contains("/EncryptMetadata false")
-            val bits = if (v == 1) 40 else intValue(dict, "/Length").getOrElse(40)
+            val bits = if (v == 1) 40 else intValue(topDict, "/Length").getOrElse(40)
             val key = legacyFileKey(r, bits, o, p, id0, meta)
             val expect = legacyUserValue(r, key, id0)
             val ok =

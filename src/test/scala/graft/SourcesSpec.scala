@@ -558,6 +558,15 @@ class SourcesSpec extends SparkSpec {
     val identity = encryptFixture(MinimalPdf.write(text), 6, dict("/Identity"), id0,
       (_, _, b) => b)
     assert(MinimalPdf.extractText(identity) == text)
+    // /CF BEFORE /Length: the crypt filter's own /Length 16 (key BYTES)
+    // must not be mistaken for the key bit-length
+    val cfFirst = "/Filter /Standard /V 4 /R 4 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+      "/StmF /StdCF /StrF /StdCF /Length 128 " +
+      s"/P -44 /O <${hexStr(o)}> /U <${hexStr(u)}>"
+    val encd2 = encryptFixture(MinimalPdf.write(text), 6, cfFirst, id0,
+      (n, g, b) => aesPayload(C, C.objectKey(key, n, g, aes = true), iv, b))
+    assert(MinimalPdf.extractText(encd2) == text)
   }
 
   test("PDF encryption: AES-256 R6 (/AESV3, ISO 32000-2 hardened hash) decrypts") {
