@@ -207,7 +207,9 @@ object Sampling {
     * driver-side state.
     *
     * @return `(idCol, n_feats, weight)` — one row per corpus row; docs
-    *         with no features weigh 0.0
+    *         with no features weigh 0.0. An EMPTY target sample yields
+    *         all-zero weights (null log-ratios coalesce) — callers own
+    *         target non-emptiness.
     */
   def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: Column, buckets: Int): DataFrame = {

@@ -41,10 +41,9 @@ object Sinks {
     require(buckets > 0, "bucket count must be positive")
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet").option("path", path)
-    val b = sortKeys match {
-      case Nil => w.bucketBy(buckets, key)
-      case s :: rest => w.bucketBy(buckets, key).sortBy(s, rest: _*)
-    }
+      .bucketBy(buckets, key)
+    // head/tail, not a :: pattern — any Seq (Vector included) must work
+    val b = if (sortKeys.isEmpty) w else w.sortBy(sortKeys.head, sortKeys.tail: _*)
     b.saveAsTable(table)
   }
 
