@@ -956,6 +956,28 @@ ORDER BY doc_id""",
 md5(nfc_normalize(text || ' cafe' || chr(769) || ' test')) AS nfc_md5
 FROM documents ORDER BY doc_id""",
 
+    // Correlated scalar subquery (TPC-H Q17 shape). Quantities are
+    // integer-valued doubles so avg is order-independent and exact in both
+    // engines; revenue sums go through DECIMAL(18,2).
+    "q90_correlated_scalar" ->
+      raw"""SELECT p_brand,
+CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_lowqty_price,
+count(*) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand ORDER BY p_brand""",
+
+    // Correlated EXISTS (TPC-H Q4 shape) — rewritten to a semi join by
+    // both engines.
+    "q91_exists_subquery" ->
+      raw"""SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1382,6 +1382,46 @@ object Queries {
           concat(col("text"), lit(" cafe\u0301 test")), "NFC")).as("nfc_md5"))
       .orderBy(col("doc_id"))
 
+  /** Q90 — correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose
+    * quantity is below 20% of their part's average quantity, revenue per
+    * brand. Written as a genuine correlated subquery so Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery) turns the per-row
+    * lookup into one aggregate + join — the plan a hand-rewrite would
+    * produce, without the user doing the rewrite. Deterministic cross-
+    * engine: quantities are integer-valued doubles, so avg = exact-sum /
+    * count is order-independent; revenue sums go through DECIMAL(18,2).
+    */
+  def q90CorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("graft_li_corr")
+    part(s, dir).createOrReplaceTempView("graft_part_corr")
+    s.sql("""
+      SELECT p_brand,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_lowqty_price,
+             count(*) AS n_items
+      FROM graft_li_corr, graft_part_corr
+      WHERE p_partkey = l_partkey
+        AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM graft_li_corr l2
+                          WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  /** Q91 — correlated EXISTS subquery (TPC-H Q4 shape): orders with at
+    * least one returned lineitem, counted per priority. Catalyst rewrites
+    * the EXISTS into a left-semi join (RewritePredicateSubquery) — no
+    * per-row probing survives in the physical plan.
+    */
+  def q91ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("graft_ord_ex")
+    lineitem(s, dir).createOrReplaceTempView("graft_li_ex")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM graft_ord_ex o
+      WHERE EXISTS (SELECT 1 FROM graft_li_ex l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1473,5 +1513,7 @@ object Queries {
     "q87_semantic_dedup" -> q87SemanticDedup _,
     "q88_curation_funnel" -> q88CurationFunnel _,
     "q89_nfc_normalize" -> q89NfcNormalize _,
+    "q90_correlated_scalar" -> q90CorrelatedScalar _,
+    "q91_exists_subquery" -> q91ExistsSubquery _,
   )
 }

@@ -59,4 +59,20 @@ class MiscOpsSpec extends SparkSpec {
       .collect().head
     assert(folded.getLong(1) == 4L && folded.getDouble(2) == 0.0)
   }
+
+  test("q90/q91: correlated subqueries decorrelate to joins (no per-row subquery)") {
+    // Catalyst must rewrite the correlated scalar subquery (q90) and the
+    // EXISTS (q91) into aggregate+join / left-semi join. If decorrelation
+    // regressed, the physical plan would carry a Subquery/InSubquery node
+    // re-evaluated per row — the one shape that cannot scale.
+    val p90 = Queries.q90CorrelatedScalar(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p90.contains("InSubqueryExec") && !p90.contains("ScalarSubquery"),
+      s"q90 plan still carries a per-row subquery:\n$p90")
+    assert(p90.contains("Join"), s"q90 plan lost the decorrelated join:\n$p90")
+    val p91 = Queries.q91ExistsSubquery(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p91.contains("LeftSemi"),
+      s"q91 EXISTS did not become a left-semi join:\n$p91")
+  }
 }
