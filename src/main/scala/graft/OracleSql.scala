@@ -978,6 +978,32 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // Binary sign-bit codes: fixture dim 64 = one BIGINT word. DuckDB's
+    // `1 << 63` overflows, so bit 63 is spelled as the min-long literal
+    // (Spark's shiftleft wraps to the same value); bit_or packs the word,
+    // XOR+bit_count is the Hamming distance. Rescore order on the raw
+    // cosine double is the q30-proven cross-engine path.
+    "q92_binary_hamming" ->
+      raw"""WITH bits AS (
+  SELECT vec_id,
+    CASE WHEN embedding[i+1] >= 0 THEN
+      CASE WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+           ELSE (1::BIGINT << i) END
+    ELSE 0::BIGINT END AS bitv
+  FROM (SELECT vec_id, embedding, unnest(generate_series(0, 63)) AS i FROM embeddings)),
+codes AS (SELECT vec_id, bit_or(bitv) AS code FROM bits GROUP BY vec_id),
+q AS (SELECT code AS qcode FROM codes WHERE vec_id = 0),
+qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id, CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
+  FROM codes c, q WHERE c.vec_id <> 0
+  ORDER BY hamming, c.vec_id LIMIT 20)
+SELECT cand.vec_id, cand.hamming,
+  floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb::DOUBLE[])) AS cos_m
+FROM cand, embeddings e, qv WHERE e.vec_id = cand.vec_id
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb::DOUBLE[]) DESC, cand.vec_id
+LIMIT 5""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

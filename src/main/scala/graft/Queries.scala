@@ -1422,6 +1422,23 @@ object Queries {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** Q92 — binary (sign-bit) embedding search: 64 dims pack into ONE long
+    * (32× smaller than float32), candidates ranked by XOR-popcount Hamming
+    * distance (ties by id), exact-cosine rescore of the survivors. The
+    * binary tier is the cheapest first-stage ANN filter at 100 TB — the
+    * candidate scan moves 8 bytes per vector. Fully integer until the
+    * rescore, so the probe is exactly oracle-checkable.
+    */
+  def q92BinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.binaryTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, dim = 64, k = 5, rescoreFactor = 4)
+      .select(col("vec_id"), col("hamming"),
+        fl(col("score") * 1000, 0).as("cos_m"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1515,5 +1532,6 @@ object Queries {
     "q89_nfc_normalize" -> q89NfcNormalize _,
     "q90_correlated_scalar" -> q90CorrelatedScalar _,
     "q91_exists_subquery" -> q91ExistsSubquery _,
+    "q92_binary_hamming" -> q92BinaryHamming _,
   )
 }

