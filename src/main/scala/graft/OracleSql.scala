@@ -1004,6 +1004,23 @@ FROM cand, embeddings e, qv WHERE e.vec_id = cand.vec_id
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb::DOUBLE[]) DESC, cand.vec_id
 LIMIT 5""",
 
+    // Matryoshka funnel: prefix slice embedding[1:16], cosine shortlist,
+    // full-dim rescore — list slicing is 1-based-inclusive in DuckDB,
+    // matching Spark's slice(v, 1, 16).
+    "q93_matryoshka_funnel" ->
+      raw"""WITH qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+    list_cosine_similarity(e.embedding[1:16]::DOUBLE[], qv.qemb[1:16]::DOUBLE[]) AS prefix_score
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+  ORDER BY prefix_score DESC, e.vec_id LIMIT 20)
+SELECT cand.vec_id,
+  floor(1000 * cand.prefix_score) AS cosp_m,
+  floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb::DOUBLE[])) AS cos_m
+FROM cand, embeddings e, qv WHERE e.vec_id = cand.vec_id
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb::DOUBLE[]) DESC, cand.vec_id
+LIMIT 5""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

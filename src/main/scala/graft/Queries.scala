@@ -1439,6 +1439,22 @@ object Queries {
         fl(col("score") * 1000, 0).as("cos_m"))
   }
 
+  /** Q93 — matryoshka funnel retrieval (Kusupati et al. 2022): shortlist
+    * by cosine on the first 16 dims (reads a quarter of the vector bytes),
+    * exact-rescore the shortlist at full 64 dims. Same candidate-then-
+    * verify shape as q92's binary tier, one rung up the precision ladder.
+    */
+  def q93MatryoshkaFunnel(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.matryoshkaTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, prefixDim = 16, k = 5, rescoreFactor = 4)
+      .select(col("vec_id"),
+        fl(col("prefix_score") * 1000, 0).as("cosp_m"),
+        fl(col("score") * 1000, 0).as("cos_m"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1533,5 +1549,6 @@ object Queries {
     "q90_correlated_scalar" -> q90CorrelatedScalar _,
     "q91_exists_subquery" -> q91ExistsSubquery _,
     "q92_binary_hamming" -> q92BinaryHamming _,
+    "q93_matryoshka_funnel" -> q93MatryoshkaFunnel _,
   )
 }

@@ -363,6 +363,35 @@ object Search {
       .limit(k)
   }
 
+  // ------------------------------------------------- matryoshka prefix tier
+
+  /** Matryoshka / adaptive retrieval (Kusupati et al. 2022, public):
+    * MRL-trained embeddings order information by coordinate, so the first
+    * `prefixDim` dims are themselves a usable embedding. Funnel search:
+    * rank candidates by cosine on the prefix (reads prefixDim/dim of the
+    * bytes), exact-rescore the survivors at full dimension. Cosine is
+    * scale-invariant, so no renormalization step is needed for ranking —
+    * the prefix slice IS the truncated embedding up to a constant factor.
+    */
+  def matryoshkaTopK(index: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], prefixDim: Int, k: Int,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(prefixDim > 0 && prefixDim <= query.length,
+      s"prefixDim $prefixDim out of range for dim ${query.length}")
+    val qPrefix = lit(query.take(prefixDim).toArray)
+    val candidates = index
+      .withColumn("prefix_score",
+        cosine(slice(col(vecCol), 1, prefixDim), qPrefix))
+      .orderBy(col("prefix_score").desc, col(idCol).asc)
+      .limit(k * rescoreFactor)
+      .select(col(idCol), col("prefix_score"))
+    index
+      .join(broadcast(candidates), idCol)
+      .withColumn("score", cosine(col(vecCol), lit(query.toArray)))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Driver-side bit packing (for query vectors — one row, never data). */
   def packBits(bits: Seq[Boolean]): Array[Long] = {
     val words = new Array[Long]((bits.length + 63) / 64)

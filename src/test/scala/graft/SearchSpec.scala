@@ -346,6 +346,38 @@ class SearchSpec extends SparkSpec {
       s"binary recall@5 at factor 16 regressed: $got16 vs $exact")
   }
 
+  test("matryoshkaTopK: prefix shortlist + full rescore ≡ driver reference; recall grows with prefix") {
+    val q = vecs(0L)
+    val data = emb.where(col("vec_id") =!= 0)
+    def refFunnel(prefixDim: Int, factor: Int): Seq[Long] = {
+      val cands = vecs.toSeq.filter(_._1 != 0L)
+        .map { case (id, v) => (id, cosRef(v.take(prefixDim), q.take(prefixDim))) }
+        .sortBy { case (id, s) => (-s, id) }.take(5 * factor).map(_._1).toSet
+      vecs.toSeq.filter { case (id, _) => cands(id) }
+        .map { case (id, v) => (id, cosRef(v, q)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    }
+    val got16 = Search.matryoshkaTopK(data, "vec_id", "embedding", q, 16, 5, 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got16 == refFunnel(16, 4))
+    val exact = Search.topK(data, "embedding", q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // a 32-dim prefix sees half the information: must be at least as good
+    // as the 16-dim funnel, and the full-dim "prefix" must equal exact
+    val r16 = got16.count(exact.toSet)
+    val got32 = Search.matryoshkaTopK(data, "vec_id", "embedding", q, 32, 5, 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val r32 = got32.count(exact.toSet)
+    assert(r32 >= r16, s"recall fell with a longer prefix: $r16 -> $r32")
+    val got64 = Search.matryoshkaTopK(data, "vec_id", "embedding", q, 64, 5, 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got64 == exact)
+    // bad prefix dims fail loudly
+    intercept[IllegalArgumentException] {
+      Search.matryoshkaTopK(data, "vec_id", "embedding", q, 65, 5)
+    }
+  }
+
   test("kmeans-learned IVF centroids beat seed-vector centroids on recall@5") {
     def recallWith(cents: Seq[(Int, Array[Float])]): Double = {
       val assigned = Search.ivfAssign(emb, "embedding", cents)
