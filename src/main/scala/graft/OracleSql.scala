@@ -1021,6 +1021,24 @@ FROM cand, embeddings e, qv WHERE e.vec_id = cand.vec_id
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb::DOUBLE[]) DESC, cand.vec_id
 LIMIT 5""",
 
+    // Temperature mixing: thresholds re-derived with the same IEEE double
+    // steps the driver-side Scala takes (count/total, pow ·^0.5, min,
+    // k·q/n, floor·2^60 — the q79-proven arithmetic family); the kept-id
+    // md5 pins row-level agreement, not just counts.
+    "q94_temperature_mix" ->
+      raw"""WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM g),
+qv AS (SELECT lang, n, pow(n / tot.total, 0.5) AS q FROM g, tot),
+kv AS (SELECT min(n / q) AS k FROM qv),
+th AS (SELECT lang,
+  CAST(floor(least(1.0, kv.k * q / n) * 1152921504606846976) AS BIGINT) AS thr
+  FROM qv, kv)
+SELECT d.lang, count(*) AS n_kept,
+  md5(string_agg(d.doc_id::VARCHAR, ',' ORDER BY d.doc_id)) AS kept_ids_md5
+FROM documents d JOIN th USING (lang)
+WHERE ('0x' || substr(md5('temp1' || d.doc_id::VARCHAR), 1, 15))::BIGINT < th.thr
+GROUP BY d.lang ORDER BY d.lang""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Chunkers, Dedup, Embeddings, Index, Search}
+import graft.operators.{Chunkers, Dedup, Embeddings, Index, Sampling, Search}
 import graft.model.SplitStrategy
 
 /** The probe-query library: every SURVEY.md §2 operator expressed as an
@@ -1455,6 +1455,22 @@ object Queries {
         fl(col("score") * 1000, 0).as("cos_m"))
   }
 
+  /** Q94 — temperature-damped language mixing (Conneau & Lample 2019):
+    * keep rates ∝ share^0.5 / share, scaled so the rarest language keeps
+    * everything; selection is content-addressed (q61's portable hash), so
+    * the kept set — not just the counts — replays exactly in the oracle.
+    */
+  def q94TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(documents(s, dir), col("lang"), col("doc_id"),
+        alpha = 0.5, salt = "temp1")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        // md5 of the kept doc_id list: proves row-level (not just count)
+        // agreement — sort_array makes the aggregation order-independent
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+          .as("kept_ids_md5"))
+      .orderBy(col("lang"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1550,5 +1566,6 @@ object Queries {
     "q91_exists_subquery" -> q91ExistsSubquery _,
     "q92_binary_hamming" -> q92BinaryHamming _,
     "q93_matryoshka_funnel" -> q93MatryoshkaFunnel _,
+    "q94_temperature_mix" -> q94TemperatureMix _,
   )
 }

@@ -118,6 +118,40 @@ object Sampling {
     df.where(sampleHash(keyCol, salt) < thresholdCol)
   }
 
+  /** Temperature-based domain mixing (EXT; the multilingual-pretraining
+    * exponentiated-smoothing rule, Conneau & Lample 2019 §3.1): sample
+    * group g with probability ∝ p_g^alpha where p_g is its corpus share.
+    * alpha = 1 keeps the natural distribution (identity); alpha = 0
+    * equalizes all groups; in between it damps dominant domains and
+    * relatively boosts rare ones. Subsample-only: the scale is chosen so
+    * the most-boosted group keeps rate exactly 1 — no row is duplicated.
+    *
+    * Same execution shape as [[rebalanceTokenShares]]: per-group counts
+    * are collected driver-side (group count = domain/language count —
+    * human-scale by construction), exact long thresholds inlined as
+    * literals, then ONE narrow content-addressed filter — partition-,
+    * retry- and engine-stable.
+    */
+  def temperatureSample(df: DataFrame, groupCol: Column, keyCol: Column,
+      alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(groupCol.as("_g"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample on an empty frame")
+    val total = counts.values.sum.toDouble
+    // unnormalized q_g = p_g^alpha (normalization cancels in k·q/n below)
+    val q = counts.map { case (g, n) => g -> math.pow(n / total, alpha) }
+    val k = counts.map { case (g, n) => n / q(g) }.min
+    val thresholds = counts.map { case (g, n) =>
+      g -> math.floor(math.min(1.0, k * q(g) / n) * HashSpace).toLong
+    }
+    val thresholdCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (g, t)) => when(groupCol === g, lit(t)).otherwise(acc)
+    }
+    df.where(sampleHash(keyCol, salt) < thresholdCol)
+  }
+
   /** Greedy sequence packing (EXT): assign documents to fixed-token-budget
     * training contexts ("packs"). Within each shard, documents are taken in
     * ascending id order and a document OPENS A NEW PACK iff the current

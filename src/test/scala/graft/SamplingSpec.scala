@@ -177,6 +177,36 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall { case (k, (_, w)) => again(k) == w })
   }
 
+  test("temperatureSample: alpha=1 identity, alpha=0 equalizes, damping is monotone in alpha") {
+    import spark.implicits._
+    // skewed corpus: 400 'en', 100 'de', 25 'fr'
+    val df = ((0 until 400).map(i => (i.toLong, "en")) ++
+      (400 until 500).map(i => (i.toLong, "de")) ++
+      (500 until 525).map(i => (i.toLong, "fr"))).toDF("id", "lang")
+    def kept(alpha: Double): Map[String, Long] =
+      Sampling.temperatureSample(df, col("lang"), col("id"), alpha, "t1")
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: natural distribution — every row kept
+    assert(kept(1.0) == Map("en" -> 400L, "de" -> 100L, "fr" -> 25L))
+    // the rarest group is never subsampled, at any alpha
+    assert(Seq(0.0, 0.3, 0.7).forall(a => kept(a)("fr") == 25L))
+    // alpha = 0: target counts equalize at the min group size (hash
+    // selection is binomial around the 25-row target — allow slack)
+    val k0 = kept(0.0)
+    assert(k0("en") <= 40 && k0("de") <= 40,
+      s"alpha=0 should equalize toward 25 per group: $k0")
+    // dominant-group keep count grows monotonically with alpha
+    val enSizes = Seq(0.0, 0.3, 0.7, 1.0).map(a => kept(a)("en"))
+    assert(enSizes == enSizes.sorted, s"en counts not monotone in alpha: $enSizes")
+    // determinism: same inputs, same kept ids
+    val a = Sampling.temperatureSample(df, col("lang"), col("id"), 0.5, "t1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(df.repartition(7), col("lang"), col("id"), 0.5, "t1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; prose untouched") {
     import spark.implicits._
     val texts = Seq(
