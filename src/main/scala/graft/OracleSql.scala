@@ -1039,6 +1039,23 @@ FROM documents d JOIN th USING (lang)
 WHERE ('0x' || substr(md5('temp1' || d.doc_id::VARCHAR), 1, 15))::BIGINT < th.thr
 GROUP BY d.lang ORDER BY d.lang""",
 
+    // Inverted index: identical tokens, df counted before the per-term
+    // cap (rn <= 10), postings serialized in doc-id order.
+    "q95_inverted_index" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+tf AS (SELECT doc_id, t.term, count(*)::BIGINT AS tf
+       FROM tk, unnest(tk) AS t(term) GROUP BY doc_id, t.term),
+d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+capped AS (
+  SELECT term, doc_id, tf,
+    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf)
+SELECT c.term, d.df, CAST(count(*) AS INT) AS n_kept,
+  string_agg(c.doc_id::VARCHAR || ':' || c.tf::VARCHAR, ',' ORDER BY c.doc_id) AS postings_str
+FROM capped c JOIN d USING (term)
+WHERE d.df >= 60 AND c.rn <= 10
+GROUP BY c.term, d.df ORDER BY c.term""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

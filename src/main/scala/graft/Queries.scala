@@ -1471,6 +1471,25 @@ object Queries {
           .as("kept_ids_md5"))
       .orderBy(col("lang"))
 
+  /** Q95 — materialized inverted index over the corpus: per term, true
+    * document frequency plus the first 10 postings (id:tf, doc-id order).
+    * minDf=60 keeps the probe output to the common-term head; the
+    * operator computes df BEFORE the cap, which the probe checks by
+    * emitting both df and the kept-postings count.
+    */
+  def q95InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    Search.buildInvertedIndex(docs, "doc_id", "toks",
+        minDf = 60L, maxPostingsPerTerm = Some(10))
+      .select(col("term"), col("df"),
+        size(col("postings")).as("n_kept"),
+        concat_ws(",", transform(col("postings"),
+          p => concat(p.getField("id").cast("string"), lit(":"),
+            p.getField("tf").cast("string")))).as("postings_str"))
+      .orderBy(col("term"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1567,5 +1586,6 @@ object Queries {
     "q92_binary_hamming" -> q92BinaryHamming _,
     "q93_matryoshka_funnel" -> q93MatryoshkaFunnel _,
     "q94_temperature_mix" -> q94TemperatureMix _,
+    "q95_inverted_index" -> q95InvertedIndex _,
   )
 }

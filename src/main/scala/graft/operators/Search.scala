@@ -67,6 +67,41 @@ object Search {
       .agg(sum(col("w").cast("decimal(24,12)")).cast("double").as("score"))
   }
 
+  /** Materialized inverted index (EXT): the persisted sibling of
+    * [[bm25Scores]]'s transient corpus statistics — one row per distinct
+    * term: (term, df, postings) with the posting list ordered by doc id.
+    *
+    * Scale shape: tokens explode once; tf is a (term, id)-keyed partial-
+    * aggregatable count; everything term-keyed after that shares ONE
+    * shuffle (both window passes and the final collect use the same
+    * partitioning). Hot stopword keys are bounded two ways: `minDf`
+    * prunes the hapax tail (most distinct-term volume), and
+    * `maxPostingsPerTerm` caps the per-term list (true df is computed
+    * BEFORE the cap) so no single term materializes an unbounded array.
+    */
+  def buildInvertedIndex(docs: DataFrame, idCol: String, tokensCol: String,
+      minDf: Long = 1L, maxPostingsPerTerm: Option[Int] = None): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    maxPostingsPerTerm.foreach(c => require(c >= 1, s"cap must be >= 1, got $c"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(col(tokensCol)).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(byTerm))
+    val capped = maxPostingsPerTerm match {
+      case Some(cap) => withDf
+        .withColumn("_rn", row_number().over(byTerm.orderBy(col("id"))))
+        .where(col("_rn") <= cap).drop("_rn")
+      case None => withDf
+    }
+    capped
+      .where(col("df") >= minDf)
+      .groupBy(col("term"))
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(struct(col("id"), col("tf")))).as("postings"))
+  }
+
   /** Top-k over [[bm25Scores]], ties broken by id — deterministic ranking. */
   def bm25TopK(docs: DataFrame, idCol: String, tokensCol: String,
       queryTerms: Seq[String], k: Int,

@@ -287,6 +287,32 @@ class SearchSpec extends SparkSpec {
     } finally assigned.unpersist()
   }
 
+  test("buildInvertedIndex: true df survives the cap; postings id-ordered; minDf prunes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "a")),   // a tf=2
+      (2L, Seq("a", "c")),
+      (3L, Seq("a", "b")),
+      (4L, Seq("a"))).toDF("doc_id", "toks")
+    val idx = Search.buildInvertedIndex(docs, "doc_id", "toks",
+        minDf = 2L, maxPostingsPerTerm = Some(2))
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getLong(0), p.getLong(1))))
+      }.toMap
+    // 'c' (df=1) pruned by minDf
+    assert(idx.keySet == Set("a", "b"))
+    // df is the TRUE corpus df (4), even though the cap kept 2 postings
+    assert(idx("a")._1 == 4L && idx("a")._2 == Seq((1L, 2L), (2L, 1L)))
+    assert(idx("b")._1 == 2L && idx("b")._2 == Seq((1L, 1L), (3L, 1L)))
+    // uncapped: full id-ordered lists
+    val full = Search.buildInvertedIndex(docs, "doc_id", "toks")
+      .where(col("term") === "a")
+      .select(transform(col("postings"), p => p.getField("id")))
+      .head().getSeq[Long](0)
+    assert(full == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("binaryCodes packs sign bits exactly (bit 63, multi-word, tail padding)") {
     import spark.implicits._
     // dim 130 = 3 words: exercises the word-63 shift (min-long territory),
