@@ -35,7 +35,13 @@ object Bench {
     // untimed warmup: JIT + codegen + shuffle machinery, so the first timed
     // query doesn't absorb JVM startup noise
     spark.range(2000000).selectExpr("sum(id * 2)", "count(distinct id % 97)").collect()
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated probe filter for local iteration (the
+    // driver never sets it — full suite by default)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
