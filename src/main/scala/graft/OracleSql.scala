@@ -1056,6 +1056,17 @@ FROM capped c JOIN d USING (term)
 WHERE d.df >= 60 AND c.rn <= 10
 GROUP BY c.term, d.df ORDER BY c.term""",
 
+    // TPC-H Q22 shape: one-shot scalar threshold (exact decimal sum /
+    // count — identical double both engines) + NOT EXISTS anti join.
+    "q96_scalar_anti" ->
+      raw"""SELECT c_mktsegment, count(*) AS n_cust,
+CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

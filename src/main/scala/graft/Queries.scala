@@ -1490,6 +1490,26 @@ object Queries {
       .orderBy(col("term"))
   }
 
+  /** Q96 — TPC-H Q22 shape: uncorrelated scalar-subquery threshold plus
+    * correlated NOT EXISTS, in one query. Catalyst evaluates the scalar
+    * once (a one-row broadcast, not per-row) and rewrites the NOT EXISTS
+    * to a left-anti join. The threshold uses the repo's exact-decimal
+    * sum / count discipline, so the boundary comparison is bit-identical
+    * cross-engine (a plain double avg would be combine-order-dependent).
+    */
+  def q96ScalarAnti(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_cust_sa")
+    events(s, dir).createOrReplaceTempView("graft_ev_sa")
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM graft_cust_sa c
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         FROM graft_cust_sa WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM graft_ev_sa e WHERE e.user_id = c.c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1587,5 +1607,6 @@ object Queries {
     "q93_matryoshka_funnel" -> q93MatryoshkaFunnel _,
     "q94_temperature_mix" -> q94TemperatureMix _,
     "q95_inverted_index" -> q95InvertedIndex _,
+    "q96_scalar_anti" -> q96ScalarAnti _,
   )
 }

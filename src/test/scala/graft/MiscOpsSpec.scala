@@ -74,5 +74,12 @@ class MiscOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p91.contains("LeftSemi"),
       s"q91 EXISTS did not become a left-semi join:\n$p91")
+    // q96: the NOT EXISTS must become a left-anti join; the uncorrelated
+    // scalar threshold stays a one-shot subquery (evaluated once, not
+    // per row) — that one is the CORRECT shape, so only anti is asserted
+    val p96 = Queries.q96ScalarAnti(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p96.contains("LeftAnti"),
+      s"q96 NOT EXISTS did not become a left-anti join:\n$p96")
   }
 }

@@ -313,6 +313,38 @@ class SearchSpec extends SparkSpec {
     assert(full == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("property: buildInvertedIndex — postings exactly-once, true df, cap and minDf honored") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val genCorpus = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")))
+      .map(_.zipWithIndex.map { case (toks, i) => (i.toLong, toks) })
+    checkProp(Prop.forAll(genCorpus) { corpus =>
+      val cap = 3
+      val minDf = 2L
+      val out = Search.buildInvertedIndex(
+          corpus.toDF("doc_id", "toks"), "doc_id", "toks",
+          minDf = minDf, maxPostingsPerTerm = Some(cap))
+        .collect().map { r =>
+          r.getString(0) -> (r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+            .map(p => (p.getLong(0), p.getLong(1))))
+        }.toMap
+      // reference model
+      val tf: Map[String, Seq[(Long, Long)]] = corpus
+        .flatMap { case (id, toks) => toks.map(t => (t, id)) }
+        .groupBy(_._1)
+        .map { case (t, hits) =>
+          t -> hits.groupBy(_._2).map { case (id, h) => (id, h.size.toLong) }
+            .toSeq.sortBy(_._1)
+        }
+      val want = tf.collect {
+        case (t, postings) if postings.size >= minDf =>
+          t -> (postings.size.toLong, postings.take(cap))
+      }
+      out == want
+    }, minTests = 20)
+  }
+
   test("binaryCodes packs sign bits exactly (bit 63, multi-word, tail padding)") {
     import spark.implicits._
     // dim 130 = 3 words: exercises the word-63 shift (min-long territory),
