@@ -1067,6 +1067,28 @@ WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) 
   AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    // BM25 via the persisted index reads the same df/tf/dl/stats the
+    // direct q72 computation derives, so the oracle recomputes from the
+    // corpus; top-10 on the raw decimal-summed score, ties by doc id.
+    "q97_bm25_from_index" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)::DOUBLE) AS avgdl FROM tk),
+hits AS (
+  SELECT doc_id, len(tk) AS dl, t.term, count(*)::DOUBLE AS tf
+  FROM tk, unnest(tk) AS t(term)
+  WHERE t.term IN ('data', 'model', 'search')
+  GROUP BY doc_id, len(tk), t.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT doc_id, CAST(sum(CAST(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+    AS DECIMAL(24,12))) AS DOUBLE) AS score
+  FROM hits h JOIN dfreq d USING (term), stats s
+  GROUP BY doc_id)
+SELECT doc_id, floor(1000 * score) / 1 AS score_m
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

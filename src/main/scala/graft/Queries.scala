@@ -1510,6 +1510,32 @@ object Queries {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** Q97 — BM25 through the PERSISTED text index (Search.writeTextIndex):
+    * the index is staged once per sf dir (idempotent, keyed by the source
+    * parquet size like q50's staging), and the probe times the READ path —
+    * term-pruned postings scan, broadcast hit join, one per-doc sum. Same
+    * formula and decimal discipline as q72, so the oracle recomputes from
+    * the documents table directly; scores must agree bit-for-bit.
+    */
+  def q97Bm25FromIndex(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val idxDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "q97idx_" + Integer.toHexString(dir.hashCode))
+    val marker = idxDir.resolve("source.size")
+    val want = java.nio.file.Files.size(src).toString
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == want
+    if (!fresh) {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+      Search.writeTextIndex(docs, "doc_id", "toks", idxDir.toString)
+      java.nio.file.Files.writeString(marker, want)
+    }
+    Search.bm25TopKFromIndex(s, idxDir.toString,
+        queryTerms = Seq("data", "model", "search"), k = 10)
+      .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1608,5 +1634,6 @@ object Queries {
     "q94_temperature_mix" -> q94TemperatureMix _,
     "q95_inverted_index" -> q95InvertedIndex _,
     "q96_scalar_anti" -> q96ScalarAnti _,
+    "q97_bm25_from_index" -> q97Bm25FromIndex _,
   )
 }

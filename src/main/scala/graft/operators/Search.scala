@@ -102,6 +102,58 @@ object Search {
         sort_array(collect_list(struct(col("id"), col("tf")))).as("postings"))
   }
 
+  /** Persist a BM25-queryable text index: flat postings (term, df, id, tf)
+    * range-partitioned and sorted by term — a term-equality predicate
+    * prunes to a handful of parquet row groups via min/max stats — plus a
+    * doc-length table and the one-row corpus stats sidecar. Index once,
+    * query many: a query's read cost is proportional to ITS terms'
+    * postings, never to the corpus (the transient [[bm25Scores]] re-scans
+    * and re-aggregates the whole corpus per query).
+    */
+  def writeTextIndex(docs: DataFrame, idCol: String, tokensCol: String,
+      path: String, minDf: Long = 1L,
+      maxPostingsPerTerm: Option[Int] = None): Unit = {
+    val base = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
+    buildInvertedIndex(base, "id", "toks", minDf, maxPostingsPerTerm)
+      .select(col("term"), col("df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("p.id").as("id"), col("p.tf").as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    base.select(col("id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    base.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("toks")).cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a persisted [[writeTextIndex]] index. Same formula
+    * and decimal-sum discipline as [[bm25Scores]] (df/tf widen to double at
+    * the same points, so scores are bit-identical); the postings scan is
+    * term-pruned at the parquet layer, the pruned hits broadcast against
+    * the doc-length table, and the per-doc sum is the only shuffle.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val hits = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(queryTerms: _*)) // parquet row-group prune
+      .select(col("term"), col("df").cast("double").as("df"),
+        col("id"), col("tf").cast("double").as("tf"))
+    val stats = spark.read.parquet(s"$path/stats")
+    spark.read.parquet(s"$path/doclens")
+      .join(broadcast(hits), "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(24,12)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Top-k over [[bm25Scores]], ties broken by id — deterministic ranking. */
   def bm25TopK(docs: DataFrame, idCol: String, tokensCol: String,
       queryTerms: Seq[String], k: Int,

@@ -313,6 +313,25 @@ class SearchSpec extends SparkSpec {
     assert(full == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("bm25TopKFromIndex ≡ bm25TopK bit-for-bit; postings scan is term-pruned") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    val path = java.nio.file.Files.createTempDirectory("textidx").toString
+    Search.writeTextIndex(docs, "doc_id", "toks", path)
+    val terms = Seq("data", "model")
+    val fromIdx = Search.bm25TopKFromIndex(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Search.bm25TopK(docs, "doc_id", "toks", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIdx == direct) // ids AND raw double scores identical
+    // the postings read must push the term predicate into the scan
+    val plan = Search.bm25TopKFromIndex(spark, path, terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term predicate not pushed to the postings scan:\n$plan")
+  }
+
   test("property: buildInvertedIndex — postings exactly-once, true df, cap and minDf honored") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop}
