@@ -1520,7 +1520,9 @@ object Queries {
   def q97Bm25FromIndex(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
     val idxDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "q97idx_" + Integer.toHexString(dir.hashCode))
+      // "2" suffix = layout version (df-free postings + long stats); a
+      // stale staged index from the previous layout must not be reused
+      sys.props("java.io.tmpdir"), "q97idx2_" + Integer.toHexString(dir.hashCode))
     val marker = idxDir.resolve("source.size")
     val want = java.nio.file.Files.size(src).toString
     val fresh = java.nio.file.Files.exists(marker) &&

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -102,36 +102,104 @@ object Search {
         sort_array(collect_list(struct(col("id"), col("tf")))).as("postings"))
   }
 
-  /** Persist a BM25-queryable text index: flat postings (term, df, id, tf)
+  /** Persist a BM25-queryable text index: flat postings (term, id, tf)
     * range-partitioned and sorted by term — a term-equality predicate
     * prunes to a handful of parquet row groups via min/max stats — plus a
-    * doc-length table and the one-row corpus stats sidecar. Index once,
-    * query many: a query's read cost is proportional to ITS terms'
-    * postings, never to the corpus (the transient [[bm25Scores]] re-scans
-    * and re-aggregates the whole corpus per query).
+    * doc-length table and a one-row EXACT-LONG stats sidecar (n_docs,
+    * sum_dl). Index once, query many: a query's read cost is proportional
+    * to ITS terms' postings, never to the corpus (the transient
+    * [[bm25Scores]] re-scans and re-aggregates the whole corpus per query).
+    *
+    * Deliberately stores NO df and NO per-term cap: df is derived at query
+    * time from the pruned hits themselves (count per term — tiny after the
+    * prune), which is what keeps the index APPENDABLE ([[appendTextIndex]])
+    * without any stored statistic going stale. Bounded-postings variants
+    * belong to [[buildInvertedIndex]].
     */
   def writeTextIndex(docs: DataFrame, idCol: String, tokensCol: String,
-      path: String, minDf: Long = 1L,
-      maxPostingsPerTerm: Option[Int] = None): Unit = {
+      path: String): Unit = {
     val base = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
-    buildInvertedIndex(base, "id", "toks", minDf, maxPostingsPerTerm)
-      .select(col("term"), col("df"), explode(col("postings")).as("p"))
-      .select(col("term"), col("df"), col("p.id").as("id"), col("p.tf").as("tf"))
+    postingsOf(base)
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/postings")
+    doclensOf(base).write.mode("overwrite").parquet(s"$path/doclens")
+    statsOf(base).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def postingsOf(base: DataFrame): DataFrame = base
+    .select(col("id"), explode(col("toks")).as("term"))
+    .groupBy(col("term"), col("id"))
+    .agg(count(lit(1)).as("tf"))
+
+  private def doclensOf(base: DataFrame): DataFrame =
     base.select(col("id"), size(col("toks")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
+
+  private def statsOf(base: DataFrame): DataFrame =
     base.agg(count(lit(1)).as("n_docs"),
-        avg(size(col("toks")).cast("double")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+
+  /** Append a document batch to a [[writeTextIndex]] index. Docs whose ids
+    * are already indexed are anti-joined out (the id read is one pruned
+    * column of doclens, like Index.appendIndex), so replays are no-ops.
+    *
+    * Durability ordering: postings commit FIRST, doclens second, stats
+    * last. A crash between jobs leaves orphan postings (df drifts by at
+    * most the crashed batch; the docs stay invisible to scoring because
+    * the doclens join drops them) — the RETRY re-appends the batch, and
+    * the read path's per-(term,id) dedup makes the duplicated postings
+    * harmless, restoring exactness. The reverse order would lose docs:
+    * committed doclens would anti-join the retry out before its postings
+    * ever landed.
+    *
+    * @return number of new documents appended (0 on full replay)
+    */
+  def appendTextIndex(docs: DataFrame, idCol: String, tokensCol: String,
+      path: String)(implicit spark: SparkSession): Long = {
+    import graft.sources.PathState
+    val state = PathState.classify(s"$path/doclens",
+      spark.sparkContext.hadoopConfiguration)
+    require(state != PathState.Foreign,
+      s"appendTextIndex target '$path/doclens' exists but holds no parquet — " +
+        "refusing to append into a directory that is not a text index")
+    val base0 = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
+    val base = (if (state == PathState.Empty) base0
+      else {
+        val existing = spark.read.parquet(s"$path/doclens").select(col("id"))
+        base0.join(existing, base0("id") === existing("id"), "left_anti")
+      }).dropDuplicates("id").persist()
+    try {
+      val n = base.count()
+      if (n > 0) {
+        // batch + old stats are read BEFORE any append: the doclens append
+        // below recaches-by-path every cached plan that reads doclens —
+        // including `base` (its anti-join) — and a post-append recompute of
+        // base would see its own ids as "already indexed" and go empty
+        val batch = statsOf(base).head()
+        val (oldN, oldSum) =
+          if (state == PathState.Empty) (0L, 0L)
+          else {
+            val r = spark.read.parquet(s"$path/stats").head()
+            (r.getLong(0), r.getLong(1))
+          }
+        postingsOf(base).write.mode(SaveMode.Append).parquet(s"$path/postings")
+        doclensOf(base).write.mode(SaveMode.Append).parquet(s"$path/doclens")
+        import spark.implicits._
+        Seq((oldN + batch.getLong(0), oldSum + batch.getLong(1)))
+          .toDF("n_docs", "sum_dl")
+          .write.mode("overwrite").parquet(s"$path/stats")
+      }
+      n
+    } finally base.unpersist()
   }
 
   /** BM25 top-k against a persisted [[writeTextIndex]] index. Same formula
     * and decimal-sum discipline as [[bm25Scores]] (df/tf widen to double at
-    * the same points, so scores are bit-identical); the postings scan is
-    * term-pruned at the parquet layer, the pruned hits broadcast against
-    * the doc-length table, and the per-doc sum is the only shuffle.
+    * the same points, avgdl = exact-long sum_dl / n_docs — the identical
+    * double), so scores are bit-identical; the postings scan is term-pruned
+    * at the parquet layer, df is counted over the pruned hits (always
+    * fresh, append-safe), the hits broadcast against the doc-length table,
+    * and the per-doc sum is the only shuffle.
     */
   def bm25TopKFromIndex(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int,
@@ -139,9 +207,13 @@ object Search {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
     val hits = spark.read.parquet(s"$path/postings")
       .where(col("term").isin(queryTerms: _*)) // parquet row-group prune
-      .select(col("term"), col("df").cast("double").as("df"),
-        col("id"), col("tf").cast("double").as("tf"))
+      .dropDuplicates("term", "id")            // crash-retry dup guard
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .select(col("term"), col("df"), col("id"), col("tf").cast("double").as("tf"))
     val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     spark.read.parquet(s"$path/doclens")
       .join(broadcast(hits), "id")
       .crossJoin(broadcast(stats))

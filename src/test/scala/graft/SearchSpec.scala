@@ -332,6 +332,40 @@ class SearchSpec extends SparkSpec {
       s"term predicate not pushed to the postings scan:\n$plan")
   }
 
+  test("appendTextIndex: write(A∪B) ≡ write(A)+append(B); replay no-op; crash-retry exact") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    val a = docs.where(col("doc_id") < 60)
+    val b = docs.where(col("doc_id") >= 60)
+    val full = java.nio.file.Files.createTempDirectory("ti_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("ti_incr").toString
+    Search.writeTextIndex(docs, "doc_id", "toks", full)
+    Search.writeTextIndex(a, "doc_id", "toks", incr)
+    assert(Search.appendTextIndex(b, "doc_id", "toks", incr) == b.count())
+    val terms = Seq("data", "model")
+    def top(path: String) = Search.bm25TopKFromIndex(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(incr) == top(full)) // ids AND raw scores bit-identical
+    // replay of an already-appended batch is a no-op
+    assert(Search.appendTextIndex(b, "doc_id", "toks", incr) == 0L)
+    assert(top(incr) == top(full))
+    // crash-retry: postings committed but doclens/stats not (the documented
+    // gap) — simulate by appending B's postings AGAIN behind the index's
+    // back, then re-query: the per-(term,id) dedup keeps scores exact
+    Search.buildInvertedIndex(b, "doc_id", "toks")
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.id").as("id"), col("p.tf").as("tf"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$incr/postings")
+    assert(top(incr) == top(full))
+    // appending into a directory that is not an index fails loudly
+    val foreign = java.nio.file.Files.createTempDirectory("ti_foreign")
+    java.nio.file.Files.writeString(foreign.resolve("doclens"), "not parquet")
+    intercept[IllegalArgumentException] {
+      Search.appendTextIndex(b, "doc_id", "toks", foreign.toString)
+    }
+  }
+
   test("property: buildInvertedIndex — postings exactly-once, true df, cap and minDf honored") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop}
