@@ -185,6 +185,31 @@ object Streams {
       .outputMode("update")
       .start()
 
+  /** Streaming TEXT-index maintenance: each micro-batch of documents folds
+    * into a persisted BM25 index via
+    * [[graft.operators.Search.appendTextIndex]] — replayed batches anti-
+    * join out on the doclens ids, so at-least-once delivery and restarts
+    * stay exactly-once in the index. Queries against the index
+    * ([[graft.operators.Search.bm25TopKFromIndex]]) need no refresh hook:
+    * df is derived from postings at query time and the stats sidecar is
+    * updated by the append itself.
+    *
+    * @param tokenize how to derive the token array from the batch columns
+    */
+  def streamingTextIndexMaintenance(docs: DataFrame, idCol: String,
+      tokenize: org.apache.spark.sql.Column, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        implicit val spark: SparkSession = batch.sparkSession
+        graft.operators.Search.appendTextIndex(
+          batch.toDF().withColumn("_toks", tokenize), idCol, "_toks", indexPath)
+        ()
+      }
+      .outputMode("update")
+      .start()
+
   /** Streaming near-dup maintenance: every micro-batch is checked against
     * the ENTIRE historical corpus via the persisted sketch store
     * ([[graft.operators.Dedup.incrementalNearDupPairs]] — no text is ever

@@ -417,6 +417,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text-index maintenance: appends fold in, replays no-op, queries see fresh stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("stidx").toString + "/ti"
+    val ckpt = java.nio.file.Files.createTempDirectory("stickpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingTextIndexMaintenance(
+      mem.toDF().toDF("doc_id", "text"), "doc_id",
+      graft.functions.TextFunctions.wordTokens(col("text")), idx, ckpt)
+    try {
+      mem.addData((1L, "data model data"), (2L, "search engine"))
+      q.processAllAvailable()
+      val top1 = graft.operators.Search
+        .bm25TopKFromIndex(spark, idx, Seq("data"), 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(top1 == Seq(1L))
+      // overlap doc 2, add doc 3 — replay adds nothing, doc 3 lands
+      mem.addData((2L, "search engine"), (3L, "data lake"))
+      q.processAllAvailable()
+      val stats = spark.read.parquet(s"$idx/stats").head()
+      assert(stats.getLong(0) == 3L) // n_docs exact after replay
+      assert(stats.getLong(1) == 7L) // 3 + 2 + 2 tokens
+      val top2 = graft.operators.Search
+        .bm25TopKFromIndex(spark, idx, Seq("data"), 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(top2.toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("ST3: dropDuplicatesWithinWatermark drops the in-window duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
