@@ -85,6 +85,25 @@ object RecallBench {
       (np, rescore) -> (hits.sum / hits.size)
     }
 
+    // binary (sign-bit Hamming) and matryoshka (prefix-dim) funnels, by
+    // rescore budget / prefix length — the q92/q93 tiers
+    val dim = queries.head._2.length
+    def funnelRecall(search: Seq[Float] => DataFrame): Double = {
+      val hits = queries.map { case (qid, qv) =>
+        val got = search(qv).select("vec_id").collect().map(_.getLong(0)).toSet
+        exact(qid).count(got.contains).toDouble / exact(qid).size
+      }
+      hits.sum / hits.size
+    }
+    val binary = Seq(4, 16).map { factor =>
+      factor -> funnelRecall(qv =>
+        Search.binaryTopK(emb, "vec_id", "embedding", qv, dim, k, factor))
+    }
+    val matryoshka = Seq(16, 32).map { prefix =>
+      prefix -> funnelRecall(qv =>
+        Search.matryoshkaTopK(emb, "vec_id", "embedding", qv, prefix, k, 4))
+    }
+
     // LSH pair recall vs exact L2 pairs at the q43 threshold
     val maxL2 = 1.18
     val exactPairs = emb.as("a").crossJoin(emb.as("b"))
@@ -104,8 +123,11 @@ object RecallBench {
     def f(d: Double) = f"$d%.4f"
     val ivfJson = ivf.map { case (np, r) => s""""np$np":${f(r)}""" }.mkString(",")
     val qivfJson = qivf.map { case ((np, rs), r) => s""""np${np}_rescore$rs":${f(r)}""" }.mkString(",")
+    val binJson = binary.map { case (fa, r) => s""""factor$fa":${f(r)}""" }.mkString(",")
+    val matJson = matryoshka.map { case (p, r) => s""""prefix$p":${f(r)}""" }.mkString(",")
     println(s"""{"metric":"ann_recall","k":$k,"n_queries":${queries.size},""" +
       s""""n_clusters":$nClusters,"ivf":{$ivfJson},"qivf":{$qivfJson},""" +
+      s""""binary":{$binJson},"matryoshka":{$matJson},""" +
       s""""lsh_pair_recall":${f(lshRecall)},"n_exact_pairs":${exactPairs.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -284,6 +284,23 @@ class SearchSpec extends SparkSpec {
       val qr = qHits.sum / qHits.size
       assert(qr >= r2 - 0.02,
         s"quantized IVF (rescore=50) lost recall vs its IVF tier: $qr < $r2 - 0.02")
+      // binary-Hamming and matryoshka funnels (frozen sf0.001 RecallBench:
+      // binary factor16 0.910, matryoshka prefix32 0.706 — floors minus
+      // margin; both rescore in full precision so a drop means the
+      // shortlist itself regressed)
+      def funnel(search: Seq[Float] => org.apache.spark.sql.DataFrame): Double = {
+        val hs = queries.map { case (qid, qv) =>
+          val got = search(qv).select("vec_id").collect().map(_.getLong(0)).toSet
+          exact(qid).count(got.contains).toDouble / exact(qid).size
+        }
+        hs.sum / hs.size
+      }
+      val br = funnel(qv =>
+        Search.binaryTopK(emb, "vec_id", "embedding", qv, 64, k, 16))
+      assert(br >= 0.85, s"binary funnel (factor=16) recall regressed: $br (frozen 0.910)")
+      val mr = funnel(qv =>
+        Search.matryoshkaTopK(emb, "vec_id", "embedding", qv, 32, k, 4))
+      assert(mr >= 0.64, s"matryoshka funnel (prefix=32) recall regressed: $mr (frozen 0.706)")
     } finally assigned.unpersist()
   }
 
