@@ -21,6 +21,14 @@ object OracleSql {
   private val toks =
     raw"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
 
+  /** Morton interleave of two 8-bit grid coords (q98) — generated from the
+    * same (bit, column) loop as Layout.zValue so the two spellings cannot
+    * drift: bit b of column i → output position b*2+i.
+    */
+  private val zTerms2x8: String =
+    (for { b <- 0 until 8; (c, i) <- Seq("px", "sx").zipWithIndex }
+      yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -1088,6 +1096,24 @@ scored AS (
   GROUP BY doc_id)
 SELECT doc_id, floor(1000 * score) / 1 AS score_m
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // z-order key (q98): same integer bit math as Layout.zValue/gridCoord —
+    // multiply-before-divide grid scaling (// = floor division; operands
+    // non-negative, so it matches Spark's truncating long division), then
+    // bit b of column i lands at position b*2+i. The term list is generated
+    // below (zTerms2x8) from the identical (b, i) loop the Scala side uses.
+    "q98_zorder_key" ->
+      raw"""WITH bounds AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem),
+g AS (
+  SELECT l_orderkey, l_linenumber,
+    (l_partkey - pmin) * 255 // (pmax - pmin) AS px,
+    (l_suppkey - smin) * 255 // (smax - smin) AS sx
+  FROM lineitem, bounds)
+SELECT l_orderkey, l_linenumber, $zTerms2x8 AS z
+FROM g ORDER BY z, l_orderkey, l_linenumber LIMIT 128""",
 
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest

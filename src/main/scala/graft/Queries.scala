@@ -1538,6 +1538,29 @@ object Queries {
       .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
   }
 
+  /** Q98 — z-order (Morton) clustering key (Layout.zValue + gridCoord):
+    * part and supplier keys mapped onto a 256×256 grid (integer-exact
+    * min-max scaling, multiply-before-divide) and bit-interleaved into
+    * one LONG. This key is what [[graft.operators.Layout.writeZOrdered]]
+    * range-partitions on so conjunctive part+supplier range predicates
+    * prune files at scan time; the probe pins the key arithmetic
+    * bit-for-bit against the DuckDB spelling. Pure codegen'd integer
+    * ops — one projection, no shuffle before the top-k.
+    */
+  def q98ZOrderKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val li = lineitem(s, dir)
+    val b = li.agg(
+      min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+    val px = Layout.gridCoord(col("l_partkey"), b.getLong(0), b.getLong(1), 8)
+    val sx = Layout.gridCoord(col("l_suppkey"), b.getLong(2), b.getLong(3), 8)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zValue(Seq(px, sx), 8).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(128)
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1637,5 +1660,6 @@ object Queries {
     "q95_inverted_index" -> q95InvertedIndex _,
     "q96_scalar_anti" -> q96ScalarAnti _,
     "q97_bm25_from_index" -> q97Bm25FromIndex _,
+    "q98_zorder_key" -> q98ZOrderKey _,
   )
 }

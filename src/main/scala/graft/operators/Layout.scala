@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: z-order (Morton) clustering for
+  * file-level data skipping (EXT scale mandate; no reference counterpart —
+  * the reference stores rows in Postgres, `index_documents.py:202-249`).
+  *
+  * WHY AT 100 TB: a parquet lake is scanned through per-file/row-group
+  * min-max statistics. Sorting by one column gives perfect skipping on
+  * that column and NONE on any other. Interleaving the bits of d columns
+  * into one sort key bounds EVERY dimension's spread inside each file
+  * (a file covering a contiguous z-range covers a small hyper-rectangle
+  * of the original space), so conjunctive range predicates on any subset
+  * of the z-columns prune files. This is the standard lakehouse technique
+  * (Delta/Iceberg `OPTIMIZE ZORDER BY`), built here from plain codegen'd
+  * bit arithmetic — no custom physical operator needed: compute the key,
+  * `repartitionByRange` on it (sampled range boundaries → balanced files
+  * even under skew), sort within partitions, write.
+  *
+  * Everything is integer bit math (`shiftright`/`bitwiseAND`/`shiftleft`
+  * /`bitwiseOR`), bit-identical to the DuckDB oracle spelling
+  * `((c >> b) & 1) << k` — no doubles anywhere in the key.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of each column
+    * (column i contributes bit b to output position `b*n + i`). Inputs
+    * must already be non-negative grid coordinates (see [[gridCoord]]);
+    * values are masked to `bits` bits, so out-of-range inputs wrap rather
+    * than error — callers own the bounding. `n*bits` must fit a signed
+    * long. The expansion is `n*bits` codegen'd integer ops — a single
+    * whole-stage-codegen projection, no UDF.
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    require(bits > 0 && bits * cols.size <= 63,
+      s"bits*cols must fit a signed long, got $bits*${cols.size}")
+    val n = cols.size
+    val terms =
+      for { b <- 0 until bits; (c, i) <- cols.zipWithIndex }
+        yield shiftleft(
+          shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Map a numeric column onto the `[0, 2^bits)` grid given its global
+    * min/max (one tiny agg the caller runs once): integer-exact
+    * `floor((c - min) * (2^bits - 1) / (max - min))` for integer inputs
+    * computed entirely in LONG arithmetic — multiply before divide via
+    * the SQL `div` (IntegralDivide, truncating; operands are non-negative
+    * so it equals DuckDB's floor-dividing `//` bit-for-bit; Column./ would
+    * go through doubles and lose exactness past 2^53). For floating
+    * inputs prefer pre-bucketing to integers upstream; cross-engine float
+    * division parity is not guaranteed. The caller owns overflow:
+    * `(max - min) * (2^bits - 1)` must fit a long.
+    */
+  def gridCoord(c: Column, min: Long, max: Long, bits: Int): Column = {
+    require(max > min, s"degenerate range [$min,$max]")
+    val m = (1L << bits) - 1
+    call_function("div", (c.cast("long") - lit(min)) * lit(m), lit(max - min))
+  }
+
+  /** Write `df` as `numFiles` parquet files clustered by the z-order of
+    * `zCols` (already grid coordinates, see [[gridCoord]]). Layout only:
+    * the written schema is exactly `df`'s — the key is dropped after the
+    * exchange+sort, which Spark preserves through the trailing projection.
+    *
+    * `repartitionByRange` SAMPLES key quantiles, so files stay balanced
+    * under arbitrary key skew (a hash layout would not give contiguous
+    * z-ranges; a global sort would funnel through one task per range
+    * anyway — this IS the global sort, split into `numFiles` writers).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[Column],
+      bits: Int, numFiles: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("_graft_z", zValue(zCols, bits))
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Single-column counterpart for A/B-ing layouts in specs and docs:
+    * global range-sort by `c` into `numFiles` files (perfect skipping on
+    * `c`, none elsewhere).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, c: Column,
+      numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.repartitionByRange(numFiles, c)
+      .sortWithinPartitions(c)
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Per-file bounding boxes of `cols` for a parquet directory — the
+    * skipping-quality diagnostic: the sum over files of matching-range
+    * width is what a min-max pruner scans. One pass, one small agg
+    * (|files| × |cols| rows).
+    */
+  def fileBounds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
