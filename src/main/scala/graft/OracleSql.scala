@@ -1115,6 +1115,51 @@ g AS (
 SELECT l_orderkey, l_linenumber, $zTerms2x8 AS z
 FROM g ORDER BY z, l_orderkey, l_linenumber LIMIT 128""",
 
+    // MMR re-rank (q99): the greedy argmax as a recursive CTE carrying the
+    // picked-list. Tie order matches the Scala loop exactly — candidates
+    // iterate (rel DESC, id ASC) with strict >, i.e. ties resolve to the
+    // higher rel then lower id, hence ORDER BY score DESC, rel DESC, id.
+    // (1.0 - 0.7) spelled as an expression, not 0.3: IEEE 1-0.7 is
+    // 0.30000000000000004 and both engines must use THAT value.
+    "q99_mmr_rerank" ->
+      raw"""WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+cand0 AS (
+  SELECT q.query_id, e.vec_id AS id, e.embedding AS v,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS rel
+  FROM embeddings e, q WHERE e.vec_id >= 3),
+c AS (
+  SELECT query_id, id, v, rel FROM (
+    SELECT cand0.*, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rnk
+    FROM cand0)
+  WHERE rnk <= 20),
+sel AS (
+  SELECT query_id, 0 AS step, CAST([] AS BIGINT[]) AS picked
+  FROM (SELECT DISTINCT query_id FROM c)
+  UNION ALL
+  SELECT s.query_id, s.step + 1,
+    list_append(s.picked, (
+      SELECT cc.id FROM c cc
+      WHERE cc.query_id = s.query_id AND NOT list_contains(s.picked, cc.id)
+      ORDER BY 0.7 * cc.rel - (1.0 - 0.7) * coalesce((
+          SELECT max(list_cosine_similarity(cc.v::DOUBLE[], p.v::DOUBLE[]))
+          FROM c p WHERE p.query_id = s.query_id AND list_contains(s.picked, p.id)), 0.0) DESC,
+        cc.rel DESC, cc.id ASC
+      LIMIT 1))
+  FROM sel s WHERE s.step < 5),
+fin AS (SELECT query_id, picked FROM sel WHERE step = 5),
+ranked AS (
+  SELECT f.query_id, CAST(gs.i AS INT) AS "rank",
+         list_extract(f.picked, CAST(gs.i AS INT)) AS vec_id, f.picked
+  FROM fin f, (SELECT unnest(generate_series(1, 5)) AS i) gs)
+SELECT r.query_id, r."rank", r.vec_id,
+  floor(1000 * (0.7 * cc.rel - (1.0 - 0.7) * coalesce((
+    SELECT max(list_cosine_similarity(cc.v::DOUBLE[], p.v::DOUBLE[]))
+    FROM c p WHERE p.query_id = r.query_id
+      AND list_contains(list_slice(r.picked, 1, r."rank" - 1), p.id)), 0.0))) / 1 AS mmr_m
+FROM ranked r JOIN c cc ON cc.query_id = r.query_id AND cc.id = r.vec_id
+ORDER BY r.query_id, r."rank"""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

@@ -1561,6 +1561,26 @@ object Queries {
       .limit(128)
   }
 
+  /** Q99 — MMR diversified re-rank (Search.mmrRerank) over exact top-20
+    * candidate lists for three query vectors: λ=0.7, k=5. The oracle
+    * replays the greedy argmax as a DuckDB recursive CTE carrying the
+    * picked-list; identical cosine arithmetic (q15-proven) + identical
+    * tie order (score DESC, rel DESC, id ASC) make the selection — not
+    * just the scores — cross-engine exact.
+    */
+  def q99MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = Search.topKPerQuery(emb.where(col("vec_id") >= 3), "embedding",
+      qs, "qid", "qv", k = 20, tiebreak = Seq("vec_id"))
+    Search.mmrRerank(cand, "query_id", "vec_id", "embedding", "score",
+        k = 5, lambda = 0.7)
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        fl(col("mmr_score") * 1000, 0).as("mmr_m"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1661,5 +1681,6 @@ object Queries {
     "q96_scalar_anti" -> q96ScalarAnti _,
     "q97_bm25_from_index" -> q97Bm25FromIndex _,
     "q98_zorder_key" -> q98ZOrderKey _,
+    "q99_mmr_rerank" -> q99MmrRerank _,
   )
 }

@@ -269,6 +269,103 @@ object Search {
       .orderBy(col("rrf_score").desc, col("id"))
   }
 
+  /** Maximal-marginal-relevance re-rank (EXT): diversify a per-query
+    * candidate list — the standard post-ANN step when retrieved context
+    * (RAG) or selected training data should not be k near-copies of the
+    * same document. Greedy MMR (Carbonell/Goldstein '98):
+    *
+    *   pick argmax_d  λ·rel(d) − (1−λ)·max_{s∈picked} cos(d, s)
+    *
+    * Scale shape: the greedy loop is inherently sequential in k, so it
+    * does NOT distribute within a query — and should not: candidates are
+    * a top-N list (tens to hundreds, post-[[topKPerQuery]]/[[ivfTopKFromIndex]]
+    * by contract). Parallelism comes from the MANY queries: one hash
+    * exchange on the query id, then an O(k·N·dim) local loop per group
+    * (`flatMapGroups` — genuinely non-relational iterative state, the
+    * documented justification for leaving Column expressions).
+    *
+    * Determinism: candidates iterate sorted (rel DESC, id ASC); score
+    * ties break to the lower id; the pairwise cosine replicates
+    * `CosineSimilarityExpr`'s exact loop (ascending index, double
+    * accumulators, sqrt(na)·sqrt(nb) denominator), so results are
+    * bit-reproducible and DuckDB-replayable (probe q99).
+    *
+    * @param candidates (queryIdCol, idCol, vecCol, relCol) rows
+    * @param lambda     relevance↔diversity tradeoff in [0,1]; the first
+    *                   pick is always the pure-relevance argmax
+    * @return (query_id, rank, id, mmr_score) — rank 1..min(k, |cands|)
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val mu = 1.0 - lambda // oracle spells (1.0 - λ) too: 1-0.7 ≠ 0.3 in IEEE
+    candidates
+      .select(col(queryIdCol).cast("long"), col(idCol).cast("long"),
+        col(vecCol), col(relCol).cast("double"))
+      .as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // (rel DESC, id ASC) order fixes iteration AND makes index 0 the
+        // deterministic first pick (maxSim starts at 0 for everyone).
+        val cand = it.toArray.sortBy(t => (-t._4, t._2))
+        val n = cand.length
+        val picked = new Array[Boolean](n)
+        // max sim to the picked set — CAN be negative (an anti-similar
+        // candidate earns a diversity bonus; clamping at 0 would be a
+        // different operator). -Inf marks "no picks yet" → penalty 0,
+        // the oracle's coalesce(max(..), 0.0) for the empty set.
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Vector.newBuilder[(Long, Int, Long, Double)]
+        var r = 1
+        while (r <= math.min(k, n)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val pen = if (maxSim(i) == Double.NegativeInfinity) 0.0 else maxSim(i)
+              val s = lambda * cand(i)._4 - mu * pen
+              // strict > : ties stay with the earlier (higher-rel/lower-id)
+              if (s > bestScore) { best = i; bestScore = s }
+            }
+            i += 1
+          }
+          out += ((qid, r, cand(best)._2, bestScore))
+          picked(best) = true
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = cosineLocal(cand(j)._3, cand(best)._3)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          r += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", "id", "mmr_score")
+  }
+
+  /** CosineSimilarityExpr's exact arithmetic as a local function (same
+    * ascending loop, double accumulators, sqrt·sqrt denominator) — keeps
+    * [[mmrRerank]]'s driver-free inner loop bit-identical to the
+    * relational tiers and the DuckDB `list_cosine_similarity` spelling.
+    */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
   /** Metric names match pgvector's operators: cosine `<=>`, l2 `<->`, ip `<#>`. */
   def score(metric: String, v: Column, q: Column): Column = metric match {
     case "cosine" => cosine(v, q)

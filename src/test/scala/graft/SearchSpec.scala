@@ -528,6 +528,43 @@ class SearchSpec extends SparkSpec {
 
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
 
+  test("mmrRerank: λ=1 is pure relevance; diversity demotes a planted near-duplicate") {
+    import spark.implicits._
+    // candidates for one query: a is most relevant; a2 is a near-copy of a
+    // with the second-best rel; b is less relevant but orthogonal.
+    val cands = Seq(
+      (1L, 10L, Array(1f, 0f, 0f), 0.95),      // a
+      (1L, 11L, Array(0.99f, 0.1f, 0f), 0.94), // a2 ≈ a
+      (1L, 12L, Array(0f, 1f, 0f), 0.60),      // b ⊥ a
+      (1L, 13L, Array(0f, 0.9f, 0.4f), 0.55)
+    ).toDF("qid", "id", "vec", "rel")
+    val relOnly = Search.mmrRerank(cands, "qid", "id", "vec", "rel", k = 3, lambda = 1.0)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(relOnly.toSeq === Seq(10L, 11L, 12L)) // rel order untouched
+    val diverse = Search.mmrRerank(cands, "qid", "id", "vec", "rel", k = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect()
+    // after picking a, the near-copy a2's penalty (~0.99) sinks it below b
+    assert(diverse.toSeq === Seq(10L, 12L, 11L) || diverse.toSeq === Seq(10L, 12L, 13L),
+      s"near-duplicate should be demoted, got ${diverse.toSeq}")
+    assert(diverse.head === 10L, "first pick must be the relevance argmax")
+  }
+
+  test("mmrRerank: anti-similar candidates earn a bonus (no clamp at 0); k caps at n") {
+    import spark.implicits._
+    val cands = Seq(
+      (7L, 1L, Array(1f, 0f), 0.9),
+      (7L, 2L, Array(-1f, 0.01f), 0.2), // anti-similar to pick 1 → negative penalty
+      (7L, 3L, Array(0.9f, 0.1f), 0.3)
+    ).toDF("qid", "id", "vec", "rel")
+    val out = Search.mmrRerank(cands, "qid", "id", "vec", "rel", k = 10, lambda = 0.5)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(out.length === 3, "k beyond candidate count returns all candidates")
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L),
+      "negative max-sim must ADD to the anti-similar candidate's score")
+    val s2 = out(1)._4 // 0.5*0.2 - 0.5*cos(v2,v1) with cos ≈ -1 → ≈ 0.6
+    assert(s2 > 0.5, s"anti-similar bonus missing: $s2")
+  }
+
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
     val plan = Queries.q03RegionCustomers(spark, sf001)
       .queryExecution.executedPlan.toString
