@@ -482,6 +482,65 @@ object Search {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
   }
 
+  /** Incrementally maintain a persisted IVF index: assign a NEW batch to
+    * the FROZEN sidecar centroids and append into the cluster-partitioned
+    * store. At 100 TB you do not re-cluster per arriving batch — the
+    * coarse quantizer freezes at build time and appends only touch the
+    * partitions the batch lands in; the existing billions of rows are
+    * never rewritten (same maintenance contract as [[appendTextIndex]]).
+    *
+    * Idempotency: re-delivered ids are dropped by an anti-join against the
+    * existing index's id column (a column-pruned scan — ids only, never
+    * vectors), so at-least-once upstreams and crash-retries cannot
+    * duplicate a vector. The append itself is a job-commit parquet write:
+    * a batch is either fully visible or not at all.
+    *
+    * Drift is the caller's to watch: [[ivfDriftStats]] reports per-cluster
+    * occupancy and mean similarity-to-centroid — when new data stops
+    * matching the frozen quantizer, rebuild with [[writeIvfIndex]].
+    *
+    * @return number of NEW vectors appended (0 for a pure replay)
+    */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Long = {
+    import graft.sources.PathState
+    val spark = batch.sparkSession
+    val state = PathState.classify(s"$path/vectors",
+      spark.sparkContext.hadoopConfiguration)
+    require(state == PathState.Data,
+      s"appendIvfIndex requires an existing index at '$path' " +
+        "(writeIvfIndex first — appends need its frozen centroids)")
+    val centroids = readIvfCentroids(spark, path)
+    val existing = spark.read.parquet(s"$path/vectors").select(col(idCol))
+    val fresh = batch
+      .join(existing, batch(idCol) === existing(idCol), "left_anti")
+      .dropDuplicates(idCol).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        ivfAssign(fresh, vecCol, centroids)
+          .write.mode(SaveMode.Append)
+          .partitionBy("cluster_id").parquet(s"$path/vectors")
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Per-cluster health of a persisted IVF index: occupancy and mean
+    * cosine-to-assigned-centroid (one narrow scan + one small agg). Falling
+    * mean similarity or ballooning skew in `n` = the frozen quantizer no
+    * longer fits the data — time to re-cluster and rebuild.
+    */
+  def ivfDriftStats(spark: SparkSession, path: String, vecCol: String): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster_id"), col("centroid").cast("array<float>").as("_c"))
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(cents), "cluster_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        avg(cosine(col(vecCol), col("_c"))).as("mean_sim"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Load the sidecar centroids of a persisted IVF index (driver-side). */
   def readIvfCentroids(spark: SparkSession, path: String): Seq[(Int, Array[Float])] = {
     import spark.implicits._

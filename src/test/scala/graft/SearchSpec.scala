@@ -209,6 +209,47 @@ class SearchSpec extends SparkSpec {
       s"expected ${probed.size} pruned partitions, got ${selected.size}")
   }
 
+  test("appendIvfIndex: build(A)+append(B) ≡ build(A∪B); replay no-op; guards") {
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val a = emb.where(col("vec_id") < 250)
+    val b = emb.where(col("vec_id") >= 250)
+    val incDir = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivffull").toString
+    Search.writeIvfIndex(a, "embedding", centroids, incDir)
+    val appended = Search.appendIvfIndex(b, "vec_id", "embedding", incDir)
+    assert(appended === b.count())
+    Search.writeIvfIndex(emb, "embedding", centroids, fullDir)
+
+    // identical contents (same assignment: centroids are frozen)
+    val inc = spark.read.parquet(s"$incDir/vectors")
+      .select("vec_id", "cluster_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val full = spark.read.parquet(s"$fullDir/vectors")
+      .select("vec_id", "cluster_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(inc === full)
+    // identical ANN answers through the pruned read path
+    val q = vecs(3L)
+    assert(Search.ivfTopKFromIndex(spark, incDir, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq ===
+      Search.ivfTopKFromIndex(spark, fullDir, "embedding", q, 5, 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+
+    // replaying the same batch appends nothing (id anti-join)
+    assert(Search.appendIvfIndex(b, "vec_id", "embedding", incDir) === 0L)
+    assert(spark.read.parquet(s"$incDir/vectors").count() === emb.count())
+
+    // drift stats: every cluster occupied, mean similarity in [-1, 1]
+    val drift = Search.ivfDriftStats(spark, incDir, "embedding").collect()
+    assert(drift.length === 8)
+    assert(drift.forall(r => r.getLong(1) > 0))
+    assert(drift.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+
+    // guard: appending into a missing index fails fast
+    intercept[IllegalArgumentException] {
+      Search.appendIvfIndex(b, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("ivfnone").toString)
+    }
+  }
+
   test("searchTextIvf: end-to-end flagship ANN read path over a persisted index") {
     import graft.operators.Index
     val chunkIdx = Index.indexFrame(
