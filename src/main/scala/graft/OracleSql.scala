@@ -1160,6 +1160,25 @@ SELECT r.query_id, r."rank", r.vec_id,
 FROM ranked r JOIN c cc ON cc.query_id = r.query_id AND cc.id = r.vec_id
 ORDER BY r.query_id, r."rank"""",
 
+    // snapshot delta (q100): statuses come from WITHIN-engine fingerprint
+    // equality (sha256 both sides), so no cross-engine hash parity is
+    // required; counts and id sums are exact integers.
+    "q100_snapshot_delta" ->
+      raw"""WITH old AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN substring(text, 1, 100) ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0),
+cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+d AS (
+  SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN c.doc_id IS NULL THEN 'removed'
+         WHEN sha256(o.text) = sha256(c.text) THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM d GROUP BY status ORDER BY status""",
+
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest
     // ordering hazard), replicating the reference's counter exactly — the

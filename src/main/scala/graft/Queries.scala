@@ -1581,6 +1581,30 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Q100 — snapshot delta for incremental corpus processing
+    * (Snapshots.snapshotDelta): the previous "snapshot" is derived from
+    * the documents fixture by dropping every 7th doc and staling every
+    * 5th (truncated text); the current one drops every 11th-mod-3. The
+    * full-outer fingerprint join classifies added/removed/changed/
+    * unchanged; the probe aggregates counts + id checksums per status.
+    * Fingerprints only ever compare WITHIN an engine, so no cross-engine
+    * hash parity is needed — sha256 on both sides for fidelity.
+    */
+  def q100SnapshotDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    val docs = documents(s, dir)
+    val old = docs.where(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, substring(col("text"), 1, 100))
+          .otherwise(col("text")))
+    val cur = docs.where(col("doc_id") % 11 =!= 3)
+    Snapshots.snapshotDelta(old, cur, "doc_id",
+        Snapshots.fingerprint(col("text")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1682,5 +1706,6 @@ object Queries {
     "q97_bm25_from_index" -> q97Bm25FromIndex _,
     "q98_zorder_key" -> q98ZOrderKey _,
     "q99_mmr_rerank" -> q99MmrRerank _,
+    "q100_snapshot_delta" -> q100SnapshotDelta _,
   )
 }
