@@ -29,6 +29,12 @@ object OracleSql {
     (for { b <- 0 until 8; (c, i) <- Seq("px", "sx").zipWithIndex }
       yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
 
+  /** q101 split thresholds — the same cumulative-weight × 2^60 truncation
+    * Sampling.assignSplit performs (0.8, then 0.8+0.1 in DOUBLE).
+    */
+  private val splitT1: Long = (0.8 * math.pow(2.0, 60)).toLong
+  private val splitT2: Long = ((0.8 + 0.1) * math.pow(2.0, 60)).toLong
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -1178,6 +1184,23 @@ d AS (
   FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
 SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM d GROUP BY status ORDER BY status""",
+
+    // n-way split assignment (q101): thresholds below are computed by the
+    // SAME double arithmetic Sampling.assignSplit uses (cumulative weight ×
+    // 2^60, truncated) — splitT1/splitT2 — so the label boundaries are the
+    // identical longs in both engines.
+    "q101_split_assign" ->
+      raw"""WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents),
+s AS (
+  SELECT doc_id, CASE WHEN hv < $splitT1 THEN 'train'
+                      WHEN hv < $splitT2 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM h)
+SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY split ORDER BY split""",
 
     // C4 greedy sentence grouping (index_documents.py:110-129) as a
     // recursive CTE: fold over the per-doc sentence LIST by index (no unnest

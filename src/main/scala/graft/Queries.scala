@@ -1605,6 +1605,20 @@ object Queries {
       .orderBy(col("status"))
   }
 
+  /** Q101 — content-addressed train/val/test assignment
+    * (Sampling.assignSplit): 80/10/10 over documents by doc_id hash,
+    * reduced to per-split counts + id checksums. The md5-60bit hash and
+    * the driver-computed long thresholds are the engine-portable pieces
+    * q61 already proves; this pins the n-way labeling on top.
+    */
+  def q101SplitAssign(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("split", Sampling.assignSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1707,5 +1721,6 @@ object Queries {
     "q98_zorder_key" -> q98ZOrderKey _,
     "q99_mmr_rerank" -> q99MmrRerank _,
     "q100_snapshot_delta" -> q100SnapshotDelta _,
+    "q101_split_assign" -> q101SplitAssign _,
   )
 }

@@ -95,6 +95,37 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Compact a parquet directory into ~`targetBytes` files (small-file
+    * maintenance — the other half of layout hygiene: a 100 TB lake fed by
+    * streaming/incremental appends accretes kilobyte files whose per-file
+    * open/footer/task overhead eventually dominates scans; NameNode/
+    * listing pressure grows unbounded). File count is sized from the
+    * ACTUAL input bytes (one filesystem listing, no data pass), then one
+    * round-robin repartition spreads rows evenly regardless of input
+    * skew. Writes to a NEW directory (job-commit all-or-nothing) — swap
+    * is the caller's atomic rename, never an in-place rewrite.
+    *
+    * @return the number of output files chosen
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long = 128L << 20,
+      sortWithin: Seq[Column] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir).repartition(n)
+    val sorted = if (sortWithin.isEmpty) df else df.sortWithinPartitions(sortWithin: _*)
+    sorted.write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
+  }
+
   /** Per-file bounding boxes of `cols` for a parquet directory — the
     * skipping-quality diagnostic: the sum over files of matching-range
     * width is what a min-max pruner scans. One pass, one small agg

@@ -44,6 +44,30 @@ object Sampling {
      df.where(sampleHash(key, salt) >= threshold))
   }
 
+  /** N-way LABELED split assignment on the same content hash — the
+    * train/val/test generalization of [[splitByHash]]: cumulative weight
+    * thresholds (driver-computed exact longs, inlined as literals) turn
+    * the hash into a split label in one narrow `when` chain. Every row
+    * gets exactly one label; the last split is the catch-all for the
+    * `hash ≥ last threshold` sliver, so weights that sum to 1 within
+    * rounding still partition the space exactly. Content-addressed ⇒ a
+    * document keeps its split across reruns, retries, engines and
+    * cluster sizes — the property that prevents silent train/test
+    * contamination when a 100 TB corpus is rebuilt.
+    */
+  def assignSplit(key: Column, splits: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    val h = sampleHash(key, salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(w => (w * HashSpace).toLong)
+    splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), thr), rest) => when(h < thr, lit(name)).otherwise(rest)
+    }
+  }
+
   /** Stratified deterministic sampling — per-group fractions (the data-
     * mixing weights of a training corpus: "50% of src0, 10% of src1, 25%
     * of everything else"). Thresholds are computed driver-side as exact

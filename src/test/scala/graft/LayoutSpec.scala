@@ -101,6 +101,31 @@ class LayoutSpec extends SparkSpec {
     assert(zB < xB, s"z total y-width $zB should beat range-sort $xB")
   }
 
+  test("compactParquet: sizes output files from input bytes; rows survive exactly") {
+    val in = Files.createTempDirectory("cmpin").toString + "/d"
+    val out = Files.createTempDirectory("cmpout").toString + "/d"
+    val df = (0 until 2000).map(i => (i.toLong, s"row-$i-${"x" * 50}")).toDF("id", "s")
+    df.repartition(40).write.parquet(in) // 40 tiny files
+    val inFiles = spark.read.parquet(in).select(input_file_name()).distinct().count()
+    assert(inFiles === 40L)
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(in)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var b = 0L
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getLen }
+      b
+    }
+    val target = bytes / 4 // aim for ~4 files
+    val n = graft.operators.Layout.compactParquet(spark, in, out, targetBytes = target)
+    assert(n >= 4 && n <= 5, s"expected ~4 output files, chose $n")
+    val outFiles = spark.read.parquet(out).select(input_file_name()).distinct().count()
+    assert(outFiles === n.toLong)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2000L)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
+
   test("zValue/gridCoord argument validation fails fast") {
     intercept[IllegalArgumentException](Layout.zValue(Nil, 8))
     intercept[IllegalArgumentException](Layout.zValue(Seq(col("x")), 64))

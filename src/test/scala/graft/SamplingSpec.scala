@@ -32,6 +32,31 @@ class SamplingSpec extends SparkSpec {
     assert(s.union(r).size == 2000)
   }
 
+  test("assignSplit: exhaustive single label per row, 2-way agrees with splitByHash, stable under repartition") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val labeled = df.withColumn("split", Sampling.assignSplit(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s"))
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L, "every row gets exactly one label")
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 1400 && counts("val") > 100 && counts("test") > 100,
+      s"weights should roughly hold: $counts")
+    // 2-way special case ≡ splitByHash's threshold semantics
+    val two = df.withColumn("split", Sampling.assignSplit(col("id"),
+      Seq("a" -> 0.3, "b" -> 0.7), salt = "t"))
+    val (aSide, _) = Sampling.splitByHash(df, col("id"), 0.3, salt = "t")
+    assert(two.where(col("split") === "a").select("id").as[Long].collect().sorted.toSeq
+      === aSide.select("id").as[Long].collect().sorted.toSeq)
+    // content-addressed: labels survive arbitrary repartitioning
+    val re = labeled.repartition(13).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(re === counts)
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(col("id"), Seq("x" -> 0.5, "y" -> 0.4)))
+  }
+
   test("stratifiedSampleByHash: per-group fractions honored, default applies, deterministic") {
     import spark.implicits._
     val df = (1L to 6000L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
