@@ -13,7 +13,7 @@ class ContractSpec extends SparkSpec {
 
   test("probe names are well-formed and stable") {
     val names = SparkEntry.queries.keySet
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+")))
     assert(names.size == SparkEntry.queries.size)
     assert(names.size >= 70, s"probe count regressed: ${names.size}")
     assert(SparkEntry.oracleSql.size >= 61, s"oracle count regressed: ${SparkEntry.oracleSql.size}")
