@@ -193,6 +193,70 @@ object Search {
     } finally base.unpersist()
   }
 
+  /** Rebuild a text index MINUS the given doc ids into a NEW directory —
+    * the delete half of index maintenance ([[appendTextIndex]] being the
+    * insert half; an UPDATE of changed docs = remove(changed) then
+    * append(changed), the composition [[graft.operators.Snapshots]] feeds
+    * — spec-proven equal to a fresh build of the surviving corpus).
+    *
+    * New-directory contract (same as Layout.compactParquet): the rewrite
+    * is job-commit all-or-nothing into `dstPath`, the source index stays
+    * readable throughout, and the swap is the caller's atomic rename. A
+    * deletion is a full pass over postings by construction (they are
+    * term-keyed, not id-keyed — that is what makes QUERIES fast), so at
+    * scale deletions batch and amortize: accumulate removed ids (tiny),
+    * anti-join ONCE. Stats are recomputed from surviving doclens (exact
+    * longs — cannot stale); the postings layout (term range-partition +
+    * sort) is re-established so term pruning on the new index is as sharp
+    * as on a fresh build.
+    *
+    * @return number of surviving documents in the new index
+    */
+  def removeFromTextIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    require(srcPath != dstPath,
+      "removeFromTextIndex writes a NEW directory (caller swaps atomically)")
+    val drop = removeIds.select(col(idCol).cast("long").as("id")).distinct()
+    spark.read.parquet(s"$srcPath/postings")
+      .join(drop, Seq("id"), "left_anti")
+      // re-dedup (term,id): orphan postings from a crashed append must not
+      // survive into the rebuilt index with doubled tf
+      .groupBy(col("term"), col("id")).agg(first(col("tf")).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dstPath/postings")
+    val kept = spark.read.parquet(s"$srcPath/doclens")
+      .join(drop, Seq("id"), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$dstPath/doclens")
+    val survivors = spark.read.parquet(s"$dstPath/doclens")
+    survivors.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .na.fill(0L, Seq("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dstPath/stats")
+    survivors.count()
+  }
+
+  /** The IVF twin of [[removeFromTextIndex]]: copy a persisted IVF index
+    * minus the given ids into a NEW directory. The vector store is
+    * cluster-partitioned, so the anti-join is a partition-preserving
+    * filter re-written partitionBy cluster_id; centroids copy verbatim
+    * (deletion does not move the frozen quantizer).
+    *
+    * @return number of surviving vectors
+    */
+  def removeFromIvfIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    require(srcPath != dstPath,
+      "removeFromIvfIndex writes a NEW directory (caller swaps atomically)")
+    val drop = removeIds.select(col(idCol)).distinct()
+    spark.read.parquet(s"$srcPath/vectors")
+      .join(drop, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    spark.read.parquet(s"$dstPath/vectors").count()
+  }
+
   /** BM25 top-k against a persisted [[writeTextIndex]] index. Same formula
     * and decimal-sum discipline as [[bm25Scores]] (df/tf widen to double at
     * the same points, avgdl = exact-long sum_dl / n_docs — the identical
