@@ -695,9 +695,30 @@ SELECT i.media_id,
        WHEN i.media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
   CAST(CASE WHEN i.media_id % 3 = 0 THEN 64 END AS INT) AS img_w,
   CAST(CASE WHEN i.media_id % 3 = 0 THEN 48 END AS INT) AS img_h,
-  px.px_sum,
-  CAST(CASE WHEN i.media_id % 3 = 2 THEN least((64 + i.media_id) // 32, 3) END AS BIGINT) AS n_frames
+  px.px_sum
 FROM ids i LEFT JOIN px USING (media_id)
+ORDER BY media_id""",
+
+    // Real-video-decode probe (q102, the q45/q81 pattern for AVI):
+    // uncompressed RGB24 frames are lossless, so px_sum replays from the
+    // closed-form per-(id, frame, x, y) channel formulas; n_frames is the
+    // generator's 2 + id%3.
+    "q102_video_decode" ->
+      raw"""WITH ids AS (
+  SELECT unnest(generate_series(0, 99)) AS media_id),
+vids AS (SELECT media_id, 2 + media_id % 3 AS nf FROM ids WHERE media_id % 3 = 2),
+px AS (
+  SELECT v.media_id,
+    CAST(sum((v.media_id*31 + f*41 + x*7 + y*13) % 256
+           + (v.media_id*17 + f*29 + x*11 + y*3) % 256
+           + (v.media_id*23 + f*37 + x*5 + y*19) % 256) AS BIGINT) AS px_sum
+  FROM vids v, generate_series(0, 3) AS gf(f),
+       generate_series(0, 31) AS gx(x), generate_series(0, 23) AS gy(y)
+  WHERE f < v.nf
+  GROUP BY v.media_id)
+SELECT v.media_id, CAST(v.nf AS INT) AS n_frames,
+  CAST(32 AS INT) AS vid_w, CAST(24 AS INT) AS vid_h, px.px_sum
+FROM vids v JOIN px USING (media_id)
 ORDER BY media_id""",
 
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes

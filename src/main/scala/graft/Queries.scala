@@ -599,23 +599,19 @@ object Queries {
 
   /** Q45 — multimodal with REAL image decode: image rows carry actual PNG
     * bytes (formula pixels), decoded back to exact integer stats via
-    * javax.imageio; video rows go through byte-strided frame sampling.
-    * PNG is lossless and the pixels are closed-form in (id,x,y), so the
-    * DuckDB oracle recomputes px_sum from the formula — a full
-    * encode→decode round-trip is hash-checked end-to-end.
+    * javax.imageio. PNG is lossless and the pixels are closed-form in
+    * (id,x,y), so the DuckDB oracle recomputes px_sum from the formula —
+    * a full encode→decode round-trip is hash-checked end-to-end. (Video
+    * rows are REAL AVI since round-5 close; their decode probe is q102.)
     */
   def q45Multimodal(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import graft.sources.Multimodal
     val media = Multimodal.syntheticMedia(s, 100)
     val stats = Multimodal.decodeImageStats(media)
-    val frames = Multimodal.sampleFrames(
-        media.where(col("meta.media_type") === "video"), frameBytes = 32, maxFrames = 3)
-      .groupBy(col("media_id")).agg(count(lit(1)).cast("long").as("n_frames"))
     media
       .select(col("media_id"), col("meta.media_type").as("media_type"))
       .join(stats, Seq("media_id"), "left_outer")
-      .join(frames, Seq("media_id"), "left_outer")
       .orderBy(col("media_id"))
   }
 
@@ -1619,6 +1615,21 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("split"))
 
+  /** Q102 — REAL video decode (the q45/q81 pattern for AVI): video rows
+    * carry genuine RIFF/AVI containers with uncompressed RGB24 frames
+    * (formula pixels per (id, frame, x, y)); Multimodal.decodeAviRgb24
+    * parses the container — BITMAPINFOHEADER, movi chunks, bottom-up BGR
+    * rows — back to exact integer pixel stats. Uncompressed frames are
+    * lossless, so DuckDB recomputes px_sum from the closed-form formula:
+    * a full encode→container→decode round trip, hash-checked end-to-end.
+    */
+  def q102VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import graft.sources.Multimodal
+    Multimodal.decodeVideoStats(Multimodal.syntheticMedia(s, 100))
+      .orderBy(col("media_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1722,5 +1733,6 @@ object Queries {
     "q99_mmr_rerank" -> q99MmrRerank _,
     "q100_snapshot_delta" -> q100SnapshotDelta _,
     "q101_split_assign" -> q101SplitAssign _,
+    "q102_video_decode" -> q102VideoDecode _,
   )
 }

@@ -17,9 +17,14 @@ import org.apache.spark.sql.types._
   * [[decodeAudioStats]] use `javax.sound.sampled` (JDK built-in) to parse
   * actual WAV containers into sample statistics — and PCM is lossless, so
   * the stats are oracle-checkable end-to-end like the PNG path (q45/q81).
-  * VIDEO codecs are NOT in this container, so video stays behind the
-  * clearly-marked deterministic [[StubDecoder]] / byte-strided
-  * [[sampleFrames]]; a real codec drops in by implementing [[MediaDecoder]].
+  * VIDEO decode is REAL for RIFF/AVI with uncompressed RGB24 (DIB) frames
+  * (round-5 close): [[decodeAviRgb24]] hand-parses the genuine AVI
+  * container layout — RIFF/hdrl/strf BITMAPINFOHEADER/movi chunking,
+  * bottom-up BGR rows, 4-byte row stride — the video twin of the WAV
+  * path, and uncompressed frames are lossless so pixel statistics replay
+  * from the closed-form formula in DuckDB (q102). Compressed codecs
+  * (H.264 etc.) are not in the JDK; [[ByteHistogramDecoder]] remains as
+  * the explicit generic fallback for formats without a real decoder.
   */
 object Multimodal {
 
@@ -42,14 +47,14 @@ object Multimodal {
     def features(meta: org.apache.spark.sql.Row, content: Array[Byte]): Array[Float]
   }
 
-  /** STUB decoder for VIDEO — ??? in spirit: a real implementation would
-    * decode frames and run a feature extractor; video codecs are not in
-    * this container. Offline stand-in: a deterministic byte-histogram
-    * folded to `featureDim` buckets (so tests can assert exact outputs and
-    * the pipeline shape is real). Image and WAV audio have REAL decoders —
-    * [[ImageDecoder]] / [[AudioDecoder]].
+  /** Generic byte-histogram featureizer — the EXPLICIT fallback for media
+    * formats without a real decoder in this container (compressed video
+    * codecs; exotic images). Deterministic (tests assert exact outputs),
+    * honest about what it is: a content signature, not a decode. Image,
+    * WAV audio and AVI/RGB24 video have REAL decoders — [[ImageDecoder]] /
+    * [[AudioDecoder]] / [[VideoDecoder]].
     */
-  final class StubDecoder(val featureDim: Int = 16) extends MediaDecoder {
+  final class ByteHistogramDecoder(val featureDim: Int = 16) extends MediaDecoder {
     def features(meta: org.apache.spark.sql.Row, content: Array[Byte]): Array[Float] = {
       val out = new Array[Float](featureDim)
       var i = 0
@@ -111,6 +116,181 @@ object Multimodal {
       val n = math.max(samples.length, 1).toFloat
       Array(samples.length.toFloat, rate, absSum / n) ++ hist.map(_ / n)
     }
+  }
+
+  /** REAL video decoder: [[decodeAviRgb24]] parses the AVI container;
+    * features = [n_frames, width, height, mean R, mean G, mean B, mean
+    * inter-frame absolute pixel delta (a motion statistic)]. Undecodable
+    * bytes throw (same quarantine contract as images/audio).
+    */
+  final class VideoDecoder extends MediaDecoder {
+    val featureDim = 7
+    def features(meta: org.apache.spark.sql.Row, content: Array[Byte]): Array[Float] = {
+      val v = decodeAviRgb24(content)
+      var rs = 0L; var gs = 0L; var bs = 0L; var delta = 0L
+      val px = v.w * v.h
+      var f = 0
+      while (f < v.frames.length) {
+        val cur = v.frames(f)
+        var i = 0
+        while (i < px) {
+          val rgb = cur(i)
+          rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+          if (f > 0) {
+            val p = v.frames(f - 1)(i)
+            delta += math.abs(((rgb >> 16) & 0xff) - ((p >> 16) & 0xff)) +
+              math.abs(((rgb >> 8) & 0xff) - ((p >> 8) & 0xff)) +
+              math.abs((rgb & 0xff) - (p & 0xff))
+          }
+          i += 1
+        }
+        f += 1
+      }
+      val n = (v.frames.length.toLong * px).toFloat
+      val dn = math.max((v.frames.length - 1).toLong * px, 1L).toFloat
+      Array(v.frames.length.toFloat, v.w.toFloat, v.h.toFloat,
+        rs / n, gs / n, bs / n, delta / dn)
+    }
+  }
+
+  /** A decoded uncompressed video: `frames(f)(y*w + x)` is the packed
+    * 0xRRGGBB pixel of frame f, top-down row order.
+    */
+  final case class DecodedVideo(w: Int, h: Int, frames: Vector[Array[Int]])
+
+  /** Decode a RIFF/AVI container with uncompressed RGB24 (DIB / BI_RGB)
+    * video frames — a REAL container parse, not a byte cast: RIFF chunk
+    * walking, `strf` BITMAPINFOHEADER (width/height/bit-depth/compression
+    * all honored), `movi` frame chunks (`##db`/`##dc`), bottom-up BGR rows
+    * with 4-byte stride padding. Non-AVI bytes, compressed streams
+    * (biCompression ≠ 0) or depths ≠ 24bpp throw rather than mis-decode —
+    * the [[decodeWavPcm16]] contract applied to video.
+    */
+  def decodeAviRgb24(content: Array[Byte]): DecodedVideo = {
+    val buf = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(content.length >= 12 && fourcc() == "RIFF",
+      "undecodable video bytes: not a RIFF container")
+    buf.getInt // riff size
+    require(fourcc() == "AVI ", "undecodable video bytes: RIFF but not AVI")
+    var w = -1; var h = -1
+    val frames = Vector.newBuilder[Array[Int]]
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = fourcc()
+        val size = buf.getInt
+        val next = buf.position() + size + (size & 1) // RIFF even-padding
+        id match {
+          case "LIST" =>
+            fourcc() // list type (hdrl/strl/movi) — contents self-identify
+            walk(next)
+          case "strf" if size >= 40 =>
+            val p0 = buf.position()
+            buf.getInt // biSize
+            w = buf.getInt; h = buf.getInt
+            buf.getShort // planes
+            val bpp = buf.getShort
+            val compression = buf.getInt
+            require(bpp == 24 && compression == 0,
+              s"unsupported AVI stream: ${bpp}bpp compression=$compression " +
+                "(only uncompressed RGB24 decodes here)")
+            buf.position(p0)
+          case cc if cc.endsWith("db") || cc.endsWith("dc") =>
+            require(w > 0 && h > 0, "AVI frame chunk before strf header")
+            val stride = ((w * 3 + 3) / 4) * 4
+            require(size >= stride * h, s"AVI frame chunk too small: $size")
+            val frame = new Array[Int](w * h)
+            val base = buf.position()
+            var y = 0
+            while (y < h) {
+              var x = 0
+              val row = base + (h - 1 - y) * stride // bottom-up storage
+              while (x < w) {
+                val b = content(row + x * 3) & 0xff
+                val g = content(row + x * 3 + 1) & 0xff
+                val r = content(row + x * 3 + 2) & 0xff
+                frame(y * w + x) = (r << 16) | (g << 8) | b
+                x += 1
+              }
+              y += 1
+            }
+            frames += frame
+          case _ => // avih, strh, idx1, JUNK… — skipped, sizes honored
+        }
+        buf.position(next)
+      }
+    }
+    walk(content.length)
+    require(w > 0 && h > 0, "undecodable video bytes: no strf video header")
+    DecodedVideo(w, h, frames.result())
+  }
+
+  /** Decode every `video` row's AVI bytes and emit exact integer pixel
+    * statistics: `(media_id, n_frames, vid_w, vid_h, px_sum)` with px_sum
+    * = Σ over frames and pixels of (r+g+b). Uncompressed frames are
+    * lossless, so these replay from the closed-form formula in DuckDB
+    * (q102) — the video twin of [[decodeImageStats]]/[[decodeAudioStats]].
+    */
+  def decodeVideoStats(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("vid_w", IntegerType, nullable = false),
+      StructField("vid_h", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.where(col("meta.media_type") === "video")
+      .select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val v = decodeAviRgb24(row.getAs[Array[Byte]]("content"))
+          var sum = 0L
+          v.frames.foreach { f =>
+            var i = 0
+            while (i < f.length) {
+              val rgb = f(i)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              i += 1
+            }
+          }
+          org.apache.spark.sql.Row(row.getLong(0), v.frames.length, v.w, v.h, sum)
+        }
+      }(enc)
+  }
+
+  /** Real frame sampling for AVI video rows: decode, keep every
+    * `everyNth`-th frame up to `maxFrames`, emit one row per kept frame
+    * with exact per-frame pixel sums — the file→frames explode with
+    * bounded memory (frames of ONE row decode at a time; narrow, no
+    * shuffle).
+    */
+  def aviFrames(df: DataFrame, everyNth: Int, maxFrames: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(everyNth > 0 && maxFrames > 0, "everyNth and maxFrames must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame_px_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.where(col("meta.media_type") === "video")
+      .select(col("media_id"), col("content"))
+      .flatMap { row =>
+        val v = decodeAviRgb24(row.getAs[Array[Byte]]("content"))
+        v.frames.indices.collect {
+          case f if f % everyNth == 0 && f / everyNth < maxFrames =>
+            var sum = 0L
+            val fr = v.frames(f)
+            var i = 0
+            while (i < fr.length) {
+              val rgb = fr(i)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              i += 1
+            }
+            org.apache.spark.sql.Row(row.getLong(0), f, sum)
+        }
+      }(enc)
   }
 
   /** Decode a WAV container to (sampleRate, 16-bit PCM samples) via
@@ -303,10 +483,85 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic RGB24 video-pixel formula shared by the AVI generator
+    * and the DuckDB oracle (q102): channel c(id, frame, x, y) is the
+    * [[synthPixel]] family extended with a frame term. Uncompressed frames
+    * are lossless, so decode recovers every pixel exactly.
+    */
+  def synthVideoPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val r = ((id * 31 + f.toLong * 41 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + f.toLong * 29 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 23 + f.toLong * 37 + x * 5 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode the formula frames for `id` as a REAL RIFF/AVI container with
+    * uncompressed RGB24 (DIB) frames: full hdrl (avih + strh 'vids'/'DIB '
+    * + strf BITMAPINFOHEADER) and movi '00db' chunks, bottom-up BGR rows,
+    * 4-byte stride. Hand-rolled writer + [[decodeAviRgb24]] on the read
+    * side = a genuine container round trip (the video twin of [[synthWav]]).
+    */
+  def synthAvi(id: Long, nFrames: Int, w: Int = 32, h: Int = 24,
+      fps: Int = 10): Array[Byte] = {
+    require(nFrames > 0 && w > 0 && h > 0)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val out = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val row = (h - 1 - y) * stride // bottom-up
+        while (x < w) {
+          val rgb = synthVideoPixel(id, f, x, y)
+          out(row + x * 3) = (rgb & 0xff).toByte           // B
+          out(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte // G
+          out(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val strf = 8 + 40
+    val strh = 8 + 56
+    val strl = 12 + strh + strf
+    val avih = 8 + 56
+    val hdrl = 12 + avih + strl
+    val movi = 12 + nFrames * (8 + frameBytes)
+    val riff = 4 + hdrl + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); buf.putInt(riff); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrl - 8); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(strl - 8); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)       // flags, prio+lang, initialFrames
+      .putInt(1).putInt(fps)                // scale, rate
+      .putInt(0).putInt(nFrames)            // start, length
+      .putInt(frameBytes).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(movi - 8); cc("movi")
+    var f = 0
+    while (f < nFrames) {
+      cc("00db"); buf.putInt(frameBytes); buf.put(frame(f)); f += 1
+    }
+    buf.array()
+  }
+
   /** Build a deterministic in-memory media table for tests/demos: image
     * rows carry REAL encoded PNG bytes (the formula image), audio rows
     * carry REAL RIFF/WAV PCM bytes (the formula samples), video rows carry
-    * synthetic blobs (video codecs out of scope).
+    * REAL RIFF/AVI RGB24 bytes (the formula frames, 2 + id%3 of them).
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
@@ -314,13 +569,13 @@ object Multimodal {
       val bytes = kind match {
         case 0 => synthPng(i.toLong)
         case 1 => synthWav(i.toLong, nSamples = 64 + i)
-        case _ => Array.tabulate[Byte](64 + i)(j => ((i * 31 + j * 7) % 251).toByte)
+        case _ => synthAvi(i.toLong, nFrames = 2 + i % 3)
       }
       org.apache.spark.sql.Row(i.toLong,
         org.apache.spark.sql.Row(if (kind == 0) "image" else if (kind == 1) "audio" else "video",
-          if (kind == 0) "png" else if (kind == 1) "wav" else "mp4",
-          if (kind == 0) 64 else null,
-          if (kind == 0) 48 else null,
+          if (kind == 0) "png" else if (kind == 1) "wav" else "avi",
+          if (kind == 0) 64 else if (kind == 2) 32 else null,
+          if (kind == 0) 48 else if (kind == 2) 24 else null,
           if (kind == 0) null else java.lang.Long.valueOf(1000L + i)),
         bytes)
     }

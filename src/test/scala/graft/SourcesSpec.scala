@@ -289,29 +289,66 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: stub features are a normalized byte histogram") {
+  test("multimodal: byte-histogram fallback features are a normalized histogram") {
     val media = Multimodal.syntheticMedia(spark, 12)
-    val out = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
+    val out = Multimodal.extractFeatures(media, new Multimodal.ByteHistogramDecoder(16))
     val feats = out.select("features").collect().map(_.getSeq[Float](0))
     assert(feats.forall(_.length == 16))
     feats.foreach(f => assert(math.abs(f.sum - 1.0f) < 1e-4))
   }
 
-  test("multimodal: frame sampling caps frames and skips short blobs") {
-    val media = Multimodal.syntheticMedia(spark, 5) // blobs are 64+i bytes
-    val frames = Multimodal.sampleFrames(media, frameBytes = 32, maxFrames = 3)
+  test("multimodal: byte-strided sampling caps pseudo-frames and skips short blobs") {
+    import spark.implicits._
+    // generic blobs (no container): the byte-striding utility still applies
+    val blobs = (0 until 5).map(i => (i.toLong, Array.fill[Byte](64 + i)(7)))
+      .toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(blobs, frameBytes = 32, maxFrames = 3)
     val counts = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts.values.forall(n => n >= 2 && n <= 3))
-    // audio/video blobs are 64+i bytes — shorter than one 1000-byte frame
-    val short = Multimodal.sampleFrames(
-      Multimodal.syntheticMedia(spark, 3)
-        .where(col("meta.media_type") =!= "image"),
-      frameBytes = 1000, maxFrames = 3)
+    val short = Multimodal.sampleFrames(blobs, frameBytes = 1000, maxFrames = 3)
     assert(short.count() == 0)
-    // every frame is exactly frameBytes long
     val lens = frames.select(length(col("frame"))).collect().map(_.getInt(0)).toSet
     assert(lens == Set(32))
+  }
+
+  test("multimodal: AVI decode recovers exact formula pixels; real frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val stats = Multimodal.decodeVideoStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(stats.keySet === Set(2L, 5L, 8L, 11L))
+    stats.foreach { case (id, (nf, w, h, pxSum)) =>
+      assert(nf === 2 + (id % 3).toInt && w === 32 && h === 24)
+      var want = 0L
+      for (f <- 0 until nf; y <- 0 until 24; x <- 0 until 32) {
+        val rgb = Multimodal.synthVideoPixel(id, f, x, y)
+        want += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      assert(pxSum === want, s"id $id")
+    }
+    // frame-level sampling: every 2nd frame, exact per-frame sums
+    val sampled = Multimodal.aviFrames(media, everyNth = 2, maxFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sampled.keys.map(_._2).toSet.subsetOf(Set(0, 2)))
+    sampled.foreach { case ((id, f), sum) =>
+      var want = 0L
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val rgb = Multimodal.synthVideoPixel(id, f, x, y)
+        want += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      assert(sum === want)
+    }
+    // VideoDecoder features: n_frames/w/h lead; undecodable bytes throw
+    val feats = Multimodal.extractFeatures(
+      media.where(col("meta.media_type") === "video"), new Multimodal.VideoDecoder)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    feats.foreach { case (id, f) =>
+      assert(f(0) === (2 + id % 3).toFloat && f(1) === 32f && f(2) === 24f)
+      assert(f(6) > 0f, "motion statistic should be non-zero for formula frames")
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb24("not a riff container at all".getBytes))
   }
 
   test("multimodal: ImageIO decode recovers exact formula pixel stats from real PNGs") {
