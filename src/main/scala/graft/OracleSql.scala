@@ -721,6 +721,24 @@ SELECT v.media_id, CAST(v.nf AS INT) AS n_frames,
 FROM vids v JOIN px USING (media_id)
 ORDER BY media_id""",
 
+    // char entropy (q103): −p·ln(p) terms cast DECIMAL(24,12) before the
+    // per-doc sum (combine-order independence, the BM25 discipline); p is
+    // the identical double quotient cnt/len in both engines.
+    "q103_char_entropy" ->
+      raw"""WITH ch AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         unnest(string_split(text, '')) AS ch
+  FROM documents),
+cnts AS (
+  SELECT doc_id, n_chars, ch, count(*) AS cnt
+  FROM ch GROUP BY doc_id, n_chars, ch)
+SELECT doc_id, n_chars,
+  floor(1000 * CAST(sum(CAST(
+    -(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+      * ln(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+    AS DECIMAL(24,12))) AS DOUBLE)) / 1 AS ent_m
+FROM cnts GROUP BY doc_id, n_chars ORDER BY doc_id""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

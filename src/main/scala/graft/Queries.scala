@@ -1630,6 +1630,17 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  /** Q103 — per-document character entropy (TextAnalysis.charEntropy):
+    * the statistical quality signal, decimal-summed over per-char
+    * −p·ln(p) terms so the float result is combine-order independent and
+    * engine-portable. One char explode, bounded shuffle keys.
+    */
+  def q103CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(documents(s, dir), "doc_id", col("text"))
+      .select(col("doc_id"), col("n_chars"),
+        fl(col("entropy") * 1000, 0).as("ent_m"))
+      .orderBy(col("doc_id"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1734,5 +1745,6 @@ object Queries {
     "q100_snapshot_delta" -> q100SnapshotDelta _,
     "q101_split_assign" -> q101SplitAssign _,
     "q102_video_decode" -> q102VideoDecode _,
+    "q103_char_entropy" -> q103CharEntropy _,
   )
 }

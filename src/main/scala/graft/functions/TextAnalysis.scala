@@ -199,4 +199,70 @@ object TextAnalysis {
         ppm(coalesce(col("_top._cov"), lit(0L)), col("_tchars")).as(s"top${n}_ppm"),
         ppm(coalesce(col("_dupcov"), lit(0L)), col("_tchars")).as(s"dup${n}_ppm"))
   }
+
+  /** Per-document character-distribution Shannon entropy in nats (EXT
+    * quality signal — low entropy flags repeated-character spam /
+    * boilerplate, high entropy flags binary-ish noise; the cheap
+    * statistical sibling of the zlib ratio below). Relational: one char
+    * explode, one (id, ch) count, one per-doc sum — both shuffle keys are
+    * bounded (id + single chars). The per-char terms
+    * −p·ln(p) go through DECIMAL(24,12) (the repo's double-sum
+    * discipline), so the over-chars summation is combine-order
+    * independent and oracle-checkable (q103).
+    *
+    * @param df frame carrying `idCol` and `textCol`; empty texts are
+    *           absent from the result (no chars → no rows, same contract
+    *           as scoreDocs)
+    * @return (idCol, n_chars, entropy)
+    */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column): org.apache.spark.sql.DataFrame = {
+    val p = col("cnt").cast("double") / col("n_chars").cast("double")
+    df.where(length(textCol) > 0)
+      .select(col(idCol), length(textCol).cast("long").as("n_chars"),
+        explode(split(textCol, "")).as("ch"))
+      .groupBy(col(idCol), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(sum((-p * log(p)).cast("decimal(24,12)")).cast("double").as("entropy"))
+  }
+
+  /** Per-document zlib compression ratio (deflate level 6):
+    * `deflate_len / raw_len` over UTF-8 bytes — the CCNet/RedPajama-family
+    * "too compressible = boilerplate, incompressible = noise" signal. A
+    * per-partition batch transform (one Deflater per partition, reset per
+    * row — no per-row allocation); deterministic for a fixed zlib level,
+    * but zlib is not replayable in SQL, so this is spec-covered rather
+    * than oracle-checked (documented rows-only reason).
+    *
+    * @return (idCol, raw_len, deflate_len, ratio)
+    */
+  def deflateRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("raw_len", IntegerType, nullable = false),
+      StructField("deflate_len", IntegerType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val out = df.select(col(idCol).cast("long"), textCol.cast("string"))
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { row =>
+          val bytes = row.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val raw = math.max(bytes.length, 1)
+          org.apache.spark.sql.Row(row.getLong(0), bytes.length, n,
+            n.toDouble / raw)
+        }
+      }(enc)
+    out.withColumnRenamed("id", idCol)
+  }
 }

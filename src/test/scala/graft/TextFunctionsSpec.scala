@@ -245,4 +245,42 @@ class TextFunctionsSpec extends SparkSpec {
       "ads.example" -> true,
       "notads.example" -> false))
   }
+
+  test("charEntropy: closed-form values, uniform max, empty text absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),            // single symbol → 0 nats
+      (2L, "abab"),            // uniform over 2 → ln 2
+      (3L, "abcd"),            // uniform over 4 → ln 4
+      (4L, "")
+    ).toDF("id", "text")
+    val out = TextAnalysis.charEntropy(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) === ((4L, 0.0)))
+    assert(math.abs(out(2L)._2 - math.log(2)) < 1e-9)
+    assert(math.abs(out(3L)._2 - math.log(4)) < 1e-9)
+    // skewed beats uniform downward: "aaab" < ln 2
+    val skew = TextAnalysis.charEntropy(Seq((9L, "aaab")).toDF("id", "text"),
+      "id", col("text")).head().getDouble(2)
+    assert(skew > 0.0 && skew < math.log(2))
+  }
+
+  test("deflateRatio: boilerplate compresses far below high-variety text; deterministic") {
+    import spark.implicits._
+    val rep = "the same nav line over and over " * 40
+    val varied = Iterator.iterate(88172645463325252L)(x =>
+        x * 6364136223846793005L + 1442695040888963407L)
+      .map(x => (math.floorMod(x >>> 33, 94) + 33).toChar).take(400).mkString
+    val df = Seq((1L, rep), (2L, varied)).toDF("id", "text")
+    val out = TextAnalysis.deflateRatio(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 < 0.1, s"repetitive ratio ${out(1L)._3}")
+    assert(out(2L)._3 > 0.5, s"varied ratio ${out(2L)._3}")
+    assert(out(1L)._1 === rep.length)
+    // run-to-run determinism (fixed zlib level)
+    val again = TextAnalysis.deflateRatio(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again(1L) === out(1L)._2 && again(2L) === out(2L)._2)
+  }
 }
