@@ -158,13 +158,25 @@ object Multimodal {
     */
   final case class DecodedVideo(w: Int, h: Int, frames: Vector[Array[Int]])
 
-  /** Decode a RIFF/AVI container with uncompressed RGB24 (DIB / BI_RGB)
-    * video frames — a REAL container parse, not a byte cast: RIFF chunk
-    * walking, `strf` BITMAPINFOHEADER (width/height/bit-depth/compression
-    * all honored), `movi` frame chunks (`##db`/`##dc`), bottom-up BGR rows
-    * with 4-byte stride padding. Non-AVI bytes, compressed streams
-    * (biCompression ≠ 0) or depths ≠ 24bpp throw rather than mis-decode —
-    * the [[decodeWavPcm16]] contract applied to video.
+  /** The 'MJPG' biCompression fourcc as a little-endian int. */
+  private val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Decode a RIFF/AVI video container — a REAL container parse, not a
+    * byte cast: RIFF chunk walking, `strf` BITMAPINFOHEADER (width/height/
+    * bit-depth/compression all honored), `movi` frame chunks (`##db`/
+    * `##dc`). Two codecs decode:
+    *
+    *   - uncompressed RGB24 (BI_RGB, 24bpp): bottom-up BGR rows with
+    *     4-byte stride padding — lossless, so pixel stats are
+    *     oracle-exact (q102);
+    *   - MJPEG ('MJPG'): each frame chunk is a JPEG image, decoded via
+    *     `javax.imageio` — the common compressed capture format, decoded
+    *     by a genuine JDK codec (lossy, so stats are spec-toleranced, not
+    *     oracle-exact).
+    *
+    * Non-AVI bytes, other codecs, or other depths throw rather than
+    * mis-decode — the [[decodeWavPcm16]] contract applied to video.
     */
   def decodeAviRgb24(content: Array[Byte]): DecodedVideo = {
     val buf = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -176,6 +188,7 @@ object Multimodal {
     buf.getInt // riff size
     require(fourcc() == "AVI ", "undecodable video bytes: RIFF but not AVI")
     var w = -1; var h = -1
+    var mjpeg = false
     val frames = Vector.newBuilder[Array[Int]]
     def walk(end: Int): Unit = {
       while (buf.position() + 8 <= end) {
@@ -187,36 +200,47 @@ object Multimodal {
             fourcc() // list type (hdrl/strl/movi) — contents self-identify
             walk(next)
           case "strf" if size >= 40 =>
-            val p0 = buf.position()
             buf.getInt // biSize
             w = buf.getInt; h = buf.getInt
             buf.getShort // planes
             val bpp = buf.getShort
             val compression = buf.getInt
-            require(bpp == 24 && compression == 0,
+            mjpeg = compression == MjpgFourcc
+            require(mjpeg || (bpp == 24 && compression == 0),
               s"unsupported AVI stream: ${bpp}bpp compression=$compression " +
-                "(only uncompressed RGB24 decodes here)")
-            buf.position(p0)
+                "(uncompressed RGB24 and MJPG decode here)")
           case cc if cc.endsWith("db") || cc.endsWith("dc") =>
             require(w > 0 && h > 0, "AVI frame chunk before strf header")
-            val stride = ((w * 3 + 3) / 4) * 4
-            require(size >= stride * h, s"AVI frame chunk too small: $size")
-            val frame = new Array[Int](w * h)
-            val base = buf.position()
-            var y = 0
-            while (y < h) {
-              var x = 0
-              val row = base + (h - 1 - y) * stride // bottom-up storage
-              while (x < w) {
-                val b = content(row + x * 3) & 0xff
-                val g = content(row + x * 3 + 1) & 0xff
-                val r = content(row + x * 3 + 2) & 0xff
-                frame(y * w + x) = (r << 16) | (g << 8) | b
-                x += 1
+            if (mjpeg) {
+              val img = decodeImage(java.util.Arrays.copyOfRange(
+                content, buf.position(), buf.position() + size))
+              require(img.getWidth == w && img.getHeight == h,
+                s"MJPEG frame ${img.getWidth}x${img.getHeight} vs header ${w}x$h")
+              val frame = new Array[Int](w * h)
+              img.getRGB(0, 0, w, h, frame, 0, w)
+              var i = 0
+              while (i < frame.length) { frame(i) &= 0xffffff; i += 1 }
+              frames += frame
+            } else {
+              val stride = ((w * 3 + 3) / 4) * 4
+              require(size >= stride * h, s"AVI frame chunk too small: $size")
+              val frame = new Array[Int](w * h)
+              val base = buf.position()
+              var y = 0
+              while (y < h) {
+                var x = 0
+                val row = base + (h - 1 - y) * stride // bottom-up storage
+                while (x < w) {
+                  val b = content(row + x * 3) & 0xff
+                  val g = content(row + x * 3 + 1) & 0xff
+                  val r = content(row + x * 3 + 2) & 0xff
+                  frame(y * w + x) = (r << 16) | (g << 8) | b
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              frames += frame
             }
-            frames += frame
           case _ => // avih, strh, idx1, JUNK… — skipped, sizes honored
         }
         buf.position(next)
@@ -225,6 +249,61 @@ object Multimodal {
     walk(content.length)
     require(w > 0 && h > 0, "undecodable video bytes: no strf video header")
     DecodedVideo(w, h, frames.result())
+  }
+
+  /** Encode the formula frames for `id` as a RIFF/AVI MJPEG container:
+    * same layout as [[synthAvi]] but biCompression='MJPG' and each movi
+    * chunk is a real ImageIO-encoded JPEG — the compressed-codec twin of
+    * the RGB24 writer for round-trip tests.
+    */
+  def synthAviMjpeg(id: Long, nFrames: Int, w: Int = 32, h: Int = 24,
+      fps: Int = 10): Array[Byte] = {
+    require(nFrames > 0 && w > 0 && h > 0)
+    javax.imageio.ImageIO.setUseCache(false)
+    val encoded = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, synthVideoPixel(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val b = bos.toByteArray
+      if (b.length % 2 == 1) b :+ 0.toByte else b // RIFF even-padding
+    }
+    val strf = 8 + 40
+    val strh = 8 + 56
+    val strl = 12 + strh + strf
+    val avih = 8 + 56
+    val hdrl = 12 + avih + strl
+    val movi = 12 + encoded.map(8 + _.length).sum
+    val riff = 4 + hdrl + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); buf.putInt(riff); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrl - 8); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(strl - 8); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("MJPG")
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(nFrames)
+      .putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(MjpgFourcc).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(movi - 8); cc("movi")
+    encoded.foreach { e => cc("00dc"); buf.putInt(e.length); buf.put(e) }
+    buf.array()
   }
 
   /** Decode every `video` row's AVI bytes and emit exact integer pixel

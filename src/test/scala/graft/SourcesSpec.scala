@@ -351,6 +351,34 @@ class SourcesSpec extends SparkSpec {
       Multimodal.decodeAviRgb24("not a riff container at all".getBytes))
   }
 
+  test("multimodal: MJPEG AVI decodes via the real JDK JPEG codec (lossy tolerance)") {
+    val bytes = Multimodal.synthAviMjpeg(7L, nFrames = 3)
+    val v = Multimodal.decodeAviRgb24(bytes)
+    assert(v.w === 32 && v.h === 24 && v.frames.length === 3)
+    // JPEG is lossy: structure is exact, pixels approximate — channel means
+    // must land near the formula's
+    for (f <- 0 until 3) {
+      var wr = 0L; var wg = 0L; var wb = 0L
+      var gr = 0L; var gg = 0L; var gb = 0L
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val wantPx = Multimodal.synthVideoPixel(7L, f, x, y)
+        wr += (wantPx >> 16) & 0xff; wg += (wantPx >> 8) & 0xff; wb += wantPx & 0xff
+        val gotPx = v.frames(f)(y * 32 + x)
+        gr += (gotPx >> 16) & 0xff; gg += (gotPx >> 8) & 0xff; gb += gotPx & 0xff
+      }
+      val n = 32 * 24
+      assert(math.abs(wr - gr) / n < 8, s"frame $f mean R off")
+      assert(math.abs(wg - gg) / n < 8, s"frame $f mean G off")
+      assert(math.abs(wb - gb) / n < 8, s"frame $f mean B off")
+    }
+    // an unknown codec still throws (only BI_RGB and MJPG decode)
+    val bogus = bytes.clone()
+    // flip the strf biCompression fourcc 'MJPG' -> 'H264' wherever it occurs
+    val idx = bytes.indexOfSlice("strf".getBytes("US-ASCII"))
+    System.arraycopy("XXXX".getBytes("US-ASCII"), 0, bogus, idx + 8 + 16, 4)
+    intercept[IllegalArgumentException](Multimodal.decodeAviRgb24(bogus))
+  }
+
   test("multimodal: ImageIO decode recovers exact formula pixel stats from real PNGs") {
     // PNG encode → decode round-trip: px_sum must equal the closed-form
     // pixel formula (lossless), for every image row, in the real Spark job
