@@ -739,6 +739,16 @@ SELECT doc_id, n_chars,
     AS DECIMAL(24,12))) AS DOUBLE)) / 1 AS ent_m
 FROM cnts GROUP BY doc_id, n_chars ORDER BY doc_id""",
 
+    // key-skew stats (q104): exact-integer ppm shares (subtract-remainder
+    // then divide — the ngramRepetition discipline), ties to smaller key.
+    "q104_skew_stats" ->
+      raw"""WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+SELECT c.user_id, c.n,
+  (c.n * 1000000 - (c.n * 1000000) % t.t) // t.t AS share_ppm
+FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

@@ -1641,6 +1641,15 @@ object Queries {
         fl(col("entropy") * 1000, 0).as("ent_m"))
       .orderBy(col("doc_id"))
 
+  /** Q104 — key-skew diagnosis (Joins.keySkewStats): the pre-flight check
+    * for every salted shape — top-10 hottest event user_ids with exact
+    * integer ppm shares. Partial-aggregatable count, broadcast total,
+    * TakeOrdered top-k.
+    */
+  def q104SkewStats(s: SparkSession, dir: String): DataFrame =
+    operators.Joins.keySkewStats(events(s, dir), col("user_id"), topK = 10)
+      .select(col("key").as("user_id"), col("n"), col("share_ppm"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1746,5 +1755,6 @@ object Queries {
     "q101_split_assign" -> q101SplitAssign _,
     "q102_video_decode" -> q102VideoDecode _,
     "q103_char_entropy" -> q103CharEntropy _,
+    "q104_skew_stats" -> q104SkewStats _,
   )
 }

@@ -129,4 +129,29 @@ object Joins {
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(key)
       .agg(finalAggs.head, finalAggs.tail: _*)
+
+  /** The DIAGNOSIS that decides whether the salted shapes above are
+    * needed: per-key occupancy of the would-be shuffle, top `topK` keys by
+    * row count with their exact share in ppm. Run it on the join/group key
+    * BEFORE a 100 TB job — a top key holding >1/numPartitions of the rows
+    * is the one-straggler-task signature. One partial-aggregatable count
+    * plus a driver-side top-k (`topK` rows, not the key space); the share
+    * quotient is the repo's exact-integer ppm (no float drift, so the
+    * probe hash-matches).
+    *
+    * @return (key, n, share_ppm) — top keys first, ties to the smaller key
+    */
+  def keySkewStats(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", {
+        val scaled = col("n") * lit(1000000L)
+        ((scaled - pmod(scaled, col("_t"))) / col("_t")).cast("long")
+      })
+      .drop("_t")
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topK)
+  }
 }

@@ -111,7 +111,37 @@ object Layout {
       outDir: String, targetBytes: Long = 128L << 20,
       sortWithin: Seq[Column] = Nil): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val p = new org.apache.hadoop.fs.Path(inDir)
+    val bytes = parquetBytes(spark, inDir)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir).repartition(n)
+    val sorted = if (sortWithin.isEmpty) df else df.sortWithinPartitions(sortWithin: _*)
+    sorted.write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
+  }
+
+  /** Re-establish z-order clustering on an append-degraded directory:
+    * [[compactParquet]]'s byte-derived file sizing + [[writeZOrdered]]'s
+    * layout in one maintenance pass. Incremental appends land z-unsorted
+    * (each batch is clustered internally at best), so periodic
+    * re-clustering is what keeps multi-dimensional skipping sharp — run it
+    * when [[fileBounds]] shows bounding boxes widening. Same new-directory
+    * contract as compaction.
+    *
+    * @return the number of output files chosen
+    */
+  def recluster(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, zCols: Seq[Column], bits: Int,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val n = math.max(1L,
+      (parquetBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
+    writeZOrdered(spark.read.parquet(inDir), outDir, zCols, bits, n)
+    n
+  }
+
+  private def parquetBytes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var bytes = 0L
     val it = fs.listFiles(p, true)
@@ -119,11 +149,7 @@ object Layout {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(inDir).repartition(n)
-    val sorted = if (sortWithin.isEmpty) df else df.sortWithinPartitions(sortWithin: _*)
-    sorted.write.mode(SaveMode.Overwrite).parquet(outDir)
-    n
+    bytes
   }
 
   /** Per-file bounding boxes of `cols` for a parquet directory — the

@@ -286,6 +286,18 @@ class JoinsCliSpec extends SparkSpec {
     assert(nZero >= 1) // doc 3's chunk embeds to the zero vector
     assert(back.schema.fieldNames.contains("created_at"))
   }
+
+  test("keySkewStats: exact counts and ppm shares, hot key first, id tiebreak") {
+    import spark.implicits._
+    // 60 rows on key 1, 30 on key 2, 5 each on 3 and 4
+    val df = (Seq.fill(60)(1) ++ Seq.fill(30)(2) ++ Seq.fill(5)(3) ++ Seq.fill(5)(4))
+      .toDF("k")
+    val top = graft.operators.Joins.keySkewStats(df, col("k"), topK = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1, 60L, 600000L), (2, 30L, 300000L), (3, 5L, 50000L)))
+    // tie between keys 3 and 4 resolves to the smaller key
+    assert(top(2)._1 === 3)
+  }
 }
 
 /** JVM-singleton transport mock for the Gemini CLI spec: task closures are

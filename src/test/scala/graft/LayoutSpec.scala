@@ -126,6 +126,29 @@ class LayoutSpec extends SparkSpec {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
 
+  test("recluster: append-degraded directory regains z-locality; rows survive") {
+    val base = Files.createTempDirectory("recl").toString
+    val in = base + "/in"
+    val out = base + "/out"
+    val grid = spark.range(32L * 32L)
+      .select((col("id") / 32).cast("long").as("x"), (col("id") % 32).cast("long").as("y"))
+    // simulate incremental appends: 4 unclustered batches land separately
+    (0 until 4).foreach { b =>
+      grid.where(col("x") % 4 === b).repartition(4)
+        .write.mode("append").parquet(in)
+    }
+    val n = graft.operators.Layout.recluster(spark, in, out,
+      Seq(col("x"), col("y")), bits = 5, targetBytes = 8L << 10)
+    assert(n >= 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 32L * 32L)
+    // locality: total per-file y-spread shrinks vs the appended layout
+    def spread(dir: String): Long =
+      graft.operators.Layout.fileBounds(spark.read.parquet(dir), Seq("y"))
+        .agg(sum(col("y_max") - col("y_min"))).head().getLong(0)
+    assert(spread(out) < spread(in), s"${spread(out)} !< ${spread(in)}")
+  }
+
   test("zValue/gridCoord argument validation fails fast") {
     intercept[IllegalArgumentException](Layout.zValue(Nil, 8))
     intercept[IllegalArgumentException](Layout.zValue(Seq(col("x")), 64))
