@@ -749,6 +749,49 @@ SELECT c.user_id, c.n,
   (c.n * 1000000 - (c.n * 1000000) % t.t) // t.t AS share_ppm
 FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10""",
 
+    // canonical URL (q105): the identical regex chain (RE2-portable set —
+    // no lookarounds), identical planted inputs; list_sort/array_sort are
+    // both binary-collation lexicographic.
+    "q105_canonical_url" ->
+      raw"""WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+    '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site.Example'
+          WHEN doc_id % 3 = 1 THEN 'site.example'
+          ELSE 'site.example:443' END) ||
+    '/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    (CASE doc_id % 5 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                     WHEN 1 THEN '?a=1&b=2'
+                     WHEN 2 THEN '?b=2&a=1&gclid=zz'
+                     WHEN 3 THEN '?fbclid=q' ELSE '' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u1 FROM u),
+canon AS (
+  SELECT doc_id,
+    lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      ':(80|443)$$', ''), '^www\.', '') ||
+    regexp_replace(
+      regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/+$$', '') ||
+    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon
+  FROM (
+    SELECT doc_id, u1,
+      -- array_to_string of an EMPTY list is NULL in DuckDB — coalesce
+      coalesce(array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(u1, '\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$$)'))), '&'), '') AS qs
+    FROM parts))
+SELECT doc_id, canon,
+  min(doc_id) OVER (PARTITION BY canon) AS rep_id,
+  CAST(doc_id = min(doc_id) OVER (PARTITION BY canon) AS INT) AS kept
+FROM canon ORDER BY doc_id""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

@@ -1650,6 +1650,34 @@ object Queries {
     operators.Joins.keySkewStats(events(s, dir), col("user_id"), topK = 10)
       .select(col("key").as("user_id"), col("n"), col("share_ppm"))
 
+  /** Q105 — canonical-URL dedup (TextFunctions.canonicalUrl): planted
+    * URLs exercise every rule (scheme/host case, www, :443, fragments,
+    * utm/gclid/fbclid strip, param sort, trailing slash), then URL-level
+    * dedup picks the min-doc_id representative per canonical key. The
+    * oracle replays the same regex chain (RE2-portable set).
+    */
+  def q105CanonicalUrl(s: SparkSession, dir: String): DataFrame = {
+    val scheme = when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https"))
+    val host = when(col("doc_id") % 3 === 0, lit("WWW.Site.Example"))
+      .when(col("doc_id") % 3 === 1, lit("site.example"))
+      .otherwise(lit("site.example:443"))
+    val path = concat(lit("/a/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")))
+    val query = when(col("doc_id") % 5 === 0, lit("?utm_source=x&b=2&a=1"))
+      .when(col("doc_id") % 5 === 1, lit("?a=1&b=2"))
+      .when(col("doc_id") % 5 === 2, lit("?b=2&a=1&gclid=zz"))
+      .when(col("doc_id") % 5 === 3, lit("?fbclid=q"))
+      .otherwise(lit(""))
+    val frag = when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit(""))
+    documents(s, dir)
+      .withColumn("url", concat(scheme, lit("://"), host, path, query, frag))
+      .withColumn("canon", TextFunctions.canonicalUrl(col("url")))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+      .select(col("doc_id"), col("canon"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).cast("int").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1756,5 +1784,6 @@ object Queries {
     "q102_video_decode" -> q102VideoDecode _,
     "q103_char_entropy" -> q103CharEntropy _,
     "q104_skew_stats" -> q104SkewStats _,
+    "q105_canonical_url" -> q105CanonicalUrl _,
   )
 }

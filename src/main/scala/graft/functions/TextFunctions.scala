@@ -142,6 +142,42 @@ object TextFunctions {
       lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)),
       "^www\\.", "")
 
+  /** Canonical URL normalization — the crawl-side counterpart of content
+    * dedup: the same page is fetched as `HTTPS://WWW.Site.example:443/a/`
+    * and `https://site.example/a?utm_source=x`, and URL-level dedup only
+    * works after both collapse to one key. Rules (each a narrow
+    * RE2-portable expression; one pass, no UDF):
+    *
+    *   1. fragment dropped (`#…` is client-side);
+    *   2. scheme and host lower-cased; leading `www.` and default ports
+    *      `:80`/`:443` stripped from the host;
+    *   3. tracking parameters removed (`utm_*`, `gclid`, `fbclid`);
+    *   4. surviving query parameters SORTED (order is almost never
+    *      semantic; sorting makes the key order-insensitive);
+    *   5. trailing path slashes stripped.
+    *
+    * Non-URLs (no `scheme://`) canonicalize to the empty string — the
+    * [[urlDomain]] contract.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u1 = regexp_replace(url, "#.*$", "") // 1. fragment
+    val scheme = lower(regexp_extract(u1, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u1, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        ":(80|443)$", ""),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(u1, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val params = filter(split(regexp_extract(u1, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)"))
+    val qstr = array_join(array_sort(params), "&")
+    when(scheme === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
+  }
+
   /** True when `domain` is a blocklisted domain OR a subdomain of one
     * (suffix match on ".<blocked>") — standard crawl blocklist semantics.
     * The blocklist is a broadcast literal: per-row work is a bounded scan

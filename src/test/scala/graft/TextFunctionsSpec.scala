@@ -246,6 +246,26 @@ class TextFunctionsSpec extends SparkSpec {
       "notads.example" -> false))
   }
 
+  test("canonicalUrl: every rule fires; idempotent; non-URLs empty") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Site.Example:443/a/b/?utm_source=x&b=2&a=1#frag"
+        -> "https://site.example/a/b?a=1&b=2",
+      "http://host.example:80/p" -> "http://host.example/p",
+      "https://host.example/p/" -> "https://host.example/p",
+      "https://host.example/?gclid=z&fbclid=q&utm_medium=m" -> "https://host.example",
+      "https://host.example:8080/p?z=1&a=2" -> "https://host.example:8080/p?a=2&z=1",
+      "not a url" -> "",
+      "" -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFunctions.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    // idempotence: canonical form is a fixed point
+    val twice = cases.map(_._2).filter(_.nonEmpty).toDF("url")
+      .select(TextFunctions.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(twice === cases.map(_._2).filter(_.nonEmpty))
+  }
+
   test("charEntropy: closed-form values, uniform max, empty text absent") {
     import spark.implicits._
     val df = Seq(
