@@ -792,6 +792,18 @@ SELECT doc_id, canon,
   CAST(doc_id = min(doc_id) OVER (PARTITION BY canon) AS INT) AS kept
 FROM canon ORDER BY doc_id""",
 
+    // exact-k per group (q106): identical md5-60bit rank, ties to the
+    // smaller event_id.
+    "q106_exact_k_sample" ->
+      raw"""SELECT event_type, CAST(rn AS INT) AS sample_rank, event_id
+FROM (
+  SELECT event_type, event_id,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY ('0x' || substr(md5('ev1' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+               event_id) AS rn
+  FROM events)
+WHERE rn <= 3 ORDER BY event_type, sample_rank""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

@@ -1678,6 +1678,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q106 — exact-k per-group sampling (Sampling.exactKPerGroup): exactly
+    * 3 events per event_type, drawn by content hash (engine-stable), ties
+    * to the smaller id. The oracle replays the identical md5-60bit rank.
+    */
+  def q106ExactKSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactKPerGroup(
+        events(s, dir).select(col("event_id"), col("event_type")),
+        col("event_type"), col("event_id"), k = 3, salt = "ev1")
+      .select(col("event_type"), col("sample_rank"), col("event_id"))
+      .orderBy(col("event_type"), col("sample_rank"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1785,5 +1796,6 @@ object Queries {
     "q103_char_entropy" -> q103CharEntropy _,
     "q104_skew_stats" -> q104SkewStats _,
     "q105_canonical_url" -> q105CanonicalUrl _,
+    "q106_exact_k_sample" -> q106ExactKSample _,
   )
 }

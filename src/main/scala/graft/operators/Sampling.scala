@@ -68,6 +68,29 @@ object Sampling {
     }
   }
 
+  /** EXACT-k deterministic sample per group — fixed-SIZE where
+    * [[stratifiedSampleByHash]] is fixed-RATE: eval/calibration sets want
+    * "exactly 100 docs per language", not "0.1% of each". Rows rank by
+    * content hash within their group (salt varies the draw; ties break on
+    * the key), so the selection is partition/retry/engine stable like
+    * every sampler here. Catalyst plans the rank filter as
+    * WindowGroupLimit (partial top-k per partition BEFORE the group
+    * shuffle — asserted in SamplingSpec), so a hot group never sorts all
+    * its rows in one task.
+    *
+    * @return input columns + `sample_rank` (1..k within each group)
+    */
+  def exactKPerGroup(df: DataFrame, group: Column, key: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_h", sampleHash(key, salt))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(group).orderBy(col("_h"), key)))
+      .where(col("sample_rank") <= k)
+      .drop("_h")
+  }
+
   /** Stratified deterministic sampling — per-group fractions (the data-
     * mixing weights of a training corpus: "50% of src0, 10% of src1, 25%
     * of everything else"). Thresholds are computed driver-side as exact

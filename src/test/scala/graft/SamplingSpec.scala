@@ -57,6 +57,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplit(col("id"), Seq("x" -> 0.5, "y" -> 0.4)))
   }
 
+  test("exactKPerGroup: exact sizes, repartition-stable, salt varies draw, WindowGroupLimit plan") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.exactKPerGroup(df, col("g"), col("id"), k = 5, salt = "s")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L))
+    val ids = out.select("id").as[Long].collect().toSet
+    val again = Sampling.exactKPerGroup(df.repartition(17), col("g"), col("id"),
+      k = 5, salt = "s").select("id").as[Long].collect().toSet
+    assert(again === ids, "content-addressed draw must survive repartitioning")
+    val other = Sampling.exactKPerGroup(df, col("g"), col("id"), k = 5, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(other !== ids, "a different salt should draw a different sample")
+    // small groups return everything, ranked
+    val tiny = Sampling.exactKPerGroup(df.where(col("id") <= 4), col("g"), col("id"), k = 5)
+    assert(tiny.count() === 4)
+    // scale shape: the rank filter plans as WindowGroupLimit (partial top-k
+    // per partition before the group exchange)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   test("stratifiedSampleByHash: per-group fractions honored, default applies, deterministic") {
     import spark.implicits._
     val df = (1L to 6000L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
