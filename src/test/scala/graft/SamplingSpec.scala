@@ -79,6 +79,26 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("leakage-safe split: hashing the dedup-cluster representative keeps near-dups in one split") {
+    import spark.implicits._
+    // near-dup pairs as resolveClusters input: docs 1≈2≈3 and 10≈11; the
+    // rest are singletons. Splitting on the RAW id could send 1 to train
+    // and its near-copy 2 to test (silent contamination); splitting on the
+    // cluster representative cannot.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val ids = (1L to 20L).toDF("id")
+    val reps = graft.operators.Dedup.resolveClusters(pairs)
+      .withColumnRenamed("id", "member").withColumnRenamed("rep", "mrep")
+    val withRep = ids.join(reps, ids("id") === reps("member"), "left")
+      .select(col("id"), coalesce(col("mrep"), col("id")).as("rep"))
+    val split = withRep.withColumn("split",
+      Sampling.assignSplit(col("rep"), Seq("train" -> 0.5, "test" -> 0.5), salt = "lk"))
+    val byId = split.select("id", "split").as[(Long, String)].collect().toMap
+    assert(byId(1L) === byId(2L) && byId(2L) === byId(3L),
+      "cluster 1-2-3 must land in one split")
+    assert(byId(10L) === byId(11L), "cluster 10-11 must land in one split")
+  }
+
   test("stratifiedSampleByHash: per-group fractions honored, default applies, deterministic") {
     import spark.implicits._
     val df = (1L to 6000L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
