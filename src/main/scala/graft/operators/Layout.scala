@@ -83,6 +83,30 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Write parquet with BLOOM FILTERS on the given columns — the layout
+    * lever for POINT lookups that min-max stats cannot serve: a z-order /
+    * range sort bounds each file's value RANGE, but an id-equality probe
+    * on an unsorted high-cardinality column (content digest, user id,
+    * canonical URL) still touches every row group whose wide range happens
+    * to cover the key. A bloom filter answers "definitely absent" per row
+    * group at ~1 byte/row, so the scan skips row groups membership-style.
+    * These are STANDARD parquet footer structures (format ≥ 2.9) written
+    * via the writer options the parquet-mr library honors — engines that
+    * don't read blooms just ignore them.
+    *
+    * @param ndv expected distinct values per column (sizes the filter)
+    */
+  def writeWithBloomFilters(df: DataFrame, path: String, cols: Seq[String],
+      ndv: Long = 100000L, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(cols.nonEmpty, "need at least one bloom-filter column")
+    require(ndv > 0, "ndv must be positive")
+    val w = cols.foldLeft(df.write.mode(mode)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Single-column counterpart for A/B-ing layouts in specs and docs:
     * global range-sort by `c` into `numFiles` files (perfect skipping on
     * `c`, none elsewhere).

@@ -149,6 +149,39 @@ class LayoutSpec extends SparkSpec {
     assert(spread(out) < spread(in), s"${spread(out)} !< ${spread(in)}")
   }
 
+  test("writeWithBloomFilters: footer carries a working bloom on the keyed column only") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("blm").toString + "/t"
+    val df = (1L to 5000L).map(i => (i, s"user-$i")).toDF("id", "key")
+    graft.operators.Layout.writeWithBloomFilters(df, dir, Seq("key"), ndv = 5000)
+    assert(spark.read.parquet(dir).count() === 5000)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val file = p.getFileSystem(conf).listStatus(p)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val keyCol = cols.find(_.getPath.toDotString == "key").get
+      val idCol = cols.find(_.getPath.toDotString == "id").get
+      assert(keyCol.getBloomFilterOffset > 0, "bloom filter missing on keyed column")
+      assert(idCol.getBloomFilterOffset <= 0, "bloom filter unexpectedly on id")
+      val bf = reader.readBloomFilter(keyCol)
+      assert(bf != null)
+      // no false negatives: every written key must test present
+      val present = (1 to 50).forall { i =>
+        bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(s"user-$i")))
+      }
+      assert(present)
+      // absent keys mostly test absent (allow bloom false positives)
+      val fp = (1 to 200).count { i =>
+        bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(s"nope-$i")))
+      }
+      assert(fp < 20, s"false-positive rate implausibly high: $fp/200")
+    } finally reader.close()
+  }
+
   test("zValue/gridCoord argument validation fails fast") {
     intercept[IllegalArgumentException](Layout.zValue(Nil, 8))
     intercept[IllegalArgumentException](Layout.zValue(Seq(col("x")), 64))
