@@ -804,6 +804,24 @@ FROM (
   FROM events)
 WHERE rn <= 3 ORDER BY event_type, sample_rank""",
 
+    // robust outliers (q107): exact integer cents → medians on .5 steps,
+    // deviations on .25 steps — every quantity and the 3·MAD boundary are
+    // exactly representable doubles, so the flag counts cannot flap.
+    "q107_robust_outliers" ->
+      raw"""WITH c AS (
+  SELECT event_type,
+    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS DOUBLE) AS cents
+  FROM events),
+m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY event_type),
+j AS (
+  SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS ad
+  FROM c JOIN m USING (event_type)),
+d AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM j GROUP BY event_type)
+SELECT j.event_type, count(*) AS n, min(j.med) AS med_c, min(d.mad) AS mad_c,
+  CAST(sum(CASE WHEN j.ad > 3.0 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+FROM j JOIN d USING (event_type)
+GROUP BY j.event_type ORDER BY j.event_type""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

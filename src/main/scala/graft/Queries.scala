@@ -1689,6 +1689,32 @@ object Queries {
       .select(col("event_type"), col("sample_rank"), col("event_id"))
       .orderBy(col("event_type"), col("sample_rank"))
 
+  /** Q107 — robust outlier stats (median + MAD, the data-quality
+    * primitive that survives the heavy tails plain stddev doesn't):
+    * everything runs in EXACT integer cents (q64's discipline), so the
+    * interpolated medians land on .5 steps, absolute deviations on .25
+    * steps — all exactly representable doubles — and even the
+    * `ad > 3·MAD` outlier BOUNDARY compares exactly cross-engine (no
+    * float-flap risk on the flag counts). Three small per-type passes;
+    * MAD needs two quantiles by definition.
+    */
+  def q107RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = (dec2(col("value")) * 100).cast("decimal(12,0)").cast("double")
+    val ev = events(s, dir).select(col("event_type"), cents.as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val j = ev.join(med, "event_type")
+      .withColumn("ad", abs(col("cents") - col("med")))
+    val mad = j.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    j.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med_c"),
+        min(col("mad")).as("mad_c"),
+        sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_out"))
+      .orderBy(col("event_type"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1797,5 +1823,6 @@ object Queries {
     "q104_skew_stats" -> q104SkewStats _,
     "q105_canonical_url" -> q105CanonicalUrl _,
     "q106_exact_k_sample" -> q106ExactKSample _,
+    "q107_robust_outliers" -> q107RobustOutliers _,
   )
 }
