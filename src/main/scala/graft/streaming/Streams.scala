@@ -90,7 +90,7 @@ object Streams {
     * One shuffle per side on user_id — the scalable stream-join shape.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
-      maxDelay: String = "1 hour"): DataFrame = {
+      maxDelay: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
       col("ts").as("l_ts"), col("event_type").as("l_type"))
     val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
@@ -98,8 +98,21 @@ object Streams {
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      joinType)
   }
+
+  /** ST4b — LEFT OUTER stream-stream interval join: like [[intervalJoin]]
+    * but a left event with NO in-window right match still emits (right
+    * side null) once the watermark proves no match can arrive — the
+    * attribution shape "every click, with its purchase if any". Same
+    * bounded state; Spark withholds the null row until
+    * `l_ts + maxDelay` passes both watermarks, so outer results are
+    * late by design, never wrong.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      maxDelay: String = "1 hour"): DataFrame =
+    intervalJoin(left, right, maxDelay, "left_outer")
 
   /** ST5 — `flatMapGroupsWithState`: gap-based sessionization that EMITS
     * closed sessions (0..n outputs per trigger — the flatMap shape the

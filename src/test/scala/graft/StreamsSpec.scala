@@ -130,6 +130,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST4b: LEFT OUTER interval join emits unmatched lefts after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(1, ts(0), 1, "click", 0), Ev(2, ts(30), 1, "click", 0), Ev(3, ts(0), 2, "click", 0))
+    val buys = Seq(
+      Ev(10, ts(20), 1, "purchase", 9.99),
+      Ev(11, ts(45), 1, "purchase", 5.0))
+    val expect = Set((1L, Some(10L)), (1L, Some(11L)), (2L, Some(11L)), (3L, None))
+
+    val batch = Streams.intervalJoinLeftOuter(clicks.toDF(), buys.toDF(), "1 hour")
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+    assert(batch == expect)
+
+    val ml = MemoryStream[Ev]; val mr = MemoryStream[Ev]
+    val joined = Streams.intervalJoinLeftOuter(
+      Streams.withEventTimeWatermark(ml.toDF(), "2 hours"),
+      Streams.withEventTimeWatermark(mr.toDF(), "2 hours"), "1 hour")
+    val q = joined.select("l_id", "r_id")
+      .writeStream.format("memory").queryName("st4b").outputMode("append").start()
+    try {
+      ml.addData(clicks: _*); mr.addData(buys: _*)
+      q.processAllAvailable()
+      // watermark must pass l_ts + maxDelay before the null row may emit
+      ml.addData(Ev(99, Timestamp.valueOf("2024-01-01 23:00:00"), 99, "click", 0))
+      mr.addData(Ev(98, Timestamp.valueOf("2024-01-01 23:00:00"), 98, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("st4b").as[(Long, Option[Long])].collect().toSet
+        .filter(_._1 < 90) // the watermark-advancer click is itself still open
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("ST5: flatMapGroupsWithState emits closed sessions only; open session carries over") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
