@@ -822,6 +822,29 @@ SELECT j.event_type, count(*) AS n, min(j.med) AS med_c, min(d.mad) AS mad_c,
 FROM j JOIN d USING (event_type)
 GROUP BY j.event_type ORDER BY j.event_type""",
 
+    // column profile (q108): per-column UNION ALL — exact integers and
+    // stringified min/max (DuckDB casts 1.0 → '1.0' like Spark).
+    "q108_profile" ->
+      raw"""SELECT * FROM (
+  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+    count(*) - count(l_orderkey) AS n_null,
+    count(DISTINCT l_orderkey) AS n_distinct,
+    CAST(min(l_orderkey) AS VARCHAR) AS min_s, CAST(max(l_orderkey) AS VARCHAR) AS max_s
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+    count(DISTINCT l_partkey), CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+    count(DISTINCT l_quantity), CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+    count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+  FROM lineitem)
+ORDER BY col_name""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

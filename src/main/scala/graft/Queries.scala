@@ -1715,6 +1715,15 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Q108 — column profiling (Profiling.profile): nulls, exact
+    * distincts, stringified min/max for four lineitem columns in ONE
+    * aggregation pass (a single Expand drives the multiple distincts).
+    */
+  def q108Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))
+      .orderBy(col("col_name"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1824,5 +1833,6 @@ object Queries {
     "q105_canonical_url" -> q105CanonicalUrl _,
     "q106_exact_k_sample" -> q106ExactKSample _,
     "q107_robust_outliers" -> q107RobustOutliers _,
+    "q108_profile" -> q108Profile _,
   )
 }
