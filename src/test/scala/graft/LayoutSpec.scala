@@ -152,7 +152,8 @@ class LayoutSpec extends SparkSpec {
   test("writeWithBloomFilters: footer carries a working bloom on the keyed column only") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("blm").toString + "/t"
-    val df = (1L to 5000L).map(i => (i, s"user-$i")).toDF("id", "key")
+    // one output file so every written key is testable against ITS bloom
+    val df = (1L to 5000L).map(i => (i, s"user-$i")).toDF("id", "key").coalesce(1)
     graft.operators.Layout.writeWithBloomFilters(df, dir, Seq("key"), ndv = 5000)
     assert(spark.read.parquet(dir).count() === 5000)
     val conf = spark.sparkContext.hadoopConfiguration
