@@ -135,6 +135,9 @@ object Layout {
       outDir: String, targetBytes: Long = 128L << 20,
       sortWithin: Seq[Column] = Nil): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(inDir != outDir,
+      "compactParquet writes a NEW directory — overwriting the input while " +
+        "reading it would corrupt the lake; swap via atomic rename after")
     val bytes = parquetBytes(spark, inDir)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inDir).repartition(n)
@@ -157,6 +160,8 @@ object Layout {
       outDir: String, zCols: Seq[Column], bits: Int,
       targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(inDir != outDir,
+      "recluster writes a NEW directory (same contract as compactParquet)")
     val n = math.max(1L,
       (parquetBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
     writeZOrdered(spark.read.parquet(inDir), outDir, zCols, bits, n)

@@ -575,7 +575,12 @@ object Search {
       s"appendIvfIndex requires an existing index at '$path' " +
         "(writeIvfIndex first — appends need its frozen centroids)")
     val centroids = readIvfCentroids(spark, path)
-    val existing = spark.read.parquet(s"$path/vectors").select(col(idCol))
+    val existing = spark.read.parquet(s"$path/vectors")
+    // appended files must carry the index's exact column set — a silently
+    // divergent schema would make later reads footer-dependent
+    require(batch.columns.toSet + "cluster_id" == existing.columns.toSet,
+      s"appendIvfIndex batch columns ${batch.columns.sorted.mkString(",")} " +
+        s"must match the index's ${existing.columns.sorted.mkString(",")} (minus cluster_id)")
     val fresh = batch
       .join(existing, batch(idCol) === existing(idCol), "left_anti")
       .dropDuplicates(idCol).persist()

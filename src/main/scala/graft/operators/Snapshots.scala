@@ -35,6 +35,12 @@ object Snapshots {
   /** Classify every id across two snapshots: one full-outer join on the id
     * over (id, fingerprint) pairs.
     *
+    * CONTRACT: `idCol` must be unique within each snapshot (it is the
+    * document identity) — duplicate ids would fan the full-outer join out
+    * row-multiplicatively. A NULL fingerprint (null payload column) on a
+    * present row is indistinguishable from absence; fingerprint non-null
+    * columns or coalesce upstream.
+    *
     * @return (idCol, status ∈ {added,removed,changed,unchanged}, old_fp,
     *         new_fp) — fps NULL on the absent side
     */
