@@ -31,6 +31,20 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(Seq("ab").toDF("text"), col("text"), 10).size <= 2)
   }
 
+  test("property: encodeWord token concatenation always reconstructs the word") {
+    import org.scalacheck.{Gen, Prop}
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val merges = Gen.listOf(Gen.zip(
+      Gen.alphaLowerStr.map(_.take(2)).suchThat(_.nonEmpty),
+      Gen.alphaLowerStr.map(_.take(2)).suchThat(_.nonEmpty)))
+    checkProp(Prop.forAll(word, merges) { (w, ms) =>
+      val ranks = ms.zipWithIndex.toMap
+      val toks = Bpe.encodeWord(w, ranks)
+      toks.mkString.stripSuffix(Bpe.Eow) == w && toks.last.endsWith(Bpe.Eow)
+    }, minTests = 50)
+  }
+
   test("encode: trained merges compress the training corpus; apply is shuffle-free") {
     val docs = Seq((1L, "aaab aaab aab"), (2L, "aaab")).toDF("id", "text")
     val merges = Bpe.train(docs, col("text"), numMerges = 3)

@@ -590,6 +590,35 @@ class SearchSpec extends SparkSpec {
     assert(diverse.head === 10L, "first pick must be the relevance argmax")
   }
 
+  test("property: mmrRerank scores are non-increasing; first pick is the relevance argmax") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    // NON-NEGATIVE orthant: monotone pick-scores are only an invariant
+    // when pairwise sims are ≥ 0 — with negative sims the unclamped
+    // diversity BONUS can raise a later pick's score (by design; the
+    // anti-similar case is covered in its own test below)
+    val cand = for {
+      id <- Gen.chooseNum(1L, 1000L)
+      v <- Gen.listOfN(4, Gen.chooseNum(0, 5).map(_.toFloat))
+      rel <- Gen.chooseNum(0, 1000).map(_ / 1000.0)
+    } yield (1L, id, v.toArray, rel)
+    // forAllNoShrink: the structural tuple shrinker would mutate the fixed
+    // query id and mix groups, breaking the single-query invariant
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, cand)) { cs0 =>
+      val cs = cs0.distinctBy(_._2).map(c => c.copy(_1 = 1L))
+      if (cs.size < 2) true else {
+        val df = cs.toDF("qid", "id", "vec", "rel")
+        val out = Search.mmrRerank(df, "qid", "id", "vec", "rel",
+            k = cs.size, lambda = 0.6)
+          .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+        val scores = out.map(_._4)
+        val monotone = scores.zip(scores.tail).forall { case (a, b) => a >= b }
+        val bestRel = cs.map(_._4).max
+        monotone && math.abs(out.head._4 - 0.6 * bestRel) < 1e-12
+      }
+    }, minTests = 15)
+  }
+
   test("mmrRerank: anti-similar candidates earn a bonus (no clamp at 0); k caps at n") {
     import spark.implicits._
     val cands = Seq(
