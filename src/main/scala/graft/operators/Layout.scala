@@ -83,6 +83,28 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Rank-based grid coordinate for SKEWED columns: [[gridCoord]]'s
+    * min-max scaling collapses a zipf-ish column into a few cells (one
+    * outlier stretches the range; the mass lands in bucket 0) and the
+    * z-curve loses its locality on that dimension. Bucketing by QUANTILE
+    * boundaries instead gives equal-mass cells regardless of the
+    * distribution. Boundaries come from `approxQuantile` (one pass,
+    * Greenwald-Khanna, driver-side array of 2^bits-1 doubles — tiny) and
+    * are inlined as a literal; the per-row work is a codegen'd binary
+    * search (`width_bucket` semantics via array comparison).
+    */
+  def gridCoordByQuantiles(df: DataFrame, c: String, bits: Int,
+      relativeError: Double = 0.001): Column = {
+    require(bits > 0 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = (1 << bits) - 1
+    val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
+    val bounds = df.stat.approxQuantile(c, probs, relativeError)
+    // count boundaries ≤ value = the bucket index in [0, 2^bits)
+    val arr = lit(bounds)
+    aggregate(arr, lit(0L),
+      (acc, b) => when(col(c).cast("double") >= b, acc + 1L).otherwise(acc))
+  }
+
   /** Write parquet with BLOOM FILTERS on the given columns — the layout
     * lever for POINT lookups that min-max stats cannot serve: a z-order /
     * range sort bounds each file's value RANGE, but an id-equality probe

@@ -183,6 +183,24 @@ class LayoutSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("gridCoordByQuantiles: skewed data spreads across cells where min-max collapses") {
+    import spark.implicits._
+    // zipf-ish: mass at small values plus one huge outlier stretching the range
+    val vals = (Seq.fill(500)(1L) ++ Seq.fill(300)(2L) ++ Seq.fill(150)(5L) ++
+      Seq.fill(49)(20L) :+ 1000000L)
+    val df = vals.toDF("v")
+    val linear = df.select(
+      graft.operators.Layout.gridCoord(col("v"), 1L, 1000000L, 4).as("g"))
+      .distinct().count()
+    val byQ = df.select(
+      graft.operators.Layout.gridCoordByQuantiles(df, "v", 4).as("g"))
+    val qCells = byQ.distinct().count()
+    assert(linear <= 2, s"min-max grid should collapse on skew (got $linear cells)")
+    assert(qCells >= 3, s"quantile grid should spread mass (got $qCells cells)")
+    val range = byQ.agg(min("g"), max("g")).head()
+    assert(range.getLong(0) >= 0 && range.getLong(1) <= 15)
+  }
+
   test("zValue/gridCoord argument validation fails fast") {
     intercept[IllegalArgumentException](Layout.zValue(Nil, 8))
     intercept[IllegalArgumentException](Layout.zValue(Seq(col("x")), 64))
