@@ -845,6 +845,29 @@ GROUP BY j.event_type ORDER BY j.event_type""",
   FROM lineitem)
 ORDER BY col_name""",
 
+    // behavioral funnel (q109): per-stage first-event times in epoch-µs
+    // longs, stage windows of exactly 3600000000 µs, exact-integer ppm.
+    "q109_funnel" ->
+      raw"""WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.us) AS c_us
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.us >= v.v_us AND e.us <= v.v_us + 3600000000
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.us) AS p_us
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us >= c.c_us AND e.us <= c.c_us + 3600000000
+  GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+  (SELECT count(*) FROM c) AS n_click,
+  (SELECT count(*) FROM p) AS n_purchase,
+  ((SELECT count(*) FROM p) * 1000000
+    - ((SELECT count(*) FROM p) * 1000000) % (SELECT count(*) FROM v))
+    // (SELECT count(*) FROM v) AS conv_ppm""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

@@ -1724,6 +1724,33 @@ object Queries {
         Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))
       .orderBy(col("col_name"))
 
+  /** Q109 — behavioral funnel analysis (view → click → purchase, each
+    * stage within 1 h of the previous stage's FIRST qualifying event):
+    * the product-analytics shape the event stream exists for. Per-stage
+    * min-aggregates keyed on user_id, then user-keyed joins of the
+    * (small) per-user stage frames — never event×event; conversion as an
+    * exact integer ppm. All arithmetic in epoch-µs longs.
+    */
+  def q109Funnel(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = eventsUs(s, dir).select(col("user_id"), col("event_type"), col("us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("us") >= col("v_us") && col("us") <= col("v_us") + lit(hourUs))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("us") >= col("c_us") && col("us") <= col("c_us") + lit(hourUs))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .withColumn("conv_ppm", {
+        val scaled = col("n_purchase") * lit(1000000L)
+        ((scaled - pmod(scaled, col("n_view"))) / col("n_view")).cast("long")
+      })
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1834,5 +1861,6 @@ object Queries {
     "q106_exact_k_sample" -> q106ExactKSample _,
     "q107_robust_outliers" -> q107RobustOutliers _,
     "q108_profile" -> q108Profile _,
+    "q109_funnel" -> q109Funnel _,
   )
 }
