@@ -868,6 +868,22 @@ SELECT (SELECT count(*) FROM v) AS n_view,
     - ((SELECT count(*) FROM p) * 1000000) % (SELECT count(*) FROM v))
     // (SELECT count(*) FROM v) AS conv_ppm""",
 
+    // weekly retention (q110): integer epoch-weeks (// on µs), distinct
+    // (user, week) frame self-joined at week+1, exact ppm.
+    "q110_retention" ->
+      raw"""WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+act AS (SELECT wk, count(*) AS n_active FROM uw GROUP BY wk),
+ret AS (
+  SELECT a.wk, count(*) AS n_retained
+  FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+  GROUP BY a.wk)
+SELECT act.wk, act.n_active, coalesce(ret.n_retained, 0) AS n_retained,
+  (coalesce(ret.n_retained, 0) * 1000000
+    - (coalesce(ret.n_retained, 0) * 1000000) % act.n_active) // act.n_active AS ret_ppm
+FROM act LEFT JOIN ret ON act.wk = ret.wk
+ORDER BY act.wk""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

@@ -1751,6 +1751,34 @@ object Queries {
       })
   }
 
+  /** Q110 — weekly retention cohorts (the funnel's longitudinal
+    * companion): per epoch-week, active users and how many return the
+    * NEXT week. Distinct (user, week) pairs first (the frame every
+    * cohort metric shares), then a self-join on (user, week+1) — both
+    * sides are the small distinct frame, co-partitioned on user. Exact
+    * integer weeks (truncating div on epoch-µs) and exact ppm.
+    */
+  def q110Retention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val uw = eventsUs(s, dir)
+      .select(col("user_id"),
+        call_function("div", col("us"), lit(weekUs)).as("wk"))
+      .distinct()
+    val active = uw.groupBy(col("wk")).agg(count(lit(1)).as("n_active"))
+    val ret = uw.as("a")
+      .join(uw.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.wk") === col("a.wk") + 1)
+      .groupBy(col("a.wk").as("wk")).agg(count(lit(1)).as("n_retained"))
+    active.join(ret, Seq("wk"), "left_outer")
+      .select(col("wk"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .withColumn("ret_ppm", {
+        val scaled = col("n_retained") * lit(1000000L)
+        ((scaled - pmod(scaled, col("n_active"))) / col("n_active")).cast("long")
+      })
+      .orderBy(col("wk"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1862,5 +1890,6 @@ object Queries {
     "q107_robust_outliers" -> q107RobustOutliers _,
     "q108_profile" -> q108Profile _,
     "q109_funnel" -> q109Funnel _,
+    "q110_retention" -> q110Retention _,
   )
 }
