@@ -884,6 +884,17 @@ SELECT act.wk, act.n_active, coalesce(ret.n_retained, 0) AS n_retained,
 FROM act LEFT JOIN ret ON act.wk = ret.wk
 ORDER BY act.wk""",
 
+    // exact histogram (q111): integer-cents buckets, (c−min)·10 // (span+1)
+    // — clamp-free top edge, exact counts and sums.
+    "q111_histogram" ->
+      raw"""WITH c AS (
+  SELECT CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS BIGINT) AS c
+  FROM events),
+b AS (SELECT min(c) AS mn, max(c) AS mx FROM c)
+SELECT (c.c - b.mn) * 10 // (b.mx - b.mn + 1) AS bucket,
+  count(*) AS n, CAST(sum(c.c) AS BIGINT) AS cents_sum
+FROM c, b GROUP BY bucket ORDER BY bucket""",
+
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with
     // javax.sound; the oracle recomputes the same |sample| sums straight

@@ -1779,6 +1779,25 @@ object Queries {
       .orderBy(col("wk"))
   }
 
+  /** Q111 — exact equi-width histogram of event values (the distribution
+    * view that completes the profiling family): 10 buckets over the
+    * integer-cents range, bucket = (c−min)·10 div (span+1) — the +1 makes
+    * the top edge land in bucket 9 WITHOUT a clamp (no float boundary
+    * anywhere). Bounds ride a one-row broadcast; one partial-aggregatable
+    * count+sum per bucket.
+    */
+  def q111Histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = (dec2(col("value")) * 100).cast("decimal(12,0)").cast("long")
+    val ev = events(s, dir).select(cents.as("c"))
+    val bounds = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        call_function("div", (col("c") - col("mn")) * 10, col("mx") - col("mn") + 1))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("cents_sum"))
+      .orderBy(col("bucket"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1891,5 +1910,6 @@ object Queries {
     "q108_profile" -> q108Profile _,
     "q109_funnel" -> q109Funnel _,
     "q110_retention" -> q110Retention _,
+    "q111_histogram" -> q111Histogram _,
   )
 }
