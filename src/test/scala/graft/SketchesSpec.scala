@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Persisted HLL sketch store: per-batch build, exactly-once append,
+  * cross-batch union ≈ true distinct over the union — the incremental
+  * cardinality surface (no DuckDB oracle: sketch binaries are
+  * engine-internal; tolerance-checked against exact counts instead).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(ids: Range, domains: Int) =
+    ids.map(i => (s"d${i % domains}", s"user-$i")).toDF("domain", "uid")
+
+  test("append + estimate: per-group estimates within 3% of exact; replay no-op") {
+    val store = Files.createTempDirectory("hll").toString + "/s"
+    val b1 = batch(0 until 3000, 3)
+    val b2 = batch(1500 until 6000, 3) // overlaps b1 — union must dedupe
+    assert(Sketches.appendDistinctSketches(b1, "domain", "uid", "day1", store) === 3L)
+    assert(Sketches.appendDistinctSketches(b2, "domain", "uid", "day2", store) === 3L)
+    // replays append nothing
+    assert(Sketches.appendDistinctSketches(b1, "domain", "uid", "day1", store) === 0L)
+    assert(spark.read.parquet(store).count() === 6)
+
+    val exact = b1.unionByName(b2).groupBy("domain")
+      .agg(countDistinct("uid").as("n")).as[(String, Long)].collect().toMap
+    val est = Sketches.estimateDistinct(spark, store)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (d, e) =>
+      val x = exact(d)
+      assert(math.abs(e - x).toDouble / x < 0.03, s"$d: est $e vs exact $x")
+    }
+    // single-batch scoping reads only that batch's sketches
+    val day1 = Sketches.estimateDistinct(spark, store, Seq("day1"))
+      .as[(String, Long)].collect().toMap
+    val exact1 = b1.groupBy("domain").agg(countDistinct("uid").as("n"))
+      .as[(String, Long)].collect().toMap
+    day1.foreach { case (d, e) =>
+      assert(math.abs(e - exact1(d)).toDouble / exact1(d) < 0.03)
+    }
+  }
+
+  test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
+    val store = Files.createTempDirectory("hll2").toString + "/s"
+    Sketches.appendDistinctSketches(batch(0 until 500, 2), "domain", "uid", "b", store)
+    val plan = Sketches.estimateDistinct(spark, store)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_hll_union_agg") || plan.contains("partial_"),
+      plan.take(1200))
+  }
+}
