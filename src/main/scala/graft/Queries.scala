@@ -1745,10 +1745,8 @@ object Queries {
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
-      .withColumn("conv_ppm", {
-        val scaled = col("n_purchase") * lit(1000000L)
-        ((scaled - pmod(scaled, col("n_view"))) / col("n_view")).cast("long")
-      })
+      .withColumn("conv_ppm", // exact integral div — no 2⁵³ double rounding
+        call_function("div", col("n_purchase") * lit(1000000L), col("n_view")))
   }
 
   /** Q110 — weekly retention cohorts (the funnel's longitudinal
@@ -1772,10 +1770,8 @@ object Queries {
     active.join(ret, Seq("wk"), "left_outer")
       .select(col("wk"), col("n_active"),
         coalesce(col("n_retained"), lit(0L)).as("n_retained"))
-      .withColumn("ret_ppm", {
-        val scaled = col("n_retained") * lit(1000000L)
-        ((scaled - pmod(scaled, col("n_active"))) / col("n_active")).cast("long")
-      })
+      .withColumn("ret_ppm", // exact integral div — no 2⁵³ double rounding
+        call_function("div", col("n_retained") * lit(1000000L), col("n_active")))
       .orderBy(col("wk"))
   }
 

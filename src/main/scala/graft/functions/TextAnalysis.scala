@@ -187,10 +187,9 @@ object TextAnalysis {
         max(struct(col("_cnt"), col("_cov"))).as("_top"),
         sum(when(col("_cnt") > 1, col("_cov")).otherwise(0L)).as("_dupcov"))
     def ppm(cov: Column, total: Column): Column = {
-      val scaled = cov * lit(1000000L)
-      // exact integer quotient: subtract the remainder, then the double
-      // division is of an exactly-divisible pair (≤2⁵³) — no rounding edge
-      val q = ((scaled - pmod(scaled, total)) / total).cast("long")
+      // exact integral division (`div`, = DuckDB `//`) — unlike the double
+      // quotient it never rounds, even past 2⁵³ scaled counts
+      val q = call_function("div", cov * lit(1000000L), total)
       when(total > 0, least(q, lit(1000000L))).otherwise(lit(0L))
     }
     base.select(col(idCol), col("_tchars"))
@@ -250,6 +249,11 @@ object TextAnalysis {
     val out = df.select(col(idCol).cast("long"), textCol.cast("string"))
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater holds NATIVE zlib buffers — without end() they linger
+        // until GC finalization and accumulate native memory across the
+        // many tasks of a large scan. Release at task completion.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { row =>
           val bytes = row.getString(1).getBytes("UTF-8")

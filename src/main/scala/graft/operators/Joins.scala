@@ -146,10 +146,11 @@ object Joins {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("_t"))
     counts.crossJoin(broadcast(total))
-      .withColumn("share_ppm", {
-        val scaled = col("n") * lit(1000000L)
-        ((scaled - pmod(scaled, col("_t"))) / col("_t")).cast("long")
-      })
+      .withColumn("share_ppm",
+        // Exact integral division (`div`, = DuckDB `//`): the scaled-minus-
+        // remainder-over-double form loses ulps once n·10⁶ passes 2⁵³ —
+        // i.e. exactly at the 100 TB key counts this diagnostic targets.
+        call_function("div", col("n") * lit(1000000L), col("_t")))
       .drop("_t")
       .orderBy(col("n").desc, col("key").asc)
       .limit(topK)

@@ -195,6 +195,11 @@ object Multimodal {
         val id = fourcc()
         val size = buf.getInt
         val next = buf.position() + size + (size & 1) // RIFF even-padding
+        // Forward-progress guard: a negative (or int-overflowing) chunk size
+        // would point `next` at or before this chunk and loop forever on a
+        // corrupt/adversarial blob. The contract is throw-to-quarantine.
+        require(size >= 0 && next > buf.position(),
+          s"undecodable video bytes: bad chunk size $size")
         id match {
           case "LIST" =>
             fourcc() // list type (hdrl/strl/movi) — contents self-identify
@@ -248,7 +253,11 @@ object Multimodal {
     }
     walk(content.length)
     require(w > 0 && h > 0, "undecodable video bytes: no strf video header")
-    DecodedVideo(w, h, frames.result())
+    val fs = frames.result()
+    // A headered-but-frameless AVI would make the feature means 0/0 = NaN
+    // downstream; the quarantine contract says throw instead.
+    require(fs.nonEmpty, "undecodable video bytes: AVI has no frames")
+    DecodedVideo(w, h, fs)
   }
 
   /** Encode the formula frames for `id` as a RIFF/AVI MJPEG container:

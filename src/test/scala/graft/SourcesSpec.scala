@@ -379,6 +379,30 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeAviRgb24(bogus))
   }
 
+  test("multimodal: corrupt AVI chunk size throws (no infinite walk); frameless AVI throws") {
+    val bytes = Multimodal.synthAvi(3L, nFrames = 2)
+    // Negative chunk size on the first movi frame chunk: without the
+    // forward-progress guard the RIFF walk would re-read the same bytes
+    // forever (next = position - 8) and hang the executor task.
+    val neg = bytes.clone()
+    val frameAt = neg.indexOfSlice("00db".getBytes("US-ASCII"))
+    assert(frameAt > 0)
+    java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(frameAt + 4, -8)
+    val ex = intercept[IllegalArgumentException](Multimodal.decodeAviRgb24(neg))
+    assert(ex.getMessage.contains("bad chunk size"))
+    // Structurally valid AVI whose movi list carries no frame chunks:
+    // features would be 0/0 = NaN — the quarantine contract says throw.
+    val frameless = bytes.clone()
+    var at = frameless.indexOfSlice("00db".getBytes("US-ASCII"))
+    while (at >= 0) {
+      System.arraycopy("JUNK".getBytes("US-ASCII"), 0, frameless, at, 4)
+      at = frameless.indexOfSlice("00db".getBytes("US-ASCII"), at + 4)
+    }
+    val ex2 = intercept[IllegalArgumentException](Multimodal.decodeAviRgb24(frameless))
+    assert(ex2.getMessage.contains("no frames"))
+  }
+
   test("multimodal: ImageIO decode recovers exact formula pixel stats from real PNGs") {
     // PNG encode → decode round-trip: px_sum must equal the closed-form
     // pixel formula (lossless), for every image row, in the real Spark job
