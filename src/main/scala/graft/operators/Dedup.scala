@@ -103,15 +103,22 @@ object Dedup {
     * real path, or any deterministic seed set for oracle replay. Assignment
     * broadcasts the centroids (k×dim, tiny) and takes the per-row argmax —
     * narrow, no shuffle; the within-cluster self-join shuffles on the
-    * cluster id. Cluster-size skew is the operator's scale hazard: cap it
-    * by raising k (the paper uses k ≈ √N·c) — the candidate-generation /
-    * verification separation the repo's other near-dup tiers enforce.
+    * cluster id. Cluster-size skew is the operator's scale hazard: the
+    * paper's answer is raising k (k ≈ √N·c), and on top of that this
+    * implementation CAPS every cluster at `maxClusterSize` rows — any
+    * oversized cluster is recursively re-keyed (exact identical-vector
+    * collapse + deterministic bisection, see [[capClusterSizes]]) before
+    * the pair scan, so no single task is ever quadratic in a degenerate
+    * mega-cluster. Cells still oversized after `maxSplitDepth` levels fail
+    * loudly instead of silently running a quadratic task.
     *
     * @return the input rows minus semantic duplicates (keep-min-id policy)
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, simThreshold: Double): DataFrame = {
+      centroids: DataFrame, simThreshold: Double,
+      maxClusterSize: Int = 8192, maxSplitDepth: Int = 24): DataFrame = {
     import graft.functions.VectorFunctions
+    require(maxClusterSize > 1, "maxClusterSize must exceed 1")
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("cid"))
     val assigned = df.select(col(idCol), col(vecCol))
@@ -123,17 +130,136 @@ object Dedup {
       // both sides of the pair self-join read this — persist so the
       // centroid argmax runs once, released after the (eager) resolution
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = assigned
-      .select(col("cid"), col(idCol).as("id1"), col(vecCol).as("_v1"))
-      .join(assigned.select(col("cid"), col(idCol).as("id2"), col(vecCol).as("_v2")), Seq("cid"))
+    val anyOversized = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxClusterSize).limit(1).count() > 0
+    def pairsWithin(rows: DataFrame, keys: Seq[String]): DataFrame = rows
+      .select(keys.map(col) :+ col(idCol).as("id1") :+ col(vecCol).as("_v1"): _*)
+      .join(rows.select(
+        keys.map(col) :+ col(idCol).as("id2") :+ col(vecCol).as("_v2"): _*), keys)
       .where(col("id1") < col("id2"))
       .where(VectorFunctions.cosine(col("_v1"), col("_v2")) >= simThreshold)
       .select(col("id1"), col("id2"))
+    val (pairs, capHandles) =
+      if (!anyOversized) (pairsWithin(assigned, Seq("cid")), Nil)
+      else {
+        val (settled, exactPairs, handles) =
+          capClusterSizes(assigned, idCol, vecCol, maxClusterSize, maxSplitDepth)
+        (pairsWithin(settled, Seq("cid", "_sub")).unionByName(exactPairs), handles)
+      }
     // dropNearDuplicates resolves components EAGERLY (localCheckpoint
     // inside resolveClusters), so pairs are fully consumed before release
     val out = dropNearDuplicates(df, idCol, pairs)
     assigned.unpersist(false)
+    capHandles.foreach(_.unpersist(false))
     out
+  }
+
+  /** Re-key oversized SemDeDup clusters until every (cid, `_sub`) cell
+    * holds ≤ `maxClusterSize` rows, bounding the within-cell pair scan.
+    * Two mechanisms compose, per recursion level:
+    *
+    *   1. EXACT identical-vector collapse — the actual degenerate
+    *      mega-cluster at crawl scale is millions of byte-equal embeddings
+    *      (empty docs, boilerplate). Rows grouping to the same vector VALUE
+    *      keep the min id and the rest are emitted DIRECTLY as duplicate
+    *      pairs: cosine(v,v)=1 ≥ any threshold, so this is
+    *      semantics-preserving, no pair scan needed. Zero-norm and NaN
+    *      vectors are excluded (their cosine is NULL — never a duplicate)
+    *      and settle as inert singleton cells instead.
+    *   2. Deterministic bisection (the bisecting-k-means split step,
+    *      Steinbach et al. 2000, with deterministic init): pole A = the
+    *      min-id row's vector, pole B = the vector least cosine-similar to
+    *      A (ties to the smaller id); rows go to the nearer pole, exact
+    *      equidistance broken by xxhash64(id) parity so colinear cells
+    *      still make progress.
+    *
+    * Bisection is the operator's one approximation knob: a near-dup pair
+    * split across sub-cells is missed exactly as a pair split across the
+    * paper's own k-means cells is — the cap only refines the candidate
+    * cells. Cells still oversized after `maxSplitDepth` levels throw
+    * rather than letting one task go quadratic.
+    *
+    * @return (settled rows keyed by (cid, `_sub`), exact duplicate pairs
+    *         from the identical-vector collapse, persisted handles for the
+    *         caller to release after eager consumption)
+    */
+  private[graft] def capClusterSizes(assigned: DataFrame, idCol: String,
+      vecCol: String, maxClusterSize: Int, maxSplitDepth: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import graft.functions.VectorFunctions
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+      .select(col("id1").cast(assigned.schema(idCol).dataType).as("id1"),
+        col("id2").cast(assigned.schema(idCol).dataType).as("id2"))
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val settledParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val pairParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var cur = assigned.withColumn("_sub", lit(""))
+    var depth = 0
+    while (depth >= 0) {
+      val sized = cur.join(
+        cur.groupBy(col("cid"), col("_sub")).agg(count(lit(1)).as("_n")),
+        Seq("cid", "_sub"))
+      settledParts += sized.where(col("_n") <= maxClusterSize).drop("_n")
+      val big = sized.where(col("_n") > maxClusterSize).drop("_n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      handles += big
+      if (big.limit(1).count() == 0) {
+        big.unpersist(false)
+        depth = -1 // done — every cell is within the cap
+      } else if (depth >= maxSplitDepth) {
+        val worst = big.groupBy(col("cid"), col("_sub"))
+          .agg(count(lit(1)).as("_n")).orderBy(col("_n").desc).limit(1)
+          .collect().headOption.map(r => s"cid=${r.get(0)} sub='${r.get(1)}' n=${r.get(2)}")
+        handles.foreach(_.unpersist(false))
+        throw new IllegalStateException(
+          s"SemDeDup cell still exceeds maxClusterSize=$maxClusterSize after " +
+            s"$maxSplitDepth bisection levels ($worst) — raise the centroid " +
+            "count k (paper: k ≈ √N) or maxClusterSize")
+      } else {
+        // vectors whose cosine is NULL against everything can never pair —
+        // settle each as its own inert singleton cell, off the scan path
+        val finite = exists(col(vecCol), x => x =!= 0.0f) &&
+          !exists(col(vecCol), x => isnan(x))
+        settledParts += big.where(!finite)
+          .withColumn("_sub", concat(col("_sub"), lit("#z"), col(idCol)))
+        // exact collapse: keep the min id per identical vector value, emit
+        // the rest straight to the duplicate-pair stream
+        val grouped = big.where(finite)
+          .groupBy(col("cid"), col("_sub"), col(vecCol))
+          .agg(min(col(idCol)).as("_rep"))
+        val withRep = big.where(finite)
+          .join(grouped, Seq("cid", "_sub", vecCol))
+        pairParts += withRep.where(col(idCol) =!= col("_rep"))
+          .select(col("_rep").as("id1"), col(idCol).as("id2"))
+        val reps = withRep.where(col(idCol) === col("_rep")).drop("_rep")
+        // bisect the surviving distinct vectors between two poles
+        val poleA = reps.groupBy(col("cid"), col("_sub"))
+          .agg(min(struct(col(idCol).as("i"), col(vecCol).as("v"))).as("_pa"))
+          .select(col("cid"), col("_sub"), col("_pa.v").as("_av"))
+        val withA = reps.join(poleA, Seq("cid", "_sub"))
+          .withColumn("_simA", VectorFunctions.cosine(col(vecCol), col("_av")))
+        val poleB = withA.groupBy(col("cid"), col("_sub"))
+          .agg(min(struct(col("_simA").as("s"), col(idCol).as("i"),
+            col(vecCol).as("v"))).as("_pb"))
+          .select(col("cid"), col("_sub"), col("_pb.v").as("_bv"))
+        val side = {
+          val simB = VectorFunctions.cosine(col(vecCol), col("_bv"))
+          when(col("_simA") === simB,
+            pmod(xxhash64(col(idCol)), lit(2)).cast("string"))
+            .otherwise(when(col("_simA") > simB, lit("0")).otherwise(lit("1")))
+        }
+        cur = withA.join(poleB, Seq("cid", "_sub"))
+          .withColumn("_sub", concat(col("_sub"), lit("/"), side))
+          .select(col(idCol), col("cid"), col(vecCol), col("_sub"))
+        depth += 1
+      }
+    }
+    val settled = settledParts.reduce(_ unionByName _)
+    val exactPairs = pairParts.foldLeft(emptyPairs)(_ unionByName _)
+    (settled, exactPairs, handles.toSeq)
   }
 
   /** Incremental cross-batch LINE dedup: each arriving batch keeps only

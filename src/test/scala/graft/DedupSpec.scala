@@ -105,6 +105,57 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("semanticDedup: mega-cluster is capped — bounded cells, exact collapse, loud failure") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // degenerate mega-cluster: 60 byte-identical copies of u (ids 0–59),
+    // 60 of v (ids 100–159), u·v below threshold, ONE centroid — without
+    // the cap this is a single 120²-pair task; with it the identical-vector
+    // collapse resolves both groups exactly
+    val u = Array(1.0f, 0.0f, 0.0f)
+    val v = Array(0.0f, 1.0f, 0.0f)
+    val rows = ((0L until 60L).map(i => (i, u)) ++
+      (100L until 160L).map(i => (i, v))).toDF("id", "vec")
+    val cents = Seq((0, Array(0.7f, 0.7f, 0.0f))).toDF("cid", "cv")
+    val kept = Dedup.semanticDedup(rows, "id", "vec", cents, 0.9,
+        maxClusterSize = 8, maxSplitDepth = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 100L), s"collapse must keep exactly the min ids, got $kept")
+    // capClusterSizes invariant: every settled cell is within the cap
+    val assigned = rows.select(col("id"), lit(0).as("cid"), col("vec"))
+    val (settled, exactPairs, handles) =
+      Dedup.capClusterSizes(assigned, "id", "vec", maxClusterSize = 8, maxSplitDepth = 16)
+    val worst = settled.groupBy(col("cid"), col("_sub")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(worst <= 8, s"a settled cell still holds $worst rows")
+    assert(exactPairs.count() == 118, "59 + 59 collapse pairs expected")
+    handles.foreach(_.unpersist(false))
+    // zero vectors can never pair (cosine NULL) — they settle as inert
+    // singletons and all survive, never tripping the depth limit
+    val zeros = (0L until 30L).map(i => (i, Array(0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val keptZ = Dedup.semanticDedup(zeros, "id", "vec", cents, 0.9,
+        maxClusterSize = 4, maxSplitDepth = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptZ == (0L until 30L).toSet)
+    // DISTINCT near-identical vectors that cannot reach the cap within the
+    // depth budget fail LOUDLY instead of running a quadratic task
+    val crowded = (0L until 32L).map { i =>
+      (i, Array(1.0f, i.toFloat * 1e-6f, 0.0f))
+    }.toDF("id", "vec")
+    val ex = intercept[IllegalStateException](
+      Dedup.semanticDedup(crowded, "id", "vec", cents, 0.99,
+        maxClusterSize = 2, maxSplitDepth = 1).collect())
+    assert(ex.getMessage.contains("maxClusterSize"))
+    // two well-separated blobs inside one oversized cell: bisection must
+    // separate them and keep-min-id within each blob
+    val blobs = ((0L until 12L).map(i => (i, Array(1.0f, 1e-4f * i, 0.0f))) ++
+      (100L until 112L).map(i => (i, Array(0.0f, 1e-4f * (i - 100), 1.0f)))).toDF("id", "vec")
+    val keptB = Dedup.semanticDedup(blobs, "id", "vec", cents, 0.999,
+        maxClusterSize = 16, maxSplitDepth = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(0L, 100L), s"one survivor per blob expected, got $keptB")
+  }
+
   test("line/span verdict plans stay partial-aggregatable (skew posture pinned)") {
     import graft.operators.Dedup
     import spark.implicits._
