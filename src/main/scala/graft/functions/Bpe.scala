@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Two halves, each in its honest scale shape:
   *
-  *   - [[train]]: learn merge rules from a reference corpus. Each
-  *     iteration is one relational pair-count (explode adjacent symbol
-  *     pairs weighted by word frequency, partial-aggregatable sum) and
-  *     one driver argmax (a single row). State (distinct word → symbols)
-  *     is localCheckpoint'ed per iteration — an ITERATIVE Spark job's
-  *     lineage must be cut or the plan tree grows with k. Train on a
-  *     sample at 100 TB (vocabulary converges long before the corpus is
-  *     exhausted — document sampling upstream).
+  *   - [[train]]: learn merge rules from a reference corpus. Each round
+  *     is one relational pair-count (explode adjacent symbol pairs
+  *     weighted by word frequency, partial-aggregatable sum) and one
+  *     driver collect of ≤ batchSize+1 rows that accepts a PROVABLY
+  *     sequential-equivalent batch of disjoint merges (see [[train]]) —
+  *     so a 32k vocabulary is hundreds of rounds, not 32k. State
+  *     (distinct word → symbols) is localCheckpoint'ed per round — an
+  *     ITERATIVE Spark job's lineage must be cut or the plan tree grows
+  *     with k. Train on a sample at 100 TB (vocabulary converges long
+  *     before the corpus is exhausted — document sampling upstream).
   *   - [[encode]] / [[tokenCounts]]: apply frozen merges. The merge table
   *     is small (|vocab| entries) and BROADCAST; encoding is a
   *     per-partition Scala loop (greedy lowest-rank merge to fixpoint,
@@ -81,23 +83,74 @@ object Bpe {
     * object scaladoc for the per-iteration shape). Deterministic: the
     * argmax breaks count ties on the lexicographically smaller pair.
     *
+    * Round-trip shape: one driver round-trip learns up to `batchSize`
+    * merges (not 1), so a 32k-merge vocabulary is hundreds of Spark jobs
+    * rather than 32k sequential ones — the difference between trainable
+    * and not at 100 TB. The batch is PROVABLY identical to the
+    * 1-per-iteration reference algorithm (`batchSize = 1`, equivalence
+    * spec'd in BpeSpec):
+    *
+    * From the ranked pair table (count desc, pair asc), accept the prefix
+    * of pairwise symbol-DISJOINT pairs whose counts strictly exceed the
+    * count at the first overlap (the "stopper"). Soundness: (1) a pair
+    * sharing a symbol with ANY accepted pair must rank at or below the
+    * stopper — it would otherwise have ended the prefix earlier — so its
+    * count ≤ stopper count; (2) merging an accepted (a,b) only creates
+    * pairs like (x, ab), whose count is bounded by the old overlapping
+    * pair (x, a) — ≤ the stopper count by (1); (3) accepted pairs are
+    * mutually disjoint, so their own counts are unchanged by each other's
+    * merges. Hence the sequential argmax, replayed after each accepted
+    * merge, picks exactly the next accepted pair: every created or
+    * decreased pair sits strictly below every accepted count, and
+    * unchanged pairs follow the already-ranked order. Ties among accepted
+    * pairs are safe — their counts never move, so the lexicographic order
+    * already collected is the order sequential replay would use.
+    *
     * @return merges in learned order — index IS the rank
     */
-  def train(reference: DataFrame, textCol: Column, numMerges: Int): Seq[(String, String)] = {
+  def train(reference: DataFrame, textCol: Column, numMerges: Int,
+      batchSize: Int = 64,
+      checkpoint: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): Seq[(String, String)] =
+    trainWithStats(reference, textCol, numMerges, batchSize, checkpoint)._1
+
+  /** [[train]] plus the number of driver round-trips taken (one pair-count
+    * job per round) — exposed for the batching-efficiency spec.
+    *
+    * The per-round lineage cut follows the caller's [[graft.operators.CheckpointStrategy]]
+    * (default Local). Note the durability stakes are LOW here even on a
+    * cluster — the state is re-derivable by replaying the merges learned so
+    * far, and losing it merely fails the training job — so Local is an
+    * acceptable cluster default too; Parquet(dir) makes each round a
+    * restartable artifact (sub-path per round).
+    */
+  private[graft] def trainWithStats(reference: DataFrame, textCol: Column,
+      numMerges: Int, batchSize: Int,
+      checkpoint: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): (Seq[(String, String)], Int) = {
+    import graft.operators.CheckpointStrategy
+    def cut(df: DataFrame, step: String): DataFrame =
+      CheckpointStrategy.materialize(df, checkpoint match {
+        case CheckpointStrategy.Parquet(dir) => CheckpointStrategy.Parquet(s"$dir/$step")
+        case other => other
+      })
     require(numMerges > 0, "numMerges must be positive")
+    require(batchSize > 0, "batchSize must be positive")
     val spark = reference.sparkSession
     import spark.implicits._
-    var state = reference
+    var state = cut(reference
       .select(explode(TextFunctions.wordTokens(textCol)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => (initialSymbols(w), f) }
-      .toDF("syms", "freq")
-      .localCheckpoint()
+      .toDF("syms", "freq"), "init")
     val merges = Vector.newBuilder[(String, String)]
-    var k = 0
+    var got = 0
+    var rounds = 0
     var exhausted = false
-    while (k < numMerges && !exhausted) {
+    while (got < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - got)
+      // +1 row so the stopper's count is visible past the batch window
       val top = state
         .select(explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -105,23 +158,43 @@ object Bpe {
         .groupBy(col("p.0").as("a"), col("p.1").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
       if (top.isEmpty) exhausted = true
       else {
-        val a: String = top(0).getString(0)
-        val b: String = top(0).getString(1)
-        merges += ((a, b))
+        // first candidate sharing a symbol with an earlier one ends the
+        // disjoint prefix and defines the stopper count
+        val seen = scala.collection.mutable.Set.empty[String]
+        var overlapAt = -1
+        for (i <- top.indices if overlapAt < 0) {
+          val (a, b, _) = top(i)
+          if (seen(a) || seen(b)) overlapAt = i
+          else { seen += a; seen += b }
+        }
+        val stopCount: Long =
+          if (overlapAt >= 0) top(overlapAt)._3
+          else if (top.length > want) top.last._3 // unseen tail is ≤ this
+          else Long.MinValue // whole table collected, fully disjoint
+        val prefixEnd = if (overlapAt >= 0) overlapAt else top.length
+        val strict = top.take(prefixEnd).filter(_._3 > stopCount).take(want)
+        // ties straight into the stopper: fall back to the plain
+        // sequential step (always sound)
+        val accepted = if (strict.nonEmpty) strict else top.take(1)
+        accepted.foreach { case (a, b, _) => merges += ((a, b)) }
+        got += accepted.length
+        val batch: Seq[(String, String)] = accepted.map { case (a, b, _) => (a, b) }
         val prev = state
-        state = state
+        state = cut(state
           .as[(Seq[String], Long)]
-          .map { case (syms, f) => (mergeOnce(syms.toVector, a, b), f) }
-          .toDF("syms", "freq")
-          .localCheckpoint()
+          .map { case (syms, f) =>
+            (batch.foldLeft(syms.toVector)((s, p) => mergeOnce(s, p._1, p._2)), f)
+          }
+          .toDF("syms", "freq"), s"round$rounds")
         prev.unpersist()
-        k += 1
       }
     }
-    merges.result()
+    (merges.result(), rounds)
   }
 
   private def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {

@@ -31,6 +31,42 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(Seq("ab").toDF("text"), col("text"), 10).size <= 2)
   }
 
+  test("train: batched merges are sequence-identical to the 1-per-round reference") {
+    // messy overlapping corpus — exercises the overlap stop, the tie
+    // fallback, and multi-round batching
+    val corpus = Seq(
+      "banana bandana ananas banana anna nabab",
+      "banana bandana banana dada abba",
+      "low lower lowest low low slow slower",
+      "banana anna dada abba lowest").toDF("text")
+    val sequential = Bpe.train(corpus, col("text"), numMerges = 20, batchSize = 1)
+    val batched = Bpe.train(corpus, col("text"), numMerges = 20, batchSize = 8)
+    assert(batched === sequential)
+    val wide = Bpe.train(corpus, col("text"), numMerges = 20, batchSize = 64)
+    assert(wide === sequential)
+  }
+
+  test("train: disjoint-heavy fixture batches >=10x fewer driver round-trips") {
+    // 3 waves of 18 two-char words over [a-z0-9], each wave a perfect
+    // matching (pairwise symbol-disjoint), strictly decreasing frequencies
+    // — the shape where the ranked pair table admits wide sound batches
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val wave1 = (0 until 18).map(i => s"${chars(2 * i)}${chars(2 * i + 1)}")
+    val wave2 = (0 until 18).map(i => s"${chars(2 * i + 1)}${chars(2 * i)}")
+    val wave3 = (0 until 18).map(i => s"${chars(2 * i)}${chars((2 * i + 3) % 36)}")
+    val words = wave1 ++ wave2 ++ wave3
+    val rows = words.zipWithIndex.map { case (w, i) => (w + " ") * (1000 - i) }
+    val corpus = rows.toDF("text")
+    val (batched, rounds) = Bpe.trainWithStats(corpus, col("text"),
+      numMerges = 54, batchSize = 64)
+    val (sequential, seqRounds) = Bpe.trainWithStats(corpus, col("text"),
+      numMerges = 54, batchSize = 1)
+    assert(batched === sequential)
+    assert(batched.length === 54)
+    assert(rounds * 10 <= seqRounds,
+      s"expected >=10x fewer round-trips, got $rounds vs $seqRounds")
+  }
+
   test("property: encodeWord token concatenation always reconstructs the word") {
     import org.scalacheck.{Gen, Prop}
     val word = Gen.chooseNum(1, 12).flatMap(n =>
