@@ -1329,24 +1329,27 @@ object Queries {
     * hash-compared.
     */
   def q88CurationFunnel(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{LmScore, Ranks}
+    import graft.operators.{CheckpointStrategy, LmScore, Ranks}
     // gopher verdicts are consumed by the scoring filter AND the final
-    // per-doc join — checkpoint so the regex-heavy rules run once
-    val docs = documents(s, dir)
+    // per-doc join — checkpoint so the regex-heavy rules run once.
+    // Strategy.Local is a DELIBERATE single-JVM choice: this is the probe
+    // harness on local[32]; a cluster pipeline composes the same operators
+    // with Reliable/Parquet (strategy matrix spec'd in DedupSpec)
+    val docs = CheckpointStrategy.materialize(documents(s, dir)
       .withColumn("toks", TextFunctions.wordTokens(col("text")))
       .withColumn("gopher_pass",
         TextAnalysis.gopherRulesPass(col("text"), col("toks")))
-      .drop("toks")
-      .localCheckpoint()
+      .drop("toks"), CheckpointStrategy.Local)
     val model = LmScore.trainTrigramModel(
       documents(s, dir).where(col("doc_id") >= 100), col("text"))
     // materialize ONCE: three consumers (rank, count, join) would each
     // replay the train+score explode pipeline otherwise — the frame itself
     // is survivor-count rows, tiny
-    val scored = LmScore.scoreDocs(docs.where(col("gopher_pass")), "doc_id",
-        col("text"), model)
-      .select(col("id").as("doc_id"), col("avg_logp"))
-      .localCheckpoint()
+    val scored = CheckpointStrategy.materialize(
+      LmScore.scoreDocs(docs.where(col("gopher_pass")), "doc_id",
+          col("text"), model)
+        .select(col("id").as("doc_id"), col("avg_logp")),
+      CheckpointStrategy.Local) // same deliberate single-JVM choice
     val ranked = Ranks.globalRank(scored,
       Seq(col("avg_logp").desc, col("doc_id").asc), "rnk")
     val total = scored.agg(count(lit(1)).as("_m"))

@@ -116,7 +116,8 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, simThreshold: Double,
-      maxClusterSize: Int = 8192, maxSplitDepth: Int = 24): DataFrame = {
+      maxClusterSize: Int = 8192, maxSplitDepth: Int = 24,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     import graft.functions.VectorFunctions
     require(maxClusterSize > 1, "maxClusterSize must exceed 1")
     val wAssign = org.apache.spark.sql.expressions.Window
@@ -147,9 +148,10 @@ object Dedup {
           capClusterSizes(assigned, idCol, vecCol, maxClusterSize, maxSplitDepth)
         (pairsWithin(settled, Seq("cid", "_sub")).unionByName(exactPairs), handles)
       }
-    // dropNearDuplicates resolves components EAGERLY (localCheckpoint
-    // inside resolveClusters), so pairs are fully consumed before release
-    val out = dropNearDuplicates(df, idCol, pairs)
+    // dropNearDuplicates resolves components EAGERLY (the caller's
+    // CheckpointStrategy cut inside resolveClusters), so pairs are fully
+    // consumed before release
+    val out = dropNearDuplicates(df, idCol, pairs, checkpoint)
     assigned.unpersist(false)
     capHandles.foreach(_.unpersist(false))
     out
@@ -546,19 +548,27 @@ object Dedup {
     * the symmetrized edge list and takes the element-wise min; fixpoint in
     * ≤ diameter iterations (near-dup clusters are shallow — chains of
     * mutated copies — so `maxIter` 10 covers real data; the loop exits early
-    * when an iteration changes nothing). `localCheckpoint` truncates the
-    * growing lineage each round.
+    * when an iteration changes nothing). The per-round lineage cut is the
+    * caller's [[CheckpointStrategy]] (default Local — right for
+    * single-JVM runs; pass Reliable/Parquet on a cluster where losing an
+    * executor mid-iteration must not lose the labels). Parquet cuts go to
+    * per-step sub-paths of the given dir, so rounds never overwrite the
+    * frame they are reading.
     *
     * @param pairs DataFrame with `id1`, `id2` columns (id1 < id2)
     * @return (id, rep) — one row per id appearing in any pair
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint()
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    def cut(df: DataFrame, step: String): DataFrame =
+      CheckpointStrategy.materialize(df, checkpoint match {
+        case CheckpointStrategy.Parquet(dir) => CheckpointStrategy.Parquet(s"$dir/$step")
+        case other => other
+      })
+    val edges = cut(pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))), "edges")
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")), "labels0")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -572,12 +582,11 @@ object Dedup {
       // reach (O(log diameter) rounds), so maxIter=10 covers chains of
       // ~2¹⁰ hops that plain neighbor-min would need 1024 rounds for.
       // Every rep is itself a node id, so the self-join always resolves.
-      val jumped = next.as("a")
+      val jumped = cut(next.as("a")
         .join(next.select(col("id").as("_rid"), col("rep").as("_rrep")),
           col("a.rep") === col("_rid"), "left")
         .select(col("a.id").as("id"),
-          coalesce(col("_rrep"), col("a.rep")).as("rep"))
-        .localCheckpoint()
+          coalesce(col("_rrep"), col("a.rep")).as("rep")), s"iter$i")
       converged = jumped.join(labels.withColumnRenamed("rep", "prev"), "id")
         .where(col("rep") =!= col("prev")).isEmpty
       labels = jumped
@@ -594,8 +603,10 @@ object Dedup {
   /** End-to-end keep-min near-dup removal: every row whose id resolves to a
     * cluster representative other than itself is dropped.
     */
-  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = resolveClusters(pairs).where(col("rep") =!= col("id")).select(col("id"))
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val losers = resolveClusters(pairs, checkpoint = checkpoint)
+      .where(col("rep") =!= col("id")).select(col("id"))
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 

@@ -327,6 +327,19 @@ class DedupSpec extends SparkSpec {
     assert(viaParquet == local && reliable == local)
     // the Parquet cut is a durable artifact: re-readable after the fact
     assert(spark.read.parquet(s"$pqDir/pairs").count() == 1)
+    // the ITERATIVE cluster-resolution path (under q48/q67/q87 and the
+    // q88-style funnels) also honors the full matrix — Parquet rounds land
+    // in per-step sub-paths so no round overwrites the frame it reads
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    def resolve(s: CheckpointStrategy) =
+      Dedup.resolveClusters(chain, checkpoint = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+    assert(resolve(CheckpointStrategy.Local) == expect)
+    assert(resolve(CheckpointStrategy.Reliable) == expect)
+    val rcDir = java.nio.file.Files.createTempDirectory("ckpt-rc").toString
+    assert(resolve(CheckpointStrategy.Parquet(s"$rcDir/rc")) == expect)
+    assert(spark.read.parquet(s"$rcDir/rc/labels0").count() == 6)
   }
 
   test("simhash: identical docs identical; near docs close in Hamming distance") {
