@@ -35,6 +35,23 @@ object OracleSql {
   private val splitT1: Long = (0.8 * math.pow(2.0, 60)).toLong
   private val splitT2: Long = ((0.8 + 0.1) * math.pow(2.0, 60)).toLong
 
+  /** q112 hyperplane weights — generated from the SAME function the Spark
+    * operator uses (Search.seededLshWeight), so the two spellings cannot
+    * drift: (table, bit, dim-index, ±1) rows for 4 tables × 8 bits × 64
+    * dims.
+    */
+  private val lshWeights: String =
+    (for { t <- 0 until 4; k <- 0 until 8; i <- 0 until 64 }
+      yield s"($t,$k,$i,${graft.operators.Search.seededLshWeight(t, k, i)})")
+      .mkString(",")
+
+  /** q47's stopword list — the exact MLlib english default the Spark
+    * pipeline's StopWordsRemover applies, embedded as VALUES rows.
+    */
+  private val stopWords: String =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english")
+      .map(w => "('" + w.replace("'", "''") + "')").mkString(",")
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -894,6 +911,67 @@ b AS (SELECT min(c) AS mn, max(c) AS mx FROM c)
 SELECT (c.c - b.mn) * 10 // (b.mx - b.mn + 1) AS bucket,
   count(*) AS n, CAST(sum(c.c) AS BIGINT) AS cents_sum
 FROM c, b GROUP BY bucket ORDER BY bucket""",
+
+    // Seeded deterministic LSH (q112): the q75 int8 quantization, ±1
+    // md5-parity hyperplanes (generated from Search.seededLshWeight — one
+    // source of truth), 4 tables × 8 sign bits → integer band buckets,
+    // distinct candidate pairs, exact quantized-cosine ≥ 0.3 verification.
+    "q112_seeded_lsh" ->
+      raw"""WITH wt(t,k,i,w) AS (VALUES $lshWeights),
+sc AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+  FROM embeddings),
+c AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
+  FROM sc),
+proj AS (
+  SELECT c.vec_id, wt.t, wt.k, sum(codes[wt.i + 1] * wt.w) AS p
+  FROM c, wt GROUP BY c.vec_id, wt.t, wt.k),
+bk AS (
+  SELECT vec_id, t, sum(CASE WHEN p >= 0 THEN 1 << k ELSE 0 END) AS b
+  FROM proj GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id),
+ver AS (
+  SELECT cand.id1, cand.id2,
+    list_inner_product(c1.codes, c2.codes) AS dp,
+    list_inner_product(c1.codes, c1.codes) AS n1,
+    list_inner_product(c2.codes, c2.codes) AS n2
+  FROM cand
+  JOIN c c1 ON c1.vec_id = cand.id1
+  JOIN c c2 ON c2.vec_id = cand.id2)
+SELECT id1, id2,
+  floor(1000 * dp / (sqrt(n1) * sqrt(n2))) / 1 AS cos8_m
+FROM ver
+WHERE n1 > 0 AND n2 > 0 AND dp / (sqrt(n1) * sqrt(n2)) >= 0.3
+ORDER BY id1, id2""",
+
+    // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
+    // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
+    // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;
+    // n_active_terms = vocabulary terms present in the doc with idf > 0
+    // (idf = ln((N+1)/(df+1)) = 0 ⟺ df = N).
+    "q47_tfidf" ->
+      raw"""WITH sw(w) AS (VALUES $stopWords),
+tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 200),
+terms AS (
+  SELECT DISTINCT doc_id, t.term FROM tk, unnest(tk) AS t(term)
+  WHERE t.term NOT IN (SELECT w FROM sw)),
+dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+vocab AS (
+  SELECT term, df FROM dfreq WHERE df >= 2
+  ORDER BY df DESC, term ASC LIMIT 128),
+nd AS (SELECT count(*) AS n FROM tk),
+act AS (
+  SELECT t.doc_id, count(*) AS n_active
+  FROM terms t JOIN vocab v USING (term), nd
+  WHERE v.df < nd.n GROUP BY t.doc_id)
+SELECT tk.doc_id, CAST(coalesce(act.n_active, 0) AS INT) AS n_active_terms
+FROM tk LEFT JOIN act USING (doc_id) ORDER BY doc_id""",
 
     // Real-audio-decode probe (q81, the q45 pattern for WAV): Spark encodes
     // formula PCM16 samples as real RIFF containers and decodes them with

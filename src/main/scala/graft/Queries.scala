@@ -633,8 +633,11 @@ object Queries {
         round(dsum2(col("value")), 2).as("sum_value"))
       .orderBy(col("c_mktsegment"))
 
-  /** Q47 — MLlib tf-idf features (V5 classical path; rows-only: learned
-    * vocabulary makes the vector contents data-order-dependent).
+  /** Q47 — MLlib tf-idf features (V5 classical path). Oracle-green since
+    * round 6: the vocabulary is PINNED by an explicit (df desc, term asc)
+    * total-order sort (TextFeatures scaladoc), so n_active_terms — the
+    * count of vocabulary terms present in the doc with idf > 0 — is
+    * engine-exact and DuckDB replays the whole selection.
     */
   def q47Tfidf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
@@ -1797,6 +1800,18 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Q112 — seeded DETERMINISTIC LSH near-dup pairs (V3's hash-matchable
+    * twin of the MLlib q43 tier): signed random projections over int8
+    * codes with an md5-parity ±1 hyperplane family — integer buckets,
+    * integer dots, so the DuckDB oracle replays the exact pair set,
+    * candidate generation and all (Search.seededLshPairs). q43 keeps
+    * covering the MLlib surface; this probe closes its oracle gap.
+    */
+  def q112SeededLsh(s: SparkSession, dir: String): DataFrame =
+    operators.Search.seededLshPairs(embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, numTables = 4, bitsPerTable = 8, simThreshold = 0.3)
+      .orderBy(col("id1"), col("id2"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1910,5 +1925,6 @@ object Queries {
     "q109_funnel" -> q109Funnel _,
     "q110_retention" -> q110Retention _,
     "q111_histogram" -> q111Histogram _,
+    "q112_seeded_lsh" -> q112SeededLsh _,
   )
 }

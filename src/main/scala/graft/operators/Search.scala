@@ -801,6 +801,66 @@ object Search {
     }.toSeq
   }
 
+  /** The ±1 hyperplane weight for (table, bit, dim-index) in
+    * [[seededLshPairs]]: parity of the first hex digit of
+    * md5("t_k_i") — portable (DuckDB computes the same md5 of the same
+    * string), so the whole hash family is pinned by construction, not by a
+    * PRNG seed.
+    */
+  def seededLshWeight(t: Int, k: Int, i: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${k}_${i}".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 1) == 0) 1 else -1
+  }
+
+  /** Seeded, fully DETERMINISTIC LSH near-dup pairs — the hash-matchable
+    * twin of the MLlib tier ([[LshIndex]], q43). Signed random projections
+    * (Charikar 2002, SimHash for vectors) over int8-QUANTIZED codes:
+    *
+    *   - codes = symmetric int8 quantization (the q75 storage tier) —
+    *     integer arithmetic end to end, so buckets are engine-exact;
+    *   - bit (t,k) = sign(Σᵢ codeᵢ · w) with w = ±1 from md5 parity
+    *     ([[seededLshWeight]]) — a FIXED hash family, no PRNG, no
+    *     data-order dependence;
+    *   - candidates = rows sharing a (table, bucket) band key, distinct
+    *     across tables, verified on exact quantized cosine ≥ threshold.
+    *
+    * Scale shape matches the other dedup tiers: one narrow pass computes
+    * codes+buckets, the only shuffle is the band join on (t, bucket) —
+    * never all-pairs — and verification touches candidate pairs only.
+    *
+    * @return (id1, id2, cos8_m) — id1 < id2, cos8_m = floor(1000·cosine)
+    */
+  def seededLshPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numTables: Int = 4, bitsPerTable: Int = 12,
+      simThreshold: Double = 0.9): DataFrame = {
+    require(numTables > 0 && bitsPerTable > 0 && bitsPerTable < 31)
+    val codes = df.select(col(idCol).as("_id"), i8Codes(col(vecCol)).as("_c"))
+    val bucketCols = (0 until numTables).map { t =>
+      val bits = (0 until bitsPerTable).map { k =>
+        val w = typedLit((0 until dim).map(i => seededLshWeight(t, k, i)))
+        val proj = aggregate(zip_with(col("_c"), w, (c, wi) => (c * wi).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << k)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
+    }
+    val banded = codes
+      .withColumn("_tb", explode(array(bucketCols: _*)))
+      .select(col("_id"), col("_tb.t").as("_t"), col("_tb.bucket").as("_b"), col("_c"))
+    val candidates = banded.select(col("_t"), col("_b"), col("_id").as("id1"), col("_c").as("_c1"))
+      .join(banded.select(col("_t"), col("_b"), col("_id").as("id2"), col("_c").as("_c2")),
+        Seq("_t", "_b"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("_c1"), col("_c2"))
+      .dropDuplicates("id1", "id2")
+    candidates
+      .withColumn("_cos", i8Cosine(col("_c1"), col("_c2")))
+      .where(col("_cos") >= simThreshold)
+      .select(col("id1"), col("id2"),
+        (floor(col("_cos") * 1000) / 1).as("cos8_m"))
+  }
+
   /** MLlib BucketedRandomProjectionLSH wrapper over `array<float>` columns
     * (converts to ml Vector only at the boundary — SURVEY.md §7.4 risk 6).
     */

@@ -635,6 +635,37 @@ class SearchSpec extends SparkSpec {
     assert(s2 > 0.5, s"anti-similar bonus missing: $s2")
   }
 
+  test("seededLshPairs: pinned hash family, data-order determinism, band-join plan") {
+    import spark.implicits._
+    // the hash family is pinned by md5 parity — golden values so a hashing
+    // change can never slip through silently (the oracle twin generates its
+    // weight table from the same function)
+    assert(Search.seededLshWeight(0, 0, 0) === 1)
+    assert(Search.seededLshWeight(0, 0, 1) === -1)
+    assert(Search.seededLshWeight(1, 4, 10) === 1)
+    assert(Search.seededLshWeight(3, 7, 63) === -1)
+    val dim = 16
+    def vec(seed: Int, bump: Float = 0f): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat + (if (i == 0) bump else 0f))
+    // planted near-identical pair (1,2) + unrelated vectors
+    val rows = Seq(
+      (1L, vec(1)), (2L, vec(1, 0.01f)),
+      (3L, vec(7)), (4L, vec(13)), (5L, vec(29))).toDF("id", "v")
+    val pairs = Search.seededLshPairs(rows, "id", "v", dim,
+      numTables = 4, bitsPerTable = 6, simThreshold = 0.9)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"planted near-dup must collide, got $got")
+    // determinism under a different physical layout (the MLlib tier's
+    // data-order dependence is exactly what this operator removes)
+    val reshuffled = Search.seededLshPairs(rows.repartition(7), "id", "v", dim,
+      numTables = 4, bitsPerTable = 6, simThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reshuffled === got)
+    // candidate generation is a band equi-join, never a cartesian pair scan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(800))
+  }
+
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
     val plan = Queries.q03RegionCustomers(spark, sf001)
       .queryExecution.executedPlan.toString
