@@ -35,9 +35,13 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     transparently; password-protected files throw (quarantine).
   *     Composite fonts (round-5): Type0 /Identity-H without ToUnicode
   *     falls back to the embedded TrueType program's own `cmap` table
-  *     (inverted GID→Unicode), honoring /CIDToGIDMap streams. Still NOT a
-  *     full PDF renderer: no public-key encryption, no predefined ordered
-  *     CJK CMaps (those fall through to byte identity).
+  *     (inverted GID→Unicode), honoring /CIDToGIDMap streams. Predefined
+  *     CJK CMaps (round-6, §9.7.5.2 Table 118): the Uni{GB,CNS,JIS,KS}
+  *     UCS2/UTF16 families decode as UTF-16BE (their code space IS
+  *     Unicode) and the EUC/RKSJ/UHC/GBK/Big5 families decode via the
+  *     exact JDK charset twins; the Mac-script/JIS78 leftovers THROW to
+  *     quarantine instead of mis-decoding. Still NOT a full PDF renderer:
+  *     no public-key encryption, no Type3 fonts, no LZW/RunLength filters.
   */
 object DocFormats {
 
@@ -910,6 +914,93 @@ object DocFormats {
       }
     }
 
+    /** Charset-backed decoder for predefined CJK CMap encodings (PDF-1.7
+      * §9.7.5.2, Table 118): the CODE side of these CMaps is a well-known
+      * character encoding by construction — UTF-16BE for the
+      * Uni{GB,CNS,JIS,KS}-{UCS2,UTF16} families, a legacy CJK charset
+      * (EUC/Shift-JIS/UHC/GBK/Big5) for the rest — and the CID side only
+      * matters for glyph rendering, so TEXT EXTRACTION decodes the
+      * show-string bytes directly with the JDK charset twin. Undefined
+      * byte sequences become U+FFFD (never mis-decoded as another
+      * character): the JDK decoders REPLACE malformed input under
+      * `Charset.decode`.
+      */
+    private final class CjkCharsetDecoder(cs: java.nio.charset.Charset) extends FontDecoder {
+      def decode(raw: String): String = {
+        val bytes = new Array[Byte](raw.length)
+        var i = 0
+        while (i < raw.length) { bytes(i) = raw.charAt(i).toByte; i += 1 }
+        cs.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      }
+    }
+
+    /** Predefined CMap name → JDK charset name, for every Table-118 CMap
+      * whose code space has an exact (or cleanly-degrading) JDK twin:
+      *
+      *   - `UniXX-UCS2/UTF16`: codes ARE UTF-16BE Unicode (the Adobe CMap
+      *     maps Unicode → collection CIDs; extraction needs no CID step);
+      *   - `GB-EUC` = EUC-CN/GB2312, `GBK-EUC` = GBK, `GBK2K` = GB18030;
+      *   - `ETen-B5` = Big5 (ETen extension rows decode to U+FFFD — absent
+      *     from JDK Big5, never wrong), `ETenms-B5` = code page 950;
+      *   - `90ms/90msp-RKSJ` = code page 932 (windows-31j), `EUC` = EUC-JP;
+      *   - `KSC-EUC` = EUC-KR, `KSCms-UHC(-HW)` = code page 949 (the HW
+      *     variant only remaps ASCII to halfwidth CIDs — byte→Unicode is
+      *     unchanged).
+      *
+      * H/V suffixes share bytes (V is vertical layout only).
+      */
+    private val predefinedCMapCharsets: Map[String, String] = {
+      val unicodeCoded = for {
+        coll <- Seq("GB", "CNS", "JIS", "KS")
+        form <- Seq("UCS2", "UTF16")
+        dir <- Seq("H", "V")
+      } yield s"Uni$coll-$form-$dir" -> "UTF-16BE"
+      val legacy = for {
+        (base, cs) <- Seq(
+          "GB-EUC" -> "GB2312", "GBK-EUC" -> "GBK", "GBK2K" -> "GB18030",
+          "ETen-B5" -> "Big5", "ETenms-B5" -> "x-windows-950",
+          "90ms-RKSJ" -> "windows-31j", "90msp-RKSJ" -> "windows-31j",
+          "EUC" -> "EUC-JP",
+          "KSC-EUC" -> "EUC-KR", "KSCms-UHC" -> "x-windows-949",
+          "KSCms-UHC-HW" -> "x-windows-949")
+        dir <- Seq("H", "V")
+      } yield s"$base-$dir" -> cs
+      (unicodeCoded ++ legacy).toMap
+    }
+
+    /** The remaining Table-118 names — Mac-script and JIS78-era variants
+      * with no exact JDK charset. A Type0 font using one of these THROWS
+      * (quarantine contract): byte-identity fall-through would extract
+      * garbage silently, which is worse than an honest quarantine.
+      */
+    private val predefinedCMapUnsupported: Set[String] = (for {
+      base <- Seq("GBpc-EUC", "GBKp-EUC", "B5pc", "HKscs-B5", "CNS-EUC",
+        "83pv-RKSJ", "90pv-RKSJ", "Add-RKSJ", "Ext-RKSJ", "KSCpc-EUC", "H", "V")
+      dir <- Seq("H", "V")
+      name <- Seq(if (base == "H" || base == "V") base else s"$base-$dir")
+    } yield name).toSet
+
+    /** A Type0 font with a predefined non-Identity CMap /Encoding name
+      * (PDF-1.7 §9.7.5.2): decode via the JDK charset twin when one exists,
+      * quarantine when the name is a known predefined CMap without one,
+      * and fall through (None) for indirect/embedded CMap streams.
+      */
+    private def predefinedCMapDecoder(font: PdfObj): Option[FontDecoder] = {
+      if (!font.dict.contains("/Type0")) return None
+      val enc = """/Encoding\s*/([\w-]+)""".r.findFirstMatchIn(font.dict)
+        .map(_.group(1)).getOrElse(return None)
+      if (enc.startsWith("Identity")) return None // cidFontDecoder's case
+      predefinedCMapCharsets.get(enc) match {
+        case Some(cs) =>
+          Some(new CjkCharsetDecoder(java.nio.charset.Charset.forName(cs)))
+        case None if predefinedCMapUnsupported(enc) =>
+          throw new IllegalArgumentException(
+            s"unsupported predefined CMap /$enc (no exact JDK charset twin) " +
+              "— quarantined rather than mis-decoded")
+        case None => None // an embedded CMap name/stream — not predefined
+      }
+    }
+
     /** Code→unicode table decoder (`codeLen` 1 or 2 bytes per code, per the
       * CMap's codespacerange). Unmapped 1-byte codes pass through as
       * themselves (the PyMuPDF-ish graceful default); unmapped 2-byte codes
@@ -988,7 +1079,8 @@ object DocFormats {
       toUnicode.map(parseToUnicodeCMap) match {
         case Some(d) => d
         case None =>
-          cidFontDecoder(font, byNum)
+          predefinedCMapDecoder(font)
+            .orElse(cidFontDecoder(font, byNum))
             .orElse(encodingDifferences(font, byNum).map(new MapDecoder(_, 1)))
             .getOrElse(IdentityDecoder)
       }

@@ -519,6 +519,57 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(cidPdf(content, font, "7 0 R", extra)) == "BA")
   }
 
+  /** A single-page PDF drawing `hexStrBody` with a Type0 font under the
+    * given predefined CMap /Encoding name — the crawl-scale CJK layout
+    * (PDF-1.7 §9.7.5.2, Table 118).
+    */
+  private def cjkPdf(encoding: String, hexStrBody: String): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td <$hexStrBody> Tj ET"
+    ("%PDF-1.4\n" +
+      s"1 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "2 0 obj << /Type /Page /Resources << /Font << /F1 3 0 R >> >> >> endobj\n" +
+      s"3 0 obj << /Type /Font /Subtype /Type0 /BaseFont /S /Encoding /$encoding " +
+      "/DescendantFonts [4 0 R] >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /CIDFontType0 /BaseFont /S >> endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  private def toHex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+
+  test("MinimalPdf: predefined CJK CMaps decode (UTF-16 + legacy charsets); Mac variants quarantine") {
+    import graft.sources.DocFormats.MinimalPdf
+    // UniGB-UCS2-H: the code space IS UCS-2 — the dominant modern CJK layout
+    val zh = "你好世界" // 你好世界
+    assert(MinimalPdf.extractText(
+      cjkPdf("UniGB-UCS2-H", toHex(zh.getBytes("UTF-16BE")))) == zh)
+    // UniJIS-UTF16-H with a non-BMP-free Japanese string
+    val ja = "日本語テスト" // 日本語テスト
+    assert(MinimalPdf.extractText(
+      cjkPdf("UniJIS-UTF16-H", toHex(ja.getBytes("UTF-16BE")))) == ja)
+    // GBK-EUC-H: legacy GBK bytes (JDK charset twin), mixed with ASCII —
+    // RKSJ/EUC/UHC-style variable-width streams decode whole, not per code
+    val gb = "abc中文" // abc中文
+    assert(MinimalPdf.extractText(
+      cjkPdf("GBK-EUC-H", toHex(gb.getBytes("GBK")))) == gb)
+    // 90ms-RKSJ-H: Shift-JIS (code page 932), 1- and 2-byte codes mixed
+    val sj = "Testカタカナ" // Testカタカナ
+    assert(MinimalPdf.extractText(
+      cjkPdf("90ms-RKSJ-H", toHex(sj.getBytes("windows-31j")))) == sj)
+    // KSCms-UHC-H: Korean UHC (code page 949)
+    val ko = "한국어" // 한국어
+    assert(MinimalPdf.extractText(
+      cjkPdf("KSCms-UHC-H", toHex(ko.getBytes("x-windows-949")))) == ko)
+    // a known predefined CMap WITHOUT a JDK twin throws (quarantine) —
+    // byte-identity garbage would be a silent wrong answer
+    val ex = intercept[IllegalArgumentException](
+      MinimalPdf.extractText(cjkPdf("Add-RKSJ-H", "41")))
+    assert(ex.getMessage.contains("Add-RKSJ-H"))
+    // undefined bytes in a supported legacy charset become U+FFFD, never
+    // another character (JDK decoders replace malformed input)
+    val bad = MinimalPdf.extractText(cjkPdf("GBK-EUC-H", "ff3f"))
+    assert(bad.contains("�"))
+  }
+
   // ------------------- PDF encryption (standard security handler, §7.6.3)
   // Fixtures are built from the SAME Crypto primitives the reader decrypts
   // with — every value (O, U, UE, file key, per-object keys) is computed by
