@@ -40,8 +40,12 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     UCS2/UTF16 families decode as UTF-16BE (their code space IS
   *     Unicode) and the EUC/RKSJ/UHC/GBK/Big5 families decode via the
   *     exact JDK charset twins; the Mac-script/JIS78 leftovers THROW to
-  *     quarantine instead of mis-decoding. Still NOT a full PDF renderer:
-  *     no public-key encryption, no Type3 fonts, no LZW/RunLength filters.
+  *     quarantine instead of mis-decoding. Stream filters (round-6): the
+  *     full TEXT-capable chain decodes — Flate, LZW (incl. /EarlyChange),
+  *     RunLength, ASCIIHex, ASCII85, composed in /Filter array order;
+  *     image codecs (DCT/CCITT/JBIG2/JPX) are skipped, they never carry
+  *     text. Still NOT a full PDF renderer: no public-key encryption, no
+  *     Type3 fonts, no OCR for scanned pages.
   */
 object DocFormats {
 
@@ -399,13 +403,7 @@ object DocFormats {
                   d(m.group(1).toInt, m.group(2).toInt, stored)
                 case _ => stored
               }
-              val otherFilter = Seq("/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode",
-                "/RunLengthDecode", "/DCTDecode", "/CCITTFaxDecode", "/JBIG2Decode",
-                "/JPXDecode", "/Crypt").exists(dict.contains)
-              if (otherFilter) None
-              else if (dict.contains("/FlateDecode"))
-                Some(applyDecodeParms(dict, inflate(raw)))
-              else Some(raw)
+              decodeFilters(dict, raw)
             }
           }
         cursor =
@@ -1250,6 +1248,194 @@ object DocFormats {
       * error, never a silent partial page — lenient ingestion routes the
       * file to quarantine, strict ingestion fails it.
       */
+    /** The `/Filter` names of a stream dict, in application order: a single
+      * name or an array form `[/A /B]`. An indirect (`N 0 R`) filter value
+      * yields a sentinel no decoder matches, so the stream is skipped.
+      */
+    private def filterChain(dict: String): Seq[String] = {
+      val at = """/Filter(?![\w])""".r.findFirstMatchIn(dict)
+        .map(_.end).getOrElse(return Nil)
+      val after = dict.drop(at).dropWhile(_.isWhitespace)
+      if (after.startsWith("[")) {
+        val end = after.indexOf(']')
+        val body = if (end >= 0) after.substring(1, end) else after.drop(1)
+        """/[A-Za-z0-9]+""".r.findAllIn(body).toSeq
+      } else if (after.startsWith("/"))
+        """^/[A-Za-z0-9]+""".r.findFirstIn(after).toSeq
+      else Seq("<indirect>")
+    }
+
+    /** Run a stream's full filter chain (PDF-1.7 §7.4). Every TEXT-capable
+      * filter decodes — Flate, LZW (§7.4.4, incl. /EarlyChange), RunLength
+      * (§7.4.5), ASCIIHex (§7.4.2), ASCII85 (§7.4.3), chained in order (the
+      * `[/ASCII85Decode /FlateDecode]` mail-safe wrapping is the common
+      * composition). Image codecs (DCT/CCITT/JBIG2/JPX) and /Crypt filters
+      * yield None — they never carry text operators. Malformed payloads
+      * under a supported filter THROW (quarantine), exactly like pure-Flate
+      * corruption.
+      */
+    private def decodeFilters(dict: String, raw: Array[Byte]): Option[Array[Byte]] = {
+      val filters = filterChain(dict)
+      if (filters.isEmpty) return Some(raw)
+      filters.foldLeft(Option(raw)) { (acc, f) =>
+        acc.flatMap { data =>
+          f match {
+            case "/FlateDecode" => Some(applyDecodeParms(dict, inflate(data)))
+            case "/LZWDecode" =>
+              val early = """/EarlyChange\s+(\d+)""".r.findFirstMatchIn(dict)
+                .forall(_.group(1) != "0") // default 1 (§7.4.4.3)
+              Some(applyDecodeParms(dict, lzwDecode(data, early)))
+            case "/RunLengthDecode" => Some(runLengthDecode(data))
+            case "/ASCIIHexDecode" => Some(asciiHexDecode(data))
+            case "/ASCII85Decode" => Some(ascii85Decode(data))
+            case _ => None // image/crypt/unknown codecs — never text
+          }
+        }
+      }
+    }
+
+    /** LZW per PDF-1.7 §7.4.4 (the TIFF variant): 8-bit samples, codes
+      * MSB-first starting at 9 bits, 256 = clear-table, 257 = EOD, table
+      * capped at 4096 entries; `earlyChange` widens the code one entry
+      * early (the spec default). Handles the KwKwK self-reference case.
+      */
+    private[graft] def lzwDecode(data: Array[Byte], earlyChange: Boolean): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+      def resetTable(): Unit = {
+        table.clear()
+        var i = 0
+        while (i < 256) { table += Array(i.toByte); i += 1 }
+        table += null; table += null // 256 clear, 257 EOD — never dereferenced
+      }
+      resetTable()
+      val early = if (earlyChange) 1 else 0
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      var done = false
+      while (!done) {
+        while (bitCnt < width && pos < data.length) {
+          bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+        }
+        if (bitCnt < width) done = true // trailing pad bits — EOD-less writers
+        else {
+          val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) { resetTable(); width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry =
+              if (code < table.length && table(code) != null) table(code)
+              else if (code == table.length && prev != null) prev :+ prev(0) // KwKwK
+              else throw new IllegalArgumentException(
+                s"malformed LZWDecode stream: code $code before its entry exists")
+            out.write(entry)
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            prev = entry
+            if (table.length + early >= (1 << width) && width < 12) width += 1
+          }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** RunLength per PDF-1.7 §7.4.5: length byte 0–127 copies the next
+      * length+1 bytes, 129–255 repeats the next byte 257−length times,
+      * 128 is EOD. Truncated payloads throw (quarantine).
+      */
+    private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val l = data(i) & 0xff; i += 1
+        if (l == 128) done = true
+        else if (l < 128) {
+          if (i + l + 1 > data.length)
+            throw new IllegalArgumentException("truncated RunLengthDecode literal run")
+          out.write(data, i, l + 1); i += l + 1
+        } else {
+          if (i >= data.length)
+            throw new IllegalArgumentException("truncated RunLengthDecode repeat run")
+          val b = data(i); i += 1
+          var k = 257 - l
+          while (k > 0) { out.write(b); k -= 1 }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** ASCIIHex per PDF-1.7 §7.4.2: hex digits, whitespace ignored, `>`
+      * EOD, an odd final digit implies a trailing 0 nibble.
+      */
+    private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var hi = -1
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val c = data(i).toChar; i += 1
+        if (c == '>') done = true
+        else if (!c.isWhitespace) {
+          val v = Character.digit(c, 16)
+          if (v < 0)
+            throw new IllegalArgumentException(s"malformed ASCIIHexDecode byte '$c'")
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      if (hi >= 0) out.write(hi << 4)
+      out.toByteArray
+    }
+
+    /** ASCII85 per PDF-1.7 §7.4.3: 5 chars of '!'..'u' → 4 bytes base 85,
+      * `z` = four zero bytes (only between groups), whitespace ignored,
+      * `~>` EOD; a partial final group of n chars yields n−1 bytes (padded
+      * with 'u' before truncation). A lone trailing digit is malformed.
+      */
+    private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val grp = new Array[Int](5)
+      var n = 0
+      var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+      var done = false
+      def flush(count: Int): Unit = {
+        var v = 0L
+        var k = 0
+        while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+        var b = 0
+        while (b < count - 1) { out.write(((v >> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+      }
+      while (i < data.length && !done) {
+        val c = data(i).toChar; i += 1
+        if (c == '~') done = true
+        else if (c.isWhitespace) ()
+        else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+        else if (c < '!' || c > 'u')
+          throw new IllegalArgumentException(s"malformed ASCII85Decode byte '$c'")
+        else {
+          grp(n) = c - '!'; n += 1
+          if (n == 5) {
+            var v = 0L
+            var k = 0
+            while (k < 5) { v = v * 85 + grp(k); k += 1 }
+            if (v > 0xffffffffL)
+              throw new IllegalArgumentException("ASCII85Decode group overflows 2^32")
+            out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+            out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+            n = 0
+          }
+        }
+      }
+      if (n == 1)
+        throw new IllegalArgumentException("malformed ASCII85Decode: lone trailing digit")
+      if (n > 1) flush(n)
+      out.toByteArray
+    }
+
     private def inflate(data: Array[Byte]): Array[Byte] = {
       val inf = new Inflater()
       try {

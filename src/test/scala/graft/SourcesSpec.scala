@@ -570,6 +570,121 @@ class SourcesSpec extends SparkSpec {
     assert(bad.contains("�"))
   }
 
+  /** Reference LZW encoder (TIFF/PDF variant) for round-trip tests —
+    * built independently from §7.4.4: clear code first, MSB-first bit
+    * packing, width widens when the next-to-assign entry (+1 with early
+    * change) reaches the width's ceiling, including the virtual entry the
+    * decoder adds for the final flushed code.
+    */
+  private def lzwEncode(data: Array[Byte], earlyChange: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    val early = if (earlyChange) 1 else 0
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+    (0 until 256).foreach(b => dict(Seq(b.toByte)) = b)
+    var next = 258
+    put(256)
+    var w = Seq.empty[Byte]
+    def widen(): Unit = if (next - 1 + early >= (1 << width) && width < 12) width += 1
+    for (b <- data) {
+      val wk = w :+ b
+      if (dict.contains(wk)) w = wk
+      else {
+        put(dict(w))
+        if (next < 4096) { dict(wk) = next; next += 1; widen() }
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) { put(dict(w)); next += 1; widen() } // decoder adds for the flush too
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def ascii85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      for (k <- 0 until 4) v = (v << 8) | (if (i + k < data.length) data(i + k) & 0xff else 0)
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val digits = new Array[Char](5)
+        var rem = v
+        for (k <- 4 to 0 by -1) { digits(k) = ('!' + (rem % 85).toInt).toChar; rem /= 85 }
+        sb.appendAll(digits, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  test("MinimalPdf filters: LZW/RunLength/ASCIIHex/ASCII85 decode per spec") {
+    import graft.sources.DocFormats.MinimalPdf
+    // LZW round-trips, both EarlyChange settings, across the 9→10-bit
+    // width boundary and the KwKwK self-reference case
+    val samples = Seq(
+      "aaaaaaaaaa".getBytes("US-ASCII"),                       // KwKwK
+      "TOBEORNOTTOBEORTOBEORNOT".getBytes("US-ASCII"),
+      Array.tabulate[Byte](5000)(i => ((i * i * 31 + i * 7) % 251).toByte)) // crosses widths
+    for (s <- samples; early <- Seq(true, false)) {
+      val rt = MinimalPdf.lzwDecode(lzwEncode(s, early), early)
+      assert(java.util.Arrays.equals(rt, s), s"LZW round-trip failed (early=$early, n=${s.length})")
+    }
+    intercept[IllegalArgumentException](
+      MinimalPdf.lzwDecode(Array[Byte](0x7f, -1, -1, -1), earlyChange = true))
+    // RunLength: literal run + repeat run + EOD; truncations throw
+    val rle = Array[Byte](2, 'a', 'b', 'c', (257 - 4).toByte, 'x', 128.toByte)
+    assert(new String(MinimalPdf.runLengthDecode(rle), "US-ASCII") == "abcxxxx")
+    intercept[IllegalArgumentException](MinimalPdf.runLengthDecode(Array[Byte](5, 'a')))
+    intercept[IllegalArgumentException](MinimalPdf.runLengthDecode(Array[Byte](200.toByte)))
+    // ASCIIHex: whitespace, EOD, odd-digit pad; bad digit throws
+    assert(new String(MinimalPdf.asciiHexDecode("48 65 6c6C 6F>".getBytes), "US-ASCII") == "Hello")
+    assert(MinimalPdf.asciiHexDecode("7>".getBytes).toSeq == Seq(0x70.toByte))
+    intercept[IllegalArgumentException](MinimalPdf.asciiHexDecode("4g>".getBytes))
+    // ASCII85: the classic "Man " vector, partial group, z shorthand
+    assert(new String(MinimalPdf.ascii85Decode("9jqo^~>".getBytes), "US-ASCII") == "Man ")
+    assert(new String(MinimalPdf.ascii85Decode("9jqo~>".getBytes), "US-ASCII") == "Man")
+    assert(MinimalPdf.ascii85Decode("z~>".getBytes).toSeq == Seq[Byte](0, 0, 0, 0))
+    intercept[IllegalArgumentException](MinimalPdf.ascii85Decode("9jqo^!~>".getBytes))
+    // encoder/decoder agree on arbitrary bytes
+    val blob = Array.tabulate[Byte](997)(i => ((i * 131 + 17) % 256).toByte)
+    assert(java.util.Arrays.equals(
+      MinimalPdf.ascii85Decode(ascii85Encode(blob).getBytes), blob))
+  }
+
+  test("MinimalPdf filters: chained and non-Flate content streams extract") {
+    import graft.sources.DocFormats.MinimalPdf
+    def pdfWith(filter: String, payload: Array[Byte]): Array[Byte] = {
+      val p = new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+      ("%PDF-1.4\n" +
+        s"1 0 obj << /Length ${payload.length} /Filter $filter >> stream\n$p\nendstream endobj\n" +
+        "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val content = "BT /F1 12 Tf 72 720 Td (filtered text) Tj ET"
+    // LZW-compressed content stream (the pre-Flate PDF compression)
+    assert(MinimalPdf.extractText(
+      pdfWith("/LZWDecode", lzwEncode(content.getBytes("US-ASCII"), earlyChange = true)))
+      == "filtered text")
+    // RunLength
+    val rle = content.getBytes("US-ASCII").grouped(127).flatMap(g =>
+      (g.length - 1).toByte +: g).toArray :+ 128.toByte
+    assert(MinimalPdf.extractText(pdfWith("/RunLengthDecode", rle)) == "filtered text")
+    // the mail-safe chain: deflate, then ASCII85 — decoded in array order
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes("US-ASCII")); deflater.finish()
+    val zbuf = new Array[Byte](4096)
+    val zlen = deflater.deflate(zbuf); deflater.end()
+    val chained = ascii85Encode(java.util.Arrays.copyOf(zbuf, zlen)).getBytes("US-ASCII")
+    assert(MinimalPdf.extractText(
+      pdfWith("[/ASCII85Decode /FlateDecode]", chained)) == "filtered text")
+  }
+
   // ------------------- PDF encryption (standard security handler, §7.6.3)
   // Fixtures are built from the SAME Crypto primitives the reader decrypts
   // with — every value (O, U, UE, file key, per-object keys) is computed by
