@@ -12,9 +12,16 @@ object Verify {
       case Array(a, b, f) => (a, b, Some(f))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Partitioning-assumption sweep knobs (BASELINE.md round-6 matrix):
+    // results must be invariant under ANY shuffle-partition count and AQE
+    // setting — the cheapest local proxy for multi-executor behavior.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
