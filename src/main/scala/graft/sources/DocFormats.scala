@@ -319,8 +319,16 @@ object DocFormats {
       * hash). A non-empty user password or a non-Standard handler throws
       * (quarantined by lenient ingestion) rather than extracting garbage.
       */
-    def extractText(pdf: Array[Byte]): String = {
-      val objs = liveObjects(expandObjStreams(parseObjects(pdf, Crypto.detect(pdf))))
+    def extractText(pdf: Array[Byte]): String = extractText(pdf, "")
+
+    /** [[extractText]] with a user password for password-protected files
+      * (UTF-8 bytes feed §7.6.3.3 Algorithm 2 / ISO 32000-2 Algorithm 2.A;
+      * a wrong password throws — quarantine, never garbage).
+      */
+    def extractText(pdf: Array[Byte], userPassword: String): String = {
+      val decryptor = Crypto.detect(pdf,
+        if (userPassword.isEmpty) Array.empty else userPassword.getBytes(UTF_8))
+      val objs = liveObjects(expandObjStreams(parseObjects(pdf, decryptor)))
       val fonts = fontDecoders(objs)
       val pages = contentStreamsOf(objs).map(streamText(_, fonts))
       // per-page join, index_documents.py:44-46 — empty pages included, so
@@ -502,18 +510,21 @@ object DocFormats {
         else plain
       }
 
-      /** §7.6.3.3 Algorithm 2: file key from the (empty, padded) user
-        * password, /O, /P, first file ID; R≥3 runs the 50-fold MD5
-        * hardening over the first `n` bytes.
+      /** §7.6.3.3 Algorithm 2: file key from the user password (padded or
+        * truncated to exactly 32 bytes with the Pad constant — an empty
+        * password is the bare Pad), /O, /P, first file ID; R≥3 runs the
+        * 50-fold MD5 hardening over the first `n` bytes.
         */
       def legacyFileKey(r: Int, lengthBits: Int, o: Array[Byte], p: Int,
-          id0: Array[Byte], encryptMetadata: Boolean): Array[Byte] = {
+          id0: Array[Byte], encryptMetadata: Boolean,
+          userPw: Array[Byte] = Array.empty): Array[Byte] = {
         val n = if (r == 2) 5 else lengthBits / 8
+        val padded = (userPw.take(32) ++ Pad).take(32)
         val pBytes = Array(p, p >> 8, p >> 16, p >> 24).map(x => (x & 0xff).toByte)
         val metaExtra =
           if (r >= 4 && !encryptMetadata) Array.fill(4)(0xff.toByte)
           else Array.empty[Byte]
-        var h = md5(Pad, o.take(32), pBytes, id0, metaExtra)
+        var h = md5(padded, o.take(32), pBytes, id0, metaExtra)
         if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
         h.take(n)
       }
@@ -533,13 +544,15 @@ object DocFormats {
 
       /** §7.6.3.3 Algorithm 3: the /O entry from an owner password (used
         * by fixtures; decryption only consumes /O as key-derivation input).
+        * Step f RC4-encrypts the PADDED USER password (empty = bare Pad).
         */
-      def legacyOwnerValue(r: Int, lengthBits: Int, ownerPw: Array[Byte]): Array[Byte] = {
+      def legacyOwnerValue(r: Int, lengthBits: Int, ownerPw: Array[Byte],
+          userPw: Array[Byte] = Array.empty): Array[Byte] = {
         val n = if (r == 2) 5 else lengthBits / 8
         var h = md5(ownerPw.take(32) ++ Pad.drop(ownerPw.length min 32) take 32)
         if (r >= 3) for (_ <- 0 until 50) h = md5(h)
         val rc4Key = h.take(n)
-        var o = rc4(rc4Key, Pad) // empty user password = Pad itself
+        var o = rc4(rc4Key, (userPw.take(32) ++ Pad).take(32))
         if (r >= 3) for (i <- 1 to 19)
           o = rc4(rc4Key.map(b => (b ^ i).toByte), o)
         o
@@ -644,11 +657,14 @@ object DocFormats {
 
       /** Locate /Encrypt in the trailer, resolve the encryption dictionary
         * (never inside an ObjStm, §7.5.7 — a raw scan suffices), validate
-        * the EMPTY user password, and return the payload decryptor. None
-        * when the file is unencrypted or `/StmF /Identity` leaves streams
-        * in the clear; throws on wrong password / unsupported handler.
+        * the user password (empty by default — the common
+        * "permissions-protected" case; pass bytes for password-protected
+        * files), and return the payload decryptor. None when the file is
+        * unencrypted or `/StmF /Identity` leaves streams in the clear;
+        * throws on wrong password / unsupported handler.
         */
-      def detect(pdf: Array[Byte]): Option[Decryptor] = {
+      def detect(pdf: Array[Byte],
+          userPassword: Array[Byte] = Array.empty): Option[Decryptor] = {
         val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
         val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
           .getOrElse(return None)
@@ -688,13 +704,15 @@ object DocFormats {
             val p = intValue(dict, "/P").getOrElse(-1)
             val meta = !dict.contains("/EncryptMetadata false")
             val bits = if (v == 1) 40 else intValue(topDict, "/Length").getOrElse(40)
-            val key = legacyFileKey(r, bits, o, p, id0, meta)
+            val key = legacyFileKey(r, bits, o, p, id0, meta, userPassword)
             val expect = legacyUserValue(r, key, id0)
             val ok =
               if (r == 2) java.util.Arrays.equals(expect, u.take(32))
               else java.util.Arrays.equals(expect.take(16), u.take(16))
             if (!ok) throw new IllegalArgumentException(
-              "password-protected PDF: user password is not empty")
+              if (userPassword.isEmpty)
+                "password-protected PDF: user password is not empty"
+              else "password-protected PDF: wrong user password")
             if (stmIdentity) None
             else Some(Decryptor(key, aes = cfm.contains("AESV2"), perObjectKey = true))
           case 5 =>
@@ -703,13 +721,16 @@ object DocFormats {
             val hash = u.take(32)
             val vSalt = u.slice(32, 40)
             val kSalt = u.slice(40, 48)
-            if (!java.util.Arrays.equals(hash2B(Array.empty, vSalt, Array.empty), hash))
+            val pw = userPassword.take(127) // ISO 32000-2 §7.6.4.3.3 cap
+            if (!java.util.Arrays.equals(hash2B(pw, vSalt, Array.empty), hash))
               throw new IllegalArgumentException(
-                "password-protected PDF: user password is not empty")
+                if (userPassword.isEmpty)
+                  "password-protected PDF: user password is not empty"
+                else "password-protected PDF: wrong user password")
             val ue = stringValue(dict, "/UE").getOrElse(
               throw new IllegalArgumentException("encrypted PDF: missing /UE"))
             val fileKey = aesCbc(encrypting = false,
-              hash2B(Array.empty, kSalt, Array.empty), new Array[Byte](16), ue.take(32))
+              hash2B(pw, kSalt, Array.empty), new Array[Byte](16), ue.take(32))
             if (stmIdentity) None
             else Some(Decryptor(fileKey, aes = true, perObjectKey = false))
           case other => throw new IllegalArgumentException(

@@ -12,9 +12,11 @@ import graft.model._
   * distributed, partitioned by file — with per-format text extraction behind
   * a [[TextExtractor]] trait. PDF/DOCX extraction is JDK-only and honestly
   * scoped (see [[DocFormats]]): DOCX is a full real implementation
-  * (zip + document.xml, python-docx paragraph semantics); PDF covers the
-  * machine-generated common case (Flate content streams, Tj/TJ text
-  * operators) — not encrypted or CMap-encoded documents.
+  * (zip + document.xml, python-docx paragraph semantics); PDF covers
+  * machine-generated documents broadly — all text-capable filter chains,
+  * ToUnicode/Differences/Type0/predefined-CJK font encodings, encrypted
+  * files (empty or supplied user password) — and quarantines the rest
+  * (scanned pages, Type3 glyph programs) rather than mis-extracting.
   */
 object DocumentSources {
 
@@ -26,12 +28,15 @@ object DocumentSources {
   }
 
   /** Real minimal PDF text extraction (scope: DocFormats.MinimalPdf) —
-    * per-page text joined with \n, as index_documents.py:38-47.
+    * per-page text joined with \n, as index_documents.py:38-47. The
+    * optional user password mirrors PyMuPDF's `Document(..., password=)`
+    * (index_documents.py:38-47): one corpus-wide password, wrong password
+    * throws → quarantine under lenient ingestion.
     */
-  final class PdfExtractor extends TextExtractor {
+  final class PdfExtractor(password: String = "") extends TextExtractor {
     val extensions = Seq("pdf")
     def extract(path: String, content: Array[Byte]): String =
-      DocFormats.MinimalPdf.extractText(content)
+      DocFormats.MinimalPdf.extractText(content, password)
   }
 
   /** Real DOCX extraction: body paragraphs, non-blank kept, joined with \n

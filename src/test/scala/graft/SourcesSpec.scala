@@ -853,6 +853,50 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("password"))
   }
 
+  test("PDF encryption: non-empty user passwords decrypt (R3 legacy + R6 AES-256)") {
+    import graft.sources.DocFormats.MinimalPdf
+    val C = MinimalPdf.Crypto
+    val text = "user-password protected body"
+    val pw = "s3cret-pw".getBytes("UTF-8")
+    // R3/V2 legacy: the password enters Algorithm 2's padded digest and
+    // Algorithm 3's /O derivation
+    val id0 = Array.tabulate[Byte](16)(i => (i * 19 + 1).toByte)
+    val o = C.legacyOwnerValue(3, 128, "owner".getBytes("UTF-8"), pw)
+    val key = C.legacyFileKey(3, 128, o, -44, id0, encryptMetadata = true, pw)
+    val u = C.legacyUserValue(3, key, id0) ++ Array.fill[Byte](16)(0.toByte)
+    val dict = "/Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hexStr(o)}> /U <${hexStr(u)}>"
+    val encd = encryptFixture(MinimalPdf.write(text), 6, dict, id0,
+      (n, g, b) => C.rc4(C.objectKey(key, n, g, aes = false), b))
+    assert(MinimalPdf.extractText(encd, "s3cret-pw") == text)
+    // empty and wrong passwords both throw, with distinct diagnostics
+    val e1 = intercept[IllegalArgumentException](MinimalPdf.extractText(encd))
+    assert(e1.getMessage.contains("not empty"))
+    val e2 = intercept[IllegalArgumentException](MinimalPdf.extractText(encd, "nope"))
+    assert(e2.getMessage.contains("wrong user password"))
+    // R6/AES-256: the password feeds the 2.B hardened hash for both the
+    // validation check and the UE file-key unwrap
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 23 + 9).toByte)
+    val vSalt = Array.tabulate[Byte](8)(i => (i + 11).toByte)
+    val kSalt = Array.tabulate[Byte](8)(i => (i * 5 + 3).toByte)
+    val u6 = C.hash2B(pw, vSalt, Array.empty) ++ vSalt ++ kSalt
+    val ue = C.aesCbc(encrypting = true,
+      C.hash2B(pw, kSalt, Array.empty), new Array[Byte](16), fileKey)
+    val dict6 = "/Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P -44 /O <${hexStr(Array.fill[Byte](48)(1))}> /U <${hexStr(u6)}> " +
+      s"/OE <${hexStr(Array.fill[Byte](32)(2))}> /UE <${hexStr(ue)}>"
+    val iv = Array.tabulate[Byte](16)(i => (i * 3 + 1).toByte)
+    val encd6 = encryptFixture(MinimalPdf.write(text), 6, dict6,
+      Array.tabulate[Byte](16)(i => i.toByte),
+      (_, _, b) => aesPayload(C, fileKey, iv, b))
+    assert(MinimalPdf.extractText(encd6, "s3cret-pw") == text)
+    intercept[IllegalArgumentException](MinimalPdf.extractText(encd6, "wrong"))
+    // the extractor wrapper threads the corpus-wide password through
+    val viaExtractor = new graft.sources.DocumentSources.PdfExtractor("s3cret-pw")
+    assert(viaExtractor.extract("f.pdf", encd) == text)
+  }
+
   test("readDocumentsJsonl: good lines parse, malformed/missing-field lines quarantine") {
     val dir = Files.createTempDirectory("jsonl").toFile
     Files.write(new java.io.File(dir, "part0.jsonl").toPath,
