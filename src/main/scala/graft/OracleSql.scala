@@ -950,6 +950,16 @@ FROM ver
 WHERE n1 > 0 AND n2 > 0 AND dp / (sqrt(n1) * sqrt(n2)) >= 0.3
 ORDER BY id1, id2""",
 
+    // Deterministic corpus shuffle (q113): position = row_number over the
+    // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
+    // permutation Sampling.shuffleOrder's range-exchange rank produces.
+    "q113_shuffle_order" ->
+      raw"""SELECT doc_id,
+row_number() OVER (
+  ORDER BY ('0x' || substr(md5('epoch1' || doc_id::VARCHAR), 1, 15))::BIGINT,
+           doc_id) AS shuffle_rank
+FROM documents ORDER BY shuffle_rank""",
+
     // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
     // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
     // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;

@@ -1812,6 +1812,18 @@ object Queries {
         dim = 64, numTables = 4, bitsPerTable = 8, simThreshold = 0.3)
       .orderBy(col("id1"), col("id2"))
 
+  /** Q113 — deterministic global corpus shuffle (training-order
+    * reproducibility): every doc's position is a pure function of
+    * (salt, doc_id) — md5-60bit key through the shuffle-free range-exchange
+    * global rank — so epoch orders replay bit-for-bit across engines,
+    * retries and partitionings. The oracle recomputes the same permutation
+    * with a row_number over the same hash.
+    */
+  def q113ShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.shuffleOrder(
+        documents(s, dir).select(col("doc_id")), col("doc_id"), salt = "epoch1")
+      .orderBy(col("shuffle_rank"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1926,5 +1938,6 @@ object Queries {
     "q110_retention" -> q110Retention _,
     "q111_histogram" -> q111Histogram _,
     "q112_seeded_lsh" -> q112SeededLsh _,
+    "q113_shuffle_order" -> q113ShuffleOrder _,
   )
 }

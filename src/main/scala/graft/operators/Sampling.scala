@@ -333,4 +333,21 @@ object Sampling {
         coalesce(col("n_feats"), lit(0)).as("n_feats"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
   }
+
+  /** Deterministic GLOBAL corpus shuffle (EXT): a reproducible
+    * pseudorandom training order. `orderBy(rand())` re-draws on every
+    * retry/re-run and ties step order to the engine; here each row's
+    * position is a pure function of (salt, key) — the [[sampleHash]]
+    * md5-60bit key, id tie-break for hash collisions — so epoch N's order
+    * replays bit-for-bit anywhere, and a different salt gives an
+    * independent epoch permutation. The rank is [[Ranks.globalRank]]'s
+    * range-exchange shape (one reused exchange, never a single-task
+    * window), so the shuffle order costs one range exchange at 100 TB.
+    *
+    * @return input columns + `rankCol` (LONG, 1-based position in the
+    *         shuffled order)
+    */
+  def shuffleOrder(df: DataFrame, key: Column, salt: String,
+      rankCol: String = "shuffle_rank"): DataFrame =
+    Ranks.globalRank(df, Seq(sampleHash(key, salt), key), rankCol)
 }

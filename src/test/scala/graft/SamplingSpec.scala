@@ -22,6 +22,25 @@ class SamplingSpec extends SparkSpec {
     assert(c != a.toSet)
   }
 
+  test("shuffleOrder: a true permutation, repartition-stable, salt-independent epochs") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 300L).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shuffleOrder(df, col("id"), salt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e1 = order(docs, "epoch1")
+    // a permutation: ranks are exactly 1..N
+    assert(e1.values.toSeq.sorted == (1L to 300L))
+    // and NOT the identity (it actually shuffles)
+    assert(e1.count { case (id, r) => id == r } < 30)
+    // partitioning-independent: same order from any physical layout
+    assert(order(docs.repartition(13), "epoch1") == e1)
+    // a different salt draws an (almost entirely) different permutation
+    val e2 = order(docs, "epoch2")
+    assert(e2 != e1 && e1.count { case (id, r) => e2(id) == r } < 30)
+  }
+
   test("splitByHash: exact partition — disjoint, exhaustive") {
     import spark.implicits._
     val keys = (1L to 2000L).toDF("k")
