@@ -46,6 +46,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KLL quantile store: merged estimates within rank-error bound; replay no-op") {
+    val store = Files.createTempDirectory("kll").toString + "/s"
+    // two overlapping batches of a known uniform distribution per group
+    def vbatch(r: Range) = r.map(i => (s"src${i % 2}", (i % 10000).toDouble))
+      .toDF("source", "len")
+    assert(Sketches.appendQuantileSketches(
+      vbatch(0 until 8000), "source", "len", "day1", store) === 2L)
+    assert(Sketches.appendQuantileSketches(
+      vbatch(8000 until 20000), "source", "len", "day2", store) === 2L)
+    assert(Sketches.appendQuantileSketches(
+      vbatch(0 until 8000), "source", "len", "day1", store) === 0L)
+    assert(spark.read.parquet(store).count() === 4)
+    val all = vbatch(0 until 8000).unionByName(vbatch(8000 until 20000))
+    val est = Sketches.estimateQuantiles(spark, store, Seq(0.1, 0.5, 0.95))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, r, q) => (g, r) -> q }.toMap
+    assert(est.keySet.map(_._1) === Set("src0", "src1"))
+    // KLL k=200 guarantees ~1.65% RANK error: check each estimate's true
+    // rank, not its value
+    for (((g, r), q) <- est) {
+      val grp = all.where(col("source") === g)
+      val n = grp.count().toDouble
+      val below = grp.where(col("len") <= q).count().toDouble
+      assert(math.abs(below / n - r) < 0.03, s"($g, $r): est $q has rank ${below / n}")
+    }
+    // batch scoping: day1-only quantiles reflect day1's distribution
+    val d1 = Sketches.estimateQuantiles(spark, store, Seq(0.5), Seq("day1"))
+      .as[(String, Double, Double)].collect()
+    assert(d1.length === 2 && d1.forall { case (_, _, q) => q >= 0 && q < 10000 })
+  }
+
   test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
     val store = Files.createTempDirectory("hll2").toString + "/s"
     Sketches.appendDistinctSketches(batch(0 until 500, 2), "domain", "uid", "b", store)
