@@ -19,7 +19,7 @@ import graft.sources.DocumentSources
   *            [--embedding-model gemini-embedding-001]
   *            [--api-key-env GEMINI_API_KEY]
   *            [--jdbc-url jdbc:...] [--jdbc-table document_chunks]
-  *            [--query "some text"] [--top-k 5]
+  *            [--query "some text"] [--top-k 5] [--pdf-password pw]
   *
   * Provider selection matches `--embedding-model`/the reference's Gemini
   * client (index_documents.py:262, :142-164): `hashing-tf` is the
@@ -40,7 +40,8 @@ object IndexCli {
       embeddingModel: String = "gemini-embedding-001",
       apiKeyEnv: String = "GEMINI_API_KEY",
       jdbcUrl: Option[String] = None, jdbcTable: String = "document_chunks",
-      query: Option[String] = None, topK: Int = 5)
+      query: Option[String] = None, topK: Int = 5,
+      pdfPassword: String = "")
 
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -59,6 +60,7 @@ object IndexCli {
       case "--jdbc-table" :: v :: t => loop(a.copy(jdbcTable = v), t)
       case "--query" :: v :: t => loop(a.copy(query = Some(v)), t)
       case "--top-k" :: v :: t => loop(a.copy(topK = v.toInt), t)
+      case "--pdf-password" :: v :: t => loop(a.copy(pdfPassword = v), t)
       case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
     }
     val a = loop(Args(), argv.toList)
@@ -94,7 +96,12 @@ object IndexCli {
       env: String => Option[String] = sys.env.get): Long = {
     implicit val s: SparkSession = spark
     val strategy = SplitStrategy.fromName(args.strategy, args.chunkSize, args.overlap)
-    val docs = DocumentSources.readDocuments(spark, args.input)
+    // the reference opens PDFs with a corpus-wide password via PyMuPDF
+    // (index_documents.py:38-47); same surface here
+    val extractors: Seq[DocumentSources.TextExtractor] =
+      new DocumentSources.PdfExtractor(args.pdfPassword) +:
+        DocumentSources.defaultExtractors.filterNot(_.extensions.contains("pdf"))
+    val docs = DocumentSources.readDocuments(spark, args.input, extractors)
     val cleaned = {
       import spark.implicits._
       docs.map(d => d.copy(text = d.text)) // extraction already raw text

@@ -835,27 +835,41 @@ object Search {
       numTables: Int = 4, bitsPerTable: Int = 12,
       simThreshold: Double = 0.9): DataFrame = {
     require(numTables > 0 && bitsPerTable > 0 && bitsPerTable < 31)
-    val codes = df.select(col(idCol).as("_id"), i8Codes(col(vecCol)).as("_c"))
+    // All arithmetic rides the codegen'd fused-loop dot (VectorExpressions)
+    // over FLOAT copies of the int8 codes: every product |c·w| ≤ 127² and
+    // every sum ≤ dim·127² < 2²⁴, so float/double arithmetic is EXACT and
+    // bit-identical to the integer formulation the oracle replays — while
+    // avoiding 32 allocating higher-order aggregates per row (the q24
+    // lesson: HOF zip_with+aggregate cost 50× on the hot path).
+    val codes = df.select(col(idCol).as("_id"),
+      i8Codes(col(vecCol)).cast("array<float>").as("_c"))
     val bucketCols = (0 until numTables).map { t =>
       val bits = (0 until bitsPerTable).map { k =>
-        val w = typedLit((0 until dim).map(i => seededLshWeight(t, k, i)))
-        val proj = aggregate(zip_with(col("_c"), w, (c, wi) => (c * wi).cast("long")),
-          lit(0L), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << k)).otherwise(lit(0L))
+        val w = typedLit((0 until dim).map(i => seededLshWeight(t, k, i).toFloat))
+        when(dot(col("_c"), w) >= 0, lit(1L << k)).otherwise(lit(0L))
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
     }
+    // the band self-join shuffles ONLY (t, bucket, id) — never the code
+    // arrays (the library's no-vectors-through-exchanges principle); codes
+    // re-join by id onto the (far smaller) deduped candidate set
     val banded = codes
       .withColumn("_tb", explode(array(bucketCols: _*)))
-      .select(col("_id"), col("_tb.t").as("_t"), col("_tb.bucket").as("_b"), col("_c"))
-    val candidates = banded.select(col("_t"), col("_b"), col("_id").as("id1"), col("_c").as("_c1"))
-      .join(banded.select(col("_t"), col("_b"), col("_id").as("id2"), col("_c").as("_c2")),
-        Seq("_t", "_b"))
+      .select(col("_id"), col("_tb.t").as("_t"), col("_tb.bucket").as("_b"))
+    val candidates = banded.select(col("_t"), col("_b"), col("_id").as("id1"))
+      .join(banded.select(col("_t"), col("_b"), col("_id").as("id2")), Seq("_t", "_b"))
       .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("_c1"), col("_c2"))
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+      .join(codes.select(col("_id").as("id1"), col("_c").as("_c1")), "id1")
+      .join(codes.select(col("_id").as("id2"), col("_c").as("_c2")), "id2")
+    // quantized cosine on the float codes: integer-exact dots, zero-norm → 0
+    val n1 = dot(col("_c1"), col("_c1"))
+    val n2 = dot(col("_c2"), col("_c2"))
+    val cos = when(n1 === 0.0 || n2 === 0.0, lit(0.0))
+      .otherwise(dot(col("_c1"), col("_c2")) / (sqrt(n1) * sqrt(n2)))
     candidates
-      .withColumn("_cos", i8Cosine(col("_c1"), col("_c2")))
+      .withColumn("_cos", cos)
       .where(col("_cos") >= simThreshold)
       .select(col("id1"), col("id2"),
         (floor(col("_cos") * 1000) / 1).as("cos8_m"))

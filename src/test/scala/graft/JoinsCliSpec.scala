@@ -146,6 +146,8 @@ class JoinsCliSpec extends SparkSpec {
   test("IndexCli: parse defaults mirror the reference argparse; end-to-end run") {
     val a = IndexCli.parse(Array("--input", "/in", "--output", "/out"))
     assert(a.chunkSize == 1200 && a.overlap == 200 && a.batchSize == 32)
+    assert(a.pdfPassword == "" && IndexCli.parse(Array(
+      "--input", "/in", "--output", "/out", "--pdf-password", "pw")).pdfPassword == "pw")
     intercept[IllegalArgumentException](IndexCli.parse(Array("--input", "/in")))
     intercept[IllegalArgumentException](
       IndexCli.parse(Array("--input", "a", "--output", "b", "--bogus", "x")))
