@@ -960,6 +960,22 @@ row_number() OVER (
            doc_id) AS shuffle_rank
 FROM documents ORDER BY shuffle_rank""",
 
+    // Sketch-nominated exact heavy hitters (q114): the sketch path's
+    // candidate-then-verify output is EXACT by the no-false-negative
+    // guarantee, so the oracle is the full-stream GROUP BY ... HAVING the
+    // engine avoids. Same derived skewed stream, integer 1%-of-N threshold
+    // (DuckDB // ≡ Spark Long division).
+    "q114_heavy_hitters" ->
+      raw"""WITH it AS (
+  SELECT CASE WHEN event_id % 4 < 3 THEN 'hot_' || (event_id % 8)
+              ELSE 'cold_' || event_id END AS item
+  FROM events),
+tot AS (SELECT count(*) AS n FROM it)
+SELECT item, count(*) AS n_events
+FROM it, tot GROUP BY item, tot.n
+HAVING count(*) >= tot.n // 100
+ORDER BY item""",
+
     // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
     // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
     // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;

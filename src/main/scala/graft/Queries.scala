@@ -1824,6 +1824,55 @@ object Queries {
         documents(s, dir).select(col("doc_id")), col("doc_id"), salt = "epoch1")
       .orderBy(col("shuffle_rank"))
 
+  /** Q114 — sketch-nominated EXACT heavy hitters (the frequency leg of the
+    * persisted sketch store, Sketches.appendFrequencySketches): the fixture
+    * is uniform by construction (TESTDATA.md — no Zipf anywhere), so the
+    * probe derives a deterministic skewed stream from events — six hot keys
+    * carrying 75% of rows plus a per-event singleton tail (~N/4 distinct
+    * items) that forces real Misra-Gries purges at maxMapSize=1024. Three
+    * per-batch sketches are staged idempotently (q97's source-size marker
+    * discipline), the merged sketch nominates candidates under the
+    * no-false-negative guarantee (threshold 1% of N ≫ maxError ≤ 0.35% of
+    * N at ANY scale — the bound is relative, which is why this works
+    * unchanged at 100 TB), and one broadcast semi-join back to the stream
+    * exact-counts only the nominated items. The answer is EXACT, so the
+    * oracle is the plain GROUP BY ... HAVING the sketch path avoids running
+    * over the full stream.
+    */
+  def q114HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val item = when(col("event_id") % 4 < 3,
+        concat(lit("hot_"), col("event_id") % 8))
+      .otherwise(concat(lit("cold_"), col("event_id"))).as("item")
+    def stream = events(s, dir).select(item, col("event_id"))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val storeDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "q114freq_" + Integer.toHexString(dir.hashCode))
+    val marker = storeDir.resolve("source.size")
+    val want = java.nio.file.Files.size(src).toString
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == want
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(storeDir.toFile)
+      val store = storeDir.resolve("sketches").toString
+      for (b <- 0 to 2)
+        Sketches.appendFrequencySketches(
+          stream.where(col("event_id") % 3 === b).withColumn("grp", lit("all")),
+          "grp", "item", batchId = s"batch$b", storeDir = store)
+      java.nio.file.Files.writeString(marker, want)
+    }
+    val total = stream.count()
+    val minCount = total / 100 // 1% support, integer threshold (DuckDB //)
+    val cand = Sketches.heavyHitterCandidates(
+      s, storeDir.resolve("sketches").toString, minCount = minCount)
+    stream
+      .join(broadcast(cand.select(col("item"))), Seq("item"), "left_semi")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= minCount) // drop sketch false positives
+      .orderBy(col("item"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1939,5 +1988,6 @@ object Queries {
     "q111_histogram" -> q111Histogram _,
     "q112_seeded_lsh" -> q112SeededLsh _,
     "q113_shuffle_order" -> q113ShuffleOrder _,
+    "q114_heavy_hitters" -> q114HeavyHitters _,
   )
 }

@@ -135,6 +135,127 @@ object Sketches {
     } finally { out.unpersist(); () }
   }
 
+  // ---- mergeable FREQUENCY sketches (Misra-Gries) — the store's third leg
+  //
+  // "which items dominate this stream" (hot tokens, hot URLs, hot shingles)
+  // is the last of the three classic mergeable-sketch questions after
+  // cardinality (HLL above) and quantiles (KLL above). DataSketches'
+  // frequent-items sketch (a Misra-Gries / Space-Saving hybrid, on the
+  // Spark classpath) keeps at most `maxMapSize` counters per sketch and
+  // guarantees NO FALSE NEGATIVES above its tracked maximum error
+  // (≤ 3.5·N/maxMapSize): every item whose true count ≥ threshold is in
+  // the candidate set whenever threshold > maxError. That guarantee is
+  // what makes the sketch composable with the repo's standing
+  // candidate-generation-then-verify discipline: the sketch (KBs) nominates
+  // a bounded candidate set from the store, one semi-join back to the
+  // batch data exact-counts ONLY the candidates, and the final answer is
+  // EXACT — DuckDB-oracle-matchable — while the full-stream groupBy that a
+  // naive top-k would need (one shuffle of every item at 100 TB) never runs.
+
+  private def freqSerde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  private def mergeFreqBlobs(parts: Iterator[Array[Byte]], maxMapSize: Int)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.memory.Memory
+    val acc = new ItemsSketch[String](maxMapSize)
+    parts.foreach(b => acc.merge(ItemsSketch.getInstance(Memory.wrap(b), freqSerde)))
+    acc
+  }
+
+  /** Build per-(group, batch) frequent-items sketches of `valueCol` and
+    * append them to the store; replaying a `batchId` is a no-op (the
+    * [[appendDistinctSketches]] exactly-once discipline). `maxMapSize`
+    * must be a power of two ≥ 8 (sketch library contract) and bounds both
+    * the sketch size and the error: maxError ≤ 3.5·N/maxMapSize.
+    *
+    * @return number of group rows appended (0 on replay)
+    */
+  def appendFrequencySketches(df: DataFrame, groupCol: String, valueCol: String,
+      batchId: String, storeDir: String, maxMapSize: Int = 1024): Long = {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+      s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.sources.PathState
+    val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
+    require(state != PathState.Foreign,
+      s"sketch store '$storeDir' holds non-parquet content — refusing to append")
+    if (state == PathState.Data) {
+      val seen = spark.read.parquet(storeDir)
+        .where(col("batch_id") === batchId).limit(1).count()
+      if (seen > 0) return 0L
+    }
+    val sk = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val serde = freqSerde
+        val m = scala.collection.mutable.HashMap.empty[String, ItemsSketch[String]]
+        it.foreach { case (g, v) =>
+          m.getOrElseUpdate(g, new ItemsSketch[String](maxMapSize)).update(v)
+        }
+        m.iterator.map { case (g, s) => (g, s.toByteArray(serde)) }
+      }
+      .toDF("group_key", "part")
+      .groupBy(col("group_key"))
+      .agg(collect_list(col("part")).as("parts")) // ≤ one blob per partition
+      .as[(String, Seq[Array[Byte]])]
+      .map { case (g, parts) =>
+        (g, mergeFreqBlobs(parts.iterator, maxMapSize).toByteArray(freqSerde))
+      }
+      .toDF("group_key", "sketch")
+      .withColumn("batch_id", lit(batchId))
+    val out = sk.persist()
+    try {
+      val n = out.count()
+      out.write.mode(SaveMode.Append).parquet(storeDir)
+      n
+    } finally { out.unpersist(); () }
+  }
+
+  /** Heavy-hitter CANDIDATES per group across a set of batches (all when
+    * empty): one scan of sketch rows, one bounded merge per group. The
+    * NO_FALSE_NEGATIVES guarantee — every item with true count ≥ `minCount`
+    * appears — holds only when `minCount` exceeds the merged sketch's
+    * tracked maximum error, and the method REFUSES (loudly, per the repo
+    * error discipline) rather than silently returning an incomplete set
+    * when it doesn't. Callers wanting exact answers semi-join the
+    * candidates back to the data and exact-count only those items (the
+    * q114 probe does exactly this).
+    *
+    * @return (group_key, item, estimate, lower_bound, upper_bound,
+    *         max_error), ordered; estimate/bounds are the sketch's, the
+    *         exact count lies in [lower_bound, upper_bound]
+    */
+  def heavyHitterCandidates(spark: SparkSession, storeDir: String,
+      minCount: Long, batchIds: Seq[String] = Nil,
+      maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.datasketches.frequencies.ErrorType
+    import spark.implicits._
+    require(minCount > 0, "minCount must be positive")
+    val base = spark.read.parquet(storeDir)
+    val scoped =
+      if (batchIds.isEmpty) base else base.where(col("batch_id").isin(batchIds: _*))
+    scoped.select(col("group_key").cast("string"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val acc = mergeFreqBlobs(it.map(_._2), maxMapSize)
+        val maxErr = acc.getMaximumError
+        require(minCount > maxErr,
+          s"heavy-hitter threshold $minCount is within the sketch error bound " +
+            s"$maxErr for group '$g' — the no-false-negative guarantee does " +
+            "not hold; rebuild with a larger maxMapSize or raise minCount")
+        acc.getFrequentItems(minCount, ErrorType.NO_FALSE_NEGATIVES).iterator.map {
+          r => (g, r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound, maxErr)
+        }
+      }
+      .toDF("group_key", "item", "estimate", "lower_bound", "upper_bound", "max_error")
+      .orderBy(col("group_key"), col("item"))
+  }
+
   /** Quantile estimates per group at the requested `ranks` across a set
     * of batches (all when empty): one scan of sketch rows, one bounded
     * merge per group — the raw history is never read.

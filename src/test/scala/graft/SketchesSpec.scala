@@ -77,6 +77,62 @@ class SketchesSpec extends SparkSpec {
     assert(d1.length === 2 && d1.forall { case (_, _, q) => q >= 0 && q < 10000 })
   }
 
+  test("frequency store: candidates cover every true heavy hitter; verify path is exact; replay no-op") {
+    val store = Files.createTempDirectory("freq").toString + "/s"
+    // 4 hot items at 15% each + singleton tail (60% of rows, ~2400 distinct)
+    // per group: far more distinct items than the 64-slot sketch holds, so
+    // Misra-Gries purges MUST occur for the test to mean anything
+    def fbatch(r: Range) = r.map { i =>
+      val item = if (i % 10 < 6) s"cold-$i" else s"hot-${i % 4}"
+      (s"g${i % 2}", item)
+    }.toDF("grp", "item")
+    assert(Sketches.appendFrequencySketches(
+      fbatch(0 until 2000), "grp", "item", "day1", store, maxMapSize = 64) === 2L)
+    assert(Sketches.appendFrequencySketches(
+      fbatch(2000 until 4000), "grp", "item", "day2", store, maxMapSize = 64) === 2L)
+    assert(Sketches.appendFrequencySketches(
+      fbatch(0 until 2000), "grp", "item", "day1", store, maxMapSize = 64) === 0L)
+    assert(spark.read.parquet(store).count() === 4)
+
+    val all = fbatch(0 until 4000)
+    val minCount = 100L // 5% of each group's 2000 rows; hot items sit at ~300
+    val cand = Sketches.heavyHitterCandidates(spark, store, minCount, maxMapSize = 64)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // purges actually happened (else the sketch was trivially exact)
+    assert(cand.forall(_._6 > 0), "expected a non-zero error bound (purges)")
+    // exact count always inside [lower, upper]
+    val exact = all.groupBy("grp", "item").count()
+      .as[(String, String, Long)].collect().map { case (g, i, n) => (g, i) -> n }.toMap
+    cand.foreach { case (g, i, _, lb, ub, _) =>
+      val t = exact((g, i)); assert(lb <= t && t <= ub, s"($g,$i): $t not in [$lb,$ub]")
+    }
+    // NO FALSE NEGATIVES: every true heavy hitter is nominated
+    val trueHh = exact.filter(_._2 >= minCount).keySet
+    val nominated = cand.map(c => (c._1, c._2)).toSet
+    assert(trueHh.subsetOf(nominated), s"missing ${trueHh -- nominated}")
+    // candidate-then-verify reproduces the exact full-stream answer
+    val candDf = Sketches.heavyHitterCandidates(spark, store, minCount, maxMapSize = 64)
+      .select(col("group_key").as("grp"), col("item"))
+    val verified = all.join(candDf, Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "item").count().where(col("count") >= minCount)
+      .as[(String, String, Long)].collect().toSet
+    val full = all.groupBy("grp", "item").count().where(col("count") >= minCount)
+      .as[(String, String, Long)].collect().toSet
+    assert(verified === full)
+  }
+
+  test("frequency store refuses a threshold inside the error bound") {
+    val store = Files.createTempDirectory("freq2").toString + "/s"
+    val df = (0 until 4000).map(i => ("g", s"item-$i")).toDF("grp", "item")
+    Sketches.appendFrequencySketches(df, "grp", "item", "b", store, maxMapSize = 8)
+    val ex = intercept[Exception] {
+      Sketches.heavyHitterCandidates(spark, store, minCount = 1, maxMapSize = 8)
+        .collect()
+    }
+    assert(ex.getMessage.contains("no-false-negative") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no-false-negative")))
+  }
+
   test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
     val store = Files.createTempDirectory("hll2").toString + "/s"
     Sketches.appendDistinctSketches(batch(0 until 500, 2), "domain", "uid", "b", store)
