@@ -976,6 +976,18 @@ FROM it, tot GROUP BY item, tot.n
 HAVING count(*) >= tot.n // 100
 ORDER BY item""",
 
+    // Binned interval join (q115): the operator must be result-identical
+    // to the plain range join, so the oracle IS the plain range join —
+    // q07's shape with the q115 parameters (±240 s, users < 12).
+    "q115_binned_range_join" ->
+      raw"""WITH ev AS (SELECT *, epoch_us(ts) AS us FROM events)
+SELECT e.event_id AS err_id, count(*) AS n_nearby,
+round(CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM ev e JOIN ev p ON p.event_type = 'purchase'
+  AND p.us >= e.us - 240000000 AND p.us <= e.us + 240000000
+WHERE e.event_type = 'error' AND e.user_id < 12
+GROUP BY e.event_id ORDER BY err_id""",
+
     // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
     // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
     // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;

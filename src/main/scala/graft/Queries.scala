@@ -1873,6 +1873,30 @@ object Queries {
       .orderBy(col("item"))
   }
 
+  /** Q115 — binned interval join (Joins.binnedIntervalJoin — the scale
+    * path for J6's theta-join semantics): purchases inside ±4-minute
+    * windows around error events of users < 12, through the
+    * bin-equi-join-then-exact-filter operator instead of the raw theta
+    * join Catalyst can only nested-loop. binSize = the window width, so
+    * each interval explodes to ≤ 2 bins. The oracle is the plain range
+    * join — the operator must be result-identical to it (the equivalence
+    * the JoinsCliSpec proves on adversarial boundaries).
+    */
+  def q115BinnedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val intervals = ev.where(col("event_type") === "error" && col("user_id") < 12)
+      .select(col("event_id").as("err_id"),
+        (col("us") - 240000000L).as("lo"), (col("us") + 240000000L).as("hi"))
+    val points = ev.where(col("event_type") === "purchase")
+      .select(col("us").as("p_us"), col("value").as("p_value"))
+    operators.Joins.binnedIntervalJoin(points, "p_us", intervals, "lo", "hi",
+        binSize = 480000000L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_nearby"),
+        round(dsum2(col("p_value")), 2).as("sum_value"))
+      .orderBy(col("err_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -1989,5 +2013,6 @@ object Queries {
     "q112_seeded_lsh" -> q112SeededLsh _,
     "q113_shuffle_order" -> q113ShuffleOrder _,
     "q114_heavy_hitters" -> q114HeavyHitters _,
+    "q115_binned_range_join" -> q115BinnedRangeJoin _,
   )
 }

@@ -117,6 +117,55 @@ object Joins {
       lCols.map(c => col(s"_row.$c").as(c)) :+ inRange.as(s"asof_$valueCol"): _*)
   }
 
+  /** Binned interval join — the SCALE path for "points inside windows"
+    * (J6's theta-join semantics): a plain
+    * `points.join(intervals, p >= lo && p <= hi)` has no equi-key, so
+    * Catalyst can only plan BroadcastNestedLoopJoin — O(|P|·|I|) work and
+    * a broadcast of a whole side, which stops working the day the interval
+    * side outgrows the driver. This operator manufactures the equi-key:
+    * quantize time into `binSize`-wide bins, explode each interval to the
+    * bins it overlaps, equi-join on the bin (shuffle join — SMJ/SHJ, AQE
+    * skew-splittable), then re-check the EXACT predicate. Each matching
+    * (point, interval) pair appears exactly once — the interval emits the
+    * point's bin exactly once — so no dedup pass is needed, and the result
+    * set is provably identical to the theta join (spec-checked).
+    *
+    * Binning discipline (both engines agree because both sides use the
+    * same `div`): `div` truncates toward zero, which is still MONOTONIC,
+    * so bin(lo) ≤ bin(p) ≤ bin(hi) holds for any point p in [lo, hi] —
+    * negative epochs included. Pick `binSize` near the typical interval
+    * width: each interval then explodes to ~2 rows.
+    *
+    * Scale guard (the SemDeDup-cap discipline): a degenerate interval
+    * spanning more than `maxBinsPerInterval` bins would explode one row
+    * into millions; the build FAILS LOUDLY (raise_error) instead of
+    * silently materializing it.
+    */
+  def binnedIntervalJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binSize: Long, maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
+    val bsz = lit(binSize)
+    val pb = points.withColumn("_graft_bin",
+      call_function("div", col(pointCol), bsz))
+    val binLo = call_function("div", col(loCol), bsz)
+    val binHi = call_function("div", col(hiCol), bsz)
+    val ib = intervals
+      .where(col(loCol) <= col(hiCol)) // empty intervals match nothing
+      .withColumn("_graft_bin", explode(
+        when(binHi - binLo >= maxBinsPerInterval.toLong, expr(
+          s"raise_error(concat('interval spans more than $maxBinsPerInterval " +
+            s"bins of $binSize at $loCol=', $loCol, ' — raise binSize or cap " +
+            "the interval'))").cast("array<long>"))
+          .otherwise(sequence(binLo, binHi))))
+    pb.join(ib,
+        pb("_graft_bin") === ib("_graft_bin")
+          && col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_graft_bin")
+  }
+
   /** Salted aggregation: two-phase groupBy for a skewed grouping key —
     * partial aggregate on (key, salt), then final on key. `partialAggs`
     * must be decomposable (sum/count/min/max); the caller re-aggregates the

@@ -111,6 +111,49 @@ class JoinsCliSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 2.5, 3L -> 2.5, 4L -> null, 5L -> null))
   }
 
+  test("binnedIntervalJoin ≡ theta join on adversarial boundaries; no nested loop in the plan") {
+    import spark.implicits._
+    // boundaries ON bin edges, negative times, point == lo, point == hi,
+    // zero-length interval, interval spanning many bins, empty interval
+    val points = Seq(0L, 9L, 10L, 11L, -1L, -10L, 100L, 55L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+    val intervals = Seq(
+      (100L, 0L, 10L),    // spans bins 0..1 (binSize 10); catches 0,9,10
+      (101L, 10L, 10L),   // zero-length on a bin edge; catches exactly 10
+      (102L, -10L, -1L),  // negative range; catches -10,-1
+      (103L, 11L, 99L),   // many bins; catches 11,55
+      (104L, 50L, 40L),   // empty (lo > hi); catches nothing
+      (105L, -5L, 5L))    // crosses zero; catches -1,0
+      .toDF("iid", "lo", "hi")
+    val got = graft.operators.Joins
+      .binnedIntervalJoin(points, "t", intervals, "lo", "hi", binSize = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.as[(Long, Long)].collect().flatMap { case (pid, t) =>
+      intervals.as[(Long, Long, Long)].collect().collect {
+        case (iid, lo, hi) if t >= lo && t <= hi => (pid, iid)
+      }
+    }.toSet
+    assert(got === want && want.nonEmpty)
+    val plan = graft.operators.Joins
+      .binnedIntervalJoin(points, "t", intervals, "lo", "hi", binSize = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("binnedIntervalJoin fails loudly on an interval spanning too many bins") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    val intervals = Seq((1L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      graft.operators.Joins.binnedIntervalJoin(
+        points, "t", intervals, "lo", "hi", binSize = 10L,
+        maxBinsPerInterval = 100).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("spans more than")))
+  }
+
   test("asofJoin forward + tolerance: earliest at-or-after within range") {
     import spark.implicits._
     val quotes = Seq(
