@@ -988,6 +988,27 @@ FROM ev e JOIN ev p ON p.event_type = 'purchase'
 WHERE e.event_type = 'error' AND e.user_id < 12
 GROUP BY e.event_id ORDER BY err_id""",
 
+    // Exact prefix-filtered Jaccard join (q116): the operator is sound —
+    // not approximate — so the oracle is the brute-force all-pairs join
+    // with the same integer cross-multiplied ppm threshold; q23's shingle
+    // spelling, q116's subset and θ.
+    "q116_jaccard_join" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 800),
+shc AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk),
+s AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS l FROM shc WHERE len(sh) > 0),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i, a.l + b.l AS lsum
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT id1, id2, (i * 1000000) // (lsum - i) AS jaccard_ppm
+FROM p WHERE i * 1000000 >= 250000 * (lsum - i)
+ORDER BY id1, id2""",
+
     // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
     // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
     // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;

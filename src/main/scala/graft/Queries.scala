@@ -1897,6 +1897,22 @@ object Queries {
       .orderBy(col("err_id"))
   }
 
+  /** Q116 — EXACT Jaccard-threshold join via prefix filtering
+    * (Dedup.jaccardJoinPrefix — the exact sibling of q21's MinHash tier):
+    * every pair of docs (doc_id < 800) with 3-shingle Jaccard ≥ 0.25,
+    * through df-ordered prefix candidates + exact verify. The oracle is
+    * the brute-force all-pairs join with the same integer cross-multiplied
+    * threshold — the operator must reproduce it row for row (the prefix
+    * filter is sound, not a heuristic).
+    */
+  def q116JaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).where(col("doc_id") < 800)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("sh"))
+    Dedup.jaccardJoinPrefix(docs, "doc_id", "sh", thetaPpm = 250000L)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2014,5 +2030,6 @@ object Queries {
     "q113_shuffle_order" -> q113ShuffleOrder _,
     "q114_heavy_hitters" -> q114HeavyHitters _,
     "q115_binned_range_join" -> q115BinnedRangeJoin _,
+    "q116_jaccard_join" -> q116JaccardJoin _,
   )
 }

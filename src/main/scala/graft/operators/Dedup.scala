@@ -540,6 +540,92 @@ object Dedup {
     out
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the AllPairs /
+    * PPJoin principle — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    * exact-answer sibling of [[minhashNearDupPairs]]. MinHash+LSH trades
+    * recall for speed; this operator returns EVERY pair with
+    * Jaccard ≥ θ — the prefix filter is a sound candidate generator, never
+    * a heuristic: two sets sharing i common tokens must share one inside
+    * their (|s|−i+1)-prefixes under any common total order, and J ≥ θ
+    * forces i ≥ ⌈θ·|s|⌉ for both sets, so probing the
+    * (|s|−⌈θ·|s|⌉+1)-prefixes cannot miss a qualifying pair.
+    *
+    * Relational shape (one term-keyed shuffle, the inverted-index
+    * precedent): global df per shingle → per-doc tokens sorted by
+    * (df asc, tok asc) — the published ordering that pushes common
+    * shingles OUT of prefixes — → explode prefixes → self-equi-join on the
+    * prefix token with id1 < id2 + the integer length filter
+    * (min·10⁶ ≥ θppm·max, cross-multiplied, no float drift) → distinct
+    * candidates → exact verify on the candidate pairs' shingle arrays only
+    * (candidate-generation-then-verify; raw arrays ship for candidates,
+    * never corpus-wide).
+    *
+    * Threshold is taken in ppm (θ = thetaPpm / 10⁶) and every comparison
+    * is an integer cross-multiply, so "exactly at θ" pairs are kept
+    * deterministically in both engines. Scale guard: after the df-ordered
+    * prefixes materialize, a prefix token held by more than `maxPrefixDf`
+    * docs (a quadratic candidate block — adversarial near-constant corpus)
+    * REFUSES loudly rather than running the blow-up.
+    *
+    * @return (id1, id2, jaccard_ppm) — exact floor(10⁶·J), id1 < id2
+    */
+  def jaccardJoinPrefix(df: DataFrame, idCol: String, shinglesCol: String,
+      thetaPpm: Long, maxPrefixDf: Long = 100000L,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(thetaPpm > 0 && thetaPpm <= 1000000L,
+      s"thetaPpm must be in (0, 1000000], got $thetaPpm")
+    val sets = df
+      .select(col(idCol).as("id"), array_distinct(col(shinglesCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("len", size(col("sh")).cast("long"))
+    val toks = sets.select(col("id"), col("len"), explode(col("sh")).as("tok"))
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // prefix length p = len − ⌈θ·len⌉ + 1, integer-exact ceil
+    val ceilTheta =
+      call_function("div", col("len") * thetaPpm + 999999L, lit(1000000L))
+    val prefixes = toks.join(dfTab, "tok")
+      .groupBy(col("id"), col("len"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("id"), col("len"),
+        explode(slice(col("sorted"), lit(1),
+          (col("len") - ceilTheta + 1L).cast("int"))).as("p"))
+      .select(col("id"), col("len"), col("p.tok").as("tok"))
+      .persist()
+    try {
+      val hottest = prefixes.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      require(hottest <= maxPrefixDf,
+        s"a prefix shingle appears in $hottest docs (> maxPrefixDf " +
+          s"$maxPrefixDf) — the candidate block would be quadratic; raise " +
+          "the shingle size or pre-drop boilerplate")
+      val a = prefixes.select(
+        col("id").as("id1"), col("len").as("l1"), col("tok"))
+      val b = prefixes.select(
+        col("id").as("id2"), col("len").as("l2"), col("tok"))
+      val cand = a.join(b,
+          a("tok") === b("tok") && col("id1") < col("id2")
+            && least(col("l1"), col("l2")) * 1000000L >=
+               greatest(col("l1"), col("l2")) * thetaPpm)
+        .select(col("id1"), col("id2")).distinct()
+      val verified = cand
+        .join(sets.select(col("id").as("id1"), col("sh").as("sh1"),
+          col("len").as("l1")), "id1")
+        .join(sets.select(col("id").as("id2"), col("sh").as("sh2"),
+          col("len").as("l2")), "id2")
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn("uni", col("l1") + col("l2") - col("inter"))
+        .where(col("inter") * 1000000L >= col("uni") * thetaPpm)
+        .select(col("id1"), col("id2"),
+          call_function("div", col("inter") * 1000000L, col("uni"))
+            .as("jaccard_ppm"))
+      // materialize the (small) verified pair set so the prefix cache can
+      // be released; durability is the caller's CheckpointStrategy, as in
+      // minhashNearDupPairs
+      CheckpointStrategy.materialize(verified, checkpoint)
+    } finally { prefixes.unpersist(false); () }
+  }
+
   /** Connected-components-lite over near-dup pairs: resolve each id to the
     * MINIMUM id reachable through the pair graph (transitive closure), so a
     * whole near-dup cluster keeps exactly one representative.

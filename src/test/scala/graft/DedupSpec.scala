@@ -342,6 +342,48 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$rcDir/rc/labels0").count() == 6)
   }
 
+  test("jaccardJoinPrefix ≡ brute force on random corpora, boundary thetas included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random small token sets with forced overlaps: ids sharing i % 7 draw
+    // from the same pool, so qualifying pairs exist at several thresholds;
+    // some sets identical (J = 1), some empty (must be dropped)
+    val rows = (0 until 120).map { i =>
+      val pool = (0 until 30).map(k => s"t${i % 7}_$k")
+      val n = if (i % 13 == 0) 0 else 3 + rnd.nextInt(10)
+      (i.toLong, rnd.shuffle(pool).take(n).toArray)
+    }
+    val df = rows.toDF("id", "sh")
+    for (thetaPpm <- Seq(250000L, 500000L, 1000000L)) {
+      val got = graft.operators.Dedup
+        .jaccardJoinPrefix(df, "id", "sh", thetaPpm)
+        .as[(Long, Long, Long)].collect().toSet
+      val sets = rows.map { case (id, sh) => id -> sh.distinct.toSet }.toMap
+      val want = (for {
+        (i1, s1) <- sets.toSeq; (i2, s2) <- sets.toSeq
+        if i1 < i2 && s1.nonEmpty && s2.nonEmpty
+        inter = (s1 & s2).size.toLong
+        uni = s1.size + s2.size - inter
+        if inter * 1000000L >= thetaPpm * uni
+      } yield (i1, i2, inter * 1000000L / uni)).toSet
+      assert(got === want, s"thetaPpm=$thetaPpm")
+      assert(thetaPpm != 250000L || want.nonEmpty) // the loosest run is non-vacuous
+    }
+  }
+
+  test("jaccardJoinPrefix refuses a quadratic prefix block loudly") {
+    import spark.implicits._
+    // every doc shares one ubiquitous token that WILL land in prefixes
+    // (all dfs equal, so ordering cannot save it)
+    val df = (0 until 50).map(i => (i.toLong, Array(s"a$i", "common")))
+      .toDF("id", "sh")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.jaccardJoinPrefix(df, "id", "sh",
+        thetaPpm = 100000L, maxPrefixDf = 10L)
+    }
+    assert(ex.getMessage.contains("quadratic"))
+  }
+
   test("simhash: identical docs identical; near docs close in Hamming distance") {
     import spark.implicits._
     val df = Seq(
