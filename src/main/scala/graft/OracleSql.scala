@@ -1009,6 +1009,24 @@ SELECT id1, id2, (i * 1000000) // (lsum - i) AS jaccard_ppm
 FROM p WHERE i * 1000000 >= 250000 * (lsum - i)
 ORDER BY id1, id2""",
 
+    // Weighted sampling (q117): priority = (w · 2^40) // (40-bit md5 hash
+    // + 1) — integer quotient, so the ranking replays exactly; ties break
+    // on doc_id; w = 0 rows excluded.
+    "q117_weighted_sample" ->
+      raw"""WITH w AS (
+  SELECT doc_id, lang,
+    (n_chars * 1099511627776) //
+      (('0x' || substr(md5('ws1' || doc_id::VARCHAR), 1, 10))::BIGINT + 1)
+      AS priority
+  FROM documents WHERE n_chars <> 0),
+r AS (
+  SELECT lang, doc_id, priority,
+    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id)
+      AS sample_rank
+  FROM w)
+SELECT lang, doc_id, priority, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 25 ORDER BY lang, sample_rank""",
+
     // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
     // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
     // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;

@@ -1913,6 +1913,19 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q117 — deterministic weighted sampling (sequential-Poisson priority
+    * scheme, Sampling.weightedSamplePerGroup): top-25 docs per lang with
+    * inclusion odds ∝ n_chars. The priority is an integer quotient of the
+    * portable 40-bit hash — no ln/pow — so the oracle replays the exact
+    * selection, rank for rank.
+    */
+  def q117WeightedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedSamplePerGroup(
+        documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        col("lang"), col("doc_id"), col("n_chars"), k = 25, salt = "ws1")
+      .select(col("lang"), col("doc_id"), col("priority"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2031,5 +2044,6 @@ object Queries {
     "q114_heavy_hitters" -> q114HeavyHitters _,
     "q115_binned_range_join" -> q115BinnedRangeJoin _,
     "q116_jaccard_join" -> q116JaccardJoin _,
+    "q117_weighted_sample" -> q117WeightedSample _,
   )
 }

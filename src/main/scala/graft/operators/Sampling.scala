@@ -91,6 +91,50 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — "sample
+    * documents proportional to quality score" (the mixing primitive when
+    * groups alone are too coarse). Scheme: sequential Poisson / priority
+    * sampling (Ohlsson 1998; Duffield et al. 2007) — each row draws
+    * priority w/u for a uniform u and the k highest priorities win, which
+    * approximates probability-proportional-to-size inclusion.
+    *
+    * Engine-exact by construction: u is the 40-bit prefix of the portable
+    * md5 hash (+1, so never zero) and the priority is the INTEGER quotient
+    * `(w · 2⁴⁰) div u` — no ln(), no pow(), no float comparison anywhere,
+    * so Spark and DuckDB rank identically (the A-ES u^(1/w) key would hang
+    * selection on cross-engine ln() ULPs). Ties break on the key column.
+    * Weights: w = 0 rows are never sampled (probability ∝ w, honestly);
+    * negative weights raise_error per row (invalid input, loud).
+    *
+    * Overflow bound: w · 2⁴⁰ must fit a long — weights up to ~8.3M are
+    * safe (8.3e6 · 1.1e12 < 2⁶³); the require documents the contract.
+    *
+    * Catalyst plans the rank filter as WindowGroupLimit (partial top-k per
+    * partition before the shuffle — the exactKPerGroup discipline), so a
+    * hot group never sorts all its rows in one task.
+    *
+    * @param weight positive integral column (cast to long)
+    * @return input columns + `priority` + `sample_rank` (1..k per group)
+    */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int, salt: String = "",
+      maxWeight: Long = 8300000L): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pow40 = 1099511627776L // 2^40
+    val u = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 10), 16, 10)
+      .cast("long") + 1L
+    val w = when(weight.cast("long") < 0 || weight.cast("long") > maxWeight,
+        expr(s"raise_error('weighted sample: weight out of [0, $maxWeight]')")
+          .cast("long"))
+      .otherwise(weight.cast("long"))
+    df.where(weight.cast("long") =!= 0) // w = 0 never samples
+      .withColumn("priority", call_function("div", w * pow40, u))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(group).orderBy(col("priority").desc, key)))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Stratified deterministic sampling — per-group fractions (the data-
     * mixing weights of a training corpus: "50% of src0, 10% of src1, 25%
     * of everything else"). Thresholds are computed driver-side as exact

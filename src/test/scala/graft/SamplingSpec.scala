@@ -98,6 +98,45 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("weightedSamplePerGroup: exact sizes, repartition-stable, weight-proportional odds, loud on bad weights") {
+    import spark.implicits._
+    // i % 9 hits both parities, so both groups get heavy rows
+    val df = (1L to 400L).map(i => (i, s"g${i % 2}", if (i % 9 == 0) 100L else 1L))
+      .toDF("id", "g", "w")
+    val out = Sampling.weightedSamplePerGroup(df, col("g"), col("id"), col("w"),
+      k = 10, salt = "s")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("g0" -> 10L, "g1" -> 10L))
+    val ids = out.select("id").as[Long].collect().toSet
+    val again = Sampling.weightedSamplePerGroup(df.repartition(17), col("g"),
+      col("id"), col("w"), k = 10, salt = "s").select("id").as[Long].collect().toSet
+    assert(again === ids, "priority draw must survive repartitioning")
+    // inclusion odds ∝ weight: 44 heavy rows (w=100) vs 356 light (w=1);
+    // across salts the heavy rows should dominate the 20 slots — with
+    // w-ratio 100 the expected heavy share is > 90%; assert a loose floor
+    val heavyShare = (0 until 10).map { s =>
+      Sampling.weightedSamplePerGroup(df, col("g"), col("id"), col("w"),
+          k = 10, salt = s"salt$s")
+        .where(col("w") === 100L).count().toDouble / 20.0
+    }.sum / 10.0
+    assert(heavyShare > 0.6, s"heavy rows won only $heavyShare of slots")
+    // w = 0 rows never appear
+    val withZero = df.withColumn("w", when(col("id") <= 200, lit(0L)).otherwise(col("w")))
+    val z = Sampling.weightedSamplePerGroup(withZero, col("g"), col("id"), col("w"), k = 10)
+    assert(z.where(col("id") <= 200).count() === 0)
+    // negative or oversized weights raise per row, loudly
+    val bad = df.withColumn("w", when(col("id") === 7, lit(-3L)).otherwise(col("w")))
+    val ex = intercept[Exception] {
+      Sampling.weightedSamplePerGroup(bad, col("g"), col("id"), col("w"), k = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("weight out of")))
+    // scale shape: WindowGroupLimit (the exactKPerGroup discipline)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   test("leakage-safe split: hashing the dedup-cluster representative keeps near-dups in one split") {
     import spark.implicits._
     // near-dup pairs as resolveClusters input: docs 1≈2≈3 and 10≈11; the
