@@ -256,6 +256,122 @@ object Sketches {
       .orderBy(col("group_key"), col("item"))
   }
 
+  // ---- mergeable THETA sketches — distinct-count SET ALGEBRA ----------
+  //
+  // HLL answers |A|, |B| and |A ∪ B| but fundamentally cannot intersect.
+  // The questions a history store actually gets asked are intersections:
+  // "users active on day 1 AND day 7" (retention — q110 computes it
+  // exactly from the raw frame), "documents in both crawls", "customers
+  // in segment A but not B". DataSketches theta sketches (on the Spark
+  // classpath) close that gap: they carry the hash SAMPLE, not just a
+  // cardinality state, so union/intersection/difference compose with
+  // provable error bounds. Same store discipline as HLL/KLL: per-(group,
+  // batch) KB-sized blobs, exactly-once appends, range queries touch only
+  // sketch rows.
+
+  private def mergeThetaBlobs(parts: Iterator[Array[Byte]])
+      : org.apache.datasketches.theta.Union = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSketches}
+    val u = SetOperation.builder().buildUnion()
+    parts.foreach(b => u.union(ThetaSketches.wrapSketch(Memory.wrap(b))))
+    u
+  }
+
+  /** Build per-(group, batch) theta sketches of `valueCol` and append them
+    * to the store; replaying a `batchId` is a no-op (the
+    * [[appendDistinctSketches]] exactly-once discipline).
+    *
+    * @return number of group rows appended (0 on replay)
+    */
+  def appendThetaSketches(df: DataFrame, groupCol: String, valueCol: String,
+      batchId: String, storeDir: String): Long = {
+    import org.apache.datasketches.theta.UpdateSketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.sources.PathState
+    val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
+    require(state != PathState.Foreign,
+      s"sketch store '$storeDir' holds non-parquet content — refusing to append")
+    if (state == PathState.Data) {
+      val seen = spark.read.parquet(storeDir)
+        .where(col("batch_id") === batchId).limit(1).count()
+      if (seen > 0) return 0L
+    }
+    val sk = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { case (g, v) =>
+          m.getOrElseUpdate(g, UpdateSketch.builder().build()).update(v)
+        }
+        m.iterator.map { case (g, s) => (g, s.compact().toByteArray) }
+      }
+      .toDF("group_key", "part")
+      .groupBy(col("group_key"))
+      .agg(collect_list(col("part")).as("parts")) // ≤ one blob per partition
+      .as[(String, Seq[Array[Byte]])]
+      .map { case (g, parts) =>
+        (g, mergeThetaBlobs(parts.iterator).getResult.toByteArray)
+      }
+      .toDF("group_key", "sketch")
+      .withColumn("batch_id", lit(batchId))
+    val out = sk.persist()
+    try {
+      val n = out.count()
+      out.write.mode(SaveMode.Append).parquet(storeDir)
+      n
+    } finally { out.unpersist(); () }
+  }
+
+  /** Distinct-count SET ALGEBRA per group between two batch ranges: for
+    * each group, A = union of its sketches over `batchIdsA`, B = over
+    * `batchIdsB`, and the estimate is |A ∪ B|, |A ∩ B| or |A \ B| per
+    * `op`. One scan of sketch rows, one bounded per-group fold — the raw
+    * history is never read. Returns the DataSketches ±2-stddev bounds
+    * alongside (intersections of small overlaps carry wide RELATIVE
+    * error — the bounds say so honestly; callers needing the exact answer
+    * run the raw-frame join, as probe q110 does for retention).
+    *
+    * @return (group_key, estimate, lower_bound, upper_bound), ordered
+    */
+  def estimateSetOp(spark: SparkSession, storeDir: String, op: String,
+      batchIdsA: Seq[String], batchIdsB: Seq[String]): DataFrame = {
+    import org.apache.datasketches.theta.SetOperation
+    import spark.implicits._
+    require(Set("union", "intersect", "diff").contains(op),
+      s"op must be union|intersect|diff, got '$op'")
+    require(batchIdsA.nonEmpty && batchIdsB.nonEmpty,
+      "both batch ranges must be non-empty")
+    val base = spark.read.parquet(storeDir)
+      .where(col("batch_id").isin((batchIdsA ++ batchIdsB): _*))
+      .select(col("group_key").cast("string"), col("batch_id"), col("sketch"))
+    val aSet = batchIdsA.toSet
+    base.as[(String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val (as, bs) = it.toSeq.partition(r => aSet.contains(r._2))
+        val a = mergeThetaBlobs(as.iterator.map(_._3)).getResult
+        val b = mergeThetaBlobs(bs.iterator.map(_._3)).getResult
+        val r = op match {
+          case "union" =>
+            val u = SetOperation.builder().buildUnion()
+            u.union(a); u.union(b); u.getResult
+          case "intersect" =>
+            val i = SetOperation.builder().buildIntersection()
+            i.intersect(a); i.intersect(b); i.getResult
+          case "diff" =>
+            SetOperation.builder().buildANotB().aNotB(a, b)
+        }
+        (g, math.rint(r.getEstimate).toLong,
+          math.floor(r.getLowerBound(2)).toLong,
+          math.ceil(r.getUpperBound(2)).toLong)
+      }
+      .toDF("group_key", "estimate", "lower_bound", "upper_bound")
+      .orderBy(col("group_key"))
+  }
+
   /** Quantile estimates per group at the requested `ranks` across a set
     * of batches (all when empty): one scan of sketch rows, one bounded
     * merge per group — the raw history is never read.

@@ -133,6 +133,38 @@ class SketchesSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("no-false-negative")))
   }
 
+  test("theta store: set algebra across batches — intersect/diff/union match exact within bounds; replay no-op") {
+    val store = Files.createTempDirectory("theta").toString + "/s"
+    val b1 = batch(0 until 3000, 2)    // per-domain users {i : i ≡ d (mod 2)}
+    val b2 = batch(1500 until 6000, 2) // overlap 1500..2999
+    assert(Sketches.appendThetaSketches(b1, "domain", "uid", "day1", store) === 2L)
+    assert(Sketches.appendThetaSketches(b2, "domain", "uid", "day7", store) === 2L)
+    assert(Sketches.appendThetaSketches(b1, "domain", "uid", "day1", store) === 0L)
+    assert(spark.read.parquet(store).count() === 4)
+
+    def exact(op: (Set[String], Set[String]) => Set[String]) = {
+      def users(r: Range, d: Int) = r.filter(_ % 2 == d).map(i => s"user-$i").toSet
+      (0 until 2).map { d =>
+        s"d$d" -> op(users(0 until 3000, d), users(1500 until 6000, d)).size.toLong
+      }.toMap
+    }
+    val cases = Seq(
+      "intersect" -> exact((a, b) => a & b),  // 750 per domain
+      "diff"      -> exact((a, b) => a -- b), // 750 per domain
+      "union"     -> exact((a, b) => a | b))  // 3000 per domain
+    for ((op, want) <- cases) {
+      val got = Sketches.estimateSetOp(spark, store, op, Seq("day1"), Seq("day7"))
+        .as[(String, Long, Long, Long)].collect()
+      assert(got.map(_._1).toSet === want.keySet, op)
+      got.foreach { case (d, est, lb, ub) =>
+        val x = want(d)
+        assert(lb <= x && x <= ub, s"$op $d: exact $x outside [$lb,$ub]")
+        // cardinalities < k = sketches in exact mode: estimate IS exact
+        assert(est === x, s"$op $d: est $est vs exact $x in exact mode")
+      }
+    }
+  }
+
   test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
     val store = Files.createTempDirectory("hll2").toString + "/s"
     Sketches.appendDistinctSketches(batch(0 until 500, 2), "domain", "uid", "b", store)
