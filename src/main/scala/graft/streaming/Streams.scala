@@ -284,6 +284,42 @@ object Streams {
       .start()
   }
 
+  /** Streaming SKETCH-store maintenance: every micro-batch folds a
+    * per-(group, batch) sketch row into a persisted store — the streaming
+    * face of the four [[graft.operators.Sketches]] legs (HLL distinct,
+    * KLL quantile, frequency, theta set-algebra). The batch id is the
+    * micro-batch id, so Structured Streaming's at-least-once replay meets
+    * the store's exactly-once-per-batch append discipline (a replayed
+    * micro-batch re-presents the same id and appends nothing) — restarts
+    * never double-count. Range queries (estimateDistinct / Quantiles /
+    * heavyHitterCandidates / estimateSetOp) read the store as usual; no
+    * refresh hook.
+    *
+    * @param kind  hll | kll | freq | theta
+    */
+  def streamingSketchMaintenance(rows: DataFrame, kind: String,
+      groupCol: String, valueCol: String, storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("hll", "kll", "freq", "theta").contains(kind),
+      s"kind must be hll|kll|freq|theta, got '$kind'")
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import graft.operators.Sketches
+        val df = batch.toDF()
+        val bid = s"stream-$id"
+        kind match {
+          case "hll"   => Sketches.appendDistinctSketches(df, groupCol, valueCol, bid, storeDir)
+          case "kll"   => Sketches.appendQuantileSketches(df, groupCol, valueCol, bid, storeDir)
+          case "freq"  => Sketches.appendFrequencySketches(df, groupCol, valueCol, bid, storeDir)
+          case "theta" => Sketches.appendThetaSketches(df, groupCol, valueCol, bid, storeDir)
+        }
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the
