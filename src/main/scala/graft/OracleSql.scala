@@ -1027,6 +1027,23 @@ r AS (
 SELECT lang, doc_id, priority, CAST(sample_rank AS INT) AS sample_rank
 FROM r WHERE sample_rank <= 25 ORDER BY lang, sample_rank""",
 
+    // Binned interval-overlap join (q118): result-identical to the raw
+    // two-sided theta join, so that IS the oracle.
+    "q118_overlap_join" ->
+      raw"""WITH a AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '1992-01-01', l_shipdate::DATE) AS lo,
+         date_diff('day', DATE '1992-01-01', l_shipdate::DATE) + l_linenumber AS hi
+  FROM lineitem WHERE l_suppkey = 1),
+b AS (
+  SELECT date_diff('day', DATE '1992-01-01', l_shipdate::DATE) AS lo,
+         date_diff('day', DATE '1992-01-01', l_shipdate::DATE) + l_linenumber AS hi
+  FROM lineitem WHERE l_suppkey = 2)
+SELECT a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
+count(*) AS n_overlaps
+FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // Pinned tf-idf vocabulary (q47, oracle-green since round 6): tokens =
     // the RegexTokenizer twin, minus MLlib's english stopword list (embedded
     // verbatim); vocab = top 128 terms by (df DESC, term ASC) with df ≥ 2;

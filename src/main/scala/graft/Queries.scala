@@ -1926,6 +1926,30 @@ object Queries {
       .select(col("lang"), col("doc_id"), col("priority"), col("sample_rank"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  /** Q118 — binned interval-OVERLAP join (Joins.binnedOverlapJoin, R118's
+    * two-sided sibling): supplier 1's ship windows [shipdate, shipdate +
+    * linenumber days] against supplier 2's, overlap counted per left line
+    * item. Exactly-once pairing comes from the first-shared-bin rule, not
+    * a distinct pass; the oracle is the raw two-sided theta join.
+    */
+  def q118OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    // day-granularity epoch (datediff from a fixed date): timezone-free on
+    // the fixture's TIMESTAMP_NTZ ship dates, integer-exact in both engines
+    val days = datediff(col("l_shipdate").cast("date"), lit("1992-01-01")).cast("long")
+    def side(k: Int, p: String) = li.where(col("l_suppkey") === k)
+      .select(col("l_orderkey").as(s"${p}_orderkey"),
+        col("l_linenumber").as(s"${p}_linenumber"),
+        days.as(s"${p}_lo"),
+        (days + col("l_linenumber")).as(s"${p}_hi"))
+    operators.Joins.binnedOverlapJoin(
+        side(1, "a"), "a_lo", "a_hi", side(2, "b"), "b_lo", "b_hi",
+        binSize = 7L)
+      .groupBy(col("a_orderkey"), col("a_linenumber"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("a_orderkey"), col("a_linenumber"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2045,5 +2069,6 @@ object Queries {
     "q115_binned_range_join" -> q115BinnedRangeJoin _,
     "q116_jaccard_join" -> q116JaccardJoin _,
     "q117_weighted_sample" -> q117WeightedSample _,
+    "q118_overlap_join" -> q118OverlapJoin _,
   )
 }

@@ -166,6 +166,50 @@ object Joins {
       .drop("_graft_bin")
   }
 
+  /** Binned interval-OVERLAP join — [[binnedIntervalJoin]]'s two-sided
+    * sibling: pairs of intervals with `lLo ≤ rHi && rLo ≤ lHi` (the
+    * standard overlap predicate), again as a bin equi-join instead of the
+    * nested loop a raw theta join plans. Both sides explode to their
+    * covered bins; a pair shares every bin in
+    * [max(binLo_l, binLo_r), min(binHi_l, binHi_r)], so to emit EXACTLY
+    * once without a distinct pass the join keeps only the FIRST shared
+    * bin: joined bin == greatest(bin(lLo), bin(rLo)). The exact predicate
+    * then re-checks on the raw bounds. Same monotonic-`div` binning and
+    * the same loud maxBinsPerInterval guard on both sides.
+    *
+    * Column names across the two inputs must be disjoint (rename before
+    * calling, as with any self-join).
+    */
+  def binnedOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binSize: Long, maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
+    val bsz = lit(binSize)
+    def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val binLo = call_function("div", col(lo), bsz)
+      val binHi = call_function("div", col(hi), bsz)
+      df.where(col(lo) <= col(hi))
+        .withColumn("_graft_bin", explode(
+          when(binHi - binLo >= maxBinsPerInterval.toLong, expr(
+            s"raise_error(concat('interval spans more than $maxBinsPerInterval " +
+              s"bins of $binSize at $lo=', $lo, ' — raise binSize or cap " +
+              "the interval'))").cast("array<long>"))
+            .otherwise(sequence(binLo, binHi))))
+    }
+    val l = explodeBins(left, lLo, lHi)
+    val r = explodeBins(right, rLo, rHi)
+    l.join(r,
+        l("_graft_bin") === r("_graft_bin")
+          // first shared bin only — each overlapping pair emits exactly once
+          && l("_graft_bin") === greatest(
+               call_function("div", col(lLo), bsz),
+               call_function("div", col(rLo), bsz))
+          && col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .drop("_graft_bin")
+  }
+
   /** Salted aggregation: two-phase groupBy for a skewed grouping key —
     * partial aggregate on (key, salt), then final on key. `partialAggs`
     * must be decomposable (sum/count/min/max); the caller re-aggregates the

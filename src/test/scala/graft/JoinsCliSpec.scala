@@ -140,6 +140,32 @@ class JoinsCliSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("binnedOverlapJoin ≡ theta overlap join, exactly-once without distinct") {
+    import spark.implicits._
+    // bin-edge touching, containment, identical intervals, negatives,
+    // multi-bin spans — and NO distinct in the operator, so duplicate
+    // emission would show up as inflated counts
+    val left = Seq((1L, 0L, 10L), (2L, 15L, 15L), (3L, -20L, 35L), (4L, 7L, 9L))
+      .toDF("lid", "a_lo", "a_hi")
+    val right = Seq((10L, 10L, 20L), (11L, -5L, -1L), (12L, 0L, 100L),
+      (13L, 36L, 40L), (14L, 15L, 15L))
+      .toDF("rid", "b_lo", "b_hi")
+    val got = graft.operators.Joins
+      .binnedOverlapJoin(left, "a_lo", "a_hi", right, "b_lo", "b_hi", binSize = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val want = for {
+      (lid, lo, hi) <- Seq((1L, 0L, 10L), (2L, 15L, 15L), (3L, -20L, 35L), (4L, 7L, 9L))
+      (rid, rlo, rhi) <- Seq((10L, 10L, 20L), (11L, -5L, -1L), (12L, 0L, 100L),
+        (13L, 36L, 40L), (14L, 15L, 15L))
+      if lo <= rhi && rlo <= hi
+    } yield (lid, rid)
+    assert(got.sorted === want.sorted.toList) // list compare: duplicates would fail
+    val plan = graft.operators.Joins
+      .binnedOverlapJoin(left, "a_lo", "a_hi", right, "b_lo", "b_hi", binSize = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("binnedIntervalJoin fails loudly on an interval spanning too many bins") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "t")
