@@ -5,8 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: run only the named probe (local iteration; the
-    // driver always passes exactly two)
+    // optional 3rd arg: run only the named probe(s), comma-separated
+    // (local iteration / sweep subsets; the driver always passes exactly
+    // two)
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, f) => (a, b, Some(f))
@@ -28,7 +29,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_ == name) }
+      .filter { case (name, _) => only.forall(_.split(",").contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -574,10 +574,14 @@ object Dedup {
       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(thetaPpm > 0 && thetaPpm <= 1000000L,
       s"thetaPpm must be in (0, 1000000], got $thetaPpm")
+    // persist the shingled corpus ONCE: it feeds df counting, the prefix
+    // build and both verify sides — without the cache the (expensive)
+    // upstream shingling lineage re-evaluates four times
     val sets = df
       .select(col(idCol).as("id"), array_distinct(col(shinglesCol)).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("len", size(col("sh")).cast("long"))
+      .persist()
     val toks = sets.select(col("id"), col("len"), explode(col("sh")).as("tok"))
     val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // prefix length p = len − ⌈θ·len⌉ + 1, integer-exact ceil
@@ -623,7 +627,7 @@ object Dedup {
       // be released; durability is the caller's CheckpointStrategy, as in
       // minhashNearDupPairs
       CheckpointStrategy.materialize(verified, checkpoint)
-    } finally { prefixes.unpersist(false); () }
+    } finally { prefixes.unpersist(false); sets.unpersist(false); () }
   }
 
   /** Connected-components-lite over near-dup pairs: resolve each id to the
