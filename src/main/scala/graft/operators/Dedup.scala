@@ -145,7 +145,8 @@ object Dedup {
       if (!anyOversized) (pairsWithin(assigned, Seq("cid")), Nil)
       else {
         val (settled, exactPairs, handles) =
-          capClusterSizes(assigned, idCol, vecCol, maxClusterSize, maxSplitDepth)
+          capClusterSizes(assigned, idCol, vecCol, maxClusterSize, maxSplitDepth,
+            checkpoint)
         (pairsWithin(settled, Seq("cid", "_sub")).unionByName(exactPairs), handles)
       }
     // dropNearDuplicates resolves components EAGERLY (the caller's
@@ -173,7 +174,8 @@ object Dedup {
     *      Steinbach et al. 2000, with deterministic init): pole A = the
     *      min-id row's vector, pole B = the vector least cosine-similar to
     *      A (ties to the smaller id); rows go to the nearer pole, exact
-    *      equidistance broken by xxhash64(id) parity so colinear cells
+    *      equidistance broken by xxhash64(id, depth) parity — depth-seeded
+    *      so each level splits on an independent bit and colinear cells
     *      still make progress.
     *
     * Bisection is the operator's one approximation knob: a near-dup pair
@@ -187,7 +189,8 @@ object Dedup {
     *         caller to release after eager consumption)
     */
   private[graft] def capClusterSizes(assigned: DataFrame, idCol: String,
-      vecCol: String, maxClusterSize: Int, maxSplitDepth: Int)
+      vecCol: String, maxClusterSize: Int, maxSplitDepth: Int,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import graft.functions.VectorFunctions
     val spark = assigned.sparkSession
@@ -205,8 +208,18 @@ object Dedup {
         cur.groupBy(col("cid"), col("_sub")).agg(count(lit(1)).as("_n")),
         Seq("cid", "_sub"))
       settledParts += sized.where(col("_n") <= maxClusterSize).drop("_n")
-      val big = sized.where(col("_n") > maxClusterSize).drop("_n")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // CUT the plan per level, not just cache it: `big` feeds this level's
+      // self-joins at multiple sites, so without a lineage cut the logical
+      // plan grows ~8-16× PER LEVEL and a cell needing a handful of levels
+      // OOMs the driver on plan strings alone. Parquet cuts go to per-level
+      // sub-paths so levels never overwrite the frame they read.
+      val levelCut = checkpoint match {
+        case CheckpointStrategy.Parquet(dir) =>
+          CheckpointStrategy.Parquet(s"$dir/cap-level-$depth")
+        case other => other
+      }
+      val big = CheckpointStrategy.materialize(
+        sized.where(col("_n") > maxClusterSize).drop("_n"), levelCut)
       handles += big
       if (big.limit(1).count() == 0) {
         big.unpersist(false)
@@ -249,8 +262,12 @@ object Dedup {
           .select(col("cid"), col("_sub"), col("_pb.v").as("_bv"))
         val side = {
           val simB = VectorFunctions.cosine(col(vecCol), col("_bv"))
+          // seed the equidistance tie-break with the recursion depth: a
+          // per-level-independent parity, so a cell of exactly-equidistant
+          // (colinear) vectors keeps halving instead of re-splitting on the
+          // same bit forever and spuriously exhausting maxSplitDepth
           when(col("_simA") === simB,
-            pmod(xxhash64(col(idCol)), lit(2)).cast("string"))
+            pmod(xxhash64(col(idCol), lit(depth)), lit(2)).cast("string"))
             .otherwise(when(col("_simA") > simB, lit("0")).otherwise(lit("1")))
         }
         cur = withA.join(poleB, Seq("cid", "_sub"))
@@ -596,8 +613,11 @@ object Dedup {
       .select(col("id"), col("len"), col("p.tok").as("tok"))
       .persist()
     try {
-      val hottest = prefixes.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
+      // max over zero groups is NULL (no docs had a non-empty shingle set):
+      // that is an empty, trivially-safe input, not a guard violation
+      val hottestRow = prefixes.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
       require(hottest <= maxPrefixDf,
         s"a prefix shingle appears in $hottest docs (> maxPrefixDf " +
           s"$maxPrefixDf) — the candidate block would be quadratic; raise " +

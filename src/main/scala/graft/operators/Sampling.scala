@@ -120,6 +120,9 @@ object Sampling {
       weight: Column, k: Int, salt: String = "",
       maxWeight: Long = 8300000L): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxWeight > 0 && maxWeight <= (Long.MaxValue >> 40),
+      s"maxWeight must be in (0, ${Long.MaxValue >> 40}] so w·2^40 cannot " +
+        s"overflow a long (negative priorities = wrong sample), got $maxWeight")
     import org.apache.spark.sql.expressions.Window
     val pow40 = 1099511627776L // 2^40
     val u = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 10), 16, 10)

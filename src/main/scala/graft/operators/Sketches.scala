@@ -348,10 +348,16 @@ object Sketches {
       .where(col("batch_id").isin((batchIdsA ++ batchIdsB): _*))
       .select(col("group_key").cast("string"), col("batch_id"), col("sketch"))
     val aSet = batchIdsA.toSet
+    val bSet = batchIdsB.toSet
     base.as[(String, String, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (g, it) =>
-        val (as, bs) = it.toSeq.partition(r => aSet.contains(r._2))
+        // a batch id present in BOTH ranges contributes to BOTH unions —
+        // a partition() here would silently drop it from B and skew the
+        // intersect/diff estimates on overlapping ranges
+        val rows = it.toSeq
+        val as = rows.filter(r => aSet.contains(r._2))
+        val bs = rows.filter(r => bSet.contains(r._2))
         val a = mergeThetaBlobs(as.iterator.map(_._3)).getResult
         val b = mergeThetaBlobs(bs.iterator.map(_._3)).getResult
         val r = op match {

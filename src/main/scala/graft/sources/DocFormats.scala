@@ -1427,6 +1427,11 @@ object DocFormats {
         var v = 0L
         var k = 0
         while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+        // the 'u'-padded value must satisfy the same 2^32 bound as a full
+        // group — without this a malformed final group (e.g. "uu") decodes
+        // to silent garbage instead of throwing to quarantine
+        if (v > 0xffffffffL)
+          throw new IllegalArgumentException("ASCII85Decode group overflows 2^32")
         var b = 0
         while (b < count - 1) { out.write(((v >> (24 - 8 * b)) & 0xff).toInt); b += 1 }
       }

@@ -156,6 +156,39 @@ class DedupSpec extends SparkSpec {
     assert(keptB == Set(0L, 100L), s"one survivor per blob expected, got $keptB")
   }
 
+  test("capClusterSizes: colinear (exactly-equidistant) cells still converge") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // distinct positive power-of-two multiples of one axis vector: every
+    // pairwise cosine is EXACTLY 1.0f, so every row is exactly equidistant
+    // from both bisection poles at every level — only the hash-parity
+    // tie-break can make progress. The depth-seeded parity gives each level
+    // an independent bit; a constant parity would re-split on the same bit
+    // forever and spuriously exhaust maxSplitDepth.
+    val colinear = (0L until 16L).map { k =>
+      (k, Array(math.pow(2.0, k.toDouble).toFloat, 0.0f, 0.0f))
+    }.toDF("id", "vec")
+    // a constant parity re-splits on the same bit: after level 0 every cell
+    // is parity-pure, no later level makes progress, and this THROWS depth
+    // exhaustion. Depth-seeded parity must instead settle every cell ≤ cap.
+    val assigned = colinear.select(col("id"), lit(0).as("cid"), col("vec"))
+    val (settled, exactPairs, handles) =
+      Dedup.capClusterSizes(assigned, "id", "vec", maxClusterSize = 2, maxSplitDepth = 16)
+    val worst = settled.groupBy(col("cid"), col("_sub")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(worst <= 2, s"a settled cell still holds $worst rows")
+    assert(settled.count() === 16L, "every row settles (distinct values: no collapse)")
+    assert(exactPairs.count() === 0L)
+    handles.foreach(_.unpersist(false))
+  }
+
+  test("jaccardJoinPrefix: empty input (no non-empty shingle sets) returns empty") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String])).toDF("id", "sh")
+    val out = graft.operators.Dedup.jaccardJoinPrefix(df, "id", "sh", 500000L)
+    assert(out.count() === 0L)
+  }
+
   test("line/span verdict plans stay partial-aggregatable (skew posture pinned)") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -132,6 +132,13 @@ class SamplingSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     assert(msgs(ex).exists(m => m != null && m.contains("weight out of")))
+    // a maxWeight that would let w·2^40 overflow a long is refused at entry
+    // (negative priorities would silently produce a wrong sample)
+    val exCap = intercept[IllegalArgumentException] {
+      Sampling.weightedSamplePerGroup(df, col("g"), col("id"), col("w"),
+        k = 10, maxWeight = (Long.MaxValue >> 40) + 1)
+    }
+    assert(exCap.getMessage.contains("maxWeight"))
     // scale shape: WindowGroupLimit (the exactKPerGroup discipline)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))

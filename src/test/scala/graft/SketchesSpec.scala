@@ -165,6 +165,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("set algebra with OVERLAPPING batch ranges routes shared batches to both sides") {
+    val store = Files.createTempDirectory("theta2").toString + "/s"
+    val b1 = batch(0 until 1000, 2)
+    val b2 = batch(1000 until 2000, 2)
+    val b3 = batch(500 until 1500, 2)
+    Sketches.appendThetaSketches(b1, "domain", "uid", "d1", store)
+    Sketches.appendThetaSketches(b2, "domain", "uid", "d2", store)
+    Sketches.appendThetaSketches(b3, "domain", "uid", "d3", store)
+    // A = {d1,d2}, B = {d2,d3}: d2 is in BOTH ranges and must contribute to
+    // both unions — dropping it from B would skew intersect/diff
+    def users(r: Range, d: Int) = r.filter(_ % 2 == d).map(i => s"user-$i").toSet
+    def side(d: Int, rs: Range*) = rs.map(users(_, d)).reduce(_ | _)
+    for ((op, f) <- Seq[(String, (Set[String], Set[String]) => Set[String])](
+        "intersect" -> (_ & _), "diff" -> (_ -- _), "union" -> (_ | _))) {
+      val got = Sketches.estimateSetOp(spark, store, op, Seq("d1", "d2"), Seq("d2", "d3"))
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      (0 until 2).foreach { d =>
+        val x = f(side(d, 0 until 1000, 1000 until 2000),
+          side(d, 1000 until 2000, 500 until 1500)).size.toLong
+        assert(got(s"d$d") === x, s"$op d$d: est ${got(s"d$d")} vs exact $x (exact mode)")
+      }
+    }
+  }
+
   test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
     val store = Files.createTempDirectory("hll2").toString + "/s"
     Sketches.appendDistinctSketches(batch(0 until 500, 2), "domain", "uid", "b", store)

@@ -652,6 +652,10 @@ class SourcesSpec extends SparkSpec {
     assert(new String(MinimalPdf.ascii85Decode("9jqo~>".getBytes), "US-ASCII") == "Man")
     assert(MinimalPdf.ascii85Decode("z~>".getBytes).toSeq == Seq[Byte](0, 0, 0, 0))
     intercept[IllegalArgumentException](MinimalPdf.ascii85Decode("9jqo^!~>".getBytes))
+    // a malformed final partial group whose 'u'-padded value exceeds 2^32
+    // throws (quarantine contract) instead of decoding to garbage; legit
+    // partial groups can never trip the bound (padded ≤ value + 84·85³)
+    intercept[IllegalArgumentException](MinimalPdf.ascii85Decode("uu~>".getBytes))
     // encoder/decoder agree on arbitrary bytes
     val blob = Array.tabulate[Byte](997)(i => ((i * 131 + 17) % 256).toByte)
     assert(java.util.Arrays.equals(
