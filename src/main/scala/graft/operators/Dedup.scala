@@ -131,9 +131,6 @@ object Dedup {
       // both sides of the pair self-join read this — persist so the
       // centroid argmax runs once, released after the (eager) resolution
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val anyOversized = assigned.groupBy(col("cid"))
-      .agg(count(lit(1)).as("_n"))
-      .where(col("_n") > maxClusterSize).limit(1).count() > 0
     def pairsWithin(rows: DataFrame, keys: Seq[String]): DataFrame = rows
       .select(keys.map(col) :+ col(idCol).as("id1") :+ col(vecCol).as("_v1"): _*)
       .join(rows.select(
@@ -141,14 +138,17 @@ object Dedup {
       .where(col("id1") < col("id2"))
       .where(VectorFunctions.cosine(col("_v1"), col("_v2")) >= simThreshold)
       .select(col("id1"), col("id2"))
-    val (pairs, capHandles) =
-      if (!anyOversized) (pairsWithin(assigned, Seq("cid")), Nil)
-      else {
-        val (settled, exactPairs, handles) =
-          capClusterSizes(assigned, idCol, vecCol, maxClusterSize, maxSplitDepth,
-            checkpoint)
-        (pairsWithin(settled, Seq("cid", "_sub")).unionByName(exactPairs), handles)
-      }
+    // no separate oversized pre-check (VERDICT r6 item 4): capClusterSizes'
+    // level-0 sizing IS the check — its `big` materialize doubles as the
+    // cache-materializing action, settles everything when no cluster
+    // exceeds the cap, and the old standalone pre-check agg (which the
+    // capped path then re-computed) is gone
+    val (pairs, capHandles) = {
+      val (settled, exactPairs, handles) =
+        capClusterSizes(assigned, idCol, vecCol, maxClusterSize, maxSplitDepth,
+          checkpoint)
+      (pairsWithin(settled, Seq("cid", "_sub")).unionByName(exactPairs), handles)
+    }
     // dropNearDuplicates resolves components EAGERLY (the caller's
     // CheckpointStrategy cut inside resolveClusters), so pairs are fully
     // consumed before release
