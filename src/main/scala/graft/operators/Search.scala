@@ -835,14 +835,23 @@ object Search {
       numTables: Int = 4, bitsPerTable: Int = 12,
       simThreshold: Double = 0.9): DataFrame = {
     require(numTables > 0 && bitsPerTable > 0 && bitsPerTable < 31)
-    // All arithmetic rides the codegen'd fused-loop dot (VectorExpressions)
-    // over FLOAT copies of the int8 codes: every product |c·w| ≤ 127² and
-    // every sum ≤ dim·127² < 2²⁴, so float/double arithmetic is EXACT and
-    // bit-identical to the integer formulation the oracle replays — while
-    // avoiding 32 allocating higher-order aggregates per row (the q24
-    // lesson: HOF zip_with+aggregate cost 50× on the hot path).
-    val codes = df.select(col(idCol).as("_id"),
+    val codes = seededCodes(df, idCol, vecCol)
+    val banded = seededBands(codes, dim, numTables, bitsPerTable)
+    seededVerifiedPairs(banded, codes, simThreshold)
+  }
+
+  // All arithmetic rides the codegen'd fused-loop dot (VectorExpressions)
+  // over FLOAT copies of the int8 codes: every product |c·w| ≤ 127² and
+  // every sum ≤ dim·127² < 2²⁴, so float/double arithmetic is EXACT and
+  // bit-identical to the integer formulation the oracle replays — while
+  // avoiding 32 allocating higher-order aggregates per row (the q24
+  // lesson: HOF zip_with+aggregate cost 50× on the hot path).
+  private def seededCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
       i8Codes(col(vecCol)).cast("array<float>").as("_c"))
+
+  private def seededBands(codes: DataFrame, dim: Int,
+      numTables: Int, bitsPerTable: Int): DataFrame = {
     val bucketCols = (0 until numTables).map { t =>
       val bits = (0 until bitsPerTable).map { k =>
         val w = typedLit((0 until dim).map(i => seededLshWeight(t, k, i).toFloat))
@@ -850,12 +859,18 @@ object Search {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
     }
-    // the band self-join shuffles ONLY (t, bucket, id) — never the code
-    // arrays (the library's no-vectors-through-exchanges principle); codes
-    // re-join by id onto the (far smaller) deduped candidate set
-    val banded = codes
+    codes
       .withColumn("_tb", explode(array(bucketCols: _*)))
       .select(col("_id"), col("_tb.t").as("_t"), col("_tb.bucket").as("_b"))
+  }
+
+  // the band self-join shuffles ONLY (t, bucket, id) — never the code
+  // arrays (the library's no-vectors-through-exchanges principle); codes
+  // re-join by id onto the (far smaller) deduped candidate set. The
+  // (id1, id2) dedup also makes duplicated band rows (a crashed append's
+  // orphans) harmless to the pair output.
+  private def seededVerifiedPairs(banded: DataFrame, codes: DataFrame,
+      simThreshold: Double): DataFrame = {
     val candidates = banded.select(col("_t"), col("_b"), col("_id").as("id1"))
       .join(banded.select(col("_t"), col("_b"), col("_id").as("id2")), Seq("_t", "_b"))
       .where(col("id1") < col("id2"))
@@ -873,6 +888,90 @@ object Search {
       .where(col("_cos") >= simThreshold)
       .select(col("id1"), col("id2"),
         (floor(col("_cos") * 1000) / 1).as("cos8_m"))
+  }
+
+  /** Materialize the seeded-LSH tier as a PERSISTED index (VERDICT r6
+    * item 6: maintenance parity for the oracle-checkable ANN tier). The
+    * hash family itself is pinned by construction ([[seededLshWeight]] —
+    * md5, no PRNG), so the only frozen state is the family SHAPE: `meta`
+    * holds (dim, num_tables, bits_per_table); `bands` holds the
+    * (id, t, bucket) rows t-partitioned; `codes` holds each id's int8
+    * code (as float — exact, see [[seededCodes]]) for pair verification.
+    */
+  def writeSeededLshIndex(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, numTables: Int = 4, bitsPerTable: Int = 12): Unit = {
+    require(numTables > 0 && bitsPerTable > 0 && bitsPerTable < 31)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val codes = seededCodes(df, idCol, vecCol)
+    seededBands(codes, dim, numTables, bitsPerTable)
+      .select(col("_id").as("id"), col("_t").as("t"), col("_b").as("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("t").parquet(s"$path/bands")
+    codes.select(col("_id").as("id"), col("_c").as("code"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    Seq((dim, numTables, bitsPerTable))
+      .toDF("dim", "num_tables", "bits_per_table")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Append a batch to a [[writeSeededLshIndex]] index under the frozen
+    * family shape — the R81/R85 maintenance discipline: already-indexed
+    * ids anti-join out against a column-pruned id scan of `codes`, so
+    * replays are no-ops; band rows commit FIRST and codes SECOND, because
+    * the CODES store is the idempotency gate — a crash between the two
+    * appends leaves orphan band rows the retry re-appends, which the read
+    * path's (id1, id2) dedup absorbs, whereas the reverse order would
+    * gate the retry out with its band rows never landed (silent recall
+    * loss).
+    *
+    * @return number of NEW vectors appended (0 for a pure replay)
+    */
+  def appendSeededLshIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Long = {
+    import graft.sources.PathState
+    val spark = batch.sparkSession
+    val state = PathState.classify(s"$path/codes",
+      spark.sparkContext.hadoopConfiguration)
+    require(state == PathState.Data,
+      s"appendSeededLshIndex requires an existing index at '$path' " +
+        "(writeSeededLshIndex first — appends need its frozen family shape)")
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("dim"), col("num_tables"), col("bits_per_table")).head()
+    val (dim, nt, bpt) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val existing = spark.read.parquet(s"$path/codes").select(col("id"))
+    val fresh = batch
+      .join(existing, batch(idCol) === existing("id"), "left_anti")
+      .dropDuplicates(idCol).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val codes = seededCodes(fresh, idCol, vecCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          seededBands(codes, dim, nt, bpt)
+            .select(col("_id").as("id"), col("_t").as("t"), col("_b").as("bucket"))
+            .write.mode(SaveMode.Append).partitionBy("t").parquet(s"$path/bands")
+          codes.select(col("_id").as("id"), col("_c").as("code"))
+            .write.mode(SaveMode.Append).parquet(s"$path/codes")
+        } finally { codes.unpersist(false); () }
+      }
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Near-dup pairs from a persisted seeded-LSH index: the band self-join
+    * and exact quantized-cosine verification of [[seededLshPairs]], but
+    * over the materialized `bands`/`codes` stores — no re-hash of the
+    * corpus. Build + append ≡ full build (spec-proven), so the incremental
+    * path returns bit-identical pairs.
+    */
+  def seededLshPairsFromIndex(spark: SparkSession, path: String,
+      simThreshold: Double = 0.9): DataFrame = {
+    val banded = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("_id"), col("t").as("_t"), col("bucket").as("_b"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id").as("_id"), col("code").as("_c"))
+    seededVerifiedPairs(banded, codes, simThreshold)
   }
 
   /** MLlib BucketedRandomProjectionLSH wrapper over `array<float>` columns

@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** The exactly-once replay gate shared by all four stores: a batch id is
+    * "already applied" if it appears in the live store OR in the store's
+    * `_folded` ledger (batches absorbed by [[compactSketchStore]] — their
+    * per-batch rows are gone, but a replay must STILL be a no-op or
+    * compaction would double-count every absorbed batch on retry). The
+    * `_folded` ledger lives under an underscore-prefixed sub-path, which
+    * Spark's hidden-file filter excludes from reads of the store itself.
+    */
+  private def alreadyApplied(spark: SparkSession, storeDir: String,
+      batchId: String): Boolean = {
+    import graft.sources.PathState
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inMain = spark.read.parquet(storeDir)
+      .where(col("batch_id") === batchId).limit(1).count() > 0
+    inMain || (PathState.classify(s"$storeDir/_folded", conf) == PathState.Data &&
+      spark.read.parquet(s"$storeDir/_folded")
+        .where(col("batch_id") === batchId).limit(1).count() > 0)
+  }
+
   /** Build per-(group, batch) HLL sketches of `valueCol` and append them
     * to the store. Replaying the same `batchId` is a no-op (anti-join on
     * the batch id — the store stays exactly-once per batch).
@@ -36,11 +55,7 @@ object Sketches {
     val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
     require(state != PathState.Foreign,
       s"sketch store '$storeDir' holds non-parquet content — refusing to append")
-    if (state == PathState.Data) {
-      val seen = spark.read.parquet(storeDir)
-        .where(col("batch_id") === batchId).limit(1).count()
-      if (seen > 0) return 0L
-    }
+    if (state == PathState.Data && alreadyApplied(spark, storeDir, batchId)) return 0L
     val sk = df.groupBy(col(groupCol).as("group_key"))
       .agg(expr(s"hll_sketch_agg($valueCol)").as("sketch"))
       .withColumn("batch_id", lit(batchId))
@@ -105,11 +120,7 @@ object Sketches {
     val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
     require(state != PathState.Foreign,
       s"sketch store '$storeDir' holds non-parquet content — refusing to append")
-    if (state == PathState.Data) {
-      val seen = spark.read.parquet(storeDir)
-        .where(col("batch_id") === batchId).limit(1).count()
-      if (seen > 0) return 0L
-    }
+    if (state == PathState.Data && alreadyApplied(spark, storeDir, batchId)) return 0L
     val sk = df
       .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
       .as[(String, Double)]
@@ -182,11 +193,7 @@ object Sketches {
     val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
     require(state != PathState.Foreign,
       s"sketch store '$storeDir' holds non-parquet content — refusing to append")
-    if (state == PathState.Data) {
-      val seen = spark.read.parquet(storeDir)
-        .where(col("batch_id") === batchId).limit(1).count()
-      if (seen > 0) return 0L
-    }
+    if (state == PathState.Data && alreadyApplied(spark, storeDir, batchId)) return 0L
     val sk = df
       .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("string").as("v"))
       .as[(String, String)]
@@ -293,11 +300,7 @@ object Sketches {
     val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
     require(state != PathState.Foreign,
       s"sketch store '$storeDir' holds non-parquet content — refusing to append")
-    if (state == PathState.Data) {
-      val seen = spark.read.parquet(storeDir)
-        .where(col("batch_id") === batchId).limit(1).count()
-      if (seen > 0) return 0L
-    }
+    if (state == PathState.Data && alreadyApplied(spark, storeDir, batchId)) return 0L
     val sk = df
       .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("string").as("v"))
       .as[(String, String)]
@@ -403,5 +406,104 @@ object Sketches {
       .flatMap { case (g, qs) => ranks.zip(qs).map { case (r, q) => (g, r, q) } }
       .toDF("group_key", "rank", "quantile_est")
       .orderBy(col("group_key"), col("rank"))
+  }
+
+  /** Compact a sketch store: merge the blobs of a CLOSED set of batches
+    * into ONE blob per group (merge is the operation sketches exist for)
+    * under a single synthetic batch id, rewriting into a NEW directory —
+    * the removeFromTextIndex contract: job-commit all-or-nothing into
+    * `dstDir`, the source store stays readable throughout, the swap is the
+    * caller's atomic rename. Without compaction every estimate scans one
+    * blob per (group, batch) forever — a year of hourly batches is 8.7k
+    * blobs per group per query; after compaction a closed range is one.
+    *
+    * Batch ids are opaque strings, so the closed range is named
+    * explicitly (`batchIds`), not inferred from an ordering. Granularity
+    * inside a compacted range is deliberately gone — compact only ranges
+    * no query will ever scope INTO (e.g. hours of a closed month queried
+    * monthly); estimates over the whole store, over the compacted id, or
+    * over unions of compacted ids and live batches are invariant
+    * (sketch-merge associativity).
+    *
+    * Replay safety across the boundary: absorbed batch ids move to the
+    * `_folded` ledger (hidden sub-path, carried forward from any previous
+    * compaction), and every append consults it — so replaying an absorbed
+    * batch against the compacted store is still a no-op instead of a
+    * silent double-count.
+    *
+    * @param family one of "hll", "kll", "freq", "theta" — must match what
+    *        the store's appends wrote (blob formats differ)
+    * @param k KLL accuracy parameter — must equal the store's (kll only)
+    * @param maxMapSize frequency-sketch capacity — must equal the store's
+    *        (freq only)
+    * @return number of compacted group rows written
+    */
+  def compactSketchStore(spark: SparkSession, srcDir: String, dstDir: String,
+      family: String, batchIds: Seq[String], compactedBatchId: String,
+      k: Int = 200, maxMapSize: Int = 1024): Long = {
+    import spark.implicits._
+    require(srcDir != dstDir,
+      "compactSketchStore writes a NEW directory (caller swaps atomically)")
+    require(Set("hll", "kll", "freq", "theta").contains(family),
+      s"family must be hll|kll|freq|theta, got '$family'")
+    require(batchIds.nonEmpty, "batchIds must name the closed range to fold")
+    require(!batchIds.contains(compactedBatchId),
+      "compactedBatchId must be a FRESH id, not one being folded")
+    val base = spark.read.parquet(srcDir)
+      .select(col("group_key"), col("sketch"), col("batch_id"))
+    require(base.where(col("batch_id") === compactedBatchId).limit(1).count() == 0,
+      s"batch id '$compactedBatchId' already exists in the store")
+    val idSet = batchIds.toSet
+    val absorbed = base.where(col("batch_id").isin(batchIds: _*))
+    val keep = base.where(!col("batch_id").isin(batchIds: _*))
+    val mergedPairs: DataFrame = family match {
+      case "hll" =>
+        // group_key keeps the store's own type (HLL appends don't cast;
+        // the other families' stores are string-keyed at build time)
+        absorbed.groupBy(col("group_key"))
+          .agg(expr("hll_union_agg(sketch)").as("sketch"))
+      case "kll" =>
+        absorbed.select(col("group_key").cast("string"), col("sketch"))
+          .as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) => (g, mergeSketchBlobs(it.map(_._2), k).toByteArray) }
+          .toDF("group_key", "sketch")
+      case "freq" =>
+        absorbed.select(col("group_key").cast("string"), col("sketch"))
+          .as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            (g, mergeFreqBlobs(it.map(_._2), maxMapSize).toByteArray(freqSerde))
+          }
+          .toDF("group_key", "sketch")
+      case "theta" =>
+        absorbed.select(col("group_key").cast("string"), col("sketch"))
+          .as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            (g, mergeThetaBlobs(it.map(_._2)).getResult.toByteArray)
+          }
+          .toDF("group_key", "sketch")
+    }
+    val merged = mergedPairs.withColumn("batch_id", lit(compactedBatchId))
+    // the store body first, the ledger second: a crash in between leaves a
+    // dstDir whose ledger is missing — the caller has not swapped yet, so
+    // nothing reads it; the retry overwrites both
+    keep.unionByName(merged)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    import graft.sources.PathState
+    val prior =
+      if (PathState.classify(s"$srcDir/_folded",
+          spark.sparkContext.hadoopConfiguration) == PathState.Data)
+        spark.read.parquet(s"$srcDir/_folded")
+          .select(col("batch_id"), col("folded_into"))
+      else Seq.empty[(String, String)].toDF("batch_id", "folded_into")
+    idSet.toSeq.sorted.map(b => (b, compactedBatchId))
+      .toDF("batch_id", "folded_into")
+      .unionByName(prior)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/_folded")
+    spark.read.parquet(dstDir)
+      .where(col("batch_id") === compactedBatchId).count()
   }
 }

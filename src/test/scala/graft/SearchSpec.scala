@@ -666,6 +666,46 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan.take(800))
   }
 
+  test("seededLshIndex: build(A)+append(B) ≡ full build ≡ in-memory pairs; replay no-op; guards") {
+    val dim = 64
+    val a = emb.where(col("vec_id") < 250)
+    val b = emb.where(col("vec_id") >= 250)
+    val incDir = java.nio.file.Files.createTempDirectory("slshinc").toString + "/ix"
+    val fullDir = java.nio.file.Files.createTempDirectory("slshfull").toString + "/ix"
+    Search.writeSeededLshIndex(a, "vec_id", "embedding", dim, incDir,
+      numTables = 4, bitsPerTable = 8)
+    assert(Search.appendSeededLshIndex(b, "vec_id", "embedding", incDir) === b.count())
+    Search.writeSeededLshIndex(emb, "vec_id", "embedding", dim, fullDir,
+      numTables = 4, bitsPerTable = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = pairSet(Search.seededLshPairsFromIndex(spark, incDir, 0.3))
+    val full = pairSet(Search.seededLshPairsFromIndex(spark, fullDir, 0.3))
+    val mem = pairSet(Search.seededLshPairs(emb, "vec_id", "embedding", dim,
+      numTables = 4, bitsPerTable = 8, simThreshold = 0.3))
+    assert(inc === full, "incremental index must equal the full build")
+    assert(inc === mem, "persisted read path must equal the in-memory operator")
+    assert(inc.nonEmpty, "fixture must actually produce near-dup pairs")
+    // replaying the same batch appends nothing (codes id anti-join)
+    assert(Search.appendSeededLshIndex(b, "vec_id", "embedding", incDir) === 0L)
+    assert(spark.read.parquet(s"$incDir/codes").count() === emb.count())
+    // crash-retry shape: orphan band rows (bands landed, codes did not)
+    // are absorbed by the read path's pair dedup after the retry
+    val orphanBatch = b.limit(7)
+    // simulate: re-append bands for existing ids directly (duplicates)
+    spark.read.parquet(s"$incDir/bands")
+      .join(orphanBatch.select(col("vec_id").as("id")), "id").limit(50)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("t").parquet(s"$incDir/bands")
+    assert(pairSet(Search.seededLshPairsFromIndex(spark, incDir, 0.3)) === full,
+      "duplicated band rows must not change the verified pair set")
+    // guard: appending into a missing index fails fast
+    intercept[IllegalArgumentException] {
+      Search.appendSeededLshIndex(b, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("slshnone").toString + "/ix")
+    }
+  }
+
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
     val plan = Queries.q03RegionCustomers(spark, sf001)
       .queryExecution.executedPlan.toString

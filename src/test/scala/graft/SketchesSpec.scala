@@ -189,6 +189,103 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("compactSketchStore: estimate-invariant for all four families; replay-safe across the boundary") {
+    import graft.operators.Sketches
+    val b1 = batch(0 until 2000, 2)
+    val b2 = batch(1000 until 4000, 2)
+    val b3 = batch(3000 until 5000, 2)
+
+    // HLL: all-batches estimate and mixed compacted+live scoping invariant
+    val hllSrc = Files.createTempDirectory("chll").toString + "/s"
+    val hllDst = Files.createTempDirectory("chll").toString + "/s"
+    Seq(("m1", b1), ("m2", b2), ("m3", b3)).foreach { case (id, df) =>
+      Sketches.appendDistinctSketches(df, "domain", "uid", id, hllSrc)
+    }
+    val before = Sketches.estimateDistinct(spark, hllSrc)
+      .as[(String, Long)].collect().toMap
+    val nGroups = Sketches.compactSketchStore(spark, hllSrc, hllDst, "hll",
+      Seq("m1", "m2"), "m1-2")
+    assert(nGroups === 2L)
+    assert(spark.read.parquet(hllDst).count() === 4L, "2 kept (m3) + 2 compacted")
+    val after = Sketches.estimateDistinct(spark, hllDst)
+      .as[(String, Long)].collect().toMap
+    assert(after === before, "all-batches estimate must be invariant")
+    val scoped = Sketches.estimateDistinct(spark, hllDst, Seq("m1-2", "m3"))
+      .as[(String, Long)].collect().toMap
+    assert(scoped === before, "compacted-id + live-batch scoping must be invariant")
+    // replaying an ABSORBED batch against the compacted store is a no-op
+    assert(Sketches.appendDistinctSketches(b1, "domain", "uid", "m1", hllDst) === 0L)
+    // a genuinely new batch still appends
+    assert(Sketches.appendDistinctSketches(
+      batch(5000 until 5500, 2), "domain", "uid", "m4", hllDst) === 2L)
+
+    // KLL: quantiles invariant pre/post
+    val kllSrc = Files.createTempDirectory("ckll").toString + "/s"
+    val kllDst = Files.createTempDirectory("ckll").toString + "/s"
+    def lens(ids: Range) = ids.map(i => (s"d${i % 2}", (i % 997).toDouble)).toDF("g", "v")
+    Sketches.appendQuantileSketches(lens(0 until 2000), "g", "v", "m1", kllSrc)
+    Sketches.appendQuantileSketches(lens(2000 until 4000), "g", "v", "m2", kllSrc)
+    val qBefore = Sketches.estimateQuantiles(spark, kllSrc, Seq(0.5, 0.95))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, r, q) => (g, r) -> q }.toMap
+    Sketches.compactSketchStore(spark, kllSrc, kllDst, "kll", Seq("m1", "m2"), "all")
+    val qAfter = Sketches.estimateQuantiles(spark, kllDst, Seq(0.5, 0.95))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, r, q) => (g, r) -> q }.toMap
+    assert(qAfter.keySet === qBefore.keySet)
+    // KLL level compaction is randomized, so merge-then-query and
+    // query-time-merge agree only within the sketch's rank error (~1.65%
+    // at k=200); values span 0..996, so allow a few % of the range
+    qAfter.foreach { case (key, v) =>
+      assert(math.abs(v - qBefore(key)) <= 50.0, s"$key: $v vs ${qBefore(key)}")
+    }
+
+    // FREQ: heavy-hitter candidates invariant (same merged sketch state)
+    val fSrc = Files.createTempDirectory("cfrq").toString + "/s"
+    val fDst = Files.createTempDirectory("cfrq").toString + "/s"
+    def items(r: Range) = r.map(i => ("g", if (i % 10 == 0) "hot" else s"i$i"))
+      .toDF("g", "item")
+    Sketches.appendFrequencySketches(items(0 until 3000), "g", "item", "m1", fSrc,
+      maxMapSize = 64)
+    Sketches.appendFrequencySketches(items(3000 until 6000), "g", "item", "m2", fSrc,
+      maxMapSize = 64)
+    val hhBefore = Sketches.heavyHitterCandidates(spark, fSrc, 400, maxMapSize = 64)
+      .select("group_key", "item").as[(String, String)].collect().toSet
+    Sketches.compactSketchStore(spark, fSrc, fDst, "freq", Seq("m1", "m2"), "all",
+      maxMapSize = 64)
+    val hhAfter = Sketches.heavyHitterCandidates(spark, fDst, 400, maxMapSize = 64)
+      .select("group_key", "item").as[(String, String)].collect().toSet
+    assert(hhAfter === hhBefore)
+
+    // THETA: set algebra across a compacted A-range vs a live B-batch
+    val tSrc = Files.createTempDirectory("ctht").toString + "/s"
+    val tDst = Files.createTempDirectory("ctht").toString + "/s"
+    Sketches.appendThetaSketches(b1, "domain", "uid", "m1", tSrc)
+    Sketches.appendThetaSketches(b2, "domain", "uid", "m2", tSrc)
+    Sketches.appendThetaSketches(b3, "domain", "uid", "m3", tSrc)
+    val sBefore = Sketches.estimateSetOp(spark, tSrc, "intersect",
+      Seq("m1", "m2"), Seq("m3")).as[(String, Long, Long, Long)].collect().toSet
+    Sketches.compactSketchStore(spark, tSrc, tDst, "theta", Seq("m1", "m2"), "m1-2")
+    val sAfter = Sketches.estimateSetOp(spark, tDst, "intersect",
+      Seq("m1-2"), Seq("m3")).as[(String, Long, Long, Long)].collect().toSet
+    assert(sAfter === sBefore)
+
+    // second-generation compaction carries the ledger forward: fold the
+    // compacted blob itself + m3, then replay BOTH generations' originals
+    val tDst2 = Files.createTempDirectory("ctht").toString + "/s"
+    Sketches.compactSketchStore(spark, tDst, tDst2, "theta",
+      Seq("m1-2", "m3"), "m1-3")
+    assert(Sketches.appendThetaSketches(b1, "domain", "uid", "m1", tDst2) === 0L)
+    assert(Sketches.appendThetaSketches(b3, "domain", "uid", "m3", tDst2) === 0L)
+
+    // guards: same dir, folding a fresh id, colliding compacted id
+    intercept[IllegalArgumentException](
+      Sketches.compactSketchStore(spark, tDst2, tDst2, "theta", Seq("x"), "y"))
+    intercept[IllegalArgumentException](
+      Sketches.compactSketchStore(spark, tDst2, Files.createTempDirectory("z").toString + "/s",
+        "theta", Seq("m1-3"), "m1-3"))
+  }
+
   test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
     val store = Files.createTempDirectory("hll2").toString + "/s"
     Sketches.appendDistinctSketches(batch(0 until 500, 2), "domain", "uid", "b", store)

@@ -519,6 +519,95 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(cidPdf(content, font, "7 0 R", extra)) == "BA")
   }
 
+  /** A single-page PDF with a SIMPLE font carrying an embedded program
+    * (Type1 via /FontFile or CFF via /FontFile3) and NO /ToUnicode or
+    * /Differences — the decode-or-quarantine path of VERDICT r6 item 3.
+    */
+  private def simpleFontPdf(content: String, program: Array[Byte],
+      fontFileKey: String): Array[Byte] = {
+    val s = new String(program, java.nio.charset.StandardCharsets.ISO_8859_1)
+    ("%PDF-1.4\n" +
+      s"1 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "2 0 obj << /Type /Page /Resources << /Font << /F1 3 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /T /FontDescriptor 5 0 R >> endobj\n" +
+      s"5 0 obj << /Type /FontDescriptor /FontName /T $fontFileKey 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${program.length} >> stream\n$s\nendstream endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Minimal CFF (Type1C) program: header, Name/TopDict/String/GSubr
+    * INDEXes, then charset fmt0, encoding fmt0 and a CharStrings INDEX —
+    * exactly the structures the built-in-encoding reader walks. Glyph 1
+    * gets `sid`, shown at `code`.
+    */
+  private def cffProgram(code: Int, sid: Int): Array[Byte] = {
+    val header = Array[Byte](1, 0, 4, 2)
+    val nameIdx = Array[Byte](0, 1, 1, 1, 5, 'T', 'e', 's', 't')
+    // Top DICT payload: three 5-byte-int operands (op 29) + ops 15/16/17;
+    // absolute offsets patched below once the layout is known
+    val topDictLen = 18
+    val topIdxHead = Array[Byte](0, 1, 1, 1, (1 + topDictLen).toByte)
+    val stringIdx = Array[Byte](0, 0)
+    val gsubrIdx = Array[Byte](0, 0)
+    val pre = header.length + nameIdx.length + topIdxHead.length + topDictLen +
+      stringIdx.length + gsubrIdx.length
+    val charsetOff = pre
+    val charset = Array[Byte](0, (sid >> 8).toByte, sid.toByte) // fmt0, SID of glyph 1
+    val encodingOff = charsetOff + charset.length
+    val encoding = Array[Byte](0, 1, code.toByte) // fmt0, nCodes=1, code → GID 1
+    val charStringsOff = encodingOff + encoding.length
+    val charStrings = Array[Byte](0, 2, 1, 1, 2, 3, 0x0e, 0x0e) // 2 glyphs (endchar ×2)
+    def int5(v: Int) = Array[Byte](29, (v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val topDict = int5(charsetOff) ++ Array[Byte](15) ++
+      int5(encodingOff) ++ Array[Byte](16) ++
+      int5(charStringsOff) ++ Array[Byte](17)
+    assert(topDict.length == topDictLen)
+    header ++ nameIdx ++ topIdxHead ++ topDict ++ stringIdx ++ gsubrIdx ++
+      charset ++ encoding ++ charStrings
+  }
+
+  test("MinimalPdf: embedded Type1/CFF built-in encodings decode; unparseable programs quarantine") {
+    import graft.sources.DocFormats.MinimalPdf
+    // Type1 cleartext custom encoding: codes 65/66 ('A'/'B' under identity)
+    // are bound to /zero and /one — only the program's encoding recovers "01"
+    val custom = ("%!PS-AdobeFont-1.0: T 001.001\n" +
+      "/FontName /T def\n/Encoding 256 array\n" +
+      "0 1 255 {1 index exch /.notdef put} for\n" +
+      "dup 65 /zero put\ndup 66 /one put\nreadonly def\n" +
+      "currentdict end\neexec\n0123456789abcdef").getBytes("ISO-8859-1")
+    assert(MinimalPdf.extractText(
+      simpleFontPdf("BT /F1 12 Tf 72 720 Td (AB) Tj ET", custom, "/FontFile")) == "01")
+    // Type1 StandardEncoding: 39 → quoteright (’), 169 → quotesingle (')
+    // — both differ from latin-1 identity
+    val std = ("%!PS-AdobeFont-1.0: T 001.001\n" +
+      "/FontName /T def\n/Encoding StandardEncoding def\n" +
+      "currentdict end\neexec\nfeedface").getBytes("ISO-8859-1")
+    assert(MinimalPdf.extractText(
+      simpleFontPdf("BT /F1 12 Tf 72 720 Td (\\047\\251) Tj ET", std,
+        "/FontFile")) == "’'")
+    // CFF custom encoding: code 'X' bound to glyph 1 = SID 5 (dollar)
+    assert(MinimalPdf.extractText(
+      simpleFontPdf("BT /F1 12 Tf 72 720 Td (X) Tj ET",
+        cffProgram('X', 5), "/FontFile3")) == "$")
+    // an embedded program that yields NO decodable encoding throws to
+    // quarantine instead of extracting byte-identity garbage
+    intercept[IllegalArgumentException] {
+      MinimalPdf.extractText(simpleFontPdf("BT /F1 12 Tf (AB) Tj ET",
+        "no encoding in here at all\neexec\njunk".getBytes("ISO-8859-1"),
+        "/FontFile"))
+    }
+    // a base-14 font with NO embedded program keeps byte identity (codes
+    // are character codes) — the quarantine only guards real programs
+    val plainContent = "BT /F1 12 Tf 72 720 Td (ok) Tj ET"
+    val plain = ("%PDF-1.4\n" +
+      s"1 0 obj << /Length ${plainContent.length} >> stream\n$plainContent\nendstream endobj\n" +
+      "2 0 obj << /Type /Page /Resources << /Font << /F1 3 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(MinimalPdf.extractText(plain).contains("ok"))
+  }
+
   /** A single-page PDF drawing `hexStrBody` with a Type0 font under the
     * given predefined CMap /Encoding name — the crawl-scale CJK layout
     * (PDF-1.7 §9.7.5.2, Table 118).
