@@ -100,6 +100,56 @@ object DedupBench {
     println(s"""{"metric":"line_dedup_hotkey_100k","docs":$n,"kept_lines":$keptLines,""" +
       s""""min_sec":${lineSecs.head},"median_sec":${lineSecs(1)},"max_sec":${lineSecs(2)},""" +
       s""""runs_sec":[${lineRuns.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+
+    // Guard-refusal floors (VERDICT r6 item 7): the loud guards must fire
+    // BEFORE the quadratic work, not after it materializes. Both cases are
+    // engineered so the unguarded computation would be ~n² (10¹⁰ pairs /
+    // 10⁸ exploded bins); the recorded floor is wall-clock TO REFUSAL,
+    // which stays in prefix-build / first-stage territory (seconds).
+    def timeTo[A](body: => A): (Double, Option[Throwable]) = {
+      val t0 = System.nanoTime()
+      val ex = try { body; None } catch { case e: Throwable => Some(e) }
+      ((System.nanoTime() - t0) / 1e9, ex)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: chain(e.getCause))
+    // near-constant corpus: every doc shares the SAME shingle set, so the
+    // prefix tokens' df ≈ n and the candidate block would be n²/2 pairs
+    val constShingles = spark.range(n).select(col("id"),
+      array((0 until 6).map(i => lit(s"c$i")): _*).as("sh"))
+    val (jacSec, jacEx) = timeTo {
+      graft.operators.Dedup.jaccardJoinPrefix(constShingles, "id", "sh",
+        thetaPpm = 800000L, maxPrefixDf = n / 2).count()
+    }
+    require(jacEx.exists(chain(_).exists(_.contains("maxPrefixDf"))),
+      s"jaccard guard must refuse the near-constant corpus, got $jacEx")
+    require(jacSec < 60.0,
+      f"jaccard refusal took $jacSec%.1f s — the guard is firing AFTER " +
+        "significant work, not before the candidate block")
+    // one adversarial interval spanning 10⁸ bins among n healthy ones
+    val healthyL = spark.range(n)
+      .select((col("id") * 10).as("l_lo"), (col("id") * 10 + 5).as("l_hi"))
+    val rights = spark.range(n)
+      .select((col("id") * 10 + 2).as("r_lo"), (col("id") * 10 + 7).as("r_hi"))
+    val (healthySec, healthyEx) = timeTo {
+      graft.operators.Joins.binnedOverlapJoin(
+        healthyL, "l_lo", "l_hi", rights, "r_lo", "r_hi", binSize = 10).count()
+    }
+    require(healthyEx.isEmpty, s"healthy overlap join failed: $healthyEx")
+    val adversarial = healthyL.unionByName(
+      Seq((0L, 1000000000L)).toDF("l_lo", "l_hi"))
+    val (ovSec, ovEx) = timeTo {
+      graft.operators.Joins.binnedOverlapJoin(
+        adversarial, "l_lo", "l_hi", rights, "r_lo", "r_hi", binSize = 10).count()
+    }
+    require(ovEx.exists(chain(_).exists(_.contains("spans more than"))),
+      s"overlap guard must refuse the mega-span interval, got $ovEx")
+    require(ovSec < 60.0,
+      f"overlap refusal took $ovSec%.1f s — the guard is firing AFTER " +
+        "the exploded shuffle, not in the first stage")
+    println(s"""{"metric":"guard_refusal_100k","docs":$n,""" +
+      f""""jaccard_refusal_sec":$jacSec%.2f,"overlap_healthy_sec":$healthySec%.2f,""" +
+      f""""overlap_refusal_sec":$ovSec%.2f}""")
     spark.stop()
   }
 }

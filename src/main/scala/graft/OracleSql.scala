@@ -52,6 +52,62 @@ object OracleSql {
     org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english")
       .map(w => "('" + w.replace("'", "''") + "')").mkString(",")
 
+  /** Seeded deterministic LSH replay (q112, and q119's persisted-index
+    * path — build + append ≡ full build, so ONE oracle serves both): the
+    * q75 int8 quantization, ±1 md5-parity hyperplanes (generated from
+    * Search.seededLshWeight — one source of truth), 4 tables × 8 sign
+    * bits → integer band buckets, distinct candidate pairs, exact
+    * quantized-cosine ≥ 0.3 verification.
+    */
+  private lazy val seededLshSql: String =
+    raw"""WITH wt(t,k,i,w) AS (VALUES $lshWeights),
+sc AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+  FROM embeddings),
+c AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
+  FROM sc),
+proj AS (
+  SELECT c.vec_id, wt.t, wt.k, sum(codes[wt.i + 1] * wt.w) AS p
+  FROM c, wt GROUP BY c.vec_id, wt.t, wt.k),
+bk AS (
+  SELECT vec_id, t, sum(CASE WHEN p >= 0 THEN 1 << k ELSE 0 END) AS b
+  FROM proj GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id),
+ver AS (
+  SELECT cand.id1, cand.id2,
+    list_inner_product(c1.codes, c2.codes) AS dp,
+    list_inner_product(c1.codes, c1.codes) AS n1,
+    list_inner_product(c2.codes, c2.codes) AS n2
+  FROM cand
+  JOIN c c1 ON c1.vec_id = cand.id1
+  JOIN c c2 ON c2.vec_id = cand.id2)
+SELECT id1, id2,
+  floor(1000 * dp / (sqrt(n1) * sqrt(n2))) / 1 AS cos8_m
+FROM ver
+WHERE n1 > 0 AND n2 > 0 AND dp / (sqrt(n1) * sqrt(n2)) >= 0.3
+ORDER BY id1, id2"""
+
+  /** Exact heavy hitters over the full synthetic item stream (q114 via
+    * the live store, q120 via the COMPACTED store — the exact-count
+    * verify semi-join makes both paths exact, so ONE oracle serves both).
+    */
+  private val heavyHittersSql: String =
+    raw"""WITH it AS (
+  SELECT CASE WHEN event_id % 4 < 3 THEN 'hot_' || (event_id % 8)
+              ELSE 'cold_' || event_id END AS item
+  FROM events),
+tot AS (SELECT count(*) AS n FROM it)
+SELECT item, count(*) AS n_events
+FROM it, tot GROUP BY item, tot.n
+HAVING count(*) >= tot.n // 100
+ORDER BY item"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -912,43 +968,20 @@ SELECT (c.c - b.mn) * 10 // (b.mx - b.mn + 1) AS bucket,
   count(*) AS n, CAST(sum(c.c) AS BIGINT) AS cents_sum
 FROM c, b GROUP BY bucket ORDER BY bucket""",
 
-    // Seeded deterministic LSH (q112): the q75 int8 quantization, ±1
-    // md5-parity hyperplanes (generated from Search.seededLshWeight — one
-    // source of truth), 4 tables × 8 sign bits → integer band buckets,
-    // distinct candidate pairs, exact quantized-cosine ≥ 0.3 verification.
-    "q112_seeded_lsh" ->
-      raw"""WITH wt(t,k,i,w) AS (VALUES $lshWeights),
-sc AS (
-  SELECT vec_id, embedding,
-    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
-  FROM embeddings),
-c AS (
-  SELECT vec_id,
-    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
-         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
-  FROM sc),
-proj AS (
-  SELECT c.vec_id, wt.t, wt.k, sum(codes[wt.i + 1] * wt.w) AS p
-  FROM c, wt GROUP BY c.vec_id, wt.t, wt.k),
-bk AS (
-  SELECT vec_id, t, sum(CASE WHEN p >= 0 THEN 1 << k ELSE 0 END) AS b
-  FROM proj GROUP BY vec_id, t),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
-  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id),
-ver AS (
-  SELECT cand.id1, cand.id2,
-    list_inner_product(c1.codes, c2.codes) AS dp,
-    list_inner_product(c1.codes, c1.codes) AS n1,
-    list_inner_product(c2.codes, c2.codes) AS n2
-  FROM cand
-  JOIN c c1 ON c1.vec_id = cand.id1
-  JOIN c c2 ON c2.vec_id = cand.id2)
-SELECT id1, id2,
-  floor(1000 * dp / (sqrt(n1) * sqrt(n2))) / 1 AS cos8_m
-FROM ver
-WHERE n1 > 0 AND n2 > 0 AND dp / (sqrt(n1) * sqrt(n2)) >= 0.3
-ORDER BY id1, id2""",
+    // Seeded deterministic LSH (q112) — SQL shared with q119, see
+    // seededLshSql.
+    "q112_seeded_lsh" -> seededLshSql,
+
+    // Seeded-LSH pairs from the PERSISTED incremental index (q119):
+    // build(evens) + append(odds) ≡ full build, so the oracle is the
+    // identical hash-family replay — what the probe pins is that the
+    // MAINTAINED index reproduces it.
+    "q119_lsh_index_pairs" -> seededLshSql,
+
+    // Exact heavy hitters from a COMPACTED store (q120): nomination from
+    // {compacted blob, live batch} + exact verify ≡ q114's full-stream
+    // answer, see heavyHittersSql.
+    "q120_compacted_hh" -> heavyHittersSql,
 
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
@@ -965,16 +998,7 @@ FROM documents ORDER BY shuffle_rank""",
     // guarantee, so the oracle is the full-stream GROUP BY ... HAVING the
     // engine avoids. Same derived skewed stream, integer 1%-of-N threshold
     // (DuckDB // ≡ Spark Long division).
-    "q114_heavy_hitters" ->
-      raw"""WITH it AS (
-  SELECT CASE WHEN event_id % 4 < 3 THEN 'hot_' || (event_id % 8)
-              ELSE 'cold_' || event_id END AS item
-  FROM events),
-tot AS (SELECT count(*) AS n FROM it)
-SELECT item, count(*) AS n_events
-FROM it, tot GROUP BY item, tot.n
-HAVING count(*) >= tot.n // 100
-ORDER BY item""",
+    "q114_heavy_hitters" -> heavyHittersSql,
 
     // Binned interval join (q115): the operator must be result-identical
     // to the plain range join, so the oracle IS the plain range join —

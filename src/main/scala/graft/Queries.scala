@@ -1950,6 +1950,82 @@ object Queries {
       .orderBy(col("a_orderkey"), col("a_linenumber"))
   }
 
+  /** Q119 — seeded-LSH pairs from the PERSISTED incremental index (R125):
+    * even vec_ids build the index, odd vec_ids APPEND under the frozen
+    * family shape, and pairs read from the materialized bands/codes
+    * stores. Build + append ≡ full build ≡ the in-memory operator, so the
+    * oracle is exactly q112's DuckDB hash-family replay — the incremental
+    * maintenance path itself is what this probe puts under the oracle.
+    * Index staged per sfDir, q97's source-size marker discipline.
+    */
+  def q119LshIndexPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Search
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val idxDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "q119lsh_" + Integer.toHexString(dir.hashCode))
+    val marker = idxDir.resolve("source.size")
+    val want = java.nio.file.Files.size(src).toString
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == want
+    val ix = idxDir.resolve("ix").toString
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(idxDir.toFile)
+      val emb = embeddings(s, dir)
+      Search.writeSeededLshIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, ix, numTables = 4, bitsPerTable = 8)
+      Search.appendSeededLshIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", ix)
+      java.nio.file.Files.writeString(marker, want)
+    }
+    Search.seededLshPairsFromIndex(s, ix, simThreshold = 0.3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Q120 — exact heavy hitters from a COMPACTED sketch store (R126):
+    * q114's three frequency-sketch batches, but batches 0–1 fold into one
+    * blob per group (`compactSketchStore`) before nomination; candidates
+    * merge {compacted, live batch 2}, and the exact-count verify
+    * semi-join makes the answer EXACT — so the oracle is the same
+    * full-stream exact heavy-hitter SQL as q114. What the probe pins:
+    * compaction preserves the no-false-negative nomination, i.e. the
+    * store stays correct after its per-batch granularity is gone.
+    */
+  def q120CompactedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val item = when(col("event_id") % 4 < 3,
+        concat(lit("hot_"), col("event_id") % 8))
+      .otherwise(concat(lit("cold_"), col("event_id"))).as("item")
+    def stream = events(s, dir).select(item, col("event_id"))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val storeDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "q120freq_" + Integer.toHexString(dir.hashCode))
+    val marker = storeDir.resolve("source.size")
+    val want = java.nio.file.Files.size(src).toString
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == want
+    val compacted = storeDir.resolve("compacted").toString
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(storeDir.toFile)
+      val store = storeDir.resolve("sketches").toString
+      for (b <- 0 to 2)
+        Sketches.appendFrequencySketches(
+          stream.where(col("event_id") % 3 === b).withColumn("grp", lit("all")),
+          "grp", "item", batchId = s"batch$b", storeDir = store)
+      Sketches.compactSketchStore(s, store, compacted, "freq",
+        Seq("batch0", "batch1"), "batch0-1")
+      java.nio.file.Files.writeString(marker, want)
+    }
+    val total = stream.count()
+    val minCount = total / 100 // 1% support, integer threshold (DuckDB //)
+    val cand = Sketches.heavyHitterCandidates(s, compacted, minCount = minCount)
+    stream
+      .join(broadcast(cand.select(col("item"))), Seq("item"), "left_semi")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= minCount) // drop sketch false positives
+      .orderBy(col("item"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2070,5 +2146,7 @@ object Queries {
     "q116_jaccard_join" -> q116JaccardJoin _,
     "q117_weighted_sample" -> q117WeightedSample _,
     "q118_overlap_join" -> q118OverlapJoin _,
+    "q119_lsh_index_pairs" -> q119LshIndexPairs _,
+    "q120_compacted_hh" -> q120CompactedHeavyHitters _,
   )
 }
