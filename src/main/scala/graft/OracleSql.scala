@@ -983,6 +983,49 @@ FROM c, b GROUP BY bucket ORDER BY bucket""",
     // answer, see heavyHittersSql.
     "q120_compacted_hh" -> heavyHittersSql,
 
+    // Leakage-safe splits (q121): q116's exact prefix-Jaccard pairs
+    // (θ = 0.25, docs < 800), recursive-CTE transitive closure to the
+    // min-id representative (q48's shape), then the q101 split hash drawn
+    // on the REPRESENTATIVE (salt 'split7') — near-dup clusters cannot
+    // straddle a split boundary.
+    "q121_leakage_splits" ->
+      raw"""WITH RECURSIVE tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 800),
+shc AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk),
+s AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS l FROM shc WHERE len(sh) > 0),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i, a.l + b.l AS lsum
+  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+pairs AS (SELECT id1, id2 FROM p WHERE i * 1000000 >= 250000 * (lsum - i)),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+reps AS (SELECT id, min(label) AS rep FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN reps r ON r.id = d.doc_id),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split7' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM keyed),
+sp AS (
+  SELECT doc_id, CASE WHEN hv < $splitT1 THEN 'train'
+                      WHEN hv < $splitT2 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM h)
+SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM sp GROUP BY split ORDER BY split""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

@@ -2026,6 +2026,31 @@ object Queries {
       .orderBy(col("item"))
   }
 
+  /** Q121 — LEAKAGE-SAFE splits (Sampling.leakageSafeSplits): near-dup
+    * pairs from the exact prefix-Jaccard join (θ = 0.25, docs < 800 to
+    * bound the oracle's brute-force pair scan) resolve to connected
+    * components, and the train/val/test hash draws on the cluster
+    * REPRESENTATIVE — so a near-dup cluster can never straddle a split
+    * boundary (train/test contamination, Lee 2022). The oracle recomputes
+    * pairs brute-force, closes them with a recursive CTE, and hashes the
+    * same representative — any member assigned differently by Spark
+    * breaks the per-split id_sum hash.
+    */
+  def q121LeakageSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val shingled = docs.where(col("doc_id") < 800)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("sh"))
+    val pairs = Dedup.jaccardJoinPrefix(shingled, "doc_id", "sh",
+        thetaPpm = 250000L)
+      .select(col("id1"), col("id2"))
+    Sampling.leakageSafeSplits(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split7")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2148,5 +2173,6 @@ object Queries {
     "q118_overlap_join" -> q118OverlapJoin _,
     "q119_lsh_index_pairs" -> q119LshIndexPairs _,
     "q120_compacted_hh" -> q120CompactedHeavyHitters _,
+    "q121_leakage_splits" -> q121LeakageSplits _,
   )
 }

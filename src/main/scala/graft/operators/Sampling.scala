@@ -68,6 +68,37 @@ object Sampling {
     }
   }
 
+  /** LEAKAGE-SAFE split assignment: near-duplicate documents must not
+    * straddle a split boundary — a test doc whose near-dup sits in train
+    * silently inflates eval (the contamination Lee et al. 2022 measure),
+    * and per-doc hashing ([[assignSplit]]) happily produces exactly that.
+    * The near-dup pair graph resolves to connected components
+    * ([[Dedup.resolveClusters]], min-id representative) and the split
+    * hash draws on the REPRESENTATIVE, so an entire near-dup cluster
+    * lands in one split; docs in no pair hash themselves (rep = own id).
+    * Pairs come from any dedup tier — minhash, seeded LSH, prefix
+    * Jaccard, embedding cosine — the caller picks the notion of "too
+    * similar to separate". Same content-addressed stability as every
+    * sampler here: reruns, retries, engines and partitionings agree.
+    *
+    * Scale shape: one label-propagation phase over the (tiny) pair graph
+    * + one broadcast-or-shuffle join of (id, rep) onto the corpus + the
+    * narrow `when` chain — no new shuffle class beyond what resolveClusters
+    * already does.
+    *
+    * @return input columns + `split`
+    */
+  def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "",
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val reps = Dedup.resolveClusters(pairs, checkpoint = checkpoint)
+      .select(col("id").as(idCol), col("rep"))
+    df.join(reps, Seq(idCol), "left")
+      .withColumn("split",
+        assignSplit(coalesce(col("rep"), col(idCol)), splits, salt))
+      .drop("rep")
+  }
+
   /** EXACT-k deterministic sample per group — fixed-SIZE where
     * [[stratifiedSampleByHash]] is fixed-RATE: eval/calibration sets want
     * "exactly 100 docs per language", not "0.1% of each". Rows rank by

@@ -974,6 +974,75 @@ object Search {
     seededVerifiedPairs(banded, codes, simThreshold)
   }
 
+  /** The delete half of seeded-LSH index maintenance
+    * ([[appendSeededLshIndex]] being the insert half): copy bands, codes
+    * and meta MINUS the given ids into a NEW directory — the
+    * removeFromTextIndex contract (job-commit all-or-nothing, source
+    * readable throughout, caller swaps atomically). The rewrite also
+    * re-dedups (id, t, bucket) band rows and per-id codes, so orphans
+    * from any crashed append are compacted away rather than carried
+    * forever.
+    *
+    * @return number of surviving vectors in the new index
+    */
+  def removeFromSeededLshIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    require(srcPath != dstPath,
+      "removeFromSeededLshIndex writes a NEW directory (caller swaps atomically)")
+    val drop = removeIds.select(col(idCol).as("id")).distinct()
+    spark.read.parquet(s"$srcPath/bands")
+      .join(drop, Seq("id"), "left_anti")
+      .dropDuplicates("id", "t", "bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("t").parquet(s"$dstPath/bands")
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq("id"), "left_anti")
+      .dropDuplicates("id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/meta")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/meta")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** Online near-dup LOOKUP against a persisted seeded-LSH index — the
+    * dedup-at-ingest serving path ("is this new batch a near-dup of
+    * anything already indexed?"). Query vectors bucket under the index's
+    * frozen family shape (read from `meta`), probe ONLY matching
+    * (t, bucket) band rows, and verify exact quantized cosine on the
+    * candidate set — the corpus is never re-hashed and its codes ship
+    * only for candidates. Self-matches (a query id already indexed)
+    * appear with cosine 1 — callers deduplicating an incoming batch
+    * filter `query_id =!= index_id`.
+    *
+    * @return (query_id, index_id, cos8_m), one row per verified match
+    */
+  def seededLshLookup(queries: DataFrame, idCol: String, vecCol: String,
+      path: String, simThreshold: Double = 0.9): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("dim"), col("num_tables"), col("bits_per_table")).head()
+    val (dim, nt, bpt) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val qCodes = seededCodes(queries, idCol, vecCol)
+    val qBands = seededBands(qCodes, dim, nt, bpt)
+      .select(col("_id").as("query_id"), col("_t"), col("_b"))
+    val ixBands = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("index_id"), col("t").as("_t"), col("bucket").as("_b"))
+    val cand = qBands.join(ixBands, Seq("_t", "_b"))
+      .select(col("query_id"), col("index_id"))
+      .dropDuplicates("query_id", "index_id")
+    val withCodes = cand
+      .join(qCodes.select(col("_id").as("query_id"), col("_c").as("_c1")), "query_id")
+      .join(spark.read.parquet(s"$path/codes")
+        .select(col("id").as("index_id"), col("code").as("_c2")), "index_id")
+    val n1 = dot(col("_c1"), col("_c1"))
+    val n2 = dot(col("_c2"), col("_c2"))
+    val cos = when(n1 === 0.0 || n2 === 0.0, lit(0.0))
+      .otherwise(dot(col("_c1"), col("_c2")) / (sqrt(n1) * sqrt(n2)))
+    withCodes.withColumn("_cos", cos)
+      .where(col("_cos") >= simThreshold)
+      .select(col("query_id"), col("index_id"),
+        (floor(col("_cos") * 1000) / 1).as("cos8_m"))
+  }
+
   /** MLlib BucketedRandomProjectionLSH wrapper over `array<float>` columns
     * (converts to ml Vector only at the boundary — SURVEY.md §7.4 risk 6).
     */

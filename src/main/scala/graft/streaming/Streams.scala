@@ -320,6 +320,30 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a seeded-LSH index
+    * ([[graft.operators.Search.writeSeededLshIndex]]): each micro-batch
+    * appends under the index's frozen family shape via
+    * `appendSeededLshIndex`, whose id anti-join absorbs at-least-once
+    * replay (a re-delivered micro-batch appends nothing) — the
+    * [[streamingSketchMaintenance]] discipline for the ANN-dedup tier.
+    * Online queries ([[graft.operators.Search.seededLshLookup]] /
+    * `seededLshPairsFromIndex`) read the stores as usual; no refresh
+    * hook.
+    */
+  def streamingLshMaintenance(rows: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Search.appendSeededLshIndex(
+          batch.toDF(), idCol, vecCol, indexPath)
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. The fixture's
     * TIMESTAMP(NANOS) column needs the same long-schema workaround as the

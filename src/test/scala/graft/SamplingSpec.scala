@@ -98,6 +98,37 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("leakageSafeSplits: a near-dup cluster never straddles a split, singletons keep assignSplit") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains (1-2-3-4, 10-11) and one isolated pair (20, 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    for (salt <- Seq("a", "b", "c", "d", "e")) {
+      val out = Sampling.leakageSafeSplits(docs, "doc_id", pairs, splits, salt)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(out.size === 400)
+      // every cluster is split-pure, under every salt
+      assert(Set(1L, 2L, 3L, 4L).map(out).size === 1, s"chain leaked (salt $salt)")
+      assert(Set(10L, 11L).map(out).size === 1)
+      assert(Set(20L, 21L).map(out).size === 1)
+      // docs in no pair behave exactly like assignSplit on their own id
+      val lone = docs.where(!col("doc_id").isin(1L to 4L map (identity): _*)
+          && !col("doc_id").isin(10L, 11L, 20L, 21L))
+        .withColumn("split", Sampling.assignSplit(col("doc_id"), splits, salt))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      lone.foreach { case (id, s) => assert(out(id) === s, s"singleton $id (salt $salt)") }
+    }
+    // repartition-stability (the content-addressed contract)
+    val a = Sampling.leakageSafeSplits(docs, "doc_id", pairs, splits, "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val b = Sampling.leakageSafeSplits(docs.repartition(13), "doc_id",
+        pairs.repartition(7), splits, "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(a === b)
+  }
+
   test("weightedSamplePerGroup: exact sizes, repartition-stable, weight-proportional odds, loud on bad weights") {
     import spark.implicits._
     // i % 9 hits both parities, so both groups get heavy rows

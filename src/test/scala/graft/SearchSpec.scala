@@ -704,6 +704,36 @@ class SearchSpec extends SparkSpec {
       Search.appendSeededLshIndex(b, "vec_id", "embedding",
         java.nio.file.Files.createTempDirectory("slshnone").toString + "/ix")
     }
+    // deletion ≡ fresh build of the survivors (the removeFromTextIndex
+    // contract), orphan band rows compacted away by the rewrite
+    import spark.implicits._
+    val gone = (0L until 100L).toDF("vec_id")
+    val prunedDir = java.nio.file.Files.createTempDirectory("slshrm").toString + "/ix"
+    val survivors = Search.removeFromSeededLshIndex(
+      spark, incDir, prunedDir, gone, "vec_id")
+    assert(survivors === emb.count() - 100)
+    val freshDir = java.nio.file.Files.createTempDirectory("slshfr").toString + "/ix"
+    Search.writeSeededLshIndex(emb.where(col("vec_id") >= 100),
+      "vec_id", "embedding", dim, freshDir, numTables = 4, bitsPerTable = 8)
+    assert(pairSet(Search.seededLshPairsFromIndex(spark, prunedDir, 0.3)) ===
+      pairSet(Search.seededLshPairsFromIndex(spark, freshDir, 0.3)),
+      "pruned index must equal a fresh build of the survivors")
+    intercept[IllegalArgumentException](
+      Search.removeFromSeededLshIndex(spark, incDir, incDir, gone, "vec_id"))
+    // online lookup: querying the corpus itself against the index must
+    // reproduce the pair set exactly — every (id1, id2) pair appears as
+    // BOTH lookup directions, plus a cosine-1 self-match per vector
+    val looked = Search.seededLshLookup(emb, "vec_id", "embedding", incDir, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val selfs = looked.filter(t => t._1 == t._2)
+    assert(selfs.length === vecs.size, "every indexed vector self-matches")
+    // sqrt(x)·sqrt(x) is not exactly x in floats, so the milli-floored
+    // self-cosine may land on 999
+    assert(selfs.forall(_._3 >= 999.0), "self-match cosine must be ~1")
+    val cross = looked.filter(t => t._1 < t._2).map(t => (t._1, t._2, t._3)).toSet
+    assert(cross === full, "lookup of the corpus must reproduce the pair set")
+    val reverse = looked.filter(t => t._1 > t._2).map(t => (t._2, t._1, t._3)).toSet
+    assert(reverse === full, "lookup is direction-symmetric")
   }
 
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {

@@ -242,6 +242,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLshMaintenance: micro-batch appends ≡ batch build; overlap replays absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Search
+    val dim = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(i * 13 + j).toFloat)
+    val all = (0 until 60).map(i => (i.toLong, vec(i / 2))) // planted pairs
+    val ix = java.nio.file.Files.createTempDirectory("slshix").toString + "/ix"
+    val ckpt = java.nio.file.Files.createTempDirectory("slshck").toString
+    // seed the index with the first 10 vectors (appends need a build)
+    Search.writeSeededLshIndex(all.take(10).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim, ix, numTables = 4, bitsPerTable = 6)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.streamingLshMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", ix, ckpt)
+    try {
+      mem.addData(all.slice(10, 40): _*)
+      q.processAllAvailable()
+      // overlapping delivery (at-least-once): 30–39 re-delivered with 40–59
+      mem.addData(all.slice(30, 60): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$ix/codes").count() === 60L,
+        "re-delivered ids must append nothing")
+      val fullIx = java.nio.file.Files.createTempDirectory("slshfull").toString + "/ix"
+      Search.writeSeededLshIndex(all.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim, fullIx, numTables = 4, bitsPerTable = 6)
+      def pairs(p: String) = Search.seededLshPairsFromIndex(spark, p, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(ix) === pairs(fullIx), "streamed index ≡ batch build")
+      assert(pairs(ix).nonEmpty, "planted duplicate vectors must pair")
+    } finally q.stop()
+  }
+
   test("parquet streaming sink: durable append with checkpoint, read-back matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
