@@ -454,6 +454,16 @@ object Sketches {
     require(base.where(col("batch_id") === compactedBatchId).limit(1).count() == 0,
       s"batch id '$compactedBatchId' already exists in the store")
     val idSet = batchIds.toSet
+    // every id being folded must actually BE in the store: folding an
+    // absent id would ledger it anyway, turning a later (legitimate,
+    // first-ever) append of that batch into a silent no-op — data loss
+    val present = base.where(col("batch_id").isin(batchIds: _*))
+      .select(col("batch_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require((idSet -- present).isEmpty,
+      s"batch ids ${(idSet -- present).toSeq.sorted.mkString(", ")} are not " +
+        "in the store — folding an absent batch would make its future " +
+        "replay a silent no-op (append it first, or drop it from the range)")
     val absorbed = base.where(col("batch_id").isin(batchIds: _*))
     val keep = base.where(!col("batch_id").isin(batchIds: _*))
     val mergedPairs: DataFrame = family match {

@@ -1368,7 +1368,10 @@ object DocFormats {
           }
         // charset: GID → SID (GID 0 = .notdef always)
         val gidToSid: Int => Int = charsetOff match {
-          case 0 => gid => gid // ISOAdobe: identity up to the repertoire
+          // ISOAdobe: SID = GID, but ONLY within the 229-glyph repertoire —
+          // past it there is no defined name (returning gid would misread
+          // the font's own String INDEX)
+          case 0 => gid => if (gid <= 228) gid else -1
           case 1 | 2 => _ => -1 // Expert charsets — not text
           case off =>
             val fmt = u8(off)

@@ -326,7 +326,9 @@ object Streams {
     * `appendSeededLshIndex`, whose id anti-join absorbs at-least-once
     * replay (a re-delivered micro-batch appends nothing) — the
     * [[streamingSketchMaintenance]] discipline for the ANN-dedup tier.
-    * Online queries ([[graft.operators.Search.seededLshLookup]] /
+    * The index must exist before the stream starts (`writeSeededLshIndex`
+    * first — appends need its frozen family shape and fail fast without
+    * it). Online queries ([[graft.operators.Search.seededLshLookup]] /
     * `seededLshPairsFromIndex`) read the stores as usual; no refresh
     * hook.
     */

@@ -127,6 +127,14 @@ class SamplingSpec extends SparkSpec {
         pairs.repartition(7), splits, "s")
       .select("doc_id", "split").as[(Long, String)].collect().toSet
     assert(a === b)
+    // empty pair set (no near-dups found) ≡ plain per-doc assignSplit
+    val noPairs = Sampling.leakageSafeSplits(docs, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id1", "id2"), splits, "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val plainSplit = docs
+      .withColumn("split", Sampling.assignSplit(col("doc_id"), splits, "s"))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(noPairs === plainSplit)
   }
 
   test("weightedSamplePerGroup: exact sizes, repartition-stable, weight-proportional odds, loud on bad weights") {

@@ -278,12 +278,19 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.appendThetaSketches(b1, "domain", "uid", "m1", tDst2) === 0L)
     assert(Sketches.appendThetaSketches(b3, "domain", "uid", "m3", tDst2) === 0L)
 
-    // guards: same dir, folding a fresh id, colliding compacted id
+    // guards: same dir, folding a fresh id, colliding compacted id, and
+    // folding a batch id that is NOT in the store (its future first-ever
+    // append would replay as a silent no-op = data loss)
     intercept[IllegalArgumentException](
       Sketches.compactSketchStore(spark, tDst2, tDst2, "theta", Seq("x"), "y"))
     intercept[IllegalArgumentException](
       Sketches.compactSketchStore(spark, tDst2, Files.createTempDirectory("z").toString + "/s",
         "theta", Seq("m1-3"), "m1-3"))
+    val exAbsent = intercept[IllegalArgumentException](
+      Sketches.compactSketchStore(spark, tDst2,
+        Files.createTempDirectory("z2").toString + "/s",
+        "theta", Seq("m1-3", "never-appended"), "m1-4"))
+    assert(exAbsent.getMessage.contains("never-appended"))
   }
 
   test("the union aggregate is partial-aggregatable (map-side combine in the plan)") {
