@@ -1260,6 +1260,19 @@ object DocFormats {
         (java.util.regex.Pattern.quote(key) + """(?![\w])\s*(\d+)\s+\d+\s+R""").r
           .findFirstMatchIn(dict).flatMap(m => byNum.get(m.group(1).toInt))
       val descriptor = resolve(font.dict, "/FontDescriptor").getOrElse(return None)
+      // simple TrueType (PDF-1.7 §9.6.6.4): a (3,1) cmap reads the code AS
+      // Unicode — byte identity is the correct extraction — but a font
+      // whose ONLY table is the (3,0) symbolic one maps codes to
+      // private-use glyphs with no Unicode semantics; identity there is
+      // silent garbage, so it quarantines like an unparseable program
+      resolve(descriptor.dict, "/FontFile2").flatMap(_.stream).foreach { prog =>
+        val plats = trueTypeCmapPlatforms(prog)
+        if (plats.nonEmpty && plats.forall(p => p == (3, 0)))
+          throw new IllegalArgumentException(
+            "simple TrueType font carries only a (3,0) symbolic cmap — its " +
+              "codes have no Unicode meaning; quarantined rather than " +
+              "extracted as byte-identity garbage")
+      }
       val t1 = resolve(descriptor.dict, "/FontFile").flatMap(_.stream)
         .map(type1BuiltinEncoding)
       val cff = resolve(descriptor.dict, "/FontFile3").flatMap(_.stream)
@@ -1431,6 +1444,28 @@ object DocFormats {
         case _: IndexOutOfBoundsException | _: ArrayIndexOutOfBoundsException =>
           Map.empty
       }
+    }
+
+    /** The (platform, encoding) ids of every `cmap` subtable in a TrueType
+      * program — empty on malformed programs (caller treats unknown as
+      * benign). Used to detect symbol-only fonts, whose codes carry no
+      * Unicode semantics.
+      */
+    private def trueTypeCmapPlatforms(font: Array[Byte]): Seq[(Int, Int)] = {
+      def u16(off: Int): Int =
+        if (off + 1 < font.length) ((font(off) & 0xff) << 8) | (font(off + 1) & 0xff) else 0
+      def u32(off: Int): Long =
+        if (off + 3 < font.length) beInt(font, off, 4) else -1L
+      try {
+        val numTables = u16(4)
+        val cmapAt = (0 until numTables).iterator.map(12 + 16 * _).collectFirst {
+          case rec if u32(rec) == 0x636d6170L => u32(rec + 8).toInt // 'cmap'
+        }.getOrElse(return Nil)
+        (0 until u16(cmapAt + 2)).map { i =>
+          val rec = cmapAt + 4 + 8 * i
+          (u16(rec), u16(rec + 2))
+        }
+      } catch { case _: IndexOutOfBoundsException => Nil }
     }
 
     /** GID→Unicode from a TrueType `cmap` table (OpenType spec): walk the

@@ -460,7 +460,8 @@ class SourcesSpec extends SparkSpec {
     * terminator — the only table [[DocFormats.MinimalPdf]]'s composite-font
     * fallback reads.
     */
-  private def ttfWithCmap(mapping: Seq[(Char, Int)]): Array[Byte] = {
+  private def ttfWithCmap(mapping: Seq[(Char, Int)],
+      platform: (Int, Int) = (3, 1)): Array[Byte] = {
     val segs = mapping.sortBy(_._1) // format 4 requires ascending endCode
     val segCount = segs.size + 1
     val fmt4Len = 16 + 8 * segCount
@@ -468,7 +469,7 @@ class SourcesSpec extends SparkSpec {
     buf.putInt(0x00010000).putShort(1).putShort(0).putShort(0).putShort(0)
     buf.put("cmap".getBytes("US-ASCII")).putInt(0).putInt(28).putInt(12 + fmt4Len)
     buf.putShort(0).putShort(1) // cmap v0, one subtable
-    buf.putShort(3).putShort(1).putInt(12) // (3,1) at cmap+12
+    buf.putShort(platform._1.toShort).putShort(platform._2.toShort).putInt(12)
     buf.putShort(4).putShort(fmt4Len.toShort).putShort(0) // format 4 header
     buf.putShort((2 * segCount).toShort).putShort(0).putShort(0).putShort(0)
     segs.foreach(s => buf.putShort(s._1.toShort)); buf.putShort(-1) // endCode
@@ -567,6 +568,44 @@ class SourcesSpec extends SparkSpec {
       charset ++ encoding ++ charStrings
   }
 
+  /** CFF exercising the OTHER structure formats: charset fmt1 (a range of
+    * SIDs), encoding fmt1 (a code range) WITH a supplement, and a custom
+    * name in the String INDEX (SID 391). Three glyphs: .notdef + a 2-SID
+    * range starting at `sid0`; codes `code0`/`code0`+1 map to them and the
+    * supplement binds `supCode` to SID 391 (the String INDEX's first
+    * entry).
+    */
+  private def cffProgramFmt1(code0: Int, sid0: Int, supCode: Int,
+      customName: String): Array[Byte] = {
+    val header = Array[Byte](1, 0, 4, 2)
+    val nameIdx = Array[Byte](0, 1, 1, 1, 5, 'T', 'e', 's', 't')
+    val topDictLen = 18
+    val topIdxHead = Array[Byte](0, 1, 1, 1, (1 + topDictLen).toByte)
+    val nameBytes = customName.getBytes("ISO-8859-1")
+    val stringIdx = Array[Byte](0, 1, 1, 1, (1 + nameBytes.length).toByte) ++ nameBytes
+    val gsubrIdx = Array[Byte](0, 0)
+    val pre = header.length + nameIdx.length + topIdxHead.length + topDictLen +
+      stringIdx.length + gsubrIdx.length
+    val charsetOff = pre
+    // fmt1: one range (first sid0, nLeft 1) covers gids 1..2
+    val charset = Array[Byte](1, (sid0 >> 8).toByte, sid0.toByte, 1)
+    val encodingOff = charsetOff + charset.length
+    // fmt1 + supplement bit: nRanges=1 (first code0, nLeft 1), then
+    // nSups=1: (supCode, SID 391)
+    val encoding = Array[Byte](0x81.toByte, 1, code0.toByte, 1,
+      1, supCode.toByte, (391 >> 8).toByte, (391 & 0xff).toByte)
+    val charStringsOff = encodingOff + encoding.length
+    val charStrings = Array[Byte](0, 3, 1, 1, 2, 3, 4, 0x0e, 0x0e, 0x0e)
+    def int5(v: Int) = Array[Byte](29, (v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val topDict = int5(charsetOff) ++ Array[Byte](15) ++
+      int5(encodingOff) ++ Array[Byte](16) ++
+      int5(charStringsOff) ++ Array[Byte](17)
+    assert(topDict.length == topDictLen)
+    header ++ nameIdx ++ topIdxHead ++ topDict ++ stringIdx ++ gsubrIdx ++
+      charset ++ encoding ++ charStrings
+  }
+
   test("MinimalPdf: embedded Type1/CFF built-in encodings decode; unparseable programs quarantine") {
     import graft.sources.DocFormats.MinimalPdf
     // Type1 cleartext custom encoding: codes 65/66 ('A'/'B' under identity)
@@ -590,6 +629,12 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(
       simpleFontPdf("BT /F1 12 Tf 72 720 Td (X) Tj ET",
         cffProgram('X', 5), "/FontFile3")) == "$")
+    // CFF range formats + String INDEX: charset fmt1 (SIDs 17,18 =
+    // zero,one), encoding fmt1 ('A'→gid1, 'B'→gid2) with a supplement
+    // binding 'C' to SID 391 = the font's own "uni20AC" string (€)
+    assert(MinimalPdf.extractText(
+      simpleFontPdf("BT /F1 12 Tf 72 720 Td (ABC) Tj ET",
+        cffProgramFmt1('A', 17, 'C', "uni20AC"), "/FontFile3")) == "01€")
     // an embedded program that yields NO decodable encoding throws to
     // quarantine instead of extracting byte-identity garbage
     intercept[IllegalArgumentException] {
@@ -597,6 +642,17 @@ class SourcesSpec extends SparkSpec {
         "no encoding in here at all\neexec\njunk".getBytes("ISO-8859-1"),
         "/FontFile"))
     }
+    // a simple TrueType whose ONLY cmap is the (3,0) symbolic table
+    // quarantines (codes are private-use, no Unicode semantics) ...
+    intercept[IllegalArgumentException] {
+      MinimalPdf.extractText(simpleFontPdf("BT /F1 12 Tf 72 720 Td (ok) Tj ET",
+        ttfWithCmap(Seq('A' -> 1), platform = (3, 0)), "/FontFile2"))
+    }
+    // ... while a (3,1) Windows-BMP simple TrueType keeps identity —
+    // the code IS the Unicode value there
+    assert(MinimalPdf.extractText(
+      simpleFontPdf("BT /F1 12 Tf 72 720 Td (ok) Tj ET",
+        ttfWithCmap(Seq('o' -> 1, 'k' -> 2)), "/FontFile2")) == "ok")
     // a base-14 font with NO embedded program keeps byte identity (codes
     // are character codes) — the quarantine only guards real programs
     val plainContent = "BT /F1 12 Tf 72 720 Td (ok) Tj ET"
