@@ -1026,6 +1026,14 @@ sp AS (
 SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM sp GROUP BY split ORDER BY split""",
 
+    // Perceptual image dedup (q122): the staged construction — 50
+    // dHash-diverse PNGs, each present twice as ids (i, i+1000) — makes
+    // the exact t=3 pair set derivable with no image decoding: exactly
+    // the planted duplicates at Hamming 0.
+    "q122_image_dedup" ->
+      raw"""SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
+FROM range(50) t(i) ORDER BY id1, id2""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

@@ -2051,6 +2051,41 @@ object Queries {
       .orderBy(col("split"))
   }
 
+  /** Q122 — perceptual IMAGE dedup end-to-end (Multimodal.dHash64 +
+    * Dedup.hammingNearDupPairs): 50 real PNGs, each staged TWICE (output
+    * ids i and i+1000), hashed from decoded pixels on executors, paired
+    * by the exact banded Hamming join at t = 3. The seeds are greedily
+    * selected driver-side to be pairwise > 3 dHash bits apart — a pure
+    * function of the deterministic pixel formula, so the selection is
+    * engine/rerun-stable and the construction guarantees EXACTLY the 50
+    * planted (i, i+1000, 0) pairs: the oracle needs no image decoding,
+    * only the construction.
+    */
+  def q122ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 500) {
+      val h = Multimodal.dHash64(Multimodal.synthPng(cand))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} diverse seeds in 0..499")
+    val rows = seeds.map(_._1).zipWithIndex.flatMap { case (seed, i) =>
+      Seq((i.toLong, seed), (i + 1000L, seed))
+    }.toSeq
+    val withBytes = rows.toDF("media_id", "seed")
+      .as[(Long, Long)]
+      .map { case (id, seed) => (id, Multimodal.synthPng(seed)) }
+      .toDF("media_id", "content")
+    val hashes = Multimodal.imageDHashes(withBytes, "media_id", "content")
+    Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2174,5 +2209,6 @@ object Queries {
     "q119_lsh_index_pairs" -> q119LshIndexPairs _,
     "q120_compacted_hh" -> q120CompactedHeavyHitters _,
     "q121_leakage_splits" -> q121LeakageSplits _,
+    "q122_image_dedup" -> q122ImageDedup _,
   )
 }

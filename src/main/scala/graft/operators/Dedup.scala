@@ -775,6 +775,46 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** EXACT Hamming near-dup pairs over 64-bit perceptual hashes (the
+    * image-dedup step after [[graft.sources.Multimodal.imageDHashes]],
+    * equally valid for any 64-bit signature): split the hash into
+    * `numBands` contiguous bit-bands — two hashes within Hamming distance
+    * t differ in at most t bands, so for t < numBands they MATCH on at
+    * least one band (pigeonhole) and band equality is a LOSSLESS candidate
+    * key. Popcount-verify on the candidates makes the result exact: no
+    * recall loss, no all-pairs scan. Shuffles move only (band, id, hash) —
+    * 20-byte rows, never image bytes.
+    *
+    * @return (id1, id2, hamming) — id1 < id2, exact for maxHamming < numBands
+    */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = df
+      .select(col(idCol).as("_id"), col(hashCol).cast("long").as("_h"))
+      .withColumn("_band", explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("i"),
+          shiftrightunsigned(col("_h"), b * width).bitwiseAND(lit(mask)).as("v"))
+      }: _*)))
+      .select(col("_id"), col("_h"),
+        col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+    banded.select(col("_bi"), col("_bv"), col("_id").as("id1"), col("_h").as("h1"))
+      .join(banded.select(
+        col("_bi"), col("_bv"), col("_id").as("id2"), col("_h").as("h2")),
+        Seq("_bi", "_bv"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
+  }
+
   /** Incremental near-dup detection against a persisted sketch store (EXT):
     * the shape a streaming/batch-ingest pipeline actually needs — each
     * arriving batch is checked against the ENTIRE historical corpus without

@@ -481,6 +481,78 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) of an image — the standard perceptual
+    * image-dedup primitive (public algorithm: Krawetz, "Kind of Like
+    * That"): average-pool the luminance onto a 9×8 grid and emit one bit
+    * per horizontal gradient (cell brighter than its right neighbor).
+    * Re-encodes and small edits move a few bits; unrelated images differ
+    * in ~32. Determinism discipline: OWN integer pooling (no AWT scaler —
+    * its interpolation is platform-dependent) and cross-multiplied integer
+    * mean comparison (no division, no float), so the hash is bit-identical
+    * across JVMs, partitions and retries — the same content-addressed
+    * property every dedup signature here has.
+    */
+  def dHash64(content: Array[Byte]): Long = {
+    val img = decodeImage(content)
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8, s"image too small for dHash (${w}x$h, need ≥9x8)")
+    // integer luminance sums per cell; cell (i,j) covers the half-open
+    // block [i·w/9, (i+1)·w/9) × [j·h/8, (j+1)·h/8)
+    val sums = Array.ofDim[Long](9, 8)
+    val counts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val j = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val i = math.min(x * 9 / w, 8)
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        sums(i)(j) += lum
+        counts(i)(j) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        // mean(i) > mean(i+1) without division: cross-multiply (exact —
+        // sums < 255000·w·h < 2^40, counts < 2^22, products < 2^62)
+        if (sums(i)(j) * counts(i + 1)(j) > sums(i + 1)(j) * counts(i)(j))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Relational dHash extraction: `(idCol, dhash)` per image row — decode
+    * inside mapPartitions, off the shuffle path (the decodeImageStats
+    * shape). Feed the result to
+    * [[graft.operators.Dedup.hammingNearDupPairs]] for exact banded
+    * perceptual dedup.
+    */
+  def imageDHashes(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.map { row =>
+          org.apache.spark.sql.Row(row.getLong(0),
+            dHash64(row.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
   /** Per-partition batched feature extraction: adds `features array<float>`.
     * One decoder per partition (amortized setup, the mapInPandas batch
     * shape); narrow dependency, no shuffle.

@@ -189,6 +189,43 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("hammingNearDupPairs ≡ brute force on random hashes; exact for t < numBands; guards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // random base hashes + planted near-dups at controlled distances
+    val base = (0L until 120L).map(i => (i, rnd.nextLong()))
+    val planted = base.take(30).zipWithIndex.map { case ((id, h), k) =>
+      val flips = k % 4 // 0..3 bit flips — all within t = 3
+      val mutated = (0 until flips).foldLeft(h)((acc, f) =>
+        acc ^ (1L << ((k * 17 + f * 23) % 64)))
+      (id + 1000L, mutated)
+    }
+    val all = base ++ planted
+    for (t <- Seq(0, 2, 3); bands <- Seq(4, 8)) {
+      val got = Dedup.hammingNearDupPairs(all.toDF("id", "h"), "id", "h",
+          maxHamming = t, numBands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (i1, h1) <- all; (i2, h2) <- all if i1 < i2
+        d = java.lang.Long.bitCount(h1 ^ h2) if d <= t
+      } yield (i1, i2, d.toLong)).toSet
+      assert(got === want, s"t=$t bands=$bands")
+    }
+    // partitioning-stability
+    val a = Dedup.hammingNearDupPairs(all.toDF("id", "h"), "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.hammingNearDupPairs(all.toDF("id", "h").repartition(17), "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    // t ≥ numBands would silently lose recall — refused
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(all.toDF("id", "h"), "id", "h",
+        maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(all.toDF("id", "h"), "id", "h", numBands = 7))
+  }
+
   test("line/span verdict plans stay partial-aggregatable (skew posture pinned)") {
     import graft.operators.Dedup
     import spark.implicits._

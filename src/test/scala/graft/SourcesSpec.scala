@@ -444,6 +444,49 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: dHash64 — deterministic, perturbation-tolerant, class-diverse, guards") {
+    import graft.sources.Multimodal
+    // determinism: same bytes → same hash; re-encode of the same pixels
+    // (PNG lossless) → same hash
+    val h0 = Multimodal.dHash64(Multimodal.synthPng(7L))
+    assert(h0 == Multimodal.dHash64(Multimodal.synthPng(7L)))
+    // the formula family is MOSTLY dHash-diverse (a 64-bit perceptual
+    // hash of structurally-similar synthetic gradients admits occasional
+    // collisions — measured 49/50 on seeds 0..49, which is why q122
+    // greedily selects a provably-diverse seed subset instead of assuming)
+    val hashes = (0L until 50L).map(id => Multimodal.dHash64(Multimodal.synthPng(id)))
+    assert(hashes.distinct.size >= 45,
+      s"formula family collapsed: ${hashes.distinct.size}/50 distinct")
+    // the q122 invariant: a greedy pass over the seed space finds 50
+    // seeds pairwise MORE than 3 bits apart (the dedup radius)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cand = 0L
+    while (picked.size < 50 && cand < 500) {
+      val h = Multimodal.dHash64(Multimodal.synthPng(cand))
+      if (picked.forall(p => java.lang.Long.bitCount(p ^ h) > 3)) picked += h
+      cand += 1
+    }
+    assert(picked.size == 50, s"only ${picked.size} diverse seeds in 0..499")
+    // a small local edit moves only a few bits (the perceptual property):
+    // flip one pixel's channels hard and re-encode
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthPng(7L)))
+    img.setRGB(5, 5, 0xffffff ^ img.getRGB(5, 5))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val hEdited = Multimodal.dHash64(bos.toByteArray)
+    assert(java.lang.Long.bitCount(h0 ^ hEdited) <= 3,
+      s"one-pixel edit moved ${java.lang.Long.bitCount(h0 ^ hEdited)} bits")
+    // too-small images are refused, garbage rejected by the decoder
+    intercept[IllegalArgumentException] {
+      val tiny = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(tiny, "png", b)
+      Multimodal.dHash64(b.toByteArray)
+    }
+    intercept[IllegalArgumentException](Multimodal.dHash64(Array[Byte](1, 2, 3)))
+  }
+
   test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
     // JPEG is lossy so no exact stats — but decode must work (dims exact)
     val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
