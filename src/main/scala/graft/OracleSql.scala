@@ -1034,6 +1034,12 @@ FROM sp GROUP BY split ORDER BY split""",
       raw"""SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
 FROM range(50) t(i) ORDER BY id1, id2""",
 
+    // Perceptual audio dedup (q123): the q122 construction for WAV clips —
+    // 50 envelope-diverse seeds staged twice, exact banded Hamming pairs.
+    "q123_audio_dedup" ->
+      raw"""SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
+FROM range(50) t(i) ORDER BY id1, id2""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

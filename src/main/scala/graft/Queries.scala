@@ -2086,6 +2086,40 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q123 — perceptual AUDIO dedup (Multimodal.envelopeHash64 +
+    * Dedup.hammingNearDupPairs): the q122 construction for the audio
+    * modality — 50 real WAV clips with greedily-selected envelope-diverse
+    * formula seeds, each staged twice (ids i, i+1000), hashed from
+    * decoded PCM on executors, paired by the exact banded Hamming join.
+    * The oracle again needs no audio decoding: the construction fixes the
+    * pair set to exactly the planted (i, i+1000, 0) rows.
+    */
+  def q123AudioDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nSamples = 2000
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 500) {
+      val h = Multimodal.envelopeHash64(Multimodal.synthWavAm(cand, nSamples))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} diverse seeds in 0..499")
+    val rows = seeds.map(_._1).zipWithIndex.flatMap { case (seed, i) =>
+      Seq((i.toLong, seed), (i + 1000L, seed))
+    }.toSeq
+    val withBytes = rows.toDF("media_id", "seed")
+      .as[(Long, Long)]
+      .map { case (id, seed) => (id, Multimodal.synthWavAm(seed, nSamples)) }
+      .toDF("media_id", "content")
+    val hashes = Multimodal.audioEnvelopeHashes(withBytes, "media_id", "content")
+    Dedup.hammingNearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2210,5 +2244,6 @@ object Queries {
     "q120_compacted_hh" -> q120CompactedHeavyHitters _,
     "q121_leakage_splits" -> q121LeakageSplits _,
     "q122_image_dedup" -> q122ImageDedup _,
+    "q123_audio_dedup" -> q123AudioDedup _,
   )
 }

@@ -553,6 +553,62 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit audio ENVELOPE hash — the [[dHash64]] analogue over decoded
+    * PCM: integer mean |amplitude| over 65 equal time windows, one bit
+    * per gradient (window louder than its successor). A coarse,
+    * loudness-invariant-by-gradient fingerprint in the energy-envelope
+    * family (the simplest member of the Haitsma-Kalker 2002 lineage —
+    * honest about being envelope-only, no spectral analysis): identical
+    * and re-encoded-lossless audio hash equal, locally-edited audio moves
+    * a few bits, unrelated audio differs in ~32. Same determinism
+    * discipline as dHash64: integer sums, cross-multiplied comparisons,
+    * no floats — bit-identical across JVMs/partitions/retries. Pairs via
+    * [[graft.operators.Dedup.hammingNearDupPairs]].
+    */
+  def envelopeHash64(content: Array[Byte]): Long = {
+    val (_, samples) = decodeWavPcm16(content)
+    require(samples.length >= 65,
+      s"audio too short for envelope hash (${samples.length} samples, need ≥65)")
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < samples.length) {
+      val w = math.min(i.toLong * 65 / samples.length, 64L).toInt
+      sums(w) += math.abs(samples(i).toLong)
+      counts(w) += 1
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      // cross-multiplied mean comparison (exact: sums < 2^15·n < 2^46,
+      // counts < 2^31, products < 2^62 for any realistic clip)
+      if (sums(b) * counts(b + 1) > sums(b + 1) * counts(b))
+        hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Relational envelope-hash extraction: `(idCol, ahash)` per audio row —
+    * decode inside mapPartitions, off the shuffle path (the
+    * [[imageDHashes]] shape).
+    */
+  def audioEnvelopeHashes(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.map { row =>
+          org.apache.spark.sql.Row(row.getLong(0),
+            envelopeHash64(row.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
   /** Per-partition batched feature extraction: adds `features array<float>`.
     * One decoder per partition (amortized setup, the mapInPandas batch
     * shape); narrow dependency, no shuffle.
@@ -640,6 +696,34 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) { buf.putShort(synthSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Amplitude-modulated formula clip (the q123 fixture): the carrier
+    * tone scaled by a per-(id, block) integer gain — distinct ids get
+    * distinct LOUDNESS ENVELOPES, which the phase-shifted sawtooth of
+    * [[synthSample]] alone does not (its per-window mean |amplitude| is
+    * nearly id-invariant, so envelope hashes would collide by family).
+    * Same hand-rolled RIFF/WAV container as [[synthWav]].
+    */
+  def synthWavAm(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val block = (i.toLong * 64 / nSamples).toInt
+      val gain = ((id * 131 + block.toLong * 17) % 8) + 1 // 1..8
+      val carrier = ((id * 73 + i.toLong * 37) % 4096) - 2048 // |·| < 2^11
+      buf.putShort((carrier * gain).toShort) // |·| ≤ 16384 < 2^15
+      i += 1
+    }
     buf.array()
   }
 

@@ -487,6 +487,40 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.dHash64(Array[Byte](1, 2, 3)))
   }
 
+  test("multimodal: envelopeHash64 — deterministic, edit-tolerant, class-diverse, guards") {
+    import graft.sources.Multimodal
+    val h0 = Multimodal.envelopeHash64(Multimodal.synthWav(7L, 2000))
+    assert(h0 == Multimodal.envelopeHash64(Multimodal.synthWav(7L, 2000)))
+    // the q123 invariant: greedy finds 50 seeds pairwise > 3 bits apart
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cand = 0L
+    while (picked.size < 50 && cand < 500) {
+      val h = Multimodal.envelopeHash64(Multimodal.synthWavAm(cand, 2000))
+      if (picked.forall(p => java.lang.Long.bitCount(p ^ h) > 3)) picked += h
+      cand += 1
+    }
+    assert(picked.size == 50, s"only ${picked.size} diverse seeds in 0..499")
+    // a local edit (zero one window's samples) moves only a few bits
+    val samples = (0 until 2000).map(i => Multimodal.synthSample(7L, i).toShort).toArray
+    (600 until 630).foreach(i => samples(i) = 0)
+    // re-encode the edited samples as a WAV via the same RIFF layout the
+    // generator uses: header from a same-length synth clip + raw PCM LE
+    val clean = Multimodal.synthWav(7L, 2000)
+    val edited = clean.clone()
+    (0 until 2000).foreach { i =>
+      edited(44 + 2 * i) = (samples(i) & 0xff).toByte
+      edited(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val hEdited = Multimodal.envelopeHash64(edited)
+    assert(java.lang.Long.bitCount(h0 ^ hEdited) <= 3,
+      s"30-sample edit moved ${java.lang.Long.bitCount(h0 ^ hEdited)} bits")
+    // too-short clips are refused; garbage rejected by the decoder
+    intercept[IllegalArgumentException](
+      Multimodal.envelopeHash64(Multimodal.synthWav(1L, 50)))
+    intercept[IllegalArgumentException](
+      Multimodal.envelopeHash64("not audio".getBytes))
+  }
+
   test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
     // JPEG is lossy so no exact stats — but decode must work (dims exact)
     val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
