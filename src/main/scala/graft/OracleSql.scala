@@ -1040,6 +1040,12 @@ FROM range(50) t(i) ORDER BY id1, id2""",
       raw"""SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
 FROM range(50) t(i) ORDER BY id1, id2""",
 
+    // Perceptual video dedup (q124): the same construction over real
+    // RIFF/AVI RGB24 clips, first-frame dHash.
+    "q124_video_dedup" ->
+      raw"""SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
+FROM range(50) t(i) ORDER BY id1, id2""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

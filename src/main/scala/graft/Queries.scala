@@ -2120,6 +2120,39 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q124 — perceptual VIDEO dedup (Multimodal.videoDHash64 +
+    * Dedup.hammingNearDupPairs): the q122/q123 construction for the video
+    * modality — 50 real RIFF/AVI RGB24 clips with greedily-selected
+    * first-frame-dHash-diverse formula seeds, staged twice each, decoded
+    * and hashed on executors, paired by the exact banded Hamming join.
+    * Construction-derived oracle, same as its image/audio siblings.
+    */
+  def q124VideoDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nFrames = 3
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 500) {
+      val h = Multimodal.videoDHash64(Multimodal.synthAvi(cand, nFrames))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} diverse seeds in 0..499")
+    val rows = seeds.map(_._1).zipWithIndex.flatMap { case (seed, i) =>
+      Seq((i.toLong, seed), (i + 1000L, seed))
+    }.toSeq
+    val withBytes = rows.toDF("media_id", "seed")
+      .as[(Long, Long)]
+      .map { case (id, seed) => (id, Multimodal.synthAvi(seed, nFrames)) }
+      .toDF("media_id", "content")
+    val hashes = Multimodal.videoDHashes(withBytes, "media_id", "content")
+    Dedup.hammingNearDupPairs(hashes, "media_id", "vhash", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2245,5 +2278,6 @@ object Queries {
     "q121_leakage_splits" -> q121LeakageSplits _,
     "q122_image_dedup" -> q122ImageDedup _,
     "q123_audio_dedup" -> q123AudioDedup _,
+    "q124_video_dedup" -> q124VideoDedup _,
   )
 }

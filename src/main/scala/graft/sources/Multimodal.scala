@@ -494,11 +494,16 @@ object Multimodal {
     */
   def dHash64(content: Array[Byte]): Long = {
     val img = decodeImage(content)
-    val w = img.getWidth
-    val h = img.getHeight
-    require(w >= 9 && h >= 8, s"image too small for dHash (${w}x$h, need ≥9x8)")
-    // integer luminance sums per cell; cell (i,j) covers the half-open
-    // block [i·w/9, (i+1)·w/9) × [j·h/8, (j+1)·h/8)
+    dHashOfPixels(img.getWidth, img.getHeight, img.getRGB)
+  }
+
+  /** The dHash pixel-grid core shared by images ([[dHash64]]) and video
+    * keyframes ([[videoDHash64]]): integer luminance sums per cell — cell
+    * (i,j) covers the half-open block [i·w/9, (i+1)·w/9) × [j·h/8,
+    * (j+1)·h/8) — then one gradient bit per horizontal neighbor pair.
+    */
+  private def dHashOfPixels(w: Int, h: Int, rgbAt: (Int, Int) => Int): Long = {
+    require(w >= 9 && h >= 8, s"frame too small for dHash (${w}x$h, need ≥9x8)")
     val sums = Array.ofDim[Long](9, 8)
     val counts = Array.ofDim[Long](9, 8)
     var y = 0
@@ -507,7 +512,7 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val i = math.min(x * 9 / w, 8)
-        val rgb = img.getRGB(x, y)
+        val rgb = rgbAt(x, y)
         val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
           114L * (rgb & 0xff)
         sums(i)(j) += lum
@@ -530,6 +535,36 @@ object Multimodal {
       j += 1
     }
     hash
+  }
+
+  /** 64-bit video dHash: [[dHashOfPixels]] of the FIRST decoded frame (the
+    * keyframe heuristic — a re-encode or re-container of the same footage
+    * keeps its opening frame; full-sequence matching would hash every k-th
+    * frame and vote, a composition of this primitive with
+    * [[sampleFrames]]). Same exact banded pairing via
+    * [[graft.operators.Dedup.hammingNearDupPairs]].
+    */
+  def videoDHash64(content: Array[Byte]): Long = {
+    val v = decodeAviRgb24(content)
+    require(v.frames.nonEmpty, "video has no decodable frames")
+    val f = v.frames.head
+    dHashOfPixels(v.w, v.h, (x, y) => f(y * v.w + x))
+  }
+
+  /** Relational video-dHash extraction — the [[imageDHashes]] shape. */
+  def videoDHashes(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("vhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.map { row =>
+          org.apache.spark.sql.Row(row.getLong(0),
+            videoDHash64(row.getAs[Array[Byte]](1)))
+        }
+      }(enc)
   }
 
   /** Relational dHash extraction: `(idCol, dhash)` per image row — decode

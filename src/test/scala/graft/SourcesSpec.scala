@@ -521,6 +521,26 @@ class SourcesSpec extends SparkSpec {
       Multimodal.envelopeHash64("not audio".getBytes))
   }
 
+  test("multimodal: videoDHash64 — deterministic first-frame hash, diversity, guards") {
+    import graft.sources.Multimodal
+    val h0 = Multimodal.videoDHash64(Multimodal.synthAvi(7L, 3))
+    assert(h0 == Multimodal.videoDHash64(Multimodal.synthAvi(7L, 3)))
+    // frame count beyond the first does not change the hash (keyframe rule)
+    assert(h0 == Multimodal.videoDHash64(Multimodal.synthAvi(7L, 6)))
+    // the q124 invariant: greedy finds 50 seeds pairwise > 3 bits apart
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cand = 0L
+    while (picked.size < 50 && cand < 500) {
+      val h = Multimodal.videoDHash64(Multimodal.synthAvi(cand, 3))
+      if (picked.forall(p => java.lang.Long.bitCount(p ^ h) > 3)) picked += h
+      cand += 1
+    }
+    assert(picked.size == 50, s"only ${picked.size} diverse seeds in 0..499")
+    // garbage refused through the decoder's quarantine contract
+    intercept[IllegalArgumentException](
+      Multimodal.videoDHash64("definitely not an avi".getBytes))
+  }
+
   test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
     // JPEG is lossy so no exact stats — but decode must work (dims exact)
     val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
