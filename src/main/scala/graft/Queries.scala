@@ -673,25 +673,46 @@ object Queries {
         array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
       .orderBy(col("doc_id"))
 
+  /** Idempotent per-sfDir staging for probes that materialize an index /
+    * sketch store / file copy into the tmp dir once, so repeated bench
+    * runs time the QUERY and not staging I/O (round-3 verdict: staging
+    * inflated q50 to 5.7 s). The staging key is the SANITIZED FULL source
+    * path — `dir.hashCode` could collide two sfDirs into one staging dir
+    * (ADVICE r7) — and freshness is the source's `size:mtime` pair, so a
+    * regenerated fixture of identical byte size still re-stages. Returns
+    * (stagingRoot, fresh, commit): callers rebuild into the root when
+    * `!fresh` and call `commit()` AFTER the rebuild lands (crash before
+    * commit ⇒ next run re-stages).
+    */
+  private def stagedRoot(tag: String, dir: String, src: java.nio.file.Path)
+      : (java.nio.file.Path, Boolean, () => Unit) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"${tag}_$safe")
+    val marker = root.resolve("source.marker")
+    val want = java.nio.file.Files.size(src).toString + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == want
+    val commit = () => {
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.writeString(marker, want)
+      ()
+    }
+    (root, fresh, commit)
+  }
+
   /** Q50 — a real Structured Streaming run (ST1, rows-only): the events
     * fixture staged as a file stream → watermarked tumbling counts → memory
     * sink, drained to completion and returned as a batch frame.
     */
   def q50Streaming(s: SparkSession, dir: String): DataFrame = {
-    // Idempotent staging keyed by the input dir: the copy happens once per
-    // sf, so repeated bench runs time the STREAMING query, not temp-dir
-    // I/O (round-3 verdict: staging inflated q50 to 5.7 s). Staleness is
-    // detected by size mismatch (regenerated fixtures re-stage), and the
-    // copy goes through a unique temp name + atomic move so concurrent
-    // JVMs can't race each other into a half-copied file.
+    // Idempotent staging ([[stagedRoot]]); the copy goes through a unique
+    // temp name + atomic move so concurrent JVMs can't race each other
+    // into a half-copied file.
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "q50ev_" + Integer.toHexString(dir.hashCode))
+    val (staged, fresh, commitStaged) = stagedRoot("q50ev", dir, src)
     val target = staged.resolve("events.parquet")
-    val fresh = java.nio.file.Files.exists(target) &&
-      java.nio.file.Files.size(target) == java.nio.file.Files.size(src)
-    if (!fresh) {
+    if (!fresh || !java.nio.file.Files.exists(target)) {
       java.nio.file.Files.createDirectories(staged)
       // dot-prefixed: Spark file sources ignore hidden files, so a
       // concurrent stream over this dir never sees the half-copied temp
@@ -700,6 +721,7 @@ object Queries {
       java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      commitStaged()
     }
     val name = "q50_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.Streams.streamTumblingToMemory(s, staged.toString, name)
@@ -1521,19 +1543,14 @@ object Queries {
     */
   def q97Bm25FromIndex(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val idxDir = java.nio.file.Paths.get(
-      // "2" suffix = layout version (df-free postings + long stats); a
-      // stale staged index from the previous layout must not be reused
-      sys.props("java.io.tmpdir"), "q97idx2_" + Integer.toHexString(dir.hashCode))
-    val marker = idxDir.resolve("source.size")
-    val want = java.nio.file.Files.size(src).toString
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == want
+    // "2" suffix = layout version (df-free postings + long stats); a
+    // stale staged index from the previous layout must not be reused
+    val (idxDir, fresh, commitStaged) = stagedRoot("q97idx2", dir, src)
     if (!fresh) {
       val docs = documents(s, dir)
         .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
       Search.writeTextIndex(docs, "doc_id", "toks", idxDir.toString)
-      java.nio.file.Files.writeString(marker, want)
+      commitStaged()
     }
     Search.bm25TopKFromIndex(s, idxDir.toString,
         queryTerms = Seq("data", "model", "search"), k = 10)
@@ -1846,12 +1863,7 @@ object Queries {
       .otherwise(concat(lit("cold_"), col("event_id"))).as("item")
     def stream = events(s, dir).select(item, col("event_id"))
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val storeDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "q114freq_" + Integer.toHexString(dir.hashCode))
-    val marker = storeDir.resolve("source.size")
-    val want = java.nio.file.Files.size(src).toString
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == want
+    val (storeDir, fresh, commitStaged) = stagedRoot("q114freq", dir, src)
     if (!fresh) {
       org.apache.commons.io.FileUtils.deleteQuietly(storeDir.toFile)
       val store = storeDir.resolve("sketches").toString
@@ -1859,7 +1871,7 @@ object Queries {
         Sketches.appendFrequencySketches(
           stream.where(col("event_id") % 3 === b).withColumn("grp", lit("all")),
           "grp", "item", batchId = s"batch$b", storeDir = store)
-      java.nio.file.Files.writeString(marker, want)
+      commitStaged()
     }
     val total = stream.count()
     val minCount = total / 100 // 1% support, integer threshold (DuckDB //)
@@ -1961,12 +1973,7 @@ object Queries {
   def q119LshIndexPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Search
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-    val idxDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "q119lsh_" + Integer.toHexString(dir.hashCode))
-    val marker = idxDir.resolve("source.size")
-    val want = java.nio.file.Files.size(src).toString
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == want
+    val (idxDir, fresh, commitStaged) = stagedRoot("q119lsh", dir, src)
     val ix = idxDir.resolve("ix").toString
     if (!fresh) {
       org.apache.commons.io.FileUtils.deleteQuietly(idxDir.toFile)
@@ -1975,7 +1982,7 @@ object Queries {
         "vec_id", "embedding", dim = 64, ix, numTables = 4, bitsPerTable = 8)
       Search.appendSeededLshIndex(emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", ix)
-      java.nio.file.Files.writeString(marker, want)
+      commitStaged()
     }
     Search.seededLshPairsFromIndex(s, ix, simThreshold = 0.3)
       .orderBy(col("id1"), col("id2"))
@@ -1997,12 +2004,7 @@ object Queries {
       .otherwise(concat(lit("cold_"), col("event_id"))).as("item")
     def stream = events(s, dir).select(item, col("event_id"))
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val storeDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "q120freq_" + Integer.toHexString(dir.hashCode))
-    val marker = storeDir.resolve("source.size")
-    val want = java.nio.file.Files.size(src).toString
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == want
+    val (storeDir, fresh, commitStaged) = stagedRoot("q120freq", dir, src)
     val compacted = storeDir.resolve("compacted").toString
     if (!fresh) {
       org.apache.commons.io.FileUtils.deleteQuietly(storeDir.toFile)
@@ -2013,7 +2015,7 @@ object Queries {
           "grp", "item", batchId = s"batch$b", storeDir = store)
       Sketches.compactSketchStore(s, store, compacted, "freq",
         Seq("batch0", "batch1"), "batch0-1")
-      java.nio.file.Files.writeString(marker, want)
+      commitStaged()
     }
     val total = stream.count()
     val minCount = total / 100 // 1% support, integer threshold (DuckDB //)

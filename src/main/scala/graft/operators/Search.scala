@@ -939,11 +939,23 @@ object Search {
       .select(col("dim"), col("num_tables"), col("bits_per_table")).head()
     val (dim, nt, bpt) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val existing = spark.read.parquet(s"$path/codes").select(col("id"))
+    // exact duplicate rows (same id AND vector) collapse deterministically;
+    // the same id carrying DIFFERENT vectors is refused loudly — a
+    // dropDuplicates(id) would keep an arbitrary row, making the persisted
+    // codes/bands nondeterministic across retries/partitionings (ADVICE
+    // r7) and silently breaking build+append ≡ full-build
     val fresh = batch
       .join(existing, batch(idCol) === existing("id"), "left_anti")
-      .dropDuplicates(idCol).persist()
+      .dropDuplicates(idCol, vecCol).persist()
     try {
       val n = fresh.count()
+      if (n > 0) {
+        val nIds = fresh.select(col(idCol)).distinct().count()
+        require(nIds == n,
+          s"appendSeededLshIndex: batch carries ${n - nIds} conflicting " +
+            s"vector(s) for the same $idCol — refusing a nondeterministic " +
+            "index (dedupe upstream or fix the ids)")
+      }
       if (n > 0) {
         val codes = seededCodes(fresh, idCol, vecCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1025,6 +1025,16 @@ object DocFormats {
       * themselves (the PyMuPDF-ish graceful default); unmapped 2-byte codes
       * have no byte identity and become U+FFFD.
       */
+    /** Show-text runs bound to a font with NO Unicode semantics (a
+      * symbolic-only TrueType — Wingdings, icon fonts) extract as empty
+      * text: per-font degradation, so one dingbat font never costs the
+      * document its prose (byte identity would be silent garbage, a
+      * throw would quarantine everything).
+      */
+    private object SymbolicSkipDecoder extends FontDecoder {
+      def decode(raw: String): String = ""
+    }
+
     private final class MapDecoder(map: Map[Int, String], codeLen: Int) extends FontDecoder {
       def decode(raw: String): String = {
         val sb = new StringBuilder
@@ -1087,11 +1097,14 @@ object DocFormats {
 
     /** Build one font's decoder: /ToUnicode CMap wins; else a composite
       * (Type0 /Identity-H) font's embedded TrueType `cmap` inverted to
-      * GID→Unicode; else /Encoding with /Differences (glyph names via the
-      * AGL subset); else a simple font's embedded Type1/CFF program's
-      * built-in encoding (decode-or-quarantine); else byte identity (only
-      * reached by fonts with NO embedded program — base-14 Latin, where
-      * codes are effectively character codes).
+      * GID→Unicode; else the declared /Encoding — a base-encoding name
+      * or a dictionary's /BaseEncoding overlaid with /Differences, which
+      * per §9.6.5 overrides the program's built-in encoding; else a
+      * simple font's embedded Type1/CFF program's built-in encoding
+      * (decode-or-quarantine; symbolic-only TrueType → per-font empty
+      * text); else byte identity (only reached by fonts with NO embedded
+      * program — base-14 Latin, where codes are effectively character
+      * codes).
       */
     private def decoderFor(font: PdfObj, byNum: Map[Int, PdfObj]): FontDecoder = {
       val toUnicode = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
@@ -1103,8 +1116,7 @@ object DocFormats {
         case None =>
           predefinedCMapDecoder(font)
             .orElse(cidFontDecoder(font, byNum))
-            .orElse(encodingDifferences(font, byNum).map(new MapDecoder(_, 1)))
-            .orElse(baseEncodingDecoder(font))
+            .orElse(simpleEncodingDecoder(font, byNum))
             .orElse(embeddedSimpleFontDecoder(font, byNum))
             .getOrElse(IdentityDecoder)
       }
@@ -1224,21 +1236,69 @@ object DocFormats {
           "udieresis", "ugrave", "yacute", "ydieresis", "zcaron"))
         .toIndexedSeq
 
-    /** A simple font declaring a named BASE encoding (PDF-1.7 Table 114)
-      * and no Differences: the name overrides any built-in program
-      * encoding, and both have exact JDK charset twins.
+    /** code → char map of a NAMED simple-font base encoding (PDF-1.7
+      * Annex D): WinAnsi/MacRoman via their exact JDK charset twins,
+      * Standard via the glyph-name table.
       */
-    private def baseEncodingDecoder(font: PdfObj): Option[FontDecoder] = {
+    private def namedBaseMap(enc: String): Map[Int, String] = enc match {
+      case "StandardEncoding" =>
+        standardEncodingByCode.flatMap { case (c, n) =>
+          GlyphNames.resolve(n).map(c -> _)
+        }
+      case _ =>
+        val cs = java.nio.charset.Charset.forName(
+          if (enc == "WinAnsiEncoding") "windows-1252" else "x-MacRoman")
+        (0 until 256).flatMap { c =>
+          val s = new String(Array(c.toByte), cs)
+          if (s.length == 1 && s.charAt(0) != '�') Some(c -> s) else None
+        }.toMap
+    }
+
+    /** A simple font's declared /Encoding (PDF-1.7 §9.6.5): either a bare
+      * NAME (Table 114) or an encoding DICTIONARY — inline or indirect —
+      * whose /BaseEncoding is overlaid by /Differences. The declared
+      * encoding OVERRIDES any embedded program's built-in one, which is
+      * why this sits before [[embeddedSimpleFontDecoder]] in the chain
+      * (ADVICE r7: a dictionary carrying /BaseEncoding with no
+      * /Differences used to fall through to the program, inverting that
+      * precedence). A dictionary with NEITHER key yields None so the
+      * chain still consults the program.
+      */
+    private def simpleEncodingDecoder(font: PdfObj,
+        byNum: Map[Int, PdfObj]): Option[FontDecoder] = {
       if (font.dict.contains("/Type0")) return None
-      val enc = """/Encoding\s*/(WinAnsiEncoding|MacRomanEncoding)""".r
-        .findFirstMatchIn(font.dict).map(_.group(1)).getOrElse(return None)
-      val cs = java.nio.charset.Charset.forName(
-        if (enc == "WinAnsiEncoding") "windows-1252" else "x-MacRoman")
-      val map = (0 until 256).flatMap { c =>
-        val s = new String(Array(c.toByte), cs)
-        if (s.length == 1 && s.charAt(0) != '�') Some(c -> s) else None
-      }.toMap
-      Some(new MapDecoder(map, 1))
+      val at = font.dict.indexOf("/Encoding")
+      if (at < 0) return None
+      val after = font.dict.drop(at + "/Encoding".length).dropWhile(_.isWhitespace)
+      val BaseName = """/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding)""".r
+      // the entry's value: a name decodes directly; an inline or indirect
+      // dictionary contributes /BaseEncoding and/or /Differences
+      val encDict: Option[String] =
+        if (after.startsWith("<<")) Some(balancedDict(after))
+        else if (after.startsWith("/")) None
+        else Ref.findPrefixMatchOf(after)
+          .flatMap(m => byNum.get(m.group(1).toInt).map(_.dict))
+          .map { d => // an indirect value may itself be a bare name
+            val t = d.dropWhile(_.isWhitespace)
+            if (t.startsWith("<<")) balancedDict(t) else t
+          }
+      val baseName: Option[String] =
+        if (after.startsWith("/"))
+          BaseName.findPrefixMatchOf(after).map(_.group(1))
+        else encDict.flatMap { d =>
+          val ba = d.indexOf("/BaseEncoding")
+          if (ba >= 0)
+            BaseName.findPrefixMatchOf(
+              d.drop(ba + "/BaseEncoding".length).dropWhile(_.isWhitespace))
+              .map(_.group(1))
+          else if (!d.contains("/Differences")) // bare-name indirect object
+            BaseName.findPrefixMatchOf(d).map(_.group(1))
+          else None
+        }
+      val baseMap = baseName.map(namedBaseMap).getOrElse(Map.empty[Int, String])
+      val diffMap = encDict.map(parseDifferences).getOrElse(Map.empty[Int, String])
+      if (baseMap.isEmpty && diffMap.isEmpty) None
+      else Some(new MapDecoder(baseMap ++ diffMap, 1))
     }
 
     /** A SIMPLE font (Type1/CFF) carrying its embedded font program but no
@@ -1264,14 +1324,15 @@ object DocFormats {
       // Unicode — byte identity is the correct extraction — but a font
       // whose ONLY table is the (3,0) symbolic one maps codes to
       // private-use glyphs with no Unicode semantics; identity there is
-      // silent garbage, so it quarantines like an unparseable program
+      // silent garbage. Degrade PER FONT, not per document (ADVICE r7): a
+      // Wingdings/icon font's runs emit NO text (skipping symbols loses
+      // decoration, not prose) while every other font in the document
+      // keeps decoding — throwing here used to quarantine whole documents
+      // for one dingbat.
       resolve(descriptor.dict, "/FontFile2").flatMap(_.stream).foreach { prog =>
         val plats = trueTypeCmapPlatforms(prog)
         if (plats.nonEmpty && plats.forall(p => p == (3, 0)))
-          throw new IllegalArgumentException(
-            "simple TrueType font carries only a (3,0) symbolic cmap — its " +
-              "codes have no Unicode meaning; quarantined rather than " +
-              "extracted as byte-identity garbage")
+          return Some(SymbolicSkipDecoder)
       }
       val t1 = resolve(descriptor.dict, "/FontFile").flatMap(_.stream)
         .map(type1BuiltinEncoding)
@@ -1561,34 +1622,27 @@ object DocFormats {
       * indirect object. Codes whose glyph name is outside the subset keep
       * byte identity (MapDecoder's 1-byte fallback).
       */
-    private def encodingDifferences(font: PdfObj, byNum: Map[Int, PdfObj]): Option[Map[Int, String]] = {
-      val at = font.dict.indexOf("/Encoding")
-      if (at < 0) return None
-      val after = font.dict.drop(at + "/Encoding".length).dropWhile(_.isWhitespace)
-      val encDict: Option[String] =
-        if (after.startsWith("<<")) Some(balancedDict(after))
-        else Ref.findPrefixMatchOf(after).flatMap(m => byNum.get(m.group(1).toInt).map(_.dict))
-      encDict.flatMap { ed =>
-        val da = ed.indexOf("/Differences")
-        if (da < 0) None
+    /** The /Differences array of an encoding dictionary (PDF-1.7 §9.6.5):
+      * runs of glyph names, each run led by its starting code. Returns
+      * code → char for every resolvable name; empty when the dictionary
+      * has no parseable /Differences.
+      */
+    private def parseDifferences(encDict: String): Map[Int, String] = {
+      val da = encDict.indexOf("/Differences")
+      if (da < 0) return Map.empty
+      val arr = encDict.drop(da + "/Differences".length).dropWhile(_.isWhitespace)
+      if (!arr.startsWith("[")) return Map.empty
+      val body = arr.drop(1).takeWhile(_ != ']')
+      val map = scala.collection.mutable.HashMap[Int, String]()
+      var code = 0
+      for (m <- """(\d+)|/([\w.-]+)""".r.findAllMatchIn(body)) {
+        if (m.group(1) != null) code = m.group(1).toInt
         else {
-          val arr = ed.drop(da + "/Differences".length).dropWhile(_.isWhitespace)
-          if (!arr.startsWith("[")) None
-          else {
-            val body = arr.drop(1).takeWhile(_ != ']')
-            val map = scala.collection.mutable.HashMap[Int, String]()
-            var code = 0
-            for (m <- """(\d+)|/([\w.-]+)""".r.findAllMatchIn(body)) {
-              if (m.group(1) != null) code = m.group(1).toInt
-              else {
-                GlyphNames.toChar.get(m.group(2)).foreach(ch => map(code) = ch)
-                code += 1
-              }
-            }
-            if (map.isEmpty) None else Some(map.toMap)
-          }
+          GlyphNames.toChar.get(m.group(2)).foreach(ch => map(code) = ch)
+          code += 1
         }
       }
+      map.toMap
     }
 
     /** Fully inflate or THROW: truncated/malformed deflate data must be an

@@ -497,10 +497,25 @@ object Multimodal {
     dHashOfPixels(img.getWidth, img.getHeight, img.getRGB)
   }
 
+  /** Exact mean(s1/c1) > mean(s2/c2) for non-negative integer sums/counts:
+    * cross-multiply in 128 bits (`Math.multiplyHigh` + unsigned low word),
+    * so the comparison is exact for ANY decodable media — a 64-bit
+    * cross-multiply overflows once s·c exceeds 2^63 (≈4·10^8 pixels per
+    * frame, ≈5·10^8 PCM samples per clip), which would silently flip
+    * gradient bits instead of failing loudly. Still integer-only, no
+    * division, no floats: the bit-determinism contract is unconditional.
+    */
+  private[graft] def meanGt(s1: Long, c1: Long, s2: Long, c2: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(s1, c2); val hi2 = Math.multiplyHigh(s2, c1)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(s1 * c2, s2 * c1) > 0
+  }
+
   /** The dHash pixel-grid core shared by images ([[dHash64]]) and video
     * keyframes ([[videoDHash64]]): integer luminance sums per cell — cell
     * (i,j) covers the half-open block [i·w/9, (i+1)·w/9) × [j·h/8,
-    * (j+1)·h/8) — then one gradient bit per horizontal neighbor pair.
+    * (j+1)·h/8) — then one gradient bit per horizontal neighbor pair
+    * ([[meanGt]], exact at any frame size).
     */
   private def dHashOfPixels(w: Int, h: Int, rgbAt: (Int, Int) => Int): Long = {
     require(w >= 9 && h >= 8, s"frame too small for dHash (${w}x$h, need ≥9x8)")
@@ -526,9 +541,7 @@ object Multimodal {
     while (j < 8) {
       var i = 0
       while (i < 8) {
-        // mean(i) > mean(i+1) without division: cross-multiply (exact —
-        // sums < 255000·w·h < 2^40, counts < 2^22, products < 2^62)
-        if (sums(i)(j) * counts(i + 1)(j) > sums(i + 1)(j) * counts(i)(j))
+        if (meanGt(sums(i)(j), counts(i)(j), sums(i + 1)(j), counts(i + 1)(j)))
           hash |= 1L << (j * 8 + i)
         i += 1
       }
@@ -563,6 +576,39 @@ object Multimodal {
         it.map { row =>
           org.apache.spark.sql.Row(row.getLong(0),
             videoDHash64(row.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
+  /** FULL-SEQUENCE video signatures: the dHash of every `stride`-th
+    * decoded frame as `(idCol, frame_idx, vhash)` — the composition
+    * [[videoDHash64]]'s keyframe heuristic documents: a video is decoded
+    * ONCE per row inside mapPartitions (off the shuffle path) and only
+    * the 64-bit signatures ever shuffle, so the operator ships
+    * O(frames/stride) longs per video, never pixels. Pairing is
+    * aligned-frame voting
+    * ([[graft.operators.Dedup.sequenceVoteNearDupPairs]]): frame i
+    * matches only frame i, the re-encode/re-container model where the
+    * timeline is preserved.
+    */
+  def videoSequenceDHashes(df: DataFrame, idCol: String, bytesCol: String,
+      stride: Int)(implicit spark: SparkSession): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("vhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val v = decodeAviRgb24(row.getAs[Array[Byte]](1))
+          require(v.frames.nonEmpty, "video has no decodable frames")
+          (0 until v.frames.length by stride).map { fi =>
+            val f = v.frames(fi)
+            org.apache.spark.sql.Row(row.getLong(0), fi,
+              dHashOfPixels(v.w, v.h, (x, y) => f(y * v.w + x)))
+          }
         }
       }(enc)
   }
@@ -616,9 +662,7 @@ object Multimodal {
     var hash = 0L
     var b = 0
     while (b < 64) {
-      // cross-multiplied mean comparison (exact: sums < 2^15·n < 2^46,
-      // counts < 2^31, products < 2^62 for any realistic clip)
-      if (sums(b) * counts(b + 1) > sums(b + 1) * counts(b))
+      if (meanGt(sums(b), counts(b), sums(b + 1), counts(b + 1)))
         hash |= 1L << b
       b += 1
     }

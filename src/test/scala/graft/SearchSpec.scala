@@ -736,6 +736,32 @@ class SearchSpec extends SparkSpec {
     assert(reverse === full, "lookup is direction-symmetric")
   }
 
+  test("seededLshIndex: conflicting vectors for one id refuse loudly; exact dups collapse") {
+    // ADVICE r7: dropDuplicates(id) kept an ARBITRARY row for an id that
+    // appears twice with different vectors — the persisted codes/bands
+    // became retry/partitioning-dependent. Exact duplicate ROWS are fine
+    // (collapse is deterministic); conflicting vectors must throw.
+    import spark.implicits._
+    def vec(seed: Int, eps: Float = 0f) =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) + eps).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("slshdup").toString + "/ix"
+    Search.writeSeededLshIndex(Seq((1L, vec(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 64, dir, numTables = 2, bitsPerTable = 6)
+    // same id, same vector, twice: deterministic collapse, one append
+    assert(Search.appendSeededLshIndex(
+      Seq((2L, vec(2)), (2L, vec(2))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir) === 1L)
+    // same id, DIFFERENT vectors: loud refusal, nothing written
+    val before = spark.read.parquet(s"$dir/codes").count()
+    intercept[IllegalArgumentException] {
+      Search.appendSeededLshIndex(
+        Seq((3L, vec(3)), (3L, vec(3, 0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    assert(spark.read.parquet(s"$dir/codes").count() === before,
+      "a refused batch must not have appended codes")
+  }
+
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
     val plan = Queries.q03RegionCustomers(spark, sf001)
       .queryExecution.executedPlan.toString

@@ -170,6 +170,49 @@ class SourcesSpec extends SparkSpec {
     assert(MinimalPdf.extractText(pdf) == "Hi é!")
   }
 
+  test("MinimalPdf: /BaseEncoding in an encoding dictionary overrides the program") {
+    import graft.sources.DocFormats.MinimalPdf
+    // ADVICE r7: only a NAME-valued /Encoding used to reach the base-
+    // encoding path; a dictionary carrying /BaseEncoding /WinAnsiEncoding
+    // with no /Differences fell through to the embedded program's
+    // built-in encoding, inverting the §9.6.5 precedence. This program
+    // binds 65/66 ('A'/'B') to /zero//one, so extraction proves which
+    // encoding won: WinAnsi ⇒ "AB“" (0x93 = left double quote, a
+    // code where WinAnsi differs from Latin-1), program ⇒ "01…".
+    val prog = ("%!PS-AdobeFont-1.0: T 001.001\n" +
+      "/FontName /T def\n/Encoding 256 array\n" +
+      "0 1 255 {1 index exch /.notdef put} for\n" +
+      "dup 65 /zero put\ndup 66 /one put\nreadonly def\n" +
+      "currentdict end\neexec\n0123456789abcdef").getBytes("ISO-8859-1")
+    val progStr = new String(prog, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def pdf(encodingEntry: String, extra: String = ""): Array[Byte] = {
+      val content = "BT /F1 12 Tf 72 720 Td (AB\u0093) Tj ET"
+      ("%PDF-1.4\n" +
+        s"1 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+        "2 0 obj << /Type /Page /Resources << /Font << /F1 3 0 R >> >> >> endobj\n" +
+        "3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /T " +
+        s"/FontDescriptor 5 0 R /Encoding $encodingEntry >> endobj\n" +
+        "5 0 obj << /Type /FontDescriptor /FontName /T /FontFile 6 0 R >> endobj\n" +
+        s"6 0 obj << /Length ${prog.length} >> stream\n$progStr\nendstream endobj\n" +
+        extra +
+        "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    // inline dictionary, /BaseEncoding only: base wins over the program
+    assert(MinimalPdf.extractText(
+      pdf("<< /Type /Encoding /BaseEncoding /WinAnsiEncoding >>")) == "AB“")
+    // base + /Differences: differences overlay the base, base fills the rest
+    assert(MinimalPdf.extractText(
+      pdf("<< /BaseEncoding /WinAnsiEncoding /Differences [ 65 /zero ] >>")) ==
+      "0B“")
+    // the same dictionary reached through an indirect reference
+    assert(MinimalPdf.extractText(pdf("7 0 R",
+      "7 0 obj << /Type /Encoding /BaseEncoding /WinAnsiEncoding >> endobj\n")) ==
+      "AB“")
+    // with NO declared encoding the program's built-in encoding still wins
+    assert(MinimalPdf.extractText(pdf("/SomethingElse")
+      ).startsWith("01"))
+  }
+
   test("MinimalPdf: payload extent from /Length (deflate output ending in CR regression)") {
     import graft.sources.DocFormats.MinimalPdf
     // this exact text deflates to bytes ending 0x0D; the old scan-back-from-
@@ -521,6 +564,32 @@ class SourcesSpec extends SparkSpec {
       Multimodal.envelopeHash64("not audio".getBytes))
   }
 
+  test("multimodal: meanGt — exact 128-bit mean comparison past Long overflow") {
+    import graft.sources.Multimodal
+    // ADVICE r7: the 64-bit cross-multiply s1·c2 overflows past ~4e8
+    // pixels (dHash) / ~5e8 samples (envelope), silently flipping
+    // gradient bits. meanGt must agree with exact rational comparison
+    // for ALL non-negative inputs, including the overflow regime.
+    def oracle(s1: Long, c1: Long, s2: Long, c2: Long): Boolean =
+      BigInt(s1) * BigInt(c2) > BigInt(s2) * BigInt(c1)
+    // gigapixel-frame magnitudes: sums ~255000·(wh/72), counts ~wh/72
+    // for wh = 4e9 → c ≈ 5.6e7, s up to 1.4e13 → products ~8e20 > 2^63
+    val magnitudes = Seq(0L, 1L, 7L, 255000L, 1L << 31, 55555555L,
+      14165000000000L, (1L << 62) / 3, Long.MaxValue / 100000)
+    for (s1 <- magnitudes; c1 <- magnitudes if c1 > 0;
+         s2 <- magnitudes; c2 <- magnitudes if c2 > 0)
+      assert(Multimodal.meanGt(s1, c1, s2, c2) == oracle(s1, c1, s2, c2),
+        s"meanGt($s1,$c1,$s2,$c2)")
+    // the exact boundary: equal means at overflow scale must NOT set a bit
+    val (s, c) = (255000L * 55555555L, 55555555L)
+    assert(!Multimodal.meanGt(s, c, s, c))
+    assert(Multimodal.meanGt(s + 1, c, s, c))
+    assert(!Multimodal.meanGt(s, c, s + 1, c))
+    // 2·(s/c) vs (2s)/(2c): equal rationals, different magnitudes
+    assert(!Multimodal.meanGt(s, c, 2 * s, 2 * c))
+    assert(!Multimodal.meanGt(2 * s, 2 * c, s, c))
+  }
+
   test("multimodal: videoDHash64 — deterministic first-frame hash, diversity, guards") {
     import graft.sources.Multimodal
     val h0 = Multimodal.videoDHash64(Multimodal.synthAvi(7L, 3))
@@ -740,11 +809,25 @@ class SourcesSpec extends SparkSpec {
         "/FontFile"))
     }
     // a simple TrueType whose ONLY cmap is the (3,0) symbolic table
-    // quarantines (codes are private-use, no Unicode semantics) ...
-    intercept[IllegalArgumentException] {
-      MinimalPdf.extractText(simpleFontPdf("BT /F1 12 Tf 72 720 Td (ok) Tj ET",
-        ttfWithCmap(Seq('A' -> 1), platform = (3, 0)), "/FontFile2"))
-    }
+    // degrades PER FONT (ADVICE r7): its runs emit NO text (private-use
+    // codes, no Unicode semantics — skipping loses dingbats, not prose)
+    // while every other font in the document keeps decoding; this used
+    // to throw and quarantine the whole document for one icon font
+    val symb = ttfWithCmap(Seq('A' -> 1), platform = (3, 0))
+    val symbStr = new String(symb, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val mixedContent = "BT /F1 12 Tf 72 720 Td (AB) Tj /F2 12 Tf (ok) Tj ET"
+    val mixed = ("%PDF-1.4\n" +
+      s"1 0 obj << /Length ${mixedContent.length} >> stream\n$mixedContent\nendstream endobj\n" +
+      "2 0 obj << /Type /Page /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Font /Subtype /TrueType /BaseFont /S /FontDescriptor 5 0 R >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+      "5 0 obj << /Type /FontDescriptor /FontName /S /FontFile2 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${symb.length} >> stream\n$symbStr\nendstream endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(MinimalPdf.extractText(mixed) == "ok")
+    // the degenerate all-symbolic document extracts as empty, not garbage
+    assert(MinimalPdf.extractText(simpleFontPdf(
+      "BT /F1 12 Tf 72 720 Td (AB) Tj ET", symb, "/FontFile2")) == "")
     // ... while a (3,1) Windows-BMP simple TrueType keeps identity —
     // the code IS the Unicode value there
     assert(MinimalPdf.extractText(
