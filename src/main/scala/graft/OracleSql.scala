@@ -1046,6 +1046,17 @@ FROM range(50) t(i) ORDER BY id1, id2""",
       raw"""SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
 FROM range(50) t(i) ORDER BY id1, id2""",
 
+    // Full-sequence video dedup (q125): 25 clips staged as (clip,
+    // identical restage, first-frame splice); per-frame-diverse greedy
+    // seed selection fixes the vote-qualified pair set to exactly the 25
+    // identical restages — 6/6 aligned frames, vote 1.0 — while every
+    // splice scores 1/6 < 0.8 and drops.
+    "q125_video_sequence_dedup" ->
+      raw"""SELECT i AS id1, i + 1000 AS id2,
+CAST(6 AS BIGINT) AS matched_frames, CAST(6 AS BIGINT) AS total_frames,
+CAST(1.0 AS DOUBLE) AS vote_frac
+FROM range(25) t(i) ORDER BY id1, id2""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

@@ -2155,6 +2155,58 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q125 — FULL-SEQUENCE video dedup (Multimodal.videoSequenceDHashes +
+    * Dedup.sequenceVoteNearDupPairs), the case q124's first-frame keyframe
+    * heuristic cannot decide: 25 six-frame clips, each staged three ways —
+    * id i (the clip), id i+1000 (identical restage, the planted pair) and
+    * id i+2000 (a SPLICE: clip i's exact opening frame, then a decoy
+    * tail). Aligned-frame voting at minVoteFrac 0.8 accepts the restage
+    * (6/6 frames) and rejects the splice (1/6) that a first-frame hash
+    * would have merged. Seeds are greedily selected driver-side so that
+    * EVERY aligned frame pair across different seeds is > 3 dHash bits
+    * apart (the q122 selection discipline extended to sequences, over the
+    * same deterministic pixel formula) — the construction therefore fixes
+    * the exact result to the 25 planted (i, i+1000, 6, 6, 1.0) rows and
+    * the oracle needs no video decoding.
+    */
+  def q125VideoSequenceDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nFrames = 6
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 1000) {
+      val hs = Multimodal
+        .videoFrameDHashes(Multimodal.synthAvi(cand, nFrames), 1).map(_._2)
+      if (seeds.forall { case (_, ph) =>
+          ph.lazyZip(hs).forall((a, b) => java.lang.Long.bitCount(a ^ b) > 3) })
+        seeds += ((cand, hs))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} sequence-diverse seeds in 0..999")
+    val base = seeds.take(25).map(_._1).toIndexedSeq
+    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    val rows: Seq[(Long, Long, Long)] = (0 until 25).flatMap { i =>
+      Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -1L),
+        (i + 2000L, base(i), decoy(i)))
+    }
+    val withBytes = rows.toDF("media_id", "seed", "decoy")
+      .as[(Long, Long, Long)]
+      .map { case (id, seed, dec) =>
+        val bytes =
+          if (dec < 0) Multimodal.synthAvi(seed, nFrames)
+          else Multimodal.synthAviSpliced(seed +: Seq.fill(nFrames - 1)(dec))
+        (id, bytes)
+      }
+      .toDF("media_id", "content")
+    val sigs = Multimodal.videoSequenceDHashes(withBytes, "media_id", "content",
+      stride = 1)
+    Dedup.sequenceVoteNearDupPairs(sigs, "media_id", "frame_idx", "vhash",
+        maxHamming = 3, numBands = 4, minVoteFrac = 0.8)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2281,5 +2333,6 @@ object Queries {
     "q122_image_dedup" -> q122ImageDedup _,
     "q123_audio_dedup" -> q123AudioDedup _,
     "q124_video_dedup" -> q124VideoDedup _,
+    "q125_video_sequence_dedup" -> q125VideoSequenceDedup _,
   )
 }

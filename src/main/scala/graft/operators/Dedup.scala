@@ -815,6 +815,105 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** EXACT sequence-vote near-dup pairs over per-frame 64-bit signatures
+    * (the full-sequence video-dedup step after
+    * [[graft.sources.Multimodal.videoSequenceDHashes]], equally valid for
+    * any `(id, frame_idx, hash)` signature sequence): two sequences are
+    * near-dups when at least `minVoteFrac` of their ALIGNED frames (same
+    * `frameCol` — the re-encode/re-container model, timeline preserved)
+    * are within Hamming `maxHamming`. Candidates come from the
+    * [[hammingNearDupPairs]] banding, extended with frame alignment: a
+    * matching frame pair differs in ≤ maxHamming < numBands bit-bands, so
+    * it shares a (frame, band) key (pigeonhole) — and any qualifying
+    * sequence pair has ≥ 1 matching frame (minVoteFrac > 0), so banding is
+    * LOSSLESS and the popcount-verified vote makes the result exact.
+    * Shuffles move only (frame, band, id) rows and 64-bit hashes — never
+    * pixels; the verify join ships each sequence's hashes only for
+    * candidate pairs.
+    *
+    * `total_frames = greatest(n₁, n₂)`, so a truncated clip is penalized
+    * by its missing tail rather than trivially matching its own prefix.
+    * Precondition: one row per (id, frame) — [[graft.sources.Multimodal
+    * .videoSequenceDHashes]] guarantees it; duplicate frame rows would
+    * inflate votes. Scale guard (the jaccardJoinPrefix discipline): a
+    * (frame, band-value) bucket shared by more than `maxBandBucket`
+    * sequences — a near-constant corpus, e.g. black intro frames
+    * corpus-wide — would make the candidate block quadratic; the build
+    * REFUSES loudly instead. Pre-dropping low-entropy frames (a constant
+    * frame hashes to 0L) is the standard mitigation.
+    *
+    * @return (id1, id2, matched_frames, total_frames, vote_frac), id1 < id2
+    */
+  def sequenceVoteNearDupPairs(sigs: DataFrame, idCol: String,
+      frameCol: String, hashCol: String, maxHamming: Int = 3,
+      numBands: Int = 4, minVoteFrac: Double = 0.8,
+      maxBandBucket: Long = 100000L,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    require(minVoteFrac > 0.0 && minVoteFrac <= 1.0,
+      s"minVoteFrac must be in (0, 1] — at 0 every pair qualifies and " +
+        s"band candidates are no longer lossless; got $minVoteFrac")
+    require(maxBandBucket > 0, s"maxBandBucket must be positive")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = sigs
+      .select(col(idCol).as("_id"), col(frameCol).cast("int").as("_f"),
+        col(hashCol).cast("long").as("_h"))
+      .persist()
+    try {
+      val banded = base
+        .withColumn("_band", explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("i"),
+            shiftrightunsigned(col("_h"), b * width).bitwiseAND(lit(mask)).as("v"))
+        }: _*)))
+        .select(col("_id"), col("_f"),
+          col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+        .persist()
+      try {
+        val hottestRow = banded.groupBy(col("_f"), col("_bi"), col("_bv"))
+          .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+        val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+        require(hottest <= maxBandBucket,
+          s"a (frame, band) bucket is shared by $hottest sequences (> " +
+            s"maxBandBucket $maxBandBucket) — the candidate block would be " +
+            "quadratic; pre-drop constant/low-entropy frames")
+        val cand = banded
+          .select(col("_f"), col("_bi"), col("_bv"), col("_id").as("id1"))
+          .join(banded.select(
+            col("_f"), col("_bi"), col("_bv"), col("_id").as("id2")),
+            Seq("_f", "_bi", "_bv"))
+          .where(col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+        val counts = base.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+        val matched = cand
+          .join(base.select(col("_id").as("id1"), col("_f"), col("_h").as("h1")),
+            Seq("id1"))
+          .join(base.select(col("_id").as("id2"), col("_f"), col("_h").as("h2")),
+            Seq("id2", "_f"))
+          .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("matched_frames"))
+        val out = matched
+          .join(counts.select(col("_id").as("id1"), col("_n").as("_n1")), Seq("id1"))
+          .join(counts.select(col("_id").as("id2"), col("_n").as("_n2")), Seq("id2"))
+          .withColumn("total_frames", greatest(col("_n1"), col("_n2")))
+          .withColumn("vote_frac",
+            col("matched_frames").cast("double") / col("total_frames"))
+          .where(col("vote_frac") >= minVoteFrac)
+          .select(col("id1"), col("id2"), col("matched_frames"),
+            col("total_frames"), col("vote_frac"))
+        // materialize the (small) verified pair set so the signature caches
+        // can be released; durability is the caller's CheckpointStrategy,
+        // the jaccardJoinPrefix discipline
+        CheckpointStrategy.materialize(out, checkpoint)
+      } finally { banded.unpersist(false); () }
+    } finally { base.unpersist(false); () }
+  }
+
   /** Incremental near-dup detection against a persisted sketch store (EXT):
     * the shape a streaming/batch-ingest pipeline actually needs — each
     * arriving batch is checked against the ENTIRE historical corpus without

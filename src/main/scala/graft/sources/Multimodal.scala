@@ -602,15 +602,26 @@ object Multimodal {
     df.select(col(idCol), col(bytesCol))
       .mapPartitions { it =>
         it.flatMap { row =>
-          val v = decodeAviRgb24(row.getAs[Array[Byte]](1))
-          require(v.frames.nonEmpty, "video has no decodable frames")
-          (0 until v.frames.length by stride).map { fi =>
-            val f = v.frames(fi)
-            org.apache.spark.sql.Row(row.getLong(0), fi,
-              dHashOfPixels(v.w, v.h, (x, y) => f(y * v.w + x)))
+          videoFrameDHashes(row.getAs[Array[Byte]](1), stride).map {
+            case (fi, h) => org.apache.spark.sql.Row(row.getLong(0), fi, h)
           }
         }
       }(enc)
+  }
+
+  /** Per-frame dHashes of every `stride`-th decoded frame — the pure core
+    * of [[videoSequenceDHashes]], also usable driver-side to greedily
+    * select per-frame-diverse construction fixtures (the q122 selection
+    * discipline extended to whole sequences).
+    */
+  def videoFrameDHashes(content: Array[Byte], stride: Int): Seq[(Int, Long)] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val v = decodeAviRgb24(content)
+    require(v.frames.nonEmpty, "video has no decodable frames")
+    (0 until v.frames.length by stride).map { fi =>
+      val f = v.frames(fi)
+      (fi, dHashOfPixels(v.w, v.h, (x, y) => f(y * v.w + x)))
+    }
   }
 
   /** Relational dHash extraction: `(idCol, dhash)` per image row — decode
@@ -825,7 +836,23 @@ object Multimodal {
     * side = a genuine container round trip (the video twin of [[synthWav]]).
     */
   def synthAvi(id: Long, nFrames: Int, w: Int = 32, h: Int = 24,
+      fps: Int = 10): Array[Byte] =
+    synthAviFrom(_ => id, nFrames, w, h, fps)
+
+  /** [[synthAvi]] with a PER-FRAME formula seed: frame f draws its pixels
+    * from `seeds(f)`, so a clip can share an exact opening frame with
+    * `synthAvi(seeds(0), …)` yet diverge afterwards — the splice fixture
+    * for sequence-vote dedup (the case the first-frame keyframe heuristic
+    * of [[videoDHash64]] cannot distinguish).
+    */
+  def synthAviSpliced(seeds: Seq[Long], w: Int = 32, h: Int = 24,
       fps: Int = 10): Array[Byte] = {
+    require(seeds.nonEmpty, "need at least one frame seed")
+    synthAviFrom(seeds(_), seeds.length, w, h, fps)
+  }
+
+  private def synthAviFrom(seedOf: Int => Long, nFrames: Int, w: Int, h: Int,
+      fps: Int): Array[Byte] = {
     require(nFrames > 0 && w > 0 && h > 0)
     val stride = ((w * 3 + 3) / 4) * 4
     val frameBytes = stride * h
@@ -836,7 +863,7 @@ object Multimodal {
         var x = 0
         val row = (h - 1 - y) * stride // bottom-up
         while (x < w) {
-          val rgb = synthVideoPixel(id, f, x, y)
+          val rgb = synthVideoPixel(seedOf(f), f, x, y)
           out(row + x * 3) = (rgb & 0xff).toByte           // B
           out(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte // G
           out(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R

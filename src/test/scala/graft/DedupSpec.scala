@@ -226,6 +226,59 @@ class DedupSpec extends SparkSpec {
       Dedup.hammingNearDupPairs(all.toDF("id", "h"), "id", "h", numBands = 7))
   }
 
+  test("sequenceVoteNearDupPairs ≡ brute force; splice/truncation semantics; guards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    // base sequences of varying length; planted: identical copies, copies
+    // with a few frames nudged ≤ t bits, truncated copies, and splices
+    // sharing only frame 0 — the full semantic surface
+    val base: Seq[(Long, Seq[Long])] =
+      (0L until 30L).map(i => (i, Seq.fill(4 + (i % 3).toInt)(rnd.nextLong())))
+    val planted: Seq[(Long, Seq[Long])] = base.take(12).zipWithIndex.map {
+      case ((id, hs), k) =>
+        val mutated = k % 4 match {
+          case 0 => hs // identical
+          case 1 => hs.zipWithIndex.map { case (h, f) => // ≤3-bit nudges
+            if (f % 2 == 0) h ^ (1L << ((k * 13 + f) % 64)) else h }
+          case 2 => hs.take(hs.length - 1) // truncated by one frame
+          case _ => hs.head +: hs.tail.map(_ => rnd.nextLong()) // splice
+        }
+        (id + 1000L, mutated)
+    }
+    val all = base ++ planted
+    val rows = all.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    def brute(t: Int, frac: Double): Set[(Long, Long, Long, Long)] =
+      (for {
+        (i1, h1) <- all; (i2, h2) <- all if i1 < i2
+        matched = h1.zip(h2).count { case (x, y) => java.lang.Long.bitCount(x ^ y) <= t }
+        total = math.max(h1.length, h2.length)
+        if matched.toDouble / total >= frac
+      } yield (i1, i2, matched.toLong, total.toLong)).toSet
+    for (t <- Seq(0, 3); bands <- Seq(4, 8); frac <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.sequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+          "id", "f", "h", maxHamming = t, numBands = bands, minVoteFrac = frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === brute(t, frac), s"t=$t bands=$bands frac=$frac")
+    }
+    // partitioning-stability
+    val a = Dedup.sequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.sequenceVoteNearDupPairs(rows.toDF("id", "f", "h").repartition(13),
+      "id", "f", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    // guards: losslessness preconditions + the quadratic-bucket refusal
+    intercept[IllegalArgumentException](Dedup.sequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](Dedup.sequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", minVoteFrac = 0.0))
+    val constantFrame = (0L until 50L).map(i => (i, 0, 0L)) // black intro corpus-wide
+    intercept[IllegalArgumentException](Dedup.sequenceVoteNearDupPairs(
+      constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
+  }
+
   test("line/span verdict plans stay partial-aggregatable (skew posture pinned)") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -610,6 +610,37 @@ class SourcesSpec extends SparkSpec {
       Multimodal.videoDHash64("definitely not an avi".getBytes))
   }
 
+  test("multimodal: videoFrameDHashes + synthAviSpliced — sequence signatures, splice shares only frame 0") {
+    import graft.sources.Multimodal
+    // the pure helper is deterministic and stride-consistent
+    val full = Multimodal.videoFrameDHashes(Multimodal.synthAvi(7L, 6), 1)
+    assert(full.map(_._1) == (0 until 6))
+    assert(full == Multimodal.videoFrameDHashes(Multimodal.synthAvi(7L, 6), 1))
+    assert(Multimodal.videoFrameDHashes(Multimodal.synthAvi(7L, 6), 2) ==
+      full.filter(_._1 % 2 == 0))
+    // frame 0 of the hash sequence IS the keyframe hash
+    assert(full.head._2 == Multimodal.videoDHash64(Multimodal.synthAvi(7L, 6)))
+    // splice: frame 0 bit-identical to the head seed's, tail identical to
+    // the decoy's aligned frames — the construction q125 relies on
+    val spliced = Multimodal.videoFrameDHashes(
+      Multimodal.synthAviSpliced(7L +: Seq.fill(5)(99L)), 1)
+    val decoyFull = Multimodal.videoFrameDHashes(Multimodal.synthAvi(99L, 6), 1)
+    assert(spliced.head._2 == full.head._2)
+    assert(spliced.tail == decoyFull.tail)
+    // relational extraction ≡ the pure helper, per id
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.synthAvi(7L, 6)),
+      (2L, Multimodal.synthAviSpliced(7L +: Seq.fill(5)(99L)))).toDF("id", "content")
+    val got = Multimodal.videoSequenceDHashes(df, "id", "content", 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = (full.map { case (f, h) => (1L, f, h) } ++
+      spliced.map { case (f, h) => (2L, f, h) }).toSet
+    assert(got === want)
+    intercept[IllegalArgumentException](Multimodal.synthAviSpliced(Seq.empty))
+    intercept[IllegalArgumentException](
+      Multimodal.videoFrameDHashes(Multimodal.synthAvi(7L, 3), 0))
+  }
+
   test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
     // JPEG is lossy so no exact stats — but decode must work (dims exact)
     val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
