@@ -688,13 +688,18 @@ object Queries {
       : (java.nio.file.Path, Boolean, () => Unit) = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"${tag}_$safe")
-    val marker = root.resolve("source.marker")
+    // underscore-prefixed: Spark file listings treat `_*`/`.*` as hidden
+    // (like _SUCCESS), so the marker can live inside a directory that is
+    // itself read as a parquet source or tailed as a file stream (q50)
+    val marker = root.resolve("_source.marker")
+    val legacyMarker = root.resolve("source.marker")
     val want = java.nio.file.Files.size(src).toString + ":" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == want
     val commit = () => {
       java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.deleteIfExists(legacyMarker)
       java.nio.file.Files.writeString(marker, want)
       ()
     }

@@ -23,23 +23,89 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects ([PARQUET_TYPE_ILLEGAL], verified on 4.1.2).
-    * Read the column as raw int64 nanos with an explicit schema, then
-    * convert to TimestampType at microsecond precision. The ns→µs step MUST
-    * be integer division (`ts div 1000`): `col/1000L` is DOUBLE division, and
-    * epoch-ns magnitudes (~1.7e18) exceed double's 53-bit mantissa, so values
-    * not a multiple of 512 ns can come back off-by-1 µs vs DuckDB's exact
-    * integer epoch_us.
+  /** The events fixture's `ts` precision has changed under us across fixture
+    * regenerations (TIMESTAMP(NANOS) through round 7, TIMESTAMP(MICROS) from
+    * round 8), so the loader is precision-aware: it asks the footer first
+    * ([[eventsTsPlan]]) and only applies the int64+`div 1000` workaround when
+    * the footer actually says nanos. Both the batch path here and the
+    * streaming path (Streams.streamTumblingToMemory) go through the same
+    * helper so they can never disagree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsFromPath(spark, s"$dir/events.parquet")
+
+  /** How to read an events parquet file/dir, decided from its own footer. */
+  private[graft] sealed trait EventsTsPlan
+  private[graft] case object NativeTimestamp extends EventsTsPlan
+  private[graft] case object NanosAsLong extends EventsTsPlan
+
+  /** Physical shape for TIMESTAMP(NANOS)-era fixtures: Spark 4.1.2 rejects
+    * the footer outright ([PARQUET_TYPE_ILLEGAL]), so `ts` is read as raw
+    * int64 nanos and converted below.
+    */
+  private[graft] val eventsNanosRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val raw = StructType(Seq(
+    StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(raw).parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Probe the footer: if schema resolution succeeds and `ts` is a Spark
+    * timestamp type, the file is self-describing (MICROS/MILLIS, tz'd or
+    * NTZ). A TIMESTAMP(NANOS) footer fails resolution with
+    * [PARQUET_TYPE_ILLEGAL] — that, or a raw un-annotated int64 `ts`,
+    * selects the long fallback. Any other error (missing path, corrupt
+    * footer) propagates.
+    */
+  private[graft] def eventsTsPlan(spark: SparkSession, path: String): EventsTsPlan = {
+    import org.apache.spark.sql.types._
+    try {
+      spark.read.parquet(path).schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(TimestampType) | Some(TimestampNTZType) => NativeTimestamp
+        case _                                            => NanosAsLong
+      }
+    } catch {
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("PARQUET_TYPE_ILLEGAL") => NanosAsLong
+    }
+  }
+
+  /** Precision-aware events read (batch). For native-timestamp footers the
+    * self-described schema is used and `ts` is normalized to TimestampType
+    * (session tz is UTC everywhere in this repo, so an NTZ cast is exact).
+    * For nanos footers, `ts` is read as int64 and converted with INTEGER
+    * division (`ts div 1000`): epoch-ns magnitudes (~1.7e18) exceed double's
+    * 53-bit mantissa, so `col/1000L` (double division) can come back
+    * off-by-1 µs vs DuckDB's exact integer epoch_us.
+    */
+  private[graft] def eventsFromPath(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    eventsTsPlan(spark, path) match {
+      case NativeTimestamp =>
+        spark.read.parquet(path)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case NanosAsLong =>
+        spark.read.schema(eventsNanosRawSchema).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
+  }
+
+  /** The streaming twin: `readStream` needs its schema up front, so the
+    * footer probe runs as a batch read first, then the matching
+    * (schema, ts-conversion) pair is applied to the stream.
+    */
+  private[graft] def eventsStream(spark: SparkSession, dirPath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    eventsTsPlan(spark, dirPath) match {
+      case NativeTimestamp =>
+        val fileSchema = spark.read.parquet(dirPath).schema
+        spark.readStream.schema(fileSchema).parquet(dirPath)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case NanosAsLong =>
+        spark.readStream.schema(eventsNanosRawSchema).parquet(dirPath)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

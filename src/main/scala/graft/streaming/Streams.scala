@@ -347,21 +347,15 @@ object Streams {
   }
 
   /** File-stream wiring: an events parquet directory tailed as a stream →
-    * watermarked tumbling counts → memory sink. The fixture's
-    * TIMESTAMP(NANOS) column needs the same long-schema workaround as the
-    * batch loader (Tables.events); `readStream` shares it here. Production
-    * sinks would be kafka/parquet with a checkpointLocation.
+    * watermarked tumbling counts → memory sink. `ts` precision is decided
+    * from the staged file's own footer via the shared precision-aware
+    * helper (Tables.eventsStream) — `readStream` needs the schema up front,
+    * so the probe is a batch footer read. Production sinks would be
+    * kafka/parquet with a checkpointLocation.
     */
   def streamTumblingToMemory(spark: SparkSession, eventsDir: String, queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.types._
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(raw).parquet(eventsDir)
-      // integer division: ns magnitudes overflow double's mantissa (see Tables.events)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.eventsStream(spark, eventsDir)
     tumblingCounts(withEventTimeWatermark(stream))
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Fixture-shape guard (round-8 regression class). Round 8 broke because the
+  * events loader hardcoded a TIMESTAMP(NANOS) workaround after the driver
+  * regenerated `events.parquet` as TIMESTAMP(MICROS): 9 probes went silently
+  * wrong (30 days of events compressed into ~43 minutes of 1970). These
+  * specs make the next fixture regeneration fail LOUDLY at the first test:
+  *
+  *  - every fixture table must open through its loader with the column
+  *    names/types the queries assume;
+  *  - the precision-aware events helper must read a micros-typed and a
+  *    nanos-typed file to identical values (both code paths exercised
+  *    regardless of what the current fixture happens to be);
+  *  - events absolute time must be modern — an absolute-year assertion
+  *    catches any future unit error (the r8 bug made every year 1970).
+  */
+class FixtureShapeSpec extends SparkSpec {
+
+  private val expectedSchemas: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> null, // timestamp; precision/tz-variant allowed, checked below
+      "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> null),
+    "events" -> Seq("event_id" -> LongType,
+      "ts" -> TimestampType, // loader-normalized, whatever the footer said
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  private def isTimestampLike(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  test("every fixture table opens through its loader with the assumed schema") {
+    for (name <- Tables.all) {
+      val df = name match {
+        case "events" => Tables.events(spark, sf001)
+        case other    => Tables.load(spark, sf001, other)
+      }
+      val actual = df.schema.fields.map(f => f.name -> f.dataType).toSeq
+      val expected = expectedSchemas(name)
+      assert(actual.map(_._1) == expected.map(_._1),
+        s"$name column names drifted: got ${actual.map(_._1)}")
+      for (((col, expDt), (_, actDt)) <- expected.zip(actual)) {
+        if (expDt == null)
+          assert(isTimestampLike(actDt), s"$name.$col expected a timestamp type, got $actDt")
+        else
+          assert(actDt == expDt, s"$name.$col expected $expDt, got $actDt")
+      }
+      assert(df.limit(1).count() == 1, s"$name fixture is empty")
+    }
+  }
+
+  test("events absolute time is modern (unit errors land in 1970)") {
+    import org.apache.spark.sql.functions._
+    val yrs = Tables.events(spark, sf001)
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
+    assert(yrs.getInt(0) >= 2000, s"events min year ${yrs.getInt(0)} — timestamp unit bug?")
+    assert(yrs.getInt(1) <= 2100, s"events max year ${yrs.getInt(1)} — timestamp unit bug?")
+  }
+
+  test("precision-aware events helper: micros and nanos fixtures read to identical values") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("evprec")
+    // known instants, not multiples of 512 ns, to catch double-division drift
+    val microsVals = Seq(1704067200000001L, 1706745599999999L, 1705000000123457L)
+
+    // micros fixture: written by Spark itself (TIMESTAMP(MICROS) footer)
+    val microsPath = tmp.resolve("micros.parquet").toString
+    spark.range(3).toDF("i")
+      .select(
+        col("i").as("event_id"),
+        expr(s"timestamp_micros(element_at(array(${microsVals.mkString(",")}), cast(i+1 as int)))").as("ts"),
+        col("i").as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(microsPath)
+
+    // nanos fixture: parquet-hadoop example API (Spark cannot write NANOS)
+    val nanosPath = tmp.resolve("nanos.parquet").toString
+    writeNanosFixture(nanosPath, microsVals.map(_ * 1000L))
+
+    assert(Tables.eventsTsPlan(spark, microsPath) == Tables.NativeTimestamp)
+    assert(Tables.eventsTsPlan(spark, nanosPath) == Tables.NanosAsLong)
+
+    def tsOf(path: String): Seq[Long] =
+      Tables.eventsFromPath(spark, path)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+
+    assert(tsOf(microsPath) == microsVals)
+    assert(tsOf(nanosPath) == microsVals)
+
+    // the streaming twin picks the same plan from the same footer
+    for ((p, plan) <- Seq(microsPath -> Tables.NativeTimestamp, nanosPath -> Tables.NanosAsLong))
+      assert(Tables.eventsTsPlan(spark, p) == plan)
+  }
+
+  /** Minimal TIMESTAMP(NANOS)-annotated parquet writer (the r7-era fixture
+    * shape, which Spark 4.1.2 refuses to even schema-resolve).
+    */
+  private def writeNanosFixture(path: String, nanos: Seq[Long]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val schema: MessageType = Types.buildMessage()
+      .optional(INT64).named("event_id")
+      .optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts")
+      .optional(INT64).named("user_id")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .optional(DOUBLE).named("value")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new org.apache.hadoop.fs.Path(path), conf))
+      .withType(schema).withConf(conf).build()
+    val f = new SimpleGroupFactory(schema)
+    try nanos.zipWithIndex.foreach { case (ns, i) =>
+      val g = f.newGroup()
+      g.add("event_id", i.toLong); g.add("ts", ns); g.add("user_id", i.toLong)
+      g.add("event_type", "click"); g.add("value", 1.0); g.add("props", "{}")
+      writer.write(g)
+    } finally writer.close()
+  }
+}
