@@ -901,9 +901,17 @@ object Dedup {
           .join(counts.select(col("_id").as("id1"), col("_n").as("_n1")), Seq("id1"))
           .join(counts.select(col("_id").as("id2"), col("_n").as("_n2")), Seq("id2"))
           .withColumn("total_frames", greatest(col("_n1"), col("_n2")))
+          // threshold in ppm with an integer cross-multiply (the
+          // jaccardJoinPrefix discipline): boundary votes (e.g. exactly
+          // 4/5 at minVoteFrac=0.8) must not depend on double rounding;
+          // vote_frac is an OUTPUT column only, never compared. FLOOR, not
+          // round: a 2/3 vote at minVoteFrac=2.0/3.0 is ≥ the double
+          // threshold in exact rationals, and floor(666666.66) keeps it
+          // where round would drop it
+          .where(col("matched_frames") * lit(1000000L) >=
+            col("total_frames") * lit(math.floor(minVoteFrac * 1e6).toLong))
           .withColumn("vote_frac",
             col("matched_frames").cast("double") / col("total_frames"))
-          .where(col("vote_frac") >= minVoteFrac)
           .select(col("id1"), col("id2"), col("matched_frames"),
             col("total_frames"), col("vote_frac"))
         // materialize the (small) verified pair set so the signature caches

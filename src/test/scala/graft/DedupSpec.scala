@@ -279,6 +279,35 @@ class DedupSpec extends SparkSpec {
       constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
   }
 
+  test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
+    // boundary discipline (R133): a pair at EXACTLY minVoteFrac must be kept
+    // deterministically — the ppm cross-multiply, not a double divide,
+    // decides. 4/5 matched at minVoteFrac=0.8 stays; 3/5 drops.
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val a = Seq.fill(5)(rnd.nextLong())
+    val exactlyAt = a.updated(4, ~a(4)) // frames 0-3 match, frame 4 far
+    val justBelow = exactlyAt.updated(3, ~a(3)) // 3/5
+    val rows = Seq(1L -> a, 2L -> exactlyAt, 3L -> justBelow).flatMap {
+      case (id, hs) => hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    val got = Dedup.sequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+        "id", "f", "h", maxHamming = 0, numBands = 4, minVoteFrac = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2) 4/5 and (2,3) 4/5 (they share the flipped frame 4) are kept at
+    // the boundary; (1,3) at 3/5 drops
+    assert(got === Set((1L, 2L, 4L), (2L, 3L, 4L)))
+    // at minVoteFrac = 2/3 (non-terminating in binary AND decimal), a 2/3
+    // vote is on the boundary: ppm floor keeps it
+    val got23 = Dedup.sequenceVoteNearDupPairs(
+        Seq(1L -> Seq(a(0), a(1), a(2)), 2L -> Seq(a(0), a(1), ~a(2))).flatMap {
+          case (id, hs) => hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+          .toDF("id", "f", "h"),
+        "id", "f", "h", maxHamming = 0, numBands = 4, minVoteFrac = 2.0 / 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got23 === Set((1L, 2L, 2L)))
+  }
+
   test("line/span verdict plans stay partial-aggregatable (skew posture pinned)") {
     import graft.operators.Dedup
     import spark.implicits._
