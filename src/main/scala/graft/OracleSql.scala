@@ -1057,6 +1057,29 @@ CAST(6 AS BIGINT) AS matched_frames, CAST(6 AS BIGINT) AS total_frames,
 CAST(1.0 AS DOUBLE) AS vote_frac
 FROM range(25) t(i) ORDER BY id1, id2""",
 
+    // Shift-tolerant sequence video dedup (q126): 25 clips staged as
+    // (clip, intro-trimmed-by-2, shifted splice, identical restage); the
+    // all-frames-diverse greedy selection fixes the result to exactly the
+    // three planted pair families per clip — the trim matches 6/8 at
+    // offset −2, the restage 8/8 at offset 0, trim-vs-restage 6/8 at
+    // offset +2 — while every shifted splice scores 1/8 < 0.7 and drops.
+    "q126_video_shifted_dedup" ->
+      raw"""SELECT id1, id2, frame_offset, matched_frames, total_frames, vote_frac
+FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(-2 AS INTEGER) AS frame_offset,
+    CAST(6 AS BIGINT) AS matched_frames, CAST(8 AS BIGINT) AS total_frames,
+    CAST(0.75 AS DOUBLE) AS vote_frac
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 3000 AS id2, CAST(0 AS INTEGER),
+    CAST(8 AS BIGINT), CAST(8 AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 3000 AS id2, CAST(2 AS INTEGER),
+    CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(0.75 AS DOUBLE)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

@@ -2212,6 +2212,80 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q126 — SHIFT-TOLERANT sequence video dedup
+    * (Dedup.shiftedSequenceVoteNearDupPairs), the case q125's aligned
+    * voting scores 0: a TRIMMED-INTRO duplicate. 25 eight-frame clips, each
+    * staged four ways — id i (the clip), id i+1000 (the clip with its
+    * first TWO frames cut: six frames whose content is source frames 2..7,
+    * via Multimodal.synthAviTrimmed), id i+2000 (a shifted splice: ONE
+    * frame of clip i — source frame 3 — at position 0, then a decoy tail)
+    * and id i+3000 (identical restage). Best-offset voting at minVoteFrac
+    * 0.7 accepts (i, i+1000) at offset −2 with 6/8 frames, (i, i+3000) at
+    * offset 0 with 8/8, and (i+1000, i+3000) at offset +2 with 6/8 —
+    * and rejects every shifted splice (1/8). Greedy seed selection
+    * enforces (a) > 3 dHash bits between distinct frames of the same seed
+    * (kills wrong-offset matches between copies of one clip) and (b) at
+    * most TWO ≤ 3-bit frame collisions between any two selected seeds at
+    * any content-offset in [-5, 5] (the synth pixel formula's per-frame
+    * term is near-uniform per channel, so full cross-seed all-pairs
+    * diversity is unattainable — and unnecessary: a spurious pair needs
+    * ≥ 5 matching frames at ONE offset to qualify, while (b) caps any
+    * cross-seed offset at 2, so the worst composite pair — splice vs
+    * splice, mixing up to (i,j)+(decoy_i,j)+(decoy_i,decoy_j) classes at
+    * one offset — is capped at 1+1+2 = 4 < 5). The exact result is fixed
+    * by construction; the oracle needs no video decoding.
+    */
+  def q126VideoShiftedDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nFrames = 8
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 2000) {
+      val hs = Multimodal
+        .videoFrameDHashes(Multimodal.synthAvi(cand, nFrames), 1).map(_._2)
+      val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
+        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
+      val crossOk = seeds.forall { case (_, ph) =>
+        (-5 to 5).forall { c =>
+          ph.indices.count { f =>
+            val g = f + c
+            g >= 0 && g < hs.size &&
+              java.lang.Long.bitCount(ph(f) ^ hs(g)) <= 3
+          } <= 2
+        }
+      }
+      if (selfDiverse && crossOk) seeds += ((cand, hs))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} shift-diverse seeds in 0..1999")
+    val base = seeds.take(25).map(_._1).toIndexedSeq
+    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    val rows: Seq[(Long, Long, Long)] = (0 until 25).flatMap { i =>
+      Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -2L),
+        (i + 2000L, base(i), decoy(i)), (i + 3000L, base(i), -1L))
+    }
+    val withBytes = rows.toDF("media_id", "seed", "decoy")
+      .as[(Long, Long, Long)]
+      .map { case (id, seed, dec) =>
+        val bytes = dec match {
+          case -1L => Multimodal.synthAvi(seed, nFrames) // full clip
+          case -2L => Multimodal.synthAviTrimmed(seed, nFrames - 2, 2) // intro cut
+          case d => // shifted splice: source frame 3 of the clip at position 0
+            Multimodal.synthAviComposed(
+              (seed, 3) +: (1 until nFrames).map(p => (d, p)))
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "content")
+    val sigs = Multimodal.videoSequenceDHashes(withBytes, "media_id", "content",
+      stride = 1)
+    Dedup.shiftedSequenceVoteNearDupPairs(sigs, "media_id", "frame_idx", "vhash",
+        maxHamming = 3, numBands = 4, minVoteFrac = 0.7, maxShift = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2339,5 +2413,6 @@ object Queries {
     "q123_audio_dedup" -> q123AudioDedup _,
     "q124_video_dedup" -> q124VideoDedup _,
     "q125_video_sequence_dedup" -> q125VideoSequenceDedup _,
+    "q126_video_shifted_dedup" -> q126VideoShiftedDedup _,
   )
 }

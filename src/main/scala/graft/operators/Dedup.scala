@@ -922,6 +922,121 @@ object Dedup {
     } finally { base.unpersist(false); () }
   }
 
+  /** SHIFT-TOLERANT sequence-vote near-dup pairs — [[sequenceVoteNearDupPairs]]
+    * extended to trimmed/padded duplicates (the timeline is preserved up to
+    * a constant offset of at most `maxShift` frames: a clip with its intro
+    * cut, or junk frames prepended). For each candidate pair the vote is
+    * taken at every offset d ∈ [-maxShift, maxShift] independently and the
+    * BEST offset's row is returned (ties break to the smallest |d|, then
+    * smallest d — deterministic).
+    *
+    * EXACT by the same pigeonhole argument, per offset: a matching frame
+    * pair (Hamming ≤ maxHamming < numBands) shares a bit-band value, so it
+    * surfaces in the banded self-join; the offset restriction is applied to
+    * the joined frame indexes, and any qualifying (pair, offset) has ≥ 1
+    * matching frame pair at that offset (minVoteFrac > 0) — banding loses
+    * nothing. `total_frames = greatest(n₁, n₂)` as in the aligned variant,
+    * so a trim of k frames costs k votes (callers tolerate it via
+    * minVoteFrac, NOT via a shorter denominator — min(n₁, n₂) would let a
+    * 1-frame clip "fully match" any long video).
+    *
+    * Scale shape: candidate buckets are keyed by band VALUE only (no frame
+    * key — that is what buys shift tolerance), so buckets are ~nFrames×
+    * hotter than the aligned variant's; the same loud quadratic-bucket
+    * refusal applies at the (band, value) grain, and only (id, frame,
+    * 64-bit hash) rows ever shuffle — never pixels. The best-offset
+    * selection is a per-pair row_number over ≤ 2·maxShift+1 rows
+    * (WindowGroupLimit-prunable, the q69 top-k discipline).
+    *
+    * @return (id1, id2, frame_offset, matched_frames, total_frames,
+    *         vote_frac), id1 < id2; frame_offset d means seq1 frame f is
+    *         compared to seq2 frame f + d
+    */
+  def shiftedSequenceVoteNearDupPairs(sigs: DataFrame, idCol: String,
+      frameCol: String, hashCol: String, maxHamming: Int = 3,
+      numBands: Int = 4, minVoteFrac: Double = 0.8, maxShift: Int = 3,
+      maxBandBucket: Long = 100000L,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    require(minVoteFrac > 0.0 && minVoteFrac <= 1.0,
+      s"minVoteFrac must be in (0, 1] — at 0 every pair qualifies and " +
+        s"band candidates are no longer lossless; got $minVoteFrac")
+    require(maxShift >= 0, s"maxShift must be ≥ 0, got $maxShift")
+    require(maxBandBucket > 0, s"maxBandBucket must be positive")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = sigs
+      .select(col(idCol).as("_id"), col(frameCol).cast("int").as("_f"),
+        col(hashCol).cast("long").as("_h"))
+      .persist()
+    try {
+      val banded = base
+        .withColumn("_band", explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("i"),
+            shiftrightunsigned(col("_h"), b * width).bitwiseAND(lit(mask)).as("v"))
+        }: _*)))
+        .select(col("_id"), col("_f"),
+          col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+        .persist()
+      try {
+        // bucket grain is (band, value) — coarser than the aligned
+        // variant's (frame, band, value) by design; refuse before the join
+        val hottestRow = banded.groupBy(col("_bi"), col("_bv"))
+          .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+        val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+        require(hottest <= maxBandBucket,
+          s"a (band, value) bucket is shared by $hottest frame rows (> " +
+            s"maxBandBucket $maxBandBucket) — the candidate block would be " +
+            "quadratic; pre-drop constant/low-entropy frames")
+        val cand = banded
+          .select(col("_bi"), col("_bv"), col("_id").as("id1"), col("_f").as("_f1"))
+          .join(banded.select(
+            col("_bi"), col("_bv"), col("_id").as("id2"), col("_f").as("_f2")),
+            Seq("_bi", "_bv"))
+          .where(col("id1") < col("id2") &&
+            abs(col("_f2") - col("_f1")) <= maxShift)
+          .select(col("id1"), col("id2"),
+            (col("_f2") - col("_f1")).as("frame_offset"))
+          .distinct()
+        val counts = base.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+        val matched = cand
+          .join(base.select(col("_id").as("id1"), col("_f").as("_f1"),
+            col("_h").as("h1")), Seq("id1"))
+          .withColumn("_f2", col("_f1") + col("frame_offset"))
+          .join(base.select(col("_id").as("id2"), col("_f").as("_f2"),
+            col("_h").as("h2")), Seq("id2", "_f2"))
+          .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+          .groupBy(col("id1"), col("id2"), col("frame_offset"))
+          .agg(count(lit(1)).as("matched_frames"))
+        val qualified = matched
+          .join(counts.select(col("_id").as("id1"), col("_n").as("_n1")), Seq("id1"))
+          .join(counts.select(col("_id").as("id2"), col("_n").as("_n2")), Seq("id2"))
+          .withColumn("total_frames", greatest(col("_n1"), col("_n2")))
+          // ppm cross-multiply, floor — the sequenceVoteNearDupPairs rule
+          .where(col("matched_frames") * lit(1000000L) >=
+            col("total_frames") * lit(math.floor(minVoteFrac * 1e6).toLong))
+        // best offset per pair; threshold-first shrinks the window input
+        // and cannot change the winner (the max-vote row qualifies iff any)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id1"), col("id2"))
+          .orderBy(col("matched_frames").desc, abs(col("frame_offset")).asc,
+            col("frame_offset").asc)
+        val out = qualified
+          .withColumn("_rk", row_number().over(w))
+          .where(col("_rk") === 1)
+          .withColumn("vote_frac",
+            col("matched_frames").cast("double") / col("total_frames"))
+          .select(col("id1"), col("id2"), col("frame_offset"),
+            col("matched_frames"), col("total_frames"), col("vote_frac"))
+        CheckpointStrategy.materialize(out, checkpoint)
+      } finally { banded.unpersist(false); () }
+    } finally { base.unpersist(false); () }
+  }
+
   /** Incremental near-dup detection against a persisted sketch store (EXT):
     * the shape a streaming/batch-ingest pipeline actually needs — each
     * arriving batch is checked against the ENTIRE historical corpus without

@@ -837,7 +837,7 @@ object Multimodal {
     */
   def synthAvi(id: Long, nFrames: Int, w: Int = 32, h: Int = 24,
       fps: Int = 10): Array[Byte] =
-    synthAviFrom(_ => id, nFrames, w, h, fps)
+    synthAviFrom(p => (id, p), nFrames, w, h, fps)
 
   /** [[synthAvi]] with a PER-FRAME formula seed: frame f draws its pixels
     * from `seeds(f)`, so a clip can share an exact opening frame with
@@ -848,22 +848,44 @@ object Multimodal {
   def synthAviSpliced(seeds: Seq[Long], w: Int = 32, h: Int = 24,
       fps: Int = 10): Array[Byte] = {
     require(seeds.nonEmpty, "need at least one frame seed")
-    synthAviFrom(seeds(_), seeds.length, w, h, fps)
+    synthAviComposed(seeds.zipWithIndex.map { case (s, f) => (s, f) }, w, h, fps)
   }
 
-  private def synthAviFrom(seedOf: Int => Long, nFrames: Int, w: Int, h: Int,
+  /** [[synthAvi]] trimmed at the head: the clip's frame at position p has
+    * the CONTENT of source frame p + startFrame — a real "trimmed intro"
+    * duplicate for shift-tolerant sequence dedup fixtures (q126).
+    */
+  def synthAviTrimmed(id: Long, nFrames: Int, startFrame: Int, w: Int = 32,
+      h: Int = 24, fps: Int = 10): Array[Byte] = {
+    require(startFrame >= 0, s"startFrame must be ≥ 0, got $startFrame")
+    synthAviComposed((0 until nFrames).map(p => (id, p + startFrame)), w, h, fps)
+  }
+
+  /** Fully general per-position frame spec: position p carries the pixels
+    * of source frame `frames(p)._2` of clip seed `frames(p)._1` —
+    * [[synthAviSpliced]] and [[synthAviTrimmed]] are the two named special
+    * cases; arbitrary splice-at-shifted-position fixtures compose here.
+    */
+  def synthAviComposed(frames: Seq[(Long, Int)], w: Int = 32, h: Int = 24,
+      fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame spec")
+    synthAviFrom(frames(_), frames.length, w, h, fps)
+  }
+
+  private def synthAviFrom(specOf: Int => (Long, Int), nFrames: Int, w: Int, h: Int,
       fps: Int): Array[Byte] = {
     require(nFrames > 0 && w > 0 && h > 0)
     val stride = ((w * 3 + 3) / 4) * 4
     val frameBytes = stride * h
     def frame(f: Int): Array[Byte] = {
       val out = new Array[Byte](frameBytes)
+      val (seed, srcFrame) = specOf(f)
       var y = 0
       while (y < h) {
         var x = 0
         val row = (h - 1 - y) * stride // bottom-up
         while (x < w) {
-          val rgb = synthVideoPixel(seedOf(f), f, x, y)
+          val rgb = synthVideoPixel(seed, srcFrame, x, y)
           out(row + x * 3) = (rgb & 0xff).toByte           // B
           out(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte // G
           out(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R

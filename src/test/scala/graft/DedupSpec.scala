@@ -279,6 +279,85 @@ class DedupSpec extends SparkSpec {
       constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
   }
 
+  test("shiftedSequenceVoteNearDupPairs ≡ brute force over offsets; trim/pad caught; guards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val maxShift = 3
+    // base sequences; planted: identical, intro-trimmed (≤ maxShift),
+    // junk-padded heads, nudged-and-trimmed, and shifted splices sharing
+    // one frame at a nonzero offset
+    val base: Seq[(Long, Seq[Long])] =
+      (0L until 24L).map(i => (i, Seq.fill(6 + (i % 3).toInt)(rnd.nextLong())))
+    val planted: Seq[(Long, Seq[Long])] = base.take(15).zipWithIndex.map {
+      case ((id, hs), k) =>
+        val mutated = k % 5 match {
+          case 0 => hs                                   // identical, offset 0
+          case 1 => hs.drop(1 + k % maxShift)            // intro trim
+          case 2 => Seq.fill(2)(rnd.nextLong()) ++ hs    // junk-padded head
+          case 3 => hs.drop(2).zipWithIndex.map { case (h, f) => // trim + ≤3-bit nudge
+            if (f % 2 == 0) h ^ (1L << ((k * 11 + f) % 64)) else h }
+          case _ => rnd.nextLong() +: hs(3) +: Seq.fill(4)(rnd.nextLong()) // shifted splice
+        }
+        (id + 1000L, mutated)
+    }
+    val all = base ++ planted
+    val rows = all.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    def brute(t: Int, frac: Double): Set[(Long, Long, Int, Long, Long)] = {
+      val thrPpm = math.floor(frac * 1e6).toLong
+      (for {
+        (i1, h1) <- all; (i2, h2) <- all if i1 < i2
+        votes = (-maxShift to maxShift).map { d =>
+          val m = h1.indices.count { f =>
+            val f2 = f + d
+            f2 >= 0 && f2 < h2.length &&
+              java.lang.Long.bitCount(h1(f) ^ h2(f2)) <= t
+          }
+          (d, m.toLong)
+        }
+        total = math.max(h1.length, h2.length).toLong
+        qualifying = votes.filter { case (_, m) => m * 1000000L >= total * thrPpm }
+        if qualifying.nonEmpty
+        best = qualifying.minBy { case (d, m) => (-m, math.abs(d), d) }
+      } yield (i1, i2, best._1, best._2, total)).toSet
+    }
+    for (t <- Seq(0, 3); frac <- Seq(0.5, 0.7)) {
+      val got = Dedup.shiftedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+          "id", "f", "h", maxHamming = t, numBands = 4, minVoteFrac = frac,
+          maxShift = maxShift)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === brute(t, frac), s"t=$t frac=$frac")
+    }
+    // maxShift=0 degenerates to the aligned variant's pair set
+    val aligned = Dedup.sequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h", maxHamming = 3, numBands = 4, minVoteFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shifted0 = Dedup.shiftedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h", maxHamming = 3, numBands = 4, minVoteFrac = 0.5,
+      maxShift = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(shifted0 === aligned)
+    // partitioning-stability
+    val a = Dedup.shiftedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h", minVoteFrac = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Dedup.shiftedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h").repartition(13),
+      "id", "f", "h", minVoteFrac = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === b)
+    // guards
+    intercept[IllegalArgumentException](Dedup.shiftedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](Dedup.shiftedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", maxShift = -1))
+    val constantFrame = (0L until 50L).map(i => (i, 0, 0L))
+    intercept[IllegalArgumentException](Dedup.shiftedSequenceVoteNearDupPairs(
+      constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
+  }
+
   test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
     // boundary discipline (R133): a pair at EXACTLY minVoteFrac must be kept
     // deterministically — the ppm cross-multiply, not a double divide,

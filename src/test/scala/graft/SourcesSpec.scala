@@ -639,6 +639,19 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.synthAviSpliced(Seq.empty))
     intercept[IllegalArgumentException](
       Multimodal.videoFrameDHashes(Multimodal.synthAvi(7L, 3), 0))
+    // trimmed: position p carries the CONTENT of source frame p+k — the
+    // hash sequence is the full clip's, shifted (the q126 construction)
+    val trimmed = Multimodal.videoFrameDHashes(
+      Multimodal.synthAviTrimmed(7L, 4, startFrame = 2), 1)
+    assert(trimmed.map(_._2) == full.drop(2).map(_._2))
+    assert(trimmed.map(_._1) == (0 until 4))
+    // composed generalizes both: spliced and trimmed are special cases
+    assert(Multimodal.videoFrameDHashes(
+      Multimodal.synthAviComposed((0 until 4).map(p => (7L, p + 2))), 1) == trimmed)
+    assert(Multimodal.videoFrameDHashes(
+      Multimodal.synthAviComposed(
+        (7L, 0) +: (1 until 6).map(p => (99L, p))), 1) == spliced)
+    intercept[IllegalArgumentException](Multimodal.synthAviTrimmed(7L, 4, -1))
   }
 
   test("multimodal: ImageDecoder handles JPEG bytes and rejects garbage") {
