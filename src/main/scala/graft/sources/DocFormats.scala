@@ -44,8 +44,14 @@ import java.util.zip.{Deflater, DeflaterOutputStream, Inflater, ZipEntry, ZipInp
   *     full TEXT-capable chain decodes — Flate, LZW (incl. /EarlyChange),
   *     RunLength, ASCIIHex, ASCII85, composed in /Filter array order;
   *     image codecs (DCT/CCITT/JBIG2/JPX) are skipped, they never carry
-  *     text. Still NOT a full PDF renderer: no public-key encryption, no
-  *     Type3 fonts, no OCR for scanned pages.
+  *     text. Degrade posture (round-9): image XObject streams are never
+  *     decoded at all — a malformed scan payload can't quarantine a
+  *     document whose text streams are fine (image-only/scanned pages
+  *     contribute empty text, like PyMuPDF without OCR) — and Type3 fonts
+  *     decode via /ToUnicode or /Differences when present, degrading to
+  *     per-font EMPTY text otherwise (glyph procedures carry no character
+  *     semantics). Still NOT a full PDF renderer: no public-key
+  *     encryption, no OCR for scanned pages.
   */
 object DocFormats {
 
@@ -411,7 +417,15 @@ object DocFormats {
                   d(m.group(1).toInt, m.group(2).toInt, stored)
                 case _ => stored
               }
-              decodeFilters(dict, raw)
+              // image XObjects are NEVER text: skip their decode entirely —
+              // inflating megapixel scans for nothing is wasted work, and a
+              // malformed image payload (bad predictor tags, truncated
+              // Flate) used to throw here and quarantine a document whose
+              // TEXT streams were fine (the scanned/image-only-page class).
+              // Form XObjects (/Subtype /Form) CAN carry text and still
+              // decode; corrupt TEXT streams still throw (the contract).
+              if ("""/Subtype\s*/Image""".r.findFirstIn(dict).isDefined) None
+              else decodeFilters(dict, raw)
             }
           }
         cursor =
@@ -1104,7 +1118,13 @@ object DocFormats {
       * (decode-or-quarantine; symbolic-only TrueType → per-font empty
       * text); else byte identity (only reached by fonts with NO embedded
       * program — base-14 Latin, where codes are effectively character
-      * codes).
+      * codes). Type3 fonts decode through /ToUnicode or their /Encoding
+      * /Differences like any simple font; one with NEITHER maps codes to
+      * glyph-drawing PROCEDURES with no character semantics at all, so it
+      * degrades to per-font empty text (the SymbolicSkipDecoder
+      * discipline) — identity there would emit raw code bytes as garbage,
+      * and throwing used to quarantine a whole document for one
+      * decorative font.
       */
     private def decoderFor(font: PdfObj, byNum: Map[Int, PdfObj]): FontDecoder = {
       val toUnicode = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
@@ -1118,7 +1138,9 @@ object DocFormats {
             .orElse(cidFontDecoder(font, byNum))
             .orElse(simpleEncodingDecoder(font, byNum))
             .orElse(embeddedSimpleFontDecoder(font, byNum))
-            .getOrElse(IdentityDecoder)
+            .getOrElse(
+              if (font.dict.contains("/Type3")) SymbolicSkipDecoder
+              else IdentityDecoder)
       }
     }
 
@@ -1315,7 +1337,9 @@ object DocFormats {
       */
     private def embeddedSimpleFontDecoder(font: PdfObj,
         byNum: Map[Int, PdfObj]): Option[FontDecoder] = {
-      if (font.dict.contains("/Type0")) return None
+      // Type3 glyphs are content-stream procedures, not a font program —
+      // a /FontDescriptor, if present at all, has nothing decodable here
+      if (font.dict.contains("/Type0") || font.dict.contains("/Type3")) return None
       def resolve(dict: String, key: String): Option[PdfObj] =
         (java.util.regex.Pattern.quote(key) + """(?![\w])\s*(\d+)\s+\d+\s+R""").r
           .findFirstMatchIn(dict).flatMap(m => byNum.get(m.group(1).toInt))
