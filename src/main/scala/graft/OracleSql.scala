@@ -1080,6 +1080,28 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
+    // construction over WAV PCM segment envelope hashes — same four-way
+    // staging, same fixed 75-row best-offset result (trim 6/8 at offset
+    // -2, restage 8/8 at 0, trim-vs-restage 6/8 at +2; every shifted
+    // splice 1/8 < 0.7 drops).
+    "q127_audio_shifted_dedup" ->
+      raw"""SELECT id1, id2, frame_offset, matched_frames, total_frames, vote_frac
+FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(-2 AS INTEGER) AS frame_offset,
+    CAST(6 AS BIGINT) AS matched_frames, CAST(8 AS BIGINT) AS total_frames,
+    CAST(0.75 AS DOUBLE) AS vote_frac
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 3000 AS id2, CAST(0 AS INTEGER),
+    CAST(8 AS BIGINT), CAST(8 AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 3000 AS id2, CAST(2 AS INTEGER),
+    CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(0.75 AS DOUBLE)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
     // Deterministic corpus shuffle (q113): position = row_number over the
     // q61 sampling hash (salt 'epoch1'), doc_id tie-break — the same
     // permutation Sampling.shuffleOrder's range-exchange rank produces.

@@ -2286,6 +2286,72 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q127 — SHIFT-TOLERANT segment-wise AUDIO dedup: the q126 construction
+    * over real RIFF/WAV PCM instead of AVI frames, reusing
+    * Dedup.shiftedSequenceVoteNearDupPairs verbatim (it is
+    * signature-agnostic — R135 applies to any (id, index, 64-bit-hash)
+    * sequence). 25 eight-segment clips (800 samples/segment, mixed-gain AM
+    * formula — synthWavAm's linear gain walk measured 5/4000 diverse at
+    * segment grain, so q127 has its own generator, the R133 lesson), each
+    * staged four ways: full, intro-trimmed-by-2-segments (byte-identical
+    * tail — absolute-index formula), shifted splice (source segment 3 at
+    * position 0 + decoy tail), identical restage. Same greedy diversity
+    * screen as q126 (within-clip pairwise > 3 bits; ≤ 2 cross-seed
+    * collisions per content-offset — spurious pairs cap at 4 matches < 5
+    * required), so the exact 75-row best-offset result is fixed by
+    * construction and the oracle needs no audio decoding.
+    */
+  def q127AudioShiftedDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nSeg = 8
+    val segSamples = 800
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 2000) {
+      val hs = Multimodal.audioSegmentEnvelopeHashes(
+        Multimodal.synthWavAmMixed(cand, nSeg * segSamples), segSamples).map(_._2)
+      val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
+        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
+      val crossOk = seeds.forall { case (_, ph) =>
+        (-5 to 5).forall { c =>
+          ph.indices.count { f =>
+            val g = f + c
+            g >= 0 && g < hs.size &&
+              java.lang.Long.bitCount(ph(f) ^ hs(g)) <= 3
+          } <= 2
+        }
+      }
+      if (selfDiverse && crossOk) seeds += ((cand, hs))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} shift-diverse audio seeds in 0..1999")
+    val base = seeds.take(25).map(_._1).toIndexedSeq
+    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    val rows: Seq[(Long, Long, Long)] = (0 until 25).flatMap { i =>
+      Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -2L),
+        (i + 2000L, base(i), decoy(i)), (i + 3000L, base(i), -1L))
+    }
+    val withBytes = rows.toDF("media_id", "seed", "decoy")
+      .as[(Long, Long, Long)]
+      .map { case (id, seed, dec) =>
+        val bytes = dec match {
+          case -1L => Multimodal.synthWavAmMixed(seed, nSeg * segSamples)
+          case -2L => Multimodal.synthWavAmMixedTrimmed(seed, nSeg - 2, 2, segSamples)
+          case d => Multimodal.synthWavAmMixedComposed(
+            (seed, 3) +: (1 until nSeg).map(p => (d, p)), segSamples)
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "content")
+    val sigs = Multimodal.audioSequenceEnvelopeHashes(withBytes, "media_id",
+      "content", segSamples)
+    Dedup.shiftedSequenceVoteNearDupPairs(sigs, "media_id", "seg_idx", "ahash",
+        maxHamming = 3, numBands = 4, minVoteFrac = 0.7, maxShift = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2414,5 +2480,6 @@ object Queries {
     "q124_video_dedup" -> q124VideoDedup _,
     "q125_video_sequence_dedup" -> q125VideoSequenceDedup _,
     "q126_video_shifted_dedup" -> q126VideoShiftedDedup _,
+    "q127_audio_shifted_dedup" -> q127AudioShiftedDedup _,
   )
 }

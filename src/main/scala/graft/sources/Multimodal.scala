@@ -659,14 +659,25 @@ object Multimodal {
     */
   def envelopeHash64(content: Array[Byte]): Long = {
     val (_, samples) = decodeWavPcm16(content)
-    require(samples.length >= 65,
-      s"audio too short for envelope hash (${samples.length} samples, need ≥65)")
+    envelopeHashOfRange(samples, 0, samples.length)
+  }
+
+  /** The envelope-hash core over a sample RANGE [from, until) — shared by
+    * the whole-clip hash above and the per-segment sequence hashes below.
+    * Same determinism discipline: integer sums, [[meanGt]] cross-multiplied
+    * comparison, no floats.
+    */
+  private[graft] def envelopeHashOfRange(samples: Array[Short], from: Int,
+      until: Int): Long = {
+    val n = until - from
+    require(n >= 65,
+      s"audio too short for envelope hash ($n samples, need ≥65)")
     val sums = new Array[Long](65)
     val counts = new Array[Long](65)
     var i = 0
-    while (i < samples.length) {
-      val w = math.min(i.toLong * 65 / samples.length, 64L).toInt
-      sums(w) += math.abs(samples(i).toLong)
+    while (i < n) {
+      val w = math.min(i.toLong * 65 / n, 64L).toInt
+      sums(w) += math.abs(samples(from + i).toLong)
       counts(w) += 1
       i += 1
     }
@@ -678,6 +689,50 @@ object Multimodal {
       b += 1
     }
     hash
+  }
+
+  /** SEGMENT-WISE envelope hashes: PCM split into consecutive
+    * `segmentSamples`-sized segments (ragged tail dropped — a partial
+    * segment's envelope is not comparable), each hashed with
+    * [[envelopeHashOfRange]] — the audio twin of [[videoFrameDHashes]].
+    * Because segmentation is FIXED-STRIDE from sample 0, an audio clip
+    * trimmed by whole segments has hash sequence = the original's,
+    * shifted — exactly what [[graft.operators.Dedup
+    * .shiftedSequenceVoteNearDupPairs]] consumes (the operator is
+    * signature-agnostic; R135 applies unchanged to audio).
+    */
+  def audioSegmentEnvelopeHashes(content: Array[Byte],
+      segmentSamples: Int): Seq[(Int, Long)] = {
+    require(segmentSamples >= 65,
+      s"segmentSamples must be ≥ 65 (envelope windows), got $segmentSamples")
+    val (_, samples) = decodeWavPcm16(content)
+    val nSeg = samples.length / segmentSamples
+    require(nSeg > 0,
+      s"audio shorter than one segment (${samples.length} < $segmentSamples)")
+    (0 until nSeg).map { s =>
+      (s, envelopeHashOfRange(samples, s * segmentSamples, (s + 1) * segmentSamples))
+    }
+  }
+
+  /** Relational segment-hash extraction: `(idCol, seg_idx, ahash)` rows —
+    * decode inside mapPartitions (the [[videoSequenceDHashes]] shape);
+    * only 64-bit signatures ever shuffle, never PCM.
+    */
+  def audioSequenceEnvelopeHashes(df: DataFrame, idCol: String, bytesCol: String,
+      segmentSamples: Int)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("seg_idx", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          audioSegmentEnvelopeHashes(row.getAs[Array[Byte]](1), segmentSamples).map {
+            case (s, h) => org.apache.spark.sql.Row(row.getLong(0), s, h)
+          }
+        }
+      }(enc)
   }
 
   /** Relational envelope-hash extraction: `(idCol, ahash)` per audio row —
@@ -815,6 +870,79 @@ object Multimodal {
       i += 1
     }
     buf.array()
+  }
+
+
+  /** splitmix64 finalizer (public-domain arithmetic) — the gain mixer for
+    * [[synthWavAmMixedSample]]; plain integer ops, bit-deterministic.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** AM-formula sample with WELL-MIXED per-(id, 32-sample-block) gains
+    * (1..8 via [[mix64]]) over the same sawtooth carrier. [[synthWavAm]]'s
+    * linear gain walk is fine for ONE whole-clip hash (q123) but its
+    * SEGMENT envelope hashes are heavily correlated across ids (measured:
+    * 5/4000 seeds pass the q126-style diversity screen — the carrier
+    * structure is id-invariant and only ~8 gain steps land per segment);
+    * mixing the gain per 32-sample block makes most adjacent envelope
+    * windows span a gain step, so segment hashes are effectively
+    * id-random. The q127 fixture generator.
+    */
+  private def synthWavAmMixedSample(id: Long, i: Int): Short = {
+    val gain = (mix64(id * 1000003L + (i >> 5)) & 7L) + 1 // 1..8 per 32-sample block
+    val carrier = ((id * 73 + i.toLong * 37) % 4096) - 2048 // |·| < 2^11
+    (carrier * gain).toShort // |·| ≤ 16384 < 2^15
+  }
+
+  /** Whole clip of the MIXED formula (the q127 seed clip). */
+  def synthWavAmMixed(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] =
+    synthWavAmMixedComposed(Seq((id, 0)), nSamples, sampleRate)
+
+  /** Mixed-formula clip with a fully general per-SEGMENT spec: output
+    * segment p carries the samples of source segment `parts(p)._2` of
+    * clip seed `parts(p)._1`. Both formula terms depend only on the
+    * ABSOLUTE sample index, so a trimmed clip is byte-identical to the
+    * source clip's tail — the audio twin of [[synthAviComposed]];
+    * trimmed-intro and shifted-splice fixtures for segment-wise dedup
+    * (q127) compose here.
+    */
+  def synthWavAmMixedComposed(parts: Seq[(Long, Int)], segmentSamples: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(parts.nonEmpty, "need at least one segment spec")
+    require(segmentSamples > 0)
+    val nSamples = parts.length * segmentSamples
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    parts.foreach { case (seed, srcSeg) =>
+      var j = 0
+      while (j < segmentSamples) {
+        buf.putShort(synthWavAmMixedSample(seed, srcSeg * segmentSamples + j))
+        j += 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Mixed-formula clip trimmed at the head by whole segments: sample
+    * bytes are EXACTLY the full clip's tail (absolute-index formula).
+    */
+  def synthWavAmMixedTrimmed(id: Long, nSegments: Int, startSegment: Int,
+      segmentSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(startSegment >= 0, s"startSegment must be ≥ 0, got $startSegment")
+    synthWavAmMixedComposed((0 until nSegments).map(p => (id, p + startSegment)),
+      segmentSamples, sampleRate)
   }
 
   /** Deterministic RGB24 video-pixel formula shared by the AVI generator

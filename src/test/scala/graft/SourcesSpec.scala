@@ -564,6 +564,53 @@ class SourcesSpec extends SparkSpec {
       Multimodal.envelopeHash64("not audio".getBytes))
   }
 
+  test("multimodal: audioSegmentEnvelopeHashes — trim shifts, composed generalizes, guards") {
+    import graft.sources.Multimodal
+    val S = 800; val nSeg = 8
+    val full = Multimodal.synthWavAmMixed(7L, nSeg * S)
+    // deterministic + segment indexes contiguous
+    val hs = Multimodal.audioSegmentEnvelopeHashes(full, S)
+    assert(hs == Multimodal.audioSegmentEnvelopeHashes(full, S))
+    assert(hs.map(_._1) == (0 until nSeg))
+    // composed identity reproduces the whole clip byte-for-byte
+    assert(java.util.Arrays.equals(full,
+      Multimodal.synthWavAmMixedComposed((0 until nSeg).map(p => (7L, p)), S)))
+    // trimmed clip = byte-identical tail ⇒ hash sequence = full's, shifted
+    val trimmed = Multimodal.synthWavAmMixedTrimmed(7L, nSeg - 2, 2, S)
+    assert(Multimodal.audioSegmentEnvelopeHashes(trimmed, S).map(_._2) ==
+      hs.drop(2).map(_._2))
+    // shifted splice: position 0 carries source segment 3's exact hash
+    val spliced = Multimodal.synthWavAmMixedComposed(
+      (7L, 3) +: (1 until nSeg).map(p => (99L, p)), S)
+    val sphs = Multimodal.audioSegmentEnvelopeHashes(spliced, S)
+    assert(sphs.head._2 == hs(3)._2)
+    assert(sphs.tail.map(_._2) ==
+      Multimodal.audioSegmentEnvelopeHashes(
+        Multimodal.synthWavAmMixed(99L, nSeg * S), S).tail.map(_._2))
+    // ragged tail dropped; whole-clip envelopeHash64 unchanged by refactor
+    assert(Multimodal.audioSegmentEnvelopeHashes(full, S + 1).size == nSeg - 1)
+    assert(Multimodal.envelopeHash64(full) ==
+      Multimodal.envelopeHash64(Multimodal.synthWavAmMixed(7L, nSeg * S)))
+    // relational extraction ≡ the pure helper, per id
+    import spark.implicits._
+    val df = Seq((1L, full), (2L, trimmed)).toDF("id", "content")
+    val got = Multimodal.audioSequenceEnvelopeHashes(df, "id", "content", S)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = (hs.map { case (s, h) => (1L, s, h) } ++
+      Multimodal.audioSegmentEnvelopeHashes(trimmed, S)
+        .map { case (s, h) => (2L, s, h) }).toSet
+    assert(got === want)
+    // guards
+    intercept[IllegalArgumentException](
+      Multimodal.audioSegmentEnvelopeHashes(full, 64)) // < 65 envelope windows
+    intercept[IllegalArgumentException](
+      Multimodal.audioSegmentEnvelopeHashes(full, nSeg * S * 2)) // shorter than one segment
+    intercept[IllegalArgumentException](
+      Multimodal.synthWavAmMixedTrimmed(7L, 4, -1, S))
+    intercept[IllegalArgumentException](
+      Multimodal.synthWavAmMixedComposed(Seq.empty, S))
+  }
+
   test("multimodal: meanGt — exact 128-bit mean comparison past Long overflow") {
     import graft.sources.Multimodal
     // ADVICE r7: the 64-bit cross-multiply s1·c2 overflows past ~4e8
