@@ -1080,6 +1080,27 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Incremental sequence dedup (q128): the q126 construction split into
+    // two batches against a fresh signature store — batch 2's pairs
+    // against history (trim at -2, restage at 0) plus the batch-internal
+    // trim-vs-restage (+2); splices drop; batch 1 emits nothing.
+    "q128_incremental_sequence_dedup" ->
+      raw"""SELECT id1, id2, frame_offset, matched_frames, total_frames, vote_frac
+FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(-2 AS INTEGER) AS frame_offset,
+    CAST(6 AS BIGINT) AS matched_frames, CAST(8 AS BIGINT) AS total_frames,
+    CAST(0.75 AS DOUBLE) AS vote_frac
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 2000 AS id2, CAST(0 AS INTEGER),
+    CAST(8 AS BIGINT), CAST(8 AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 2000 AS id2, CAST(2 AS INTEGER),
+    CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(0.75 AS DOUBLE)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
     // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
     // construction over WAV PCM segment envelope hashes — same four-way
     // staging, same fixed 75-row best-offset result (trim 6/8 at offset

@@ -2352,6 +2352,77 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q128 — INCREMENTAL sequence dedup against a persisted signature store
+    * (Dedup.incrementalSequenceNearDups): the continuous-ingest shape. The
+    * q126 video construction split into TWO batches against a fresh store:
+    * batch 1 ingests the 25 originals (no pairs — seeds are diverse; their
+    * signatures fold into the store); batch 2 ingests a trimmed dup, an
+    * identical restage and a shifted splice of each original — every
+    * trim/restage pair surfaces AGAINST HISTORY (the originals' media
+    * bytes are never re-read; only their stored 64-bit signatures) plus
+    * the batch-internal trim-vs-restage pair, and every splice drops. The
+    * store is a fresh unique temp dir per invocation, so the result is
+    * run-independent and fixed by construction: the same 75 rows as q126
+    * with the restage family at +2000.
+    */
+  def q128IncrementalSequenceDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nFrames = 8
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 2000) {
+      val hs = Multimodal
+        .videoFrameDHashes(Multimodal.synthAvi(cand, nFrames), 1).map(_._2)
+      val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
+        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
+      val crossOk = seeds.forall { case (_, ph) =>
+        (-5 to 5).forall { c =>
+          ph.indices.count { f =>
+            val g = f + c
+            g >= 0 && g < hs.size &&
+              java.lang.Long.bitCount(ph(f) ^ hs(g)) <= 3
+          } <= 2
+        }
+      }
+      if (selfDiverse && crossOk) seeds += ((cand, hs))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} shift-diverse seeds in 0..1999")
+    val base = seeds.take(25).map(_._1).toIndexedSeq
+    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    def clips(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("media_id", "seed", "decoy")
+        .as[(Long, Long, Long)]
+        .map { case (id, seed, dec) =>
+          val bytes = dec match {
+            case -1L => Multimodal.synthAvi(seed, nFrames)
+            case -2L => Multimodal.synthAviTrimmed(seed, nFrames - 2, 2)
+            case d => Multimodal.synthAviComposed(
+              (seed, 3) +: (1 until nFrames).map(p => (d, p)))
+          }
+          (id, bytes)
+        }
+        .toDF("media_id", "content")
+    def sigs(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
+      Multimodal.videoSequenceDHashes(clips(rows), "media_id", "content", stride = 1)
+    val store = java.nio.file.Files.createTempDirectory("q128store").toString
+    val batch1 = (0 until 25).map(i => (i.toLong, base(i), -1L))
+    val batch2 = (0 until 25).flatMap { i =>
+      Seq((i + 1000L, base(i), -2L), (i + 2000L, base(i), -1L),
+        (i + 3000L, base(i), decoy(i)))
+    }
+    val first = Dedup.incrementalSequenceNearDups(sigs(batch1), "media_id",
+      "frame_idx", "vhash", store, maxHamming = 3, numBands = 4,
+      minVoteFrac = 0.7, maxShift = 3)
+    require(first.isEmpty, "batch 1 originals must not pair with each other")
+    Dedup.incrementalSequenceNearDups(sigs(batch2), "media_id",
+        "frame_idx", "vhash", store, maxHamming = 3, numBands = 4,
+        minVoteFrac = 0.7, maxShift = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2481,5 +2552,6 @@ object Queries {
     "q125_video_sequence_dedup" -> q125VideoSequenceDedup _,
     "q126_video_shifted_dedup" -> q126VideoShiftedDedup _,
     "q127_audio_shifted_dedup" -> q127AudioShiftedDedup _,
+    "q128_incremental_sequence_dedup" -> q128IncrementalSequenceDedup _,
   )
 }

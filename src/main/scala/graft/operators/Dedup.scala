@@ -1002,39 +1002,162 @@ object Dedup {
           .select(col("id1"), col("id2"),
             (col("_f2") - col("_f1")).as("frame_offset"))
           .distinct()
-        val counts = base.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-        val matched = cand
-          .join(base.select(col("_id").as("id1"), col("_f").as("_f1"),
-            col("_h").as("h1")), Seq("id1"))
-          .withColumn("_f2", col("_f1") + col("frame_offset"))
-          .join(base.select(col("_id").as("id2"), col("_f").as("_f2"),
-            col("_h").as("h2")), Seq("id2", "_f2"))
-          .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
-          .groupBy(col("id1"), col("id2"), col("frame_offset"))
-          .agg(count(lit(1)).as("matched_frames"))
-        val qualified = matched
-          .join(counts.select(col("_id").as("id1"), col("_n").as("_n1")), Seq("id1"))
-          .join(counts.select(col("_id").as("id2"), col("_n").as("_n2")), Seq("id2"))
-          .withColumn("total_frames", greatest(col("_n1"), col("_n2")))
-          // ppm cross-multiply, floor — the sequenceVoteNearDupPairs rule
-          .where(col("matched_frames") * lit(1000000L) >=
-            col("total_frames") * lit(math.floor(minVoteFrac * 1e6).toLong))
-        // best offset per pair; threshold-first shrinks the window input
-        // and cannot change the winner (the max-vote row qualifies iff any)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id1"), col("id2"))
-          .orderBy(col("matched_frames").desc, abs(col("frame_offset")).asc,
-            col("frame_offset").asc)
-        val out = qualified
-          .withColumn("_rk", row_number().over(w))
-          .where(col("_rk") === 1)
-          .withColumn("vote_frac",
-            col("matched_frames").cast("double") / col("total_frames"))
-          .select(col("id1"), col("id2"), col("frame_offset"),
-            col("matched_frames"), col("total_frames"), col("vote_frac"))
+        val out = offsetVoteFromCandidates(cand, base, maxHamming, minVoteFrac)
         CheckpointStrategy.materialize(out, checkpoint)
       } finally { banded.unpersist(false); () }
     } finally { base.unpersist(false); () }
+  }
+
+  /** Shared tail of the shifted sequence-vote family: given candidate
+    * (id1, id2, frame_offset) triples and the full signature set
+    * (`_id`, `_f`, `_h`), verify votes by popcount at each offset, apply
+    * the floor-ppm integer threshold, and keep each pair's best offset
+    * (max votes; ties to smallest |offset|, then smallest offset —
+    * deterministic). Used by [[shiftedSequenceVoteNearDupPairs]] and
+    * [[incrementalSequenceNearDups]].
+    */
+  private def offsetVoteFromCandidates(cand: DataFrame, base: DataFrame,
+      maxHamming: Int, minVoteFrac: Double): DataFrame = {
+    val counts = base.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val matched = cand
+      .join(base.select(col("_id").as("id1"), col("_f").as("_f1"),
+        col("_h").as("h1")), Seq("id1"))
+      .withColumn("_f2", col("_f1") + col("frame_offset"))
+      .join(base.select(col("_id").as("id2"), col("_f").as("_f2"),
+        col("_h").as("h2")), Seq("id2", "_f2"))
+      .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .groupBy(col("id1"), col("id2"), col("frame_offset"))
+      .agg(count(lit(1)).as("matched_frames"))
+    val qualified = matched
+      .join(counts.select(col("_id").as("id1"), col("_n").as("_n1")), Seq("id1"))
+      .join(counts.select(col("_id").as("id2"), col("_n").as("_n2")), Seq("id2"))
+      .withColumn("total_frames", greatest(col("_n1"), col("_n2")))
+      // ppm cross-multiply, floor — the sequenceVoteNearDupPairs rule
+      .where(col("matched_frames") * lit(1000000L) >=
+        col("total_frames") * lit(math.floor(minVoteFrac * 1e6).toLong))
+    // best offset per pair; threshold-first shrinks the window input
+    // and cannot change the winner (the max-vote row qualifies iff any)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"))
+      .orderBy(col("matched_frames").desc, abs(col("frame_offset")).asc,
+        col("frame_offset").asc)
+    qualified
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .withColumn("vote_frac",
+        col("matched_frames").cast("double") / col("total_frames"))
+      .select(col("id1"), col("id2"), col("frame_offset"),
+        col("matched_frames"), col("total_frames"), col("vote_frac"))
+  }
+
+  /** INCREMENTAL sequence near-dup detection against a persisted signature
+    * store — the continuous-ingest shape for perceptual video/audio dedup
+    * ([[incrementalNearDupPairs]]'s discipline applied to R135/R136): each
+    * arriving batch of `(id, frame, 64-bit hash)` sequences is checked
+    * against the ENTIRE history at every offset |d| ≤ maxShift WITHOUT
+    * re-pairing the history against itself, then folded into the store.
+    * Media bytes are never stored and never re-read — the store holds
+    * signatures only (`$storePath/sigs`: id, f, h).
+    *
+    * Candidates are ASYMMETRIC: only the fresh batch's banded rows probe
+    * the full (store ∪ fresh) banded set — new×new pairs once
+    * (`a.id < b.id`), new×old always from the new side, old×old never.
+    * Pair ids are normalized to id1 < id2 with the offset sign flipped to
+    * match, then the shared exact vote tail applies
+    * ([[offsetVoteFromCandidates]]).
+    *
+    * Replay idempotence: batch ids already in the store anti-join out, so
+    * a replayed batch after a successful fold emits no duplicate pairs
+    * and folds nothing twice. Durability ORDERING as in
+    * [[incrementalNearDupPairs]]: pairs materialize → `onPairs` sink →
+    * THEN the fold; a crash between sink and fold replays to the same
+    * pairs (at-least-once), never loses them. A crashed previous fold
+    * (only `_temporary` leftovers) classifies as Empty and recovers;
+    * visible foreign content refuses loudly.
+    *
+    * @return (id1, id2, frame_offset, matched_frames, total_frames,
+    *         vote_frac) — every pair involves ≥ 1 batch id
+    */
+  def incrementalSequenceNearDups(batch: DataFrame, idCol: String,
+      frameCol: String, hashCol: String, storePath: String,
+      maxHamming: Int = 3, numBands: Int = 4, minVoteFrac: Double = 0.8,
+      maxShift: Int = 3, maxBandBucket: Long = 100000L,
+      onPairs: DataFrame => Unit = _ => (),
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands")
+    require(minVoteFrac > 0.0 && minVoteFrac <= 1.0,
+      s"minVoteFrac must be in (0, 1], got $minVoteFrac")
+    require(maxShift >= 0, s"maxShift must be ≥ 0, got $maxShift")
+    require(maxBandBucket > 0, s"maxBandBucket must be positive")
+    val spark = batch.sparkSession
+    val sigPath = s"$storePath/sigs"
+    val state = graft.sources.PathState.classify(
+      sigPath, spark.sparkContext.hadoopConfiguration)
+    require(state != graft.sources.PathState.Foreign,
+      s"signature store '$sigPath' exists but holds no parquet data files — " +
+        "refusing to fold signatures into a directory that is not a store")
+    val store =
+      if (state == graft.sources.PathState.Data) spark.read.parquet(sigPath)
+      else spark.emptyDataFrame
+        .withColumn("id", lit(null).cast("long"))
+        .withColumn("f", lit(null).cast("int"))
+        .withColumn("h", lit(null).cast("long")).limit(0)
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fresh = batch
+      .select(col(idCol).cast("long").as("id"), col(frameCol).cast("int").as("f"),
+        col(hashCol).cast("long").as("h"))
+      .dropDuplicates("id", "f")
+      .join(store.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val all = fresh.withColumn("_new", lit(true))
+        .unionByName(store.withColumn("_new", lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def bands(df: DataFrame): DataFrame = df
+          .withColumn("_band", explode(array((0 until numBands).map { b =>
+            struct(lit(b).as("i"),
+              shiftrightunsigned(col("h"), b * width).bitwiseAND(lit(mask)).as("v"))
+          }: _*)))
+          .select(col("id"), col("f"), col("_new"),
+            col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+        val bandedAll = bands(all)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hottestRow = bandedAll.groupBy(col("_bi"), col("_bv"))
+            .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+          val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+          require(hottest <= maxBandBucket,
+            s"a (band, value) bucket is shared by $hottest frame rows (> " +
+              s"maxBandBucket $maxBandBucket) — the candidate block would be " +
+              "quadratic; pre-drop constant/low-entropy frames")
+          val a = bands(fresh.withColumn("_new", lit(true)))
+          val cand = a.as("a").join(bandedAll.as("b"),
+              col("a._bi") === col("b._bi") && col("a._bv") === col("b._bv") &&
+                abs(col("b.f") - col("a.f")) <= maxShift &&
+                // new×new once; new×old always from the new side
+                when(col("b._new"), col("a.id") < col("b.id"))
+                  .otherwise(col("a.id") =!= col("b.id")))
+            // normalize to id1 < id2; the offset sign follows the swap
+            .select(least(col("a.id"), col("b.id")).as("id1"),
+              greatest(col("a.id"), col("b.id")).as("id2"),
+              when(col("a.id") < col("b.id"), col("b.f") - col("a.f"))
+                .otherwise(col("a.f") - col("b.f")).as("frame_offset"))
+            .distinct()
+          val base = all.select(col("id").as("_id"), col("f").as("_f"), col("h").as("_h"))
+          val verified = offsetVoteFromCandidates(cand, base, maxHamming, minVoteFrac)
+          val out = CheckpointStrategy.materialize(verified, checkpoint)
+          onPairs(out)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigPath)
+          out
+        } finally { bandedAll.unpersist(false); () }
+      } finally { all.unpersist(false); () }
+    } finally { fresh.unpersist(false); () }
   }
 
   /** Incremental near-dup detection against a persisted sketch store (EXT):

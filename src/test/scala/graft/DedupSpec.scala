@@ -358,6 +358,53 @@ class DedupSpec extends SparkSpec {
       constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
   }
 
+  test("incrementalSequenceNearDups: history pairing, replay idempotence, foreign refusal") {
+    import graft.operators.{Dedup, CheckpointStrategy}
+    import spark.implicits._
+    val rnd = new scala.util.Random(987)
+    val store = java.nio.file.Files.createTempDirectory("seqstore").toString
+    def rows(seqs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.DataFrame =
+      seqs.flatMap { case (id, hs) =>
+        hs.zipWithIndex.map { case (h, f) => (id, f, h) } }.toDF("id", "f", "h")
+    val baseSeqs: Seq[(Long, Seq[Long])] =
+      (0L until 10L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    // batch 1: ten originals + one internal trimmed dup of id 0
+    val batch1 = baseSeqs :+ (100L, baseSeqs(0)._2.drop(2))
+    def run(b: Seq[(Long, Seq[Long])]) =
+      Dedup.incrementalSequenceNearDups(rows(b), "id", "f", "h", store,
+          minVoteFrac = 0.7, maxShift = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(run(batch1) === Set((0L, 100L, -2, 6L, 8L)))
+    val storeRows1 = spark.read.parquet(s"$store/sigs").count()
+    assert(storeRows1 == 10 * 8 + 6)
+    // batch 2: a restage of history id 1 (offset 0), a junk-padded head of
+    // history id 2 (offset +2), one fresh clip and ITS trimmed dup —
+    // history pairs surface WITHOUT re-pairing history against itself
+    val freshClip = (202L, Seq.fill(8)(rnd.nextLong()))
+    val batch2 = Seq(
+      (200L, baseSeqs(1)._2),
+      (201L, Seq.fill(2)(rnd.nextLong()) ++ baseSeqs(2)._2),
+      freshClip,
+      (203L, freshClip._2.drop(2)))
+    assert(run(batch2) === Set(
+      (1L, 200L, 0, 8L, 8L),
+      (2L, 201L, 2, 8L, 10L),
+      (202L, 203L, -2, 6L, 8L)))
+    // replay after a successful fold: ids anti-join out — no duplicate
+    // pairs, nothing folded twice
+    assert(run(batch2) === Set.empty)
+    assert(spark.read.parquet(s"$store/sigs").count() ==
+      storeRows1 + 8 + 10 + 8 + 6)
+    // crash-recovery classification: a visibly-foreign directory refuses
+    val foreign = java.nio.file.Files.createTempDirectory("seqforeign")
+    java.nio.file.Files.createDirectories(foreign.resolve("sigs"))
+    java.nio.file.Files.writeString(foreign.resolve("sigs/notes.txt"), "x")
+    intercept[IllegalArgumentException](
+      Dedup.incrementalSequenceNearDups(rows(batch1), "id", "f", "h",
+        foreign.toString))
+  }
+
   test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
     // boundary discipline (R133): a pair at EXACTLY minVoteFrac must be kept
     // deterministically — the ppm cross-multiply, not a double divide,
