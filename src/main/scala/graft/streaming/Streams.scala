@@ -346,6 +346,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming perceptual dedup at ingest: each micro-batch of
+    * `(id, frame, 64-bit hash)` sequence signatures is checked against the
+    * persisted signature store at every offset and folded in
+    * ([[graft.operators.Dedup.incrementalSequenceNearDups]]); detected
+    * pairs append to `$storePath/pairs` BEFORE the fold (the at-least-once
+    * ordering — a replayed micro-batch re-emits, never loses, and the
+    * store's id anti-join absorbs the replay on the fold side). The
+    * [[streamingLshMaintenance]] discipline for the video/audio dedup
+    * tier; upstream decode (videoSequenceDHashes /
+    * audioSequenceEnvelopeHashes) runs inside the stream's own
+    * mapPartitions, so only signatures reach the sink.
+    */
+  def streamingSequenceDedup(sigs: DataFrame, idCol: String, frameCol: String,
+      hashCol: String, storePath: String, checkpoint: String,
+      maxHamming: Int = 3, numBands: Int = 4, minVoteFrac: Double = 0.8,
+      maxShift: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    sigs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.incrementalSequenceNearDups(
+          batch.toDF(), idCol, frameCol, hashCol, storePath,
+          maxHamming = maxHamming, numBands = numBands,
+          minVoteFrac = minVoteFrac, maxShift = maxShift,
+          onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$storePath/pairs"))
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. `ts` precision is decided
     * from the staged file's own footer via the shared precision-aware

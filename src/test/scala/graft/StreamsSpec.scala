@@ -276,6 +276,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSequenceDedup: cross-batch pairs against the store; replay emits no duplicates into the fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(55)
+    val seqs: Seq[(Long, Seq[Long])] =
+      (0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    def rows(ss: Seq[(Long, Seq[Long])]): Seq[(Long, Int, Long)] =
+      ss.flatMap { case (id, hs) => hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    val store = java.nio.file.Files.createTempDirectory("sseq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sseqck").toString
+    val mem = MemoryStream[(Long, Int, Long)]
+    val q = Streams.streamingSequenceDedup(
+      mem.toDF().toDF("id", "f", "h"), "id", "f", "h", store, ckpt,
+      minVoteFrac = 0.7)
+    try {
+      mem.addData(rows(seqs): _*)          // batch 1: six originals
+      q.processAllAvailable()
+      // batch 2: a trimmed dup of id 0 — pairs against HISTORY — plus a
+      // replay of id 5's rows (absorbed by the store's anti-join)
+      mem.addData(rows(Seq((100L, seqs(0)._2.drop(2)), (5L, seqs(5)._2))): _*)
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$store/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs === Set((0L, 100L, -2)))
+      assert(spark.read.parquet(s"$store/sigs").count() === 6 * 8 + 6L,
+        "replayed ids must fold nothing")
+    } finally q.stop()
+  }
+
   test("parquet streaming sink: durable append with checkpoint, read-back matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
