@@ -2235,16 +2235,18 @@ object Queries {
     * one offset — is capped at 1+1+2 = 4 < 5). The exact result is fixed
     * by construction; the oracle needs no video decoding.
     */
-  def q126VideoShiftedDedup(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    import s.implicits._
-    import graft.sources.Multimodal
-    val nFrames = 8
+  /** Greedy shift-diverse seed screen shared by q126/q127/q128: a
+    * candidate hash sequence is accepted when (a) its distinct positions
+    * differ > 3 bits pairwise and (b) vs every ACCEPTED sequence it has
+    * ≤ 2 collisions (≤ 3 bits) at any content-offset in [-5, 5] — the
+    * exactness margin documented at q126. Returns (base 25, decoy 25).
+    */
+  private def selectShiftDiverse(tag: String, hashesOf: Long => Seq[Long])
+      : (IndexedSeq[Long], IndexedSeq[Long]) = {
     val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     var cand = 0L
     while (seeds.size < 50 && cand < 2000) {
-      val hs = Multimodal
-        .videoFrameDHashes(Multimodal.synthAvi(cand, nFrames), 1).map(_._2)
+      val hs = hashesOf(cand)
       val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
         java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
       val crossOk = seeds.forall { case (_, ph) =>
@@ -2259,9 +2261,29 @@ object Queries {
       if (selfDiverse && crossOk) seeds += ((cand, hs))
       cand += 1
     }
-    require(seeds.size == 50, s"only ${seeds.size} shift-diverse seeds in 0..1999")
-    val base = seeds.take(25).map(_._1).toIndexedSeq
-    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    require(seeds.size == 50, s"only ${seeds.size} shift-diverse $tag seeds in 0..1999")
+    (seeds.take(25).map(_._1).toIndexedSeq, seeds.drop(25).map(_._1).toIndexedSeq)
+  }
+
+  /** Computed ONCE per JVM (the derivation is deterministic and q126/q128
+    * share it verbatim — decoding ~70 fixture AVIs per probe invocation
+    * otherwise repeats driver-side work three times per suite run).
+    */
+  private lazy val shiftDiverseVideoSeeds: (IndexedSeq[Long], IndexedSeq[Long]) =
+    selectShiftDiverse("video", cand => graft.sources.Multimodal
+      .videoFrameDHashes(graft.sources.Multimodal.synthAvi(cand, 8), 1).map(_._2))
+
+  private lazy val shiftDiverseAudioSeeds: (IndexedSeq[Long], IndexedSeq[Long]) =
+    selectShiftDiverse("audio", cand => graft.sources.Multimodal
+      .audioSegmentEnvelopeHashes(
+        graft.sources.Multimodal.synthWavAmMixed(cand, 8 * 800), 800).map(_._2))
+
+  def q126VideoShiftedDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nFrames = 8
+    val (base, decoy) = shiftDiverseVideoSeeds
     val rows: Seq[(Long, Long, Long)] = (0 until 25).flatMap { i =>
       Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -2L),
         (i + 2000L, base(i), decoy(i)), (i + 3000L, base(i), -1L))
@@ -2307,28 +2329,7 @@ object Queries {
     import graft.sources.Multimodal
     val nSeg = 8
     val segSamples = 800
-    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
-    var cand = 0L
-    while (seeds.size < 50 && cand < 2000) {
-      val hs = Multimodal.audioSegmentEnvelopeHashes(
-        Multimodal.synthWavAmMixed(cand, nSeg * segSamples), segSamples).map(_._2)
-      val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
-        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
-      val crossOk = seeds.forall { case (_, ph) =>
-        (-5 to 5).forall { c =>
-          ph.indices.count { f =>
-            val g = f + c
-            g >= 0 && g < hs.size &&
-              java.lang.Long.bitCount(ph(f) ^ hs(g)) <= 3
-          } <= 2
-        }
-      }
-      if (selfDiverse && crossOk) seeds += ((cand, hs))
-      cand += 1
-    }
-    require(seeds.size == 50, s"only ${seeds.size} shift-diverse audio seeds in 0..1999")
-    val base = seeds.take(25).map(_._1).toIndexedSeq
-    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    val (base, decoy) = shiftDiverseAudioSeeds
     val rows: Seq[(Long, Long, Long)] = (0 until 25).flatMap { i =>
       Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -2L),
         (i + 2000L, base(i), decoy(i)), (i + 3000L, base(i), -1L))
@@ -2370,28 +2371,7 @@ object Queries {
     import s.implicits._
     import graft.sources.Multimodal
     val nFrames = 8
-    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
-    var cand = 0L
-    while (seeds.size < 50 && cand < 2000) {
-      val hs = Multimodal
-        .videoFrameDHashes(Multimodal.synthAvi(cand, nFrames), 1).map(_._2)
-      val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
-        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
-      val crossOk = seeds.forall { case (_, ph) =>
-        (-5 to 5).forall { c =>
-          ph.indices.count { f =>
-            val g = f + c
-            g >= 0 && g < hs.size &&
-              java.lang.Long.bitCount(ph(f) ^ hs(g)) <= 3
-          } <= 2
-        }
-      }
-      if (selfDiverse && crossOk) seeds += ((cand, hs))
-      cand += 1
-    }
-    require(seeds.size == 50, s"only ${seeds.size} shift-diverse seeds in 0..1999")
-    val base = seeds.take(25).map(_._1).toIndexedSeq
-    val decoy = seeds.drop(25).map(_._1).toIndexedSeq
+    val (base, decoy) = shiftDiverseVideoSeeds
     def clips(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
       rows.toDF("media_id", "seed", "decoy")
         .as[(Long, Long, Long)]
