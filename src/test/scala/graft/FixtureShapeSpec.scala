@@ -53,10 +53,12 @@ class FixtureShapeSpec extends SparkSpec {
     dt == TimestampType || dt == TimestampNTZType
 
   test("every fixture table opens through its loader with the assumed schema") {
-    for (name <- Tables.all) {
+    // both the spec-default scale AND the driver's correctness-gate scale:
+    // a regeneration that drifts only one of them must still fail here
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01"); name <- Tables.all) {
       val df = name match {
-        case "events" => Tables.events(spark, sf001)
-        case other    => Tables.load(spark, sf001, other)
+        case "events" => Tables.events(spark, dir)
+        case other    => Tables.load(spark, dir, other)
       }
       val actual = df.schema.fields.map(f => f.name -> f.dataType).toSeq
       val expected = expectedSchemas(name)
