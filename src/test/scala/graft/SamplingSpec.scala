@@ -98,6 +98,37 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("leakageSafeSplits composes with sequence-dedup pairs (any-tier contract)") {
+    // the pairs contract says ANY dedup tier's output plugs in — prove it
+    // end-to-end with the perceptual sequence tier: shifted-vote pairs
+    // (with their extra offset/vote columns) feed the split machinery
+    // unchanged, and a trimmed-clip duplicate can never straddle a split
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(31)
+    val seqs: Seq[(Long, Seq[Long])] =
+      (0L until 12L).map(i => (i, Seq.fill(8)(rnd.nextLong()))) ++
+        Seq((100L, Seq.fill(8)(rnd.nextLong()))) // spare for clip ids
+    val clips = seqs.take(12)
+    val planted = Seq(
+      (200L, clips(0)._2),          // restage of 0
+      (201L, clips(1)._2.drop(2)))  // trimmed dup of 1
+    val sigRows = (clips ++ planted).flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    val pairs = Dedup.shiftedSequenceVoteNearDupPairs(
+      sigRows.toDF("id", "f", "h"), "id", "f", "h", minVoteFrac = 0.7)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 200L), (1L, 201L)))
+    val docs = (clips ++ planted).map(_._1).toDF("media_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    for (salt <- Seq("x", "y", "z")) {
+      val out = Sampling.leakageSafeSplits(docs, "media_id", pairs, splits, salt)
+        .select("media_id", "split").as[(Long, String)].collect().toMap
+      assert(Set(0L, 200L).map(out).size === 1, s"restage pair leaked (salt $salt)")
+      assert(Set(1L, 201L).map(out).size === 1, s"trimmed pair leaked (salt $salt)")
+    }
+  }
+
   test("leakageSafeSplits: a near-dup cluster never straddles a split, singletons keep assignSplit") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
