@@ -1257,6 +1257,41 @@ object Dedup {
     out
   }
 
+  /** Compact the incremental sequence-signature store
+    * ([[incrementalSequenceNearDups]]): sustained ingest appends one
+    * parquet file-set per batch, so after thousands of micro-batches the
+    * store is a small-files problem. Rewrite `$storePath/sigs` into
+    * `targetFiles` id-range-sorted files at `$dstPath/sigs` — the caller
+    * swaps directories atomically (the compactSketchStore discipline:
+    * never compact in place). Unlike the sketch store, NO `_folded`
+    * ledger is needed: replay idempotence keys off store CONTENT (the id
+    * anti-join), which compaction preserves row-for-row — a replayed
+    * batch is a no-op against the compacted store exactly as before.
+    * Sorting by (id, frame) clusters each sequence into one row-group
+    * range (min/max stats prune id probes; better compression).
+    * Row-count parity is verified before returning.
+    */
+  def compactSequenceStore(spark: SparkSession, storePath: String,
+      dstPath: String, targetFiles: Int = 16): Long = {
+    require(storePath != dstPath,
+      "compactSequenceStore writes a NEW directory (caller swaps atomically)")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val src = s"$storePath/sigs"
+    val state = graft.sources.PathState.classify(
+      src, spark.sparkContext.hadoopConfiguration)
+    require(state == graft.sources.PathState.Data,
+      s"'$src' holds no parquet data files — not a signature store")
+    val sigs = spark.read.parquet(src)
+    val n = sigs.count()
+    sigs.repartitionByRange(targetFiles, col("id"), col("f"))
+      .sortWithinPartitions("id", "f")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dstPath/sigs")
+    val out = spark.read.parquet(s"$dstPath/sigs").count()
+    require(out == n, s"compaction row mismatch: source $n, compacted $out")
+    out
+  }
+
   /** Benchmark-contamination scores (EXT, training-data hygiene): for each
     * document, the fraction of its distinct n-grams that appear in ANY text
     * of a (small) benchmark/eval set — the decontamination signal used by

@@ -403,6 +403,29 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.incrementalSequenceNearDups(rows(batch1), "id", "f", "h",
         foreign.toString))
+    // compaction: two appended file-sets rewrite into targetFiles sorted
+    // files; row parity verified; replay idempotence and fresh pairing
+    // behave identically against the compacted store
+    val compacted = java.nio.file.Files.createTempDirectory("seqcompact").toString
+    val nRows = Dedup.compactSequenceStore(spark, store, compacted, targetFiles = 2)
+    assert(nRows == spark.read.parquet(s"$store/sigs").count())
+    val dataFiles = new java.io.File(s"$compacted/sigs").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles <= 2, s"expected ≤ 2 compacted files, got $dataFiles")
+    def runAgainst(st: String, b: Seq[(Long, Seq[Long])]) =
+      Dedup.incrementalSequenceNearDups(rows(b), "id", "f", "h", st,
+          minVoteFrac = 0.7, maxShift = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(runAgainst(compacted, batch2) === Set.empty) // replay still no-op
+    val batch3 = Seq((300L, baseSeqs(3)._2.drop(1))) // trimmed dup of history id 3
+    assert(runAgainst(compacted, batch3) === Set((3L, 300L, -1)))
+    // in-place compaction and non-store sources refuse
+    intercept[IllegalArgumentException](
+      Dedup.compactSequenceStore(spark, compacted, compacted))
+    intercept[IllegalArgumentException](
+      Dedup.compactSequenceStore(spark,
+        java.nio.file.Files.createTempDirectory("seqempty").toString,
+        java.nio.file.Files.createTempDirectory("seqdst").toString))
   }
 
   test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
