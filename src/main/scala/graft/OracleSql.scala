@@ -1101,6 +1101,15 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Perceptual contamination (q129): 10 eval images are exact
+    // re-encodes of corpus images 0..9; the remaining 5 eval images and
+    // all 50 corpus images are pairwise > 3 dHash bits apart by greedy
+    // selection — the result is exactly the planted identity matches.
+    "q129_perceptual_contamination" ->
+      raw"""SELECT i AS media_id, i + 9000 AS eval_id,
+CAST(0 AS BIGINT) AS hamming
+FROM range(10) t(i) ORDER BY media_id, eval_id""",
+
     // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
     // construction over WAV PCM segment envelope hashes — same four-way
     // staging, same fixed 75-row best-offset result (trim 6/8 at offset

@@ -2403,6 +2403,46 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q129 — perceptual CONTAMINATION check
+    * (Dedup.hammingContaminationPairs): the q71 text-decontamination
+    * hygiene twin for images. 50 dHash-diverse corpus PNGs (q122's greedy
+    * selection extended to 55 seeds); the eval set stages 10 EXACT
+    * re-encodes of corpus images 0..9 (ids 9000..9009) and 5 clean images
+    * from the remaining diverse seeds (ids 9010..9014). The construction
+    * fixes the exact result to the 10 planted (i, 9000+i, 0) rows — every
+    * clean eval image is > 3 bits from every corpus image by selection,
+    * so the oracle needs no image decoding.
+    */
+  def q129PerceptualContamination(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 55 && cand < 600) {
+      val h = Multimodal.dHash64(Multimodal.synthPng(cand))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 55, s"only ${seeds.size} diverse seeds in 0..599")
+    val sel = seeds.map(_._1).toIndexedSeq
+    def pngs(rows: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("media_id", "seed").as[(Long, Long)]
+        .map { case (id, seed) => (id, Multimodal.synthPng(seed)) }
+        .toDF("media_id", "content")
+    val corpus = Multimodal.imageDHashes(
+      pngs((0 until 50).map(i => (i.toLong, sel(i)))), "media_id", "content")
+    val eval = Multimodal.imageDHashes(
+      pngs((0 until 10).map(i => (i + 9000L, sel(i))) ++
+        (0 until 5).map(i => (i + 9010L, sel(50 + i))))
+        .withColumnRenamed("media_id", "eval_id"),
+      "eval_id", "content")
+    Dedup.hammingContaminationPairs(corpus, "media_id", "dhash",
+        eval, "eval_id", "dhash", maxHamming = 3)
+      .orderBy(col("media_id"), col("eval_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2533,5 +2573,6 @@ object Queries {
     "q126_video_shifted_dedup" -> q126VideoShiftedDedup _,
     "q127_audio_shifted_dedup" -> q127AudioShiftedDedup _,
     "q128_incremental_sequence_dedup" -> q128IncrementalSequenceDedup _,
+    "q129_perceptual_contamination" -> q129PerceptualContamination _,
   )
 }

@@ -1257,6 +1257,51 @@ object Dedup {
     out
   }
 
+  /** Cross-corpus perceptual CONTAMINATION (the text-decontamination
+    * operator's twin for 64-bit perceptual hashes): which corpus items
+    * are within Hamming `maxHamming` of ANY eval/benchmark item — the
+    * image/audio/video hygiene check a training pipeline runs before
+    * eval sets leak into training data. Asymmetric banded join: both
+    * sides split into bit-bands ([[hammingNearDupPairs]]), the join is
+    * equi on (band, value) with the popcount verify riding the
+    * condition — LOSSLESS for maxHamming < numBands (pigeonhole), so the
+    * result is EXACT. The eval side is small by nature (benchmark sets),
+    * so its banded rows are explicitly BROADCAST; the corpus explodes
+    * its bands once and is never self-joined — per-corpus-row cost is
+    * O(bands × bucket collisions), never O(|corpus|²) or
+    * O(|corpus|·|eval|).
+    *
+    * @return (idCol, evalIdCol, hamming) — one row per contaminated
+    *         (corpus, eval) pair; semi-join or distinct on idCol for a
+    *         drop list
+    */
+  def hammingContaminationPairs(corpus: DataFrame, idCol: String,
+      hashCol: String, evalSet: DataFrame, evalIdCol: String,
+      evalHashCol: String, maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def banded(df: DataFrame, id: String, h: String, outId: String, outH: String) =
+      df.select(col(id).as(outId), col(h).cast("long").as(outH))
+        .withColumn("_band", explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("i"),
+            shiftrightunsigned(col(outH), b * width).bitwiseAND(lit(mask)).as("v"))
+        }: _*)))
+        .select(col(outId), col(outH),
+          col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+    banded(corpus, idCol, hashCol, "_cid", "_ch")
+      .join(broadcast(banded(evalSet, evalIdCol, evalHashCol, "_eid", "_eh")),
+        Seq("_bi", "_bv"))
+      .where(bit_count(col("_ch").bitwiseXOR(col("_eh"))) <= maxHamming)
+      .select(col("_cid").as(idCol), col("_eid").as(evalIdCol),
+        bit_count(col("_ch").bitwiseXOR(col("_eh"))).cast("long").as("hamming"))
+      .dropDuplicates(idCol, evalIdCol)
+  }
+
   /** Compact the incremental sequence-signature store
     * ([[incrementalSequenceNearDups]]): sustained ingest appends one
     * parquet file-set per batch, so after thousands of micro-batches the

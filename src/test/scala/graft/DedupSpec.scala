@@ -358,6 +358,40 @@ class DedupSpec extends SparkSpec {
       constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
   }
 
+  test("hammingContaminationPairs ≡ brute force; broadcast eval; guards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    val corpus = (0L until 200L).map(i => (i, rnd.nextLong()))
+    // eval: 8 nudged copies of corpus hashes (≤3 bits), 2 exact, 5 unrelated
+    val eval = (0 until 8).map { k =>
+      (500L + k, corpus(k * 11)._2 ^ ((1L << (k * 7 % 64)) |
+        (if (k % 2 == 0) 1L << ((k * 13 + 31) % 64) else 0L))) } ++
+      (0 until 2).map(k => (520L + k, corpus(100 + k)._2)) ++
+      (0 until 5).map(k => (530L + k, rnd.nextLong()))
+    def brute(t: Int): Set[(Long, Long, Long)] =
+      (for {
+        (ci, ch) <- corpus; (ei, eh) <- eval
+        d = java.lang.Long.bitCount(ch ^ eh) if d <= t
+      } yield (ci, ei, d.toLong)).toSet
+    for (t <- Seq(0, 2, 3); bands <- Seq(4, 8)) {
+      val got = Dedup.hammingContaminationPairs(
+          corpus.toDF("id", "h"), "id", "h",
+          eval.toDF("eid", "eh"), "eid", "eh", maxHamming = t, numBands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(t), s"t=$t bands=$bands")
+    }
+    // the eval side broadcasts (the 100 TB posture: benchmark sets are small)
+    val plan = Dedup.hammingContaminationPairs(
+      corpus.toDF("id", "h"), "id", "h",
+      eval.toDF("eid", "eh"), "eid", "eh").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"eval side must broadcast:\n$plan")
+    intercept[IllegalArgumentException](Dedup.hammingContaminationPairs(
+      corpus.toDF("id", "h"), "id", "h",
+      eval.toDF("eid", "eh"), "eid", "eh", maxHamming = 4, numBands = 4))
+  }
+
   test("incrementalSequenceNearDups: history pairing, replay idempotence, foreign refusal") {
     import graft.operators.{Dedup, CheckpointStrategy}
     import spark.implicits._
