@@ -555,6 +555,38 @@ SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
 list_min(fp) AS fp_min, list_max(fp) AS fp_max
 FROM f ORDER BY doc_id""",
 
+    // q50 drains the events file-stream to a COMPLETE-mode memory sink, so
+    // the final table is exactly the batch tumbling aggregate — the oracle
+    // is q18's SQL verbatim (the streaming path shares tumblingCounts with
+    // the batch twin; the decimal-exact sum makes fold order irrelevant).
+    "q50_streaming" ->
+      raw"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+
+    // q51 stages doc_id < 30 fixture texts as real .txt/.pdf/.docx files and
+    // re-extracts them; extraction is a lossless round-trip for all three
+    // writers (Queries.q51FileIngest), so DuckDB recomputes the same chunk
+    // stats straight from documents.parquet: the q13 fixed-window SQL at
+    // size=200/stride=160 plus the probe's filename construction.
+    "q51_file_ingest" ->
+      raw"""WITH docs AS (
+  SELECT 'doc' || doc_id || '.' ||
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf' ELSE 'docx' END AS filename,
+    text
+  FROM documents WHERE doc_id < 30),
+wins AS (
+  SELECT filename, text,
+    unnest(generate_series(0, CAST(floor(greatest(length(text) - 41, 0) / 160) AS BIGINT))) AS i
+  FROM docs),
+chunks AS (
+  SELECT filename,
+    regexp_replace(substring(text, CAST(i * 160 + 1 AS INT), 200), '^\s+|\s+$$', '', 'g') AS chunk_text
+  FROM wins)
+SELECT filename, count(*) AS n_chunks, CAST(sum(length(chunk_text)) AS BIGINT) AS sum_len
+FROM chunks WHERE length(chunk_text) > 0
+GROUP BY filename ORDER BY filename""",
+
     "q52_pivot" ->
       raw"""SELECT CAST(user_id % 10 AS INT) AS user_bucket,
 count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -706,9 +706,14 @@ object Queries {
     (root, fresh, commit)
   }
 
-  /** Q50 — a real Structured Streaming run (ST1, rows-only): the events
-    * fixture staged as a file stream → watermarked tumbling counts → memory
-    * sink, drained to completion and returned as a batch frame.
+  /** Q50 — a real Structured Streaming run (ST1, ORACLE-CHECKED since
+    * round 10): the events fixture staged as a file stream → tumbling
+    * counts → COMPLETE-mode memory sink, drained to completion and
+    * returned as a batch frame. Complete mode (not append) because a
+    * finite drain under append+watermark withholds the tail windows the
+    * watermark never passes; the complete-mode drain is bit-identical to
+    * Q18's batch aggregate (decimal-exact sum in Streams.tumblingCounts),
+    * so the probe shares Q18's DuckDB oracle SQL.
     */
   def q50Streaming(s: SparkSession, dir: String): DataFrame = {
     // Idempotent staging ([[stagedRoot]]); the copy goes through a unique
@@ -729,7 +734,7 @@ object Queries {
       commitStaged()
     }
     val name = "q50_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams.streamTumblingToMemory(s, staged.toString, name)
+    val q = graft.streaming.Streams.streamTumblingToMemoryComplete(s, staged.toString, name)
     try q.processAllAvailable() finally q.stop()
     s.table(name)
       .select(unix_millis(col("window_start")).as("hour_ms"), col("event_type"),

@@ -55,15 +55,34 @@ object Tables {
     * timestamp type, the file is self-describing (MICROS/MILLIS, tz'd or
     * NTZ). A TIMESTAMP(NANOS) footer fails resolution with
     * [PARQUET_TYPE_ILLEGAL] — that, or a raw un-annotated int64 `ts`,
-    * selects the long fallback. Any other error (missing path, corrupt
-    * footer) propagates.
+    * selects the long fallback. Any OTHER resolvable `ts` type (string,
+    * int32, …) is a regenerated-fixture shape this loader does not know,
+    * and dividing it by 1000 would be a silent misread — fail loudly
+    * instead. Any other error (missing path, corrupt footer) propagates.
+    *
+    * The plan is memoized per resolved path for the lifetime of the JVM:
+    * probing re-reads the footer on the driver, and events-heavy probe
+    * suites pay that constant per call otherwise (measured ~0.2–0.5 s per
+    * probe in the r9 bench tail). Fixtures never change within a session.
     */
-  private[graft] def eventsTsPlan(spark: SparkSession, path: String): EventsTsPlan = {
+  private val tsPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EventsTsPlan]()
+
+  private[graft] def eventsTsPlan(spark: SparkSession, path: String): EventsTsPlan =
+    tsPlanCache.computeIfAbsent(path, p => probeEventsTsPlan(spark, p))
+
+  private def probeEventsTsPlan(spark: SparkSession, path: String): EventsTsPlan = {
     import org.apache.spark.sql.types._
     try {
       spark.read.parquet(path).schema.find(_.name == "ts").map(_.dataType) match {
         case Some(TimestampType) | Some(TimestampNTZType) => NativeTimestamp
-        case _                                            => NanosAsLong
+        case Some(LongType)                               => NanosAsLong
+        case other =>
+          throw new IllegalStateException(
+            s"events fixture at $path has ts of unsupported shape $other — " +
+              "fixture regenerated? The loader only knows timestamp (native) " +
+              "and int64-nanos footers; refusing to guess (a forced-schema " +
+              "read of anything else would silently misparse).")
       }
     } catch {
       case e: Exception if e.getMessage != null &&

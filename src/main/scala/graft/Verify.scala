@@ -27,6 +27,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-regeneration tripwire (round-8 failure class): if any table's
+    // loader-level schema differs from the pinned shape, refuse the whole
+    // run loudly instead of letting N probes go silently wrong.
+    val drift = FixtureShapes.drift(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println(
+        s"[verify] FIXTURE SHAPE MISMATCH under $sfDir — fixture regenerated? Refusing to run:")
+      drift.foreach(d => System.err.println(s"[verify]   $d"))
+      spark.stop()
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.split(",").contains(name)) }

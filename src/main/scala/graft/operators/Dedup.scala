@@ -1283,6 +1283,10 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < numBands,
       s"exactness needs maxHamming < numBands (pigeonhole) — got " +
         s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    require(idCol != evalIdCol,
+      s"idCol and evalIdCol are both '$idCol' — the output carries one column " +
+        "per side, so identical names make every downstream select ambiguous; " +
+        "alias one side (e.g. eval.withColumnRenamed) before calling")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     def banded(df: DataFrame, id: String, h: String, outId: String, outH: String) =

@@ -14,11 +14,16 @@ object Streams {
   /** ST1 — tumbling window aggregate: per (window, event_type) count and
     * rounded sum. On a stream, pair with [[withEventTimeWatermark]] so state
     * is bounded (append-mode emission after watermark passes window end).
+    * The sum goes through DECIMAL(18,2) before rounding — double summation
+    * is order-sensitive, and a streaming run folds values in micro-batch
+    * order while the batch twin (Q18) folds in scan order; the decimal sum
+    * makes both (and the DuckDB oracle) bit-identical.
     */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** ST2 — sliding window: overlapping windows of `width` every `slide`. */
@@ -350,9 +355,13 @@ object Streams {
     * `(id, frame, 64-bit hash)` sequence signatures is checked against the
     * persisted signature store at every offset and folded in
     * ([[graft.operators.Dedup.incrementalSequenceNearDups]]); detected
-    * pairs append to `$storePath/pairs` BEFORE the fold (the at-least-once
-    * ordering — a replayed micro-batch re-emits, never loses, and the
-    * store's id anti-join absorbs the replay on the fold side). The
+    * pairs land under `$storePath/pairs/batch_id=<epoch>` BEFORE the fold.
+    * The fold side is idempotent via the store's id anti-join; the pairs
+    * side is made idempotent too by keying the write on the foreachBatch
+    * epoch id: a replayed micro-batch OVERWRITES its own batch_id subdir
+    * with identical content instead of appending duplicates (exactly-once
+    * pairs output under at-least-once delivery). Readers of
+    * `$storePath/pairs` see batch_id as a trailing partition column. The
     * [[streamingLshMaintenance]] discipline for the video/audio dedup
     * tier; upstream decode (videoSequenceDHashes /
     * audioSequenceEnvelopeHashes) runs inside the stream's own
@@ -364,13 +373,13 @@ object Streams {
       maxShift: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
     sigs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Dedup.incrementalSequenceNearDups(
           batch.toDF(), idCol, frameCol, hashCol, storePath,
           maxHamming = maxHamming, numBands = numBands,
           minVoteFrac = minVoteFrac, maxShift = maxShift,
-          onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(s"$storePath/pairs"))
+          onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$storePath/pairs/batch_id=$batchId"))
         ()
       }
       .outputMode("update")
@@ -390,5 +399,24 @@ object Streams {
     tumblingCounts(withEventTimeWatermark(stream))
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
+  }
+
+  /** The drain-to-completion twin of [[streamTumblingToMemory]]: COMPLETE
+    * output mode, so after `processAllAvailable()` the memory table holds
+    * EVERY window — append mode withholds windows the watermark never
+    * passes (the tail `max(ts) - delay` of a finite stream), which is
+    * correct for unbounded ingest but makes a drained finite run a strict
+    * subset of the batch twin. Complete mode + the decimal-exact sum make
+    * the drained table bit-identical to Q18's batch aggregate, which is
+    * what lets the q50 probe share Q18's DuckDB oracle. Finite
+    * replays/backfills only — state is unbounded by design here; unbounded
+    * ingest uses the watermarked append variant.
+    */
+  def streamTumblingToMemoryComplete(spark: SparkSession, eventsDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = graft.Tables.eventsStream(spark, eventsDir)
+    tumblingCounts(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
   }
 }

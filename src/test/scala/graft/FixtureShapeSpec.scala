@@ -18,39 +18,12 @@ import org.apache.spark.sql.types._
   */
 class FixtureShapeSpec extends SparkSpec {
 
-  private val expectedSchemas: Map[String, Seq[(String, DataType)]] = Map(
-    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
-    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
-      "n_regionkey" -> IntegerType),
-    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
-      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
-      "c_mktsegment" -> StringType),
-    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
-      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
-    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
-      "p_brand" -> StringType, "p_type" -> StringType, "p_size" -> IntegerType,
-      "p_retailprice" -> DoubleType),
-    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
-      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
-      "o_orderdate" -> null, // timestamp; precision/tz-variant allowed, checked below
-      "o_orderpriority" -> StringType),
-    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
-      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
-      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
-      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
-      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
-      "l_shipdate" -> null),
-    "events" -> Seq("event_id" -> LongType,
-      "ts" -> TimestampType, // loader-normalized, whatever the footer said
-      "user_id" -> LongType, "event_type" -> StringType,
-      "value" -> DoubleType, "props" -> StringType),
-    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
-      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
-    "embeddings" -> Seq("vec_id" -> LongType,
-      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+  // pinned shapes live in main ([[FixtureShapes]]) since round 10, so the
+  // correctness gate (Verify) refuses on drift too, not just `sbt test`
+  private val expectedSchemas = FixtureShapes.expected
 
   private def isTimestampLike(dt: DataType): Boolean =
-    dt == TimestampType || dt == TimestampNTZType
+    FixtureShapes.isTimestampLike(dt)
 
   test("every fixture table opens through its loader with the assumed schema") {
     // both the spec-default scale AND the driver's correctness-gate scale:
@@ -116,6 +89,31 @@ class FixtureShapeSpec extends SparkSpec {
     // the streaming twin picks the same plan from the same footer
     for ((p, plan) <- Seq(microsPath -> Tables.NativeTimestamp, nanosPath -> Tables.NanosAsLong))
       assert(Tables.eventsTsPlan(spark, p) == plan)
+  }
+
+  test("Verify's tripwire flags a synthetic regenerated fixture and passes the real one") {
+    import org.apache.spark.sql.functions._
+    // real fixtures: no drift (this is what lets Verify run at all)
+    assert(FixtureShapes.drift(spark, sf001).isEmpty)
+
+    // synthetic regeneration: clone sf0.001 by symlink, then doctor events
+    // to carry ts as STRING — the shape class the round-8 bug came from
+    val dir = java.nio.file.Files.createTempDirectory("regen")
+    val src = java.nio.file.Paths.get(sf001)
+    for (t <- Tables.all if t != "events")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"), src.resolve(s"$t.parquet"))
+    spark.range(3).select(
+        col("id").as("event_id"), lit("2024-01-01T00:00:00").as("ts"),
+        col("id").as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+
+    val drift = FixtureShapes.drift(spark, dir.toString)
+    assert(drift.nonEmpty, "doctored events fixture must be flagged")
+    assert(drift.forall(_.startsWith("events")), s"only events drifted, got: $drift")
+    assert(drift.mkString.contains("refusing to guess"),
+      "the strict events loader itself should refuse the unknown ts type")
   }
 
   /** Minimal TIMESTAMP(NANOS)-annotated parquet writer (the r7-era fixture
