@@ -1142,6 +1142,57 @@ FROM (
 CAST(0 AS BIGINT) AS hamming
 FROM range(10) t(i) ORDER BY media_id, eval_id""",
 
+    // PQ/ADC ANN (q130): full replay of the deterministic tier — q75 int8
+    // codes, md5-ranked sampled codebooks (m=8, ksub=16, subdim=8; the
+    // q112 md5-as-int convention), integer argmin encode (ranking key
+    // c·c − 2·sub·c, ties → lowest j), ADC inner-product ranking for
+    // vec_id 0 (ties → lowest vec_id), top-50 candidates, exact-cosine
+    // rescore top-10 — the q15 output discipline.
+    "q130_pq_adc" ->
+      raw"""WITH sc AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+  FROM embeddings),
+c AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
+  FROM sc),
+rk AS (
+  SELECT sub.s, c.vec_id,
+    row_number() OVER (PARTITION BY sub.s
+      ORDER BY ('0x' || substr(md5(sub.s::VARCHAR || '|' || c.vec_id::VARCHAR), 1, 15))::BIGINT,
+               c.vec_id) AS rk
+  FROM c, (SELECT unnest(generate_series(0, 7)) AS s) sub),
+cent AS (
+  SELECT rk.s, rk.rk - 1 AS j, c.codes[rk.s*8 + 1 : rk.s*8 + 8] AS cv
+  FROM rk JOIN c ON c.vec_id = rk.vec_id
+  WHERE rk.rk <= 16),
+asg0 AS (
+  SELECT c.vec_id, cent.s, cent.j,
+    list_inner_product(cent.cv, cent.cv)
+      - 2 * list_inner_product(c.codes[cent.s*8 + 1 : cent.s*8 + 8], cent.cv) AS d
+  FROM c, cent
+  WHERE c.vec_id <> 0),
+asg AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS r
+    FROM asg0) WHERE r = 1),
+q AS (SELECT codes FROM c WHERE vec_id = 0),
+adc AS (
+  SELECT asg.vec_id,
+    sum(list_inner_product(q.codes[asg.s*8 + 1 : asg.s*8 + 8], cent.cv)) AS adc_ip
+  FROM asg JOIN cent ON cent.s = asg.s AND cent.j = asg.j, q
+  GROUP BY asg.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_ip DESC, vec_id LIMIT 50)
+SELECT e.vec_id,
+  floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[])) / 1000 AS cos_sim
+FROM cand
+JOIN embeddings e USING (vec_id),
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10""",
+
     // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
     // construction over WAV PCM segment envelope hashes — same four-way
     // staging, same fixed 75-row best-offset result (trim 6/8 at offset

@@ -2448,6 +2448,31 @@ object Queries {
       .orderBy(col("media_id"), col("eval_id"))
   }
 
+  /** Q130 — product-quantization ANN with asymmetric distance computation
+    * (PQ/ADC, the 100 TB serving tier between int8 q75 and 1-bit q92):
+    * md5-SAMPLED deterministic codebooks (m=8 subspaces × ksub=16 centers
+    * over the 64-dim embeddings — the q112 discipline, every step
+    * integer-exact and DuckDB-replayable), encode the corpus to 8 codes
+    * per vector, ADC-rank against vec_id 0's query tables, exact-cosine
+    * rescore of the top 50, return the true top-10. The one-row query
+    * collect and the m×ksub codebook collect are bounded driver reads
+    * (the readIvfCentroids pattern). The TRAINED-codebook twin
+    * (Search.pqTrainCodebooks, seeded kmeans) is recall-gated in
+    * RecallBench/SearchSpec instead — Lloyd means are not SQL-replayable.
+    */
+  def q130PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val enc = Search.pqEncode(corpus, "vec_id", "embedding", cb)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.pqTopK(enc, corpus, "vec_id", "embedding", cb, query,
+        k = 10, rescore = 50)
+      .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2579,5 +2604,6 @@ object Queries {
     "q127_audio_shifted_dedup" -> q127AudioShiftedDedup _,
     "q128_incremental_sequence_dedup" -> q128IncrementalSequenceDedup _,
     "q129_perceptual_contamination" -> q129PerceptualContamination _,
+    "q130_pq_adc" -> q130PqAdc _,
   )
 }

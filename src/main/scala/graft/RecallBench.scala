@@ -104,6 +104,24 @@ object RecallBench {
         Search.matryoshkaTopK(emb, "vec_id", "embedding", qv, prefix, k, 4))
     }
 
+    // PQ/ADC (m=8 subspaces × ksub=16): the sampled (deterministic, q130)
+    // and trained (seeded-kmeans) codebook builders, by rescore depth —
+    // the staircase shows what codebook quality and rescore budget buy
+    val pqBuilders = Seq(
+      "sampled" -> Search.pqSampledCodebooks(emb, "vec_id", "embedding", dim, 8, 16),
+      "trained" -> Search.pqTrainCodebooks(emb, "embedding", dim, 8, 16, seed = 42L))
+    val pq = pqBuilders.flatMap { case (tag, cb) =>
+      val enc = Search.pqEncode(emb, "vec_id", "embedding", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      val rs = Seq(20, 50, 100).map { rescore =>
+        (tag, rescore) -> funnelRecall(qv =>
+          Search.pqTopK(enc, emb, "vec_id", "embedding", cb, qv, k, rescore))
+      }
+      enc.unpersist()
+      rs
+    }
+
     // LSH pair recall vs exact L2 pairs at the q43 threshold
     val maxL2 = 1.18
     val exactPairs = emb.as("a").crossJoin(emb.as("b"))
@@ -125,9 +143,10 @@ object RecallBench {
     val qivfJson = qivf.map { case ((np, rs), r) => s""""np${np}_rescore$rs":${f(r)}""" }.mkString(",")
     val binJson = binary.map { case (fa, r) => s""""factor$fa":${f(r)}""" }.mkString(",")
     val matJson = matryoshka.map { case (p, r) => s""""prefix$p":${f(r)}""" }.mkString(",")
+    val pqJson = pq.map { case ((tag, rs), r) => s""""${tag}_rescore$rs":${f(r)}""" }.mkString(",")
     println(s"""{"metric":"ann_recall","k":$k,"n_queries":${queries.size},""" +
       s""""n_clusters":$nClusters,"ivf":{$ivfJson},"qivf":{$qivfJson},""" +
-      s""""binary":{$binJson},"matryoshka":{$matJson},""" +
+      s""""binary":{$binJson},"matryoshka":{$matJson},"pq":{$pqJson},""" +
       s""""lsh_pair_recall":${f(lshRecall)},"n_exact_pairs":${exactPairs.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -785,6 +785,276 @@ object Search {
     words
   }
 
+  // ---------------------------------------- product quantization (PQ/ADC) ---
+
+  /** PQ codebooks: `centers(s)(j)` = center j of subspace s, a `subdim`-long
+    * vector in int8-CODE space (the q75 quantization — integer coordinates
+    * for the sampled builder, kmeans means for the trained builder). Tiny by
+    * construction (m × ksub × subdim floats, e.g. 8×16×8 = 1 KiB), so
+    * codebooks live driver-side and enter plans as broadcast literals, the
+    * [[ivfAssign]] discipline.
+    */
+  final case class PqCodebooks(dim: Int, m: Int, ksub: Int,
+      centers: Seq[IndexedSeq[Array[Float]]]) {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(centers.length == m && centers.forall(_.length == ksub),
+      "centers must be m × ksub")
+    val subdim: Int = dim / m
+  }
+
+  /** DETERMINISTIC PQ codebooks by md5-ranked sampling — the
+    * oracle-checkable tier (the q112 discipline: a fixed md5-derived
+    * construction instead of a PRNG, so DuckDB replays it exactly).
+    * Center j of subspace s = the s-th code-subvector of the row with the
+    * (j+1)-th smallest `md5(s || '|' || id)` (60-bit int, ties by id) —
+    * kmeans++-style "centers are data points", no Lloyd iterations, which
+    * keeps every later distance integer-exact (centers have integer
+    * coordinates). Lower recall than trained codebooks at equal (m, ksub);
+    * [[pqTrainCodebooks]] is the quality tier, this is the determinism tier.
+    *
+    * Scale shape: the ranking pass carries only (s, id, hash) tuples — the
+    * window shuffle never moves vectors — and the m×ksub selected rows come
+    * back through a broadcast semi-join. At 100 TB you would hash-sample the
+    * corpus to ~1e6 rows first (Sampling.hashSample); codebooks are
+    * estimates, the sample suffices.
+    */
+  def pqSampledCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int): PqCodebooks = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subdim = dim / m
+    val ranked = df.select(col(idCol).as("_id"))
+      .crossJoin(spark_range_df(df, m))
+      .withColumn("_h", conv(substring(md5(
+        concat(col("_s").cast("string"), lit("|"), col("_id").cast("string"))),
+        1, 15), 16, 10).cast("long"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_s").orderBy(col("_h"), col("_id"))))
+      .where(col("_rk") <= ksub)
+    val codes = df.select(col(idCol).as("_id"),
+      i8Codes(col(vecCol)).cast("array<float>").as("_c"))
+    val picked = ranked.join(codes, "_id")
+      .select(col("_s"), col("_rk"), col("_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val centers = (0 until m).map { s =>
+      picked.filter(_._1 == s).sortBy(_._2)
+        .map { case (_, _, c) => c.slice(s * subdim, (s + 1) * subdim) }
+        .toIndexedSeq
+    }
+    require(centers.forall(_.length == ksub),
+      s"corpus has fewer than ksub=$ksub rows")
+    PqCodebooks(dim, m, ksub, centers)
+  }
+
+  /** tiny helper: a 1-column (_s: int) frame with values 0..m-1, built from
+    * `df`'s session so the cross join stays a local broadcast of m rows
+    */
+  private def spark_range_df(df: DataFrame, m: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    broadcast((0 until m).toDF("_s"))
+  }
+
+  /** TRAINED PQ codebooks: seeded MLlib KMeans per subspace over the int8
+    * code space (same space as the sampled builder, so [[pqEncode]] /
+    * [[pqTopK]] serve both). Deterministic given the same data + seed, but
+    * not engine-portable (Lloyd means are data-order-hardened floats, not
+    * replayable in SQL) — quality is pinned by the RecallBench staircase +
+    * SearchSpec floors instead of a DuckDB oracle, like the IVF tiers.
+    */
+  def pqTrainCodebooks(df: DataFrame, vecCol: String, dim: Int, m: Int,
+      ksub: Int, seed: Long = 42L, maxIter: Int = 20): PqCodebooks = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subdim = dim / m
+    val codes = df.select(i8Codes(col(vecCol)).cast("array<float>").as("_c"))
+      .persist()
+    try {
+      val centers = (0 until m).map { s =>
+        val prepared = codes.select(array_to_vector(
+          slice(col("_c"), s * subdim + 1, subdim).cast("array<double>")).as("_features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
+          .setFeaturesCol("_features").fit(prepared)
+        model.clusterCenters.map(_.toArray.map(_.toFloat)).toIndexedSeq
+      }
+      PqCodebooks(dim, m, ksub, centers)
+    } finally { codes.unpersist(); () }
+  }
+
+  /** The PQ code array (m small ints) for an i8-code column: per subspace,
+    * the argmin-L2 center. Ranking key = c·c − 2·(sub·c) (the ||sub||² term
+    * is constant per row, dropped); with integer-coordinate centers every
+    * product ≤ 127² and every sum ≤ subdim·2·127² < 2⁵³, so the double
+    * accumulation in the fused dot kernel is EXACT and the argmin (ties →
+    * lowest j, via struct ordering) is engine-portable. Fully codegen'd:
+    * m × ksub fused-dot calls + one array_min per subspace, no UDF.
+    */
+  def pqEncodeCol(codesCol: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map { s =>
+      val sub = slice(codesCol, s * cb.subdim + 1, cb.subdim)
+      val cands = array(cb.centers(s).zipWithIndex.map { case (c, j) =>
+        val cNorm = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)
+        struct((lit(cNorm) - lit(2.0) * dot(sub, typedLit(c.toSeq))).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      array_min(cands).getField("j")
+    }: _*)
+
+  /** Encode a vector column into PQ codes: (id, pq_codes array<int> of
+    * length m). m bytes of payload per vector once stored ([[pqWriteIndex]]
+    * casts to tinyint) vs 4·dim for float32 — 32× smaller at dim=64/m=8,
+    * the compression rung between int8 (4×, q75) and 1-bit (32× but
+    * sign-only, q92): PQ keeps a learned/sampled per-subspace geometry, so
+    * equal bytes buy more recall.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks): DataFrame =
+    df.select(col(idCol),
+      pqEncodeCol(i8Codes(col(vecCol)).cast("array<float>"), cb).as("pq_codes"))
+
+  /** Driver-side i8 quantization of a query vector — the same
+    * floor(x/s + 0.5) rule as [[graft.functions.VectorFunctions.i8Codes]].
+    */
+  def pqQueryCodes(query: Seq[Float]): Array[Float] = {
+    val maxAbs = query.foldLeft(0.0)((mx, x) => math.max(mx, math.abs(x.toDouble)))
+    val s = maxAbs / 127.0
+    if (s == 0.0) query.map(_ => 0f).toArray
+    else query.map(x => math.floor(x / s + 0.5).toFloat).toArray
+  }
+
+  /** ADC (asymmetric distance computation) lookup tables for one query:
+    * tables(s)(j) = IP(query-subvector s, center j of subspace s) — m×ksub
+    * doubles, built driver-side in microseconds. The scan side then scores
+    * a vector as Σ_s tables(s)(code_s): m array lookups per row, no
+    * per-row dot products — THE property that makes PQ the 100 TB serving
+    * tier (the scan reads m bytes and does m adds per candidate).
+    */
+  def pqAdcTables(cb: PqCodebooks, qCodes: Array[Float]): Seq[Array[Double]] = {
+    require(qCodes.length == cb.dim, s"query dim ${qCodes.length} != ${cb.dim}")
+    cb.centers.zipWithIndex.map { case (cents, s) =>
+      cents.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < cb.subdim) { acc += qCodes(s * cb.subdim + i).toDouble * c(i); i += 1 }
+        acc
+      }.toArray
+    }
+  }
+
+  /** The ADC score column: Σ_s tables(s)(pq_codes[s]). The tables enter the
+    * plan as literal arrays (KBs); element_at is codegen'd, so the whole
+    * score is a WholeStageCodegen span of m lookups + adds.
+    */
+  def pqAdcScoreCol(pqCodesCol: Column, tables: Seq[Array[Double]]): Column =
+    tables.zipWithIndex.map { case (tbl, s) =>
+      element_at(typedLit(tbl.toSeq), element_at(pqCodesCol, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** PQ ANN top-k with exact rescore: rank the encoded corpus by ADC score
+    * (deterministic — integer arithmetic for integer-coordinate codebooks,
+    * ties by id), keep `rescore` candidates, then exact-cosine rescore
+    * against the full-precision primary store (broadcast — candidate sets
+    * are tiny) and return the true top-k. The candidate scan reads m bytes
+    * per vector instead of 4·dim; the float vectors are read for `rescore`
+    * rows only — the [[ivfTopKFromIndexQuantized]] coarse-then-exact shape
+    * one compression rung further down.
+    */
+  def pqTopK(encoded: DataFrame, fullPrecision: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebooks, query: Seq[Float], k: Int,
+      rescore: Int = 50): DataFrame = {
+    require(rescore >= k, "rescore candidate count must be >= k")
+    val tables = pqAdcTables(cb, pqQueryCodes(query))
+    val candidates = encoded
+      .withColumn("_adc", pqAdcScoreCol(col("pq_codes"), tables))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(rescore)
+      .select(col(idCol))
+    fullPrecision
+      .join(broadcast(candidates), idCol)
+      .withColumn("score", cosine(col(vecCol), typedLit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize a PQ index: (id, pq_codes array<tinyint>) — m BYTES per
+    * vector — plus the codebooks as a tiny sidecar ((s, j, center) rows;
+    * dim/m/ksub are recoverable from its shape). ksub ≤ 128 so codes fit
+    * signed bytes. Like the other persisted tiers the store is re-readable
+    * by [[pqTopKFromIndex]] with no session state.
+    */
+  def pqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks, path: String): Unit = {
+    require(cb.ksub <= 128, s"ksub=${cb.ksub} > 128 codes do not fit tinyint")
+    pqEncode(df, idCol, vecCol, cb)
+      .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cb.centers.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toDF("s", "j", "center")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+  }
+
+  /** Load the sidecar codebooks of a persisted PQ index (driver-side). */
+  def readPqCodebooks(spark: SparkSession, path: String): PqCodebooks = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("s"), col("j"), col("center").cast("array<float>"))
+      .as[(Int, Int, Array[Float])].collect()
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val subdim = rows.head._3.length
+    val centers = (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+    }
+    PqCodebooks(subdim * m, m, ksub, centers)
+  }
+
+  /** ANN top-k against a persisted PQ index: codebooks from the sidecar,
+    * ADC scan over the byte codes, exact rescore against `fullPrecision`.
+    */
+  def pqTopKFromIndex(spark: SparkSession, path: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rescore: Int = 50): DataFrame = {
+    val cb = readPqCodebooks(spark, path)
+    val encoded = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), transform(col("pq_codes"), _.cast("int")).as("pq_codes"))
+    pqTopK(encoded, fullPrecision, idCol, vecCol, cb, query, k, rescore)
+  }
+
+  /** Incrementally maintain a persisted PQ index: encode a NEW batch with
+    * the FROZEN sidecar codebooks and append — the [[appendIvfIndex]]
+    * maintenance contract (frozen quantizer, id anti-join idempotency,
+    * job-commit visibility; drift = rebuild, not re-train-per-batch).
+    *
+    * @return number of NEW vectors appended (0 for a pure replay)
+    */
+  def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Long = {
+    import graft.sources.PathState
+    val spark = batch.sparkSession
+    val state = PathState.classify(s"$path/codes",
+      spark.sparkContext.hadoopConfiguration)
+    require(state == PathState.Data,
+      s"appendPqIndex requires an existing index at '$path' " +
+        "(pqWriteIndex first — appends need its frozen codebooks)")
+    val cb = readPqCodebooks(spark, path)
+    val existing = spark.read.parquet(s"$path/codes").select(col(idCol))
+    val fresh = batch
+      .join(existing, batch(idCol) === existing(idCol), "left_anti")
+      .dropDuplicates(idCol).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        pqEncode(fresh, idCol, vecCol, cb)
+          .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes"))
+          .write.mode(SaveMode.Append).parquet(s"$path/codes")
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
   /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the
     * same data+seed). Returns them driver-side — centroids are tiny (k ×
     * dim) and feed [[ivfAssign]]'s broadcast-literal argmax.

@@ -345,6 +345,115 @@ class SearchSpec extends SparkSpec {
     } finally assigned.unpersist()
   }
 
+  /** Local replica of VectorFunctions.i8Codes (floor(x/s + 0.5), s = max|v|/127). */
+  private def i8Ref(v: Seq[Float]): Array[Double] = {
+    val maxAbs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+    val s = maxAbs / 127.0
+    if (s == 0.0) v.map(_ => 0.0).toArray
+    else v.map(x => math.floor(x / s + 0.5)).toArray
+  }
+
+  test("PQ: encode matches a driver-side argmin; ADC ranking is the table-sum identity") {
+    val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding", 64, 8, 16)
+    assert(cb.subdim == 8 && cb.centers.forall(_.forall(_.length == 8)))
+    val enc = Search.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(enc.size == vecs.size)
+    for ((id, v) <- vecs) {
+      val c = i8Ref(v)
+      val want = (0 until cb.m).map { s =>
+        val sub = c.slice(s * cb.subdim, (s + 1) * cb.subdim)
+        cb.centers(s).zipWithIndex.map { case (ct, j) =>
+          (sub.zip(ct).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+        }.min._2
+      }
+      assert(enc(id) == want, s"PQ encode mismatch for vec $id")
+    }
+    // ADC score of a row must equal Σ_s IP(q_s, center(s)(code_s)) computed
+    // locally — the asymmetric-distance identity the scan-side table
+    // lookups implement
+    val q = vecs(0L)
+    val qc = Search.pqQueryCodes(q)
+    val tables = Search.pqAdcTables(cb, qc)
+    val localAdc: Map[Long, Double] = enc.map { case (id, codes) =>
+      id -> codes.zipWithIndex.map { case (j, s) => tables(s)(j) }.sum
+    }
+    val got = Search.pqTopK(
+        Search.pqEncode(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", cb),
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", cb, q,
+        k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val wantCand = localAdc.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, a) => (-a, id) }.take(50).map(_._1).toSet
+    val want = vecs.toSeq.filter(p => wantCand.contains(p._1))
+      .map { case (id, v) => (id, cosRef(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    assert(got == want, "PQ ADC + rescore must equal the local table-sum pipeline")
+  }
+
+  test("PQ: persisted index round-trips, appends are idempotent, trained floors hold") {
+    import spark.implicits._
+    val cb = Search.pqTrainCodebooks(emb, "embedding", 64, 8, 16, seed = 42L)
+    val path = java.nio.file.Files.createTempDirectory("gate-pq").toString
+    Search.pqWriteIndex(emb, "vec_id", "embedding", cb, path)
+    // codes store: m BYTES per vector (the 32× tier) and the sidecar
+    // reconstructs the codebooks bit-identically
+    val stored = spark.read.parquet(s"$path/codes")
+    assert(stored.schema("pq_codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val cb2 = Search.readPqCodebooks(spark, path)
+    assert(cb2.dim == 64 && cb2.m == 8 && cb2.ksub == 16)
+    assert(cb2.centers.flatten.map(_.toSeq) == cb.centers.flatten.map(_.toSeq))
+    val q = vecs(1L)
+    val direct = Search.pqTopK(Search.pqEncode(emb, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", cb, q, k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val fromIndex = Search.pqTopKFromIndex(spark, path, emb, "vec_id",
+        "embedding", q, k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(direct == fromIndex, "persisted PQ index must reproduce the direct path")
+    // replayed batch appends nothing; a fresh id appends exactly once
+    assert(Search.appendPqIndex(emb.limit(20), "vec_id", "embedding", path) == 0L)
+    val before = spark.read.parquet(s"$path/codes").count()
+    val novel = emb.limit(1).select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    assert(Search.appendPqIndex(novel, "vec_id", "embedding", path) == 1L)
+    assert(Search.appendPqIndex(novel, "vec_id", "embedding", path) == 0L)
+    assert(spark.read.parquet(s"$path/codes").count() == before + 1)
+    // recall floors (sf0.001 RecallBench, 50-query run: trained rescore50
+    // 0.690, sampled rescore50 0.576 — floors minus margin for the
+    // 25-query gate set) + the staircase orderings that define the tier:
+    // more rescore never hurts, trained codebooks beat sampled ones
+    val k = 10
+    val queries = emb.orderBy("vec_id").limit(25)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val exact: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> vecs.toSeq
+        .map { case (id, v) => (id, cosRef(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }.toMap
+    val cbS = Search.pqSampledCodebooks(emb, "vec_id", "embedding", 64, 8, 16)
+    def recall(cb: Search.PqCodebooks, rescore: Int): Double = {
+      val enc = Search.pqEncode(emb, "vec_id", "embedding", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      try {
+        val hs = queries.map { case (qid, qv) =>
+          val got = Search.pqTopK(enc, emb, "vec_id", "embedding", cb, qv, k, rescore)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          exact(qid).count(got.contains).toDouble / exact(qid).size
+        }
+        hs.sum / hs.size
+      } finally { enc.unpersist(); () }
+    }
+    val (t50, t100) = (recall(cb, 50), recall(cb, 100))
+    val s50 = recall(cbS, 50)
+    assert(t50 >= 0.58, s"trained PQ rescore=50 recall regressed: $t50 (frozen 0.690)")
+    assert(s50 >= 0.45, s"sampled PQ rescore=50 recall regressed: $s50 (frozen 0.576)")
+    assert(t100 >= t50 - 0.02, s"PQ recall must not fall as rescore grows: $t100 < $t50")
+    assert(t50 >= s50 - 0.02, s"trained codebooks must not lose to sampled: $t50 < $s50")
+  }
+
   test("buildInvertedIndex: true df survives the cap; postings id-ordered; minDf prunes") {
     import spark.implicits._
     val docs = Seq(
