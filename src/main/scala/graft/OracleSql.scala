@@ -1193,6 +1193,30 @@ JOIN embeddings e USING (vec_id),
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
 LIMIT 10""",
 
+    // Crop/pad-tolerant image dedup (q131): 25 tile-grid PNGs staged as
+    // (image, one-tile-column-and-row crop, 2-D splice, identical
+    // restage); the grid-diverse greedy screen fixes the result to the
+    // three planted pair families — the crop matches 6/12 tiles at
+    // offset (-1,-1), the restage 12/12 at (0,0), crop-vs-restage 6/12
+    // at (+1,+1) — while every splice scores ≤ 3/12 < 0.5 and drops.
+    "q131_cropped_image_dedup" ->
+      raw"""SELECT id1, id2, offset_x, offset_y, matched_tiles, total_tiles, vote_frac
+FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(-1 AS INTEGER) AS offset_x,
+    CAST(-1 AS INTEGER) AS offset_y, CAST(6 AS BIGINT) AS matched_tiles,
+    CAST(12 AS BIGINT) AS total_tiles, CAST(0.5 AS DOUBLE) AS vote_frac
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 3000 AS id2, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+    CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 3000 AS id2, CAST(1 AS INTEGER),
+    CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(12 AS BIGINT),
+    CAST(0.5 AS DOUBLE)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
     // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
     // construction over WAV PCM segment envelope hashes — same four-way
     // staging, same fixed 75-row best-offset result (trim 6/8 at offset

@@ -2473,6 +2473,98 @@ object Queries {
       .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
   }
 
+  /** 2-D grid-diverse greedy seed screen for q131 (the selectShiftDiverse
+    * discipline in two dimensions, over the splitmix-mixed pixel formula):
+    * a candidate seed's 4×3 tile-hash grid is accepted when (a) its
+    * distinct tiles differ > 3 bits pairwise and (b) vs every ACCEPTED
+    * seed it has ≤ 2 collisions (≤ 3 bits) at any 2-D offset in [-3,3]².
+    * Exactness margin (documented at q131): a spurious pair needs ≥ 6
+    * matching tiles at ONE offset; the worst composite — splice vs
+    * splice — is capped at 1+1+1+2 = 5. Computed once per JVM.
+    */
+  private lazy val gridDiverseImageSeeds: (IndexedSeq[Long], IndexedSeq[Long]) = {
+    def tilesOf(cand: Long): Map[(Int, Int), Long] =
+      graft.sources.Multimodal
+        .imageTileDHashesOf(graft.sources.Multimodal.synthPngMixed(cand), 16)
+        .map { case (tx, ty, h) => ((tx, ty), h) }.toMap
+    val seeds = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(Int, Int), Long])]
+    var cand = 0L
+    while (seeds.size < 50 && cand < 2000) {
+      val hs = tilesOf(cand)
+      val ks = hs.keys.toIndexedSeq
+      val selfDiverse = ks.indices.forall(a => (a + 1 until ks.size).forall(b =>
+        java.lang.Long.bitCount(hs(ks(a)) ^ hs(ks(b))) > 3))
+      val crossOk = seeds.forall { case (_, ph) =>
+        (-3 to 3).forall { dx =>
+          (-3 to 3).forall { dy =>
+            ph.count { case ((tx, ty), h) =>
+              hs.get((tx + dx, ty + dy))
+                .exists(g => java.lang.Long.bitCount(h ^ g) <= 3)
+            } <= 2
+          }
+        }
+      }
+      if (selfDiverse && crossOk) seeds += ((cand, hs))
+      cand += 1
+    }
+    require(seeds.size == 50, s"only ${seeds.size} grid-diverse seeds in 0..1999")
+    (seeds.take(25).map(_._1).toIndexedSeq, seeds.drop(25).map(_._1).toIndexedSeq)
+  }
+
+  /** Q131 — CROP/PAD-TOLERANT image dedup (Multimodal.imageTileDHashes +
+    * Dedup.croppedGridVoteNearDupPairs), the case q122's whole-image dHash
+    * misses: a duplicate cropped by whole tiles (cropping shifts every
+    * global pooling cell, moving ~half the 64 bits). 25 64×48 PNGs on a
+    * 16-px pitch (4×3 = 12 tiles), each staged four ways — id i (the
+    * image), id i+1000 (cropped by one tile column AND one tile row:
+    * 48×32 via Multimodal.cropPng, content = source tiles (1..3)×(1..2)),
+    * id i+2000 (a 2-D splice: source tile (2,1) at dest (0,0), decoy
+    * tiles elsewhere, via Multimodal.composePngTiles) and id i+3000
+    * (identical restage). Best-offset voting at minVoteFrac 0.5 accepts
+    * (i, i+1000) at offset (−1,−1) with 6/12 tiles, (i, i+3000) at (0,0)
+    * with 12/12, (i+1000, i+3000) at (+1,+1) with 6/12 — and rejects
+    * every splice (≤ 3/12 by the greedy screen's collision cap; the
+    * planted splice tile sits at in-window offset (−2,−1), so it is
+    * VOTED down, not merely outside the window). Seeds use the
+    * splitmix-mixed pixel formula — the linear synthPixel walk is
+    * translation-structured and tile-degenerate (the q123/q127 diversity
+    * lesson) — screened by [[gridDiverseImageSeeds]]. The exact result is
+    * fixed by construction; the oracle needs no image decoding.
+    */
+  def q131CroppedImageDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val tile = 16
+    val (base, decoy) = gridDiverseImageSeeds
+    val rows: Seq[(Long, Long, Long)] = (0 until 25).flatMap { i =>
+      Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -2L),
+        (i + 2000L, base(i), decoy(i)), (i + 3000L, base(i), -1L))
+    }
+    val withBytes = rows.toDF("media_id", "seed", "decoy")
+      .as[(Long, Long, Long)]
+      .map { case (id, seed, dec) =>
+        val bytes = dec match {
+          case -1L => Multimodal.synthPngMixed(seed) // full image / restage
+          case -2L => // crop: drop the first tile column and first tile row
+            Multimodal.cropPng(Multimodal.synthPngMixed(seed),
+              tile, tile, 3 * tile, 2 * tile)
+          case d => // 2-D splice: one source tile at (0,0), decoy elsewhere
+            Multimodal.composePngTiles(tile, 4, 3, (tx, ty) =>
+              if (tx == 0 && ty == 0) (Multimodal.synthPngMixed(seed), 2, 1)
+              else (Multimodal.synthPngMixed(d), tx, ty))
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "content")
+    val tiles = Multimodal.imageTileDHashes(withBytes, "media_id", "content", tile)
+    Dedup.croppedGridVoteNearDupPairs(tiles, "media_id", "tile_x", "tile_y",
+        "thash", maxHamming = 3, numBands = 4, minVoteFrac = 0.5,
+        maxShiftX = 2, maxShiftY = 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2605,5 +2697,6 @@ object Queries {
     "q128_incremental_sequence_dedup" -> q128IncrementalSequenceDedup _,
     "q129_perceptual_contamination" -> q129PerceptualContamination _,
     "q130_pq_adc" -> q130PqAdc _,
+    "q131_cropped_image_dedup" -> q131CroppedImageDedup _,
   )
 }

@@ -1008,6 +1008,133 @@ object Dedup {
     } finally { base.unpersist(false); () }
   }
 
+  /** CROP/PAD-TOLERANT grid-vote near-dup pairs — the SPATIAL analog of
+    * [[shiftedSequenceVoteNearDupPairs]]: signatures are per-TILE 64-bit
+    * hashes on a 2-D grid (`(id, tile_x, tile_y, hash)`, e.g.
+    * [[graft.sources.Multimodal.imageTileDHashes]]) and a duplicate whose
+    * content is translated by a constant whole-tile offset — a crop, a
+    * letterbox pad, a margin trim — is caught at its best offset
+    * (dx, dy) with |dx| ≤ maxShiftX, |dy| ≤ maxShiftY. The case
+    * whole-image dHash misses: cropping shifts every pooling cell, so the
+    * global hash moves ~half its bits, while the tile grid keeps the
+    * surviving tiles bit-identical.
+    *
+    * EXACT per offset by the 1-D pigeonhole argument: a matching tile
+    * pair (Hamming ≤ maxHamming < numBands) shares a bit-band value and
+    * surfaces in the banded self-join; any qualifying (pair, dx, dy) has
+    * ≥ 1 matching tile at that offset (minVoteFrac > 0), so banding loses
+    * nothing. `total_tiles = greatest(n₁, n₂)` — a crop of k tiles costs
+    * k votes, tolerated via minVoteFrac, never via a shorter denominator.
+    *
+    * Implementation SHARES the exact vote tail with the temporal family
+    * ([[offsetVoteFromCandidates]]) by linearizing the grid: tile (x, y)
+    * → x·K + y and offset (dx, dy) → dx·K + dy with K = 2¹⁶. Linear
+    * aliasing is impossible by construction: coordinates are guarded to
+    * 0 ≤ y < K − maxShiftY (and x bounded so the index fits an int), so
+    * an out-of-range y + dy would alias to a y' ≥ K − maxShiftY that no
+    * real tile carries — the aliased join key matches nothing. Best-offset
+    * ties therefore break on the LINEARIZED magnitude (|dx| major, then
+    * the signed linear code) — deterministic, partitioning/retry-stable.
+    *
+    * Scale shape: identical to the temporal variant — candidate buckets at
+    * the (band, value) grain with the same loud quadratic refusal, only
+    * (id, 2 small ints, 64-bit hash) rows ever shuffle (never pixels),
+    * votes verified on candidates only, best offset via a bounded
+    * per-pair window (≤ (2·maxShiftX+1)·(2·maxShiftY+1) rows).
+    *
+    * @return (id1, id2, offset_x, offset_y, matched_tiles, total_tiles,
+    *         vote_frac), id1 < id2; offset (dx, dy) means id1's tile
+    *         (x, y) is compared to id2's tile (x+dx, y+dy)
+    */
+  def croppedGridVoteNearDupPairs(tiles: DataFrame, idCol: String,
+      xCol: String, yCol: String, hashCol: String, maxHamming: Int = 3,
+      numBands: Int = 4, minVoteFrac: Double = 0.5, maxShiftX: Int = 2,
+      maxShiftY: Int = 2, maxBandBucket: Long = 100000L,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    require(minVoteFrac > 0.0 && minVoteFrac <= 1.0,
+      s"minVoteFrac must be in (0, 1] — at 0 every pair qualifies and " +
+        s"band candidates are no longer lossless; got $minVoteFrac")
+    require(maxShiftX >= 0 && maxShiftY >= 0,
+      s"shift window must be ≥ 0, got ($maxShiftX, $maxShiftY)")
+    require(maxBandBucket > 0, s"maxBandBucket must be positive")
+    val axisK = 1 << 16
+    require(maxShiftY < axisK, s"maxShiftY must be < $axisK")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val coords = tiles
+      .select(col(idCol).as("_id"), col(xCol).cast("int").as("_tx"),
+        col(yCol).cast("int").as("_ty"), col(hashCol).cast("long").as("_h"))
+      .persist()
+    try {
+      // aliasing-safety guards (see scaladoc): the linearized index must
+      // be injective over the grid EXTENDED by the shift window
+      val b = coords.agg(min(col("_tx")), min(col("_ty")),
+        max(col("_tx")), max(col("_ty"))).head()
+      if (!b.isNullAt(0)) {
+        require(b.getInt(0) >= 0 && b.getInt(1) >= 0,
+          s"tile coordinates must be ≥ 0, got min (${b.getInt(0)}, ${b.getInt(1)})")
+        require(b.getInt(3).toLong + maxShiftY < axisK,
+          s"tile_y + maxShiftY must stay < $axisK (linearization pitch) — " +
+            s"got max y ${b.getInt(3)} with window $maxShiftY")
+        require(b.getInt(2).toLong + maxShiftX < (Int.MaxValue / axisK).toLong,
+          s"tile_x + maxShiftX must stay < ${Int.MaxValue / axisK} — " +
+            s"got max x ${b.getInt(2)} with window $maxShiftX")
+      }
+      val base = coords.select(col("_id"),
+        (col("_tx") * axisK + col("_ty")).as("_f"), col("_h"))
+      val banded = coords
+        .withColumn("_band", explode(array((0 until numBands).map { bi =>
+          struct(lit(bi).as("i"),
+            shiftrightunsigned(col("_h"), bi * width).bitwiseAND(lit(mask)).as("v"))
+        }: _*)))
+        .select(col("_id"), col("_tx"), col("_ty"),
+          col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+        .persist()
+      try {
+        // bucket grain is (band, value) — the shift-tolerant coarsening;
+        // refuse a quadratic block before the join (the R135 guard)
+        val hottestRow = banded.groupBy(col("_bi"), col("_bv"))
+          .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+        val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+        require(hottest <= maxBandBucket,
+          s"a (band, value) bucket is shared by $hottest tile rows (> " +
+            s"maxBandBucket $maxBandBucket) — the candidate block would be " +
+            "quadratic; pre-drop constant/low-entropy tiles")
+        val cand = banded
+          .select(col("_bi"), col("_bv"), col("_id").as("id1"),
+            col("_tx").as("_x1"), col("_ty").as("_y1"))
+          .join(banded.select(col("_bi"), col("_bv"), col("_id").as("id2"),
+            col("_tx").as("_x2"), col("_ty").as("_y2")), Seq("_bi", "_bv"))
+          .where(col("id1") < col("id2") &&
+            abs(col("_x2") - col("_x1")) <= maxShiftX &&
+            abs(col("_y2") - col("_y1")) <= maxShiftY)
+          .select(col("id1"), col("id2"),
+            ((col("_x2") - col("_x1")) * axisK + (col("_y2") - col("_y1")))
+              .as("frame_offset"))
+          .distinct()
+        val verified = offsetVoteFromCandidates(cand, base, maxHamming, minVoteFrac)
+        // decode the linear code: d = dx·K + dy with |dy| ≤ maxShiftY < K,
+        // so pmod(d + maxShiftY, K) − maxShiftY = dy (floor semantics) and
+        // the remainder-free quotient recovers dx exactly
+        val out = verified
+          .withColumn("offset_y",
+            (pmod(col("frame_offset") + lit(maxShiftY), lit(axisK)) -
+              lit(maxShiftY)).cast("int"))
+          .withColumn("offset_x",
+            ((col("frame_offset") - col("offset_y")) / axisK).cast("int"))
+          .select(col("id1"), col("id2"), col("offset_x"), col("offset_y"),
+            col("matched_frames").as("matched_tiles"),
+            col("total_frames").as("total_tiles"), col("vote_frac"))
+        CheckpointStrategy.materialize(out, checkpoint)
+      } finally { banded.unpersist(false); () }
+    } finally { coords.unpersist(false); () }
+  }
+
   /** Shared tail of the shifted sequence-vote family: given candidate
     * (id1, id2, frame_offset) triples and the full signature set
     * (`_id`, `_f`, `_h`), verify votes by popcount at each offset, apply

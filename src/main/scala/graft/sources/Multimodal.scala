@@ -645,6 +645,154 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-TILE dHashes on a fixed pixel pitch — the signature for
+    * CROP/PAD-TOLERANT image dedup: the image is cut into complete
+    * `tilePx`×`tilePx` tiles anchored at pixel (0,0) and each tile is
+    * dHashed independently ([[dHashOfPixels]] over the tile region only).
+    * A crop or a solid-border pad by an exact multiple of the pitch maps
+    * tile (x,y) to tile (x+dx, y+dy) with IDENTICAL pixels (lossless
+    * formats), so a cropped/letterboxed re-encode survives as a constant
+    * 2-D offset of equal tile hashes — the temporal-shift model of
+    * [[videoSequenceDHashes]] in two dimensions, paired by
+    * [[graft.operators.Dedup.croppedGridVoteNearDupPairs]]. Sub-pitch
+    * crops change every tile's pixel content and are out of scope (the
+    * honest contract: this tier catches grid-aligned crops/pads; the
+    * general case needs keypoint signatures, not a hash grid). Pure core
+    * shared with driver-side greedy fixture selection (the q122/q126
+    * discipline).
+    */
+  def imageTileDHashesOf(content: Array[Byte], tilePx: Int): Seq[(Int, Int, Long)] = {
+    require(tilePx >= 9, s"tilePx must be ≥ 9 (dHash needs a ≥9×8 grid), got $tilePx")
+    val img = decodeImage(content)
+    val (tw, th) = (img.getWidth / tilePx, img.getHeight / tilePx)
+    require(tw > 0 && th > 0,
+      s"image ${img.getWidth}x${img.getHeight} holds no complete $tilePx-px tile")
+    for { tx <- 0 until tw; ty <- 0 until th } yield
+      (tx, ty, dHashOfPixels(tilePx, tilePx,
+        (x, y) => img.getRGB(tx * tilePx + x, ty * tilePx + y)))
+  }
+
+  /** Relational tile-dHash extraction: `(idCol, tile_x, tile_y, thash)`
+    * per complete tile — decode once per image inside mapPartitions, off
+    * the shuffle path (the [[imageDHashes]] shape); only 64-bit hashes
+    * plus small-int grid coordinates ever shuffle, never pixels.
+    */
+  def imageTileDHashes(df: DataFrame, idCol: String, bytesCol: String,
+      tilePx: Int)(implicit spark: SparkSession): DataFrame = {
+    require(tilePx >= 9, s"tilePx must be ≥ 9 (dHash needs a ≥9×8 grid), got $tilePx")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("tile_x", IntegerType, nullable = false),
+      StructField("tile_y", IntegerType, nullable = false),
+      StructField("thash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          imageTileDHashesOf(row.getAs[Array[Byte]](1), tilePx).map {
+            case (tx, ty, h) => org.apache.spark.sql.Row(id, tx, ty, h)
+          }
+        }
+      }(enc)
+  }
+
+  /** Re-encode a rectangular crop of a decoded image as PNG (lossless —
+    * the cropped duplicate model for [[imageTileDHashes]] fixtures and
+    * specs). Pixels are copied explicitly so the encode does not depend
+    * on the source image's buffer type.
+    */
+  def cropPng(content: Array[Byte], x0: Int, y0: Int, w: Int, h: Int): Array[Byte] = {
+    val img = decodeImage(content)
+    require(x0 >= 0 && y0 >= 0 && w > 0 && h > 0 &&
+      x0 + w <= img.getWidth && y0 + h <= img.getHeight,
+      s"crop ($x0,$y0,${w}x$h) outside ${img.getWidth}x${img.getHeight}")
+    encodePngOf(w, h, (x, y) => img.getRGB(x0 + x, y0 + y))
+  }
+
+  /** Pad an image with a solid border (the letterbox model): the source
+    * lands at offset (left, top) inside a larger canvas filled with
+    * `rgb`. Lossless, so interior tiles keep their exact pixels.
+    */
+  def padPng(content: Array[Byte], left: Int, top: Int, right: Int,
+      bottom: Int, rgb: Int = 0x000000): Array[Byte] = {
+    require(left >= 0 && top >= 0 && right >= 0 && bottom >= 0,
+      s"pad margins must be ≥ 0, got ($left,$top,$right,$bottom)")
+    val img = decodeImage(content)
+    val (w, h) = (img.getWidth + left + right, img.getHeight + top + bottom)
+    encodePngOf(w, h, (x, y) =>
+      if (x >= left && x < left + img.getWidth &&
+          y >= top && y < top + img.getHeight)
+        img.getRGB(x - left, y - top)
+      else rgb)
+  }
+
+  /** Compose a `tilesX`×`tilesY` tile grid from source images: destination
+    * tile (tx, ty) copies source tile (sx, sy) of the image bytes that
+    * `pick(tx, ty)` returns. Decodes are memoized per distinct byte
+    * content within one call. Fixture staging for the 2-D splice decoys
+    * of the crop-tolerant probe (the synthAviComposed analogue).
+    */
+  def composePngTiles(tilePx: Int, tilesX: Int, tilesY: Int,
+      pick: (Int, Int) => (Array[Byte], Int, Int)): Array[Byte] = {
+    require(tilePx > 0 && tilesX > 0 && tilesY > 0,
+      s"composePngTiles needs positive dims, got ($tilePx, $tilesX, $tilesY)")
+    val cache = scala.collection.mutable.HashMap
+      .empty[java.nio.ByteBuffer, java.awt.image.BufferedImage]
+    val grid = Array.tabulate(tilesX, tilesY) { (tx, ty) =>
+      val (bytes, sx, sy) = pick(tx, ty)
+      val img = cache.getOrElseUpdate(java.nio.ByteBuffer.wrap(bytes),
+        decodeImage(bytes))
+      require(sx >= 0 && sy >= 0 && (sx + 1) * tilePx <= img.getWidth &&
+        (sy + 1) * tilePx <= img.getHeight,
+        s"source tile ($sx,$sy) outside ${img.getWidth}x${img.getHeight}")
+      (img, sx, sy)
+    }
+    encodePngOf(tilesX * tilePx, tilesY * tilePx, (x, y) => {
+      val (img, sx, sy) = grid(x / tilePx)(y / tilePx)
+      img.getRGB(sx * tilePx + x % tilePx, sy * tilePx + y % tilePx)
+    })
+  }
+
+  /** Encode a pixel function as PNG bytes — shared by the crop/pad/compose
+    * staging helpers and [[synthPngMixed]].
+    */
+  private def encodePngOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgbAt(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** splitmix64-mixed pixel formula: channels from a finalizer-mixed hash
+    * of (id, x, y). The [[synthPixel]] linear-congruential walk is
+    * TRANSLATION-structured — neighboring tiles of one image differ by
+    * near-constant channel shifts, so per-tile dHashes are
+    * signature-degenerate (the q123/q127 lesson: a construction must
+    * GUARANTEE diversity, not assume it); the mixed formula makes tiles
+    * statistically independent. Deterministic, engine/rerun-stable.
+    */
+  def synthPixelMixed(id: Long, x: Int, y: Int): Int = {
+    var z = id * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L +
+      y * 0x94D049BB133111EBL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z & 0xFFFFFF).toInt
+  }
+
+  /** Encode the mixed formula image for `id` as real PNG bytes. */
+  def synthPngMixed(id: Long, w: Int = 64, h: Int = 48): Array[Byte] =
+    encodePngOf(w, h, (x, y) => synthPixelMixed(id, x, y))
+
   /** 64-bit audio ENVELOPE hash — the [[dHash64]] analogue over decoded
     * PCM: integer mean |amplitude| over 65 equal time windows, one bit
     * per gradient (window louder than its successor). A coarse,

@@ -358,6 +358,106 @@ class DedupSpec extends SparkSpec {
       constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
   }
 
+  test("croppedGridVoteNearDupPairs ≡ brute force over 2-D offsets; crop/pad caught; guards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(13131)
+    val (sx, sy) = (2, 2) // operator window
+    // base grids (4×3, some 3×3); planted: identical, corner-cropped,
+    // padded (grid shifted +1,+1), cropped-and-nudged, and a 2-D splice
+    // sharing ONE tile at a nonzero offset
+    def grid(w: Int, h: Int): Map[(Int, Int), Long] =
+      (for { x <- 0 until w; y <- 0 until h } yield ((x, y), rnd.nextLong())).toMap
+    val base: Seq[(Long, Map[(Int, Int), Long])] =
+      (0L until 20L).map(i => (i, grid(4 - (i % 2).toInt, 3)))
+    val planted: Seq[(Long, Map[(Int, Int), Long])] =
+      base.take(15).zipWithIndex.map { case ((id, g), k) =>
+        val mutated: Map[(Int, Int), Long] = k % 5 match {
+          case 0 => g // identical, offset (0,0)
+          case 1 => // crop the first tile column and row: offset (-1,-1)
+            g.collect { case ((x, y), h) if x >= 1 && y >= 1 => ((x - 1, y - 1), h) }
+          case 2 => // pad one tile of junk on the left and top: offset (+1,+1)
+            g.map { case ((x, y), h) => ((x + 1, y + 1), h) } ++
+              Map((0, 0) -> rnd.nextLong(), (0, 1) -> rnd.nextLong())
+          case 3 => // crop + ≤3-bit nudge on half the tiles
+            g.collect { case ((x, y), h) if x >= 1 =>
+              ((x - 1, y), if ((x + y) % 2 == 0) h ^ (1L << ((k * 7 + x) % 64)) else h) }
+          case _ => // splice: one tile of g at (0,0), junk elsewhere
+            Map((0, 0) -> g((2, 1))) ++
+              (for { x <- 0 until 4; y <- 0 until 3; if (x, y) != ((0, 0)) }
+                yield ((x, y), rnd.nextLong()))
+        }
+        (id + 1000L, mutated)
+      }
+    val all = base ++ planted
+    val rows = all.flatMap { case (id, g) =>
+      g.map { case ((x, y), h) => (id, x, y, h) } }
+    def brute(t: Int, frac: Double): Set[(Long, Long, Int, Int, Long, Long)] = {
+      val thrPpm = math.floor(frac * 1e6).toLong
+      val k = 1 << 16
+      (for {
+        (i1, g1) <- all; (i2, g2) <- all if i1 < i2
+        votes = (for { dx <- -sx to sx; dy <- -sy to sy } yield {
+          val m = g1.count { case ((x, y), h) =>
+            g2.get((x + dx, y + dy))
+              .exists(h2 => java.lang.Long.bitCount(h ^ h2) <= t)
+          }
+          ((dx, dy), m.toLong)
+        })
+        total = math.max(g1.size, g2.size).toLong
+        qualifying = votes.filter { case (_, m) => m * 1000000L >= total * thrPpm }
+        if qualifying.nonEmpty
+        // the operator breaks best-offset ties on the LINEARIZED code
+        best = qualifying.minBy { case ((dx, dy), m) =>
+          (-m, math.abs(dx.toLong * k + dy), dx.toLong * k + dy) }
+      } yield (i1, i2, best._1._1, best._1._2, best._2, total)).toSet
+    }
+    for (t <- Seq(0, 3); frac <- Seq(0.5, 0.7)) {
+      val got = Dedup.croppedGridVoteNearDupPairs(rows.toDF("id", "x", "y", "h"),
+          "id", "x", "y", "h", maxHamming = t, numBands = 4, minVoteFrac = frac,
+          maxShiftX = sx, maxShiftY = sy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got === brute(t, frac), s"t=$t frac=$frac")
+    }
+    // window (0,0) degenerates to the ALIGNED sequence vote on the
+    // linearized tile index — the same equivalence the 1-D variant pins
+    val linear = rows.map { case (id, x, y, h) => (id, x * (1 << 16) + y, h) }
+    val aligned = Dedup.sequenceVoteNearDupPairs(linear.toDF("id", "f", "h"),
+        "id", "f", "h", maxHamming = 3, numBands = 4, minVoteFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grid0 = Dedup.croppedGridVoteNearDupPairs(rows.toDF("id", "x", "y", "h"),
+        "id", "x", "y", "h", maxHamming = 3, numBands = 4, minVoteFrac = 0.5,
+        maxShiftX = 0, maxShiftY = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(grid0 === aligned)
+    // partitioning-stability
+    val a = Dedup.croppedGridVoteNearDupPairs(rows.toDF("id", "x", "y", "h"),
+      "id", "x", "y", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val b = Dedup.croppedGridVoteNearDupPairs(
+      rows.toDF("id", "x", "y", "h").repartition(13),
+      "id", "x", "y", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(a === b)
+    // guards: pigeonhole, window, quadratic bucket, coordinate domain
+    intercept[IllegalArgumentException](Dedup.croppedGridVoteNearDupPairs(
+      rows.toDF("id", "x", "y", "h"), "id", "x", "y", "h",
+      maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](Dedup.croppedGridVoteNearDupPairs(
+      rows.toDF("id", "x", "y", "h"), "id", "x", "y", "h", maxShiftX = -1))
+    val constantTile = (0L until 50L).map(i => (i, 0, 0, 0L))
+    intercept[IllegalArgumentException](Dedup.croppedGridVoteNearDupPairs(
+      constantTile.toDF("id", "x", "y", "h"), "id", "x", "y", "h",
+      maxBandBucket = 10L))
+    val negCoord = Seq((1L, -1, 0, 5L), (2L, 0, 0, 5L))
+    intercept[IllegalArgumentException](Dedup.croppedGridVoteNearDupPairs(
+      negCoord.toDF("id", "x", "y", "h"), "id", "x", "y", "h"))
+    val hugeY = Seq((1L, 0, (1 << 16) - 1, 5L), (2L, 0, 0, 5L))
+    intercept[IllegalArgumentException](Dedup.croppedGridVoteNearDupPairs(
+      hugeY.toDF("id", "x", "y", "h"), "id", "x", "y", "h", maxShiftY = 1))
+  }
+
   test("hammingContaminationPairs ≡ brute force; broadcast eval; guards") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -530,6 +530,73 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.dHash64(Array[Byte](1, 2, 3)))
   }
 
+  test("multimodal: imageTileDHashes — crop/pad/compose tile alignment, determinism, guards") {
+    import graft.sources.Multimodal
+    import spark.implicits._
+    val tile = 16
+    val full = Multimodal.synthPngMixed(42L) // 64×48 → 4×3 tiles
+    val tilesFull = Multimodal.imageTileDHashesOf(full, tile)
+    assert(tilesFull.map(t => (t._1, t._2)).toSet ===
+      (for { x <- 0 until 4; y <- 0 until 3 } yield (x, y)).toSet)
+    // determinism: regenerate → identical hashes
+    assert(tilesFull === Multimodal.imageTileDHashesOf(
+      Multimodal.synthPngMixed(42L), tile))
+    val byPos = tilesFull.map(t => ((t._1, t._2), t._3)).toMap
+    // each tile's hash equals the whole-image dHash of that tile cropped
+    // out alone (the tile really is hashed from its own pixels only)
+    for ((tx, ty) <- Seq((0, 0), (2, 1), (3, 2))) {
+      val solo = Multimodal.cropPng(full, tx * tile, ty * tile, tile, tile)
+      assert(Multimodal.dHash64(solo) === byPos((tx, ty)), s"tile ($tx,$ty)")
+    }
+    // CROP by exact tile multiples: surviving tiles keep their hash at a
+    // constant (−1,−1) offset
+    val cropped = Multimodal.cropPng(full, tile, tile, 3 * tile, 2 * tile)
+    val tilesCrop = Multimodal.imageTileDHashesOf(cropped, tile)
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(tilesCrop.size === 6)
+    tilesCrop.foreach { case ((x, y), h) => assert(h === byPos((x + 1, y + 1))) }
+    // PAD (letterbox) by one tile on the left and top: interior tiles keep
+    // their hash at a constant (+1,+1) offset
+    val padded = Multimodal.padPng(full, tile, tile, 0, 0)
+    val tilesPad = Multimodal.imageTileDHashesOf(padded, tile)
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(tilesPad.size === 20) // 5×4 grid
+    byPos.foreach { case ((x, y), h) => assert(tilesPad((x + 1, y + 1)) === h) }
+    // COMPOSE: destination tiles carry exactly their picked source tiles
+    val other = Multimodal.synthPngMixed(43L)
+    val otherPos = Multimodal.imageTileDHashesOf(other, tile)
+      .map(t => ((t._1, t._2), t._3)).toMap
+    val spliced = Multimodal.composePngTiles(tile, 4, 3, (tx, ty) =>
+      if (tx == 0 && ty == 0) (full, 2, 1) else (other, tx, ty))
+    val tilesSplice = Multimodal.imageTileDHashesOf(spliced, tile)
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(tilesSplice((0, 0)) === byPos((2, 1)))
+    tilesSplice.removed((0, 0)).foreach { case (p, h) => assert(h === otherPos(p)) }
+    // relational extraction ≡ the pure core
+    val rel = Multimodal.imageTileDHashes(
+        Seq((1L, full)).toDF("media_id", "content"), "media_id", "content", tile)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rel === tilesFull.toSet)
+    // the mixed formula is tile-diverse where the linear one is not: the
+    // q131 greedy screen's self-diversity must hold for most seeds
+    val selfDiverse = (0L until 20L).count { id =>
+      val hs = Multimodal.imageTileDHashesOf(Multimodal.synthPngMixed(id), tile)
+        .map(_._3)
+      hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
+        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
+    }
+    assert(selfDiverse >= 15, s"mixed formula tile-degenerate: $selfDiverse/20")
+    // guards
+    intercept[IllegalArgumentException](Multimodal.imageTileDHashesOf(full, 8))
+    intercept[IllegalArgumentException]( // no complete tile
+      Multimodal.imageTileDHashesOf(full, 100))
+    intercept[IllegalArgumentException](
+      Multimodal.cropPng(full, 60, 40, 16, 16)) // outside
+    intercept[IllegalArgumentException](Multimodal.padPng(full, -1, 0, 0, 0))
+    intercept[IllegalArgumentException](
+      Multimodal.composePngTiles(tile, 1, 1, (_, _) => (full, 4, 0)))
+  }
+
   test("multimodal: envelopeHash64 — deterministic, edit-tolerant, class-diverse, guards") {
     import graft.sources.Multimodal
     val h0 = Multimodal.envelopeHash64(Multimodal.synthWav(7L, 2000))
