@@ -1217,6 +1217,21 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Flip/rotation-tolerant image dedup (q132): 25 canonical-diverse
+    // PNGs staged as (image, mirror-x, rot90); the orientation-canonical
+    // hash is D4-orbit-invariant, so the result is exactly the 75
+    // within-orbit pairs at Hamming 0.
+    "q132_flipped_image_dedup" ->
+      raw"""SELECT id1, id2, hamming FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 2000 AS id2, CAST(0 AS BIGINT) FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 2000 AS id2, CAST(0 AS BIGINT)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
     // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
     // construction over WAV PCM segment envelope hashes — same four-way
     // staging, same fixed 75-row best-offset result (trim 6/8 at offset

@@ -2565,6 +2565,48 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q132 — FLIP/ROTATION-TOLERANT image dedup
+    * (Multimodal.imageCanonicalDHashes + Dedup.hammingNearDupPairs), the
+    * case q122's plain dHash misses entirely: a mirrored or rotated
+    * re-upload moves ~half the 64 gradient bits, but the
+    * orientation-CANONICAL hash (min dHash over the 8 dihedral
+    * transforms) is invariant under the whole D4 orbit — so staged flips
+    * and rotations pair at Hamming 0 EXACTLY, and the oracle stays
+    * construction-derived. 25 mixed-formula PNGs greedily screened to
+    * pairwise > 3 canonical-hash bits, each staged three ways: id i (the
+    * image), id i+1000 (mirror-x via Multimodal.transformPng(4)), id
+    * i+2000 (rot90 via transformPng(1)) — exactly the 75 within-orbit
+    * pairs, nothing across seeds. No image decoding in the oracle.
+    */
+  def q132FlippedImageDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 25 && cand < 500) {
+      val h = Multimodal.dHashCanonical64(Multimodal.synthPngMixed(cand))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 25, s"only ${seeds.size} canonical-diverse seeds in 0..499")
+    val rows: Seq[(Long, Long, Int)] = seeds.map(_._1).zipWithIndex.flatMap {
+      case (seed, i) =>
+        Seq((i.toLong, seed, 0), (i + 1000L, seed, 4), (i + 2000L, seed, 1))
+    }.toSeq
+    val withBytes = rows.toDF("media_id", "seed", "k")
+      .as[(Long, Long, Int)]
+      .map { case (id, seed, k) =>
+        val full = Multimodal.synthPngMixed(seed)
+        (id, if (k == 0) full else Multimodal.transformPng(full, k))
+      }
+      .toDF("media_id", "content")
+    val hashes = Multimodal.imageCanonicalDHashes(withBytes, "media_id", "content")
+    Dedup.hammingNearDupPairs(hashes, "media_id", "chash", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2698,5 +2740,6 @@ object Queries {
     "q129_perceptual_contamination" -> q129PerceptualContamination _,
     "q130_pq_adc" -> q130PqAdc _,
     "q131_cropped_image_dedup" -> q131CroppedImageDedup _,
+    "q132_flipped_image_dedup" -> q132FlippedImageDedup _,
   )
 }

@@ -772,6 +772,73 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The 8 dihedral (D4) pixel transforms of a w×h grid, as
+    * (newW, newH, mapped rgbAt): identity, three rotations, and their
+    * mirrored forms. Shared by the orientation-canonical hash below and
+    * the [[transformPng]] fixture/staging helper — both sides MUST use
+    * the same index convention or the canonical-orbit argument breaks.
+    */
+  private def dihedralTransforms(w: Int, h: Int, rgbAt: (Int, Int) => Int)
+      : Seq[(Int, Int, (Int, Int) => Int)] = Seq(
+    (w, h, (x: Int, y: Int) => rgbAt(x, y)),                 // identity
+    (h, w, (x: Int, y: Int) => rgbAt(y, h - 1 - x)),         // rot90 cw
+    (w, h, (x: Int, y: Int) => rgbAt(w - 1 - x, h - 1 - y)), // rot180
+    (h, w, (x: Int, y: Int) => rgbAt(w - 1 - y, x)),         // rot270 cw
+    (w, h, (x: Int, y: Int) => rgbAt(w - 1 - x, y)),         // mirror x
+    (h, w, (x: Int, y: Int) => rgbAt(y, x)),                 // transpose
+    (w, h, (x: Int, y: Int) => rgbAt(x, h - 1 - y)),         // mirror y
+    (h, w, (x: Int, y: Int) => rgbAt(w - 1 - y, h - 1 - x))) // anti-transpose
+
+  /** ORIENTATION-CANONICAL 64-bit dHash: the minimum [[dHashOfPixels]]
+    * over the image's 8 dihedral transforms (rotations by 0/90/180/270°
+    * and their mirrors). A flipped or rotated re-upload has the SAME
+    * transform orbit as the original — the D4 group permutes it — so its
+    * canonical hash is BIT-IDENTICAL, not merely close: mirrored
+    * duplicates that plain [[dHash64]] scores ~32 bits apart pair at
+    * Hamming 0, and the construction stays oracle-checkable. Min over
+    * signed longs is an arbitrary-but-total order; determinism follows
+    * from [[dHashOfPixels]]'s integer-only contract. Pairs via
+    * [[graft.operators.Dedup.hammingNearDupPairs]] exactly as the plain
+    * hash does.
+    */
+  def dHashCanonical64(content: Array[Byte]): Long = {
+    val img = decodeImage(content)
+    dihedralTransforms(img.getWidth, img.getHeight, img.getRGB).map {
+      case (tw, th, at) => dHashOfPixels(tw, th, at)
+    }.min
+  }
+
+  /** Relational orientation-canonical dHash extraction — the
+    * [[imageDHashes]] shape: `(idCol, chash)`, decode + 8 grid passes per
+    * image inside mapPartitions, only the 64-bit canonical hash shuffles.
+    */
+  def imageCanonicalDHashes(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("chash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(bytesCol))
+      .mapPartitions { it =>
+        it.map { row =>
+          org.apache.spark.sql.Row(row.getLong(0),
+            dHashCanonical64(row.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
+  /** Re-encode dihedral transform `k` (0..7, [[dihedralTransforms]] order:
+    * 0 identity, 1 rot90, 2 rot180, 3 rot270, 4 mirror-x, 5 transpose,
+    * 6 mirror-y, 7 anti-transpose) of a decoded image as PNG — the
+    * staged-duplicate model for [[dHashCanonical64]] fixtures and specs.
+    */
+  def transformPng(content: Array[Byte], k: Int): Array[Byte] = {
+    require(k >= 0 && k < 8, s"dihedral transform index must be 0..7, got $k")
+    val img = decodeImage(content)
+    val (tw, th, at) = dihedralTransforms(img.getWidth, img.getHeight, img.getRGB)(k)
+    encodePngOf(tw, th, at)
+  }
+
   /** splitmix64-mixed pixel formula: channels from a finalizer-mixed hash
     * of (id, x, y). The [[synthPixel]] linear-congruential walk is
     * TRANSLATION-structured — neighboring tiles of one image differ by

@@ -597,6 +597,40 @@ class SourcesSpec extends SparkSpec {
       Multimodal.composePngTiles(tile, 1, 1, (_, _) => (full, 4, 0)))
   }
 
+  test("multimodal: dHashCanonical64 — D4-orbit invariant, min-of-orbit identity, guards") {
+    import graft.sources.Multimodal
+    import spark.implicits._
+    val full = Multimodal.synthPngMixed(9L) // 64×48 — non-square exercises dim swap
+    val c0 = Multimodal.dHashCanonical64(full)
+    // orbit invariance: EVERY dihedral transform has the same canonical
+    // hash — the exactness claim behind q132's Hamming-0 oracle
+    for (k <- 0 until 8)
+      assert(Multimodal.dHashCanonical64(Multimodal.transformPng(full, k)) === c0,
+        s"transform $k broke canonical invariance")
+    // min-of-orbit identity: canonical == min plain dHash over the 8
+    // re-encoded transforms (PNG lossless, so the staged orbit IS the orbit)
+    val orbit = (0 until 8).map(k =>
+      Multimodal.dHash64(Multimodal.transformPng(full, k)))
+    assert(c0 === orbit.min)
+    // the tier is necessary: a mirror moves the PLAIN hash far (mostly),
+    // so q122's whole-image dHash cannot pair mirrored re-uploads
+    val moved = (0L until 20L).count { id =>
+      val img = Multimodal.synthPngMixed(id)
+      java.lang.Long.bitCount(Multimodal.dHash64(img) ^
+        Multimodal.dHash64(Multimodal.transformPng(img, 4))) > 3
+    }
+    assert(moved >= 15, s"mirror barely moves plain dHash: $moved/20")
+    // relational extraction ≡ the pure function; determinism
+    val rel = Multimodal.imageCanonicalDHashes(
+        Seq((1L, full), (2L, Multimodal.transformPng(full, 2)))
+          .toDF("media_id", "content"), "media_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rel(1L) === c0 && rel(2L) === c0)
+    // guards
+    intercept[IllegalArgumentException](Multimodal.transformPng(full, 8))
+    intercept[IllegalArgumentException](Multimodal.dHashCanonical64(Array[Byte](1)))
+  }
+
   test("multimodal: envelopeHash64 — deterministic, edit-tolerant, class-diverse, guards") {
     import graft.sources.Multimodal
     val h0 = Multimodal.envelopeHash64(Multimodal.synthWav(7L, 2000))
