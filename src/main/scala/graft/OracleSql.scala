@@ -1232,6 +1232,76 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Speed/fps-change-tolerant video dedup (q133): 24 speed-diverse
+    // 12-frame clips staged as (full, half-rate duplicate, decoy splice,
+    // identical restage). The half-rate dup matches its original 6/6 under
+    // the (stride 2, phase 0, offset 0) hypothesis with the ORIGINAL as
+    // the decimated side (decimated=1 when the original id is smaller, 2
+    // when it is the restage at +3000); the restage matches 16/16 at
+    // stride 1; every splice and wrong hypothesis drops (screen margins at
+    // the probe's scaladoc).
+    "q133_video_speed_dedup" ->
+      raw"""SELECT id1, id2, stride, phase, decimated, frame_offset,
+  matched_frames, total_frames, vote_frac
+FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(2 AS INTEGER) AS stride,
+    CAST(0 AS INTEGER) AS phase, CAST(1 AS INTEGER) AS decimated,
+    CAST(0 AS INTEGER) AS frame_offset, CAST(6 AS BIGINT) AS matched_frames,
+    CAST(6 AS BIGINT) AS total_frames, CAST(1.0 AS DOUBLE) AS vote_frac
+  FROM range(24) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 3000 AS id2, CAST(1 AS INTEGER), CAST(0 AS INTEGER),
+    CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(12 AS BIGINT),
+    CAST(12 AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM range(24) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 3000 AS id2, CAST(2 AS INTEGER),
+    CAST(0 AS INTEGER), CAST(2 AS INTEGER), CAST(0 AS INTEGER),
+    CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM range(24) t(i)
+) ORDER BY id1, id2""",
+
+    // Dataset quality card (q134): exact per-column row/null/distinct
+    // counts and typed min/max over documents — every metric is plain SQL,
+    // restricted to types whose string rendering is engine-portable.
+    "q134_profile_columns" ->
+      raw"""SELECT "column", n_rows, n_non_null, n_null, n_distinct,
+  min_value, max_value
+FROM (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows, count(doc_id) AS n_non_null,
+    count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+    CAST(min(doc_id) AS VARCHAR) AS min_value,
+    CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(lang), count(*) - count(lang),
+    count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
+    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+    CAST(max(n_chars) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(source), count(*) - count(source),
+    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+    CAST(max(source) AS VARCHAR)
+  FROM documents
+) ORDER BY "column"""",
+
+    // Exact top-k frequent values per column (q135): counts at the
+    // (column, value) grain, deterministic ties (count desc, value asc).
+    "q135_frequent_values" ->
+      raw"""SELECT "column", value, n FROM (
+  SELECT 'lang' AS "column", lang AS value, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+  UNION ALL
+  SELECT 'source', source, count(*) FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+)
+QUALIFY row_number() OVER (PARTITION BY "column" ORDER BY n DESC, value ASC) <= 5
+ORDER BY "column", n DESC, value""",
+
     // Shift-tolerant segment-wise AUDIO dedup (q127): the q126
     // construction over WAV PCM segment envelope hashes — same four-way
     // staging, same fixed 75-row best-offset result (trim 6/8 at offset

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Chunkers, Dedup, Embeddings, Index, Sampling, Search}
+import graft.operators.{Chunkers, Dedup, Embeddings, Index, Profile, Sampling, Search}
 import graft.model.SplitStrategy
 
 /** The probe-query library: every SURVEY.md §2 operator expressed as an
@@ -2607,6 +2607,118 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Speed-diverse greedy seed screen for q133 (selectShiftDiverse with the
+    * margins the STRIDE hypothesis space needs): clips are 16 frames, and
+    * cross-seed collisions (≤ 3 bits) are bounded per content-offset over
+    * [-8, 8] — under any (stride ≤ 2, |d| ≤ 3, phase) hypothesis between
+    * same-slope stagings the compared content indexes differ by the
+    * CONSTANT s·d + r ∈ [-7, 7] (so ≤ 4 collisions cap a spurious vote at
+    * 4 < the 5 the 0.7 threshold needs at denominator 6 — the ≤ 2 margin
+    * of the q126 screen saturates at 39 accepted seeds over 60k
+    * candidates at this clip length, measured; the planted splice frame
+    * adds its vote only on denominator-12 hypotheses needing ≥ 9, shown
+    * in the operator's margin audit), while mixed-slope
+    * hypotheses (a decimated 2×-dup against a full-rate clip of another
+    * seed) compare ≤ 3 valid frames against denominators ≥ 6 and can
+    * never qualify structurally. Within-clip pairwise diversity (> 3
+    * bits across all 12 positions) makes every wrong same-seed hypothesis
+    * score ≤ 1 vote (the single content-index identity solution).
+    */
+  private lazy val speedDiverseVideoSeeds: (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val nFrames = 12
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var cand = 0L
+    // 48 = 24 clips + 24 decoys: the ≤ 4-collision screen saturates at 48
+    // accepted seeds (measured: 48 at BOTH 20k and 60k candidates — the
+    // synth formula's variety ceiling at this clip length)
+    while (seeds.size < 48 && cand < 60000) {
+      val hs = graft.sources.Multimodal
+        .videoFrameDHashes(graft.sources.Multimodal.synthAvi(cand, nFrames), 1)
+        .map(_._2)
+      val selfDiverse = hs.indices.forall(a => (a + 1 until hs.size).forall(b =>
+        java.lang.Long.bitCount(hs(a) ^ hs(b)) > 3))
+      val crossOk = seeds.forall { case (_, ph) =>
+        (-8 to 8).forall { c =>
+          ph.indices.count { f =>
+            val g = f + c
+            g >= 0 && g < hs.size &&
+              java.lang.Long.bitCount(ph(f) ^ hs(g)) <= 3
+          } <= 4
+        }
+      }
+      if (selfDiverse && crossOk) seeds += ((cand, hs))
+      cand += 1
+    }
+    require(seeds.size == 48, s"only ${seeds.size} speed-diverse seeds in 0..59999")
+    (seeds.take(24).map(_._1).toIndexedSeq, seeds.drop(24).map(_._1).toIndexedSeq)
+  }
+
+  /** Q133 — SPEED/FPS-CHANGE-TOLERANT video dedup
+    * (Dedup.speedSequenceVoteNearDupPairs): 24 speed-diverse 12-frame clips
+    * each staged four ways — full, a HALF-RATE duplicate (every 2nd frame,
+    * bit-identical surviving frames at half the index — the rate-changed
+    * re-encode no constant offset aligns, synthAviComposed over content
+    * frames 0,2,…,10), a decoy splice (one real frame + a decoy tail), and
+    * an identical restage. The construction fixes the exact result: the
+    * half-rate dup matches its original 6/6 under the (stride 2, phase 0,
+    * offset 0) hypothesis with the ORIGINAL as the decimated side, the
+    * restage matches 12/12 at stride 1, the dup-vs-restage pair mirrors the
+    * first family, and every splice and every wrong hypothesis drops (see
+    * [[speedDiverseVideoSeeds]] for the margins) — so the DuckDB oracle
+    * needs no video decoding.
+    */
+  def q133VideoSpeedDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nFrames = 12
+    val (base, decoy) = speedDiverseVideoSeeds
+    val rows: Seq[(Long, Long, Long)] = (0 until 24).flatMap { i =>
+      Seq((i.toLong, base(i), -1L), (i + 1000L, base(i), -2L),
+        (i + 2000L, base(i), decoy(i)), (i + 3000L, base(i), -1L))
+    }
+    val withBytes = rows.toDF("media_id", "seed", "decoy")
+      .as[(Long, Long, Long)]
+      .map { case (id, seed, dec) =>
+        val bytes = dec match {
+          case -1L => Multimodal.synthAvi(seed, nFrames) // full clip
+          case -2L => // half-rate duplicate: content frames 0,2,…,14
+            Multimodal.synthAviComposed(
+              (0 until nFrames / 2).map(f => (seed, 2 * f)))
+          case d => // splice: source frame 3 of the clip + a decoy tail
+            Multimodal.synthAviComposed(
+              (seed, 3) +: (1 until nFrames).map(p => (d, p)))
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "content")
+    val sigs = Multimodal.videoSequenceDHashes(withBytes, "media_id", "content",
+      stride = 1)
+    Dedup.speedSequenceVoteNearDupPairs(sigs, "media_id", "frame_idx", "vhash",
+        maxHamming = 3, numBands = 4, minVoteFrac = 0.7, maxShift = 3,
+        maxStride = 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Q134 — per-column dataset quality card (Profile.profileColumns): the
+    * observability pass over `documents` — exact row/null/distinct counts
+    * and typed min/max per profiled column, every metric replayable in SQL
+    * (the probe restricts to types whose string rendering is
+    * engine-portable: BIGINT and VARCHAR).
+    */
+  def q134ProfileColumns(s: SparkSession, dir: String): DataFrame =
+    Profile.profileColumns(Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
+  /** Q135 — exact top-k frequent values per column
+    * (Profile.frequentValues): the categorical-drift detector over
+    * `documents.lang` / `documents.source`, deterministic ties (count
+    * desc, value asc).
+    */
+  def q135FrequentValues(s: SparkSession, dir: String): DataFrame =
+    Profile.frequentValues(Tables.documents(s, dir),
+      Seq("lang", "source"), k = 5)
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2741,5 +2853,8 @@ object Queries {
     "q130_pq_adc" -> q130PqAdc _,
     "q131_cropped_image_dedup" -> q131CroppedImageDedup _,
     "q132_flipped_image_dedup" -> q132FlippedImageDedup _,
+    "q133_video_speed_dedup" -> q133VideoSpeedDedup _,
+    "q134_profile_columns" -> q134ProfileColumns _,
+    "q135_frequent_values" -> q135FrequentValues _,
   )
 }

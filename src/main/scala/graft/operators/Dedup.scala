@@ -1135,6 +1135,170 @@ object Dedup {
     } finally { coords.unpersist(false); () }
   }
 
+  /** SPEED/FPS-CHANGE-TOLERANT sequence-vote near-dup pairs —
+    * [[shiftedSequenceVoteNearDupPairs]] extended to RATE-changed
+    * duplicates: a clip re-encoded at half the frame rate (or uniformly
+    * sped up s×) keeps every surviving frame bit-identical but lands it at
+    * frame index f instead of s·f + c, so no constant offset aligns the
+    * timelines and the shifted vote scores ≤ 1/s. Here the hypothesis
+    * space is (stride s ∈ [1, maxStride], phase r ∈ [0, s), offset
+    * |d| ≤ maxShift, which side is the slow/full-rate one): the slow
+    * side's sequence is DECIMATED to its (s, r) arithmetic subsequence
+    * (frame s·f' + r → index f'), after which the fast side aligns with it
+    * at a constant offset in decimated index space and the vote proceeds
+    * exactly as in the shifted family.
+    *
+    * EXACT per hypothesis by the same pigeonhole argument: a matching
+    * frame pair shares a bit-band value and surfaces in the banded join;
+    * any qualifying (pair, s, r, d) has ≥ 1 matching frame at that
+    * hypothesis (minVoteFrac > 0), so banding loses nothing. The
+    * denominator is `greatest(n_fast, n_slow_decimated)` — the
+    * greatest(n₁, n₂) discipline per hypothesis: a half-rate duplicate of
+    * a 2n-frame clip compares n frames against a decimated view of n
+    * frames, so a true rate-change scores 1.0, while the WRONG hypothesis
+    * (e.g. stride 2 between two equal-length restages) caps at 1/s and
+    * drops for any minVoteFrac > 0.5. Per pair the BEST hypothesis's row
+    * is returned (max votes; ties to smallest stride, then smallest |d|,
+    * then smallest d, then decimated side 0/1/2, then smallest phase —
+    * deterministic).
+    *
+    * Scale shape: the variant universe multiplies banded rows by
+    * maxStride (each stride's phases partition the frames), so candidate
+    * buckets at the (band, value) grain are ~maxStride× hotter than the
+    * shifted variant's — same loud quadratic refusal, and only
+    * (id, 3 small ints, 64-bit hash) rows ever shuffle, never media.
+    * Votes verify on candidates only; best-hypothesis selection is a
+    * bounded per-pair window (≤ (2·maxShift+1)·Σs hypotheses/pair,
+    * WindowGroupLimit-prunable).
+    *
+    * @return (id1, id2, stride, phase, decimated, frame_offset,
+    *         matched_frames, total_frames, vote_frac), id1 < id2.
+    *         `decimated` names the slow side whose sequence was
+    *         stride-decimated: 0 = none (stride 1), 1 = id1, 2 = id2.
+    *         `frame_offset` d: the FAST (non-decimated) side's frame f is
+    *         compared to the decimated side's decimated-index frame f + d;
+    *         at stride 1 this is the [[shiftedSequenceVoteNearDupPairs]]
+    *         convention (id1's frame f vs id2's frame f + d).
+    */
+  def speedSequenceVoteNearDupPairs(sigs: DataFrame, idCol: String,
+      frameCol: String, hashCol: String, maxHamming: Int = 3,
+      numBands: Int = 4, minVoteFrac: Double = 0.7, maxShift: Int = 3,
+      maxStride: Int = 2, maxBandBucket: Long = 100000L,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"exactness needs maxHamming < numBands (pigeonhole) — got " +
+        s"$maxHamming with $numBands bands; raise numBands for a larger radius")
+    require(minVoteFrac > 0.0 && minVoteFrac <= 1.0,
+      s"minVoteFrac must be in (0, 1] — at 0 every pair qualifies and " +
+        s"band candidates are no longer lossless; got $minVoteFrac")
+    require(maxShift >= 0, s"maxShift must be ≥ 0, got $maxShift")
+    require(maxStride >= 1 && maxStride <= 16,
+      s"maxStride must be in [1, 16], got $maxStride")
+    require(maxBandBucket > 0, s"maxBandBucket must be positive")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = sigs
+      .select(col(idCol).as("_id"), col(frameCol).cast("int").as("_f"),
+        col(hashCol).cast("long").as("_h"))
+      .persist()
+    try {
+      // decimation index arithmetic needs non-negative frame indexes
+      val fmin = base.agg(min(col("_f"))).head()
+      if (!fmin.isNullAt(0)) require(fmin.getInt(0) >= 0,
+        s"frame indexes must be ≥ 0 for stride decimation, got min ${fmin.getInt(0)}")
+      // the (stride, phase) variant universe; (1, 0) is the identity view
+      val variants = for { s <- 1 to maxStride; r <- 0 until s } yield (s, r)
+      val vbase = variants.map { case (s, r) =>
+        base.where(pmod(col("_f"), lit(s)) === r)
+          .select(col("_id"), lit(s).as("_s"), lit(r).as("_r"),
+            ((col("_f") - lit(r)) / lit(s)).cast("int").as("_vf"), col("_h"))
+      }.reduce(_ unionAll _).persist()
+      try {
+        val counts = vbase.groupBy(col("_id"), col("_s"), col("_r"))
+          .agg(count(lit(1)).as("_n"))
+        val banded = vbase
+          .withColumn("_band", explode(array((0 until numBands).map { b =>
+            struct(lit(b).as("i"),
+              shiftrightunsigned(col("_h"), b * width).bitwiseAND(lit(mask)).as("v"))
+          }: _*)))
+          .select(col("_id"), col("_s"), col("_r"), col("_vf"),
+            col("_band.i").as("_bi"), col("_band.v").as("_bv"))
+          .persist()
+        try {
+          // bucket grain is (band, value) over ALL variants — ~maxStride×
+          // hotter than the shifted family's; refuse before the join
+          val hottestRow = banded.groupBy(col("_bi"), col("_bv"))
+            .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+          val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
+          require(hottest <= maxBandBucket,
+            s"a (band, value) bucket is shared by $hottest variant frame rows " +
+              s"(> maxBandBucket $maxBandBucket) — the candidate block would " +
+              "be quadratic; pre-drop constant/low-entropy frames")
+          // fast side = the identity view; slow side = any (s, r) variant.
+          // stride-1 pairs are the plain shifted family — emit once (idB <
+          // idA); stride > 1 keeps both orientations (either id may be the
+          // slow side)
+          val bandedFast = banded.where(col("_s") === 1 && col("_r") === 0)
+            .select(col("_bi"), col("_bv"), col("_id").as("_idB"),
+              col("_vf").as("_fB"))
+          val cand = bandedFast
+            .join(banded.select(col("_bi"), col("_bv"), col("_id").as("_idA"),
+              col("_s"), col("_r"), col("_vf").as("_fA")), Seq("_bi", "_bv"))
+            .where((col("_s") > 1 && col("_idA") =!= col("_idB") ||
+                col("_s") === 1 && col("_r") === 0 && col("_idB") < col("_idA")) &&
+              abs(col("_fA") - col("_fB")) <= maxShift)
+            .select(col("_idA"), col("_s"), col("_r"), col("_idB"),
+              (col("_fA") - col("_fB")).as("_d"))
+            .distinct()
+          val fastView = vbase.where(col("_s") === 1 && col("_r") === 0)
+            .select(col("_id").as("_idB"), col("_vf").as("_fB"),
+              col("_h").as("_hB"))
+          val matched = cand
+            .join(fastView, Seq("_idB"))
+            .withColumn("_fA", col("_fB") + col("_d"))
+            .join(vbase.select(col("_id").as("_idA"), col("_s"), col("_r"),
+              col("_vf").as("_fA"), col("_h").as("_hA")),
+              Seq("_idA", "_s", "_r", "_fA"))
+            .where(bit_count(col("_hA").bitwiseXOR(col("_hB"))) <= maxHamming)
+            .groupBy(col("_idA"), col("_s"), col("_r"), col("_idB"), col("_d"))
+            .agg(count(lit(1)).as("matched_frames"))
+          val qualified = matched
+            .join(counts.select(col("_id").as("_idA"), col("_s"), col("_r"),
+              col("_n").as("_nA")), Seq("_idA", "_s", "_r"))
+            .join(counts.where(col("_s") === 1)
+              .select(col("_id").as("_idB"), col("_n").as("_nB")), Seq("_idB"))
+            .withColumn("total_frames", greatest(col("_nA"), col("_nB")))
+            // ppm cross-multiply, floor — the sequenceVoteNearDupPairs rule
+            .where(col("matched_frames") * lit(1000000L) >=
+              col("total_frames") * lit(math.floor(minVoteFrac * 1e6).toLong))
+            .withColumn("id1", least(col("_idA"), col("_idB")))
+            .withColumn("id2", greatest(col("_idA"), col("_idB")))
+            .withColumn("stride", col("_s"))
+            .withColumn("phase", col("_r"))
+            .withColumn("decimated", when(col("_s") === 1, lit(0))
+              .when(col("_idA") < col("_idB"), lit(1)).otherwise(lit(2)))
+            .withColumn("frame_offset", col("_d"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id1"), col("id2"))
+            .orderBy(col("matched_frames").desc, col("stride").asc,
+              abs(col("frame_offset")).asc, col("frame_offset").asc,
+              col("decimated").asc, col("phase").asc)
+          val out = qualified
+            .withColumn("_rk", row_number().over(w))
+            .where(col("_rk") === 1)
+            .withColumn("vote_frac",
+              col("matched_frames").cast("double") / col("total_frames"))
+            .select(col("id1"), col("id2"), col("stride"), col("phase"),
+              col("decimated"), col("frame_offset"), col("matched_frames"),
+              col("total_frames"), col("vote_frac"))
+          CheckpointStrategy.materialize(out, checkpoint)
+        } finally { banded.unpersist(false); () }
+      } finally { vbase.unpersist(false); () }
+    } finally { base.unpersist(false); () }
+  }
+
   /** Shared tail of the shifted sequence-vote family: given candidate
     * (id1, id2, frame_offset) triples and the full signature set
     * (`_id`, `_f`, `_h`), verify votes by popcount at each offset, apply

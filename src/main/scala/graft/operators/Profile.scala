@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the observability pass a 100 TB ingest runs before
+  * anything else touches the data (EXT): per-column quality cards (row/null/
+  * distinct counts, min/max) and exact top-k frequent values. A corpus
+  * rebuild that silently loses a language, nulls out a source, or doubles a
+  * category shows up here first, so the profile is designed to be EXACT and
+  * engine-portable (every metric replays in DuckDB — the oracle discipline),
+  * not a sampled estimate a drifting pipeline can hide under.
+  *
+  * Scale shape: one full scan feeds a single-row global aggregate (map-side
+  * partial, no shuffle of data rows — only 32 partial buffers), and one
+  * unpivoted `(column, value)` pass feeds the distinct/frequency counts —
+  * a single shuffle at the (column, value) grain with map-side combine, so
+  * the reduce side sees one row per DISTINCT value, not per data row. The
+  * unpivot multiplies scanned rows by |cols| but ships only the profiled
+  * columns (column pruning reaches the parquet scan); profile wide tables
+  * in column batches rather than all at once.
+  */
+object Profile {
+
+  /** The unpivoted `(column, value)` relation behind the distinct and
+    * frequency passes: one scan, rows × |cols|, values canonicalized to
+    * strings (cast semantics match DuckDB's VARCHAR cast for integers and
+    * strings — the probe-safe types; document float/timestamp columns
+    * rendering as ENGINE-SPECIFIC before oracle-comparing them).
+    */
+  private def unpivoted(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))
+    }: _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"))
+
+  /** Per-column quality card: `(column, n_rows, n_non_null, n_null,
+    * n_distinct, min_value, max_value)` — one row per profiled column,
+    * ordered by column name. `n_distinct` ignores nulls (the SQL
+    * `count(distinct col)` contract); min/max compare in the column's OWN
+    * type (numeric order for numerics), then canonicalize to strings.
+    * All metrics exact.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    // pass 1: one global aggregate row — typed min/max + null counts
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val global = df.agg(aggs.head, aggs.tail: _*)
+      // relational unpivot of the 1-row aggregate: no driver collect
+      .select(col("n_rows"), explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(s"__nn_$c").as("n_non_null"),
+          col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+      }: _*)).as("m"))
+      .select(col("m.column").as("column"), col("n_rows"),
+        col("m.n_non_null").as("n_non_null"),
+        (col("n_rows") - col("m.n_non_null")).as("n_null"),
+        col("m.min_value").as("min_value"), col("m.max_value").as("max_value"))
+    // pass 2: exact distincts at the (column, value) grain
+    val distincts = unpivoted(df, cols)
+      .groupBy(col("column"))
+      .agg(count_distinct(col("value")).as("n_distinct"))
+    global.join(distincts, Seq("column"), "left")
+      .na.fill(0L, Seq("n_distinct"))
+      .select(col("column"), col("n_rows"), col("n_non_null"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy(col("column"))
+  }
+
+  /** Exact top-k most frequent non-null values per column:
+    * `(column, value, n)` with deterministic ties (count desc, then value
+    * asc) — the categorical-drift detector (a language or source whose
+    * share moves between rebuilds). Counts reduce at the (column, value)
+    * grain with map-side combine; the top-k window partitions by column
+    * (|cols| partitions — WindowGroupLimit prunes each to k rows before
+    * the final sort, the q69 discipline).
+    */
+  def frequentValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(cols.nonEmpty, "frequentValues needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val counts = unpivoted(df, cols)
+      .where(col("value").isNotNull)
+      .groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value").asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("column"), col("value"), col("n"))
+      .orderBy(col("column"), col("n").desc, col("value"))
+  }
+}

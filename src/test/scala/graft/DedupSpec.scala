@@ -358,6 +358,106 @@ class DedupSpec extends SparkSpec {
       constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
   }
 
+  test("speedSequenceVoteNearDupPairs ≡ brute force over hypotheses; rate change caught; guards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val maxShift = 2
+    val maxStride = 3
+    // base sequences; planted: identical restage, half-rate (even frames),
+    // half-rate odd phase, third-rate, half-rate with a trimmed head, and
+    // a nudged half-rate — the rate-change families the shifted vote misses
+    val base: Seq[(Long, Seq[Long])] =
+      (0L until 18L).map(i => (i, Seq.fill(8 + (i % 3).toInt)(rnd.nextLong())))
+    val planted: Seq[(Long, Seq[Long])] = base.take(12).zipWithIndex.map {
+      case ((id, hs), k) =>
+        val mutated = k % 6 match {
+          case 0 => hs                                            // identical
+          case 1 => hs.indices.collect { case f if f % 2 == 0 => hs(f) } // half-rate
+          case 2 => hs.indices.collect { case f if f % 2 == 1 => hs(f) } // odd phase
+          case 3 => hs.indices.collect { case f if f % 3 == 0 => hs(f) } // third-rate
+          case 4 => hs.indices.collect { case f if f % 2 == 0 => hs(f) }.drop(1)
+          case _ => hs.indices.collect { case f if f % 2 == 0 =>          // ≤3-bit nudge
+            if (f % 4 == 0) hs(f) ^ (1L << ((k * 13 + f) % 64)) else hs(f) }
+        }
+        (id + 1000L, mutated.toSeq)
+    }
+    val all = base ++ planted
+    val rows = all.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    // brute force over the full hypothesis space: (slow side A, fast side
+    // B, stride s, phase r, offset d) — A's (s, r) arithmetic subsequence
+    // vs B at constant decimated-index offset d; stride-1 hypotheses only
+    // from the smaller id's side (the operator's emit-once rule)
+    def brute(t: Int, frac: Double)
+        : Set[(Long, Long, Int, Int, Int, Int, Long, Long)] = {
+      val thrPpm = math.floor(frac * 1e6).toLong
+      (for {
+        (x, hx) <- all; (y, hy) <- all if x < y
+        hyps = for {
+          s <- 1 to maxStride; r <- 0 until s
+          (a, ha, b, hb, decimated) <- if (s == 1)
+            Seq((y, hy, x, hx, 0)) // B = smaller id, A = larger
+          else Seq((x, hx, y, hy, 1), (y, hy, x, hx, 2))
+          d <- -maxShift to maxShift
+          aDec = ha.indices.collect { case f if f % s == r => ha(f) }
+          votes = hb.indices.count { f =>
+            val j = f + d
+            j >= 0 && j < aDec.length &&
+              java.lang.Long.bitCount(hb(f) ^ aDec(j)) <= t
+          }
+          total = math.max(hb.length, aDec.length).toLong
+          if votes * 1000000L >= total * thrPpm
+        } yield (s, r, decimated, d, votes.toLong, total)
+        if hyps.nonEmpty
+        best = hyps.minBy { case (s, r, dec, d, v, _) =>
+          (-v, s, math.abs(d), d, dec, r) }
+      } yield (x, y, best._1, best._2, best._3, best._4, best._5, best._6)).toSet
+    }
+    for (t <- Seq(0, 3); frac <- Seq(0.5, 0.7)) {
+      val got = Dedup.speedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+          "id", "f", "h", maxHamming = t, numBands = 4, minVoteFrac = frac,
+          maxShift = maxShift, maxStride = maxStride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7)))
+        .toSet
+      assert(got === brute(t, frac), s"t=$t frac=$frac")
+    }
+    // maxStride=1 degenerates to the shifted variant's result exactly
+    val shifted = Dedup.shiftedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h", maxHamming = 3, numBands = 4, minVoteFrac = 0.5,
+      maxShift = maxShift)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val speed1 = Dedup.speedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h", maxHamming = 3, numBands = 4, minVoteFrac = 0.5,
+      maxShift = maxShift, maxStride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(5),
+        r.getLong(6), r.getLong(7))).toSet
+    assert(speed1 === shifted)
+    // partitioning-stability
+    val a = Dedup.speedSequenceVoteNearDupPairs(rows.toDF("id", "f", "h"),
+      "id", "f", "h", minVoteFrac = 0.5, maxShift = maxShift).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(5))).toSet
+    val b = Dedup.speedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h").repartition(13),
+      "id", "f", "h", minVoteFrac = 0.5, maxShift = maxShift).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(5))).toSet
+    assert(a === b)
+    // guards
+    intercept[IllegalArgumentException](Dedup.speedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", maxStride = 0))
+    intercept[IllegalArgumentException](Dedup.speedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", maxStride = 17))
+    intercept[IllegalArgumentException](Dedup.speedSequenceVoteNearDupPairs(
+      rows.toDF("id", "f", "h"), "id", "f", "h", maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](Dedup.speedSequenceVoteNearDupPairs(
+      Seq((1L, -1, 0L)).toDF("id", "f", "h"), "id", "f", "h"))
+    val constantFrame = (0L until 50L).map(i => (i, 0, 0L))
+    intercept[IllegalArgumentException](Dedup.speedSequenceVoteNearDupPairs(
+      constantFrame.toDF("id", "f", "h"), "id", "f", "h", maxBandBucket = 10L))
+  }
+
   test("croppedGridVoteNearDupPairs ≡ brute force over 2-D offsets; crop/pad caught; guards") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Profile
+
+/** Profile (dataset quality cards): exact per-column metrics, null
+  * semantics, deterministic frequency ties, and guards.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("en"), Some("web"), Some(10L)),
+    (2L, Some("en"), Some("web"), Some(20L)),
+    (3L, Some("de"), None, Some(10L)),
+    (4L, None, Some("books"), None),
+    (5L, Some("fr"), Some("web"), Some(-5L))
+  ).toDF("id", "lang", "source", "n")
+
+  test("profileColumns: exact counts, null handling, typed min/max") {
+    val got = Profile.profileColumns(df, Seq("id", "lang", "source", "n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6)))
+    assert(got.toSeq === Seq(
+      ("id", 5L, 5L, 0L, 5L, "1", "5"),
+      ("lang", 5L, 4L, 1L, 3L, "de", "fr"),
+      ("n", 5L, 4L, 1L, 3L, "-5", "20"),     // numeric order: -5 < 10, 20 max
+      ("source", 5L, 4L, 1L, 2L, "books", "web")))
+  }
+
+  test("profileColumns: all-null column profiles to zero distincts, null min/max") {
+    val d2 = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val got = Profile.profileColumns(d2, Seq("s")).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ("s", 2L, 0L, 2L, 0L))
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("frequentValues: exact top-k, count-desc/value-asc ties, nulls excluded") {
+    val got = Profile.frequentValues(df, Seq("lang", "source"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // lang: en×2, then the de/fr tie at 1 breaks to "de"; source: web×3, books×1
+    assert(got.toSeq === Seq(
+      ("lang", "en", 2L), ("lang", "de", 1L),
+      ("source", "web", 3L), ("source", "books", 1L)))
+    // k larger than the distinct count returns everything, still ordered
+    val all = Profile.frequentValues(df, Seq("lang"), k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(all.toSeq === Seq(("en", 2L), ("de", 1L), ("fr", 1L)))
+  }
+
+  test("profile guards: empty/duplicate/missing columns, bad k") {
+    intercept[IllegalArgumentException](Profile.profileColumns(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      Profile.profileColumns(df, Seq("id", "id")))
+    intercept[IllegalArgumentException](
+      Profile.profileColumns(df, Seq("nope")))
+    intercept[IllegalArgumentException](
+      Profile.frequentValues(df, Seq("lang"), k = 0))
+    intercept[IllegalArgumentException](
+      Profile.frequentValues(df, Seq("nope"), k = 1))
+  }
+}
