@@ -1232,6 +1232,37 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Scale/thumbnail-tolerant image dedup (q136): 25 dHash-diverse
+    // blocked PNGs staged as (full, exact 2x-downscale, restage); dHash's
+    // proportional pooling is arithmetically invariant under the aligned
+    // box downscale, so the result is exactly the 75 within-group pairs
+    // at Hamming 0.
+    "q136_thumbnail_image_dedup" ->
+      raw"""SELECT id1, id2, hamming FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 2000 AS id2, CAST(0 AS BIGINT) FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 2000 AS id2, CAST(0 AS BIGINT)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
+    // Resample-tolerant audio dedup (q137): 25 envelope-diverse
+    // paired-sample WAVs staged as (full, 2x-decimated re-encode,
+    // restage); the duration-normalized envelope hash is invariant under
+    // the aligned decimation — exactly the 75 within-group pairs.
+    "q137_audio_resample_dedup" ->
+      raw"""SELECT id1, id2, hamming FROM (
+  SELECT i AS id1, i + 1000 AS id2, CAST(0 AS BIGINT) AS hamming
+  FROM range(25) t(i)
+  UNION ALL
+  SELECT i AS id1, i + 2000 AS id2, CAST(0 AS BIGINT) FROM range(25) t(i)
+  UNION ALL
+  SELECT i + 1000 AS id1, i + 2000 AS id2, CAST(0 AS BIGINT)
+  FROM range(25) t(i)
+) ORDER BY id1, id2""",
+
     // Speed/fps-change-tolerant video dedup (q133): 24 speed-diverse
     // 12-frame clips staged as (full, half-rate duplicate, decoy splice,
     // identical restage). The half-rate dup matches its original 6/6 under

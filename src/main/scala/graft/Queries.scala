@@ -2719,6 +2719,84 @@ object Queries {
     Profile.frequentValues(Tables.documents(s, dir),
       Seq("lang", "source"), k = 5)
 
+  /** Q136 — SCALE/THUMBNAIL-TOLERANT image dedup: dHash's proportional
+    * pooling makes the hash an arithmetic invariant of an exact box
+    * downscale (Multimodal.synthPngBlocked documents the cell-alignment
+    * proof), so a 2×-downscaled re-upload pairs at Hamming 0 with its
+    * original through the UNCHANGED exact banded join — no new pairing
+    * operator, a proven invariance of the existing one (the scale member
+    * of the invariance family: translation q131, orientation q132,
+    * time-shift q126, rate q133). 25 dHash-diverse blocked PNGs staged as
+    * (full, 2×-downscale, identical restage) — exactly the 75
+    * within-group pairs.
+    */
+  def q136ThumbnailImageDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 25 && cand < 500) {
+      val h = Multimodal.dHash64(Multimodal.synthPngBlocked(cand))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 25, s"only ${seeds.size} dHash-diverse blocked seeds in 0..499")
+    val rows: Seq[(Long, Long, Int)] = seeds.map(_._1).zipWithIndex.flatMap {
+      case (seed, i) =>
+        Seq((i.toLong, seed, 0), (i + 1000L, seed, 1), (i + 2000L, seed, 0))
+    }.toSeq
+    val withBytes = rows.toDF("media_id", "seed", "scaled")
+      .as[(Long, Long, Int)]
+      .map { case (id, seed, scaled) =>
+        val full = Multimodal.synthPngBlocked(seed)
+        (id, if (scaled == 1) Multimodal.downscalePng(full, 2) else full)
+      }
+      .toDF("media_id", "content")
+    val hashes = Multimodal.imageDHashes(withBytes, "media_id", "content")
+    Dedup.hammingNearDupPairs(hashes, "media_id", "dhash", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Q137 — RESAMPLE-TOLERANT audio dedup: the 65-window envelope hash is
+    * duration-normalized, so a downsampled re-encode (half the rate, same
+    * content) hashes bit-identically when windows align
+    * (Multimodal.synthWavPaired documents the proof) — the audio twin of
+    * q136, again through the unchanged exact banded join. 25
+    * envelope-diverse paired-sample WAVs staged as (full, 2×-decimated
+    * re-encode, identical restage) — exactly the 75 within-group pairs.
+    */
+  def q137AudioResampleDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.Multimodal
+    val nSamples = 5200 // 40 windows × 130
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cand = 0L
+    while (seeds.size < 25 && cand < 500) {
+      val h = Multimodal.envelopeHash64(Multimodal.synthWavPaired(cand, nSamples))
+      if (seeds.forall(p => java.lang.Long.bitCount(p._2 ^ h) > 3))
+        seeds += ((cand, h))
+      cand += 1
+    }
+    require(seeds.size == 25, s"only ${seeds.size} envelope-diverse paired seeds in 0..499")
+    val rows: Seq[(Long, Long, Int)] = seeds.map(_._1).zipWithIndex.flatMap {
+      case (seed, i) =>
+        Seq((i.toLong, seed, 0), (i + 1000L, seed, 1), (i + 2000L, seed, 0))
+    }.toSeq
+    val withBytes = rows.toDF("media_id", "seed", "resampled")
+      .as[(Long, Long, Int)]
+      .map { case (id, seed, resampled) =>
+        val full = Multimodal.synthWavPaired(seed, nSamples)
+        (id, if (resampled == 1) Multimodal.decimateWav(full, 2) else full)
+      }
+      .toDF("media_id", "content")
+    val hashes = Multimodal.audioEnvelopeHashes(withBytes, "media_id", "content")
+    Dedup.hammingNearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2856,5 +2934,7 @@ object Queries {
     "q133_video_speed_dedup" -> q133VideoSpeedDedup _,
     "q134_profile_columns" -> q134ProfileColumns _,
     "q135_frequent_values" -> q135FrequentValues _,
+    "q136_thumbnail_image_dedup" -> q136ThumbnailImageDedup _,
+    "q137_audio_resample_dedup" -> q137AudioResampleDedup _,
   )
 }

@@ -74,6 +74,44 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** SINGLE-PASS approximate quality card — the shape the exact profile
+    * trades away at 100 TB: [[profileColumns]]' distinct pass unpivots
+    * every (column, value) through one shuffle, which is exact but ships
+    * rows × |cols|; this variant answers the same card in ONE scan with
+    * NO data-row shuffle (a global aggregate's partial buffers are all
+    * that moves) by swapping exact distincts for HyperLogLog++ estimates
+    * (`approx_count_distinct`, rsd = 2.5%). Deterministic for fixed input
+    * (the sketch is a pure function of the value set) but NOT
+    * engine-portable — DuckDB's approx_distinct uses a different sketch —
+    * so this tier is spec-gated against the exact profile (the A3
+    * discipline), not oracle-checked. Use it for monitoring cadence;
+    * promote to [[profileColumns]] when a rebuild gate needs exactness.
+    */
+  def approxProfileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "approxProfileColumns needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c)).as(s"__ad_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(s"__nn_$c").as("n_non_null"),
+          col(s"__ad_$c").as("approx_distinct"),
+          col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+      }: _*)).as("m"))
+      .select(col("m.column").as("column"), col("n_rows"),
+        col("m.n_non_null").as("n_non_null"),
+        (col("n_rows") - col("m.n_non_null")).as("n_null"),
+        col("m.approx_distinct").as("approx_distinct"),
+        col("m.min_value").as("min_value"), col("m.max_value").as("max_value"))
+      .orderBy(col("column"))
+  }
+
   /** Exact top-k most frequent non-null values per column:
     * `(column, value, n)` with deterministic ties (count desc, then value
     * asc) — the categorical-drift detector (a language or source whose

@@ -772,6 +772,55 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Exact k× box downscale (the thumbnail model): output pixel (x, y) is
+    * the per-channel floor-average of the k×k source block at
+    * (k·x, k·y). Dimensions must divide exactly — a ragged edge would
+    * break the cell-alignment argument that makes [[dHash64]]
+    * scale-invariant (see [[synthPngBlocked]]). Floor truncation makes a
+    * general downscale only NEAR-exact; on k×k-constant source blocks the
+    * average is the block value and the round-trip is lossless.
+    */
+  def downscalePng(content: Array[Byte], k: Int): Array[Byte] = {
+    require(k > 0, s"downscale factor must be positive, got $k")
+    val img = decodeImage(content)
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % k == 0 && h % k == 0,
+      s"downscale by $k needs dims divisible by $k, got ${w}x$h")
+    encodePngOf(w / k, h / k, (x, y) => {
+      var (r, g, b) = (0, 0, 0)
+      var dy = 0
+      while (dy < k) {
+        var dx = 0
+        while (dx < k) {
+          val rgb = img.getRGB(k * x + dx, k * y + dy)
+          r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+          dx += 1
+        }
+        dy += 1
+      }
+      val n = k * k
+      ((r / n) << 16) | ((g / n) << 8) | (b / n)
+    })
+  }
+
+  /** Mixed-formula PNG with 2×2-CONSTANT pixel blocks at dHash-aligned
+    * dimensions — the fixture that makes [[downscalePng]](·, 2) EXACTLY
+    * lossless AND [[dHash64]] bit-identical across the scale change:
+    * with 18 | w and 16 | h the 9×8 pooling cells are contiguous
+    * even-width/height pixel ranges, so every 2×2 block lies inside ONE
+    * cell; the downscale maps each block to one pixel with the SAME value
+    * (blocks are constant), shrinking every cell's (sum, count) by
+    * exactly 4× — and [[meanGt]]'s cross-multiplied comparison is
+    * invariant under a common factor. Scale invariance is arithmetic, not
+    * statistical, so a thumbnail-dedup construction oracle stays at
+    * Hamming 0.
+    */
+  def synthPngBlocked(id: Long, w: Int = 72, h: Int = 48): Array[Byte] = {
+    require(w % 18 == 0 && h % 16 == 0,
+      s"blocked fixture needs 18 | w and 16 | h (cell alignment), got ${w}x$h")
+    encodePngOf(w, h, (x, y) => synthPixelMixed(id, x / 2, y / 2))
+  }
+
   /** The 8 dihedral (D4) pixel transforms of a w×h grid, as
     * (newW, newH, mapped rgbAt): identity, three rotations, and their
     * mirrored forms. Shared by the orientation-canonical hash below and
@@ -1147,6 +1196,62 @@ object Multimodal {
         j += 1
       }
     }
+    buf.array()
+  }
+
+  /** Mixed-formula clip with samples in consecutive EQUAL PAIRS (sample i
+    * carries the formula value at i/2) — the fixture that makes
+    * [[decimateWav]](·, 2) an exactly-invertible resample for the
+    * envelope hash: with 130 | nSamples the 65 envelope windows are
+    * contiguous even-length sample ranges, so every pair lies inside ONE
+    * window and decimation shrinks each window's (sum, count) by exactly
+    * 2× — [[meanGt]]'s cross-multiplied comparison is invariant under the
+    * common factor, so [[envelopeHash64]] is bit-identical across the
+    * rate change (the audio twin of [[synthPngBlocked]]'s argument).
+    */
+  def synthWavPaired(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples % 130 == 0,
+      s"paired fixture needs 130 | nSamples (window alignment), got $nSamples")
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort(synthWavAmMixedSample(id, i / 2))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Keep every k-th PCM sample and re-encode at sampleRate/k — the
+    * downsampled re-encode (duration preserved, rate halved). Requires
+    * the rate to divide exactly; the sample count may be ragged (real
+    * resamplers truncate), but on [[synthWavPaired]] fixtures the
+    * round-trip loses nothing the envelope hash can see.
+    */
+  def decimateWav(content: Array[Byte], k: Int): Array[Byte] = {
+    require(k > 0, s"decimation factor must be positive, got $k")
+    val (rate, samples) = decodeWavPcm16(content)
+    val sampleRate = rate.toInt
+    require(sampleRate % k == 0,
+      s"decimation by $k needs rate divisible by $k, got $sampleRate")
+    val out = (0 until samples.length by k).map(samples(_))
+    val dataLen = out.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate / k)
+      .putInt(sampleRate / k * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    out.foreach(buf.putShort)
     buf.array()
   }
 

@@ -50,6 +50,31 @@ class ProfileSpec extends SparkSpec {
     assert(all.toSeq === Seq(("en", 2L), ("de", 1L), ("fr", 1L)))
   }
 
+  test("approxProfileColumns: counts exact, distincts within tolerance of the exact card") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cols = Seq("doc_id", "lang", "source")
+    val exact = Profile.profileColumns(docs, cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6))).toMap
+    val approx = Profile.approxProfileColumns(docs, cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6))).toMap
+    assert(approx.keySet === exact.keySet)
+    for (c <- cols) {
+      val (en, enn, enull, ed, emn, emx) = exact(c)
+      val (an, ann, anull, ad, amn, amx) = approx(c)
+      // everything but the distinct estimate is the SAME exact value
+      assert((an, ann, anull, amn, amx) === (en, enn, enull, emn, emx), c)
+      // HLL++ at rsd 2.5%: allow 5% relative error
+      assert(math.abs(ad - ed) <= math.max(1L, (0.05 * ed).toLong),
+        s"$c: approx $ad vs exact $ed")
+    }
+    // determinism: the sketch is a pure function of the value set
+    val again = Profile.approxProfileColumns(docs, cols).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(again.toSeq === approx.toSeq.sortBy(_._1).map { case (c, t) => (c, t._4) })
+  }
+
   test("profile guards: empty/duplicate/missing columns, bad k") {
     intercept[IllegalArgumentException](Profile.profileColumns(df, Seq.empty))
     intercept[IllegalArgumentException](

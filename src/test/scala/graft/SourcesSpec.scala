@@ -631,6 +631,54 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.dHashCanonical64(Array[Byte](1)))
   }
 
+  test("multimodal: downscalePng — dHash scale invariance on blocked fixtures; guards") {
+    import graft.sources.Multimodal
+    // the q136 exactness claim: on a 2×2-blocked, cell-aligned fixture an
+    // exact 2× box downscale keeps the dHash BIT-IDENTICAL (every 2×2
+    // block lies in one pooling cell; sums/counts shrink by a common 4×)
+    for (id <- 0L until 10L) {
+      val full = Multimodal.synthPngBlocked(id)
+      val thumb = Multimodal.downscalePng(full, 2)
+      assert(Multimodal.dHash64(thumb) === Multimodal.dHash64(full),
+        s"seed $id: downscale moved the hash")
+    }
+    // the downscale itself is lossless on blocked content: scaling back
+    // up conceptually — every thumb pixel equals its source block value
+    val full = Multimodal.synthPngBlocked(3L)
+    val thumbStats = Multimodal.dHash64(Multimodal.downscalePng(full, 2))
+    assert(thumbStats === Multimodal.dHash64(full))
+    // a NON-blocked image at unaligned dims is NOT guaranteed invariant —
+    // the tier needs the alignment argument, not luck (sanity: the helper
+    // still produces a decodable smaller image)
+    val plain = Multimodal.synthPngMixed(5L) // 64×48: 18 ∤ 64
+    val down = Multimodal.downscalePng(plain, 2)
+    assert(Multimodal.dHash64(down) != 0L)
+    // guards: non-dividing factor, bad factor, unaligned blocked dims
+    intercept[IllegalArgumentException](Multimodal.downscalePng(plain, 3))
+    intercept[IllegalArgumentException](Multimodal.downscalePng(plain, 0))
+    intercept[IllegalArgumentException](Multimodal.synthPngBlocked(1L, w = 64))
+  }
+
+  test("multimodal: decimateWav — envelope resample invariance on paired fixtures; guards") {
+    import graft.sources.Multimodal
+    // the q137 exactness claim: on a paired-sample, window-aligned fixture
+    // a 2× decimation keeps the envelope hash BIT-IDENTICAL
+    for (id <- 0L until 10L) {
+      val full = Multimodal.synthWavPaired(id, 5200)
+      val half = Multimodal.decimateWav(full, 2)
+      assert(Multimodal.envelopeHash64(half) === Multimodal.envelopeHash64(full),
+        s"seed $id: decimation moved the hash")
+    }
+    // the decimated clip really is half the samples at half the rate
+    val full = Multimodal.synthWavPaired(1L, 5200)
+    val (rate, samples) = Multimodal.decodeWavPcm16(Multimodal.decimateWav(full, 2))
+    assert(samples.length === 2600 && rate.toInt === 4000)
+    // guards: non-dividing rate, bad factor, unaligned sample count
+    intercept[IllegalArgumentException](Multimodal.decimateWav(full, 3000))
+    intercept[IllegalArgumentException](Multimodal.decimateWav(full, 0))
+    intercept[IllegalArgumentException](Multimodal.synthWavPaired(1L, 2001))
+  }
+
   test("multimodal: envelopeHash64 — deterministic, edit-tolerant, class-diverse, guards") {
     import graft.sources.Multimodal
     val h0 = Multimodal.envelopeHash64(Multimodal.synthWav(7L, 2000))
