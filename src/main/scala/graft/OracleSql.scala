@@ -1232,6 +1232,85 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Per-group quality cards (q138): exact per-(lang, column) metrics —
+    // one grouped SELECT per profiled column, same canonicalization as
+    // q134; NULLS FIRST pins group ordering to Spark's asc default.
+    "q138_profile_by_group" ->
+      raw"""SELECT grp, "column", n_rows, n_non_null, n_null, n_distinct,
+  min_value, max_value
+FROM (
+  SELECT lang AS grp, 'n_chars' AS "column", count(*) AS n_rows,
+    count(n_chars) AS n_non_null, count(*) - count(n_chars) AS n_null,
+    count(DISTINCT n_chars) AS n_distinct,
+    CAST(min(n_chars) AS VARCHAR) AS min_value,
+    CAST(max(n_chars) AS VARCHAR) AS max_value
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT lang, 'source', count(*), count(source), count(*) - count(source),
+    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+    CAST(max(source) AS VARCHAR)
+  FROM documents GROUP BY lang
+) ORDER BY grp NULLS FIRST, "column"""",
+
+    // Profile diff (q139): both quality cards and the full-outer metric
+    // comparison replayed in SQL — the diff is data-derived, not
+    // hardcoded.
+    "q139_profile_diff" ->
+      raw"""WITH src_b AS (SELECT * FROM documents),
+src_a AS (SELECT * FROM documents WHERE doc_id < 100),
+card_b AS (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows, count(doc_id) AS n_non_null,
+    count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+    CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM src_b
+  UNION ALL
+  SELECT 'lang', count(*), count(lang), count(*) - count(lang),
+    count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM src_b
+  UNION ALL
+  SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
+    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM src_b
+  UNION ALL
+  SELECT 'source', count(*), count(source), count(*) - count(source),
+    count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM src_b
+),
+card_a AS (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows, count(doc_id) AS n_non_null,
+    count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+    CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM src_a
+  UNION ALL
+  SELECT 'lang', count(*), count(lang), count(*) - count(lang),
+    count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM src_a
+  UNION ALL
+  SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
+    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM src_a
+  UNION ALL
+  SELECT 'source', count(*), count(source), count(*) - count(source),
+    count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM src_a
+),
+up_b AS (
+  SELECT "column", 'n_rows' AS metric, CAST(n_rows AS VARCHAR) AS before FROM card_b
+  UNION ALL SELECT "column", 'n_non_null', CAST(n_non_null AS VARCHAR) FROM card_b
+  UNION ALL SELECT "column", 'n_null', CAST(n_null AS VARCHAR) FROM card_b
+  UNION ALL SELECT "column", 'n_distinct', CAST(n_distinct AS VARCHAR) FROM card_b
+  UNION ALL SELECT "column", 'min_value', min_value FROM card_b
+  UNION ALL SELECT "column", 'max_value', max_value FROM card_b
+),
+up_a AS (
+  SELECT "column", 'n_rows' AS metric, CAST(n_rows AS VARCHAR) AS after FROM card_a
+  UNION ALL SELECT "column", 'n_non_null', CAST(n_non_null AS VARCHAR) FROM card_a
+  UNION ALL SELECT "column", 'n_null', CAST(n_null AS VARCHAR) FROM card_a
+  UNION ALL SELECT "column", 'n_distinct', CAST(n_distinct AS VARCHAR) FROM card_a
+  UNION ALL SELECT "column", 'min_value', min_value FROM card_a
+  UNION ALL SELECT "column", 'max_value', max_value FROM card_a
+)
+SELECT COALESCE(up_b."column", up_a."column") AS "column",
+  COALESCE(up_b.metric, up_a.metric) AS metric, up_b.before, up_a.after
+FROM up_b FULL OUTER JOIN up_a
+  ON up_b."column" = up_a."column" AND up_b.metric = up_a.metric
+WHERE up_b.before IS DISTINCT FROM up_a.after
+ORDER BY "column", metric""",
+
     // Scale/thumbnail-tolerant image dedup (q136): 25 dHash-diverse
     // blocked PNGs staged as (full, exact 2x-downscale, restage); dHash's
     // proportional pooling is arithmetically invariant under the aligned

@@ -2797,6 +2797,29 @@ object Queries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Q138 — per-group quality cards (Profile.profileByGroup): the
+    * per-language monitoring cut over `documents` — exact per-(lang,
+    * column) row/null/distinct counts and min/max, one grouped aggregate
+    * pass, every metric replayable in SQL.
+    */
+  def q138ProfileByGroup(s: SparkSession, dir: String): DataFrame =
+    Profile.profileByGroup(Tables.documents(s, dir), "lang",
+      Seq("source", "n_chars"))
+
+  /** Q139 — profile diff (Profile.diffProfiles): the rebuild gate. The
+    * "after" card profiles the doc_id < 100 subset, so every changed
+    * (column, metric) pair surfaces with both canonical values — the
+    * diff is computed, not hardcoded, and DuckDB replays both cards and
+    * the full-outer comparison.
+    */
+  def q139ProfileDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    Profile.diffProfiles(
+      Profile.profileColumns(docs, cols),
+      Profile.profileColumns(docs.where(col("doc_id") < 100), cols))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2936,5 +2959,7 @@ object Queries {
     "q135_frequent_values" -> q135FrequentValues _,
     "q136_thumbnail_image_dedup" -> q136ThumbnailImageDedup _,
     "q137_audio_resample_dedup" -> q137AudioResampleDedup _,
+    "q138_profile_by_group" -> q138ProfileByGroup _,
+    "q139_profile_diff" -> q139ProfileDiff _,
   )
 }

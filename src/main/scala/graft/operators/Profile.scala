@@ -112,6 +112,71 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** PER-GROUP quality cards — [[profileColumns]] keyed by a grouping
+    * column (the per-language / per-source monitoring cut a mixture
+    * pipeline watches): one aggregate pass at the group grain (map-side
+    * partial; multiple exact distincts plan as one Expand — keep the
+    * profiled column list short, this is a card, not a dump), then the
+    * same relational unpivot to one row per (group, column). All metrics
+    * exact and engine-portable.
+    */
+  def profileByGroup(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileByGroup needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    require(!cols.contains(groupCol),
+      s"group column $groupCol cannot also be profiled")
+    val missing = (groupCol +: cols).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("grp"), col("n_rows"), explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(s"__nn_$c").as("n_non_null"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+      }: _*)).as("m"))
+      .select(col("grp"), col("m.column").as("column"), col("n_rows"),
+        col("m.n_non_null").as("n_non_null"),
+        (col("n_rows") - col("m.n_non_null")).as("n_null"),
+        col("m.n_distinct").as("n_distinct"),
+        col("m.min_value").as("min_value"), col("m.max_value").as("max_value"))
+      .orderBy(col("grp"), col("column"))
+  }
+
+  /** Profile DIFF — the rebuild gate: given two [[profileColumns]] cards
+    * (before/after a pipeline change or a fixture regeneration), emit one
+    * row per (column, metric) whose value CHANGED, with both values as
+    * canonical strings. An empty result is the green light; a language
+    * that lost rows, a column that went nullable, or a shifted max shows
+    * up as a named metric, not a buried number. Both sides are tiny
+    * (one row per column), so the join is a broadcast no-op at any scale.
+    */
+  def diffProfiles(before: DataFrame, after: DataFrame): DataFrame = {
+    val metrics = Seq("n_rows", "n_non_null", "n_null", "n_distinct",
+      "min_value", "max_value")
+    for (m <- "column" +: metrics; (side, d) <- Seq("before" -> before, "after" -> after))
+      require(d.columns.contains(m),
+        s"$side card is missing profile column $m — pass profileColumns output")
+    def unpivot(d: DataFrame): DataFrame =
+      d.select(col("column"), explode(array(metrics.map { m =>
+        struct(lit(m).as("metric"), col(m).cast("string").as("value"))
+      }: _*)).as("kv"))
+        .select(col("column"), col("kv.metric").as("metric"),
+          col("kv.value").as("value"))
+    unpivot(before).withColumnRenamed("value", "before")
+      .join(unpivot(after).withColumnRenamed("value", "after"),
+        Seq("column", "metric"), "full_outer")
+      .where(not(col("before") <=> col("after")))
+      .select(col("column"), col("metric"), col("before"), col("after"))
+      .orderBy(col("column"), col("metric"))
+  }
+
   /** Exact top-k most frequent non-null values per column:
     * `(column, value, n)` with deterministic ties (count desc, then value
     * asc) — the categorical-drift detector (a language or source whose

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Profile
+import org.apache.spark.sql.functions.col
 
 /** Profile (dataset quality cards): exact per-column metrics, null
   * semantics, deterministic frequency ties, and guards.
@@ -73,6 +74,53 @@ class ProfileSpec extends SparkSpec {
     val again = Profile.approxProfileColumns(docs, cols).collect()
       .map(r => (r.getString(0), r.getLong(4)))
     assert(again.toSeq === approx.toSeq.sortBy(_._1).map { case (c, t) => (c, t._4) })
+  }
+
+  test("profileByGroup: exact per-group metrics, null group kept, ordering") {
+    val d = Seq(
+      (Some("en"), Some("web"), Some(10L)),
+      (Some("en"), None, Some(20L)),
+      (Some("de"), Some("books"), Some(10L)),
+      (None, Some("web"), None)
+    ).toDF("lang", "source", "n")
+    val got = Profile.profileByGroup(d, "lang", Seq("source", "n"))
+      .collect().map(r => (Option(r.getString(0)).getOrElse("∅"), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.getString(6)).getOrElse("∅"), Option(r.getString(7)).getOrElse("∅")))
+    assert(got.toSeq === Seq(
+      ("∅", "n", 1L, 0L, 1L, 0L, "∅", "∅"),
+      ("∅", "source", 1L, 1L, 0L, 1L, "web", "web"),
+      ("de", "n", 1L, 1L, 0L, 1L, "10", "10"),
+      ("de", "source", 1L, 1L, 0L, 1L, "books", "books"),
+      ("en", "n", 2L, 2L, 0L, 2L, "10", "20"),
+      ("en", "source", 2L, 1L, 1L, 1L, "web", "web")))
+    intercept[IllegalArgumentException](
+      Profile.profileByGroup(d, "lang", Seq("lang")))
+    intercept[IllegalArgumentException](
+      Profile.profileByGroup(d, "lang", Seq.empty))
+  }
+
+  test("diffProfiles: changed metrics surface with both values; identical cards diff empty") {
+    val cols = Seq("id", "lang", "n")
+    val before = Profile.profileColumns(df.toDF("id", "lang", "source", "n")
+      .select("id", "lang", "n"), cols)
+    // identical cards → empty diff (the green light)
+    assert(Profile.diffProfiles(before, before).count() === 0L)
+    // a filtered rebuild changes counts and the max id; mins/maxes of
+    // untouched value ranges stay put and do NOT surface
+    val after = Profile.profileColumns(df.where(col("id") <= 3)
+      .select("id", "lang", "n"), cols)
+    val diff = Profile.diffProfiles(before, after)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    assert(diff.contains(("id", "n_rows", "5", "3")))
+    assert(diff.contains(("id", "max_value", "5", "3")))
+    assert(diff.contains(("lang", "n_distinct", "3", "2")))
+    // id rows 1..3 keep min 1: min_value must NOT appear for id
+    assert(!diff.exists(d => d._1 == "id" && d._2 == "min_value"))
+    // guard: a non-card input is refused
+    intercept[IllegalArgumentException](
+      Profile.diffProfiles(df, before))
   }
 
   test("profile guards: empty/duplicate/missing columns, bad k") {
