@@ -1232,6 +1232,16 @@ FROM (
   FROM range(25) t(i)
 ) ORDER BY id1, id2""",
 
+    // Bloom-pruned selective join (q140): the bloom is execution-only
+    // pruning (fp rides through to the exact join), so the oracle is the
+    // plain join — the q46 salted-join discipline.
+    "q140_bloom_pruned_join" ->
+      raw"""SELECT c_mktsegment, count(*) AS n_events,
+round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE c_nationkey = 7
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

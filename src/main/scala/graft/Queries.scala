@@ -2820,6 +2820,23 @@ object Queries {
       Profile.profileColumns(docs.where(col("doc_id") < 100), cols))
   }
 
+  /** Q140 — bloom-pruned selective join (Joins.bloomPrunedJoin): events
+    * joined to ONE nation's customers — the shape where most of the big
+    * side never matches and semi-join reduction pays. The bloom is
+    * execution-only (false positives ride through to the exact join), so
+    * the oracle is the PLAIN join — the q46 salted-join discipline.
+    */
+  def q140BloomPrunedJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Joins.bloomPrunedJoin(
+        events(s, dir),
+        customer(s, dir).where(col("c_nationkey") === 7)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey", expectedItems = 100000L, numBits = 1L << 20)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2961,5 +2978,6 @@ object Queries {
     "q137_audio_resample_dedup" -> q137AudioResampleDedup _,
     "q138_profile_by_group" -> q138ProfileByGroup _,
     "q139_profile_diff" -> q139ProfileDiff _,
+    "q140_bloom_pruned_join" -> q140BloomPrunedJoin _,
   )
 }

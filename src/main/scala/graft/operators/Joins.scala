@@ -248,4 +248,46 @@ object Joins {
       .orderBy(col("n").desc, col("key").asc)
       .limit(topK)
   }
+
+  /** BLOOM-PRUNED inner equi-join — explicit semi-join reduction for the
+    * selective-join shape that dominates 100 TB scans: when the small
+    * side's keys match only a sliver of the big side, the big side's
+    * non-matching rows still pay the full shuffle under a plain SMJ. A
+    * bloom of the small side's keys (Spark's OWN sketch —
+    * BloomFilterAggregate, the runtime-filter machinery — built in one
+    * aggregate and inlined as a literal) filters the big side BEFORE its
+    * exchange: false positives just ride through to the real join (exact
+    * result, oracle ≡ plain join — the q46 discipline: the bloom is
+    * execution-only), false negatives are impossible.
+    *
+    * The sketch collects to the driver as ONE bounded binary row
+    * (numBits/8 bytes — size it like a broadcast: default 8M bits = 1 MB
+    * handles ~1M keys at ~3% fp) because catalyst requires the
+    * might_contain bloom side foldable. Both sides hash with the same
+    * seeded XxHash64 the built-in runtime filter uses.
+    *
+    * When Catalyst would broadcast the small side anyway, the bloom is
+    * redundant (BHJ never shuffles the big side) — this helper is for the
+    * SMJ/SHJ regime, the same division of labor saltedEquiJoin documents.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(numBits > 0 && numBits <= (1L << 33),
+      s"numBits must be in (0, 2^33] (sketch ≤ 1 GB), got $numBits")
+    val bloomRow = small
+      .agg(BloomFunctions.bloomAgg(BloomFunctions.keyHash(col(smallKey)),
+        expectedItems, numBits).as("bloom"))
+      .head() // bounded driver collect: ONE binary row of numBits/8 bytes
+    if (bloomRow.isNullAt(0)) {
+      // empty small side → empty inner join; keep the schema
+      big.join(small, col(bigKey) === col(smallKey)).where(lit(false))
+    } else {
+      big.where(BloomFunctions.mightContain(bloomRow.getAs[Array[Byte]](0),
+          BloomFunctions.keyHash(col(bigKey))))
+        .join(small, col(bigKey) === col(smallKey))
+    }
+  }
 }

@@ -27,6 +27,44 @@ class JoinsCliSpec extends SparkSpec {
     assert(saltedDf.queryExecution.optimizedPlan.toString.contains("_salt"))
   }
 
+  test("bloomPrunedJoin ≡ plain inner join; fp-prone sizing stays exact; plan carries the probe") {
+    import spark.implicits._
+    // big side from parquet: over a LocalRelation the optimizer folds the
+    // bloom probe away at plan time (ConvertToLocalRelation), which hides
+    // the filter this test asserts on — file-backed matches the real shape
+    val dir = Files.createTempDirectory("bloomjoin").toString
+    (1 to 5000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "rowid")
+      .write.mode("overwrite").parquet(s"$dir/big")
+    val big = spark.read.parquet(s"$dir/big")
+    val small = (0L until 20L).map(k => (k * 25, s"v$k")).toDF("k2", "name")
+    val plain = big.join(small, col("k") === col("k2"))
+      .select("rowid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(plain.nonEmpty)
+    val pruned = Joins.bloomPrunedJoin(big, small, "k", "k2",
+      expectedItems = 100L, numBits = 1L << 16)
+    assert(pruned.select("rowid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === plain)
+    // the bloom probe is IN the plan, filtering the big side
+    assert(pruned.queryExecution.executedPlan.toString
+      .toLowerCase.contains("might_contain"))
+    // deliberately undersized sketch (64 bits for 20 keys → fp-heavy):
+    // false positives ride through to the join, the result stays exact
+    val fpProne = Joins.bloomPrunedJoin(big, small, "k", "k2",
+      expectedItems = 100L, numBits = 64L)
+    assert(fpProne.select("rowid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === plain)
+    // empty small side → empty inner join, schema preserved
+    val empty = Joins.bloomPrunedJoin(big, small.where(lit(false)), "k", "k2")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("k", "rowid", "k2", "name"))
+    // guards
+    intercept[IllegalArgumentException](
+      Joins.bloomPrunedJoin(big, small, "k", "k2", expectedItems = 0L))
+    intercept[IllegalArgumentException](
+      Joins.bloomPrunedJoin(big, small, "k", "k2", numBits = 0L))
+  }
+
   test("saltedEquiJoin skips salting when the small side will broadcast") {
     import spark.implicits._
     val big = (1 to 2000).map(i => (i % 7, i.toLong)).toDF("k", "rowid")
