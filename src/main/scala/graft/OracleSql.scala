@@ -1242,6 +1242,27 @@ FROM events JOIN customer ON user_id = c_custkey
 WHERE c_nationkey = 7
 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    // Incremental profile (q141): two batches folded into a store merge
+    // back to the whole-table card's mergeable metrics (no n_distinct).
+    "q141_incremental_profile" ->
+      raw"""SELECT "column", n_rows, n_non_null, n_null, min_value, max_value
+FROM (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows, count(doc_id) AS n_non_null,
+    count(*) - count(doc_id) AS n_null,
+    CAST(min(doc_id) AS VARCHAR) AS min_value,
+    CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(lang), count(*) - count(lang),
+    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
+    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(source), count(*) - count(source),
+    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+) ORDER BY "column"""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

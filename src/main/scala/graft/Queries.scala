@@ -2837,6 +2837,26 @@ object Queries {
         round(dsum2(col("value")), 2).as("sum_value"))
       .orderBy(col("c_mktsegment"))
 
+  /** Q141 — incremental quality-card maintenance (Profile.appendProfile /
+    * mergedProfile): documents split into two batches fold into a fresh
+    * store, and the merged card over tiny per-batch rows equals the
+    * whole-table card's mergeable metrics — so the oracle is the direct
+    * SQL card minus n_distinct (deliberately absent: not mergeable from
+    * exact per-batch cards; the HLL sketch store covers that trend). A
+    * replay of batch 2 before the merge pins the no-op contract in the
+    * probe path itself.
+    */
+  def q141IncrementalProfile(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("q141store").toString
+    val docs = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    Profile.appendProfile(docs.where(col("doc_id") < 250), cols, "b1", store)
+    Profile.appendProfile(docs.where(col("doc_id") >= 250), cols, "b2", store)
+    // replay: must be a no-op or the merged counts double
+    Profile.appendProfile(docs.where(col("doc_id") >= 250), cols, "b2", store)
+    Profile.mergedProfile(s, store)
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -2979,5 +2999,6 @@ object Queries {
     "q138_profile_by_group" -> q138ProfileByGroup _,
     "q139_profile_diff" -> q139ProfileDiff _,
     "q140_bloom_pruned_join" -> q140BloomPrunedJoin _,
+    "q141_incremental_profile" -> q141IncrementalProfile _,
   )
 }

@@ -177,6 +177,110 @@ object Profile {
       .orderBy(col("column"), col("metric"))
   }
 
+  /** Which merge discipline a column's min/max strings need: integral
+    * values must merge numerically ("9" < "10" only as longs), while
+    * strings and canonically-rendered date/timestamps ARE
+    * lexicographically ordered. Fractional/binary types are refused —
+    * their string round-trip is not exact, and a silently lossy card is
+    * the failure mode this operator exists to catch.
+    */
+  private def valueTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "integral"
+      case StringType | DateType | TimestampType | TimestampNTZType => "lexical"
+      case other => throw new IllegalArgumentException(
+        s"incremental profile does not support $other columns — the string " +
+          "min/max round-trip is exact only for integral, string, date and " +
+          "timestamp types; profile fractional columns with the one-shot card")
+    }
+  }
+
+  /** INCREMENTAL quality-card maintenance — the continuous-ingest shape:
+    * each batch appends its per-column card rows to a parquet store
+    * (`column, value_type, batch_id, counts, min/max`), and
+    * [[mergedProfile]] folds any batch range back into a card without
+    * rescanning history — counts SUM, min/max merge in the right order
+    * (numeric for integral columns, lexicographic for
+    * string/date/timestamp). `n_distinct` is NOT mergeable from per-batch
+    * exact cards and is deliberately absent — pair the store with
+    * [[graft.operators.Sketches.appendDistinctSketches]] when distinct
+    * trends matter (mergeable HLL, same batch-ledger discipline).
+    *
+    * Replaying a `batchId` already in the store is a no-op (the
+    * Sketches-store contract). Foreign content refuses loudly.
+    *
+    * @return card rows appended (0 on replay)
+    */
+  def appendProfile(df: DataFrame, cols: Seq[String], batchId: String,
+      storeDir: String): Long = {
+    val spark = df.sparkSession
+    import graft.sources.PathState
+    require(cols.nonEmpty, "appendProfile needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val vt = cols.map(c => c -> valueTypeOf(df.schema(c).dataType)).toMap
+    val state = PathState.classify(storeDir, spark.sparkContext.hadoopConfiguration)
+    require(state != PathState.Foreign,
+      s"profile store '$storeDir' holds non-parquet content — refusing to append")
+    if (state == PathState.Data && spark.read.parquet(storeDir)
+        .where(col("batch_id") === batchId).limit(1).count() > 0) return 0L
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val card = df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map { c =>
+        struct(lit(c).as("column"), lit(vt(c)).as("value_type"),
+          col(s"__nn_$c").as("n_non_null"),
+          col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+      }: _*)).as("m"))
+      .select(col("m.column").as("column"), col("m.value_type").as("value_type"),
+        lit(batchId).as("batch_id"), col("n_rows"),
+        col("m.n_non_null").as("n_non_null"),
+        col("m.min_value").as("min_value"), col("m.max_value").as("max_value"))
+      .persist()
+    try {
+      val n = card.count()
+      card.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
+      n
+    } finally { card.unpersist(); () }
+  }
+
+  /** Fold stored per-batch cards into one quality card (all batches, or a
+    * selected range): one scan of (columns × batches) tiny rows, never
+    * the raw history. Same output shape as [[profileColumns]] minus
+    * `n_distinct` (see [[appendProfile]]).
+    */
+  def mergedProfile(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      batchIds: Seq[String] = Nil): DataFrame = {
+    val base = spark.read.parquet(storeDir)
+    val scoped =
+      if (batchIds.isEmpty) base else base.where(col("batch_id").isin(batchIds: _*))
+    scoped.groupBy(col("column"), col("value_type"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_non_null")).as("n_non_null"),
+        // min/max in the column's ORDER: integral strings re-compare as
+        // longs (then render back); lexical strings compare directly
+        min(when(col("value_type") === "integral",
+          col("min_value").cast("long")).otherwise(null)).as("__mn_i"),
+        max(when(col("value_type") === "integral",
+          col("max_value").cast("long")).otherwise(null)).as("__mx_i"),
+        min(when(col("value_type") === "lexical", col("min_value"))
+          .otherwise(null)).as("__mn_l"),
+        max(when(col("value_type") === "lexical", col("max_value"))
+          .otherwise(null)).as("__mx_l"))
+      .select(col("column"), col("n_rows"), col("n_non_null"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        when(col("value_type") === "integral", col("__mn_i").cast("string"))
+          .otherwise(col("__mn_l")).as("min_value"),
+        when(col("value_type") === "integral", col("__mx_i").cast("string"))
+          .otherwise(col("__mx_l")).as("max_value"))
+      .orderBy(col("column"))
+  }
+
   /** Exact top-k most frequent non-null values per column:
     * `(column, value, n)` with deterministic ties (count desc, then value
     * asc) — the categorical-drift detector (a language or source whose

@@ -123,6 +123,41 @@ class ProfileSpec extends SparkSpec {
       Profile.diffProfiles(df, before))
   }
 
+  test("incremental profile: merged batches ≡ one-shot mergeable card; integral order; replay no-op") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("profstore").toString
+    // the "9"/"10" trap: batch 1 holds n ∈ {9}, batch 2 {10} — a lexical
+    // merge would report min "10"; the integral discipline must not
+    val d1 = Seq((1L, Some("en"), Some(9L)), (2L, Some("de"), Some(9L)))
+      .toDF("id", "lang", "n")
+    val d2 = Seq((3L, Option.empty[String], Some(10L)), (4L, Some("fr"), None))
+      .toDF("id", "lang", "n")
+    assert(Profile.appendProfile(d1, Seq("id", "lang", "n"), "b1", store) === 3L)
+    assert(Profile.appendProfile(d2, Seq("id", "lang", "n"), "b2", store) === 3L)
+    // replay is a no-op
+    assert(Profile.appendProfile(d2, Seq("id", "lang", "n"), "b2", store) === 0L)
+    val merged = Profile.mergedProfile(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    val oneShot = Profile.profileColumns(d1.unionAll(d2), Seq("id", "lang", "n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(5), r.getString(6)))
+    assert(merged.toSeq === oneShot.toSeq)
+    assert(merged.find(_._1 == "n").get._5 === "9") // numeric, not lexical, min
+    // batch scoping folds a sub-range
+    val b1Only = Profile.mergedProfile(spark, store, Seq("b1")).collect()
+    assert(b1Only.map(_.getLong(1)).forall(_ === 2L))
+    // fractional columns are refused loudly
+    val dd = Seq((1L, 0.5)).toDF("id", "x")
+    intercept[IllegalArgumentException](
+      Profile.appendProfile(dd, Seq("x"), "b3", store))
+    // foreign content refuses
+    val foreign = Files.createTempDirectory("profforeign")
+    Files.writeString(foreign.resolve("junk.txt"), "not parquet")
+    intercept[IllegalArgumentException](
+      Profile.appendProfile(d1, Seq("id"), "b1", foreign.toString))
+  }
+
   test("profile guards: empty/duplicate/missing columns, bad k") {
     intercept[IllegalArgumentException](Profile.profileColumns(df, Seq.empty))
     intercept[IllegalArgumentException](
