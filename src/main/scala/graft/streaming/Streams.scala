@@ -386,6 +386,28 @@ object Streams {
       .start()
   }
 
+  /** Streaming quality-card maintenance — the continuous form of
+    * [[graft.operators.Profile.appendProfile]]: each micro-batch appends
+    * its per-column card rows under the epoch-derived batch id, so a
+    * micro-batch RETRY replays the same id and the append no-ops (the
+    * profile store's ledger contract makes this wrapper exactly-once
+    * without any sink-side dedup). [[graft.operators.Profile
+    * .mergedProfile]] reads the live card at any point; the raw stream is
+    * never re-scanned.
+    */
+  def streamingProfile(rows: DataFrame, cols: Seq[String], storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Profile.appendProfile(
+          batch.toDF(), cols, s"epoch_$batchId", storePath)
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** File-stream wiring: an events parquet directory tailed as a stream →
     * watermarked tumbling counts → memory sink. `ts` precision is decided
     * from the staged file's own footer via the shared precision-aware

@@ -242,6 +242,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingProfile: micro-batch cards fold to the whole-stream card; epoch replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Profile
+    val store = java.nio.file.Files.createTempDirectory("profstream").toString + "/p"
+    val ckpt = java.nio.file.Files.createTempDirectory("profstreamck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingProfile(
+      mem.toDF().toDF("id", "lang"), Seq("id", "lang"), store, ckpt)
+    try {
+      mem.addData((1L to 40L).map(i => (i, s"l${i % 3}")): _*)
+      q.processAllAvailable()
+      mem.addData((41L to 100L).map(i => (i, s"l${i % 5}")): _*)
+      q.processAllAvailable()
+      val merged = Profile.mergedProfile(spark, store).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(4), r.getString(5)))
+      // the merged card equals the whole-stream card's mergeable metrics
+      assert(merged.toSeq === Seq(
+        ("id", 100L, "1", "100"), ("lang", 100L, "l0", "l4")))
+      // an epoch id already folded no-ops through the store ledger
+      assert(Profile.appendProfile(Seq((999L, "zz")).toDF("id", "lang"),
+        Seq("id", "lang"), "epoch_0", store) === 0L)
+    } finally q.stop()
+  }
+
   test("streamingLshMaintenance: micro-batch appends ≡ batch build; overlap replays absorbed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
