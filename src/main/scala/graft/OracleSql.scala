@@ -1263,6 +1263,27 @@ FROM (
     CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
 ) ORDER BY "column"""",
 
+    // Exact order-statistic quantile card (q142): the SAME integer-ppm
+    // position rule (k = ceil(q*n/1e6) via (q*n + 999999) // 1e6) over a
+    // row_number ranking — no interpolation, no float index.
+    "q142_quantile_card" ->
+      raw"""WITH s AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+  FROM documents WHERE n_chars IS NOT NULL
+), c AS (SELECT count(*) AS n FROM s)
+SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, s.n_chars AS value
+FROM (VALUES (10000), (250000), (500000), (750000), (950000), (990000)) q(q_ppm),
+  c, s
+WHERE s.rk = (CAST(q.q_ppm AS BIGINT) * c.n + 999999) // 1000000
+ORDER BY q_ppm""",
+
+    // Composite-key integrity check (q143): key combinations held by
+    // more than one row, with multiplicities.
+    "q143_duplicate_keys" ->
+      raw"""SELECT lang, source, count(*) AS n FROM documents
+GROUP BY lang, source HAVING count(*) > 1
+ORDER BY lang, source, n""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

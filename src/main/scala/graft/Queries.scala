@@ -2857,6 +2857,23 @@ object Queries {
     Profile.mergedProfile(s, store)
   }
 
+  /** Q142 — exact order-statistic quantile card (Profile.quantileCard):
+    * document-length cuts at p1/p25/p50/p75/p95/p99 with the integer-ppm
+    * position rule (k = ⌈q·n/10⁶⌉), ranked by the shuffle-free global
+    * rank — DuckDB replays the identical row_number join, no
+    * interpolation, no float index.
+    */
+  def q142QuantileCard(s: SparkSession, dir: String): DataFrame =
+    Profile.quantileCard(Tables.documents(s, dir), "n_chars", "doc_id",
+      Seq(10000L, 250000L, 500000L, 750000L, 950000L, 990000L))
+
+  /** Q143 — composite-key integrity check (Profile.duplicateKeys): which
+    * (lang, source) combinations hold more than one document, with
+    * multiplicities — an empty result would certify the pair as a key.
+    */
+  def q143DuplicateKeys(s: SparkSession, dir: String): DataFrame =
+    Profile.duplicateKeys(Tables.documents(s, dir), Seq("lang", "source"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3000,5 +3017,7 @@ object Queries {
     "q139_profile_diff" -> q139ProfileDiff _,
     "q140_bloom_pruned_join" -> q140BloomPrunedJoin _,
     "q141_incremental_profile" -> q141IncrementalProfile _,
+    "q142_quantile_card" -> q142QuantileCard _,
+    "q143_duplicate_keys" -> q143DuplicateKeys _,
   )
 }

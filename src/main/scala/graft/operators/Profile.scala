@@ -281,6 +281,67 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** EXACT order-statistic quantiles of one column — the distribution cut
+    * of the quality card ("p95 document length"), defined with integer
+    * arithmetic so the answer is engine-portable: for quantile q (in ppm)
+    * over n non-null rows, the reported value is the element at sorted
+    * position k = ⌈q·n / 10⁶⌉ (1-based), computed as
+    * `(q_ppm·n + 999999) div 10⁶` — no float index, no interpolation, so
+    * DuckDB replays it with a row_number join and the hash compare cannot
+    * flap on ulps (the repo's floor/ppm discipline; `percentile_approx`
+    * and interpolated `percentile` both fail one or the other
+    * requirement).
+    *
+    * Scale shape: ranking rides [[graft.operators.Ranks.globalRank]] —
+    * ONE range exchange, rank within partitions, metadata-scale offset
+    * cumsum — never `Window.orderBy` with no partition (the single-task
+    * funnel). `tiebreakCol` must make (value, tiebreak) unique (the
+    * globalRank contract); the ORDER STATISTIC is tiebreak-independent,
+    * the determinism of the rank join is not.
+    */
+  def quantileCard(df: DataFrame, valueCol: String, tiebreakCol: String,
+      qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty, "quantileCard needs at least one quantile")
+    require(qsPpm.forall(q => q >= 1 && q <= 1000000L),
+      s"quantiles must be in [1, 1000000] ppm, got $qsPpm")
+    require(qsPpm.distinct.size == qsPpm.size, s"duplicate quantiles in $qsPpm")
+    val missing = Seq(valueCol, tiebreakCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val nonNull = df.select(col(valueCol), col(tiebreakCol))
+      .where(col(valueCol).isNotNull)
+    val ranked = Ranks.globalRank(nonNull,
+      Seq(col(valueCol), col(tiebreakCol)), "__rk")
+    val total = nonNull.agg(count(lit(1)).as("__n"))
+    val qs = qsPpm.sorted.map(q => struct(lit(q).as("q_ppm")))
+    ranked.crossJoin(broadcast(total))
+      .select(col(valueCol), col("__rk"), col("__n"),
+        explode(array(qs: _*)).as("__q"))
+      .select(col(valueCol), col("__rk"), col("__n"),
+        col("__q.q_ppm").as("q_ppm"))
+      // k = ceil(q·n / 1e6) in exact integers (div = integral division)
+      .where(col("__rk") ===
+        call_function("div", col("q_ppm") * col("__n") + lit(999999L), lit(1000000L)))
+      .select(col("q_ppm"), col(valueCol).as("value"))
+      .orderBy(col("q_ppm"))
+  }
+
+  /** Composite-key integrity check — the precondition audit before a join
+    * or a dedup keyed on `cols`: every key combination held by MORE than
+    * one row, with its multiplicity. An empty result certifies uniqueness;
+    * a non-empty one is the exact damage report. One hash aggregate with
+    * map-side combine (the reduce side sees one row per distinct key).
+    */
+  def duplicateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "duplicateKeys needs at least one key column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .orderBy(cols.map(col) :+ col("n"): _*)
+  }
+
   /** Exact top-k most frequent non-null values per column:
     * `(column, value, n)` with deterministic ties (count desc, then value
     * asc) — the categorical-drift detector (a language or source whose

@@ -158,6 +158,56 @@ class ProfileSpec extends SparkSpec {
       Profile.appendProfile(d1, Seq("id"), "b1", foreign.toString))
   }
 
+  test("quantileCard ≡ driver-side order statistics; tiebreak-independent; guards") {
+    val rnd = new scala.util.Random(99)
+    val vals = (1 to 537).map(_ => rnd.nextInt(1000).toLong)
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Seq(1L, 10000L, 500000L, 900000L, 1000000L)
+    val got = Profile.quantileCard(d, "v", "id", qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = vals.sorted
+    val want = qs.sorted.map { q =>
+      val k = ((q * sorted.length + 999999L) / 1000000L).toInt // ceil(q·n/1e6)
+      (q, sorted(k - 1))
+    }
+    assert(got.toSeq === want)
+    // the order statistic ignores the tiebreak column's content
+    val d2 = vals.zipWithIndex.map { case (v, i) => (-i.toLong, v) }.toDF("id", "v")
+    val got2 = Profile.quantileCard(d2, "v", "id", qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq === want)
+    // nulls excluded from n and from positions
+    val withNulls = d.unionAll(Seq((9999L, Option.empty[Long])).toDF("id", "v"))
+    val got3 = Profile.quantileCard(withNulls, "v", "id", Seq(1000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got3.toSeq === Seq((1000000L, sorted.last)))
+    intercept[IllegalArgumentException](Profile.quantileCard(d, "v", "id", Nil))
+    intercept[IllegalArgumentException](
+      Profile.quantileCard(d, "v", "id", Seq(0L)))
+    intercept[IllegalArgumentException](
+      Profile.quantileCard(d, "v", "id", Seq(1000001L)))
+    intercept[IllegalArgumentException](
+      Profile.quantileCard(d, "nope", "id", Seq(1L)))
+  }
+
+  test("duplicateKeys: exact multiplicities; empty result certifies a key; guards") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "k")
+    val dups = Profile.duplicateKeys(d, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dups.toSeq === Seq(("a", 2L), ("b", 3L)))
+    // a true key comes back empty — the certification contract
+    assert(Profile.duplicateKeys(d, Seq("id")).count() === 0L)
+    // composite keys count at the tuple grain
+    val comp = Seq((1L, "x", "p"), (1L, "x", "p"), (1L, "y", "p"))
+      .toDF("a", "b", "c")
+    val cd = Profile.duplicateKeys(comp, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(cd.toSeq === Seq((1L, "x", 2L)))
+    intercept[IllegalArgumentException](Profile.duplicateKeys(d, Seq.empty))
+    intercept[IllegalArgumentException](Profile.duplicateKeys(d, Seq("zz")))
+  }
+
   test("profile guards: empty/duplicate/missing columns, bad k") {
     intercept[IllegalArgumentException](Profile.profileColumns(df, Seq.empty))
     intercept[IllegalArgumentException](
