@@ -1284,6 +1284,30 @@ ORDER BY q_ppm""",
 GROUP BY lang, source HAVING count(*) > 1
 ORDER BY lang, source, n""",
 
+    // Per-group quantile card (q144): the q142 position rule with the
+    // rank window partitioned by language.
+    "q144_group_quantiles" ->
+      raw"""WITH s AS (
+  SELECT lang AS grp, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT grp, CAST(q.q_ppm AS BIGINT) AS q_ppm, s.n_chars AS value
+FROM (VALUES (500000), (950000)) q(q_ppm), s
+WHERE s.rk = (CAST(q.q_ppm AS BIGINT) * s.n + 999999) // 1000000
+ORDER BY grp, q_ppm""",
+
+    // Referential-integrity check (q145): non-null event user_ids with no
+    // row in the truncated customer reference (the full reference is
+    // clean, which would make the probe an always-empty tautology).
+    "q145_dangling_keys" ->
+      raw"""SELECT user_id, count(*) AS n FROM events
+WHERE user_id IS NOT NULL
+  AND user_id NOT IN (SELECT c_custkey FROM customer
+                      WHERE c_custkey < 100 AND c_custkey IS NOT NULL)
+GROUP BY user_id ORDER BY user_id""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

@@ -2874,6 +2874,24 @@ object Queries {
   def q143DuplicateKeys(s: SparkSession, dir: String): DataFrame =
     Profile.duplicateKeys(Tables.documents(s, dir), Seq("lang", "source"))
 
+  /** Q144 — per-group quantile card (Profile.quantileCardByGroup): p50/p95
+    * document length per language, same integer-ppm position rule as q142
+    * with the rank window partitioned on the group.
+    */
+  def q144GroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    Profile.quantileCardByGroup(Tables.documents(s, dir), "lang", "n_chars",
+      "doc_id", Seq(500000L, 950000L))
+
+  /** Q145 — referential-integrity check (Profile.danglingKeys): event
+    * user_ids with no row in a TRUNCATED customer table (c_custkey < 100
+    * — the full reference is clean at every SF, which would make the
+    * probe an always-empty tautology) — the rows an inner join would
+    * silently drop, with multiplicities.
+    */
+  def q145DanglingKeys(s: SparkSession, dir: String): DataFrame =
+    Profile.danglingKeys(events(s, dir), "user_id",
+      Tables.customer(s, dir).where(col("c_custkey") < 100), "c_custkey")
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3019,5 +3037,7 @@ object Queries {
     "q141_incremental_profile" -> q141IncrementalProfile _,
     "q142_quantile_card" -> q142QuantileCard _,
     "q143_duplicate_keys" -> q143DuplicateKeys _,
+    "q144_group_quantiles" -> q144GroupQuantiles _,
+    "q145_dangling_keys" -> q145DanglingKeys _,
   )
 }

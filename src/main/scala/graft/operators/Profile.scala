@@ -325,6 +325,61 @@ object Profile {
       .orderBy(col("q_ppm"))
   }
 
+  /** PER-GROUP order-statistic quantiles — [[quantileCard]] keyed by a
+    * group column ("p95 length per language"): the same integer-ppm
+    * position rule, ranked by a window PARTITIONED on the group (groups
+    * spread across tasks — partitioned windows scale where the global
+    * one funnels, which is exactly why the global variant rides
+    * [[graft.operators.Ranks.globalRank]] instead). Skewed group sizes
+    * are the usual caveat: one giant group's rank still sorts within one
+    * task — cut such a group with the global variant.
+    */
+  def quantileCardByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tiebreakCol: String, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty, "quantileCardByGroup needs at least one quantile")
+    require(qsPpm.forall(q => q >= 1 && q <= 1000000L),
+      s"quantiles must be in [1, 1000000] ppm, got $qsPpm")
+    require(qsPpm.distinct.size == qsPpm.size, s"duplicate quantiles in $qsPpm")
+    val missing = Seq(groupCol, valueCol, tiebreakCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val qs = qsPpm.sorted.map(q => struct(lit(q).as("q_ppm")))
+    df.select(col(groupCol).as("grp"), col(valueCol), col(tiebreakCol))
+      .where(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col(valueCol).asc, col(tiebreakCol).asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .select(col("grp"), col(valueCol), col("__rk"), col("__n"),
+        explode(array(qs: _*)).as("__q"))
+      .select(col("grp"), col(valueCol), col("__rk"), col("__n"),
+        col("__q.q_ppm").as("q_ppm"))
+      .where(col("__rk") ===
+        call_function("div", col("q_ppm") * col("__n") + lit(999999L), lit(1000000L)))
+      .select(col("grp"), col("q_ppm"), col(valueCol).as("value"))
+      .orderBy(col("grp"), col("q_ppm"))
+  }
+
+  /** Referential-integrity check — [[duplicateKeys]]' sibling for the
+    * OTHER join precondition: child keys with no parent (the rows an
+    * inner join would silently drop, the fk-violation report). One
+    * LEFT ANTI join on the key (broadcast when the parent's key set is
+    * small) plus a count per dangling key. Empty result certifies the
+    * reference.
+    */
+  def danglingKeys(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    require(child.columns.contains(childKey), s"$childKey not in child schema")
+    require(parent.columns.contains(parentKey), s"$parentKey not in parent schema")
+    child.select(col(childKey))
+      // a NULL fk is a different defect (the card's n_null); this report
+      // is about non-null keys that resolve to nothing
+      .where(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .groupBy(col(childKey))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col(childKey))
+  }
+
   /** Composite-key integrity check — the precondition audit before a join
     * or a dedup keyed on `cols`: every key combination held by MORE than
     * one row, with its multiplicity. An empty result certifies uniqueness;

@@ -208,6 +208,45 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.duplicateKeys(d, Seq("zz")))
   }
 
+  test("quantileCardByGroup ≡ per-group driver-side order statistics; guards") {
+    val rnd = new scala.util.Random(123)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(100).toLong))
+    val d = rows.toDF("id", "g", "v")
+    val qs = Seq(500000L, 950000L)
+    val got = Profile.quantileCardByGroup(d, "g", "v", "id", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (g, grp) =>
+      val sorted = grp.map(_._3).sorted
+      qs.sorted.map { q =>
+        val k = ((q * sorted.length + 999999L) / 1000000L).toInt
+        (g, q, sorted(k - 1))
+      }
+    }
+    assert(got.toSeq === want)
+    intercept[IllegalArgumentException](
+      Profile.quantileCardByGroup(d, "g", "v", "id", Nil))
+    intercept[IllegalArgumentException](
+      Profile.quantileCardByGroup(d, "g", "nope", "id", Seq(1L)))
+  }
+
+  test("danglingKeys: unresolved fks with multiplicities; clean reference certifies; null fks excluded") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.danglingKeys(child, "fk", parent, "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 9 dangles (once); nulls are the card's business, not this report's
+    assert(got.toSeq === Seq((9L, 1L)))
+    // a clean reference comes back empty — the certification contract
+    assert(Profile.danglingKeys(child.where(col("fk") < 3), "fk",
+      parent, "pk").count() === 0L)
+    intercept[IllegalArgumentException](
+      Profile.danglingKeys(child, "zz", parent, "pk"))
+    intercept[IllegalArgumentException](
+      Profile.danglingKeys(child, "fk", parent, "zz"))
+  }
+
   test("profile guards: empty/duplicate/missing columns, bad k") {
     intercept[IllegalArgumentException](Profile.profileColumns(df, Seq.empty))
     intercept[IllegalArgumentException](
