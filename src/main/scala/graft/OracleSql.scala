@@ -1308,6 +1308,28 @@ WHERE user_id IS NOT NULL
                       WHERE c_custkey < 100 AND c_custkey IS NOT NULL)
 GROUP BY user_id ORDER BY user_id""",
 
+    // Topic-balanced sample (q146): deterministic smallest-id centroids,
+    // cosine argmax assignment (the q87 replay discipline), md5-60bit
+    // exact-k cut per cluster (the q106 rule).
+    "q146_cluster_balanced_sample" ->
+      raw"""WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cid) AS r
+    FROM embeddings e, c) t WHERE r = 1)
+SELECT vec_id, cid AS cluster_id, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY cid
+      ORDER BY ('0x' || substr(md5('cb1' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+               vec_id) AS rn
+  FROM a)
+WHERE rn <= 5 ORDER BY cluster_id, sample_rank""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

@@ -2892,6 +2892,18 @@ object Queries {
     Profile.danglingKeys(events(s, dir), "user_id",
       Tables.customer(s, dir).where(col("c_custkey") < 100), "c_custkey")
 
+  /** Q146 — topic-balanced sampling (Sampling.clusterBalancedSample): 5
+    * content-addressed rows from each of 8 deterministic semantic
+    * clusters over the embeddings table — nearest-centroid assignment by
+    * the codegen'd cosine (the q87 argmax-replay discipline) followed by
+    * the q106 exact-k cut, all engine-replayable.
+    */
+  def q146ClusterBalancedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.clusterBalancedSample(Tables.embeddings(s, dir), "vec_id",
+        "embedding", numClusters = 8, perCluster = 5, salt = "cb1")
+      .select(col("vec_id"), col("cluster_id"), col("sample_rank"))
+      .orderBy(col("cluster_id"), col("sample_rank"))
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3039,5 +3051,6 @@ object Queries {
     "q143_duplicate_keys" -> q143DuplicateKeys _,
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_dangling_keys" -> q145DanglingKeys _,
+    "q146_cluster_balanced_sample" -> q146ClusterBalancedSample _,
   )
 }

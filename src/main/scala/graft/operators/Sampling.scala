@@ -22,6 +22,43 @@ object Sampling {
   def sampleHash(key: Column, salt: String = ""): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10).cast("long")
 
+  /** TOPIC-BALANCED sample over an embedding column — equal representation
+    * per semantic cluster instead of per corpus share (the mixture cut
+    * that keeps a 100 TB crawl's head topics from swamping the tail):
+    * rows assign to their nearest of `numClusters` DETERMINISTIC
+    * centroids (the rows with the smallest ids — the q87/SemDeDup seed
+    * discipline: content-addressed, engine-replayable, no float kmeans in
+    * the oracle path; ties break to the smallest centroid id), then each
+    * cluster yields its content-addressed `perCluster` rows via
+    * [[exactKPerGroup]]. Fully deterministic: rebuilds, retries and
+    * engines agree row-for-row.
+    *
+    * Scale shape: centroids broadcast (numClusters rows), assignment is a
+    * broadcast nested-loop over the codegen'd cosine (numClusters dot
+    * products per row, no shuffle), and the per-cluster cut is one
+    * partitioned window (WindowGroupLimit-prunable). For cluster QUALITY
+    * at scale swap the seed centroids for `Search.kmeansCentroids`
+    * (seeded MLlib) — same shape, recall-grade instead of oracle-grade.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, perCluster: Int, salt: String = ""): DataFrame = {
+    require(numClusters > 0, s"numClusters must be positive, got $numClusters")
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val missing = Seq(idCol, vecCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    import graft.functions.VectorFunctions
+    val cents = df.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .orderBy(col("__cid")).limit(numClusters)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    val assigned = df.crossJoin(broadcast(cents))
+      .withColumn("__sim", VectorFunctions.cosine(col(vecCol), col("__cv")))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(df.columns.map(col) :+ col("__cid").as("cluster_id"): _*)
+    exactKPerGroup(assigned, col("cluster_id"), col(idCol), perCluster, salt)
+  }
+
   /** Deterministic `fraction`-sample: rows whose hash falls below
     * fraction·2^60. Partition-independent, retry-stable, engine-portable —
     * the reproducible subset/holdout primitive. Narrow (a filter — no

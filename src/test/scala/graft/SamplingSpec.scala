@@ -98,6 +98,45 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("clusterBalancedSample: argmax assignment, balanced draw, repartition-stable, guards") {
+    import spark.implicits._
+    // 8-dim vectors in 4 well-separated directions so the nearest-centroid
+    // assignment is unambiguous (the spec checks the MACHINERY; q146's
+    // oracle checks engine parity on real data)
+    def vec(i: Long): Array[Float] = {
+      val v = new Array[Float](8)
+      v((i % 4).toInt * 2) = 1.0f
+      v((i % 4).toInt * 2 + 1) = (1.0f + (i % 7) / 10.0f)
+      v
+    }
+    val df = (0L until 200L).map(i => (i, vec(i))).toDF("id", "v")
+    val out = Sampling.clusterBalancedSample(df, "id", "v",
+      numClusters = 4, perCluster = 3, salt = "s")
+    // centroids are ids 0..3, one per direction → every cluster draws
+    // exactly perCluster rows, and members share the centroid's direction
+    val rows = out.select("id", "cluster_id").as[(Long, Long)].collect()
+    assert(rows.length === 12)
+    assert(rows.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    rows.foreach { case (id, cid) => assert(id % 4 === cid % 4,
+      s"row $id landed in cluster $cid — wrong direction") }
+    // content-addressed: the draw survives repartitioning
+    val again = Sampling.clusterBalancedSample(df.repartition(13), "id", "v",
+      numClusters = 4, perCluster = 3, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(again === rows.map(_._1).toSet)
+    // a different salt draws differently
+    val other = Sampling.clusterBalancedSample(df, "id", "v",
+      numClusters = 4, perCluster = 3, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(other !== rows.map(_._1).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.clusterBalancedSample(df, "id", "v", 0, 3))
+    intercept[IllegalArgumentException](
+      Sampling.clusterBalancedSample(df, "id", "v", 4, 0))
+    intercept[IllegalArgumentException](
+      Sampling.clusterBalancedSample(df, "id", "nope", 4, 3))
+  }
+
   test("leakageSafeSplits composes with sequence-dedup pairs (any-tier contract)") {
     // the pairs contract says ANY dedup tier's output plugs in — prove it
     // end-to-end with the perceptual sequence tier: shifted-vote pairs
