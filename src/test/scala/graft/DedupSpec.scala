@@ -105,6 +105,47 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("assignNearestCentroid: zero-exchange plan, window-form equivalence, ties, undefined cosines") {
+    import graft.operators.Dedup
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // unsorted, non-contiguous cids: assignment must still tie-break to the
+    // SMALLEST cid (the helper sorts driver-side before inlining)
+    val cents = Seq((7, Array(0.0f, 1.0f, 0.0f)), (3, Array(1.0f, 0.0f, 0.0f)),
+      (5, Array(0.0f, 0.0f, 1.0f))).toDF("cid", "cv")
+    val rows = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // clear nearest: cid 3
+      (2L, Array(0.0f, 0.2f, 0.9f)),   // clear nearest: cid 5
+      (3L, Array(1.0f, 1.0f, 0.0f)),   // exact tie 3 vs 7 ⇒ smallest cid 3
+      (4L, Array(0.0f, 0.0f, 0.0f)),   // zero norm: every cosine undefined ⇒ cid 3
+      (5L, Array(-1.0f, -1.0f, -1.0f)) // all sims negative: still a winner
+    ).toDF("id", "vec")
+    val assigned = Dedup.assignNearestCentroid(rows, "vec", cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window:\n$plan")
+    // bit-identical decisions vs the retired crossJoin+window formulation
+    val w = Window.partitionBy(col("id")).orderBy(col("_csim").desc, col("cid"))
+    val reference = rows.crossJoin(broadcast(cents))
+      .withColumn("_csim", VectorFunctions.cosine(col("vec"), col("cv")))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
+      .select(col("id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = assigned.select("id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == reference, s"got $got, window form says $reference")
+    assert(got(3L) == 3 && got(4L) == 3)
+    // guards: empty centroid set and mixed dimensions fail loudly
+    intercept[IllegalArgumentException](
+      Dedup.assignNearestCentroid(rows, "vec", cents.where(lit(false))))
+    val badDims = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    intercept[IllegalArgumentException](
+      Dedup.assignNearestCentroid(rows, "vec", badDims))
+  }
+
   test("semanticDedup: mega-cluster is capped — bounded cells, exact collapse, loud failure") {
     import graft.operators.Dedup
     import spark.implicits._
