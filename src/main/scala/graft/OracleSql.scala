@@ -1445,7 +1445,7 @@ ORDER BY "column", metric""",
     // identical restage). The half-rate dup matches its original 6/6 under
     // the (stride 2, phase 0, offset 0) hypothesis with the ORIGINAL as
     // the decimated side (decimated=1 when the original id is smaller, 2
-    // when it is the restage at +3000); the restage matches 16/16 at
+    // when it is the restage at +3000); the restage matches 12/12 at
     // stride 1; every splice and wrong hypothesis drops (screen margins at
     // the probe's scaladoc).
     "q133_video_speed_dedup" ->

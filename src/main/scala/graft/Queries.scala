@@ -2608,14 +2608,15 @@ object Queries {
   }
 
   /** Speed-diverse greedy seed screen for q133 (selectShiftDiverse with the
-    * margins the STRIDE hypothesis space needs): clips are 16 frames, and
+    * margins the STRIDE hypothesis space needs): clips are 12 frames, and
     * cross-seed collisions (≤ 3 bits) are bounded per content-offset over
     * [-8, 8] — under any (stride ≤ 2, |d| ≤ 3, phase) hypothesis between
     * same-slope stagings the compared content indexes differ by the
     * CONSTANT s·d + r ∈ [-7, 7] (so ≤ 4 collisions cap a spurious vote at
-    * 4 < the 5 the 0.7 threshold needs at denominator 6 — the ≤ 2 margin
-    * of the q126 screen saturates at 39 accepted seeds over 60k
-    * candidates at this clip length, measured; the planted splice frame
+    * 4 < the 5 the 0.7 threshold needs at denominator 6 — the stricter
+    * ≤ 2 margin of the q126 screen starves the seed supply at this clip
+    * length, hence the widened cap, which the denominator math still
+    * absorbs; the planted splice frame
     * adds its vote only on denominator-12 hypotheses needing ≥ 9, shown
     * in the operator's margin audit), while mixed-slope
     * hypotheses (a decimated 2×-dup against a full-rate clip of another
@@ -2682,7 +2683,7 @@ object Queries {
       .map { case (id, seed, dec) =>
         val bytes = dec match {
           case -1L => Multimodal.synthAvi(seed, nFrames) // full clip
-          case -2L => // half-rate duplicate: content frames 0,2,…,14
+          case -2L => // half-rate duplicate: content frames 0,2,…,10
             Multimodal.synthAviComposed(
               (0 until nFrames / 2).map(f => (seed, 2 * f)))
           case d => // splice: source frame 3 of the clip + a decoy tail

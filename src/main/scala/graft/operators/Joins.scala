@@ -264,7 +264,13 @@ object Joins {
     * (numBits/8 bytes — size it like a broadcast: default 8M bits = 1 MB
     * handles ~1M keys at ~3% fp) because catalyst requires the
     * might_contain bloom side foldable. Both sides hash with the same
-    * seeded XxHash64 the built-in runtime filter uses.
+    * seeded XxHash64 the built-in runtime filter uses. Sizing is capped
+    * at the session's `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumBits`/`maxNumItems` confs (defaults 2^26 bits = 8 MB / 4M
+    * items) — BloomFilterAggregate clamps to them SILENTLY, so this
+    * helper refuses params above the caps rather than hand back a
+    * sketch with an unplanned fp rate (raise the confs for bigger keys
+    * sets).
     *
     * When Catalyst would broadcast the small side anyway, the bloom is
     * redundant (BHJ never shuffles the big side) — this helper is for the
@@ -275,8 +281,26 @@ object Joins {
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     import org.apache.spark.sql.graft.BloomFunctions
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
-    require(numBits > 0 && numBits <= (1L << 33),
-      s"numBits must be in (0, 2^33] (sketch ≤ 1 GB), got $numBits")
+    require(numBits > 0, s"numBits must be positive, got $numBits")
+    // BloomFilterAggregate SILENTLY clamps both sizing params to the
+    // session's runtime-bloom-filter caps (defaults 2^26 bits / 4M items)
+    // — a sketch sized above them would quietly degrade to a far higher
+    // fp rate than the caller computed for (result stays exact, pruning
+    // does not; ADVICE r10). Fail loudly at the effective caps instead;
+    // raise the confs to size bigger sketches.
+    val conf = big.sparkSession.conf
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(numBits <= maxBits,
+      s"numBits $numBits exceeds spark.sql.optimizer.runtime.bloomFilter" +
+        s".maxNumBits ($maxBits) — BloomFilterAggregate would silently clamp " +
+        "the sketch and inflate its false-positive rate; raise the conf")
+    require(expectedItems <= maxItems,
+      s"expectedItems $expectedItems exceeds spark.sql.optimizer.runtime" +
+        s".bloomFilter.maxNumItems ($maxItems) — BloomFilterAggregate would " +
+        "silently clamp and inflate the false-positive rate; raise the conf")
     val bloomRow = small
       .agg(BloomFunctions.bloomAgg(BloomFunctions.keyHash(col(smallKey)),
         expectedItems, numBits).as("bloom"))

@@ -408,6 +408,9 @@ object Profile {
   def frequentValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(cols.nonEmpty, "frequentValues needs at least one column")
+    // a repeated name would double that column's every count via the
+    // unpivot (ADVICE r10 — the module-wide guard discipline)
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
     val counts = unpivoted(df, cols)

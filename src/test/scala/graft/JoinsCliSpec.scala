@@ -63,6 +63,14 @@ class JoinsCliSpec extends SparkSpec {
       Joins.bloomPrunedJoin(big, small, "k", "k2", expectedItems = 0L))
     intercept[IllegalArgumentException](
       Joins.bloomPrunedJoin(big, small, "k", "k2", numBits = 0L))
+    // sizing above the session's runtime-bloom caps refuses LOUDLY instead
+    // of letting BloomFilterAggregate clamp the sketch silently (ADVICE r10)
+    val exBits = intercept[IllegalArgumentException](
+      Joins.bloomPrunedJoin(big, small, "k", "k2", numBits = (1L << 26) + 1))
+    assert(exBits.getMessage.contains("maxNumBits"))
+    val exItems = intercept[IllegalArgumentException](
+      Joins.bloomPrunedJoin(big, small, "k", "k2", expectedItems = 4000001L))
+    assert(exItems.getMessage.contains("maxNumItems"))
   }
 
   test("saltedEquiJoin skips salting when the small side will broadcast") {

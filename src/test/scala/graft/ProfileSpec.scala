@@ -49,6 +49,10 @@ class ProfileSpec extends SparkSpec {
     val all = Profile.frequentValues(df, Seq("lang"), k = 10)
       .collect().map(r => (r.getString(1), r.getLong(2)))
     assert(all.toSeq === Seq(("en", 2L), ("de", 1L), ("fr", 1L)))
+    // a repeated column would double its counts via the unpivot — refuse
+    // (ADVICE r10, the module's guard discipline)
+    intercept[IllegalArgumentException](
+      Profile.frequentValues(df, Seq("lang", "lang"), k = 2))
   }
 
   test("approxProfileColumns: counts exact, distincts within tolerance of the exact card") {
