@@ -330,24 +330,39 @@ object Profile {
     * position rule, ranked by a window PARTITIONED on the group (groups
     * spread across tasks — partitioned windows scale where the global
     * one funnels, which is exactly why the global variant rides
-    * [[graft.operators.Ranks.globalRank]] instead). Skewed group sizes
-    * are the usual caveat: one giant group's rank still sorts within one
-    * task — cut such a group with the global variant.
+    * [[graft.operators.Ranks.globalRank]] instead).
+    *
+    * Skewed group sizes are the shape's hazard: one giant group's rank
+    * would sort inside a single task — the exact funnel the global
+    * variant avoids. So this operator ROUTES (VERDICT r10 item 2, the
+    * semanticDedup sizing-router discipline): a group-size pre-agg
+    * (map-side partials, one tiny result) finds groups above
+    * `maxGroupRows`; their rows take the RANGE-EXCHANGE path —
+    * [[graft.operators.Ranks.globalRank]] over (group, value, tiebreak),
+    * which spreads a giant group across range partitions, minus a
+    * broadcast per-group offset (cumsum over the oversized groups' sizes
+    * — at most totalRows/maxGroupRows rows, metadata-scale by
+    * construction) — while every within-cap group keeps the partitioned
+    * window. Both paths compute the identical rank, so the card is
+    * invariant to the routing threshold (spec-pinned).
+    *
+    * `(valueCol, tiebreakCol)` must be unique within each group — the
+    * same determinism contract as the global variant's.
     */
   def quantileCardByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      tiebreakCol: String, qsPpm: Seq[Long]): DataFrame = {
+      tiebreakCol: String, qsPpm: Seq[Long],
+      maxGroupRows: Long = 4000000L): DataFrame = {
     require(qsPpm.nonEmpty, "quantileCardByGroup needs at least one quantile")
     require(qsPpm.forall(q => q >= 1 && q <= 1000000L),
       s"quantiles must be in [1, 1000000] ppm, got $qsPpm")
     require(qsPpm.distinct.size == qsPpm.size, s"duplicate quantiles in $qsPpm")
+    require(maxGroupRows > 0, s"maxGroupRows must be positive, got $maxGroupRows")
     val missing = Seq(groupCol, valueCol, tiebreakCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
     val qs = qsPpm.sorted.map(q => struct(lit(q).as("q_ppm")))
-    df.select(col(groupCol).as("grp"), col(valueCol), col(tiebreakCol))
+    val rows = df.select(col(groupCol).as("grp"), col(valueCol), col(tiebreakCol))
       .where(col(valueCol).isNotNull)
-      .withColumn("__rk", row_number().over(Window.partitionBy(col("grp"))
-        .orderBy(col(valueCol).asc, col(tiebreakCol).asc)))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    def card(ranked: DataFrame): DataFrame = ranked
       .select(col("grp"), col(valueCol), col("__rk"), col("__n"),
         explode(array(qs: _*)).as("__q"))
       .select(col("grp"), col(valueCol), col("__rk"), col("__n"),
@@ -355,7 +370,55 @@ object Profile {
       .where(col("__rk") ===
         call_function("div", col("q_ppm") * col("__n") + lit(999999L), lit(1000000L)))
       .select(col("grp"), col("q_ppm"), col(valueCol).as("value"))
-      .orderBy(col("grp"), col("q_ppm"))
+    def windowRanked(in: DataFrame): DataFrame = in
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col(valueCol).asc, col(tiebreakCol).asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    // the router: ONE size pre-agg (map-side partials) whose oversized
+    // slice collects driver-side in grp order — bounded by construction:
+    // at most totalRows/maxGroupRows groups can exceed the cap (the
+    // semanticDedup sizing-router discipline). A NULL group always rides
+    // the window path (the offsets equi-join cannot carry it): a giant
+    // null group is a data-quality defect the card's own n_null surfaces.
+    val bigRows = rows.groupBy(col("grp"))
+      .agg(count(lit(1)).as("__gn"))
+      .where(col("__gn") > maxGroupRows && col("grp").isNotNull)
+      .orderBy(col("grp"))
+      .collect()
+    val ranked =
+      if (bigRows.isEmpty) windowRanked(rows)
+      else {
+        val grpVals = bigRows.map(_.get(0)).toSeq
+        val small = rows.where(col("grp").isNull ||
+          !col("grp").isInCollection(grpVals))
+        val big = rows.where(col("grp").isInCollection(grpVals))
+        // per-group offsets (rows in PRECEDING oversized groups, in
+        // globalRank's own grp-asc order) fold driver-side into a tiny
+        // broadcast frame
+        var acc = 0L
+        val offRows = bigRows.map { r =>
+          val n = r.getLong(1); val o = acc; acc += n
+          org.apache.spark.sql.Row(r.get(0), n, o)
+        }.toSeq
+        val spark = df.sparkSession
+        val offsets = spark.createDataFrame(
+          spark.sparkContext.parallelize(offRows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            rows.schema("grp"),
+            org.apache.spark.sql.types.StructField("__gn",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__off",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val bigRanked = Ranks.globalRank(big,
+          Seq(col("grp"), col(valueCol), col(tiebreakCol)), "__grk")
+        windowRanked(small).unionByName(bigRanked
+          .join(broadcast(offsets), Seq("grp"))
+          .withColumn("__rk", col("__grk") - col("__off"))
+          .withColumn("__n", col("__gn"))
+          .select(col("grp"), col(valueCol), col(tiebreakCol),
+            col("__rk"), col("__n")))
+      }
+    card(ranked).orderBy(col("grp"), col("q_ppm"))
   }
 
   /** Referential-integrity check — [[duplicateKeys]]' sibling for the

@@ -232,6 +232,40 @@ class ProfileSpec extends SparkSpec {
       Profile.quantileCardByGroup(d, "g", "v", "id", Nil))
     intercept[IllegalArgumentException](
       Profile.quantileCardByGroup(d, "g", "nope", "id", Seq(1L)))
+    intercept[IllegalArgumentException](
+      Profile.quantileCardByGroup(d, "g", "v", "id", qs, maxGroupRows = 0L))
+  }
+
+  test("quantileCardByGroup: a mega-group routes through the range exchange, card invariant") {
+    val rnd = new scala.util.Random(77)
+    // one giant group (2000 rows), two small ones, plus a null group —
+    // values deliberately collide so the tiebreak matters
+    val rows = (1 to 2000).map(i => (i.toLong, Some("mega"), rnd.nextInt(50).toLong)) ++
+      (2001 to 2060).map(i => (i.toLong, Some("s1"), rnd.nextInt(50).toLong)) ++
+      (2061 to 2100).map(i => (i.toLong, Some("s2"), rnd.nextInt(50).toLong)) ++
+      (2101 to 2130).map(i => (i.toLong, Option.empty[String], rnd.nextInt(50).toLong))
+    val d = rows.toDF("id", "g", "v")
+    val qs = Seq(250000L, 500000L, 990000L)
+    val pureWindow = Profile.quantileCardByGroup(d, "g", "v", "id", qs)
+    val routed = Profile.quantileCardByGroup(d, "g", "v", "id", qs,
+      maxGroupRows = 500L)
+    // the routed plan carries globalRank's range exchange on (grp, value,
+    // tiebreak); the pure-window plan must not (its only rangepartitioning
+    // is the final orderBy on (grp, q_ppm))
+    val rankExchange = """rangepartitioning\(grp#\d+ asc nulls first, v#""".r
+    val routedPlan = routed.queryExecution.executedPlan.toString.toLowerCase
+    assert(rankExchange.findFirstIn(routedPlan).isDefined,
+      s"mega-group must take the range-exchange path:\n$routedPlan")
+    assert(rankExchange.findFirstIn(
+      pureWindow.queryExecution.executedPlan.toString.toLowerCase).isEmpty)
+    // identical card either way (threshold-invariance contract), null
+    // group included
+    def grab(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
+    val a = grab(pureWindow)
+    assert(a === grab(routed))
+    assert(a.exists(_._1.isEmpty), "null group must keep its quantiles")
+    assert(a.count(_._1.contains("mega")) === qs.size)
   }
 
   test("danglingKeys: unresolved fks with multiplicities; clean reference certifies; null fks excluded") {
