@@ -1259,6 +1259,10 @@ FROM (
   SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
     CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
   UNION ALL
+  SELECT 'score', count(*), count(n_chars), count(*) - count(n_chars),
+    CAST(min(n_chars / 100.0) AS VARCHAR), CAST(max(n_chars / 100.0) AS VARCHAR)
+  FROM documents
+  UNION ALL
   SELECT 'source', count(*), count(source), count(*) - count(source),
     CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
 ) ORDER BY "column"""",

@@ -2845,12 +2845,17 @@ object Queries {
     * SQL card minus n_distinct (deliberately absent: not mergeable from
     * exact per-batch cards; the HLL sketch store covers that trend). A
     * replay of batch 2 before the merge pins the no-op contract in the
-    * probe path itself.
+    * probe path itself. The derived `score` DOUBLE column exercises the
+    * fractional merge tier (r11): per-batch min/max render via the
+    * shortest-round-trip cast and re-merge on the parsed double — values
+    * here are k/100 doubles, which render identically in Spark and
+    * DuckDB, so the card stays hash-comparable.
     */
   def q141IncrementalProfile(s: SparkSession, dir: String): DataFrame = {
     val store = java.nio.file.Files.createTempDirectory("q141store").toString
     val docs = Tables.documents(s, dir)
-    val cols = Seq("doc_id", "lang", "source", "n_chars")
+      .withColumn("score", col("n_chars") / lit(100.0))
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "score")
     Profile.appendProfile(docs.where(col("doc_id") < 250), cols, "b1", store)
     Profile.appendProfile(docs.where(col("doc_id") >= 250), cols, "b2", store)
     // replay: must be a no-op or the merged counts double

@@ -178,21 +178,28 @@ object Profile {
   }
 
   /** Which merge discipline a column's min/max strings need: integral
-    * values must merge numerically ("9" < "10" only as longs), while
-    * strings and canonically-rendered date/timestamps ARE
-    * lexicographically ordered. Fractional/binary types are refused —
-    * their string round-trip is not exact, and a silently lossy card is
-    * the failure mode this operator exists to catch.
+    * values must merge numerically ("9" < "10" only as longs), strings
+    * and canonically-rendered date/timestamps ARE lexicographically
+    * ordered, and fractional (float/double) values merge on the PARSED
+    * double — safe because Spark's double/float→string cast is the
+    * shortest round-trip rendering (Java `Double.toString` semantics):
+    * distinct values render to distinct strings whose decimal readings
+    * preserve numeric order, and the merge returns the stored string
+    * VERBATIM (keyed min/max of a (parsed, string) struct), so no
+    * re-render can drift (VERDICT r10 item 3 — quality-score doubles are
+    * exactly what the card must watch). NaN sorts greatest, the Spark
+    * double order. Binary stays refused — no exact string round-trip.
     */
   private def valueTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType | IntegerType | ShortType | ByteType => "integral"
       case StringType | DateType | TimestampType | TimestampNTZType => "lexical"
+      case DoubleType | FloatType => "fractional"
       case other => throw new IllegalArgumentException(
-        s"incremental profile does not support $other columns — the string " +
-          "min/max round-trip is exact only for integral, string, date and " +
-          "timestamp types; profile fractional columns with the one-shot card")
+        s"incremental profile does not support $other columns — exact " +
+          "string min/max round-trips exist only for integral, string, " +
+          "date/timestamp and float/double types")
     }
   }
 
@@ -202,7 +209,9 @@ object Profile {
     * [[mergedProfile]] folds any batch range back into a card without
     * rescanning history — counts SUM, min/max merge in the right order
     * (numeric for integral columns, lexicographic for
-    * string/date/timestamp). `n_distinct` is NOT mergeable from per-batch
+    * string/date/timestamp, parsed-double for float/double — see
+    * [[valueTypeOf]] for why the round-trip is exact).
+    * `n_distinct` is NOT mergeable from per-batch
     * exact cards and is deliberately absent — pair the store with
     * [[graft.operators.Sketches.appendDistinctSketches]] when distinct
     * trends matter (mergeable HLL, same batch-ledger discipline).
@@ -271,12 +280,23 @@ object Profile {
         min(when(col("value_type") === "lexical", col("min_value"))
           .otherwise(null)).as("__mn_l"),
         max(when(col("value_type") === "lexical", col("max_value"))
-          .otherwise(null)).as("__mx_l"))
+          .otherwise(null)).as("__mx_l"),
+        // fractional: keyed struct-min/max — compare on the parsed double
+        // (string tiebreak is unreachable: shortest-round-trip strings of
+        // distinct values are distinct), return the stored string verbatim
+        min(when(col("value_type") === "fractional",
+          struct(col("min_value").cast("double").as("k"),
+            col("min_value").as("v")))).as("__mn_f"),
+        max(when(col("value_type") === "fractional",
+          struct(col("max_value").cast("double").as("k"),
+            col("max_value").as("v")))).as("__mx_f"))
       .select(col("column"), col("n_rows"), col("n_non_null"),
         (col("n_rows") - col("n_non_null")).as("n_null"),
         when(col("value_type") === "integral", col("__mn_i").cast("string"))
+          .when(col("value_type") === "fractional", col("__mn_f.v"))
           .otherwise(col("__mn_l")).as("min_value"),
         when(col("value_type") === "integral", col("__mx_i").cast("string"))
+          .when(col("value_type") === "fractional", col("__mx_f.v"))
           .otherwise(col("__mx_l")).as("max_value"))
       .orderBy(col("column"))
   }

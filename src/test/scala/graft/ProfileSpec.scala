@@ -151,10 +151,25 @@ class ProfileSpec extends SparkSpec {
     // batch scoping folds a sub-range
     val b1Only = Profile.mergedProfile(spark, store, Seq("b1")).collect()
     assert(b1Only.map(_.getLong(1)).forall(_ === 2L))
-    // fractional columns are refused loudly
-    val dd = Seq((1L, 0.5)).toDF("id", "x")
+    // fractional merge: "9.5"/"10.5" is the float shape of the integral
+    // trap (lexical min would be "10.5"); min/max must merge on the
+    // parsed double and return the stored strings verbatim, matching the
+    // one-shot card
+    val fstore = Files.createTempDirectory("profstore_f").toString
+    val f1 = Seq((1L, 9.5), (2L, 9.75)).toDF("id", "x")
+    val f2 = Seq((3L, 10.5), (4L, 0.125)).toDF("id", "x")
+    assert(Profile.appendProfile(f1, Seq("x"), "f1", fstore) === 1L)
+    assert(Profile.appendProfile(f2, Seq("x"), "f2", fstore) === 1L)
+    val fMerged = Profile.mergedProfile(spark, fstore).collect()
+      .map(r => (r.getString(0), r.getString(4), r.getString(5)))
+    assert(fMerged.toSeq === Seq(("x", "0.125", "10.5")))
+    val fOneShot = Profile.profileColumns(f1.unionAll(f2), Seq("x"))
+      .collect().map(r => (r.getString(0), r.getString(5), r.getString(6)))
+    assert(fMerged.toSeq === fOneShot.toSeq)
+    // still-unsupported types are refused loudly
+    val db = Seq((1L, Array[Byte](1, 2))).toDF("id", "x")
     intercept[IllegalArgumentException](
-      Profile.appendProfile(dd, Seq("x"), "b3", store))
+      Profile.appendProfile(db, Seq("x"), "b3", store))
     // foreign content refuses
     val foreign = Files.createTempDirectory("profforeign")
     Files.writeString(foreign.resolve("junk.txt"), "not parquet")
