@@ -1673,6 +1673,67 @@ object Dedup {
     out
   }
 
+  /** Compact the PAIRS side of a streaming sequence-dedup store
+    * ([[graft.streaming.Streams.streamingSequenceDedup]] lands one
+    * `$storePath/pairs/batch_id=<epoch>` subdir per micro-batch — a
+    * directory-count problem after thousands of epochs, the sigs-side
+    * twin of which [[compactSequenceStore]] already folds; VERDICT r10
+    * item 4). Epochs ≤ `upToBatchId` (the CLOSED range) fold into ONE
+    * `batch_id=$upToBatchId` subdir of `targetFiles` pair-sorted files;
+    * epochs above it are carried over per-subdir untouched, so the
+    * sink's overwrite-own-subdir replay idempotence keeps working for
+    * every epoch that can still replay. Log-compaction semantics: pair
+    * ROWS are preserved exactly (parity-verified before returning) while
+    * closed rows' batch_id provenance coarsens to the fold boundary —
+    * readers that filter `batch_id > X` for incremental consumption must
+    * only ever use X ≥ the latest fold boundary, the usual compacted-log
+    * contract.
+    *
+    * Same discipline as the sigs side: writes a NEW directory, the
+    * caller swaps atomically. `upToBatchId` MUST be an epoch the
+    * stream's checkpoint has committed PAST (only the in-flight epoch
+    * can replay; a replay of a folded epoch would re-create its subdir
+    * next to the fold and double its pairs — unreachable under the
+    * foreachBatch commit protocol when the boundary is below the last
+    * committed epoch).
+    *
+    * @return total pair rows in the compacted store (== source)
+    */
+  def compactSequencePairs(spark: SparkSession, storePath: String,
+      dstPath: String, upToBatchId: Long, targetFiles: Int = 16): Long = {
+    require(storePath != dstPath,
+      "compactSequencePairs writes a NEW directory (caller swaps atomically)")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val src = s"$storePath/pairs"
+    val state = graft.sources.PathState.classify(
+      src, spark.sparkContext.hadoopConfiguration)
+    require(state == graft.sources.PathState.Data,
+      s"'$src' holds no parquet data files — not a pairs store")
+    val pairs = spark.read.parquet(src)
+    require(pairs.columns.contains("batch_id"),
+      s"'$src' has no batch_id partition column — not a streaming pairs store")
+    val n = pairs.count()
+    require(n > 0, s"'$src' is empty — nothing to compact")
+    val dataCols = pairs.columns.filterNot(_ == "batch_id").toSeq.map(col)
+    val live = pairs.where(col("batch_id") > upToBatchId)
+    // live epochs first (their partitioned write owns the dst root); the
+    // fold then adds its own subdir
+    if (live.limit(1).count() > 0)
+      live.write.partitionBy("batch_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dstPath/pairs")
+    val closed = pairs.where(col("batch_id") <= upToBatchId)
+      .select(dataCols: _*)
+    if (closed.limit(1).count() > 0)
+      closed.repartitionByRange(targetFiles, dataCols: _*)
+        .sortWithinPartitions(dataCols: _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dstPath/pairs/batch_id=$upToBatchId")
+    val out = spark.read.parquet(s"$dstPath/pairs").count()
+    require(out == n, s"compaction row mismatch: source $n, compacted $out")
+    n
+  }
+
   /** Benchmark-contamination scores (EXT, training-data hygiene): for each
     * document, the fraction of its distinct n-grams that appear in ANY text
     * of a (small) benchmark/eval set — the decontamination signal used by

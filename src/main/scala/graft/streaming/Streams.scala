@@ -361,7 +361,10 @@ object Streams {
     * epoch id: a replayed micro-batch OVERWRITES its own batch_id subdir
     * with identical content instead of appending duplicates (exactly-once
     * pairs output under at-least-once delivery). Readers of
-    * `$storePath/pairs` see batch_id as a trailing partition column. The
+    * `$storePath/pairs` see batch_id as a trailing partition column;
+    * sustained ingest folds the closed epochs' subdirs with
+    * [[graft.operators.Dedup.compactSequencePairs]] (the sigs side has
+    * [[graft.operators.Dedup.compactSequenceStore]]). The
     * [[streamingLshMaintenance]] discipline for the video/audio dedup
     * tier; upstream decode (videoSequenceDHashes /
     * audioSequenceEnvelopeHashes) runs inside the stream's own

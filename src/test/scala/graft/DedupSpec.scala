@@ -703,6 +703,46 @@ class DedupSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("seqdst").toString))
   }
 
+  test("compactSequencePairs: closed epochs fold to one bounded subdir, live epochs untouched") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pairscomp")
+    val store = root.resolve("store").toString
+    val dst = root.resolve("dst").toString
+    def epochRows(b: Int) =
+      (0 until 10).map(i => (b * 100L + i, b * 100L + i + 50, -2)).toDF("id1", "id2", "off")
+    // six streamed epochs, one subdir each (the sink's layout)
+    for (b <- 0 to 5)
+      epochRows(b).write.mode("overwrite").parquet(s"$store/pairs/batch_id=$b")
+    val n = Dedup.compactSequencePairs(spark, store, dst, upToBatchId = 3L,
+      targetFiles = 2)
+    assert(n === 60L)
+    val out = spark.read.parquet(s"$dst/pairs")
+    // pair-content parity (batch_id provenance coarsens to the boundary)
+    def content(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2", "off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(content(out) === content(spark.read.parquet(s"$store/pairs")))
+    val byBatch = out.groupBy(col("batch_id").cast("long").as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch === Map(3L -> 40L, 4L -> 10L, 5L -> 10L))
+    // bounded file count in the folded subdir
+    val folded = new java.io.File(s"$dst/pairs/batch_id=3").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(folded <= 2, s"expected ≤ 2 folded files, got $folded")
+    // a still-replayable live epoch overwrites its own subdir on the
+    // compacted store exactly as before — idempotent, parity intact
+    epochRows(5).write.mode("overwrite").parquet(s"$dst/pairs/batch_id=5")
+    assert(spark.read.parquet(s"$dst/pairs").count() === 60L)
+    // guards: in-place, empty and non-store sources refuse
+    intercept[IllegalArgumentException](
+      Dedup.compactSequencePairs(spark, dst, dst, 3L))
+    intercept[IllegalArgumentException](
+      Dedup.compactSequencePairs(spark,
+        java.nio.file.Files.createTempDirectory("pairsempty").toString,
+        java.nio.file.Files.createTempDirectory("pairsdst").toString, 3L))
+  }
+
   test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
     // boundary discipline (R133): a pair at EXACTLY minVoteFrac must be kept
     // deterministically — the ppm cross-multiply, not a double divide,
