@@ -1334,6 +1334,32 @@ FROM (
   FROM a)
 WHERE rn <= 5 ORDER BY cluster_id, sample_rank""",
 
+    // Watermark-drop twin (q147): the append-mode streaming run's exact
+    // batch replay — batch 1 = even event_ids, watermark wm1 =
+    // max(even ts) − 30 min; an odd row is DROPPED iff its hour window's
+    // END is ≤ wm1 (window-end lateness, StreamsSpec-pinned), and the
+    // drained sink holds exactly the windows whose end ≤ the final
+    // watermark (max(all ts) − 30 min). The fixture's sub-hour max-ts
+    // offsets keep every comparison off boundary equality; aggregate
+    // forms mirror q18 (decimal-exact sum, epoch_ms hour key).
+    "q147_watermark_drops" ->
+      raw"""WITH wm1 AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events WHERE event_id % 2 = 0
+), wmf AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+), kept AS (
+  SELECT e.* FROM events e, wm1
+  WHERE e.event_id % 2 = 0
+     OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm1.w
+)
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+  count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM kept, wmf
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wmf.w
+GROUP BY 1, 2
+ORDER BY hour_ms, event_type""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

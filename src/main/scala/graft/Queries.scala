@@ -2910,6 +2910,43 @@ object Queries {
       .select(col("vec_id"), col("cluster_id"), col("sample_rank"))
       .orderBy(col("cluster_id"), col("sample_rank"))
 
+  /** Q147 — WATERMARK-DROP semantics under append mode (ST1's other half;
+    * q50 hash-checks the complete-mode drain, this probe hash-checks the
+    * two effects complete mode hides): the even-event_id half of the
+    * events fixture streams as micro-batch 1, the odd half arrives as
+    * micro-batch 2 — mostly LATE relative to the batch-1 watermark
+    * (max(even ts) − 30 min), so the watermark DROPS every odd row whose
+    * hour window it already closed — and the drained append-mode sink
+    * holds exactly the windows whose end the FINAL watermark passed.
+    * Lateness is window-end-based (StreamsSpec pins it) and the oracle
+    * replays both cuts in SQL over the same even/odd split; the fixture's
+    * sub-hour max-ts offsets keep every comparison away from boundary
+    * equality, and the one basis-ambiguous window (the one containing the
+    * batch-1 watermark) is withheld by the emission cut at both scales,
+    * so the oracle is exact. Two-phase staging is per-run (fresh temp
+    * dir): file-source micro-batch composition must be controlled, and
+    * the events slices are small at every SF.
+    */
+  def q147WatermarkDrops(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("q147ev").toString
+    val ev = Tables.events(s, dir)
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val name = "q147_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams.streamTumblingToMemoryAppend(
+      s, staged, name, "30 minutes")
+    try {
+      q.processAllAvailable() // batch 1: evens; watermark → max(even ts) − 30 min
+      ev.where(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(staged)
+      q.processAllAvailable() // batch 2: odds (late ones dropped) + final flush
+    } finally q.stop()
+    s.table(name)
+      .select(unix_millis(col("window_start")).as("hour_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3058,5 +3095,6 @@ object Queries {
     "q144_group_quantiles" -> q144GroupQuantiles _,
     "q145_dangling_keys" -> q145DanglingKeys _,
     "q146_cluster_balanced_sample" -> q146ClusterBalancedSample _,
+    "q147_watermark_drops" -> q147WatermarkDrops _,
   )
 }

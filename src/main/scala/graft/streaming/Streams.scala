@@ -444,4 +444,23 @@ object Streams {
       .writeStream.format("memory").queryName(queryName)
       .outputMode("complete").start()
   }
+
+  /** The APPEND-mode watermarked variant — the production semantics
+    * ([[streamTumblingToMemory]]) with a caller-chosen delay, exposed so
+    * the q147 probe can drive the watermark's BOTH effects against an
+    * oracle: late rows whose window the watermark already closed are
+    * DROPPED (lateness is window-end-based — StreamsSpec pins it), and a
+    * drained finite run holds exactly the windows whose end the final
+    * watermark passed (the rest stay withheld in state). Unlike the
+    * complete-mode drain this is NOT the batch aggregate — the oracle
+    * must replay the drop set and the emission cut explicitly.
+    */
+  def streamTumblingToMemoryAppend(spark: SparkSession, eventsDir: String,
+      queryName: String, delay: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = graft.Tables.eventsStream(spark, eventsDir)
+    tumblingCounts(withEventTimeWatermark(stream, delay))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+  }
 }

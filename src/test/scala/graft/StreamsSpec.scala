@@ -53,6 +53,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode watermark: lateness judged on WINDOW END, emission cut at the final watermark") {
+    // Pins the exact drop/emit semantics the q147 oracle models: a row
+    // whose ts is behind the watermark but whose WINDOW is still open
+    // (end > watermark) folds in — lateness is window-end-based for
+    // windowed aggregation — and the drained sink holds exactly the
+    // windows whose end the FINAL watermark passed.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(
+        Streams.withEventTimeWatermark(mem.toDF(), "10 minutes"))
+      .writeStream.format("memory").queryName("wmdrop").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, at("2024-01-01 10:59:00"), 1, "click", 1.0),
+        Ev(2, at("2024-01-01 13:05:00"), 1, "click", 2.0)) // wm → 12:55
+      q.processAllAvailable()
+      mem.addData(
+        Ev(3, at("2024-01-01 10:30:00"), 1, "click", 4.0),  // window end 11:00 ≤ wm: DROPPED
+        Ev(4, at("2024-01-01 12:50:00"), 1, "click", 8.0),  // ts < wm, window end 13:00 > wm: KEPT
+        Ev(5, at("2024-01-01 13:40:00"), 1, "click", 16.0)) // fresh
+      q.processAllAvailable()
+      mem.addData(Ev(6, at("2024-01-01 16:00:00"), 1, "click", 32.0)) // wm → 15:50
+      q.processAllAvailable()
+      val got = spark.table("wmdrop")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00.0", 1L, 1.0),   // row 3 dropped
+        ("2024-01-01 12:00:00.0", 1L, 8.0),   // row 4 kept — window-end basis
+        ("2024-01-01 13:00:00.0", 2L, 18.0)), // rows 2+5; the 16:00 window (end > wm) withheld
+        s"unexpected drained set $got")
+    } finally q.stop()
+  }
+
   test("ST2: sliding windows produce overlapping membership") {
     import spark.implicits._
     val rows = Seq(Ev(1, ts(10), 1, "click", 1.0))
