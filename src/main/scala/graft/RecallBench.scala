@@ -107,16 +107,33 @@ object RecallBench {
     // PQ/ADC (m=8 subspaces × ksub=16): the sampled (deterministic, q130)
     // and trained (seeded-kmeans) codebook builders, by rescore depth —
     // the staircase shows what codebook quality and rescore budget buy
-    val pqBuilders = Seq(
-      "sampled" -> Search.pqSampledCodebooks(emb, "vec_id", "embedding", dim, 8, 16),
-      "trained" -> Search.pqTrainCodebooks(emb, "embedding", dim, 8, 16, seed = 42L))
-    val pq = pqBuilders.flatMap { case (tag, cb) =>
-      val enc = Search.pqEncode(emb, "vec_id", "embedding", cb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val opqModel = Search.opqTrainCodebooks(emb, "embedding", dim, 8, 16,
+      seed = 42L)
+    val pqTiers: Seq[(String,
+        () => (org.apache.spark.sql.DataFrame,
+               (org.apache.spark.sql.DataFrame, Seq[Float], Int) => org.apache.spark.sql.DataFrame))] = Seq(
+      "sampled" -> (() => {
+        val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding", dim, 8, 16)
+        (Search.pqEncode(emb, "vec_id", "embedding", cb),
+          (enc, qv, rescore) => Search.pqTopK(enc, emb, "vec_id", "embedding", cb, qv, k, rescore))
+      }),
+      "trained" -> (() => {
+        val cb = Search.pqTrainCodebooks(emb, "embedding", dim, 8, 16, seed = 42L)
+        (Search.pqEncode(emb, "vec_id", "embedding", cb),
+          (enc, qv, rescore) => Search.pqTopK(enc, emb, "vec_id", "embedding", cb, qv, k, rescore))
+      }),
+      // OPQ (r11): learned orthogonal pre-rotation, codebooks trained in
+      // the rotated space, exact rescore still on original vectors
+      "opq" -> (() => {
+        (Search.opqEncode(emb, "vec_id", "embedding", opqModel),
+          (enc, qv, rescore) => Search.opqTopK(enc, emb, "vec_id", "embedding", opqModel, qv, k, rescore))
+      }))
+    val pq = pqTiers.flatMap { case (tag, build) =>
+      val (encRaw, search) = build()
+      val enc = encRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       enc.count()
       val rs = Seq(20, 50, 100).map { rescore =>
-        (tag, rescore) -> funnelRecall(qv =>
-          Search.pqTopK(enc, emb, "vec_id", "embedding", cb, qv, k, rescore))
+        (tag, rescore) -> funnelRecall(qv => search(enc, qv, rescore))
       }
       enc.unpersist()
       rs

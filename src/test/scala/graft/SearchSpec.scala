@@ -454,6 +454,72 @@ class SearchSpec extends SparkSpec {
     assert(t50 >= s50 - 0.02, s"trained codebooks must not lose to sampled: $t50 < $s50")
   }
 
+  test("OPQ: rotation orthogonal, persisted round-trip, appends idempotent, beats-or-ties plain PQ") {
+    import graft.operators.Search
+    val model = Search.opqTrainCodebooks(emb, "embedding", 64, 8, 16,
+      seed = 42L, opqIters = 3)
+    // the Procrustes solution must stay orthogonal: R·Rᵀ ≈ I
+    val d = model.rotation.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t =>
+        model.rotation(i)(t).toDouble * model.rotation(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-3,
+        s"R·Rᵀ[$i][$j] = $dot — rotation not orthogonal")
+    }
+    // persisted index reproduces the direct path; appends are idempotent
+    val path = java.nio.file.Files.createTempDirectory("gate-opq").toString
+    Search.opqWriteIndex(emb, "vec_id", "embedding", model, path)
+    val model2 = Search.readOpqModel(spark, path)
+    assert(model2.rotation.map(_.toSeq) == model.rotation.map(_.toSeq))
+    assert(model2.cb.centers.flatten.map(_.toSeq) == model.cb.centers.flatten.map(_.toSeq))
+    val q = vecs(1L)
+    val direct = Search.opqTopK(Search.opqEncode(emb, "vec_id", "embedding", model),
+        emb, "vec_id", "embedding", model, q, k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val fromIndex = Search.opqTopKFromIndex(spark, path, emb, "vec_id",
+        "embedding", q, k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(direct == fromIndex, "persisted OPQ index must reproduce the direct path")
+    assert(Search.appendOpqIndex(emb.limit(5), "vec_id", "embedding", path) == 0L)
+    val novel = emb.limit(1).select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    assert(Search.appendOpqIndex(novel, "vec_id", "embedding", path) == 1L)
+    assert(Search.appendOpqIndex(novel, "vec_id", "embedding", path) == 0L)
+    // an un-written path refuses
+    intercept[IllegalArgumentException](Search.appendOpqIndex(novel, "vec_id",
+      "embedding", java.nio.file.Files.createTempDirectory("noopq").toString))
+    // staircase invariant: the learned rotation must not LOSE to the
+    // identity (plain trained PQ) at the same budget — OPQ's whole claim
+    // (sf0.01 RecallBench r11: opq .572/.780/.900 vs trained
+    // .484/.712/.874; the small margin absorbs tiny-fixture kmeans noise)
+    val k = 10
+    val queries = emb.orderBy("vec_id").limit(25)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val exact: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> vecs.toSeq
+        .map { case (id, v) => (id, cosRef(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }.toMap
+    def recallOf(search: Seq[Float] => org.apache.spark.sql.DataFrame): Double = {
+      val hs = queries.map { case (qid, qv) =>
+        val got = search(qv).select("vec_id").collect().map(_.getLong(0)).toSet
+        exact(qid).count(got.contains).toDouble / exact(qid).size
+      }
+      hs.sum / hs.size
+    }
+    val cbT = Search.pqTrainCodebooks(emb, "embedding", 64, 8, 16, seed = 42L)
+    val encT = Search.pqEncode(emb, "vec_id", "embedding", cbT)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encO = Search.opqEncode(emb, "vec_id", "embedding", model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rT = recallOf(qv => Search.pqTopK(encT, emb, "vec_id", "embedding", cbT, qv, k, 50))
+      val rO = recallOf(qv => Search.opqTopK(encO, emb, "vec_id", "embedding", model, qv, k, 50))
+      assert(rO >= rT - 0.05, s"OPQ rescore=50 recall $rO lost to plain trained PQ $rT")
+    } finally { encT.unpersist(); encO.unpersist(); () }
+  }
+
   test("buildInvertedIndex: true df survives the cap; postings id-ordered; minDf prunes") {
     import spark.implicits._
     val docs = Seq(
