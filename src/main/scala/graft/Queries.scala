@@ -2923,22 +2923,38 @@ object Queries {
     * sub-hour max-ts offsets keep every comparison away from boundary
     * equality, and the one basis-ambiguous window (the one containing the
     * batch-1 watermark) is withheld by the emission cut at both scales,
-    * so the oracle is exact. Two-phase staging is per-run (fresh temp
-    * dir): file-source micro-batch composition must be controlled, and
-    * the events slices are small at every SF.
+    * so the oracle is exact. The even/odd parquet slices stage ONCE per
+    * sfDir ([[stagedRoot]] — per-rep Spark writes dominated the probe,
+    * 5.2 s median before the fold); each RUN only copies the two small
+    * files into a fresh stream directory, because micro-batch composition
+    * (file 2 must appear after batch 1 drains) needs a dir the stream
+    * owns.
     */
   def q147WatermarkDrops(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("q147ev").toString
-    val ev = Tables.events(s, dir)
-    ev.where(col("event_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(staged)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val (staged, fresh, commitStaged) = stagedRoot("q147ev", dir, src)
+    def slicePart(sub: String): java.nio.file.Path = {
+      val d = staged.resolve(sub)
+      java.nio.file.Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+    }
+    if (!fresh || !java.nio.file.Files.exists(staged.resolve("even")) ||
+        !java.nio.file.Files.exists(staged.resolve("odd"))) {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(staged.resolve("even").toString)
+      ev.where(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(staged.resolve("odd").toString)
+      commitStaged()
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("q147run")
+    java.nio.file.Files.copy(slicePart("even"), streamDir.resolve("batch1.parquet"))
     val name = "q147_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.Streams.streamTumblingToMemoryAppend(
-      s, staged, name, "30 minutes")
+      s, streamDir.toString, name, "30 minutes")
     try {
       q.processAllAvailable() // batch 1: evens; watermark → max(even ts) − 30 min
-      ev.where(col("event_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(staged)
+      java.nio.file.Files.copy(slicePart("odd"), streamDir.resolve("batch2.parquet"))
       q.processAllAvailable() // batch 2: odds (late ones dropped) + final flush
     } finally q.stop()
     s.table(name)
