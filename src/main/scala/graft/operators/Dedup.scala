@@ -128,6 +128,11 @@ object Dedup {
     val rows = centroids.select(col(cidCol), col(cvCol))
       .orderBy(col(cidCol)).collect()
     require(rows.nonEmpty, "assignNearestCentroid needs at least one centroid")
+    // duplicate cids would make the cid→index order (and thus tie-breaks)
+    // nondeterministic — refuse loudly (the module's guard discipline)
+    require(rows.map(_.get(0)).distinct.length == rows.length,
+      s"duplicate centroid ids in '$cidCol' — the smallest-cid tie-break " +
+        "needs a unique id per centroid")
     val cvs: Seq[Seq[Float]] = rows.toSeq.map(_.getSeq[Float](1).toSeq)
     val dims = cvs.map(_.length).distinct
     require(dims.size == 1,

@@ -144,6 +144,10 @@ class DedupSpec extends SparkSpec {
       .toDF("cid", "cv")
     intercept[IllegalArgumentException](
       Dedup.assignNearestCentroid(rows, "vec", badDims))
+    val dupCids = Seq((3, Array(1.0f, 0.0f, 0.0f)), (3, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    intercept[IllegalArgumentException](
+      Dedup.assignNearestCentroid(rows, "vec", dupCids))
   }
 
   test("semanticDedup: mega-cluster is capped — bounded cells, exact collapse, loud failure") {
