@@ -477,19 +477,26 @@ object Search {
   }
 
   /** IVF cluster assignment: nearest centroid id per vector (cosine), as ONE
-    * narrow expression — centroids inlined as literals (they are few; this is
-    * the broadcast), argmax via `array_max` over `(sim, -cid)` structs
-    * (struct comparison is lexicographic ⇒ max sim, ties to the LOWEST
-    * centroid id — deterministic). No join, no window, no shuffle;
-    * [[writeIvfIndex]] persists the result partitioned by `cluster_id` so
-    * queries prune to the probed clusters' files.
+    * narrow codegen'd fold — centroids inlined as a literal array (they are
+    * few; this is the broadcast), the argmax via
+    * [[org.apache.spark.sql.graft.NearestCentroidExpr]] (max sim, ties to
+    * the LOWEST centroid id, undefined cosines never win — the identical
+    * decisions of the earlier `array_max` over `(sim, -cid)` structs, spec-
+    * pinned, minus the k struct/array allocations per row). No join, no
+    * window, no shuffle; [[writeIvfIndex]] persists the result partitioned
+    * by `cluster_id` so queries prune to the probed clusters' files.
     */
   def ivfAssign(df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
-    val candidates = array(centroids.map { case (cid, v) =>
-      struct(cosine(col(vecCol), lit(v)).as("sim"), lit(-cid).as("neg_cid"))
-    }: _*)
-    df.withColumn("cluster_id", -array_max(candidates).getField("neg_cid"))
+    import org.apache.spark.sql.graft.VectorColumns
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    require(centroids.map(_._1).distinct.length == centroids.length,
+      "duplicate centroid ids — the smallest-cid tie-break needs unique ids")
+    val sorted = centroids.sortBy(_._1)
+    val idx = VectorColumns.nearestCentroidIdx(col(vecCol),
+      typedLit(sorted.map(_._2.toSeq)))
+    df.withColumn("cluster_id",
+      element_at(array(sorted.map(c => lit(c._1)): _*), idx + 1))
   }
 
   /** Driver-side probe selection: the `nProbe` centroids nearest the query
