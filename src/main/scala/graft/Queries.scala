@@ -2931,30 +2931,52 @@ object Queries {
     * owns.
     */
   def q147WatermarkDrops(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val (staged, fresh, commitStaged) = stagedRoot("q147ev", dir, src)
-    def slicePart(sub: String): java.nio.file.Path = {
-      val d = staged.resolve(sub)
-      java.nio.file.Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+    // The staged slices are single FILES landed via unique temp name +
+    // ATOMIC_MOVE (the q50 discipline): concurrent JVMs can't corrupt
+    // each other's staging, and readers never see a half-copied file.
+    def stageSlice(name: String, parity: Int): Unit = {
+      val job = Files.createTempDirectory(s"q147slice_$name")
+      Tables.events(s, dir).where(col("event_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(job.toString)
+      val part = {
+        val l = Files.list(job)
+        try l.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      }
+      val tmp = staged.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
+      Files.copy(part, tmp)
+      Files.move(tmp, staged.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      Files.walk(job).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
     }
-    if (!fresh || !java.nio.file.Files.exists(staged.resolve("even")) ||
-        !java.nio.file.Files.exists(staged.resolve("odd"))) {
-      val ev = Tables.events(s, dir)
-      ev.where(col("event_id") % 2 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(staged.resolve("even").toString)
-      ev.where(col("event_id") % 2 === 1).coalesce(1)
-        .write.mode("overwrite").parquet(staged.resolve("odd").toString)
+    if (!fresh || !Files.exists(staged.resolve("even.parquet")) ||
+        !Files.exists(staged.resolve("odd.parquet"))) {
+      Files.createDirectories(staged)
+      stageSlice("even.parquet", 0)
+      stageSlice("odd.parquet", 1)
       commitStaged()
     }
-    val streamDir = java.nio.file.Files.createTempDirectory("q147run")
-    java.nio.file.Files.copy(slicePart("even"), streamDir.resolve("batch1.parquet"))
+    // Per-run stream dir (micro-batch composition needs a dir the stream
+    // owns); mid-stream delivery of batch 2 also goes dot-temp +
+    // ATOMIC_MOVE — the live file source polls continuously and must
+    // never list a half-copied parquet.
+    def deliver(streamDir: java.nio.file.Path, slice: String, as: String): Unit = {
+      val tmp = streamDir.resolve(s".$as.${java.util.UUID.randomUUID()}.tmp")
+      Files.copy(staged.resolve(slice), tmp)
+      Files.move(tmp, streamDir.resolve(as), StandardCopyOption.ATOMIC_MOVE)
+    }
+    val streamDir = Files.createTempDirectory("q147run")
+    deliver(streamDir, "even.parquet", "batch1.parquet")
     val name = "q147_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.Streams.streamTumblingToMemoryAppend(
       s, streamDir.toString, name, "30 minutes")
     try {
       q.processAllAvailable() // batch 1: evens; watermark → max(even ts) − 30 min
-      java.nio.file.Files.copy(slicePart("odd"), streamDir.resolve("batch2.parquet"))
+      deliver(streamDir, "odd.parquet", "batch2.parquet")
       q.processAllAvailable() // batch 2: odds (late ones dropped) + final flush
     } finally q.stop()
     s.table(name)

@@ -177,6 +177,20 @@ object Dedup {
       // both sides of the pair self-join read this — persist so the
       // centroid argmax runs once, released after the (eager) resolution
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Duplicate ids would silently survive dedup (a pair never forms
+    // between two rows of the SAME id — id1 < id2 — so neither copy
+    // prunes the other; the retired window form collapsed them as a side
+    // effect). Fail loudly instead; the check rides the cached
+    // assignment, so it costs one cheap job, not a rescan.
+    val dupId = assigned.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).limit(1).collect()
+    if (dupId.nonEmpty) {
+      assigned.unpersist(false)
+      throw new IllegalArgumentException(
+        s"semanticDedup requires unique '$idCol' values — id " +
+          s"'${dupId.head.get(0)}' appears ${dupId.head.getLong(1)} times " +
+          "(dedupe or re-key upstream first)")
+    }
     def pairsWithin(rows: DataFrame, keys: Seq[String]): DataFrame = rows
       .select(keys.map(col) :+ col(idCol).as("id1") :+ col(vecCol).as("_v1"): _*)
       .join(rows.select(

@@ -283,11 +283,17 @@ object Profile {
           .otherwise(null)).as("__mx_l"),
         // fractional: keyed struct-min/max — compare on the parsed double
         // (string tiebreak is unreachable: shortest-round-trip strings of
-        // distinct values are distinct), return the stored string verbatim
-        min(when(col("value_type") === "fractional",
+        // distinct values are distinct), return the stored string verbatim.
+        // The isNotNull guard matters: an all-null batch stores a NULL
+        // min/max, and when() would wrap it in a NON-null struct with
+        // null fields, which sorts FIRST and would poison the merged min
+        // to NULL (unlike the scalar paths, where min/max skip nulls).
+        min(when(col("value_type") === "fractional" &&
+            col("min_value").isNotNull,
           struct(col("min_value").cast("double").as("k"),
             col("min_value").as("v")))).as("__mn_f"),
-        max(when(col("value_type") === "fractional",
+        max(when(col("value_type") === "fractional" &&
+            col("max_value").isNotNull,
           struct(col("max_value").cast("double").as("k"),
             col("max_value").as("v")))).as("__mx_f"))
       .select(col("column"), col("n_rows"), col("n_non_null"),

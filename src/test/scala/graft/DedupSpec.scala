@@ -103,6 +103,13 @@ class DedupSpec extends SparkSpec {
     val kept2 = Dedup.semanticDedup(crossCluster, "id", "vec", cents, 0.9)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept2 == Set(1L, 2L))
+    // duplicate ids refuse loudly: a same-id pair never forms (id1 < id2),
+    // so both copies would silently survive (review r11)
+    val dupIds = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.semanticDedup(dupIds, "id", "vec", cents, 0.9))
+    assert(ex.getMessage.contains("unique 'id'"))
   }
 
   test("assignNearestCentroid: zero-exchange plan, window-form equivalence, ties, undefined cosines") {

@@ -166,6 +166,14 @@ class ProfileSpec extends SparkSpec {
     val fOneShot = Profile.profileColumns(f1.unionAll(f2), Seq("x"))
       .collect().map(r => (r.getString(0), r.getString(5), r.getString(6)))
     assert(fMerged.toSeq === fOneShot.toSeq)
+    // an ALL-NULL fractional batch stores NULL min/max; the merge must
+    // skip it, not let a null-keyed struct win the min (review r11)
+    val f3 = Seq((5L, Option.empty[Double]), (6L, Option.empty[Double])).toDF("id", "x")
+    assert(Profile.appendProfile(f3, Seq("x"), "f3", fstore) === 1L)
+    val fMerged2 = Profile.mergedProfile(spark, fstore).collect()
+      .map(r => (r.getString(0), r.getString(4), r.getString(5)))
+    assert(fMerged2.toSeq === Seq(("x", "0.125", "10.5")),
+      s"all-null batch must not poison the fractional merge: ${fMerged2.toSeq}")
     // still-unsupported types are refused loudly
     val db = Seq((1L, Array[Byte](1, 2))).toDF("id", "x")
     intercept[IllegalArgumentException](
