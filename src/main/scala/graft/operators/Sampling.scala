@@ -45,8 +45,9 @@ object Sampling {
     *
     * `idCol` must be UNIQUE: the content-addressed per-cluster draw
     * ([[exactKPerGroup]]) keys on it, so duplicate ids would make the
-    * cut nondeterministic (ADVICE r10 — the assignment itself no longer
-    * drops duplicate-id rows, the window that silently did is gone).
+    * cut nondeterministic — checked LOUDLY (one column-pruned pre-agg;
+    * the assignment itself no longer drops duplicate-id rows, the window
+    * that silently did is gone). ADVICE r10 / review r11.
     */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
       numClusters: Int, perCluster: Int, salt: String = ""): DataFrame = {
@@ -54,6 +55,12 @@ object Sampling {
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
     val missing = Seq(idCol, vecCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val dup = df.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"clusterBalancedSample requires unique '$idCol' values — id " +
+        s"'${dup.headOption.map(_.get(0)).getOrElse("")}' repeats; the " +
+        "content-addressed draw keys on the id")
     val cents = df.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
       .orderBy(col("__cid")).limit(numClusters)
     val assigned = Dedup.assignNearestCentroid(df, vecCol, cents,

@@ -135,6 +135,10 @@ class SamplingSpec extends SparkSpec {
       Sampling.clusterBalancedSample(df, "id", "v", 4, 0))
     intercept[IllegalArgumentException](
       Sampling.clusterBalancedSample(df, "id", "nope", 4, 3))
+    // duplicate ids refuse loudly (the content-addressed draw keys on id)
+    val ex = intercept[IllegalArgumentException](
+      Sampling.clusterBalancedSample(df.unionAll(df.limit(1)), "id", "v", 4, 3))
+    assert(ex.getMessage.contains("unique 'id'"))
   }
 
   test("leakageSafeSplits composes with sequence-dedup pairs (any-tier contract)") {
