@@ -72,18 +72,30 @@ object Bench {
       }
       name -> runs
     }
-    def fmt(sel: Seq[Double] => Double) =
+    // `queries` (the medians the driver gates on) keeps the original
+    // any-failed-rep → -1 sentinel so round-over-round totals stay
+    // comparable; min/max are DIAGNOSTIC fields and compute over the
+    // successful reps only (ADVICE r11 — a probe that succeeded on some
+    // reps shouldn't lose its real spread), with the failure count
+    // reported separately in `queries_failed_reps` (nonzero entries only).
+    def fmt(sel: Seq[Double] => Double, allOrNothing: Boolean) =
       timed.map { case (k, rs) =>
-        val v = if (rs.exists(_ < 0)) -1.0 else sel(rs)
+        val ok = rs.filter(_ >= 0)
+        val v =
+          if (allOrNothing) { if (rs.exists(_ < 0)) -1.0 else sel(rs) }
+          else { if (ok.isEmpty) -1.0 else sel(ok) }
         "\"" + k + "\":" + v
       }.mkString("{", ",", "}")
+    val failed = timed.collect { case (k, rs) if rs.exists(_ < 0) =>
+      "\"" + k + "\":" + rs.count(_ < 0)
+    }.mkString("{", ",", "}")
     val medians = timed.map { case (_, rs) => if (rs.exists(_ < 0)) -1.0 else median(rs) }
     val total = medians.filter(_ >= 0).sum
     // min/median/max per probe (VERDICT r10 item 6): the reps exist
     // anyway, and the spread lets a judge separate ambient drift from a
     // plan regression without a worktree A/B — a probe whose min matches
     // the old record but whose max is 2× is load noise, not code.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${fmt(median)},"queries_min":${fmt(_.min)},"queries_max":${fmt(_.max)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${fmt(median, allOrNothing = true)},"queries_min":${fmt(_.min, allOrNothing = false)},"queries_max":${fmt(_.max, allOrNothing = false)},"queries_failed_reps":$failed,"sf":"$sfDir"}"""
     println(line)
     // the driver truncates its stdout capture; a file keeps EVERY probe's
     // median visible (VERDICT r6 item 2 — q100+ were invisible in r6)

@@ -133,6 +133,12 @@ object Dedup {
     require(rows.map(_.get(0)).distinct.length == rows.length,
       s"duplicate centroid ids in '$cidCol' — the smallest-cid tie-break " +
         "needs a unique id per centroid")
+    // a NULL centroid vector would otherwise surface as an opaque NPE in
+    // the getSeq below — fail with the module's loud-guard discipline
+    require(rows.forall(!_.isNullAt(1)),
+      s"NULL centroid vector in '$cvCol' (cid " +
+        s"${rows.find(_.isNullAt(1)).map(_.get(0)).getOrElse("?")}) — " +
+        "every centroid needs a vector")
     val cvs: Seq[Seq[Float]] = rows.toSeq.map(_.getSeq[Float](1).toSeq)
     val dims = cvs.map(_.length).distinct
     require(dims.size == 1,
@@ -163,12 +169,23 @@ object Dedup {
     * mega-cluster. Cells still oversized after `maxSplitDepth` levels fail
     * loudly instead of silently running a quadratic task.
     *
+    * @param assumeUniqueIds skip the eager duplicate-id refusal (one
+    *                        bounded aggregation per call, ~0.1–0.3 s at
+    *                        sf0.1 — material when a 100 TB caller invokes
+    *                        this inside a loop). Opt in ONLY when id
+    *                        uniqueness is already CERTIFIED upstream —
+    *                        [[graft.operators.Profile.duplicateKeys]] is
+    *                        the certifying check (empty result = unique).
+    *                        With duplicates and the guard off, copies of
+    *                        the same id silently survive dedup (no pair
+    *                        forms under `id1 < id2`). VERDICT r11 item 6.
     * @return the input rows minus semantic duplicates (keep-min-id policy)
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, simThreshold: Double,
       maxClusterSize: Int = 8192, maxSplitDepth: Int = 24,
-      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+      assumeUniqueIds: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions
     require(maxClusterSize > 1, "maxClusterSize must exceed 1")
     val assigned = assignNearestCentroid(
@@ -181,9 +198,13 @@ object Dedup {
     // between two rows of the SAME id — id1 < id2 — so neither copy
     // prunes the other; the retired window form collapsed them as a side
     // effect). Fail loudly instead; the check rides the cached
-    // assignment, so it costs one cheap job, not a rescan.
-    val dupId = assigned.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1).limit(1).collect()
+    // assignment, so it costs one cheap job, not a rescan. Callers who
+    // have CERTIFIED uniqueness (Profile.duplicateKeys) may opt out via
+    // `assumeUniqueIds` and skip the job entirely.
+    val dupId =
+      if (assumeUniqueIds) Array.empty[org.apache.spark.sql.Row]
+      else assigned.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+        .where(col("_n") > 1).limit(1).collect()
     if (dupId.nonEmpty) {
       assigned.unpersist(false)
       throw new IllegalArgumentException(

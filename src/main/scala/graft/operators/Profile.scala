@@ -235,10 +235,20 @@ object Profile {
       s"profile store '$storeDir' holds non-parquet content — refusing to append")
     if (state == PathState.Data && spark.read.parquet(storeDir)
         .where(col("batch_id") === batchId).limit(1).count() > 0) return 0L
+    // fractional min/max normalize -0.0 → 0.0 BEFORE rendering (ADVICE
+    // r11): -0.0 and 0.0 parse back to EQUAL doubles but render as
+    // DISTINCT strings, so a stored "-0.0" would make [[mergedProfile]]'s
+    // struct min/max fall through to its string tie-break and the merged
+    // card could disagree with a one-shot card on signed-zero data.
+    // `abs` on an exact zero keeps the column's own float/double type
+    // (no widening, so every non-zero value renders unchanged).
+    def render(c: String)(e: org.apache.spark.sql.Column) =
+      (if (vt(c) == "fractional") when(e === 0, abs(e)).otherwise(e) else e)
+        .cast("string")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        render(c)(min(col(c))).as(s"__mn_$c"),
+        render(c)(max(col(c))).as(s"__mx_$c"))
     }
     val card = df.agg(aggs.head, aggs.tail: _*)
       .select(col("n_rows"), explode(array(cols.map { c =>
@@ -282,19 +292,23 @@ object Profile {
         max(when(col("value_type") === "lexical", col("max_value"))
           .otherwise(null)).as("__mx_l"),
         // fractional: keyed struct-min/max — compare on the parsed double
-        // (string tiebreak is unreachable: shortest-round-trip strings of
-        // distinct values are distinct), return the stored string verbatim.
+        // normalized for signed zero (`+ 0.0` turns -0.0 into 0.0, so a
+        // pre-normalization store holding both "-0.0" and "0.0" cards
+        // can't tie-break on the string and flip the merged value; with
+        // equal keys the string tiebreak picks deterministically, and
+        // [[appendProfile]] no longer writes "-0.0" at all), return the
+        // stored string verbatim.
         // The isNotNull guard matters: an all-null batch stores a NULL
         // min/max, and when() would wrap it in a NON-null struct with
         // null fields, which sorts FIRST and would poison the merged min
         // to NULL (unlike the scalar paths, where min/max skip nulls).
         min(when(col("value_type") === "fractional" &&
             col("min_value").isNotNull,
-          struct(col("min_value").cast("double").as("k"),
+          struct((col("min_value").cast("double") + 0.0).as("k"),
             col("min_value").as("v")))).as("__mn_f"),
         max(when(col("value_type") === "fractional" &&
             col("max_value").isNotNull,
-          struct(col("max_value").cast("double").as("k"),
+          struct((col("max_value").cast("double") + 0.0).as("k"),
             col("max_value").as("v")))).as("__mx_f"))
       .select(col("column"), col("n_rows"), col("n_non_null"),
         (col("n_rows") - col("n_non_null")).as("n_null"),

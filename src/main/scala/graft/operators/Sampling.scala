@@ -47,20 +47,37 @@ object Sampling {
     * ([[exactKPerGroup]]) keys on it, so duplicate ids would make the
     * cut nondeterministic — checked LOUDLY (one column-pruned pre-agg;
     * the assignment itself no longer drops duplicate-id rows, the window
-    * that silently did is gone). ADVICE r10 / review r11.
+    * that silently did is gone). ADVICE r10 / review r11. Callers who
+    * have CERTIFIED uniqueness upstream
+    * ([[graft.operators.Profile.duplicateKeys]] — empty result = unique)
+    * may skip the guard's extra corpus aggregation with
+    * `assumeUniqueIds = true`; with duplicates and the guard off the
+    * draw is silently nondeterministic, so certify first. VERDICT r11
+    * item 6.
     */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
-      numClusters: Int, perCluster: Int, salt: String = ""): DataFrame = {
+      numClusters: Int, perCluster: Int, salt: String = "",
+      assumeUniqueIds: Boolean = false): DataFrame = {
     require(numClusters > 0, s"numClusters must be positive, got $numClusters")
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
     val missing = Seq(idCol, vecCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
-    val dup = df.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1).limit(1).collect()
+    val dup =
+      if (assumeUniqueIds) Array.empty[org.apache.spark.sql.Row]
+      else df.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+        .where(col("_n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"clusterBalancedSample requires unique '$idCol' values — id " +
         s"'${dup.headOption.map(_.get(0)).getOrElse("")}' repeats; the " +
         "content-addressed draw keys on the id")
+    // degenerate input: an empty frame has no seed centroids, and the
+    // assignment's non-empty-centroid require would throw — an empty
+    // SAMPLE of an empty corpus is the honest answer (and what the
+    // retired crossJoin+window form returned). The probe is bounded:
+    // limit(1) stops at the first row. ADVICE r11.
+    if (df.limit(1).count() == 0L)
+      return df.withColumn("cluster_id", col(idCol))
+        .withColumn("sample_rank", lit(1)).where(lit(false))
     val cents = df.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
       .orderBy(col("__cid")).limit(numClusters)
     val assigned = Dedup.assignNearestCentroid(df, vecCol, cents,

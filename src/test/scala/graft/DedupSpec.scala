@@ -110,6 +110,16 @@ class DedupSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Dedup.semanticDedup(dupIds, "id", "vec", cents, 0.9))
     assert(ex.getMessage.contains("unique 'id'"))
+    // assumeUniqueIds skips the guard's extra aggregation (VERDICT r11
+    // item 6) — on certified-unique input the answer is identical...
+    val keptCertified = Dedup.semanticDedup(crossCluster, "id", "vec",
+      cents, 0.9, assumeUniqueIds = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptCertified === kept2)
+    // ...and on UNcertified duplicate input both copies silently survive —
+    // the documented hazard that makes the hatch opt-in only
+    assert(Dedup.semanticDedup(dupIds, "id", "vec", cents, 0.9,
+      assumeUniqueIds = true).count() === 2L)
   }
 
   test("assignNearestCentroid: zero-exchange plan, window-form equivalence, ties, undefined cosines") {
@@ -155,6 +165,13 @@ class DedupSpec extends SparkSpec {
       .toDF("cid", "cv")
     intercept[IllegalArgumentException](
       Dedup.assignNearestCentroid(rows, "vec", dupCids))
+    // a NULL centroid vector fails with the module's descriptive require,
+    // not an opaque NPE (ADVICE r11)
+    val nullCv = Seq((3, Option(Array(1.0f, 0.0f, 0.0f))), (5, None))
+      .toDF("cid", "cv")
+    val exNull = intercept[IllegalArgumentException](
+      Dedup.assignNearestCentroid(rows, "vec", nullCv))
+    assert(exNull.getMessage.contains("NULL centroid vector"))
   }
 
   test("semanticDedup: mega-cluster is capped — bounded cells, exact collapse, loud failure") {

@@ -174,6 +174,23 @@ class ProfileSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(4), r.getString(5)))
     assert(fMerged2.toSeq === Seq(("x", "0.125", "10.5")),
       s"all-null batch must not poison the fractional merge: ${fMerged2.toSeq}")
+    // signed zero (ADVICE r11): -0.0 and 0.0 parse to EQUAL doubles but
+    // render as distinct strings — append-time normalization must store
+    // "0.0" for a -0.0 extremum so the merge never string-tie-breaks into
+    // a value a one-shot card wouldn't produce
+    val zstore = Files.createTempDirectory("profstore_z").toString
+    val z1 = Seq((1L, -0.0), (2L, 5.0)).toDF("id", "x")
+    val z2 = Seq((3L, 0.0), (4L, 7.0)).toDF("id", "x")
+    assert(Profile.appendProfile(z1, Seq("x"), "z1", zstore) === 1L)
+    assert(Profile.appendProfile(z2, Seq("x"), "z2", zstore) === 1L)
+    val zCards = spark.read.parquet(zstore)
+      .select("batch_id", "min_value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(zCards === Map("z1" -> "0.0", "z2" -> "0.0"),
+      s"-0.0 must normalize at append time, stored: $zCards")
+    val zMerged = Profile.mergedProfile(spark, zstore).collect()
+      .map(r => (r.getString(0), r.getString(4), r.getString(5)))
+    assert(zMerged.toSeq === Seq(("x", "0.0", "7.0")))
     // still-unsupported types are refused loudly
     val db = Seq((1L, Array[Byte](1, 2))).toDF("id", "x")
     intercept[IllegalArgumentException](

