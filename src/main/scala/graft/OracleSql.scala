@@ -1360,6 +1360,76 @@ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wmf.w
 GROUP BY 1, 2
 ORDER BY hour_ms, event_type""",
 
+    // Composed IVF-PQ ANN (q148): the q30 coarse tier fused onto the
+    // q130 PQ replay. CTEs sc/c/rk/cent/asg0/asg/q/adc are q130's
+    // verbatim (i8 codes, md5-ranked sampled codebooks, integer argmin
+    // encode, ADC inner product) with ONE added restriction: asg0 keeps
+    // only corpus vectors whose q30-style coarse assignment (8 seed
+    // centroids = vec_id < 8, ties → lowest cid) lands in the nProbe=4
+    // clusters nearest the query vector (ties → lowest cid) — the
+    // partition-pruned read of the persisted index. Candidates top-50 by
+    // (adc DESC, vec_id), exact-cosine rescore top-10 — the q15 output
+    // discipline.
+    "q148_ivf_pq" ->
+      raw"""WITH sc AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+  FROM embeddings),
+c AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
+  FROM sc),
+rk AS (
+  SELECT sub.s, c.vec_id,
+    row_number() OVER (PARTITION BY sub.s
+      ORDER BY ('0x' || substr(md5(sub.s::VARCHAR || '|' || c.vec_id::VARCHAR), 1, 15))::BIGINT,
+               c.vec_id) AS rk
+  FROM c, (SELECT unnest(generate_series(0, 7)) AS s) sub),
+cent AS (
+  SELECT rk.s, rk.rk - 1 AS j, c.codes[rk.s*8 + 1 : rk.s*8 + 8] AS cv
+  FROM rk JOIN c ON c.vec_id = rk.vec_id
+  WHERE rk.rk <= 16),
+cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, cc.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM embeddings e CROSS JOIN cents cc WHERE e.vec_id <> 0)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cc.cid,
+      row_number() OVER (ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM cents cc, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+  WHERE rn <= 4),
+asg0 AS (
+  SELECT c.vec_id, cent.s, cent.j,
+    list_inner_product(cent.cv, cent.cv)
+      - 2 * list_inner_product(c.codes[cent.s*8 + 1 : cent.s*8 + 8], cent.cv) AS d
+  FROM c, cent
+  WHERE c.vec_id <> 0
+    AND c.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid)),
+asg AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS r
+    FROM asg0) WHERE r = 1),
+q AS (SELECT codes FROM c WHERE vec_id = 0),
+adc AS (
+  SELECT asg.vec_id,
+    sum(list_inner_product(q.codes[asg.s*8 + 1 : asg.s*8 + 8], cent.cv)) AS adc_ip
+  FROM asg JOIN cent ON cent.s = asg.s AND cent.j = asg.j, q
+  GROUP BY asg.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_ip DESC, vec_id LIMIT 50)
+SELECT e.vec_id,
+  floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[])) / 1000 AS cos_sim
+FROM cand
+JOIN embeddings e USING (vec_id),
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

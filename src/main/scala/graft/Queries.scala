@@ -2985,6 +2985,43 @@ object Queries {
       .orderBy(col("hour_ms"), col("event_type"))
   }
 
+  /** Q148 — COMPOSED IVF-PQ ANN through the PERSISTED index
+    * (Search.writeIvfPqIndex / ivfPqTopKFromIndex — IVFADC, Jégou et al.
+    * 2011): the q30 coarse tier and the q130 PQ tier fused into the
+    * standard 100 TB serving architecture. Deterministic end to end: the
+    * 8 coarse centroids are the vec_id<8 seed rows (the q30 discipline),
+    * the codebooks are the md5-SAMPLED m=8×ksub=16 set (the q130
+    * discipline), so every stage — assignment (ties → lowest cid), probe
+    * selection (nProbe=4 nearest centroids to vec_id 0's query, ties →
+    * lowest cid), ADC ranking within the probed clusters (ties → lowest
+    * vec_id), top-50 candidates, exact-cosine rescore top-10 — is
+    * DuckDB-replayable. The index stages once per sfDir (idempotent,
+    * [[stagedRoot]]) so bench reps time the READ path: a
+    * partition-pruned scan of the probed clusters' m-byte codes
+    * (PartitionFilters asserted in SearchSpec), never the whole corpus.
+    */
+  def q148IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val (idxDir, fresh, commitStaged) = stagedRoot("q148ivfpq", dir, src)
+    if (!fresh) {
+      val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+      Search.writeIvfPqIndex(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", cents, cb, idxDir.toString)
+      commitStaged()
+    }
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.ivfPqTopKFromIndex(s, idxDir.toString,
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query,
+        k = 10, nProbe = 4, rescore = 50)
+      .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3134,5 +3171,6 @@ object Queries {
     "q145_dangling_keys" -> q145DanglingKeys _,
     "q146_cluster_balanced_sample" -> q146ClusterBalancedSample _,
     "q147_watermark_drops" -> q147WatermarkDrops _,
+    "q148_ivf_pq" -> q148IvfPq _,
   )
 }

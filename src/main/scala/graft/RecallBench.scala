@@ -139,6 +139,23 @@ object RecallBench {
       rs
     }
 
+    // composed IVF-PQ (r12): coarse partition-pruned probe + ADC scan of
+    // the probed clusters only + exact rescore — the IVFADC serving
+    // architecture (q148's tier with the recall-grade trained models:
+    // kmeans centroids + seeded-kmeans codebooks). Compared against flat
+    // trained PQ at the SAME rescore budget: within the probed subset the
+    // ADC ranking faces fewer competitors, so recall holds or improves
+    // wherever nProbe covers the true neighbors' clusters.
+    val ivfPqPath = java.nio.file.Files.createTempDirectory("recall-ivfpq").toString
+    val cbT = Search.pqTrainCodebooks(emb, "embedding", dim, 8, 16, seed = 42L)
+    Search.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cbT, ivfPqPath)
+    val ivfpq = Seq((2, 50), (4, 50), (4, 100), (8, 50), (16, 50),
+        (nClusters, 50)).map { case (np, rescore) =>
+      (np, rescore) -> funnelRecall(qv =>
+        Search.ivfPqTopKFromIndex(spark, ivfPqPath, emb, "vec_id",
+          "embedding", qv, k, np, rescore))
+    }
+
     // LSH pair recall vs exact L2 pairs at the q43 threshold
     val maxL2 = 1.18
     val exactPairs = emb.as("a").crossJoin(emb.as("b"))
@@ -161,9 +178,11 @@ object RecallBench {
     val binJson = binary.map { case (fa, r) => s""""factor$fa":${f(r)}""" }.mkString(",")
     val matJson = matryoshka.map { case (p, r) => s""""prefix$p":${f(r)}""" }.mkString(",")
     val pqJson = pq.map { case ((tag, rs), r) => s""""${tag}_rescore$rs":${f(r)}""" }.mkString(",")
+    val ivfpqJson = ivfpq.map { case ((np, rs), r) => s""""np${np}_rescore$rs":${f(r)}""" }.mkString(",")
     println(s"""{"metric":"ann_recall","k":$k,"n_queries":${queries.size},""" +
       s""""n_clusters":$nClusters,"ivf":{$ivfJson},"qivf":{$qivfJson},""" +
       s""""binary":{$binJson},"matryoshka":{$matJson},"pq":{$pqJson},""" +
+      s""""ivfpq":{$ivfpqJson},""" +
       s""""lsh_pair_recall":${f(lshRecall)},"n_exact_pairs":${exactPairs.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -454,6 +454,85 @@ class SearchSpec extends SparkSpec {
     assert(t50 >= s50 - 0.02, s"trained codebooks must not lose to sampled: $t50 < $s50")
   }
 
+  test("IVF-PQ composed index: pruned read ≡ in-memory composition; full probe ≡ flat PQ; appends idempotent") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val cb = Search.pqTrainCodebooks(emb, "embedding", 64, 8, 16, seed = 42L)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Search.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cb, path)
+    // byte codes partitioned by cluster; BOTH parents' sidecars round-trip
+    // through the parents' own readers
+    val stored = spark.read.parquet(s"$path/codes")
+    assert(stored.schema("pq_codes").dataType == ArrayType(ByteType))
+    assert(stored.columns.toSet == Set("vec_id", "pq_codes", "cluster_id"))
+    assert(Search.readIvfCentroids(spark, path).map(_._1) == (0 until 8))
+    val cb2 = Search.readPqCodebooks(spark, path)
+    assert(cb2.centers.flatten.map(_.toSeq) == cb.centers.flatten.map(_.toSeq))
+    val q = vecs(1L)
+    // the pruned read path reproduces the in-memory composition exactly:
+    // assign → keep the probed clusters → flat PQ funnel over that subset
+    val fromIndex = Search.ivfPqTopKFromIndex(spark, path, emb, "vec_id",
+      "embedding", q, k = 10, nProbe = 3, rescore = 50)
+    val got = fromIndex.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val probed = Search.probeClusters(centroids, q, 3)
+    val subset = Search.ivfAssign(emb, "embedding", centroids)
+      .where(col("cluster_id").isin(probed: _*))
+    val ref = Search.pqTopK(Search.pqEncode(subset, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", cb, q, k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == ref, s"pruned read $got != in-memory composition $ref")
+    // probing EVERY cluster makes the composed tier the flat PQ tier
+    // (identical candidate set ⇒ identical answer) — the recall
+    // convergence the RecallBench staircase freezes
+    val full = Search.ivfPqTopKFromIndex(spark, path, emb, "vec_id",
+        "embedding", q, k = 10, nProbe = 8, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val flat = Search.pqTopK(Search.pqEncode(emb, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", cb, q, k = 10, rescore = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == flat, "full-probe IVF-PQ must equal flat PQ")
+    // the codes scan is partition-pruned: PartitionFilters carry
+    // cluster_id and the FileIndex selects EXACTLY the probed
+    // directories. The scan lives on the broadcast CANDIDATE side, whose
+    // subtree nests its own adaptive plan — walk through AQE wrappers
+    // (collectLeaves treats them as leaves).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(fromIndex.queryExecution.executedPlan)
+      .find(_.relation.partitionSchema.fieldNames.contains("cluster_id"))
+    assert(scan.isDefined, fromIndex.queryExecution.executedPlan.toString.take(1500))
+    assert(scan.get.partitionFilters.nonEmpty, "cluster_id filter must be a PartitionFilter")
+    val selected = scan.get.relation.location.listFiles(
+      scan.get.partitionFilters, scan.get.dataFilters)
+    assert(selected.size == probed.size,
+      s"expected ${probed.size} pruned partitions, got ${selected.size}")
+    // maintenance contract: build(A)+append(B) ≡ build(A∪B) (both frozen
+    // models), replay no-op, missing index refuses
+    val a = emb.where(col("vec_id") < 250)
+    val b = emb.where(col("vec_id") >= 250)
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq-inc").toString
+    Search.writeIvfPqIndex(a, "vec_id", "embedding", centroids, cb, incDir)
+    assert(Search.appendIvfPqIndex(b, "vec_id", "embedding", incDir) === b.count())
+    def contents(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cluster_id"), r.getSeq[Byte](r.fieldIndex("pq_codes")))).toSet
+    assert(contents(incDir) === contents(path))
+    assert(Search.ivfPqTopKFromIndex(spark, incDir, emb, "vec_id",
+        "embedding", q, 10, 3, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq === got)
+    assert(Search.appendIvfPqIndex(b, "vec_id", "embedding", incDir) === 0L)
+    intercept[IllegalArgumentException] {
+      Search.appendIvfPqIndex(b, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("ivfpq-none").toString)
+    }
+  }
+
   test("OPQ: rotation orthogonal, persisted round-trip, appends idempotent, beats-or-ties plain PQ") {
     import graft.operators.Search
     val model = Search.opqTrainCodebooks(emb, "embedding", 64, 8, 16,
