@@ -136,33 +136,38 @@ object PlanSignature {
     }.mkString("{\n", ",\n", "\n}")
 
   /** Minimal parser for the exact shape [[render]] writes (and nothing
-    * more) — returns key → (digest, canonical).
+    * more) — returns key → (digest, canonical). A linear character
+    * scanner, NOT a regex: a backtracking `((?:[^"\\]|\\.)*)` group
+    * stack-overflows on multi-KB canonical strings. The render shape
+    * guarantees the string stream is (key, "digest", d, "canonical", c)
+    * repeating, so structure recovery is just grouping by five.
     */
   def parse(json: String): Map[String, (String, String)] = {
-    val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\{\\s*\"digest\"\\s*:" +
-      "\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"canonical\"\\s*:\\s*" +
-      "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\}").r
-    def un(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) {
-          s.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); i += 2
-            case 'r' => sb.append('\r'); i += 2
-            case 't' => sb.append('\t'); i += 2
-            case 'u' =>
-              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-              i += 6
-            case other => sb.append(other); i += 2
-          }
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
+    val strs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < json.length) {
+      if (json.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (json.charAt(i) != '"') {
+          if (json.charAt(i) == '\\') {
+            json.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case other => sb.append(other); i += 2
+            }
+          } else { sb.append(json.charAt(i)); i += 1 }
+        }
+        i += 1
+        strs += sb.toString
+      } else i += 1
     }
-    entry.findAllMatchIn(json)
-      .map(m => un(m.group(1)) -> ((un(m.group(2)), un(m.group(3)))))
-      .toMap
+    strs.grouped(5).collect {
+      case scala.collection.Seq(k, "digest", d, "canonical", c) => k -> ((d, c))
+    }.toMap
   }
 }
