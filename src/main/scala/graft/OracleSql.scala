@@ -1430,6 +1430,75 @@ JOIN embeddings e USING (vec_id),
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
 LIMIT 10""",
 
+    // Incremental-update composition (q149): the oracle NEVER sees the
+    // incremental path — it recomputes BM25 (q72's formula, the v2
+    // corpus) and the frozen-centroid IVF probe (q30/q148's assignment
+    // CTEs, nProbe=4) from the relationally-defined v2 state, so a
+    // hash match proves remove+append under frozen models ≡ fresh build
+    // end to end, cross-engine.
+    "q149_incremental_update" ->
+      raw"""WITH v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 4
+         THEN text || ' refreshed section about vector search ranking'
+         ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    'added document about bm25 ranking and ivf retrieval number ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 10 = 7),
+tk AS (SELECT doc_id, $toks AS tk FROM v2),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)::DOUBLE) AS avgdl FROM tk),
+hits AS (
+  SELECT doc_id, len(tk) AS dl, t.term, count(*)::DOUBLE AS tf
+  FROM tk, unnest(tk) AS t(term)
+  WHERE t.term IN ('bm25', 'vector', 'search')
+  GROUP BY doc_id, len(tk), t.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term),
+bmscored AS (
+  SELECT doc_id, CAST(sum(CAST(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+    AS DECIMAL(24,12))) AS DOUBLE) AS score
+  FROM hits h JOIN dfreq d USING (term), stats s
+  GROUP BY doc_id),
+bmtop AS (
+  SELECT 'bm25' AS src, doc_id AS rid, floor(1000 * score) / 1 AS score_m
+  FROM bmscored ORDER BY score DESC, doc_id LIMIT 10),
+v2e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id <> 0 AND vec_id % 10 <> 3 AND vec_id % 10 <> 4
+  UNION ALL
+  SELECT vec_id, list_reverse(embedding) FROM embeddings
+  WHERE vec_id <> 0 AND vec_id % 10 = 4
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> -x) FROM embeddings
+  WHERE vec_id <> 0 AND vec_id % 10 = 7),
+cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id, embedding FROM (
+    SELECT e.vec_id, cc.cid, e.embedding,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM v2e e CROSS JOIN cents cc)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cc.cid,
+      row_number() OVER (ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM cents cc, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+  WHERE rn <= 4),
+ivtop AS (
+  SELECT 'ivf' AS src, a.vec_id AS rid,
+    floor(1000 * list_cosine_similarity(a.embedding::DOUBLE[], qe.embedding::DOUBLE[])) / 1 AS score_m
+  FROM assigned a JOIN probes p ON a.cluster_id = p.cid,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+  ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, a.vec_id
+  LIMIT 10)
+SELECT src, rid, score_m
+FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM ivtop)
+ORDER BY src, score_m DESC, rid""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

@@ -3022,6 +3022,91 @@ object Queries {
       .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
   }
 
+  /** Q149 — the END-TO-END INCREMENTAL-UPDATE composition, oracle-checked
+    * (VERDICT r11 item 4): the 100 TB steady-state CRUD story —
+    * Snapshots.snapshotDelta/changedRows detect what a new crawl changed,
+    * removeFromTextIndex/removeFromIvfIndex retire the stale entries,
+    * appendTextIndex/appendIvfIndex insert the new ones under the frozen
+    * models — and the updated indexes must answer EXACTLY like a fresh
+    * build of the new corpus, which is what DuckDB replays (it never sees
+    * the incremental path at all: the oracle recomputes BM25 and the IVF
+    * probe from the v2 corpus defined relationally).
+    *
+    * v2 is derived from the fixtures deterministically: documents drop
+    * doc_id%10==3, rewrite doc_id%10==4 (text + a marker suffix), add
+    * doc_id%10==7 twins under doc_id+1e6 with synthetic text; embeddings
+    * (corpus = vec_id≠0) drop vec_id%10==3, change vec_id%10==4 to the
+    * REVERSED vector, add negated twins of vec_id%10==7 under vec_id+1e6.
+    * Coarse centroids stay the FROZEN vec_id<8 seed set (the maintenance
+    * contract: deletion/append never move the quantizer). The v1 index
+    * builds stage once per sfDir ([[stagedRoot]]); every run pays the
+    * UPDATE path — delta join, survivor rewrite, frozen-model append,
+    * then one pruned query per index.
+    */
+  def q149IncrementalUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshots
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val marker = lit(" refreshed section about vector search ranking")
+    val v2docs = docs.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 4, concat(col("text"), marker))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("added document about bm25 ranking and ivf retrieval number "),
+            col("doc_id").cast("string")).as("text")))
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.TextFunctions.wordTokens(col("text")).as("toks"))
+    val embAll = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val v1e = embAll.where(col("vec_id") =!= 0)
+    val changedE = v1e.where(col("vec_id") % 10 === 4)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val addedE = v1e.where(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val v2e = v1e.where(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 4)
+      .unionByName(changedE).unionByName(addedE)
+    val cents = embAll.where(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    // v1 indexes stage once per sfDir; the update path runs per rep
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val (base, fresh, commitStaged) = stagedRoot("q149base", dir, src)
+    if (!fresh) {
+      Search.writeTextIndex(toks(docs), "doc_id", "toks", s"$base/text")
+      Search.writeIvfIndex(v1e, "embedding", cents, s"$base/ivf")
+      commitStaged()
+    }
+    val fp = Snapshots.fingerprint(col("text"))
+    val retireDocs = Snapshots
+      .snapshotDelta(docs, v2docs, "doc_id", fp)
+      .where(col("status").isin(Snapshots.Removed, Snapshots.Changed))
+      .select("doc_id")
+    val refreshDocs = Snapshots.changedRows(docs, v2docs, "doc_id", fp)
+    val fpe = Snapshots.fingerprint(col("embedding"))
+    val retireE = Snapshots
+      .snapshotDelta(v1e, v2e, "vec_id", fpe)
+      .where(col("status").isin(Snapshots.Removed, Snapshots.Changed))
+      .select("vec_id")
+    val refreshE = Snapshots.changedRows(v1e, v2e, "vec_id", fpe)
+    val work = java.nio.file.Files.createTempDirectory("q149upd").toString
+    Search.removeFromTextIndex(s, s"$base/text", s"$work/text", retireDocs, "doc_id")
+    Search.appendTextIndex(toks(refreshDocs), "doc_id", "toks", s"$work/text")(s)
+    Search.removeFromIvfIndex(s, s"$base/ivf", s"$work/ivf", retireE, "vec_id")
+    Search.appendIvfIndex(refreshE, "vec_id", "embedding", s"$work/ivf")
+    val qv = embAll.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val bm = Search.bm25TopKFromIndex(s, s"$work/text",
+        Seq("bm25", "vector", "search"), k = 10)
+      .select(lit("bm25").as("src"), col("id").cast("long").as("rid"),
+        fl(col("score") * 1000, 0).as("score_m"))
+    val iv = Search.ivfTopKFromIndex(s, s"$work/ivf", "embedding", qv,
+        k = 10, nProbe = 4)
+      .select(lit("ivf").as("src"), col("vec_id").cast("long").as("rid"),
+        fl(col("score") * 1000, 0).as("score_m"))
+    bm.unionByName(iv).orderBy(col("src"), col("score_m").desc, col("rid"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3172,5 +3257,6 @@ object Queries {
     "q146_cluster_balanced_sample" -> q146ClusterBalancedSample _,
     "q147_watermark_drops" -> q147WatermarkDrops _,
     "q148_ivf_pq" -> q148IvfPq _,
+    "q149_incremental_update" -> q149IncrementalUpdate _,
   )
 }
