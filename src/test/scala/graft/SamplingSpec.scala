@@ -270,6 +270,33 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("leakageSafeSplits: rep join routes by size — broadcast under the cap, merge above; rows identical") {
+    import spark.implicits._
+    // VERDICT r11 item 5: the (id, rep) frame must never be assumed
+    // broadcast-small — an over-threshold pair graph routes to a sort-merge
+    // join (no driver collect of the rep side), and both routes must
+    // produce the identical split assignment.
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id1", "id2")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    def run(cap: Long) = {
+      val out = Sampling.leakageSafeSplits(docs, "doc_id", pairs, splits,
+        salt = "route", maxBroadcastReps = cap)
+      val rows = out.select("doc_id", "split").as[(Long, String)].collect().toSet
+      (rows, out.queryExecution.executedPlan.toString)
+    }
+    val (viaBroadcast, planB) = run(10000000L) // 7 rep rows ≤ cap
+    assert(planB.contains("BroadcastHashJoin"), planB.take(1200))
+    val (viaMerge, planM) = run(1L)            // 7 rep rows > cap
+    assert(planM.contains("SortMergeJoin"), planM.take(1200))
+    assert(!planM.contains("BroadcastHashJoin"),
+      "over-threshold rep frame must not broadcast:\n" + planM.take(1200))
+    assert(viaBroadcast === viaMerge, "both routes must assign identically")
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplits(docs, "doc_id", pairs, splits,
+        maxBroadcastReps = 0L))
+  }
+
   test("leakage-safe split: hashing the dedup-cluster representative keeps near-dups in one split") {
     import spark.implicits._
     // near-dup pairs as resolveClusters input: docs 1≈2≈3 and 10≈11; the
