@@ -1499,6 +1499,36 @@ SELECT src, rid, score_m
 FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM ivtop)
 ORDER BY src, score_m DESC, rid""",
 
+    // Streaming session-window twin (q150): gaps-and-islands per user at
+    // integer-ms grain — islands break when the gap strictly exceeds
+    // 300000 ms (the state machine merges iff delta ≤ gap), and only
+    // sessions whose end + gap lies STRICTLY below the user's own high
+    // water (the per-key analog of a watermark) have closed by the end of
+    // the drain. Duplicate-timestamp ordering inside the lag window is
+    // immaterial: a zero delta never breaks an island whichever row
+    // comes first.
+    "q150_session_drain" ->
+      raw"""WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE user_id < 100),
+o AS (
+  SELECT user_id, ms,
+    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 300000
+         THEN 1 ELSE 0 END AS brk,
+    max(ms) OVER (PARTITION BY user_id) AS hw
+  FROM e),
+s AS (
+  SELECT user_id, ms, hw,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o),
+g AS (
+  SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+    count(*) AS n, max(hw) AS hw
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start_ms, session_end_ms, n
+FROM g WHERE session_end_ms + 300000 < hw
+ORDER BY user_id, session_start_ms""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

@@ -3107,6 +3107,75 @@ object Queries {
     bm.unionByName(iv).orderBy(col("src"), col("score_m").desc, col("rid"))
   }
 
+  /** Q150 — streaming SESSION-WINDOW oracle twin (VERDICT r11 item 8, the
+    * last streaming semantics without a hash check): a REAL two-micro-batch
+    * drain of [[graft.streaming.Streams.closedSessions]]
+    * (flatMapGroupsWithState, ST5) whose CLOSED-session output
+    * hash-matches a DuckDB gaps-and-islands replay. The fixture slices by
+    * TIME (first half / second half of the event range, cut staged once
+    * per sfDir), which makes the incremental result provably equal the
+    * one-shot sessionization: a closed batch-1 session has
+    * end + gap < max(batch-1 ts) < cut ≤ every batch-2 timestamp, so no
+    * later event can touch its merge envelope and the state machine can
+    * never split or re-open what the batch replay would have joined.
+    * All comparisons are integer milliseconds with IDENTICAL strictness
+    * on both sides (merge iff delta ≤ gap, close iff end + gap < the
+    * user's high water), so the hash compare cannot flap on boundaries.
+    * Sessions still open at end of drain (per-user trailing tail) are
+    * withheld by the state machine and excluded by the oracle's
+    * high-water filter alike.
+    */
+  def q150SessionDrain(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val (staged, fresh, commitStaged) = stagedRoot("q150ev", dir, src)
+    def stageSlice(name: String, firstHalf: Boolean, cutUs: Long): Unit = {
+      val job = Files.createTempDirectory(s"q150slice_$name")
+      val base = Tables.events(s, dir).where(col("user_id") < 100)
+      val slice = if (firstHalf) base.where(unix_micros(col("ts")) < cutUs)
+                  else base.where(unix_micros(col("ts")) >= cutUs)
+      slice.coalesce(1).write.mode("overwrite").parquet(job.toString)
+      val part = {
+        val l = Files.list(job)
+        try l.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      }
+      val tmp = staged.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
+      Files.copy(part, tmp)
+      Files.move(tmp, staged.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      Files.walk(job).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+    if (!fresh || !Files.exists(staged.resolve("early.parquet")) ||
+        !Files.exists(staged.resolve("late.parquet"))) {
+      Files.createDirectories(staged)
+      val b = Tables.events(s, dir).where(col("user_id") < 100)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val cutUs = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      stageSlice("early.parquet", firstHalf = true, cutUs)
+      stageSlice("late.parquet", firstHalf = false, cutUs)
+      commitStaged()
+    }
+    def deliver(streamDir: java.nio.file.Path, slice: String, as: String): Unit = {
+      val tmp = streamDir.resolve(s".$as.${java.util.UUID.randomUUID()}.tmp")
+      Files.copy(staged.resolve(slice), tmp)
+      Files.move(tmp, streamDir.resolve(as), StandardCopyOption.ATOMIC_MOVE)
+    }
+    val streamDir = Files.createTempDirectory("q150run")
+    deliver(streamDir, "early.parquet", "batch1.parquet")
+    val name = "q150_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams.streamClosedSessionsToMemory(
+      s, streamDir.toString, name, gapMillis = 300000L, maxUserId = 100L)
+    try {
+      q.processAllAvailable() // batch 1: early half; closes its settled sessions
+      deliver(streamDir, "late.parquet", "batch2.parquet")
+      q.processAllAvailable() // batch 2: late half + remaining closures
+    } finally q.stop()
+    s.table(name)
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3258,5 +3327,6 @@ object Queries {
     "q147_watermark_drops" -> q147WatermarkDrops _,
     "q148_ivf_pq" -> q148IvfPq _,
     "q149_incremental_update" -> q149IncrementalUpdate _,
+    "q150_session_drain" -> q150SessionDrain _,
   )
 }

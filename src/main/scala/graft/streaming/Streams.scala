@@ -463,4 +463,28 @@ object Streams {
       .writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
   }
+
+  /** Driver-contract entry for q150: [[closedSessions]] over a live
+    * events file stream into an append-mode memory sink — the ST5 session
+    * semantics under a REAL multi-micro-batch run (the q147 drain shape).
+    * Everything is integer-millisecond arithmetic with matching
+    * strictness on both engines (merge iff delta ≤ gap, close iff
+    * end + gap < the key's high water), so the drained output is exactly
+    * a SQL gaps-and-islands replay restricted to closed sessions — no
+    * boundary-equality hazard anywhere, unlike the float paths.
+    */
+  def streamClosedSessionsToMemory(spark: SparkSession, eventsDir: String,
+      queryName: String, gapMillis: Long, maxUserId: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val pairs = graft.Tables.eventsStream(spark, eventsDir)
+      .where(col("user_id") < maxUserId)
+      .select(col("user_id").cast("long"), unix_millis(col("ts")))
+      .as[(Long, Long)]
+    closedSessions(pairs, gapMillis)
+      .toDF("user_id", "session_start_ms", "session_end_ms", "n")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+  }
 }
