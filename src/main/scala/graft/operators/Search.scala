@@ -957,14 +957,24 @@ object Search {
         rotateCol(col(vecCol), rotation).as("_rv"))
       cb = pqTrainCodebooks(withRot, "_rv", dim, m, ksub, seed, maxIter)
       if (it < opqIters - 1) {
-        val codes = i8Codes(col("_rv")).cast("array<float>")
-        val pq = pqEncodeCol(codes, cb)
+        // staged projections (the pqEncode discipline): codes, scale and
+        // the pq code array each materialize as attributes before the
+        // next stage references them repeatedly — an inline nesting is
+        // re-evaluated per reference once the tree exceeds codegen's
+        // limits (dim 768: 8 element_at × m slices × ksub dots over a
+        // per-element-scale i8 transform measured HOURS interpreted;
+        // staged, the same pass is seconds)
+        val enc = withRot.select(col("_x"), col("_rv"),
+          i8Codes(col("_rv")).cast("array<float>").as("_codes"),
+          i8Scale(col("_rv")).as("_scale"))
+        val encoded = enc.select(col("_x"), col("_scale"),
+          pqEncodeCol(col("_codes"), cb).as("_pq"))
         val recon = concat((0 until m).map { s =>
           element_at(typedLit(cb.centers(s).map(_.toSeq)),
-            element_at(pq, s + 1) + 1)
+            element_at(col("_pq"), s + 1) + 1)
         }: _*)
-        val y = transform(recon, c => c.cast("double") * i8Scale(col("_rv")))
-        val pairs = withRot.select(col("_x"), y.as("_y"))
+        val y = transform(recon, c => c.cast("double") * col("_scale"))
+        val pairs = encoded.select(col("_x"), y.as("_y"))
           .as[(Array[Float], Array[Double])]
         val M = pairs.rdd.treeAggregate(new Array[Double](dim * dim))(
           (acc, xy) => {
@@ -1097,8 +1107,20 @@ object Search {
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       cb: PqCodebooks): DataFrame =
-    df.select(col(idCol),
-      pqEncodeCol(i8Codes(col(vecCol)).cast("array<float>"), cb).as("pq_codes"))
+    // TWO projections, not one nested expression: pqEncodeCol slices its
+    // codes argument m times (each feeding ksub dots), so an INLINE
+    // i8Codes expression would be re-evaluated per reference whenever the
+    // tree falls out of whole-stage codegen and its subexpression
+    // elimination — which it does past ~100 dims (the dim-768 audit,
+    // VERDICT r11 item 7: interpreted eval has no CSE, and i8Codes
+    // itself re-evaluates its scale per element, making the fallback
+    // quadratic in dim per reference). Materializing the codes as an
+    // attribute makes every slice reference cheap; Catalyst's
+    // CollapseProject keeps the boundary (multi-referenced non-cheap
+    // producer), and under codegen the fused plan is the same work as
+    // before.
+    df.select(col(idCol), i8Codes(col(vecCol)).cast("array<float>").as("__i8"))
+      .select(col(idCol), pqEncodeCol(col("__i8"), cb).as("pq_codes"))
 
   /** Driver-side i8 quantization of a query vector — the same
     * floor(x/s + 0.5) rule as [[graft.functions.VectorFunctions.i8Codes]].

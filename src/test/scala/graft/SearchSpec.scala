@@ -613,10 +613,17 @@ class SearchSpec extends SparkSpec {
     import graft.operators.Search
     val dim = 768
     val rnd = new java.util.Random(7L)
-    val anchors = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // 8 anchors × 150 noisy copies: the true top-10 are fine WITHIN-cluster
+    // distinctions among 150 candidates — more cluster members than the
+    // rescore budget, so the ADC ranking itself is stressed (40×30 with
+    // any noise level measured recall 1.0 on every tier: whole clusters
+    // fit inside rescore=50 and the exact rescore hid all quantization
+    // error). The anchor structure keeps the covariance anisotropic —
+    // the thing OPQ's rotation exists to exploit.
+    val anchors = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     val rows: Seq[(Long, Array[Float])] = (0 until 1200).map { i =>
-      val a = anchors(i % 40)
-      (i.toLong, Array.tabulate(dim)(j => a(j) + 0.35f * rnd.nextGaussian().toFloat))
+      val a = anchors(i % 8)
+      (i.toLong, Array.tabulate(dim)(j => a(j) + 1.2f * rnd.nextGaussian().toFloat))
     }
     val df = rows.toDF("vec_id", "embedding").repartition(8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -663,8 +670,10 @@ class SearchSpec extends SparkSpec {
           s"dim-768 OPQ rescore=50 recall $rO50 lost to plain trained PQ $rT50")
         assert(rO100 >= rO50 - 0.02,
           s"dim-768 OPQ recall must not fall as rescore grows: $rO100 < $rO50")
-        // frozen floors (BASELINE §ANN-recall dim-768 row) minus margin
-        assert(rO50 >= 0.50, s"dim-768 OPQ rescore=50 recall regressed: $rO50")
+        // frozen floors (BASELINE §ANN-recall dim-768 row: trained PQ
+        // r50 0.440, OPQ r50 0.480, OPQ r100 0.800) minus margin
+        assert(rO50 >= 0.42, s"dim-768 OPQ rescore=50 recall regressed: $rO50 (frozen 0.480)")
+        assert(rO100 >= 0.72, s"dim-768 OPQ rescore=100 recall regressed: $rO100 (frozen 0.800)")
       } finally { encT.unpersist(); encO.unpersist(); () }
     } finally { df.unpersist(); () }
   }
