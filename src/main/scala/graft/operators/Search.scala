@@ -1395,6 +1395,66 @@ object Search {
     } finally { fresh.unpersist(); () }
   }
 
+  /** The delete half of IVF-PQ index maintenance — the
+    * [[removeFromIvfIndex]] contract on the composed store: copy the
+    * cluster-partitioned code store minus the given ids into a NEW
+    * directory (job-commit all-or-nothing; the caller swaps atomically),
+    * both frozen-model sidecars verbatim (deletion moves neither
+    * quantizer). With [[appendIvfPqIndex]] this completes the tier's
+    * CRUD story: UPDATE = remove(changed) + append(changed), the
+    * [[graft.operators.Snapshots]] composition q149 oracle-proves for
+    * the parent indexes.
+    *
+    * @return number of surviving vectors
+    */
+  def removeFromIvfPqIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    require(srcPath != dstPath,
+      "removeFromIvfPqIndex writes a NEW directory (caller swaps atomically)")
+    val drop = removeIds.select(col(idCol)).distinct()
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** The delete half of flat-PQ index maintenance (same contract as
+    * [[removeFromIvfPqIndex]], minus the coarse partitioning — the code
+    * store is id-keyed flat parquet).
+    *
+    * @return number of surviving vectors
+    */
+  def removeFromPqIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    require(srcPath != dstPath,
+      "removeFromPqIndex writes a NEW directory (caller swaps atomically)")
+    val drop = removeIds.select(col(idCol)).distinct()
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** The delete half of OPQ index maintenance: [[removeFromPqIndex]] plus
+    * the rotation sidecar copied verbatim.
+    *
+    * @return number of surviving vectors
+    */
+  def removeFromOpqIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    val n = removeFromPqIndex(spark, srcPath, dstPath, removeIds, idCol)
+    spark.read.parquet(s"$srcPath/rotation")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    n
+  }
+
   /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the
     * same data+seed). Returns them driver-side — centroids are tiny (k ×
     * dim) and feed [[ivfAssign]]'s broadcast-literal argmax.

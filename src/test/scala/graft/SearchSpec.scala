@@ -533,6 +533,60 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("PQ-family delete halves: remove ≡ fresh build of survivors; sidecars frozen; guards") {
+    // completes the CRUD story for the PQ rungs (the removeFromIvfIndex /
+    // removeFromTextIndex contract): new-directory job-commit rewrite,
+    // frozen models copied verbatim, answers ≡ a fresh build of the
+    // surviving corpus
+    import graft.operators.Search
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val cb = Search.pqTrainCodebooks(emb, "embedding", 64, 8, 16, seed = 42L)
+    val keep = emb.where(col("vec_id") % 5 =!= 0)
+    val dropIds = emb.where(col("vec_id") % 5 === 0).select("vec_id")
+    val q = vecs(1L)
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    // flat PQ
+    val pqFull = dir("rm-pq-full"); val pqDst = dir("rm-pq-dst"); val pqFresh = dir("rm-pq-fresh")
+    Search.pqWriteIndex(emb, "vec_id", "embedding", cb, pqFull)
+    assert(Search.removeFromPqIndex(spark, pqFull, pqDst, dropIds, "vec_id") === keep.count())
+    Search.pqWriteIndex(keep, "vec_id", "embedding", cb, pqFresh)
+    assert(ids(Search.pqTopKFromIndex(spark, pqDst, keep, "vec_id", "embedding", q, 10, 50)) ===
+      ids(Search.pqTopKFromIndex(spark, pqFresh, keep, "vec_id", "embedding", q, 10, 50)))
+    assert(Search.readPqCodebooks(spark, pqDst).centers.flatten.map(_.toSeq) ==
+      cb.centers.flatten.map(_.toSeq), "codebook sidecar must copy verbatim")
+    // composed IVF-PQ
+    val ipFull = dir("rm-ip-full"); val ipDst = dir("rm-ip-dst"); val ipFresh = dir("rm-ip-fresh")
+    Search.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cb, ipFull)
+    assert(Search.removeFromIvfPqIndex(spark, ipFull, ipDst, dropIds, "vec_id") === keep.count())
+    Search.writeIvfPqIndex(keep, "vec_id", "embedding", centroids, cb, ipFresh)
+    assert(ids(Search.ivfPqTopKFromIndex(spark, ipDst, keep, "vec_id", "embedding", q, 10, 3, 50)) ===
+      ids(Search.ivfPqTopKFromIndex(spark, ipFresh, keep, "vec_id", "embedding", q, 10, 3, 50)))
+    assert(Search.readIvfCentroids(spark, ipDst).map(_._1) == (0 until 8),
+      "centroid sidecar must copy verbatim")
+    // a post-remove append still honors the frozen models (full CRUD)
+    assert(Search.appendIvfPqIndex(
+      emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding", ipDst) ===
+      dropIds.count())
+    // OPQ (rotation sidecar rides along)
+    val model = Search.opqTrainCodebooks(emb, "embedding", 64, 8, 16,
+      seed = 42L, opqIters = 2)
+    val opFull = dir("rm-op-full"); val opDst = dir("rm-op-dst"); val opFresh = dir("rm-op-fresh")
+    Search.opqWriteIndex(emb, "vec_id", "embedding", model, opFull)
+    assert(Search.removeFromOpqIndex(spark, opFull, opDst, dropIds, "vec_id") === keep.count())
+    Search.opqWriteIndex(keep, "vec_id", "embedding", model, opFresh)
+    assert(ids(Search.opqTopKFromIndex(spark, opDst, keep, "vec_id", "embedding", q, 10, 50)) ===
+      ids(Search.opqTopKFromIndex(spark, opFresh, keep, "vec_id", "embedding", q, 10, 50)))
+    assert(Search.readOpqModel(spark, opDst).rotation.map(_.toSeq) ==
+      model.rotation.map(_.toSeq), "rotation sidecar must copy verbatim")
+    // same-directory rewrite refuses
+    intercept[IllegalArgumentException](
+      Search.removeFromPqIndex(spark, pqFull, pqFull, dropIds, "vec_id"))
+    intercept[IllegalArgumentException](
+      Search.removeFromIvfPqIndex(spark, ipFull, ipFull, dropIds, "vec_id"))
+  }
+
   test("OPQ: rotation orthogonal, persisted round-trip, appends idempotent, beats-or-ties plain PQ") {
     import graft.operators.Search
     val model = Search.opqTrainCodebooks(emb, "embedding", 64, 8, 16,
