@@ -95,6 +95,35 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("GraftSql.registerTables: full SQL surface ≡ the DataFrame form") {
+    import graft.plans.GraftSql
+    GraftSql.registerTables(spark, "/root/testdata/sf0.001")
+    // vector search in pure SQL ≡ the q15 DataFrame form
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_cosine(embedding, q.qv) AS sim
+         FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 5""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qv = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val viaDf = emb.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedLit(qv)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === viaDf)
+    // the events view goes through the PRECISION-AWARE loader — the raw
+    // nanos footer (when present) must not leak into SQL-land
+    val ts = spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType
+    assert(ts == org.apache.spark.sql.types.TimestampType)
+    assert(GraftSql.tableNames.forall(spark.catalog.tableExists))
+    // idempotent re-registration
+    GraftSql.registerTables(spark, "/root/testdata/sf0.001")
+  }
+
   test("dim-check rule rejects statically mismatched vector literals at analysis") {
     import org.apache.spark.sql.graft.VectorDimCheck
     val bad = spark.range(1).select(
