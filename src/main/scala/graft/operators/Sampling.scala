@@ -70,16 +70,22 @@ object Sampling {
       s"clusterBalancedSample requires unique '$idCol' values — id " +
         s"'${dup.headOption.map(_.get(0)).getOrElse("")}' repeats; the " +
         "content-addressed draw keys on the id")
-    // degenerate input: an empty frame has no seed centroids, and the
-    // assignment's non-empty-centroid require would throw — an empty
-    // SAMPLE of an empty corpus is the honest answer (and what the
-    // retired crossJoin+window form returned). The probe is bounded:
-    // limit(1) stops at the first row. ADVICE r11.
-    if (df.limit(1).count() == 0L)
+    // The centroid seed rows collect HERE (bounded: ≤ numClusters rows)
+    // instead of inside the assignment, so the degenerate-empty check
+    // rides the collect that had to happen anyway — no extra corpus job
+    // (a separate limit(1) pre-check measured +0.18 s on q146's min).
+    // An empty frame has no seed centroids and the assignment's
+    // non-empty require would throw — an empty SAMPLE of an empty corpus
+    // is the honest answer (and what the retired crossJoin+window form
+    // returned). ADVICE r11.
+    val cents0 = df.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .orderBy(col("__cid")).limit(numClusters)
+    val centRows = cents0.collect()
+    if (centRows.isEmpty)
       return df.withColumn("cluster_id", col(idCol))
         .withColumn("sample_rank", lit(1)).where(lit(false))
-    val cents = df.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
-      .orderBy(col("__cid")).limit(numClusters)
+    val cents = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), cents0.schema)
     val assigned = Dedup.assignNearestCentroid(df, vecCol, cents,
       cidCol = "__cid", cvCol = "__cv", outCol = "cluster_id")
     exactKPerGroup(assigned, col("cluster_id"), col(idCol), perCluster, salt)
