@@ -3077,23 +3077,36 @@ object Queries {
       Search.writeIvfIndex(v1e, "embedding", cents, s"$base/ivf")
       commitStaged()
     }
+    // each side's delta computes ONCE (persisted — it is tiny: id +
+    // status + two fingerprints) and feeds BOTH the retire and refresh
+    // sets; calling the changedRows convenience alongside snapshotDelta
+    // would run the full-outer fingerprint join twice per side — a
+    // modest ~6% on this probe's min at sf0.1 (the fingerprint frames
+    // are narrow), but at 100 TB the delta join reads the corpus and
+    // computing it once is the steady-state pattern callers should copy
+    def sets(old: DataFrame, cur: DataFrame, idCol: String,
+        fpCol: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
+      val delta = Snapshots.snapshotDelta(old, cur, idCol, fpCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val retire = delta
+        .where(col("status").isin(Snapshots.Removed, Snapshots.Changed))
+        .select(idCol)
+      val refresh = cur.join(
+        delta.where(col("status").isin(Snapshots.Added, Snapshots.Changed))
+          .select(idCol), Seq(idCol), "left_semi")
+      (delta, retire, refresh)
+    }
     val fp = Snapshots.fingerprint(col("text"))
-    val retireDocs = Snapshots
-      .snapshotDelta(docs, v2docs, "doc_id", fp)
-      .where(col("status").isin(Snapshots.Removed, Snapshots.Changed))
-      .select("doc_id")
-    val refreshDocs = Snapshots.changedRows(docs, v2docs, "doc_id", fp)
+    val (deltaDocs, retireDocs, refreshDocs) = sets(docs, v2docs, "doc_id", fp)
     val fpe = Snapshots.fingerprint(col("embedding"))
-    val retireE = Snapshots
-      .snapshotDelta(v1e, v2e, "vec_id", fpe)
-      .where(col("status").isin(Snapshots.Removed, Snapshots.Changed))
-      .select("vec_id")
-    val refreshE = Snapshots.changedRows(v1e, v2e, "vec_id", fpe)
+    val (deltaE, retireE, refreshE) = sets(v1e, v2e, "vec_id", fpe)
     val work = java.nio.file.Files.createTempDirectory("q149upd").toString
-    Search.removeFromTextIndex(s, s"$base/text", s"$work/text", retireDocs, "doc_id")
-    Search.appendTextIndex(toks(refreshDocs), "doc_id", "toks", s"$work/text")(s)
-    Search.removeFromIvfIndex(s, s"$base/ivf", s"$work/ivf", retireE, "vec_id")
-    Search.appendIvfIndex(refreshE, "vec_id", "embedding", s"$work/ivf")
+    try {
+      Search.removeFromTextIndex(s, s"$base/text", s"$work/text", retireDocs, "doc_id")
+      Search.appendTextIndex(toks(refreshDocs), "doc_id", "toks", s"$work/text")(s)
+      Search.removeFromIvfIndex(s, s"$base/ivf", s"$work/ivf", retireE, "vec_id")
+      Search.appendIvfIndex(refreshE, "vec_id", "embedding", s"$work/ivf")
+    } finally { deltaDocs.unpersist(); deltaE.unpersist(); () }
     val qv = embAll.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val bm = Search.bm25TopKFromIndex(s, s"$work/text",
