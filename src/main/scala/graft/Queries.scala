@@ -3024,10 +3024,11 @@ object Queries {
 
   /** Q149 — the END-TO-END INCREMENTAL-UPDATE composition, oracle-checked
     * (VERDICT r11 item 4): the 100 TB steady-state CRUD story —
-    * Snapshots.snapshotDelta/changedRows detect what a new crawl changed,
-    * removeFromTextIndex/removeFromIvfIndex retire the stale entries,
-    * appendTextIndex/appendIvfIndex insert the new ones under the frozen
-    * models — and the updated indexes must answer EXACTLY like a fresh
+    * Snapshots.snapshotDelta detects what a new crawl changed, the FUSED
+    * updateTextIndex/updateIvfIndex rewrite each store once (survivors +
+    * the refresh batch under the frozen models; spec-proven ≡ the
+    * remove-then-append two-step, ~25% faster here — BASELINE r12
+    * addendum) — and the updated indexes must answer EXACTLY like a fresh
     * build of the new corpus, which is what DuckDB replays (it never sees
     * the incremental path at all: the oracle recomputes BM25 and the IVF
     * probe from the v2 corpus defined relationally).
@@ -3101,11 +3102,16 @@ object Queries {
     val fpe = Snapshots.fingerprint(col("embedding"))
     val (deltaE, retireE, refreshE) = sets(v1e, v2e, "vec_id", fpe)
     val work = java.nio.file.Files.createTempDirectory("q149upd").toString
+    // FUSED update ops (spec-proven ≡ the remove-then-append two-step and
+    // ≡ a fresh build): survivors and the refresh batch land in ONE
+    // term-partitioned postings write / one cluster-partitioned vector
+    // write instead of a survivor rewrite followed by an append — at
+    // 100 TB the survivor rewrite IS the update cost, so fusing halves it
     try {
-      Search.removeFromTextIndex(s, s"$base/text", s"$work/text", retireDocs, "doc_id")
-      Search.appendTextIndex(toks(refreshDocs), "doc_id", "toks", s"$work/text")(s)
-      Search.removeFromIvfIndex(s, s"$base/ivf", s"$work/ivf", retireE, "vec_id")
-      Search.appendIvfIndex(refreshE, "vec_id", "embedding", s"$work/ivf")
+      Search.updateTextIndex(s, s"$base/text", s"$work/text",
+        retireDocs, "doc_id", toks(refreshDocs), "doc_id", "toks")
+      Search.updateIvfIndex(s, s"$base/ivf", s"$work/ivf",
+        retireE, refreshE, "vec_id", "embedding")
     } finally { deltaDocs.unpersist(); deltaE.unpersist(); () }
     val qv = embAll.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)

@@ -257,6 +257,99 @@ object Search {
     spark.read.parquet(s"$dstPath/vectors").count()
   }
 
+  /** FUSED text-index update — the remove-then-append composition
+    * ([[removeFromTextIndex]] + [[appendTextIndex]]) in ONE rewrite:
+    * the new index at `dstPath` holds the source index minus
+    * `retireIds` minus the refresh batch's own ids, plus the refresh
+    * docs indexed fresh. Spec-proven equal to a fresh
+    * [[writeTextIndex]] of the updated corpus AND to the two-step
+    * composition (IncrementalPipelineSpec).
+    *
+    * Why fused: the two-step path writes every surviving posting TWICE
+    * (the remove pass rewrites survivors into the new directory, the
+    * append pass then re-reads its doclens for the idempotency
+    * anti-join and appends on top). Here survivors and the fresh batch
+    * union into a single term-range-partitioned write, so the
+    * steady-state crawl update pays ONE pass over the postings — at
+    * 100 TB the postings rewrite IS the update cost, and halving it is
+    * the difference between an update window that fits the crawl
+    * cadence and one that does not. Refresh docs need no idempotency
+    * anti-join at all: their ids are in the drop set, so a re-run of a
+    * crashed update can never double-index them.
+    *
+    * New-directory contract (same as [[removeFromTextIndex]]): the
+    * source index stays readable throughout, the rewrite is
+    * job-commit all-or-nothing per artifact, and the swap to `dstPath`
+    * is the caller's atomic rename — a crash mid-update leaves a
+    * partial directory that was never swapped in, never a
+    * half-updated live index. Stats are recomputed from the WRITTEN
+    * doclens (exact longs — cannot stale vs what is on disk).
+    *
+    * @return number of documents in the new index
+    */
+  def updateTextIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retireIds: DataFrame, retireIdCol: String,
+      refreshDocs: DataFrame, idCol: String, tokensCol: String): Long = {
+    require(srcPath != dstPath,
+      "updateTextIndex writes a NEW directory (caller swaps atomically)")
+    val base = refreshDocs
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).as("toks"))
+      .dropDuplicates("id")
+      .persist()
+    try {
+      val drop = retireIds.select(col(retireIdCol).cast("long").as("id"))
+        .unionByName(base.select(col("id"))).distinct()
+      // survivors re-dedup (term,id) like removeFromTextIndex: orphan
+      // postings from a crashed in-place append must not carry doubled tf
+      spark.read.parquet(s"$srcPath/postings")
+        .join(drop, Seq("id"), "left_anti")
+        .groupBy(col("term"), col("id")).agg(first(col("tf")).as("tf"))
+        .unionByName(postingsOf(base))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$dstPath/postings")
+      spark.read.parquet(s"$srcPath/doclens")
+        .join(drop, Seq("id"), "left_anti")
+        .unionByName(doclensOf(base))
+        .write.mode("overwrite").parquet(s"$dstPath/doclens")
+      spark.read.parquet(s"$dstPath/doclens")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .na.fill(0L, Seq("sum_dl"))
+        .write.mode("overwrite").parquet(s"$dstPath/stats")
+      spark.read.parquet(s"$dstPath/stats").head().getLong(0)
+    } finally { base.unpersist(); () }
+  }
+
+  /** The IVF twin of [[updateTextIndex]]: source index minus `retireIds`
+    * minus the refresh batch's ids, plus the batch assigned under the
+    * FROZEN sidecar centroids (update never moves the quantizer), in ONE
+    * cluster-partitioned write instead of the remove-rewrite followed by
+    * an append. Same new-directory contract; centroids copy verbatim.
+    *
+    * @return number of vectors in the new index
+    */
+  def updateIvfIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retireIds: DataFrame, refreshBatch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    require(srcPath != dstPath,
+      "updateIvfIndex writes a NEW directory (caller swaps atomically)")
+    val centroids = readIvfCentroids(spark, srcPath)
+    val existing = spark.read.parquet(s"$srcPath/vectors")
+    require(refreshBatch.columns.toSet + "cluster_id" == existing.columns.toSet,
+      s"updateIvfIndex batch columns ${refreshBatch.columns.sorted.mkString(",")} " +
+        s"must match the index's ${existing.columns.sorted.mkString(",")} (minus cluster_id)")
+    val fresh = refreshBatch.dropDuplicates(idCol)
+    val drop = retireIds.select(col(idCol))
+      .unionByName(fresh.select(col(idCol))).distinct()
+    existing.join(drop, Seq(idCol), "left_anti")
+      .unionByName(ivfAssign(fresh, vecCol, centroids))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    spark.read.parquet(s"$dstPath/vectors").count()
+  }
+
   /** BM25 top-k against a persisted [[writeTextIndex]] index. Same formula
     * and decimal-sum discipline as [[bm25Scores]] (df/tf widen to double at
     * the same points, avgdl = exact-long sum_dl / n_docs — the identical
@@ -1304,10 +1397,7 @@ object Search {
       centroids: Seq[(Int, Array[Float])], cb: PqCodebooks,
       path: String): Unit = {
     require(cb.ksub <= 128, s"ksub=${cb.ksub} > 128 codes do not fit tinyint")
-    ivfAssign(df, vecCol, centroids)
-      .select(col(idCol), col("cluster_id"),
-        transform(pqEncodeCol(i8Codes(col(vecCol)).cast("array<float>"), cb),
-          _.cast("byte")).as("pq_codes"))
+    ivfPqEncoded(df, idCol, vecCol, centroids, cb)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(s"$path/codes")
     val spark = df.sparkSession
@@ -1367,6 +1457,23 @@ object Search {
     *
     * @return number of NEW vectors appended (0 for a pure replay)
     */
+  /** (id, cluster_id, pq_codes tinyint) for a vector batch under frozen
+    * models — the shared encode of the IVF-PQ write/append/update paths.
+    * The i8 codes stage as a materialized attribute for the same reason
+    * as [[pqEncode]]: inline, the nesting falls out of whole-stage
+    * codegen past ~100 dims and interpreted eval re-computes the i8
+    * scale per pqEncodeCol reference (the dim-768 audit, VERDICT r11
+    * item 7) — quadratic in dim; staged, every slice reference is cheap
+    * and under codegen the plan is the same work as the fused form.
+    */
+  private def ivfPqEncoded(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: PqCodebooks): DataFrame =
+    ivfAssign(df, vecCol, centroids)
+      .select(col(idCol), col("cluster_id"),
+        i8Codes(col(vecCol)).cast("array<float>").as("__i8"))
+      .select(col(idCol), col("cluster_id"),
+        transform(pqEncodeCol(col("__i8"), cb), _.cast("byte")).as("pq_codes"))
+
   def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Long = {
     import graft.sources.PathState
@@ -1385,10 +1492,7 @@ object Search {
     try {
       val n = fresh.count()
       if (n > 0)
-        ivfAssign(fresh, vecCol, centroids)
-          .select(col(idCol), col("cluster_id"),
-            transform(pqEncodeCol(i8Codes(col(vecCol)).cast("array<float>"), cb),
-              _.cast("byte")).as("pq_codes"))
+        ivfPqEncoded(fresh, idCol, vecCol, centroids, cb)
           .write.mode(SaveMode.Append)
           .partitionBy("cluster_id").parquet(s"$path/codes")
       n
@@ -1423,6 +1527,36 @@ object Search {
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
+  /** FUSED IVF-PQ update — the [[updateIvfIndex]] contract on the
+    * composed store: source codes minus `retireIds` minus the refresh
+    * batch's ids, plus the batch assigned+encoded under BOTH frozen
+    * models, in one cluster-partitioned write. Same new-directory swap
+    * contract; both sidecars copy verbatim.
+    *
+    * @return number of vectors in the new index
+    */
+  def updateIvfPqIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retireIds: DataFrame, refreshBatch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    require(srcPath != dstPath,
+      "updateIvfPqIndex writes a NEW directory (caller swaps atomically)")
+    val centroids = readIvfCentroids(spark, srcPath)
+    val cb = readPqCodebooks(spark, srcPath)
+    val fresh = refreshBatch.dropDuplicates(idCol)
+    val drop = retireIds.select(col(idCol))
+      .unionByName(fresh.select(col(idCol))).distinct()
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq(idCol), "left_anti")
+      .unionByName(ivfPqEncoded(fresh, idCol, vecCol, centroids, cb))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
   /** The delete half of flat-PQ index maintenance (same contract as
     * [[removeFromIvfPqIndex]], minus the coarse partitioning — the code
     * store is id-keyed flat parquet).
@@ -1442,6 +1576,31 @@ object Search {
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
+  /** FUSED flat-PQ update ([[updateIvfIndex]] contract, id-keyed flat
+    * code store): survivors and the freshly encoded refresh batch land
+    * in one codes write under the frozen codebooks.
+    *
+    * @return number of vectors in the new index
+    */
+  def updatePqIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retireIds: DataFrame, refreshBatch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    require(srcPath != dstPath,
+      "updatePqIndex writes a NEW directory (caller swaps atomically)")
+    val cb = readPqCodebooks(spark, srcPath)
+    val fresh = refreshBatch.dropDuplicates(idCol)
+    val drop = retireIds.select(col(idCol))
+      .unionByName(fresh.select(col(idCol))).distinct()
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq(idCol), "left_anti")
+      .unionByName(pqEncode(fresh, idCol, vecCol, cb)
+        .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
   /** The delete half of OPQ index maintenance: [[removeFromPqIndex]] plus
     * the rotation sidecar copied verbatim.
     *
@@ -1450,6 +1609,25 @@ object Search {
   def removeFromOpqIndex(spark: SparkSession, srcPath: String,
       dstPath: String, removeIds: DataFrame, idCol: String): Long = {
     val n = removeFromPqIndex(spark, srcPath, dstPath, removeIds, idCol)
+    spark.read.parquet(s"$srcPath/rotation")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    n
+  }
+
+  /** FUSED OPQ update: rotate the refresh batch under the frozen
+    * rotation, delegate to [[updatePqIndex]], and carry the rotation
+    * sidecar verbatim.
+    *
+    * @return number of vectors in the new index
+    */
+  def updateOpqIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retireIds: DataFrame, refreshBatch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val model = readOpqModel(spark, srcPath)
+    val n = updatePqIndex(spark, srcPath, dstPath, retireIds,
+      refreshBatch.select(col(idCol),
+        rotateCol(col(vecCol), model.rotation).as(vecCol)),
+      idCol, vecCol)
     spark.read.parquet(s"$srcPath/rotation")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
     n
@@ -1683,6 +1861,54 @@ object Search {
     spark.read.parquet(s"$srcPath/meta")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/meta")
     spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** FUSED seeded-LSH update ([[updateIvfIndex]] contract): survivors
+    * and the refresh batch hashed under the index's frozen family shape
+    * land in one bands write + one codes write; meta copies verbatim.
+    * Carries [[appendSeededLshIndex]]'s conflicting-id refusal — a batch
+    * with two different vectors under one id would make the persisted
+    * stores nondeterministic across retries.
+    *
+    * @return number of vectors in the new index
+    */
+  def updateSeededLshIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, retireIds: DataFrame, refreshBatch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    require(srcPath != dstPath,
+      "updateSeededLshIndex writes a NEW directory (caller swaps atomically)")
+    val meta = spark.read.parquet(s"$srcPath/meta")
+      .select(col("dim"), col("num_tables"), col("bits_per_table")).head()
+    val (dim, nt, bpt) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val fresh = refreshBatch.dropDuplicates(idCol, vecCol).persist()
+    try {
+      val n = fresh.count()
+      val nIds = fresh.select(col(idCol)).distinct().count()
+      require(nIds == n,
+        s"updateSeededLshIndex: batch carries ${n - nIds} conflicting " +
+          s"vector(s) for the same $idCol — refusing a nondeterministic " +
+          "index (dedupe upstream or fix the ids)")
+      val drop = retireIds.select(col(idCol).as("id"))
+        .unionByName(fresh.select(col(idCol).as("id"))).distinct()
+      val codes = seededCodes(fresh, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        spark.read.parquet(s"$srcPath/bands")
+          .join(drop, Seq("id"), "left_anti")
+          .dropDuplicates("id", "t", "bucket")
+          .unionByName(seededBands(codes, dim, nt, bpt)
+            .select(col("_id").as("id"), col("_t").as("t"), col("_b").as("bucket")))
+          .write.mode(SaveMode.Overwrite).partitionBy("t").parquet(s"$dstPath/bands")
+        spark.read.parquet(s"$srcPath/codes")
+          .join(drop, Seq("id"), "left_anti")
+          .dropDuplicates("id")
+          .unionByName(codes.select(col("_id").as("id"), col("_c").as("code")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
+      } finally { codes.unpersist(false); () }
+      spark.read.parquet(s"$srcPath/meta")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/meta")
+      spark.read.parquet(s"$dstPath/codes").count()
+    } finally { fresh.unpersist(); () }
   }
 
   /** Online near-dup LOOKUP against a persisted seeded-LSH index — the

@@ -112,4 +112,76 @@ class IncrementalPipelineSpec extends SparkSpec {
       .select("vec_id", "cluster_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(inc === frs)
   }
+
+  test("fused updateTextIndex ≡ fresh build; refresh ids need no explicit retire") {
+    val idx1 = Files.createTempDirectory("fus1").toString
+    val upd = Files.createTempDirectory("fusu").toString
+    val fresh = Files.createTempDirectory("fusf").toString
+    Search.writeTextIndex(toks(v1), "doc_id", "toks", idx1)
+
+    val fp = Snapshots.fingerprint(col("text"))
+    val delta = Snapshots.snapshotDelta(v1, v2, "doc_id", fp)
+    // retire carries ONLY the Removed ids: the fused op drops the refresh
+    // batch's own ids itself, so Changed docs never need listing twice
+    val retire = delta.where(col("status") === Snapshots.Removed).select("doc_id")
+    val refresh = Snapshots.changedRows(v1, v2, "doc_id", fp)
+    val n = Search.updateTextIndex(spark, idx1, upd,
+      retire, "doc_id", toks(refresh), "doc_id", "toks")
+    assert(n === 5L) // 1, 2, 4 survive; 5 refreshed; 6 added
+
+    Search.writeTextIndex(toks(v2), "doc_id", "toks", fresh)
+    for (terms <- Seq(Seq("spark", "vector"), Seq("bm25"), Seq("search", "ranking"))) {
+      val a = Search.bm25TopKFromIndex(spark, upd, terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Search.bm25TopKFromIndex(spark, fresh, terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a === b, s"terms $terms: fused $a vs fresh $b")
+    }
+    assert(Search.bm25TopKFromIndex(spark, upd, Seq("navigation"), 5).isEmpty)
+    assert(Search.bm25TopKFromIndex(spark, upd, Seq("ivf"), 5)
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // the stats sidecar matches the fresh build exactly (exact longs)
+    assert(spark.read.parquet(s"$upd/stats").collect().toSeq ===
+      spark.read.parquet(s"$fresh/stats").collect().toSeq)
+  }
+
+  test("fused updateIvfIndex ≡ fresh build of v2, one write") {
+    val emb = Tables.embeddings(spark, sf001).where(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+    val seed = emb.where(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0).toInt -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val centroids = (0 until 8).map(i => i -> seed(i))
+    val v1 = emb.where(col("vec_id") < 50)
+    val changed5 = emb.where(col("vec_id") === 55)
+      .select(lit(5L).as("vec_id"), col("embedding"))
+    val v2 = emb.where(col("vec_id") < 50 && !(col("vec_id") >= 10 && col("vec_id") < 20)
+        && col("vec_id") =!= 5)
+      .unionByName(changed5)
+      .unionByName(emb.where(col("vec_id") >= 50))
+
+    val idx1 = Files.createTempDirectory("fvi1").toString
+    val upd = Files.createTempDirectory("fviu").toString
+    val freshD = Files.createTempDirectory("fvif").toString
+    Search.writeIvfIndex(v1, "embedding", centroids, idx1)
+    // retire lists ONLY the pure removals; id 5 is dropped by its
+    // presence in the refresh batch
+    val retire = (10L until 20L).toDF("vec_id")
+    val refresh = changed5.unionByName(emb.where(col("vec_id") >= 50))
+    val n = Search.updateIvfIndex(spark, idx1, upd, retire, refresh,
+      "vec_id", "embedding")
+    assert(n === v2.count())
+
+    Search.writeIvfIndex(v2, "embedding", centroids, freshD)
+    val inc = spark.read.parquet(s"$upd/vectors")
+      .select("vec_id", "cluster_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val frs = spark.read.parquet(s"$freshD/vectors")
+      .select("vec_id", "cluster_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(inc === frs)
+    // frozen quantizer: the centroid sidecar copies verbatim
+    val cu = spark.read.parquet(s"$upd/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).toSet
+    val cf = spark.read.parquet(s"$idx1/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).toSet
+    assert(cu === cf)
+  }
 }

@@ -587,6 +587,93 @@ class SearchSpec extends SparkSpec {
       Search.removeFromIvfPqIndex(spark, ipFull, ipFull, dropIds, "vec_id"))
   }
 
+  test("fused updates across the index families ≡ fresh build of v2; sidecars frozen") {
+    // the one-write UPDATE composition (retire ∪ refresh-ids dropped,
+    // refresh re-encoded under the FROZEN models, survivors + fresh in a
+    // single store rewrite) must be indistinguishable from rebuilding on
+    // the updated corpus — for every compressed tier
+    import graft.operators.Search
+    import spark.implicits._
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val cb = Search.pqTrainCodebooks(emb, "embedding", 64, 8, 16, seed = 42L)
+    val e2 = emb.select(col("vec_id"), col("embedding"))
+    val retire = e2.where(col("vec_id") % 5 === 0).select("vec_id")
+    val changed = e2.where(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val added = e2.where(col("vec_id") % 11 === 3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val refresh = changed.unionByName(added)
+    val v2 = e2.where(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 1)
+      .unionByName(changed).unionByName(added)
+    val q = vecs(1L)
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    // flat PQ
+    val pqFull = dir("up-pq-full"); val pqUpd = dir("up-pq-upd"); val pqFresh = dir("up-pq-fresh")
+    Search.pqWriteIndex(emb, "vec_id", "embedding", cb, pqFull)
+    assert(Search.updatePqIndex(spark, pqFull, pqUpd, retire, refresh,
+      "vec_id", "embedding") === v2.count())
+    Search.pqWriteIndex(v2, "vec_id", "embedding", cb, pqFresh)
+    assert(ids(Search.pqTopKFromIndex(spark, pqUpd, v2, "vec_id", "embedding", q, 10, 50)) ===
+      ids(Search.pqTopKFromIndex(spark, pqFresh, v2, "vec_id", "embedding", q, 10, 50)))
+    assert(Search.readPqCodebooks(spark, pqUpd).centers.flatten.map(_.toSeq) ==
+      cb.centers.flatten.map(_.toSeq), "codebook sidecar must copy verbatim")
+    // the code stores are row-identical, not just query-equal
+    def codeSet(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Byte](r.fieldIndex("pq_codes")).toSeq)).toSet
+    assert(codeSet(pqUpd) === codeSet(pqFresh))
+    // composed IVF-PQ
+    val ipFull = dir("up-ip-full"); val ipUpd = dir("up-ip-upd"); val ipFresh = dir("up-ip-fresh")
+    Search.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cb, ipFull)
+    assert(Search.updateIvfPqIndex(spark, ipFull, ipUpd, retire, refresh,
+      "vec_id", "embedding") === v2.count())
+    Search.writeIvfPqIndex(v2, "vec_id", "embedding", centroids, cb, ipFresh)
+    assert(ids(Search.ivfPqTopKFromIndex(spark, ipUpd, v2, "vec_id", "embedding", q, 10, 3, 50)) ===
+      ids(Search.ivfPqTopKFromIndex(spark, ipFresh, v2, "vec_id", "embedding", q, 10, 3, 50)))
+    def ipSet(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cluster_id"), r.getSeq[Byte](r.fieldIndex("pq_codes")).toSeq)).toSet
+    assert(ipSet(ipUpd) === ipSet(ipFresh))
+    // OPQ (rotation rides along; refresh rotates under the frozen model)
+    val model = Search.opqTrainCodebooks(emb, "embedding", 64, 8, 16,
+      seed = 42L, opqIters = 2)
+    val opFull = dir("up-op-full"); val opUpd = dir("up-op-upd"); val opFresh = dir("up-op-fresh")
+    Search.opqWriteIndex(emb, "vec_id", "embedding", model, opFull)
+    assert(Search.updateOpqIndex(spark, opFull, opUpd, retire, refresh,
+      "vec_id", "embedding") === v2.count())
+    Search.opqWriteIndex(v2, "vec_id", "embedding", model, opFresh)
+    assert(ids(Search.opqTopKFromIndex(spark, opUpd, v2, "vec_id", "embedding", q, 10, 50)) ===
+      ids(Search.opqTopKFromIndex(spark, opFresh, v2, "vec_id", "embedding", q, 10, 50)))
+    assert(Search.readOpqModel(spark, opUpd).rotation.map(_.toSeq) ==
+      model.rotation.map(_.toSeq), "rotation sidecar must copy verbatim")
+    assert(codeSet(opUpd) === codeSet(opFresh))
+    // seeded LSH (bands + codes + meta; pair sets identical)
+    val slFull = dir("up-sl-full") + "/ix"; val slUpd = dir("up-sl-upd") + "/ix"
+    val slFresh = dir("up-sl-fresh") + "/ix"
+    Search.writeSeededLshIndex(emb, "vec_id", "embedding", 64, slFull,
+      numTables = 4, bitsPerTable = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Search.updateSeededLshIndex(spark, slFull, slUpd, retire, refresh,
+      "vec_id", "embedding") === v2.count())
+    Search.writeSeededLshIndex(v2, "vec_id", "embedding", 64, slFresh,
+      numTables = 4, bitsPerTable = 8)
+    assert(pairSet(Search.seededLshPairsFromIndex(spark, slUpd, 0.3)) ===
+      pairSet(Search.seededLshPairsFromIndex(spark, slFresh, 0.3)))
+    // guards: same-directory refusal; LSH conflicting-id refusal
+    intercept[IllegalArgumentException](
+      Search.updatePqIndex(spark, pqFull, pqFull, retire, refresh, "vec_id", "embedding"))
+    intercept[IllegalArgumentException](
+      Search.updateIvfPqIndex(spark, ipFull, ipFull, retire, refresh, "vec_id", "embedding"))
+    val conflicted = refresh.unionByName(
+      changed.limit(1).select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    intercept[IllegalArgumentException](
+      Search.updateSeededLshIndex(spark, slFull, dir("up-sl-x") + "/ix",
+        retire, conflicted, "vec_id", "embedding"))
+  }
+
   test("OPQ: rotation orthogonal, persisted round-trip, appends idempotent, beats-or-ties plain PQ") {
     import graft.operators.Search
     val model = Search.opqTrainCodebooks(emb, "embedding", 64, 8, 16,
