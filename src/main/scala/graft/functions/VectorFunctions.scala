@@ -82,6 +82,26 @@ object VectorFunctions {
   def i8Dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  /** GLOBAL fixed-point codes: floor(x·127 + 0.5) — the same rounding rule
+    * as [[i8Codes]] but with ONE shared scale instead of a per-vector one.
+    * The per-vector scale is what makes i8 codes 1-byte-tight, but it
+    * breaks linearity across vectors: code(a) − code(b) approximates
+    * nothing, because a and b were scaled differently. The fixed global
+    * scale keeps the map LINEAR, so integer code differences ARE scaled
+    * vector differences — the property the residual IVF-PQ tier
+    * ([[graft.operators.Search.writeIvfPqResidualIndex]]) needs for
+    * `code(v) − code(centroid)` to be a faithful residual. Codes stay
+    * integer-exact (engine-portable, oracle-checkable) at any realistic
+    * embedding range: |x| ≤ 260 keeps every product below 2^53 in the
+    * double-accumulated dots. DOUBLE-typed integers; cast at use sites.
+    */
+  def fpCodes(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 127.0 + 0.5))
+
+  /** Driver-side twin of [[fpCodes]] (query vectors and centroids). */
+  def fpCodesLocal(v: Seq[Float]): Array[Float] =
+    v.map(x => math.floor(x.toDouble * 127.0 + 0.5).toFloat).toArray
+
   /** Exact-integer dot of two code arrays (long accumulator). */
   def i8Dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),

@@ -921,17 +921,27 @@ object Search {
   def pqSampledCodebooks(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ksub: Int): PqCodebooks = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    sampledCodebooksOf(df.select(col(idCol).as("_id"),
+      i8Codes(col(vecCol)).cast("array<float>").as("_c")), dim, m, ksub)
+  }
+
+  /** [[pqSampledCodebooks]]'s body over an ALREADY-ENCODED (_id, _c)
+    * frame — the code space is the caller's choice (per-vector i8 for the
+    * flat tiers, fixed-point residuals for [[pqResidualSampledCodebooks]]).
+    * The md5 ranking depends only on (s, _id), so two builders over the
+    * same ids pick the same ROWS and differ only in the code geometry.
+    */
+  private def sampledCodebooksOf(codes: DataFrame,
+      dim: Int, m: Int, ksub: Int): PqCodebooks = {
     val subdim = dim / m
-    val ranked = df.select(col(idCol).as("_id"))
-      .crossJoin(spark_range_df(df, m))
+    val ranked = codes.select(col("_id"))
+      .crossJoin(spark_range_df(codes, m))
       .withColumn("_h", conv(substring(md5(
         concat(col("_s").cast("string"), lit("|"), col("_id").cast("string"))),
         1, 15), 16, 10).cast("long"))
       .withColumn("_rk", row_number().over(
         Window.partitionBy("_s").orderBy(col("_h"), col("_id"))))
       .where(col("_rk") <= ksub)
-    val codes = df.select(col(idCol).as("_id"),
-      i8Codes(col(vecCol)).cast("array<float>").as("_c"))
     val picked = ranked.join(codes, "_id")
       .select(col("_s"), col("_rk"), col("_c"))
       .collect()
@@ -965,11 +975,20 @@ object Search {
   def pqTrainCodebooks(df: DataFrame, vecCol: String, dim: Int, m: Int,
       ksub: Int, seed: Long = 42L, maxIter: Int = 20): PqCodebooks = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    trainedCodebooksOf(df.select(
+      i8Codes(col(vecCol)).cast("array<float>").as("_c")), dim, m, ksub,
+      seed, maxIter)
+  }
+
+  /** [[pqTrainCodebooks]]'s body over an already-encoded (_c) frame — the
+    * trained twin of [[sampledCodebooksOf]].
+    */
+  private def trainedCodebooksOf(df: DataFrame, dim: Int, m: Int,
+      ksub: Int, seed: Long, maxIter: Int): PqCodebooks = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val subdim = dim / m
-    val codes = df.select(i8Codes(col(vecCol)).cast("array<float>").as("_c"))
-      .persist()
+    val codes = df.select(col("_c")).persist()
     try {
       val centers = (0 until m).map { s =>
         val prepared = codes.select(array_to_vector(
@@ -1428,6 +1447,7 @@ object Search {
       query: Seq[Float], k: Int, nProbe: Int = 1,
       rescore: Int = 50): DataFrame = {
     require(rescore >= k, "rescore candidate count must be >= k")
+    requirePlainIvfPq(spark, path, "ivfPqTopKFromIndex")
     val centroids = readIvfCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val probeIds = probeClusters(centroids, query, nProbe)
@@ -1483,6 +1503,7 @@ object Search {
     require(state == PathState.Data,
       s"appendIvfPqIndex requires an existing index at '$path' " +
         "(writeIvfPqIndex first — appends need its frozen models)")
+    requirePlainIvfPq(spark, path, "appendIvfPqIndex")
     val centroids = readIvfCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val existing = spark.read.parquet(s"$path/codes").select(col(idCol))
@@ -1515,6 +1536,7 @@ object Search {
       dstPath: String, removeIds: DataFrame, idCol: String): Long = {
     require(srcPath != dstPath,
       "removeFromIvfPqIndex writes a NEW directory (caller swaps atomically)")
+    requirePlainIvfPq(spark, srcPath, "removeFromIvfPqIndex")
     val drop = removeIds.select(col(idCol)).distinct()
     spark.read.parquet(s"$srcPath/codes")
       .join(drop, Seq(idCol), "left_anti")
@@ -1540,6 +1562,7 @@ object Search {
       idCol: String, vecCol: String): Long = {
     require(srcPath != dstPath,
       "updateIvfPqIndex writes a NEW directory (caller swaps atomically)")
+    requirePlainIvfPq(spark, srcPath, "updateIvfPqIndex")
     val centroids = readIvfCentroids(spark, srcPath)
     val cb = readPqCodebooks(spark, srcPath)
     val fresh = refreshBatch.dropDuplicates(idCol)
@@ -1555,6 +1578,290 @@ object Search {
     spark.read.parquet(s"$srcPath/codebooks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
     spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  // ------------------------------------------- residual IVF-PQ (IVFADC) ---
+
+  /** The encoding-marker sidecar of an IVF-PQ store, if present. Plain
+    * [[writeIvfPqIndex]] stores carry none (back-compatible); residual
+    * stores carry `encoding='fp_residual'`. Both query/maintenance
+    * families check it so a residual store can never be silently scored
+    * with plain-code semantics or vice versa.
+    */
+  private def ivfPqEncoding(spark: SparkSession, path: String): Option[String] = {
+    import graft.sources.PathState
+    if (PathState.classify(s"$path/encoding",
+        spark.sparkContext.hadoopConfiguration) == PathState.Data)
+      Some(spark.read.parquet(s"$path/encoding").head().getString(0))
+    else None
+  }
+
+  private def requirePlainIvfPq(spark: SparkSession, path: String,
+      op: String): Unit = {
+    val enc = ivfPqEncoding(spark, path)
+    require(enc.isEmpty,
+      s"$op expects a PLAIN writeIvfPqIndex store but '$path' is encoded " +
+        s"'${enc.get}' — use the IvfPqResidual family for it")
+  }
+
+  private def requireResidualIvfPq(spark: SparkSession, path: String,
+      op: String): Unit = {
+    val enc = ivfPqEncoding(spark, path)
+    require(enc.contains("fp_residual"),
+      s"$op expects a writeIvfPqResidualIndex store but '$path' " +
+        enc.fold("carries no encoding marker (a plain IVF-PQ index? " +
+          "use the plain IvfPq family)")(e => s"is encoded '$e'"))
+  }
+
+  /** (id, cluster_id, _r) fixed-point residuals under frozen coarse
+    * centroids: `_r = fpCodes(vec) − fpCodes(centroid(cluster))`,
+    * element-wise integer subtraction in the GLOBAL fixed-point space
+    * ([[graft.functions.VectorFunctions.fpCodes]] — one shared scale, so
+    * the subtraction is meaningful across vectors, unlike the per-vector
+    * i8 space where it is not; that linearity is the whole point of this
+    * tier). One narrow projection: the codegen'd nearest-centroid argmax
+    * ([[ivfAssign]]), a literal-map centroid lookup, one zip_with — no
+    * join, no shuffle, exact integers end to end.
+    */
+  def ivfFpResiduals(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    import graft.functions.VectorFunctions.{fpCodes, fpCodesLocal}
+    val centFp = typedLit(centroids.map { case (cid, v) =>
+      cid -> fpCodesLocal(v.toSeq).toSeq
+    }.toMap)
+    ivfAssign(df, vecCol, centroids)
+      .select(col(idCol), col("cluster_id"),
+        zip_with(fpCodes(col(vecCol)).cast("array<float>"),
+          element_at(centFp, col("cluster_id")),
+          (a, b) => a - b).as("_r"))
+  }
+
+  /** Deterministic (md5-sampled, DuckDB-replayable) PQ codebooks over the
+    * RESIDUAL space of `centroids` — the oracle tier for
+    * [[writeIvfPqResidualIndex]] (q151). Same row selection as
+    * [[pqSampledCodebooks]] (the ranking hashes only ids); the centers
+    * are residual sub-vectors, so they model the LOCAL geometry around
+    * each coarse centroid instead of the global cloud — the reason
+    * residual PQ outranks plain PQ at equal bytes (Jégou et al. 2011 §IV:
+    * residual energy is a fraction of vector energy, so the same ksub
+    * cells quantize it finer).
+    */
+  def pqResidualSampledCodebooks(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Array[Float])],
+      dim: Int, m: Int, ksub: Int): PqCodebooks = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    sampledCodebooksOf(ivfFpResiduals(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("_id"), col("_r").as("_c")), dim, m, ksub)
+  }
+
+  /** Seeded-KMeans codebooks over the residual space — the quality tier
+    * (RecallBench `ivfpqres` staircase), like [[pqTrainCodebooks]] vs
+    * [[pqSampledCodebooks]].
+    */
+  def pqResidualTrainCodebooks(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Array[Float])], dim: Int,
+      m: Int, ksub: Int, seed: Long = 42L, maxIter: Int = 20): PqCodebooks = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    trainedCodebooksOf(ivfFpResiduals(df, idCol, vecCol, centroids)
+      .select(col("_r").as("_c")), dim, m, ksub, seed, maxIter)
+  }
+
+  /** (id, cluster_id, pq_codes tinyint) under frozen coarse centroids AND
+    * frozen residual codebooks — the shared encode of the residual
+    * write/append/update paths. The residual stages as a materialized
+    * attribute before [[pqEncodeCol]] consumes it m×ksub times (the
+    * [[pqEncode]] interpreted-eval discipline).
+    */
+  private def ivfPqResidualEncoded(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Array[Float])],
+      cb: PqCodebooks): DataFrame =
+    ivfFpResiduals(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cluster_id"),
+        transform(pqEncodeCol(col("_r"), cb), _.cast("byte")).as("pq_codes"))
+
+  /** Materialize the RESIDUAL IVF-PQ index — the original IVFADC encoding
+    * (Jégou et al. 2011 §IV): each vector stores the PQ codes of its
+    * residual `v − c(v)` against its coarse centroid, not of the vector
+    * itself. [[writeIvfPqIndex]]'s plain codes quantize the global cloud;
+    * residual codes quantize only the within-cluster displacement, whose
+    * energy is a fraction of the vector's — the same m bytes rank
+    * measurably better at TIGHT rescore budgets (the plain tier's ranking
+    * loss is absorbed only when rescore is generous). Everything runs in
+    * the GLOBAL fixed-point integer space
+    * ([[graft.functions.VectorFunctions.fpCodes]]), where the residual
+    * decomposition `q·v ≈ q·c + q·r` holds exactly and every distance is
+    * integer-exact — deterministic, engine-portable, DuckDB-replayable
+    * (q151), unlike a float residual pipeline.
+    *
+    * Layout = [[writeIvfPqIndex]]'s (codes partitioned by cluster_id,
+    * centroid + codebook sidecars in the parents' shapes) plus an
+    * `encoding='fp_residual'` marker sidecar; both families refuse each
+    * other's stores, so the two ADC semantics can never be crossed.
+    * Scale posture unchanged: a query reads |probed clusters| × m bytes,
+    * partition-pruned; the per-cluster ADC tables and offsets are
+    * driver-side microseconds (nProbe × m × ksub doubles).
+    */
+  def writeIvfPqResidualIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: PqCodebooks,
+      path: String): Unit = {
+    require(cb.ksub <= 128, s"ksub=${cb.ksub} > 128 codes do not fit tinyint")
+    ivfPqResidualEncoded(df, idCol, vecCol, centroids, cb)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$path/codes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    cb.centers.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toDF("s", "j", "center")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    Seq("fp_residual").toDF("encoding")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/encoding")
+  }
+
+  /** ANN top-k against a persisted [[writeIvfPqResidualIndex]] index.
+    * Same funnel as [[ivfPqTopKFromIndex]] — driver-side probe selection,
+    * one partition-pruned scan, ADC inside whole-stage codegen, exact
+    * rescore — but the ADC is the residual decomposition: for a vector in
+    * cluster c, `score = fp(q)·fp(c) + Σ_s table_c(s)(code_s)` where
+    * `table_c` is built from the QUERY RESIDUAL `fp(q) − fp(c)` — one
+    * table set and one integer offset per probed cluster, selected by a
+    * CASE on the partition column (codegen'd; only the matched branch's m
+    * lookups execute per row). Integer-exact end to end, so the ranking
+    * is deterministic and cross-cluster comparable — the plain tier's
+    * scale-free ADC compares i8 directions only, which is exactly what
+    * residual coding fixes.
+    */
+  def ivfPqResidualTopKFromIndex(spark: SparkSession, path: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 1,
+      rescore: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.fpCodesLocal
+    require(rescore >= k, "rescore candidate count must be >= k")
+    requireResidualIvfPq(spark, path, "ivfPqResidualTopKFromIndex")
+    val centroids = readIvfCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val probeIds = probeClusters(centroids, query, nProbe)
+    val qFp = fpCodesLocal(query)
+    val byId = centroids.toMap
+    val branches = probeIds.map { cid =>
+      val cFp = fpCodesLocal(byId(cid).toSeq)
+      val qRes = qFp.zip(cFp).map { case (a, b) => a - b }
+      val offset = qFp.zip(cFp).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + a.toDouble * b.toDouble
+      }
+      cid -> (pqAdcScoreCol(col("pq_codes"), pqAdcTables(cb, qRes)) +
+        lit(offset))
+    }
+    val score = branches.tail.foldLeft(
+      when(col("cluster_id") === branches.head._1, branches.head._2)) {
+      case (acc, (cid, sc)) => acc.when(col("cluster_id") === cid, sc)
+    } // no otherwise: the isin filter below makes unmatched rows impossible
+    val candidates = spark.read.parquet(s"$path/codes")
+      .where(col("cluster_id").isin(probeIds: _*))
+      .select(col(idCol), col("cluster_id"),
+        transform(col("pq_codes"), _.cast("int")).as("pq_codes"))
+      .withColumn("_adc", score)
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(rescore)
+      .select(col(idCol))
+    fullPrecision
+      .join(broadcast(candidates), idCol)
+      .withColumn("score", cosine(col(vecCol), typedLit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Incrementally maintain a persisted residual index — the
+    * [[appendIvfPqIndex]] contract (BOTH models frozen, id anti-join
+    * idempotency, job-commit visibility) with the residual encode.
+    *
+    * @return number of NEW vectors appended (0 for a pure replay)
+    */
+  def appendIvfPqResidualIndex(batch: DataFrame, idCol: String,
+      vecCol: String, path: String): Long = {
+    import graft.sources.PathState
+    val spark = batch.sparkSession
+    val state = PathState.classify(s"$path/codes",
+      spark.sparkContext.hadoopConfiguration)
+    require(state == PathState.Data,
+      s"appendIvfPqResidualIndex requires an existing index at '$path' " +
+        "(writeIvfPqResidualIndex first — appends need its frozen models)")
+    requireResidualIvfPq(spark, path, "appendIvfPqResidualIndex")
+    val centroids = readIvfCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val existing = spark.read.parquet(s"$path/codes").select(col(idCol))
+    val fresh = batch
+      .join(existing, batch(idCol) === existing(idCol), "left_anti")
+      .dropDuplicates(idCol).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        ivfPqResidualEncoded(fresh, idCol, vecCol, centroids, cb)
+          .write.mode(SaveMode.Append)
+          .partitionBy("cluster_id").parquet(s"$path/codes")
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** The delete half of residual-index maintenance
+    * ([[removeFromIvfPqIndex]]'s contract; the encoding marker rides
+    * along — dropping it would silently demote the store to plain-code
+    * semantics).
+    *
+    * @return number of surviving vectors
+    */
+  def removeFromIvfPqResidualIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, removeIds: DataFrame, idCol: String): Long = {
+    require(srcPath != dstPath,
+      "removeFromIvfPqResidualIndex writes a NEW directory (caller swaps atomically)")
+    requireResidualIvfPq(spark, srcPath, "removeFromIvfPqResidualIndex")
+    val drop = removeIds.select(col(idCol)).distinct()
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    copyIvfPqSidecars(spark, srcPath, dstPath, withEncoding = true)
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** FUSED residual-index update — [[updateIvfPqIndex]]'s one-write
+    * contract with the residual encode; all three sidecars copy verbatim.
+    *
+    * @return number of vectors in the new index
+    */
+  def updateIvfPqResidualIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, retireIds: DataFrame, refreshBatch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    require(srcPath != dstPath,
+      "updateIvfPqResidualIndex writes a NEW directory (caller swaps atomically)")
+    requireResidualIvfPq(spark, srcPath, "updateIvfPqResidualIndex")
+    val centroids = readIvfCentroids(spark, srcPath)
+    val cb = readPqCodebooks(spark, srcPath)
+    val fresh = refreshBatch.dropDuplicates(idCol)
+    val drop = retireIds.select(col(idCol))
+      .unionByName(fresh.select(col(idCol))).distinct()
+    spark.read.parquet(s"$srcPath/codes")
+      .join(drop, Seq(idCol), "left_anti")
+      .unionByName(ivfPqResidualEncoded(fresh, idCol, vecCol, centroids, cb))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    copyIvfPqSidecars(spark, srcPath, dstPath, withEncoding = true)
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** Copy the frozen-model sidecars of an IVF-PQ store verbatim. */
+  private def copyIvfPqSidecars(spark: SparkSession, srcPath: String,
+      dstPath: String, withEncoding: Boolean): Unit = {
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    if (withEncoding)
+      spark.read.parquet(s"$srcPath/encoding")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/encoding")
   }
 
   /** The delete half of flat-PQ index maintenance (same contract as
