@@ -1698,8 +1698,8 @@ object Search {
     * `encoding='fp_residual'` marker sidecar; both families refuse each
     * other's stores, so the two ADC semantics can never be crossed.
     * Scale posture unchanged: a query reads |probed clusters| × m bytes,
-    * partition-pruned; the per-cluster ADC tables and offsets are
-    * driver-side microseconds (nProbe × m × ksub doubles).
+    * partition-pruned; the shared ADC table set (m × ksub doubles) and
+    * the nProbe per-cluster offsets are driver-side microseconds.
     */
   def writeIvfPqResidualIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], cb: PqCodebooks,
@@ -1721,49 +1721,61 @@ object Search {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/encoding")
   }
 
-  /** ANN top-k against a persisted [[writeIvfPqResidualIndex]] index.
-    * Same funnel as [[ivfPqTopKFromIndex]] — driver-side probe selection,
-    * one partition-pruned scan, ADC inside whole-stage codegen, exact
-    * rescore — but the ADC is the residual decomposition: for a vector in
-    * cluster c, `score = fp(q)·fp(c) + Σ_s table_c(s)(code_s)` where
-    * `table_c` is built from the QUERY RESIDUAL `fp(q) − fp(c)` — one
-    * table set and one integer offset per probed cluster, selected by a
-    * CASE on the partition column (codegen'd; only the matched branch's m
-    * lookups execute per row). Integer-exact end to end, so the ranking
-    * is deterministic and cross-cluster comparable — the plain tier's
-    * scale-free ADC compares i8 directions only, which is exactly what
-    * residual coding fixes.
+  /** The ADC candidate stage of [[ivfPqResidualTopKFromIndex]]: one
+    * partition-pruned scan of the probed clusters scored by the residual
+    * decomposition `fp(q)·v̂ = fp(q)·fp(c) + fp(q)·r̂` — ONE shared ADC
+    * table set built from `fp(q)` itself (inner-product tables depend only
+    * on the query and the codebooks; `tables(s)(code_s)` sums to
+    * `fp(q)·r̂`) plus a per-cluster scalar offset `fp(q)·fp(c)` looked up
+    * from a literal map on the partition column. A table set built from
+    * the QUERY RESIDUAL `fp(q)−fp(c)` — the L2-table recipe — would score
+    * `fp(q)·v̂ − fp(c)·r̂`, a per-vector bias that distorts exactly the
+    * ranking the residual tier exists to sharpen (ADVICE r12); this form
+    * is pinned ≡ a driver-side exact fixed-point inner product in
+    * SearchSpec. Exposed so specs and q151's oracle replay can see the
+    * pre-rescore scores; returns (idCol, cluster_id, _adc).
     */
-  def ivfPqResidualTopKFromIndex(spark: SparkSession, path: String,
-      fullPrecision: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, nProbe: Int = 1,
-      rescore: Int = 50): DataFrame = {
+  def ivfPqResidualAdcScores(spark: SparkSession, path: String,
+      idCol: String, query: Seq[Float], nProbe: Int): DataFrame = {
     import graft.functions.VectorFunctions.fpCodesLocal
-    require(rescore >= k, "rescore candidate count must be >= k")
-    requireResidualIvfPq(spark, path, "ivfPqResidualTopKFromIndex")
+    requireResidualIvfPq(spark, path, "ivfPqResidualAdcScores")
     val centroids = readIvfCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val probeIds = probeClusters(centroids, query, nProbe)
     val qFp = fpCodesLocal(query)
     val byId = centroids.toMap
-    val branches = probeIds.map { cid =>
+    val tables = pqAdcTables(cb, qFp)
+    val offsets = probeIds.map { cid =>
       val cFp = fpCodesLocal(byId(cid).toSeq)
-      val qRes = qFp.zip(cFp).map { case (a, b) => a - b }
-      val offset = qFp.zip(cFp).foldLeft(0.0) { case (acc, (a, b)) =>
+      cid -> qFp.zip(cFp).foldLeft(0.0) { case (acc, (a, b)) =>
         acc + a.toDouble * b.toDouble
       }
-      cid -> (pqAdcScoreCol(col("pq_codes"), pqAdcTables(cb, qRes)) +
-        lit(offset))
-    }
-    val score = branches.tail.foldLeft(
-      when(col("cluster_id") === branches.head._1, branches.head._2)) {
-      case (acc, (cid, sc)) => acc.when(col("cluster_id") === cid, sc)
-    } // no otherwise: the isin filter below makes unmatched rows impossible
-    val candidates = spark.read.parquet(s"$path/codes")
+    }.toMap
+    spark.read.parquet(s"$path/codes")
       .where(col("cluster_id").isin(probeIds: _*))
       .select(col(idCol), col("cluster_id"),
         transform(col("pq_codes"), _.cast("int")).as("pq_codes"))
-      .withColumn("_adc", score)
+      .withColumn("_adc", pqAdcScoreCol(col("pq_codes"), tables) +
+        element_at(typedLit(offsets), col("cluster_id")))
+      .select(col(idCol), col("cluster_id"), col("_adc"))
+  }
+
+  /** ANN top-k against a persisted [[writeIvfPqResidualIndex]] index.
+    * Same funnel as [[ivfPqTopKFromIndex]] — driver-side probe selection,
+    * one partition-pruned scan, ADC inside whole-stage codegen, exact
+    * rescore — but the ADC realizes the residual decomposition
+    * ([[ivfPqResidualAdcScores]]): `score = fp(q)·fp(c) + fp(q)·r̂ =
+    * fp(q)·v̂`, integer-exact end to end, so the ranking is deterministic,
+    * DuckDB-replayable (q151) and cross-cluster comparable — the plain
+    * tier's scale-free ADC compares i8 directions only, which is exactly
+    * what residual coding fixes.
+    */
+  def ivfPqResidualTopKFromIndex(spark: SparkSession, path: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 1,
+      rescore: Int = 50): DataFrame = {
+    require(rescore >= k, "rescore candidate count must be >= k")
+    val candidates = ivfPqResidualAdcScores(spark, path, idCol, query, nProbe)
       .orderBy(col("_adc").desc, col(idCol))
       .limit(rescore)
       .select(col(idCol))
