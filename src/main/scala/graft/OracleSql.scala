@@ -1529,6 +1529,86 @@ SELECT user_id, session_start_ms, session_end_ms, n
 FROM g WHERE session_end_ms + 300000 < hw
 ORDER BY user_id, session_start_ms""",
 
+    // Residual IVF-PQ ANN (q151): the original IVFADC encoding replayed
+    // end to end in the GLOBAL fixed-point space fp(x) = floor(x·127+0.5)
+    // (one shared scale — integer code differences ARE scaled vector
+    // differences, unlike q148's per-vector i8 space). fp = codes, cents =
+    // the vec_id<8 seeds with their fp codes, assigned = q148's cosine
+    // argmax (ties → lowest cid), res = fp(v) − fp(centroid) element-wise,
+    // rk/cent = the q130 md5-ranked SAMPLED codebooks but over the
+    // RESIDUAL space (same row selection — the ranking hashes only ids),
+    // asg = per-subspace argmin of c·c − 2·(sub·c) over the residual
+    // (ties → lowest j), restricted to the nProbe=4 probed clusters. ADC
+    // = the residual decomposition fp(q)·v̂ = fp(q)·fp(c) + fp(q)·r̂: one
+    // shared table term (tbl = Σ_s fp(q)_s · cent_cv) plus the per-cluster
+    // offset fp(q)·fp(c) — all integer-exact. Top-50 by (adc DESC,
+    // vec_id), exact-cosine rescore top-10 (the q15 output discipline).
+    "q151_ivf_pq_residual" ->
+      raw"""WITH fp AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> floor(x::DOUBLE * 127.0 + 0.5)) AS codes
+  FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv,
+    list_transform(embedding, x -> floor(x::DOUBLE * 127.0 + 0.5)) AS cfp
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT f.vec_id, cc.cid,
+      row_number() OVER (PARTITION BY f.vec_id
+        ORDER BY list_cosine_similarity(f.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM fp f CROSS JOIN cents cc)
+  WHERE rn = 1),
+res AS (
+  SELECT f.vec_id, a.cluster_id,
+    list_transform(range(1, 65), i -> f.codes[i] - cc.cfp[i]) AS r
+  FROM fp f JOIN assigned a USING (vec_id) JOIN cents cc ON cc.cid = a.cluster_id),
+rk AS (
+  SELECT sub.s, f.vec_id,
+    row_number() OVER (PARTITION BY sub.s
+      ORDER BY ('0x' || substr(md5(sub.s::VARCHAR || '|' || f.vec_id::VARCHAR), 1, 15))::BIGINT,
+               f.vec_id) AS rk
+  FROM fp f, (SELECT unnest(generate_series(0, 7)) AS s) sub),
+cent AS (
+  SELECT rk.s, rk.rk - 1 AS j, res.r[rk.s*8 + 1 : rk.s*8 + 8] AS cv
+  FROM rk JOIN res ON res.vec_id = rk.vec_id
+  WHERE rk.rk <= 16),
+probes AS (
+  SELECT cid FROM (
+    SELECT cc.cid,
+      row_number() OVER (ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM cents cc, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+  WHERE rn <= 4),
+asg0 AS (
+  SELECT res.vec_id, cent.s, cent.j,
+    list_inner_product(cent.cv, cent.cv)
+      - 2 * list_inner_product(res.r[cent.s*8 + 1 : cent.s*8 + 8], cent.cv) AS d
+  FROM res, cent
+  WHERE res.vec_id <> 0
+    AND res.cluster_id IN (SELECT cid FROM probes)),
+asg AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS r
+    FROM asg0) WHERE r = 1),
+qfp AS (SELECT codes FROM fp WHERE vec_id = 0),
+adc AS (
+  SELECT asg.vec_id,
+    sum(list_inner_product(qfp.codes[asg.s*8 + 1 : asg.s*8 + 8], cent.cv)) AS tbl
+  FROM asg JOIN cent ON cent.s = asg.s AND cent.j = asg.j, qfp
+  GROUP BY asg.vec_id),
+scored AS (
+  SELECT adc.vec_id, adc.tbl + list_inner_product(qfp.codes, cc.cfp) AS adc_ip
+  FROM adc JOIN res ON res.vec_id = adc.vec_id
+    JOIN cents cc ON cc.cid = res.cluster_id, qfp),
+cand AS (SELECT vec_id FROM scored ORDER BY adc_ip DESC, vec_id LIMIT 50)
+SELECT e.vec_id,
+  floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[])) / 1000 AS cos_sim
+FROM cand
+JOIN embeddings e USING (vec_id),
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10""",
+
     // Per-group quality cards (q138): exact per-(lang, column) metrics —
     // one grouped SELECT per profiled column, same canonicalization as
     // q134; NULLS FIRST pins group ordering to Spark's asc default.

@@ -706,6 +706,23 @@ object Queries {
     (root, fresh, commit)
   }
 
+  /** Per-(tag, sfDir) SCRATCH dir for work a probe redoes every
+    * invocation (q149's updated indexes, q150's stream source): DELETED
+    * and recreated at entry, so bench reps never accumulate copies in the
+    * JVM tmp dir (ADVICE r12) — at most one copy is ever alive, and the
+    * returned lazy frame stays readable until the probe's NEXT
+    * invocation, by which time the prior result has been consumed (Verify
+    * writes / Bench counts synchronously before re-invoking).
+    */
+  private def scratchDir(tag: String, dir: String): java.nio.file.Path = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"${tag}_$safe")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    java.nio.file.Files.createDirectories(p)
+  }
+
   /** Q50 — a real Structured Streaming run (ST1, ORACLE-CHECKED since
     * round 10): the events fixture staged as a file stream → tumbling
     * counts → COMPLETE-mode memory sink, drained to completion and
@@ -2392,7 +2409,7 @@ object Queries {
         .toDF("media_id", "content")
     def sigs(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
       Multimodal.videoSequenceDHashes(clips(rows), "media_id", "content", stride = 1)
-    val store = java.nio.file.Files.createTempDirectory("q128store").toString
+    val store = scratchDir("q128store", dir).toString
     val batch1 = (0 until 25).map(i => (i.toLong, base(i), -1L))
     val batch2 = (0 until 25).flatMap { i =>
       Seq((i + 1000L, base(i), -2L), (i + 2000L, base(i), -1L),
@@ -2852,7 +2869,7 @@ object Queries {
     * DuckDB, so the card stays hash-comparable.
     */
   def q141IncrementalProfile(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files.createTempDirectory("q141store").toString
+    val store = scratchDir("q141store", dir).toString
     val docs = Tables.documents(s, dir)
       .withColumn("score", col("n_chars") / lit(100.0))
     val cols = Seq("doc_id", "lang", "source", "n_chars", "score")
@@ -2969,7 +2986,7 @@ object Queries {
       Files.copy(staged.resolve(slice), tmp)
       Files.move(tmp, streamDir.resolve(as), StandardCopyOption.ATOMIC_MOVE)
     }
-    val streamDir = Files.createTempDirectory("q147run")
+    val streamDir = scratchDir("q147run", dir)
     deliver(streamDir, "even.parquet", "batch1.parquet")
     val name = "q147_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.Streams.streamTumblingToMemoryAppend(
@@ -3101,7 +3118,7 @@ object Queries {
     val (deltaDocs, retireDocs, refreshDocs) = sets(docs, v2docs, "doc_id", fp)
     val fpe = Snapshots.fingerprint(col("embedding"))
     val (deltaE, retireE, refreshE) = sets(v1e, v2e, "vec_id", fpe)
-    val work = java.nio.file.Files.createTempDirectory("q149upd").toString
+    val work = scratchDir("q149upd", dir).toString
     // FUSED update ops (spec-proven ≡ the remove-then-append two-step and
     // ≡ a fresh build): survivors and the refresh batch land in ONE
     // term-partitioned postings write / one cluster-partitioned vector
@@ -3181,7 +3198,7 @@ object Queries {
       Files.copy(staged.resolve(slice), tmp)
       Files.move(tmp, streamDir.resolve(as), StandardCopyOption.ATOMIC_MOVE)
     }
-    val streamDir = Files.createTempDirectory("q150run")
+    val streamDir = scratchDir("q150run", dir)
     deliver(streamDir, "early.parquet", "batch1.parquet")
     val name = "q150_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.Streams.streamClosedSessionsToMemory(
@@ -3193,6 +3210,42 @@ object Queries {
     } finally q.stop()
     s.table(name)
       .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
+  /** Q151 — RESIDUAL IVF-PQ ANN through the persisted index
+    * (Search.writeIvfPqResidualIndex / ivfPqResidualTopKFromIndex): the
+    * original IVFADC encoding (Jégou et al. 2011 §IV) where each vector
+    * stores the PQ codes of its RESIDUAL against its coarse centroid, in
+    * the GLOBAL fixed-point space (fpCodes — one shared ×127 scale, so
+    * integer code differences ARE scaled vector differences). q148's
+    * funnel with q148's determinism discipline (vec_id<8 seed centroids,
+    * md5-sampled ksub=16 codebooks — here over the residual space — ties
+    * to lowest cid/j/vec_id), but the ADC is the residual decomposition
+    * `fp(q)·v̂ = fp(q)·fp(c) + fp(q)·r̂`: one shared table set from fp(q)
+    * plus a per-cluster integer offset, integer-exact end to end and
+    * therefore DuckDB-replayable. The index stages once per sfDir; reps
+    * time the partition-pruned READ path like q148.
+    */
+  def q151IvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val (idxDir, fresh, commitStaged) = stagedRoot("q151ivfpqres", dir, src)
+    if (!fresh) {
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+      val cb = Search.pqResidualSampledCodebooks(emb, "vec_id", "embedding",
+        cents, dim = 64, m = 8, ksub = 16)
+      Search.writeIvfPqResidualIndex(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", cents, cb, idxDir.toString)
+      commitStaged()
+    }
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.ivfPqResidualTopKFromIndex(s, idxDir.toString,
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query,
+        k = 10, nProbe = 4, rescore = 50)
+      .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
   }
 
   /** All queries exposed to the driver contract. */
@@ -3347,5 +3400,6 @@ object Queries {
     "q148_ivf_pq" -> q148IvfPq _,
     "q149_incremental_update" -> q149IncrementalUpdate _,
     "q150_session_drain" -> q150SessionDrain _,
+    "q151_ivf_pq_residual" -> q151IvfPqResidual _,
   )
 }
