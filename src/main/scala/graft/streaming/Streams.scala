@@ -351,6 +351,46 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted VECTOR index (VERDICT r12 item
+    * 7 — the last maintenance family without a streaming wrapper): each
+    * micro-batch of `(id, vector)` rows folds into an existing
+    * IVF / flat-PQ / OPQ / composed IVF-PQ / residual IVF-PQ store via
+    * that family's append op, all of which share the frozen-model append
+    * contract (quantizers never move; the id anti-join absorbs
+    * at-least-once replay, so a re-delivered micro-batch appends nothing
+    * — the [[streamingLshMaintenance]] discipline). The index must exist
+    * before the stream starts (the family's write op first — appends need
+    * its frozen models and fail fast without them); queries read the
+    * stores as usual, no refresh hook. Model drift under a long-lived
+    * stream is the batch story's: watch `ivfDriftStats`, rebuild when the
+    * frozen models stop fitting.
+    *
+    * @param family ivf | pq | opq | ivfpq | ivfpqres
+    */
+  def streamingVectorIndexMaintenance(rows: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpoint: String,
+      family: String = "ivf")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Search
+    val append: DataFrame => Long = family match {
+      case "ivf"      => Search.appendIvfIndex(_, idCol, vecCol, indexPath)
+      case "pq"       => Search.appendPqIndex(_, idCol, vecCol, indexPath)
+      case "opq"      => Search.appendOpqIndex(_, idCol, vecCol, indexPath)
+      case "ivfpq"    => Search.appendIvfPqIndex(_, idCol, vecCol, indexPath)
+      case "ivfpqres" => Search.appendIvfPqResidualIndex(_, idCol, vecCol, indexPath)
+      case other => throw new IllegalArgumentException(
+        s"family must be ivf|pq|opq|ivfpq|ivfpqres, got '$other'")
+    }
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(batch.toDF())
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Streaming perceptual dedup at ingest: each micro-batch of
     * `(id, frame, 64-bit hash)` sequence signatures is checked against the
     * persisted signature store at every offset and folded in

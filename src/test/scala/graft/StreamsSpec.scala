@@ -336,6 +336,69 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingVectorIndexMaintenance: micro-batch appends ≡ batch build; replays absorbed; families route; unknown refuses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Search
+    val dim = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(i * 13 + j).toFloat)
+    val all = (0 until 60).map(i => (i.toLong, vec(i)))
+    val df = all.toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(i => i -> vec(i * 7))
+    def contents(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster_id"),
+        r.getSeq[Byte](r.fieldIndex("pq_codes")).toSeq)).toSet
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    // composed IVF-PQ family: seed with 10, stream the rest with an
+    // at-least-once overlap, compare against a one-shot batch build
+    val cb = Search.pqSampledCodebooks(df, "vec_id", "embedding", dim, 4, 8)
+    val ix = dir("svecix")
+    Search.writeIvfPqIndex(all.take(10).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, cb, ix)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.streamingVectorIndexMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ix, dir("sveck"), family = "ivfpq")
+    try {
+      mem.addData(all.slice(10, 40): _*)
+      q.processAllAvailable()
+      // overlapping delivery (at-least-once): 30–39 re-delivered with 40–59
+      mem.addData(all.slice(30, 60): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$ix/codes").count() === 60L,
+        "re-delivered ids must append nothing")
+      val fullIx = dir("svecfull")
+      Search.writeIvfPqIndex(df, "vec_id", "embedding", centroids, cb, fullIx)
+      assert(contents(ix) === contents(fullIx), "streamed index ≡ batch build")
+      // queries against the maintained store need no refresh hook
+      assert(Search.ivfPqTopKFromIndex(spark, ix, df, "vec_id", "embedding",
+        vec(5).toSeq, k = 5, nProbe = 2, rescore = 10).count() === 5L)
+    } finally q.stop()
+    // the residual family routes to ITS append (encoding marker honored);
+    // a full replay including the seeded rows folds to the batch build
+    val rcb = Search.pqResidualSampledCodebooks(df, "vec_id", "embedding",
+      centroids, dim, 4, 8)
+    val rix = dir("svecres")
+    Search.writeIvfPqResidualIndex(all.take(10).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, rcb, rix)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = Streams.streamingVectorIndexMaintenance(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      rix, dir("svecresck"), family = "ivfpqres")
+    try {
+      mem2.addData(all: _*)
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$rix/codes").count() === 60L)
+      val rFull = dir("svecresfull")
+      Search.writeIvfPqResidualIndex(df, "vec_id", "embedding", centroids, rcb, rFull)
+      assert(contents(rix) === contents(rFull), "streamed residual index ≡ batch build")
+    } finally q2.stop()
+    intercept[IllegalArgumentException](Streams.streamingVectorIndexMaintenance(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      rix, dir("sveckx"), family = "bogus"))
+  }
+
   test("streamingSequenceDedup: cross-batch pairs against the store; replay emits no duplicates into the fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
