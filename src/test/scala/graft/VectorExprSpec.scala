@@ -124,6 +124,55 @@ class VectorExprSpec extends SparkSpec {
     GraftSql.registerTables(spark, "/root/testdata/sf0.001")
   }
 
+  test("graft_* SQL surface complete: nearest-centroid, normalize, adc-sum (VERDICT r12 item 8)") {
+    GraftFunctions.register(spark)
+    // nearest centroid: cosine argmax, ties -> lowest 0-based index
+    val nc = spark.sql(
+      """SELECT graft_nearest_centroid(array(1.0f, 0.1f),
+           array(array(0.0f, 1.0f), array(1.0f, 0.0f))) AS idx""").head().getInt(0)
+    assert(nc === 1)
+    // normalize: unit length as double[]; zero vector unchanged
+    assert(spark.sql("SELECT graft_normalize(array(3.0f, 4.0f)) AS v")
+      .head().getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(spark.sql("SELECT graft_normalize(array(0.0f, 0.0f)) AS v")
+      .head().getSeq[Double](0) == Seq(0.0, 0.0))
+    // ADC table-sum: SUM_s tables[s][codes[s]+1] — the PQ scan kernel
+    val adc = spark.sql(
+      """SELECT graft_adc_sum(array(1, 0),
+           array(array(10.0d, 20.0d), array(30.0d, 40.0d))) AS s""").head().getDouble(0)
+    assert(adc === 50.0) // tables[0][2] + tables[1][1]
+    // ≡ the DataFrame builder (one tree, two spellings)
+    val viaDf = spark.range(1).select(GraftFunctions.adcSum(
+        typedLit(Seq(1, 0)), typedLit(Seq(Seq(10.0, 20.0), Seq(30.0, 40.0)))).as("s"))
+      .head().getDouble(0)
+    assert(viaDf === adc)
+  }
+
+  test("oracle SQL texts run VERBATIM through spark.sql and match the DataFrame probes") {
+    // the SQL surface can express the oracle queries with NO DataFrame
+    // help: the exact DuckDB oracle strings (ANSI subset) run unchanged
+    // through spark.sql over GraftSql's registered views and reproduce
+    // the probes' driver-hash-verified answers
+    import graft.plans.GraftSql
+    val sf = "/root/testdata/sf0.001"
+    GraftSql.registerTables(spark, sf)
+    val names = Seq("q01_pricing_summary", "q03_region_customers",
+      "q05_big_spenders_semi", "q10_rollup_region_nation",
+      "q11_top_orders_per_customer")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.sorted.map(col(_))
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+    }
+    names.foreach { name =>
+      val viaSql = spark.sql(OracleSql.all(name))
+      val viaDf = Queries.all(name)(spark, sf)
+      assert(viaSql.columns.sorted.toSeq === viaDf.columns.sorted.toSeq,
+        s"$name: column mismatch")
+      assert(canon(viaSql) === canon(viaDf), s"$name: SQL ≠ DataFrame probe")
+    }
+  }
+
   test("dim-check rule rejects statically mismatched vector literals at analysis") {
     import org.apache.spark.sql.graft.VectorDimCheck
     val bad = spark.range(1).select(
