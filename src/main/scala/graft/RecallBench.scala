@@ -149,10 +149,30 @@ object RecallBench {
     val ivfPqPath = java.nio.file.Files.createTempDirectory("recall-ivfpq").toString
     val cbT = Search.pqTrainCodebooks(emb, "embedding", dim, 8, 16, seed = 42L)
     Search.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cbT, ivfPqPath)
-    val ivfpq = Seq((2, 50), (4, 50), (4, 100), (8, 50), (16, 50),
-        (nClusters, 50)).map { case (np, rescore) =>
+    val ivfpqGrid = Seq((2, 50), (4, 20), (4, 50), (4, 100), (8, 50),
+      (16, 50), (nClusters, 50))
+    val ivfpq = ivfpqGrid.map { case (np, rescore) =>
       (np, rescore) -> funnelRecall(qv =>
         Search.ivfPqTopKFromIndex(spark, ivfPqPath, emb, "vec_id",
+          "embedding", qv, k, np, rescore))
+    }
+
+    // RESIDUAL IVF-PQ (r13): the original IVFADC encoding — PQ codes of
+    // the fixed-point residual v − c(v) under the SAME coarse centroids
+    // and the SAME m=8×ksub=16 byte budget, codebooks kmeans-trained in
+    // the residual space (the quality tier; q151 pins the sampled tier to
+    // the DuckDB oracle). Residual energy is a fraction of vector energy
+    // (Jégou et al. 2011 §IV), so the same ksub cells quantize finer —
+    // the staircase should hold-or-beat plain IVF-PQ at TIGHT rescore,
+    // the property SearchSpec's recall gate freezes.
+    val resPath = java.nio.file.Files.createTempDirectory("recall-ivfpqres").toString
+    val cbR = Search.pqResidualTrainCodebooks(emb, "vec_id", "embedding",
+      centroids, dim, 8, 16, seed = 42L)
+    Search.writeIvfPqResidualIndex(emb, "vec_id", "embedding", centroids,
+      cbR, resPath)
+    val ivfpqres = ivfpqGrid.map { case (np, rescore) =>
+      (np, rescore) -> funnelRecall(qv =>
+        Search.ivfPqResidualTopKFromIndex(spark, resPath, emb, "vec_id",
           "embedding", qv, k, np, rescore))
     }
 
@@ -179,10 +199,11 @@ object RecallBench {
     val matJson = matryoshka.map { case (p, r) => s""""prefix$p":${f(r)}""" }.mkString(",")
     val pqJson = pq.map { case ((tag, rs), r) => s""""${tag}_rescore$rs":${f(r)}""" }.mkString(",")
     val ivfpqJson = ivfpq.map { case ((np, rs), r) => s""""np${np}_rescore$rs":${f(r)}""" }.mkString(",")
+    val ivfpqresJson = ivfpqres.map { case ((np, rs), r) => s""""np${np}_rescore$rs":${f(r)}""" }.mkString(",")
     println(s"""{"metric":"ann_recall","k":$k,"n_queries":${queries.size},""" +
       s""""n_clusters":$nClusters,"ivf":{$ivfJson},"qivf":{$qivfJson},""" +
       s""""binary":{$binJson},"matryoshka":{$matJson},"pq":{$pqJson},""" +
-      s""""ivfpq":{$ivfpqJson},""" +
+      s""""ivfpq":{$ivfpqJson},"ivfpqres":{$ivfpqresJson},""" +
       s""""lsh_pair_recall":${f(lshRecall)},"n_exact_pairs":${exactPairs.size},"sf":"$sfDir"}""")
     spark.stop()
   }

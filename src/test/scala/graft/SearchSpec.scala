@@ -1400,6 +1400,56 @@ class SearchSpec extends SparkSpec {
     assert(differs, "residual and plain tiers must not be the same ranking")
   }
 
+  test("residual IVF-PQ recall gate: residual ≥ plain at tight rescore at equal bytes") {
+    // The property the tier exists for (Jégou et al. 2011 §IV): residual
+    // energy is a fraction of vector energy, so the same m=8×ksub=16
+    // bytes quantize finer and the ranking loss the plain tier absorbs
+    // only under a generous rescore shrinks. RecallBench sf0.1 (r13,
+    // frozen in BASELINE): residual beats plain at EVERY grid point —
+    // np4/r20 0.356 vs 0.334, np32/r50 0.574 vs 0.490. This gate holds
+    // the same ordering on the spec fixture at full probe (isolating the
+    // encoding difference from probe selection) plus absolute floors.
+    val k = 10
+    val centroids = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val cbP = Search.pqTrainCodebooks(emb, "embedding", 64, 8, 16, seed = 42L)
+    val cbR = Search.pqResidualTrainCodebooks(emb, "vec_id", "embedding",
+      centroids, 64, 8, 16, seed = 42L)
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val plainDir = dir("rg-plain"); val resDir = dir("rg-res")
+    Search.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cbP, plainDir)
+    Search.writeIvfPqResidualIndex(emb, "vec_id", "embedding", centroids, cbR, resDir)
+    val queries = emb.orderBy("vec_id").limit(25)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val exact: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> vecs.toSeq
+        .map { case (id, v) => (id, cosRef(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }.toMap
+    def recall(path: String, residual: Boolean, rescore: Int): Double = {
+      val hs = queries.map { case (qid, qv) =>
+        val got = (if (residual)
+            Search.ivfPqResidualTopKFromIndex(spark, path, emb, "vec_id",
+              "embedding", qv, k, nProbe = 8, rescore = rescore)
+          else Search.ivfPqTopKFromIndex(spark, path, emb, "vec_id",
+              "embedding", qv, k, nProbe = 8, rescore = rescore))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact(qid).count(got.contains).toDouble / exact(qid).size
+      }
+      hs.sum / hs.size
+    }
+    val (p20, p50) = (recall(plainDir, residual = false, 20),
+      recall(plainDir, residual = false, 50))
+    val (r20, r50) = (recall(resDir, residual = true, 20),
+      recall(resDir, residual = true, 50))
+    assert(r20 >= p20 - 0.02, s"residual must not lose to plain at rescore=20: $r20 < $p20")
+    assert(r50 >= p50 - 0.02, s"residual must not lose to plain at rescore=50: $r50 < $p50")
+    assert(r50 >= r20 - 0.02, s"residual recall must not fall as rescore grows: $r50 < $r20")
+    // absolute floors, frozen from the first gate run on this fixture
+    assert(r20 >= 0.48, s"residual rescore=20 recall regressed: $r20")
+    assert(r50 >= 0.60, s"residual rescore=50 recall regressed: $r50")
+  }
+
   test("broadcast hint produces BroadcastHashJoin in the 3-way dim join") {
     val plan = Queries.q03RegionCustomers(spark, sf001)
       .queryExecution.executedPlan.toString
