@@ -40,7 +40,7 @@ object PlanSnap {
       else Map.empty[String, (String, String)]
     val updated = args.foldLeft(existing) { (acc, sfDir) =>
       val key = PlanSignature.sfKey(sfDir)
-      acc ++ PlanSignature.flagshipProbes.map { probe =>
+      acc ++ PlanSignature.probesFor(key).map { probe =>
         val sig = PlanSignature.of(SparkEntry.queries(probe)(spark, sfDir))
         println(s"[plansnap] $key/$probe -> ${PlanSignature.digest(sig)}")
         s"$key/$probe" -> ((PlanSignature.digest(sig), sig))

@@ -82,7 +82,7 @@ object Verify {
     if (gateOn && !sweepActive && Files.exists(sigPath)) {
       val snapshot = PlanSignature.parse(Files.readString(sigPath))
       val key = PlanSignature.sfKey(sfDir)
-      PlanSignature.flagshipProbes
+      PlanSignature.probesFor(key)
         .filter(p => only.forall(_.split(",").contains(p)))
         .foreach { probe =>
           snapshot.get(s"$key/$probe") match {

@@ -109,9 +109,27 @@ object PlanSignature {
     "q15_cosine_topk", "q21_minhash_neardup", "q30_ivf_ann",
     "q35_exact_dedup_keepmin", "q40_index_pipeline", "q41_search_text",
     "q46_salted_join", "q61_hash_sample", "q68_stratified_sample",
-    "q72_bm25", "q87_semantic_dedup", "q97_bm25_from_index",
-    "q112_seeded_lsh", "q121_leakage_splits", "q130_pq_adc",
-    "q140_bloom_pruned_join", "q148_ivf_pq")
+    "q72_bm25", "q75_quantized_cosine", "q87_semantic_dedup",
+    "q88_curation_funnel", "q91_exists_subquery", "q92_binary_hamming",
+    "q93_matryoshka_funnel", "q97_bm25_from_index", "q99_mmr_rerank",
+    "q112_seeded_lsh", "q116_jaccard_join", "q119_lsh_index_pairs",
+    "q121_leakage_splits", "q128_incremental_sequence_dedup", "q130_pq_adc",
+    "q140_bloom_pruned_join", "q148_ivf_pq", "q149_incremental_update",
+    "q151_ivf_pq_residual")
+
+  /** Probes signed at sf0.01 ONLY — the heavy composites (many-second
+    * sf0.1 runs) where a second scale's signature buys gate latency, not
+    * structural coverage (VERDICT r12 item 3's "keep the gate fast"
+    * guidance). Every other flagship signs at every captured scale.
+    */
+  val sf001OnlyProbes: Set[String] = Set(
+    "q88_curation_funnel", "q128_incremental_sequence_dedup",
+    "q149_incremental_update")
+
+  /** The gate set for one scale key. */
+  def probesFor(sfKey: String): Seq[String] =
+    if (sfKey == "sf0.01") flagshipProbes
+    else flagshipProbes.filterNot(sf001OnlyProbes)
 
   /** sf-dir key for the snapshot file ("sf0.01", "sf0.1", ...). */
   def sfKey(sfDir: String): String =
