@@ -725,6 +725,51 @@ SELECT i.doc_id,
 FROM idx i LEFT JOIN agg a ON i.doc_id = a.doc_id AND i.win_pos = a.win_pos
 ORDER BY i.doc_id, i.chunk_index""",
 
+    // Typed index pipeline at the reference dimensionality (q152): q40's
+    // replay verbatim except the doc slice (doc_id < 100) and the hashed
+    // bucket modulus (768 — index_documents.py:263's default).
+    "q152_index_pipeline_768" ->
+      raw"""WITH c AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      chr(160), ' ', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+      '^\s+|\s+$$', '', 'g') AS text
+  FROM documents WHERE doc_id < 100),
+nz AS (SELECT doc_id, source, text FROM c WHERE length(text) > 0),
+wins AS (
+  SELECT doc_id, source, text,
+    unnest(generate_series(0, CAST(floor(greatest(length(text) - 201, 0) / 1000) AS BIGINT))) AS i
+  FROM nz),
+kept AS (
+  SELECT doc_id, source, CAST(i AS INT) AS win_pos, chunk_text FROM (
+    SELECT doc_id, source, i,
+      regexp_replace(substring(text, CAST(i * 1000 + 1 AS INT), 1200), '^\s+|\s+$$', '', 'g') AS chunk_text
+    FROM wins)
+  WHERE length(chunk_text) > 0),
+idx AS (
+  SELECT doc_id, source, win_pos, chunk_text,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY win_pos) - 1 AS INT) AS chunk_index
+  FROM kept),
+tk AS (
+  SELECT doc_id, win_pos,
+    unnest(list_filter(string_split_regex(lower(chunk_text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+  FROM kept),
+buckets AS (
+  SELECT DISTINCT doc_id, win_pos, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 768 AS b
+  FROM tk),
+agg AS (
+  SELECT doc_id, win_pos, CAST(count(*) AS INT) AS nnz, CAST(sum(b) AS INT) AS nz_dim_sum
+  FROM buckets GROUP BY 1, 2)
+SELECT i.doc_id,
+  i.source || '/' || CAST(i.doc_id AS VARCHAR) || '.txt' AS filename,
+  i.chunk_index, 'fixed' AS split_strategy,
+  CAST(length(i.chunk_text) AS INT) AS chunk_len,
+  substr(md5(i.chunk_text), 1, 16) AS chunk_fp,
+  coalesce(a.nnz, 0) AS nnz, coalesce(a.nz_dim_sum, 0) AS nz_dim_sum,
+  epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS created_ms
+FROM idx i LEFT JOIN agg a ON i.doc_id = a.doc_id AND i.win_pos = a.win_pos
+ORDER BY i.doc_id, i.chunk_index""",
+
     // semantic search (q41): sparse cosine on unnormalized integer counts —
     // scale-invariant, so the score equals the normalized form's; dot and
     // norm² are exact integers, the sqrt/multiply/divide are single IEEE

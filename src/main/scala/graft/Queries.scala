@@ -3248,6 +3248,33 @@ object Queries {
       .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
   }
 
+  /** Q152 — the q40 TYPED index pipeline at the REFERENCE dimensionality
+    * (dim 768, `index_documents.py:263`), over a 100-doc slice so the
+    * probe stays ~1 s (VERDICT r12 item 5): q40/q41 exercise the
+    * embedder at dim 64, where whole-stage codegen hides
+    * interpreted-eval pathologies that only appear past ~100 dims (the
+    * round-12 PQ/OPQ encode blowup class — BASELINE r12 addendum); this
+    * probe makes real-width failures fail the DRIVER gate, not just the
+    * dim-768 spec rows. Same integer-exact projections as q40 (chunk
+    * md5, nnz, nz-dim-sum); only the bucket modulus (768) and the slice
+    * differ, so the oracle is q40's SQL with those two edits.
+    */
+  def q152IndexPipeline768(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val batchTs = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    Index.indexFrame(Index.buildIndex(
+        documents(s, dir).where(col("doc_id") < 100),
+        Index.IndexConfig(embeddingDim = 768)), Some(batchTs))
+      .select(col("doc_id"), col("filename"), col("chunk_index"), col("split_strategy"),
+        length(col("chunk_text")).as("chunk_len"),
+        substring(md5(col("chunk_text")), 1, 16).as("chunk_fp"),
+        expr("size(filter(embedding, v -> v != cast(0 as float)))").as("nnz"),
+        expr("aggregate(zip_with(embedding, sequence(0, size(embedding) - 1)," +
+          " (v, i) -> if(v != cast(0 as float), i, 0)), 0, (a, x) -> a + x)").as("nz_dim_sum"),
+        unix_millis(col("created_at")).as("created_ms"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3401,5 +3428,6 @@ object Queries {
     "q149_incremental_update" -> q149IncrementalUpdate _,
     "q150_session_drain" -> q150SessionDrain _,
     "q151_ivf_pq_residual" -> q151IvfPqResidual _,
+    "q152_index_pipeline_768" -> q152IndexPipeline768 _,
   )
 }
