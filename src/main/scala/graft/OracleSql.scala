@@ -770,6 +770,32 @@ SELECT i.doc_id,
 FROM idx i LEFT JOIN agg a ON i.doc_id = a.doc_id AND i.win_pos = a.win_pos
 ORDER BY i.doc_id, i.chunk_index""",
 
+    // Scanned-document OCR (q153): the construction oracle recomputes the
+    // expected OCR text relationally — printable-ASCII filter, 600-char
+    // cap, 60-col wrap, per-line rtrim (trailing spaces carry no ink in a
+    // scan), \n join — never seeing the raster path. A hash match proves
+    // rasterize → PDF → XObject decode → template match is the identity
+    // on the supported class.
+    "q153_scanned_ocr" ->
+      raw"""WITH docs AS (
+  SELECT 'doc' || doc_id || '.pdf' AS filename,
+    substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 600) AS f
+  FROM documents WHERE doc_id < 25),
+nonempty AS (SELECT filename, f FROM docs WHERE length(f) > 0),
+wins AS (
+  SELECT filename, f,
+    unnest(generate_series(0, CAST(floor((length(f) - 1) / 60) AS BIGINT))) AS i
+  FROM nonempty),
+segs AS (
+  SELECT filename, i,
+    rtrim(substring(f, CAST(i * 60 + 1 AS INT), 60), ' ') AS seg
+  FROM wins),
+rec AS (
+  SELECT filename, string_agg(seg, chr(10) ORDER BY i) AS t
+  FROM segs GROUP BY filename)
+SELECT filename, CAST(length(t) AS BIGINT) AS text_len, md5(t) AS text_md5
+FROM rec ORDER BY filename""",
+
     // semantic search (q41): sparse cosine on unnormalized integer counts —
     // scale-invariant, so the score equals the normalized form's; dot and
     // norm² are exact integers, the sqrt/multiply/divide are single IEEE

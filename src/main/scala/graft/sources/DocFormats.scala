@@ -306,6 +306,54 @@ object DocFormats {
       out.toByteArray
     }
 
+    /** Write a SCANNED-document PDF: one page whose only content is an
+      * image XObject — the 8-bit /DeviceGray raster of `text` rendered
+      * through the [[Ocr]] glyph atlas, hard-wrapped at `cols` cells —
+      * with NO text operators anywhere (the image-only page class the
+      * reference extracts as empty, `index_documents.py:38-47`). The
+      * q153 construction-oracle staging writer; [[extractTextOcr]] reads
+      * it back exactly (up to the rtrim semantics documented on
+      * [[Ocr.ocr]]). Text must be pre-filtered to printable ASCII and
+      * non-empty.
+      */
+    def writeScanned(text: String, cols: Int = 60): Array[Byte] = {
+      val lines = graft.sources.Ocr.wrap(text, cols)
+      require(lines.nonEmpty, "writeScanned needs non-empty text")
+      val img = graft.sources.Ocr.renderPage(lines, cols)
+      val z = {
+        val bos = new ByteArrayOutputStream()
+        val dos = new DeflaterOutputStream(bos, new Deflater(Deflater.DEFAULT_COMPRESSION))
+        dos.write(img.pixels); dos.close()
+        bos.toByteArray
+      }
+      val content =
+        s"q ${img.width} 0 0 ${img.height} 72 72 cm /Im0 Do Q".getBytes(UTF_8)
+      val out = new ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+      val offsets = Array.newBuilder[Int]
+      w("%PDF-1.4\n")
+      offsets += out.size(); w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      offsets += out.size(); w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      offsets += out.size(); w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> >> endobj\n")
+      offsets += out.size()
+      w(s"4 0 obj << /Length ${content.length} >> stream\n")
+      out.write(content)
+      w("\nendstream endobj\n")
+      offsets += out.size()
+      w(s"5 0 obj << /Type /XObject /Subtype /Image /Width ${img.width} " +
+        s"/Height ${img.height} /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        s"/Filter /FlateDecode /Length ${z.length} >> stream\n")
+      out.write(z)
+      w("\nendstream endobj\n")
+      val xrefAt = out.size()
+      val offs = offsets.result()
+      w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+      offs.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer << /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+
     /** Extract text from every content stream, decoding shown strings
       * through the font active at show time (see object doc for scope).
       *
@@ -342,6 +390,122 @@ object DocFormats {
       pages.mkString("\n")
     }
 
+    /** [[extractText]] plus the opt-in OCR tier (round 13): pages whose
+      * content streams show NO text are read through [[Ocr]] from their
+      * image XObjects. Unlike [[extractText]] (which walks decoded
+      * streams heuristically), this walks the REAL page tree — `/Type
+      * /Page` objects in document order, `/Contents` ref or array,
+      * `/Resources` on the page or one `/Parent` hop up — because OCR
+      * needs to know which images belong to which page and in what
+      * order (`/Name Do` operator order = reading order). On documents
+      * whose every page carries text the two walks agree (spec-pinned on
+      * all writer fixtures); the one divergence is a TEXTLESS page,
+      * which [[extractText]] cannot see (no text operators to match) and
+      * this walk includes — PyMuPDF's actual per-page semantics.
+      *
+      * OCR scope and failure posture live on [[Ocr.ocr]]: only 8-bit
+      * /DeviceGray rasters under text-capable filter chains are decoded
+      * (image codecs and color rasters are skipped exactly as without
+      * OCR); a grid-aligned raster with unreadable ink THROWS →
+      * quarantine under lenient ingestion. Files with no parseable page
+      * tree fall back to [[extractText]]'s heuristic walk (no page
+      * structure ⇒ no image association ⇒ nothing to OCR).
+      */
+    def extractTextOcr(pdf: Array[Byte]): String = extractTextOcr(pdf, "")
+
+    /** [[extractTextOcr]] with a user password (same contract as
+      * [[extractText]]'s password form).
+      */
+    def extractTextOcr(pdf: Array[Byte], userPassword: String): String = {
+      val decryptor = Crypto.detect(pdf,
+        if (userPassword.isEmpty) Array.empty else userPassword.getBytes(UTF_8))
+      val objs = liveObjects(expandObjStreams(
+        parseObjects(pdf, decryptor, decodeImages = true)))
+      val fonts = fontDecoders(objs)
+      val byNum = objs.map(o => o.num -> o).toMap
+      // /Page but not /Pages (the tree node)
+      val pageObjs = objs.filter(o =>
+        """/Type\s*/Page(?!s)""".r.findFirstIn(o.dict).isDefined)
+      if (pageObjs.isEmpty)
+        return contentStreamsOf(objs).map(streamText(_, fonts)).mkString("\n")
+      val pages = pageObjs.map { p =>
+        val content = contentsOf(p, byNum)
+        val text = streamText(content, fonts)
+        if (text.nonEmpty) text
+        else {
+          val xobjs = xobjectMap(p, byNum)
+          val contentS = new String(content,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          """/([\w.-]+)\s+Do\b""".r.findAllMatchIn(contentS)
+            .map(_.group(1)).toSeq
+            .flatMap(name => xobjs.get(name).flatMap(byNum.get))
+            .flatMap(ocrImageObj)
+            .mkString("\n")
+        }
+      }
+      pages.mkString("\n")
+    }
+
+    /** A page's content bytes: `/Contents` single ref or array of refs,
+      * streams joined with a newline (§7.8.2: an array's streams form one
+      * logical stream; the joining byte is the whitespace the spec
+      * requires between them). Missing/unresolvable → empty.
+      */
+    private def contentsOf(p: PdfObj, byNum: Map[Int, PdfObj]): Array[Byte] = {
+      """/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)""".r.findFirstMatchIn(p.dict) match {
+        case None => Array.empty
+        case Some(m) =>
+          val parts = """(\d+)\s+\d+\s+R""".r.findAllMatchIn(m.group(1))
+            .map(_.group(1).toInt).toSeq
+            .flatMap(n => byNum.get(n).flatMap(_.stream))
+          if (parts.isEmpty) Array.empty
+          else parts.reduce((a, b) => a ++ Array[Byte]('\n') ++ b)
+      }
+    }
+
+    /** The page's `/XObject` resource names → object numbers, from the
+      * page's own `/Resources` (direct dict or ref) or one `/Parent` hop
+      * up (§7.7.3.4 inheritance, scoped to the single hop every common
+      * writer shape uses).
+      */
+    private def xobjectMap(p: PdfObj, byNum: Map[Int, PdfObj]): Map[String, Int] = {
+      def dictAfter(owner: String, key: String): Option[String] = {
+        val at = owner.indexOf(key)
+        if (at < 0) None
+        else owner.drop(at + key.length).dropWhile(_.isWhitespace) match {
+          case d if d.startsWith("<<") => Some(balancedDict(d))
+          case d => Ref.findPrefixMatchOf(d)
+            .flatMap(m => byNum.get(m.group(1).toInt).map(_.dict))
+        }
+      }
+      val res = dictAfter(p.dict, "/Resources").orElse(
+        """/Parent\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(p.dict)
+          .flatMap(m => byNum.get(m.group(1).toInt))
+          .flatMap(pp => dictAfter(pp.dict, "/Resources")))
+      res.flatMap(r => dictAfter(r, "/XObject")) match {
+        case None => Map.empty
+        case Some(x) =>
+          """/([\w.-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(x)
+            .map(m => m.group(1) -> m.group(2).toInt).toMap
+      }
+    }
+
+    /** OCR one image object: needs the decoded /DeviceGray payload (the
+      * `decodeImages` parse already gated on the supported shape) whose
+      * byte count matches Width×Height, and a raster on the atlas grid —
+      * anything else is skipped (None). [[Ocr.ocr]] throws on unreadable
+      * ink (quarantine).
+      */
+    private def ocrImageObj(o: PdfObj): Option[String] =
+      for {
+        bytes <- o.stream
+        wm <- """/Width\s+(\d+)""".r.findFirstMatchIn(o.dict)
+        hm <- """/Height\s+(\d+)""".r.findFirstMatchIn(o.dict)
+        w = wm.group(1).toInt; h = hm.group(1).toInt
+        if bytes.length == w * h
+        text <- graft.sources.Ocr.ocr(graft.sources.Ocr.GrayImage(w, h, bytes))
+      } yield text
+
     // ------------------------------------------------- object-level parsing
 
     /** One indirect object: its dict text and, if present, the DECODED
@@ -364,7 +528,8 @@ object DocFormats {
       * round-trips untouched.
       */
     private def parseObjects(pdf: Array[Byte],
-        decrypt: Option[Crypto.Decryptor] = None): Vector[PdfObj] = {
+        decrypt: Option[Crypto.Decryptor] = None,
+        decodeImages: Boolean = false): Vector[PdfObj] = {
       val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
       val out = Vector.newBuilder[PdfObj]
       // linear walk: a header match INSIDE a previously-consumed object's
@@ -424,7 +589,22 @@ object DocFormats {
               // TEXT streams were fine (the scanned/image-only-page class).
               // Form XObjects (/Subtype /Form) CAN carry text and still
               // decode; corrupt TEXT streams still throw (the contract).
-              if ("""/Subtype\s*/Image""".r.findFirstIn(dict).isDefined) None
+              // `decodeImages` (the opt-in OCR path, round 13) decodes the
+              // one raster shape [[Ocr]] can read — 8-bit /DeviceGray
+              // under a text-capable filter chain; image CODECS
+              // (DCT/CCITT/JBIG2/JPX) still yield None inside
+              // decodeFilters, and color/packed rasters stay skipped, so
+              // the no-quarantine posture above is unchanged for them. A
+              // corrupt payload in the OCR-readable shape throws: in OCR
+              // mode that scan was the extraction target, and quarantine
+              // beats silent emptiness.
+              if ("""/Subtype\s*/Image""".r.findFirstIn(dict).isDefined) {
+                if (decodeImages &&
+                    """/ColorSpace\s*/DeviceGray""".r.findFirstIn(dict).isDefined &&
+                    """/BitsPerComponent\s+8""".r.findFirstIn(dict).isDefined)
+                  decodeFilters(dict, raw)
+                else None
+              }
               else decodeFilters(dict, raw)
             }
           }

@@ -33,10 +33,12 @@ object DocumentSources {
     * (index_documents.py:38-47): one corpus-wide password, wrong password
     * throws → quarantine under lenient ingestion.
     */
-  final class PdfExtractor(password: String = "") extends TextExtractor {
+  final class PdfExtractor(password: String = "", ocr: Boolean = false)
+      extends TextExtractor {
     val extensions = Seq("pdf")
     def extract(path: String, content: Array[Byte]): String =
-      DocFormats.MinimalPdf.extractText(content, password)
+      if (ocr) DocFormats.MinimalPdf.extractTextOcr(content, password)
+      else DocFormats.MinimalPdf.extractText(content, password)
   }
 
   /** Real DOCX extraction: body paragraphs, non-blank kept, joined with \n
@@ -65,6 +67,16 @@ object DocumentSources {
 
   val defaultExtractors: Seq[TextExtractor] =
     Seq(new PdfExtractor, new DocxExtractor, new TxtExtractor, new HtmlExtractor)
+
+  /** [[defaultExtractors]] with the scanned-page OCR tier enabled on PDFs
+    * (opt-in — see [[DocFormats.MinimalPdf.extractTextOcr]]: textless
+    * pages are read through the [[Ocr]] template-match engine; unreadable
+    * ink quarantines under lenient ingestion instead of extracting
+    * garbage; the default path stays reference-parity, scans → empty).
+    */
+  val ocrExtractors: Seq[TextExtractor] =
+    Seq(new PdfExtractor(ocr = true), new DocxExtractor, new TxtExtractor,
+      new HtmlExtractor)
 
   private def extensionOf(path: String): String = {
     val name = path.substring(path.lastIndexOf('/') + 1)
