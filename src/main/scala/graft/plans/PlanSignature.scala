@@ -115,7 +115,7 @@ object PlanSignature {
     "q112_seeded_lsh", "q116_jaccard_join", "q119_lsh_index_pairs",
     "q121_leakage_splits", "q128_incremental_sequence_dedup", "q130_pq_adc",
     "q140_bloom_pruned_join", "q148_ivf_pq", "q149_incremental_update",
-    "q151_ivf_pq_residual")
+    "q151_ivf_pq_residual", "q152_index_pipeline_768")
 
   /** Probes signed at sf0.01 ONLY — the heavy composites (many-second
     * sf0.1 runs) where a second scale's signature buys gate latency, not
