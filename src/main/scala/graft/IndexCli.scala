@@ -19,7 +19,7 @@ import graft.sources.DocumentSources
   *            [--embedding-model gemini-embedding-001]
   *            [--api-key-env GEMINI_API_KEY]
   *            [--jdbc-url jdbc:...] [--jdbc-table document_chunks]
-  *            [--query "some text"] [--top-k 5] [--pdf-password pw]
+  *            [--query "some text"] [--top-k 5] [--pdf-password pw] [--ocr]
   *
   * Provider selection matches `--embedding-model`/the reference's Gemini
   * client (index_documents.py:262, :142-164): `hashing-tf` is the
@@ -41,7 +41,7 @@ object IndexCli {
       apiKeyEnv: String = "GEMINI_API_KEY",
       jdbcUrl: Option[String] = None, jdbcTable: String = "document_chunks",
       query: Option[String] = None, topK: Int = 5,
-      pdfPassword: String = "")
+      pdfPassword: String = "", ocr: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -61,6 +61,7 @@ object IndexCli {
       case "--query" :: v :: t => loop(a.copy(query = Some(v)), t)
       case "--top-k" :: v :: t => loop(a.copy(topK = v.toInt), t)
       case "--pdf-password" :: v :: t => loop(a.copy(pdfPassword = v), t)
+      case "--ocr" :: t => loop(a.copy(ocr = true), t)
       case other :: _ => throw new IllegalArgumentException(s"Unknown argument: $other")
     }
     val a = loop(Args(), argv.toList)
@@ -97,9 +98,12 @@ object IndexCli {
     implicit val s: SparkSession = spark
     val strategy = SplitStrategy.fromName(args.strategy, args.chunkSize, args.overlap)
     // the reference opens PDFs with a corpus-wide password via PyMuPDF
-    // (index_documents.py:38-47); same surface here
+    // (index_documents.py:38-47); same surface here. `--ocr` opts the
+    // PDF path into the scanned-page tier (round 13) — without it,
+    // image-only pages stay empty and the empty-text guard drops them,
+    // the reference's exact behavior.
     val extractors: Seq[DocumentSources.TextExtractor] =
-      new DocumentSources.PdfExtractor(args.pdfPassword) +:
+      new DocumentSources.PdfExtractor(args.pdfPassword, ocr = args.ocr) +:
         DocumentSources.defaultExtractors.filterNot(_.extensions.contains("pdf"))
     val docs = DocumentSources.readDocuments(spark, args.input, extractors)
     val cleaned = {

@@ -108,6 +108,51 @@ FROM it, tot GROUP BY item, tot.n
 HAVING count(*) >= tot.n // 100
 ORDER BY item"""
 
+  /** q48's full minhash→LSH→Jaccard→closure replay, shared verbatim with
+    * q154 (which extends the same CTE chain with weights) so the two
+    * spellings cannot drift.
+    */
+  private val q48NeardupClustersSql: String =
+    raw"""WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substring(text, 1, 300) AS text FROM documents WHERE doc_id < 60),
+tk AS (SELECT doc_id, $toks AS tk FROM docs),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tk),
+shf AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      s -> list_min(list_transform(sh, x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+  FROM shf),
+banded AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, 3),
+      b -> concat_ws(',', b::VARCHAR || ':',
+        array_to_string(list_transform(sig[b*3+1:b*3+3], v -> v::VARCHAR), ',')))) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shf x ON x.doc_id = c.id1 JOIN shf y ON y.doc_id = c.id2
+  WHERE len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.4),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id, min(label) AS rep FROM reach GROUP BY id ORDER BY id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -496,46 +541,24 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // cluster representative = min reachable id over the undirected pair
     // graph; recursive CTE closure (clusters are tiny) vs Spark's iterative
     // min-label propagation
-    "q48_neardup_clusters" ->
-      raw"""WITH RECURSIVE docs AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 60
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, substring(text, 1, 300) AS text FROM documents WHERE doc_id < 60),
-tk AS (SELECT doc_id, $toks AS tk FROM docs),
-sh0 AS (
-  SELECT doc_id,
-    CASE WHEN len(tk) < 3 THEN []
-         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
-                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
-  FROM tk),
-shf AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
-sig AS (
-  SELECT doc_id,
-    list_transform(generate_series(0, 11),
-      s -> list_min(list_transform(sh, x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
-  FROM shf),
-banded AS (
-  SELECT doc_id,
-    unnest(list_transform(generate_series(0, 3),
-      b -> concat_ws(',', b::VARCHAR || ':',
-        array_to_string(list_transform(sig[b*3+1:b*3+3], v -> v::VARCHAR), ',')))) AS band
-  FROM sig),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
-pairs AS (
-  SELECT c.id1, c.id2
-  FROM cand c JOIN shf x ON x.doc_id = c.id1 JOIN shf y ON y.doc_id = c.id2
-  WHERE len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.4),
-edges AS (
-  SELECT id1 AS src, id2 AS dst FROM pairs
-  UNION ALL SELECT id2, id1 FROM pairs),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
-reach AS (
-  SELECT id, id AS label FROM nodes
-  UNION
-  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-SELECT id, min(label) AS rep FROM reach GROUP BY id ORDER BY id""",
+    "q48_neardup_clusters" -> q48NeardupClustersSql,
+
+    // Soft-dedup weights (q154): the q48 closure CTEs VERBATIM (generated
+    // from the same string — the zTerms2x8 no-drift discipline), extended
+    // with singleton assignment, rep counts and the integer ppm weight.
+    "q154_soft_dedup_weights" ->
+      (q48NeardupClustersSql.substring(0,
+          q48NeardupClustersSql.lastIndexOf("SELECT id, min(label)")) +
+        raw""",
+clusters AS (SELECT id, min(label) AS rep FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+  FROM docs d LEFT JOIN clusters c ON d.doc_id = c.id),
+sizes AS (SELECT rep, count(*) AS cluster_size FROM assigned GROUP BY rep)
+SELECT a.doc_id, a.rep, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+FROM assigned a JOIN sizes s ON a.rep = s.rep
+ORDER BY a.doc_id"""),
 
     "q49_winnowing" ->
       raw"""WITH g AS (

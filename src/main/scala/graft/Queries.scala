@@ -3320,6 +3320,23 @@ object Queries {
       .orderBy(col("filename"))
   }
 
+  /** Q154 — soft-dedup weights (round 13): the q48 near-dup closure over
+    * the planted-duplicate corpus, but instead of keeping only reps the
+    * whole corpus gets a 1/cluster_size sampling weight in integer ppm
+    * ([[Dedup.softDedupWeights]] — the drop-vs-reweight alternative;
+    * singletons weigh 1 000 000). Oracle: the q48 recursive-CTE replay
+    * VERBATIM (generated from the same string) extended with singleton
+    * assignment, rep counts and the same `div` arithmetic.
+    */
+  def q154SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    Dedup.softDedupWeights(docs.select(col("doc_id")), "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3475,5 +3492,6 @@ object Queries {
     "q151_ivf_pq_residual" -> q151IvfPqResidual _,
     "q152_index_pipeline_768" -> q152IndexPipeline768 _,
     "q153_scanned_ocr" -> q153ScannedOcr _,
+    "q154_soft_dedup_weights" -> q154SoftDedupWeights _,
   )
 }

@@ -816,6 +816,45 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** SOFT dedup (round 13): downweight near-dup clusters instead of
+    * dropping them — the mixing-side alternative to [[dropNearDuplicates]]
+    * when duplication frequency itself carries signal (popular content is
+    * popular; a hard drop erases that prior, a 1/cluster_size weight keeps
+    * the CONTENT's total sampling mass at one document's worth however
+    * many copies exist — the standard drop-vs-reweight trade-off in
+    * web-corpus curation).
+    *
+    * Every doc in `docs` gets `(id, rep, cluster_size, weight_ppm)`:
+    * singletons (no near-dup edge) are their own rep at weight 1 000 000
+    * ppm; members of a pairs-closure cluster share the min-id rep and
+    * carry `1_000_000 div cluster_size` ppm — INTEGER arithmetic, so the
+    * result is engine-portable and oracle-checkable exactly (q154); the
+    * ≤ size−1 ppm a cluster loses to floor truncation is documented
+    * rather than hidden behind a float. The weights feed the existing
+    * samplers directly ([[Sampling.weightedSamplePerGroup]]'s weight
+    * column, or a multiply into temperature/token-budget mixes).
+    *
+    * 100 TB posture: the closure is [[resolveClusters]] (pointer-jumping,
+    * refuses on non-convergence); the assignment join and the rep-count
+    * aggregate shuffle only (id, rep) pairs — the cluster map is
+    * data-scale, so NOTHING here assumes broadcast; sizes come from one
+    * map-side-combinable count. No row ever carries text.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val clusters = resolveClusters(pairs, maxIter, checkpoint)
+      .withColumnRenamed("id", idCol)
+    val assigned = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+    val sizes = assigned.groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("rep"))
+      .select(col(idCol), col("rep"), col("cluster_size"),
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
+  }
+
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.
     * Portable: bit i of md5-hash(token) taken via integer div/mod — identical
     * in DuckDB. Near-dups = fingerprints within small Hamming distance.

@@ -1088,6 +1088,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L, 8L, 9L)) // dropped: 2,3 (rep 1), 7 (rep 5)
   }
 
+  test("softDedupWeights: 1/size ppm per cluster, singletons at 1e6, stable") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val rows = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 2L, 500000L), (5L, 4L, 2L, 500000L),
+      (6L, 6L, 1L, 1000000L)))
+    // floor truncation loses at most size-1 ppm per cluster, never gains
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val total = members.map(_._4).sum
+      val size = members.head._3
+      assert(total <= 1000000L && total >= 1000000L - (size - 1))
+    }
+    // empty pairs: every doc a singleton at full weight
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.softDedupWeights(docs, "doc_id", empty)
+      .where(col("weight_ppm") === 1000000L && col("rep") === col("doc_id"))
+      .count() == 6)
+    // repartition stability (the q131 discipline)
+    val re = Dedup.softDedupWeights(docs.repartition(7), "doc_id",
+        pairs.repartition(3)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == rows.toSeq)
+    // composes with the weighted sampler: weight column feeds directly
+    val weighted = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .withColumn("w", col("weight_ppm").cast("double") / 1e6)
+    assert(weighted.agg(sum(col("w"))).head().getDouble(0) > 2.9) // 3 clusters ≈ 3.0
+  }
+
   test("incrementalNearDupPairs: cross-batch detection, replay idempotence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.split

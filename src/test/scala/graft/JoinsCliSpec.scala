@@ -280,6 +280,28 @@ class JoinsCliSpec extends SparkSpec {
     assert(back.select("filename").distinct().count() == 2)
   }
 
+  test("IndexCli: --ocr opts scanned PDFs into the index; default drops them") {
+    assert(!IndexCli.parse(Array("--input", "/in", "--output", "/out")).ocr)
+    assert(IndexCli.parse(Array("--input", "/in", "--output", "/out", "--ocr")).ocr)
+    val in = Files.createTempDirectory("cliocr").toFile
+    Files.write(new java.io.File(in, "scan.pdf").toPath,
+      graft.sources.DocFormats.MinimalPdf.writeScanned("scanned alpha beta " * 10, 40))
+    Files.write(new java.io.File(in, "typed.txt").toPath, ("plain text " * 20).getBytes)
+    // default: the scan extracts empty -> the empty-text guard drops it
+    // (reference behavior, index_documents.py:38-47)
+    val outA = Files.createTempDirectory("cliocrout").toString + "/a"
+    IndexCli.run(spark, IndexCli.Args(input = in.getAbsolutePath, output = outA,
+      chunkSize = 100, overlap = 20, embeddingDim = 8))
+    assert(spark.read.parquet(outA).select("filename").distinct().collect()
+      .map(_.getString(0)).toSet == Set("typed.txt"))
+    // --ocr: the scan is read through the template-match tier and indexed
+    val outB = Files.createTempDirectory("cliocrout2").toString + "/b"
+    IndexCli.run(spark, IndexCli.Args(input = in.getAbsolutePath, output = outB,
+      chunkSize = 100, overlap = 20, embeddingDim = 8, ocr = true))
+    assert(spark.read.parquet(outB).select("filename").distinct().collect()
+      .map(_.getString(0)).toSet == Set("scan.pdf", "typed.txt"))
+  }
+
   test("IndexCli: --provider gemini routes through the REST wire contract (mock transport)") {
     // provider/model flags parse like the reference argparse
     // (index_documents.py:262: --embedding-model, default gemini-embedding-001)
