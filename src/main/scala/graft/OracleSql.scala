@@ -153,6 +153,21 @@ reach AS (
   SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
 SELECT id, min(label) AS rep FROM reach GROUP BY id ORDER BY id"""
 
+  /** q154/q155's shared extension of the q48 CTEs: singleton assignment
+    * via left join + rep counts (cluster sizes). Built from
+    * [[q48NeardupClustersSql]]'s prefix so none of the three spellings
+    * can drift.
+    */
+  private val softDedupWeightsCtes: String =
+    q48NeardupClustersSql.substring(0,
+        q48NeardupClustersSql.lastIndexOf("SELECT id, min(label)")) +
+      raw""",
+clusters AS (SELECT id, min(label) AS rep FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+  FROM docs d LEFT JOIN clusters c ON d.doc_id = c.id),
+sizes AS (SELECT rep, count(*) AS cluster_size FROM assigned GROUP BY rep)"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -547,18 +562,35 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // from the same string — the zTerms2x8 no-drift discipline), extended
     // with singleton assignment, rep counts and the integer ppm weight.
     "q154_soft_dedup_weights" ->
-      (q48NeardupClustersSql.substring(0,
-          q48NeardupClustersSql.lastIndexOf("SELECT id, min(label)")) +
-        raw""",
-clusters AS (SELECT id, min(label) AS rep FROM reach GROUP BY id),
-assigned AS (
-  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
-  FROM docs d LEFT JOIN clusters c ON d.doc_id = c.id),
-sizes AS (SELECT rep, count(*) AS cluster_size FROM assigned GROUP BY rep)
+      (softDedupWeightsCtes + raw"""
 SELECT a.doc_id, a.rep, CAST(s.cluster_size AS BIGINT) AS cluster_size,
   CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
 FROM assigned a JOIN sizes s ON a.rep = s.rep
 ORDER BY a.doc_id"""),
+
+    // Duplication-aware sampling (q155): the q154 weight CTEs VERBATIM
+    // (same shared string), then the weightedSamplePerGroup priority
+    // replayed exactly — weight·2^40 div (md5-40bit(salt||key)+1), top-8
+    // per doc_id%3 group, ties to the smaller id. All BIGINT arithmetic,
+    // both engines' integer division agree on positives.
+    "q155_soft_dedup_weighted_sample" ->
+      (softDedupWeightsCtes + raw""",
+wts AS (
+  SELECT a.doc_id, a.doc_id % 3 AS grp,
+    CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+  FROM assigned a JOIN sizes s ON a.rep = s.rep),
+pri AS (
+  SELECT doc_id, grp, weight_ppm,
+    CAST(weight_ppm * 1099511627776 //
+      (('0x' || substr(md5('sd1' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1)
+      AS BIGINT) AS priority
+  FROM wts WHERE weight_ppm <> 0),
+rk AS (
+  SELECT doc_id, grp, weight_ppm, priority,
+    row_number() OVER (PARTITION BY grp ORDER BY priority DESC, doc_id) AS rn
+  FROM pri)
+SELECT grp, CAST(rn AS INT) AS sample_rank, doc_id, weight_ppm, priority
+FROM rk WHERE rn <= 8 ORDER BY grp, sample_rank"""),
 
     "q49_winnowing" ->
       raw"""WITH g AS (

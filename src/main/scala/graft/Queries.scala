@@ -3337,6 +3337,34 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q155 — duplication-aware sampling (round 13): the q154 soft-dedup
+    * weights composed into [[Sampling.weightedSamplePerGroup]] — the
+    * mixing step the weights exist FOR. Each doc's `weight_ppm` (integer
+    * 1/cluster_size ppm) drives the deterministic weighted draw (priority
+    * = weight·2⁴⁰ div md5-40bit(key), top-k per group), so a cluster's
+    * members compete for the same expected mass one unique document gets:
+    * near-dup-heavy groups stop dominating the sample without the hard
+    * drop. Everything stays integer-exact (weights ppm, 40-bit hash,
+    * `div`), so the oracle replays the FULL chain — minhash → closure →
+    * weights → priority → rank — relationally in DuckDB. Scale shape: the
+    * sampler is one partitioned window planned as WindowGroupLimit
+    * (partial top-k before the shuffle); only (id, grp, weight) columns
+    * move.
+    */
+  def q155SoftDedupWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    val weighted = Dedup.softDedupWeights(docs.select(col("doc_id")), "doc_id", pairs)
+      .withColumn("grp", col("doc_id") % 3)
+    Sampling.weightedSamplePerGroup(weighted, col("grp"), col("doc_id"),
+        col("weight_ppm"), k = 8, salt = "sd1")
+      .select(col("grp"), col("sample_rank"), col("doc_id"),
+        col("weight_ppm"), col("priority"))
+      .orderBy(col("grp"), col("sample_rank"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3493,5 +3521,6 @@ object Queries {
     "q152_index_pipeline_768" -> q152IndexPipeline768 _,
     "q153_scanned_ocr" -> q153ScannedOcr _,
     "q154_soft_dedup_weights" -> q154SoftDedupWeights _,
+    "q155_soft_dedup_weighted_sample" -> q155SoftDedupWeightedSample _,
   )
 }
