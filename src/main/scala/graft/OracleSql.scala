@@ -168,6 +168,18 @@ assigned AS (
   FROM docs d LEFT JOIN clusters c ON d.doc_id = c.id),
 sizes AS (SELECT rep, count(*) AS cluster_size FROM assigned GROUP BY rep)"""
 
+  /** The full q154 text, shared VERBATIM with q156: the incremental
+    * update probe's oracle is the fresh recompute over the union corpus
+    * — DuckDB never sees the incremental path, so the hash match proves
+    * update ≡ fresh build cross-engine.
+    */
+  private val softDedupWeightsSql: String =
+    softDedupWeightsCtes + raw"""
+SELECT a.doc_id, a.rep, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+FROM assigned a JOIN sizes s ON a.rep = s.rep
+ORDER BY a.doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
@@ -561,12 +573,12 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // Soft-dedup weights (q154): the q48 closure CTEs VERBATIM (generated
     // from the same string — the zTerms2x8 no-drift discipline), extended
     // with singleton assignment, rep counts and the integer ppm weight.
-    "q154_soft_dedup_weights" ->
-      (softDedupWeightsCtes + raw"""
-SELECT a.doc_id, a.rep, CAST(s.cluster_size AS BIGINT) AS cluster_size,
-  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
-FROM assigned a JOIN sizes s ON a.rep = s.rep
-ORDER BY a.doc_id"""),
+    "q154_soft_dedup_weights" -> softDedupWeightsSql,
+
+    // Incremental soft-dedup weights (q156): SAME SQL as q154 — the
+    // oracle recomputes from the union corpus, never seeing the
+    // incremental path; the hash match proves update ≡ fresh build.
+    "q156_incremental_soft_dedup_weights" -> softDedupWeightsSql,
 
     // Duplication-aware sampling (q155): the q154 weight CTEs VERBATIM
     // (same shared string), then the weightedSamplePerGroup priority

@@ -3365,6 +3365,35 @@ object Queries {
       .orderBy(col("grp"), col("sample_rank"))
   }
 
+  /** Q156 — INCREMENTAL soft-dedup weights (round 13): the q154 table
+    * maintained under a corpus append instead of rebuilt. Batch 1 (the
+    * originals) folds into a fresh sketch store via
+    * [[Dedup.incrementalNearDupPairs]] and seeds the v1 weights; batch 2
+    * (the planted near-dups) probes the store asymmetrically (new×old +
+    * new×new — old×old never recomputed) and
+    * [[Dedup.updateSoftDedupWeights]] folds the new edges in with
+    * O(change) work: only clusters a new edge touches are re-resolved
+    * (their closure re-entered as rep-star edges), every untouched row
+    * passes through an anti-join unchanged. The oracle is q154's SQL
+    * VERBATIM — DuckDB recomputes weights from the UNION corpus and
+    * never sees the incremental path, so the hash match proves
+    * incremental ≡ fresh build cross-engine (the q149 discipline).
+    */
+  def q156IncrementalSoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val originals = docs.where(col("doc_id") < 100000)
+    val dups = docs.where(col("doc_id") >= 100000)
+    val store = scratchDir("q156store", dir).toString
+    val oldPairs = Dedup.incrementalNearDupPairs(originals, "doc_id", "toks",
+      store, shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    val v1 = Dedup.softDedupWeights(originals.select(col("doc_id")), "doc_id", oldPairs)
+    val newPairs = Dedup.incrementalNearDupPairs(dups, "doc_id", "toks",
+      store, shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    Dedup.updateSoftDedupWeights(v1, "doc_id", dups.select(col("doc_id")), newPairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3522,5 +3551,6 @@ object Queries {
     "q153_scanned_ocr" -> q153ScannedOcr _,
     "q154_soft_dedup_weights" -> q154SoftDedupWeights _,
     "q155_soft_dedup_weighted_sample" -> q155SoftDedupWeightedSample _,
+    "q156_incremental_soft_dedup_weights" -> q156IncrementalSoftDedupWeights _,
   )
 }

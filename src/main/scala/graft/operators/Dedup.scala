@@ -855,6 +855,79 @@ object Dedup {
         expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
   }
 
+  /** INCREMENTAL soft-dedup weights (round 13): fold a new document batch
+    * into an existing [[softDedupWeights]] table with O(change) work —
+    * the weights-maintenance twin of [[incrementalNearDupPairs]] (which
+    * produces `newPairs`: every near-dup edge involving at least one
+    * batch doc; old×old edges were already folded into `oldWeights`).
+    *
+    * The trick that makes the old pair history unnecessary: an already-
+    * resolved cluster's connectivity is fully summarized by its (rep, id)
+    * STAR edges — every member reaches every other through the rep — so
+    * re-clustering `newPairs ∪ stars(touched old clusters)` yields
+    * exactly the components the full-history closure would on the
+    * affected subgraph (min-id reps included: stars preserve vertex
+    * sets, and [[resolveClusters]] takes the min over each merged
+    * component). Old clusters no new edge touches keep their rows
+    * UNCHANGED (an anti-join on rep — never recomputed, never
+    * reshuffled); batch docs with no edge become singletons at
+    * 1 000 000 ppm. Handles every topology: old singleton gaining a dup
+    * (weight halves), batch doc bridging two old clusters (they merge —
+    * sizes and reps recompute across the union), pure-new clusters.
+    *
+    * Id spaces must be disjoint (a batch doc already weighted would
+    * silently double-count its cluster): checked with one bounded
+    * `limit(1)` probe; `assumeDisjointIds = true` skips the job for
+    * certified callers (the q121/semanticDedup hatch discipline).
+    *
+    * 100 TB posture: the untouched partition of the store moves through
+    * ONE column-pruned anti-join on rep; the recomputed subgraph is
+    * O(touched clusters + batch); every shuffle carries (id, rep) pairs
+    * only. Incremental ≡ fresh build is oracle-proven cross-engine
+    * (q156 — DuckDB recomputes from the union corpus and never sees this
+    * path) and property-spec'd (DedupSpec).
+    */
+  def updateSoftDedupWeights(oldWeights: DataFrame, idCol: String,
+      newIds: DataFrame, newPairs: DataFrame, maxIter: Int = 10,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+      assumeDisjointIds: Boolean = false): DataFrame = {
+    val batch = newIds.select(col(idCol)).dropDuplicates(idCol)
+    if (!assumeDisjointIds) {
+      val overlap = batch.join(oldWeights.select(col(idCol)), Seq(idCol))
+        .limit(1).collect()
+      require(overlap.isEmpty,
+        s"updateSoftDedupWeights: batch id ${overlap.headOption.map(_.get(0))} " +
+          "already present in the weights store — id spaces must be disjoint " +
+          "(pass assumeDisjointIds = true only when certified upstream)")
+    }
+    // old clusters touched by any new edge (either endpoint may be the
+    // old doc — incrementalNearDupPairs emits least/greatest ordered ids)
+    val touched = newPairs.select(col("id1").as(idCol))
+      .union(newPairs.select(col("id2").as(idCol))).distinct()
+    val affectedReps = oldWeights.join(touched, Seq(idCol), "left_semi")
+      .select(col("rep")).distinct()
+    val affectedOld = oldWeights.join(affectedReps, Seq("rep"), "left_semi")
+    // star edges preserve each touched cluster's connectivity without
+    // its original pair list; singletons (id == rep) need no edge — they
+    // enter the universe below and re-singleton unless a new edge holds
+    val stars = affectedOld.where(col(idCol) =!= col("rep"))
+      .select(col("rep").as("id1"), col(idCol).as("id2"))
+    val clusters = resolveClusters(newPairs.select(col("id1"), col("id2"))
+        .unionByName(stars), maxIter, checkpoint)
+      .withColumnRenamed("id", idCol)
+    val universe = affectedOld.select(col(idCol)).unionByName(batch)
+    val assigned = universe.join(clusters, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+    val sizes = assigned.groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val recomputed = assigned.join(sizes, Seq("rep"))
+      .select(col(idCol), col("rep"), col("cluster_size"),
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
+    oldWeights.join(affectedReps, Seq("rep"), "left_anti")
+      .select(col(idCol), col("rep"), col("cluster_size"), col("weight_ppm"))
+      .unionByName(recomputed)
+  }
+
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.
     * Portable: bit i of md5-hash(token) taken via integer div/mod — identical
     * in DuckDB. Near-dups = fingerprints within small Hamming distance.

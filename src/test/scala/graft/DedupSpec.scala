@@ -1121,6 +1121,46 @@ class DedupSpec extends SparkSpec {
     assert(weighted.agg(sum(col("w"))).head().getDouble(0) > 2.9) // 3 clusters ≈ 3.0
   }
 
+  test("updateSoftDedupWeights: O(change) fold ≡ fresh build, merges, guards") {
+    import spark.implicits._
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // v1: clusters {1,2,3} {4,5}, singletons 6,7
+    val oldIds = (1L to 7L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val v1 = Dedup.softDedupWeights(oldIds, "doc_id", oldPairs)
+    // batch: 10 BRIDGES the two old clusters (merge), 11 duplicates old
+    // singleton 6, 12 has no edges, 13/14 form a pure-new cluster
+    val batch = Seq(10L, 11L, 12L, 13L, 14L).toDF("doc_id")
+    val newPairs = Seq((2L, 10L), (4L, 10L), (6L, 11L), (13L, 14L)).toDF("id1", "id2")
+    val v2 = Dedup.updateSoftDedupWeights(v1, "doc_id", batch, newPairs)
+    val fresh = Dedup.softDedupWeights(oldIds.union(batch), "doc_id",
+      oldPairs.union(newPairs))
+    assert(tup(v2) == tup(fresh)) // incremental ≡ fresh, row for row
+    val m = tup(v2).map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(m(10L) == ((1L, 6L, 166666L)) && m(4L) == ((1L, 6L, 166666L))) // merged {1..5,10}
+    assert(m(6L) == ((6L, 2L, 500000L)))    // old singleton gained a dup
+    assert(m(7L) == ((7L, 1L, 1000000L)))   // untouched singleton unchanged
+    assert(m(12L) == ((12L, 1L, 1000000L))) // edge-less batch doc
+    assert(m(13L) == ((13L, 2L, 500000L)))  // pure-new cluster
+    // chained folds compose: fold {10,11,12} then {13,14} ≡ one-shot
+    val v2a = Dedup.updateSoftDedupWeights(v1, "doc_id",
+      Seq(10L, 11L, 12L).toDF("doc_id"),
+      Seq((2L, 10L), (4L, 10L), (6L, 11L)).toDF("id1", "id2"))
+    val v2b = Dedup.updateSoftDedupWeights(v2a, "doc_id",
+      Seq(13L, 14L).toDF("doc_id"), Seq((13L, 14L)).toDF("id1", "id2"))
+    assert(tup(v2b) == tup(fresh))
+    // disjointness guard refuses a batch id already weighted; the
+    // certified hatch skips the probe job
+    val err = intercept[IllegalArgumentException] {
+      Dedup.updateSoftDedupWeights(v1, "doc_id", Seq(5L).toDF("doc_id"), newPairs)
+    }
+    assert(err.getMessage.contains("disjoint"))
+    assert(Dedup.updateSoftDedupWeights(v1, "doc_id", Seq(5L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("id1", "id2"),
+      assumeDisjointIds = true).count() == 8)
+  }
+
   test("incrementalNearDupPairs: cross-batch detection, replay idempotence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.split
