@@ -580,6 +580,12 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // incremental path; the hash match proves update ≡ fresh build.
     "q156_incremental_soft_dedup_weights" -> softDedupWeightsSql,
 
+    // Streaming soft-dedup weights store (q157): SAME SQL again — the
+    // oracle never sees the patch-store lifecycle (durable pairs →
+    // O(change) patches → latest-wins read), so the hash match proves
+    // the store serves exactly the fresh-build table.
+    "q157_streaming_soft_dedup_weights" -> softDedupWeightsSql,
+
     // Duplication-aware sampling (q155): the q154 weight CTEs VERBATIM
     // (same shared string), then the weightedSamplePerGroup priority
     // replayed exactly — weight·2^40 div (md5-40bit(salt||key)+1), top-8

@@ -3394,6 +3394,28 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q157 — STREAMING soft-dedup weights store (round 13): the q156
+    * composition run through the micro-batch fold the streaming wrapper
+    * uses ([[Dedup.foldSoftDedupWeightsBatch]] — durable per-batch pairs,
+    * O(change) weights PATCHES under batch_id subdirs, the patch doubling
+    * as the batch's commit marker) and served back through the
+    * latest-wins reader ([[Dedup.readSoftDedupWeights]]). The oracle is
+    * q154's SQL VERBATIM (fresh recompute over the union corpus), so the
+    * hash match proves the whole store lifecycle — fold → patch →
+    * latest-wins read — equals a fresh batch build cross-engine.
+    */
+  def q157StreamingSoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val store = scratchDir("q157store", dir).toString
+    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") < 100000),
+      "doc_id", "toks", store, batchId = 0, threshold = 0.4)
+    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") >= 100000),
+      "doc_id", "toks", store, batchId = 1, threshold = 0.4)
+    Dedup.readSoftDedupWeights(s, store, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3552,5 +3574,6 @@ object Queries {
     "q154_soft_dedup_weights" -> q154SoftDedupWeights _,
     "q155_soft_dedup_weighted_sample" -> q155SoftDedupWeightedSample _,
     "q156_incremental_soft_dedup_weights" -> q156IncrementalSoftDedupWeights _,
+    "q157_streaming_soft_dedup_weights" -> q157StreamingSoftDedupWeights _,
   )
 }

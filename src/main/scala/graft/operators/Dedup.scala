@@ -890,7 +890,8 @@ object Dedup {
   def updateSoftDedupWeights(oldWeights: DataFrame, idCol: String,
       newIds: DataFrame, newPairs: DataFrame, maxIter: Int = 10,
       checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
-      assumeDisjointIds: Boolean = false): DataFrame = {
+      assumeDisjointIds: Boolean = false,
+      patchOnly: Boolean = false): DataFrame = {
     val batch = newIds.select(col(idCol)).dropDuplicates(idCol)
     if (!assumeDisjointIds) {
       val overlap = batch.join(oldWeights.select(col(idCol)), Seq(idCol))
@@ -923,9 +924,91 @@ object Dedup {
     val recomputed = assigned.join(sizes, Seq("rep"))
       .select(col(idCol), col("rep"), col("cluster_size"),
         expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
-    oldWeights.join(affectedReps, Seq("rep"), "left_anti")
+    // patchOnly: just the rows whose weight could have moved (affected
+    // old clusters + the batch) — the streaming store's per-batch PATCH,
+    // O(change) rows written instead of an O(store) rewrite per batch
+    if (patchOnly) recomputed
+    else oldWeights.join(affectedReps, Seq("rep"), "left_anti")
       .select(col(idCol), col("rep"), col("cluster_size"), col("weight_ppm"))
       .unionByName(recomputed)
+  }
+
+  /** Read the current weights table out of a [[foldSoftDedupWeightsBatch]]
+    * patch store: every id's LATEST patch row wins (an id re-appears in a
+    * later patch exactly when a new edge touched its cluster). Missing
+    * store reads as the empty table, so the first fold needs no special
+    * base case. One partitioned window on id — the only shuffle.
+    */
+  def readSoftDedupWeights(spark: SparkSession, storePath: String,
+      idCol: String = "id"): DataFrame = {
+    val weightsPath = s"$storePath/weights"
+    val state = graft.sources.PathState.classify(
+      weightsPath, spark.sparkContext.hadoopConfiguration)
+    if (state != graft.sources.PathState.Data)
+      return spark.range(0).select(col("id").as(idCol),
+        col("id").as("rep"), col("id").as("cluster_size"),
+        col("id").as("weight_ppm"))
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(weightsPath)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("rep"), col("cluster_size"), col("weight_ppm"))
+  }
+
+  /** One micro-batch of STREAMING soft-dedup weight maintenance (the
+    * foreachBatch body of `Streams.streamingSoftDedupWeights`, exposed so
+    * specs can drive batches and crash orderings directly).
+    *
+    * Store layout under `storePath`:
+    *   - `neardup/sketches` — [[incrementalNearDupPairs]]'s fold store
+    *   - `pairs/batch_id=N` — the batch's verified near-dup pairs, written
+    *     DURABLY before the sketch fold (the incremental family's
+    *     ordering) and never recomputed once present
+    *   - `weights/batch_id=N` — the weights PATCH: only rows whose weight
+    *     could have moved (touched clusters + batch), latest-wins per id
+    *     ([[readSoftDedupWeights]])
+    *
+    * Idempotence and crash ordering, window by window: the weights patch
+    * is the batch's COMMIT MARKER — if it exists the whole fold no-ops
+    * (a replayed completed batch). If the pairs subdir exists but the
+    * patch does not (crash between), the pairs are taken from the durable
+    * subdir and NOT recomputed — this closes the loss window a replayed
+    * sketch-folded batch would otherwise hit (its ids anti-join out of
+    * the sketch probe, so recomputing would overwrite the durable pairs
+    * with nothing and silently under-cluster the weights). Only when
+    * neither artifact exists does the batch run the full incremental
+    * probe; a crash before the fold replays identically (same
+    * deterministic pairs, same overwrite).
+    *
+    * @return number of patch rows written (0 for a no-op replay)
+    */
+  def foldSoftDedupWeightsBatch(batch: DataFrame, idCol: String,
+      tokensCol: String, storePath: String, batchId: Long,
+      shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5, maxIter: Int = 10): Long = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val patchPath = s"$storePath/weights/batch_id=$batchId"
+    if (graft.sources.PathState.classify(patchPath, hconf) ==
+        graft.sources.PathState.Data)
+      return 0L // commit marker present: completed batch replayed
+    val pairsPath = s"$storePath/pairs/batch_id=$batchId"
+    val pairsDurable = graft.sources.PathState.classify(pairsPath, hconf) ==
+      graft.sources.PathState.Data
+    incrementalNearDupPairs(batch, idCol, tokensCol, s"$storePath/neardup",
+      shingleN = shingleN, numHashes = numHashes, numBands = numBands,
+      threshold = threshold,
+      onPairs = p => if (!pairsDurable)
+        p.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(pairsPath))
+    val newPairs = spark.read.parquet(pairsPath)
+    val old = readSoftDedupWeights(spark, storePath, idCol)
+    val fresh = batch.select(col(idCol)).dropDuplicates(idCol)
+      .join(old.select(col(idCol)), Seq(idCol), "left_anti")
+    val patch = updateSoftDedupWeights(old, idCol, fresh, newPairs,
+      maxIter = maxIter, assumeDisjointIds = true, patchOnly = true)
+    patch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(patchPath)
+    spark.read.parquet(patchPath).count()
   }
 
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.

@@ -122,7 +122,8 @@ object PlanSignature {
     "q121_leakage_splits", "q128_incremental_sequence_dedup", "q130_pq_adc",
     "q140_bloom_pruned_join", "q148_ivf_pq", "q149_incremental_update",
     "q151_ivf_pq_residual", "q152_index_pipeline_768",
-    "q154_soft_dedup_weights", "q156_incremental_soft_dedup_weights")
+    "q154_soft_dedup_weights", "q156_incremental_soft_dedup_weights",
+    "q157_streaming_soft_dedup_weights")
 
   /** Probes signed at sf0.01 ONLY — the heavy composites (many-second
     * sf0.1 runs) where a second scale's signature buys gate latency, not

@@ -429,6 +429,36 @@ object Streams {
       .start()
   }
 
+  /** Streaming soft-dedup weight maintenance — the continuous form of
+    * [[graft.operators.Dedup.softDedupWeights]]: each micro-batch of
+    * `(id, tokens)` docs probes the near-dup sketch store asymmetrically
+    * and folds an O(change) weights PATCH under its epoch-derived batch
+    * id ([[graft.operators.Dedup.foldSoftDedupWeightsBatch]] — the
+    * weights patch doubles as the batch's commit marker, so a replayed
+    * micro-batch no-ops, and a crash between the durable pairs write and
+    * the patch resumes from the pairs subdir instead of recomputing them
+    * into nothing). [[graft.operators.Dedup.readSoftDedupWeights]] serves
+    * the live latest-wins table at any point; samplers consume it
+    * directly (the q155 composition).
+    */
+  def streamingSoftDedupWeights(docs: DataFrame, idCol: String,
+      tokensCol: String, storePath: String, checkpoint: String,
+      shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.foldSoftDedupWeightsBatch(
+          batch.toDF(), idCol, tokensCol, storePath, batchId,
+          shingleN = shingleN, numHashes = numHashes, numBands = numBands,
+          threshold = threshold)
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Streaming quality-card maintenance — the continuous form of
     * [[graft.operators.Profile.appendProfile]]: each micro-batch appends
     * its per-column card rows under the epoch-derived batch id, so a

@@ -1161,6 +1161,47 @@ class DedupSpec extends SparkSpec {
       assumeDisjointIds = true).count() == 8)
   }
 
+  test("foldSoftDedupWeightsBatch: patch store ≡ fresh, commit-marker replay, pairs-durable resume, O(change) patches") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    val tc = "iota kappa lambda mu"; val td = "nu xi omicron pi rho"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    // batch 0: clusters {1,2} (ta) and {3,4} (tb), singleton 5 (tc)
+    val b0 = docs(1L -> ta, 2L -> ta, 3L -> tb, 4L -> tb, 5L -> tc)
+    // batch 1: 11 joins the ta cluster; 12 is a fresh singleton (td)
+    val b1 = docs(11L -> ta, 12L -> td)
+    val store = java.nio.file.Files.createTempDirectory("softwst").toString + "/s"
+    assert(Dedup.foldSoftDedupWeightsBatch(b0, "doc_id", "toks", store, 0) == 5)
+    // CRASH WINDOW for batch 1: durable pairs written AND sketches folded,
+    // but no weights patch — exactly the state foldSoftDedupWeightsBatch
+    // leaves if it dies between its two store writes. A naive resume would
+    // re-probe (ids anti-join out), get ZERO pairs, and under-cluster.
+    Dedup.incrementalNearDupPairs(b1, "doc_id", "toks", s"$store/neardup",
+      onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$store/pairs/batch_id=1"))
+    assert(Dedup.foldSoftDedupWeightsBatch(b1, "doc_id", "toks", store, 1) > 0)
+    val served = Dedup.readSoftDedupWeights(spark, store, "doc_id")
+    val fresh = Dedup.softDedupWeights(
+      Seq(1L, 2L, 3L, 4L, 5L, 11L, 12L).toDF("doc_id"), "doc_id",
+      Dedup.minhashNearDupPairs(
+        docs(1L -> ta, 2L -> ta, 3L -> tb, 4L -> tb, 5L -> tc,
+          11L -> ta, 12L -> td), "doc_id", "toks"))
+    assert(tup(served) == tup(fresh)) // the store lifecycle ≡ fresh build
+    assert(tup(served).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .apply(11L) == ((1L, 3L, 333333L)))
+    // O(change): the batch-1 patch holds only the touched cluster {1,2,11}
+    // and the new singleton 12 — the untouched {3,4} and 5 never rewrite
+    assert(spark.read.parquet(s"$store/weights/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L, 12L))
+    // completed-batch replay: the weights patch is the commit marker
+    assert(Dedup.foldSoftDedupWeightsBatch(b1, "doc_id", "toks", store, 1) == 0)
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == tup(fresh))
+  }
+
   test("incrementalNearDupPairs: cross-batch detection, replay idempotence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.split

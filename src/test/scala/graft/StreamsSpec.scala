@@ -277,6 +277,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSoftDedupWeights: micro-batch folds serve the fresh-build table; replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    val store = java.nio.file.Files.createTempDirectory("softwstream").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("softwstreamck").toString
+    def withToks(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("toks", TextFunctions.wordTokens(org.apache.spark.sql.functions.col("text")))
+    val texts = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu")
+    def t(i: Long) = texts((i % 3).toInt)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingSoftDedupWeights(
+      withToks(mem.toDF().toDF("doc_id", "text")), "doc_id", "toks", store, ckpt)
+    try {
+      mem.addData((1L to 6L).map(i => (i, t(i))): _*)
+      q.processAllAvailable()
+      mem.addData((7L to 12L).map(i => (i, t(i))): _*)
+      q.processAllAvailable()
+      val served = Dedup.readSoftDedupWeights(spark, store, "doc_id")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val all = withToks((1L to 12L).map(i => (i, t(i))).toDF("doc_id", "text"))
+      val fresh = Dedup.softDedupWeights((1L to 12L).toDF("doc_id"), "doc_id",
+          Dedup.minhashNearDupPairs(all, "doc_id", "toks"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(served == fresh) // 3 text clusters of 4 docs each, cross-batch
+      assert(served.forall(_._4 == 250000L))
+      // a processed micro-batch id replays as a no-op (commit marker)
+      assert(Dedup.foldSoftDedupWeightsBatch(
+        withToks(Seq((99L, t(0L))).toDF("doc_id", "text")),
+        "doc_id", "toks", store, 1) == 0L)
+    } finally q.stop()
+  }
+
   test("streamingProfile: micro-batch cards fold to the whole-stream card; epoch replay no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
