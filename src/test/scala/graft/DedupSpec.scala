@@ -1202,6 +1202,50 @@ class DedupSpec extends SparkSpec {
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == tup(fresh))
   }
 
+  test("updateSoftDedupWeights property: random multi-batch folds ≡ fresh; reps agree with dropNearDuplicates") {
+    import spark.implicits._
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val rnd = new scala.util.Random(13L)
+    for (trial <- 0 until 3) {
+      // ids partitioned into 3 arrival batches; random sparse pair graph,
+      // each pair drawn between any two already-arrived ids — so folds see
+      // merges, promotions, chains and pure-new clusters in random order
+      val n = 30 + trial * 10
+      val ids = (1L to n.toLong).toVector
+      val batchOf = ids.map(i => i -> rnd.nextInt(3)).toMap
+      def arrived(b: Int) = ids.filter(i => batchOf(i) <= b)
+      val pairs = (0 until n * 2).map { _ =>
+        val pool = ids
+        val a = pool(rnd.nextInt(pool.size)); val b = pool(rnd.nextInt(pool.size))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // a pair becomes visible in the FIRST batch where both ends exist
+      def pairsVisibleAt(b: Int) = pairs.filter { case (x, y) =>
+        math.max(batchOf(x), batchOf(y)) == b }
+      var table = Dedup.softDedupWeights(
+        ids.filter(i => batchOf(i) == 0).toDF("doc_id"), "doc_id",
+        pairsVisibleAt(0).toDF("id1", "id2"))
+      for (b <- 1 until 3) {
+        table = Dedup.updateSoftDedupWeights(table, "doc_id",
+          ids.filter(i => batchOf(i) == b).toDF("doc_id"),
+          pairsVisibleAt(b).toDF("id1", "id2"), maxIter = 14)
+      }
+      val fresh = Dedup.softDedupWeights(ids.toDF("doc_id"), "doc_id",
+        pairs.toDF("id1", "id2"), maxIter = 14)
+      assert(tup(table) == tup(fresh), s"trial $trial diverged from fresh")
+      // reps consistency: dropNearDuplicates keeps EXACTLY the rep rows
+      val kept = Dedup.dropNearDuplicates(ids.toDF("doc_id"), "doc_id",
+          pairs.toDF("id1", "id2")).collect().map(_.getLong(0)).toSet
+      val reps = tup(fresh).filter(r => r._1 == r._2).map(_._1).toSet
+      assert(kept == reps, s"trial $trial: drop vs soft-weight reps disagree")
+      // total corpus mass ≈ number of clusters (ppm floor loss bounded)
+      val mass = tup(fresh).map(_._4).sum
+      assert(mass <= reps.size * 1000000L &&
+        mass > reps.size * 1000000L - n, s"trial $trial mass $mass")
+    }
+  }
+
   test("incrementalNearDupPairs: cross-batch detection, replay idempotence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.split
