@@ -713,6 +713,14 @@ object Queries {
     * returned lazy frame stays readable until the probe's NEXT
     * invocation, by which time the prior result has been consumed (Verify
     * writes / Bench counts synchronously before re-invoking).
+    *
+    * SINGLE-RUNNER ASSUMPTION (ADVICE r13): the path is shared per
+    * (tag, sfDir), so two JVMs invoking the SAME probe against the SAME
+    * sfDir concurrently would race on the delete/recreate. That is
+    * outside the harness contract — the driver runs Verify and Bench
+    * sequentially, and the repo workflow forbids concurrent sbt runs
+    * against one tree (they already race on target/). Probes for
+    * DIFFERENT sfDirs (the sweep) or different tags never collide.
     */
   private def scratchDir(tag: String, dir: String): java.nio.file.Path = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -3394,24 +3402,44 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Q157 — STREAMING soft-dedup weights store (round 13): the q156
-    * composition run through the micro-batch fold the streaming wrapper
-    * uses ([[Dedup.foldSoftDedupWeightsBatch]] — durable per-batch pairs,
-    * O(change) weights PATCHES under batch_id subdirs, the patch doubling
-    * as the batch's commit marker) and served back through the
-    * latest-wins reader ([[Dedup.readSoftDedupWeights]]). The oracle is
-    * q154's SQL VERBATIM (fresh recompute over the union corpus), so the
-    * hash match proves the whole store lifecycle — fold → patch →
+  /** Q157 — STREAMING soft-dedup weights store (round 13; round 14 adds
+    * mid-lifecycle COMPACTION): the q156 composition run through the
+    * micro-batch fold the streaming wrapper uses
+    * ([[Dedup.foldSoftDedupWeightsBatch]] — durable per-batch pairs,
+    * O(change) weights PATCHES under `_COMMIT`-marked batch_id subdirs),
+    * then [[Dedup.compactSoftDedupWeights]] folds the first two batches
+    * into one snapshot generation (caller-side atomic subtree swap), a
+    * THIRD batch folds against the compacted store (its replay gate now
+    * runs through the `_folded` ledger + snapshot), and the result is
+    * served through the latest-wins reader
+    * ([[Dedup.readSoftDedupWeights]]). The oracle is q154's SQL VERBATIM
+    * (fresh recompute over the union corpus), so the hash match proves
+    * the whole store lifecycle — fold → patch → compact → fold →
     * latest-wins read — equals a fresh batch build cross-engine.
     */
   def q157StreamingSoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearDups(s, dir)
       .withColumn("toks", TextFunctions.wordTokens(col("text")))
-    val store = scratchDir("q157store", dir).toString
-    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") < 100000),
+    val root = scratchDir("q157store", dir)
+    val store = root.resolve("store").toString
+    val gen2 = root.resolve("gen2").toString
+    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") < 30),
       "doc_id", "toks", store, batchId = 0, threshold = 0.4)
-    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") >= 100000),
+    Dedup.foldSoftDedupWeightsBatch(
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 100000),
       "doc_id", "toks", store, batchId = 1, threshold = 0.4)
+    Dedup.compactSoftDedupWeights(s, store, gen2, upToBatchId = 1,
+      idCol = "doc_id")
+    // the caller-side atomic swap: compacted weights/pairs subtrees replace
+    // the live ones (neardup/ is untouched by contract)
+    Seq("weights", "pairs").foreach { sub =>
+      val cur = java.nio.file.Paths.get(store, sub)
+      java.nio.file.Files.walk(cur).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      java.nio.file.Files.move(java.nio.file.Paths.get(gen2, sub), cur)
+    }
+    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") >= 100000),
+      "doc_id", "toks", store, batchId = 2, threshold = 0.4)
     Dedup.readSoftDedupWeights(s, store, "doc_id")
       .orderBy(col("doc_id"))
   }

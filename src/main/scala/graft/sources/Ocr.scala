@@ -75,15 +75,20 @@ object Ocr {
     if (ch == ' ') 0L else mix64(ch.toLong) & ((1L << (GlyphW * GlyphH)) - 1)
   }
 
-  /** pattern → char, for the template match. Distinctness and
-    * nonzero-ness of all 94 ink glyphs asserted here (deterministic: the
-    * salt was chosen once so this can never fire; the assert keeps the
-    * property from silently rotting under a formula edit).
+  /** pattern → char, for the template match. Distinctness, nonzero-ness
+    * and the min-pairwise-Hamming-7 margin of the 95-glyph atlas asserted
+    * here (deterministic: the salt was chosen once so none can fire; the
+    * asserts keep the properties from silently rotting under a formula
+    * edit — ADVICE r13 flagged the margin as claimed-but-unchecked).
     */
   private val byPattern: Map[Long, Char] = {
     val pairs = (CharsetFirst to CharsetLast).map(c => glyphPattern(c) -> c)
     require(pairs.map(_._1).distinct.size == pairs.size, "glyph atlas collision")
     require(pairs.count(_._1 == 0L) == 1, "only space may be blank")
+    val minHamming = (for {
+      i <- pairs.indices; j <- (i + 1) until pairs.size
+    } yield java.lang.Long.bitCount(pairs(i)._1 ^ pairs(j)._1)).min
+    require(minHamming >= 7, s"glyph atlas Hamming margin eroded to $minHamming")
     pairs.toMap
   }
 

@@ -1176,13 +1176,20 @@ class DedupSpec extends SparkSpec {
     val b1 = docs(11L -> ta, 12L -> td)
     val store = java.nio.file.Files.createTempDirectory("softwst").toString + "/s"
     assert(Dedup.foldSoftDedupWeightsBatch(b0, "doc_id", "toks", store, 0) == 5)
-    // CRASH WINDOW for batch 1: durable pairs written AND sketches folded,
-    // but no weights patch — exactly the state foldSoftDedupWeightsBatch
-    // leaves if it dies between its two store writes. A naive resume would
-    // re-probe (ids anti-join out), get ZERO pairs, and under-cluster.
+    // CRASH WINDOW for batch 1: durable pairs written (and _COMMIT-marked,
+    // which the real fold does right after the pairs write) AND sketches
+    // folded, but no weights patch — exactly the state
+    // foldSoftDedupWeightsBatch leaves if it dies between its two store
+    // writes. A naive resume would re-probe (ids anti-join out), get ZERO
+    // pairs, and under-cluster.
     Dedup.incrementalNearDupPairs(b1, "doc_id", "toks", s"$store/neardup",
-      onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$store/pairs/batch_id=1"))
+      onPairs = { p =>
+        p.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$store/pairs/batch_id=1")
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$store/pairs/batch_id=1", "_COMMIT"))
+        ()
+      })
     assert(Dedup.foldSoftDedupWeightsBatch(b1, "doc_id", "toks", store, 1) > 0)
     val served = Dedup.readSoftDedupWeights(spark, store, "doc_id")
     val fresh = Dedup.softDedupWeights(
@@ -1200,6 +1207,174 @@ class DedupSpec extends SparkSpec {
     // completed-batch replay: the weights patch is the commit marker
     assert(Dedup.foldSoftDedupWeightsBatch(b1, "doc_id", "toks", store, 1) == 0)
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == tup(fresh))
+  }
+
+  test("compactSoftDedupWeights: snapshot ≡ uncompacted ≡ fresh; ledger replay safety both generations; file-count bound; refusal guards") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    val tc = "iota kappa lambda mu"; val td = "nu xi omicron pi rho"
+    val te = "sigma tau upsilon phi chi"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val b0 = docs(1L -> ta, 2L -> ta, 3L -> tb, 4L -> tb, 5L -> tc)
+    val b1 = docs(11L -> ta, 12L -> td)
+    val b2 = docs(21L -> tb, 22L -> te) // 21 joins {3,4} AFTER compaction
+    val root = java.nio.file.Files.createTempDirectory("softwcomp")
+    val store = root.resolve("s").toString
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.foldSoftDedupWeightsBatch(b, "doc_id", "toks", store, id)
+    def swap(gen: String): Unit = Seq("weights", "pairs").foreach { sub =>
+      val cur = java.nio.file.Paths.get(store, sub)
+      java.nio.file.Files.walk(cur).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      java.nio.file.Files.move(java.nio.file.Paths.get(gen, sub), cur)
+    }
+    def weightSubdirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(store, "weights")).toArray
+      .map(_.toString.split('/').last).filter(_.startsWith("batch_id=")).toSet
+    assert(fold(b0, 0) == 5L); assert(fold(b1, 1) == 4L)
+    val uncompacted = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    val pairRowsBefore = spark.read.parquet(s"$store/pairs").count()
+    // guard: in-place compaction refused
+    intercept[IllegalArgumentException] {
+      Dedup.compactSoftDedupWeights(spark, store, store, 1, "doc_id") }
+    // guard: a FUTURE boundary (epoch that never ran) refused — its first
+    // run would no-op against the snapshot dir
+    intercept[IllegalArgumentException] {
+      Dedup.compactSoftDedupWeights(spark, store,
+        root.resolve("gx").toString, 99, "doc_id") }
+    val gen2 = root.resolve("g2").toString
+    assert(Dedup.compactSoftDedupWeights(spark, store, gen2, 1, "doc_id",
+      targetFiles = 2) == 7L)
+    swap(gen2)
+    // compacted read ≡ uncompacted, pairs rows exactly preserved
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == uncompacted)
+    assert(spark.read.parquet(s"$store/pairs").count() == pairRowsBefore)
+    // directory + file-count bound: ONE weights subdir of ≤ targetFiles files
+    assert(weightSubdirs == Set("batch_id=1"))
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(store, "weights", "batch_id=1")).toArray
+      .map(_.toString).count(_.endsWith(".parquet")) <= 2)
+    // replay safety generation 1: absorbed batches no-op through the ledger
+    assert(fold(b0, 0) == 0L); assert(fold(b1, 1) == 0L)
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == uncompacted)
+    // ...and it is the LEDGER that no-ops them, not a neutral re-run: a
+    // re-run would have re-created the absorbed pairs subdirs (empty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=0")))
+    // post-compaction fold ≡ fresh over the union corpus
+    assert(fold(b2, 2) > 0L)
+    val allDocs = docs(1L -> ta, 2L -> ta, 3L -> tb, 4L -> tb, 5L -> tc,
+      11L -> ta, 12L -> td, 21L -> tb, 22L -> te)
+    val fresh = tup(Dedup.softDedupWeights(
+      allDocs.select(col("doc_id")), "doc_id",
+      Dedup.minhashNearDupPairs(allDocs, "doc_id", "toks")))
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
+    // second-generation compaction absorbs the gen-1 snapshot; the merged
+    // ledger keeps EVERY absorbed id no-op (replay safety generation 2)
+    val gen3 = root.resolve("g3").toString
+    Dedup.compactSoftDedupWeights(spark, store, gen3, 2, "doc_id")
+    swap(gen3)
+    assert(weightSubdirs == Set("batch_id=2"))
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
+    assert(fold(b0, 0) == 0L); assert(fold(b1, 1) == 0L); assert(fold(b2, 2) == 0L)
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=1")))
+  }
+
+  test("weights store crash surface: mid-commit patch invisible until replay; durable-pairs resume across compaction; orphan-pairs refusal; Foreign refusal; typed empty read") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    val td = "nu xi omicron pi rho"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val b0 = docs(1L -> ta, 2L -> ta, 3L -> tb)
+    val b1 = docs(11L -> ta, 12L -> td)
+    val root = java.nio.file.Files.createTempDirectory("softwcrash")
+    val store = root.resolve("s").toString
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.foldSoftDedupWeightsBatch(b, "doc_id", "toks", store, id)
+    assert(fold(b0, 0) == 3L)
+    // batch 1 crash window: durable (marked) pairs + folded sketches, no patch
+    Dedup.incrementalNearDupPairs(b1, "doc_id", "toks", s"$store/neardup",
+      onPairs = { p =>
+        p.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$store/pairs/batch_id=1")
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$store/pairs/batch_id=1", "_COMMIT"))
+        ()
+      })
+    // compacting INTO the crash window is refused: batch 1's pairs are ≤ the
+    // boundary but its weights never committed — folding them away would
+    // reopen the under-clustering loss window... so boundary 1 refuses
+    // outright (not a committed weights batch),
+    intercept[IllegalArgumentException] {
+      Dedup.compactSoftDedupWeights(spark, store,
+        root.resolve("gx").toString, 1, "doc_id") }
+    // ...and compacting BELOW it (boundary 0) carries the durable pairs
+    // subdir over untouched, so the resume still works across the swap
+    val gen2 = root.resolve("g2").toString
+    Dedup.compactSoftDedupWeights(spark, store, gen2, 0, "doc_id")
+    Seq("weights", "pairs").foreach { sub =>
+      val cur = java.nio.file.Paths.get(store, sub)
+      java.nio.file.Files.walk(cur).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      java.nio.file.Files.move(java.nio.file.Paths.get(gen2, sub), cur)
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=1", "_COMMIT")))
+    assert(fold(b1, 1) > 0L) // resume from the carried-over durable pairs
+    val fresh = {
+      val all = docs(1L -> ta, 2L -> ta, 3L -> tb, 11L -> ta, 12L -> td)
+      tup(Dedup.softDedupWeights(all.select(col("doc_id")), "doc_id",
+        Dedup.minhashNearDupPairs(all, "doc_id", "toks")))
+    }
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
+    // mid-commit crash: parquet rows visible in a patch subdir WITHOUT the
+    // _COMMIT marker are invisible to reads and Overwritten whole on replay
+    Seq((99L, 99L, 1L, 777L)).toDF("doc_id", "rep", "cluster_size", "weight_ppm")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$store/weights/batch_id=2")
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
+    val b2 = docs(21L -> tb) // duplicates doc 3 ⇒ patch = {3, 21}
+    assert(fold(b2, 2) == 2L) // replay overwrites the partial subdir
+    val served = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    assert(!served.exists(_._1 == 99L) && served.exists(_._1 == 21L))
+    // a committed pairs dir whose weights patch is missing BELOW the
+    // boundary refuses compaction (the orphan guard)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=1")) // ensure exists
+    val cur2 = java.nio.file.Paths.get(s"$store/weights/batch_id=1")
+    java.nio.file.Files.walk(cur2).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    intercept[IllegalArgumentException] {
+      Dedup.compactSoftDedupWeights(spark, store,
+        root.resolve("gy").toString, 2, "doc_id") }
+    // Foreign weights path refuses instead of reading as empty (ADVICE r13)
+    val foreign = root.resolve("f").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$foreign/weights"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$foreign/weights/junk.txt"), "not a store")
+    intercept[IllegalArgumentException] {
+      Dedup.readSoftDedupWeights(spark, foreign, "doc_id") }
+    // missing store reads as a TYPED empty frame (ADVICE r13: id need not
+    // be long)
+    val empty = Dedup.readSoftDedupWeights(spark,
+      root.resolve("missing").toString, "doc_id",
+      org.apache.spark.sql.types.StringType)
+    assert(empty.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(empty.schema("rep").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(empty.count() == 0L)
   }
 
   test("updateSoftDedupWeights property: random multi-batch folds ≡ fresh; reps agree with dropNearDuplicates") {
