@@ -1574,6 +1574,82 @@ JOIN embeddings e USING (vec_id),
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
 LIMIT 10""",
 
+    // Quantizer refresh (q158): q148's CTE chain with exactly two edits —
+    // the seed-centroid CTE (vec_id < 8) is replaced by the md5-RANKED
+    // sampled selection over the corpus (salt 'rf', cid = rank − 1: the
+    // Search.sampledCentroids recipe), and the codebook sampling (rk) is
+    // restricted to the corpus (the refresh re-trains on vec_id <> 0,
+    // the index's content, not the full table). The oracle recomputes
+    // the whole refreshed index relationally — retrain, assignment, probe
+    // selection, ADC, rescore — and never sees the on-disk lifecycle
+    // (v1 store, model marker, directory swap).
+    "q158_ivfpq_refresh" ->
+      raw"""WITH sc AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+  FROM embeddings),
+c AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)) END AS codes
+  FROM sc),
+rk AS (
+  SELECT sub.s, c.vec_id,
+    row_number() OVER (PARTITION BY sub.s
+      ORDER BY ('0x' || substr(md5(sub.s::VARCHAR || '|' || c.vec_id::VARCHAR), 1, 15))::BIGINT,
+               c.vec_id) AS rk
+  FROM c, (SELECT unnest(generate_series(0, 7)) AS s) sub
+  WHERE c.vec_id <> 0),
+cent AS (
+  SELECT rk.s, rk.rk - 1 AS j, c.codes[rk.s*8 + 1 : rk.s*8 + 8] AS cv
+  FROM rk JOIN c ON c.vec_id = rk.vec_id
+  WHERE rk.rk <= 16),
+cents AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, embedding AS cv FROM (
+    SELECT vec_id, embedding,
+      row_number() OVER (
+        ORDER BY ('0x' || substr(md5('rf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                 vec_id) AS rn
+    FROM embeddings WHERE vec_id <> 0) WHERE rn <= 8),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, cc.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM embeddings e CROSS JOIN cents cc WHERE e.vec_id <> 0)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cc.cid,
+      row_number() OVER (ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], cc.cv::DOUBLE[]) DESC, cc.cid) AS rn
+    FROM cents cc, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+  WHERE rn <= 4),
+asg0 AS (
+  SELECT c.vec_id, cent.s, cent.j,
+    list_inner_product(cent.cv, cent.cv)
+      - 2 * list_inner_product(c.codes[cent.s*8 + 1 : cent.s*8 + 8], cent.cv) AS d
+  FROM c, cent
+  WHERE c.vec_id <> 0
+    AND c.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cluster_id = p.cid)),
+asg AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS r
+    FROM asg0) WHERE r = 1),
+q AS (SELECT codes FROM c WHERE vec_id = 0),
+adc AS (
+  SELECT asg.vec_id,
+    sum(list_inner_product(q.codes[asg.s*8 + 1 : asg.s*8 + 8], cent.cv)) AS adc_ip
+  FROM asg JOIN cent ON cent.s = asg.s AND cent.j = asg.j, q
+  GROUP BY asg.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_ip DESC, vec_id LIMIT 50)
+SELECT e.vec_id,
+  floor(1000 * list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[])) / 1000 AS cos_sim
+FROM cand
+JOIN embeddings e USING (vec_id),
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10""",
+
     // Incremental-update composition (q149): the oracle NEVER sees the
     // incremental path — it recomputes BM25 (q72's formula, the v2
     // corpus) and the frozen-centroid IVF probe (q30/q148's assignment

@@ -3444,6 +3444,47 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q158 — QUANTIZER REFRESH of the composed IVF-PQ index
+    * ([[Search.refreshIvfPqIndex]] — VERDICT r13 item 2, the operator
+    * [[Search.ivfDriftStats]] exists to trigger): q148's v1 index
+    * (vec_id<8 seed centroids, md5-sampled codebooks) stages once per
+    * sfDir; every invocation then RE-TRAINS both models on the current
+    * corpus — coarse centroids re-sampled by md5 rank (salt 'rf',
+    * [[Search.sampledCentroids]]), codebooks re-sampled by the q130
+    * recipe — re-encodes the corpus in FULL into a NEW directory
+    * (model-version marker, [[Search.requireConsistentModel]]-guarded
+    * read), and answers the q148 query through the REFRESHED index. The
+    * oracle replays the entire refresh relationally: q148's CTE chain
+    * with the seed-centroid CTE swapped for the md5-ranked selection and
+    * the codebook sampling restricted to the corpus, so the hash match
+    * pins retrain → re-encode → probe → ADC → rescore cross-engine.
+    */
+  def q158IvfPqRefresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val (v1Dir, fresh, commitStaged) = stagedRoot("q158ivfpqv1", dir, src)
+    if (!fresh) {
+      val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+      Search.writeIvfPqIndex(corpus, "vec_id", "embedding", cents, cb,
+        v1Dir.toString)
+      commitStaged()
+    }
+    val v2 = scratchDir("q158refresh", dir).resolve("v2").toString
+    Search.refreshIvfPqIndex(corpus, "vec_id", "embedding",
+      v1Dir.toString, v2, nClusters = 8, dim = 64, m = 8, ksub = 16,
+      salt = "rf")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.ivfPqTopKFromIndex(s, v2, corpus, "vec_id", "embedding", query,
+        k = 10, nProbe = 4, rescore = 50)
+      .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3603,5 +3644,6 @@ object Queries {
     "q155_soft_dedup_weighted_sample" -> q155SoftDedupWeightedSample _,
     "q156_incremental_soft_dedup_weights" -> q156IncrementalSoftDedupWeights _,
     "q157_streaming_soft_dedup_weights" -> q157StreamingSoftDedupWeights _,
+    "q158_ivfpq_refresh" -> q158IvfPqRefresh _,
   )
 }

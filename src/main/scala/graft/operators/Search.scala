@@ -724,6 +724,7 @@ object Search {
     */
   def ivfTopKFromIndex(spark: SparkSession, path: String, vecCol: String,
       query: Seq[Float], k: Int, nProbe: Int = 1): DataFrame = {
+    requireConsistentModel(spark, path, "ivfTopKFromIndex")
     val centroids = readIvfCentroids(spark, path)
     val probeIds = probeClusters(centroids, query, nProbe)
     spark.read.parquet(s"$path/vectors")
@@ -1347,6 +1348,7 @@ object Search {
   def pqTopKFromIndex(spark: SparkSession, path: String,
       fullPrecision: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, rescore: Int = 50): DataFrame = {
+    requireConsistentModel(spark, path, "pqTopKFromIndex")
     val cb = readPqCodebooks(spark, path)
     val encoded = spark.read.parquet(s"$path/codes")
       .select(col(idCol), transform(col("pq_codes"), _.cast("int")).as("pq_codes"))
@@ -1448,6 +1450,7 @@ object Search {
       rescore: Int = 50): DataFrame = {
     require(rescore >= k, "rescore candidate count must be >= k")
     requirePlainIvfPq(spark, path, "ivfPqTopKFromIndex")
+    requireConsistentModel(spark, path, "ivfPqTopKFromIndex")
     val centroids = readIvfCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val probeIds = probeClusters(centroids, query, nProbe)
@@ -1739,6 +1742,7 @@ object Search {
       idCol: String, query: Seq[Float], nProbe: Int): DataFrame = {
     import graft.functions.VectorFunctions.fpCodesLocal
     requireResidualIvfPq(spark, path, "ivfPqResidualAdcScores")
+    requireConsistentModel(spark, path, "ivfPqResidualAdcScores")
     val centroids = readIvfCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val probeIds = probeClusters(centroids, query, nProbe)
@@ -1950,6 +1954,235 @@ object Search {
     spark.read.parquet(s"$srcPath/rotation")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
     n
+  }
+
+  // --------------------------- quantizer refresh (model re-train) ---
+
+  /** Deterministic (md5-ranked, DuckDB-replayable) coarse IVF centroids
+    * sampled from the corpus — the oracle-checkable twin of
+    * [[kmeansCentroids]], i.e. the [[pqSampledCodebooks]] discipline
+    * applied to the coarse tier: centroid cid (0-based) = the vector of
+    * the row with the (cid+1)-th smallest `md5(salt || '|' || id)`
+    * (60-bit int, ties by id) — kmeans++-style "centers are data
+    * points", no Lloyd iterations. Lower quality than
+    * [[kmeansCentroids]] at equal k; this is the determinism tier the
+    * refresh probes replay in SQL.
+    *
+    * Scale shape: the ranking pass carries (id, hash) tuples only —
+    * vectors come back through a join of the nClusters winning ids. At
+    * 100 TB hash-sample the corpus first (Sampling.hashSample);
+    * centroids are estimates, the sample suffices.
+    */
+  def sampledCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, salt: String = "ivf"): Seq[(Int, Array[Float])] = {
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val ranked = df.select(col(idCol).as("_id"))
+      .withColumn("_h", conv(substring(md5(
+        concat(lit(salt), lit("|"), col("_id").cast("string"))),
+        1, 15), 16, 10).cast("long"))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_h"), col("_id"))))
+      .where(col("_rk") <= nClusters)
+    val picked = ranked
+      .join(df.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_id")
+      .select(col("_rk"), col("_v"))
+      .collect()
+      .map(r => (r.getInt(0) - 1, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(picked.length == nClusters,
+      s"corpus has fewer than nClusters=$nClusters rows")
+    picked
+  }
+
+  /** Model-version discipline for REFRESHED vector indexes
+    * (VERDICT r13 item 2): a refresh re-trains the quantizer, so serving
+    * a store whose artifacts mix two model generations — a subtree-level
+    * swap that died half-way — would be silently wrong (codes encoded
+    * under one model pruned/decoded under another). Refresh therefore
+    * tags every artifact directory it writes with a hidden
+    * `_v<version>` file and writes a `model` sidecar (version + family)
+    * LAST; [[requireConsistentModel]] — called by every family's
+    * topKFromIndex reader — verifies all tags agree with the marker and
+    * refuses loudly otherwise. Stores that were never refreshed carry no
+    * marker and skip the check entirely (legacy semantics, zero cost on
+    * the serving path).
+    */
+  def readModelVersion(spark: SparkSession, path: String): Long = {
+    import graft.sources.PathState
+    if (PathState.classify(s"$path/model",
+        spark.sparkContext.hadoopConfiguration) == PathState.Data)
+      spark.read.parquet(s"$path/model")
+        .select(col("model_version")).head().getLong(0)
+    else 0L
+  }
+
+  private def writeModelMarker(spark: SparkSession, path: String,
+      version: Long, family: String): Unit = {
+    import spark.implicits._
+    Seq((version, family)).toDF("model_version", "family")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/model")
+  }
+
+  private def tagModelVersion(dir: String, version: Long,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"_v$version")
+    p.getFileSystem(hconf).create(p, true).close()
+  }
+
+  /** Distinct `_v<n>` tags present in an artifact dir (None = dir absent). */
+  private def artifactTags(dir: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[Set[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_v") && n.drop(2).nonEmpty &&
+        n.drop(2).forall(_.isDigit))
+      .map(_.drop(2).toLong).toSet)
+  }
+
+  def requireConsistentModel(spark: SparkSession, path: String,
+      op: String): Unit = {
+    import graft.sources.PathState
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (PathState.classify(s"$path/model", hconf) != PathState.Data) return
+    val version = spark.read.parquet(s"$path/model")
+      .select(col("model_version")).head().getLong(0)
+    Seq("vectors", "codes", "centroids", "codebooks", "encoding").foreach { a =>
+      artifactTags(s"$path/$a", hconf).foreach { tags =>
+        require(tags == Set(version),
+          s"$op: '$path/$a' carries model tag(s) " +
+            s"${if (tags.isEmpty) "NONE" else tags.toSeq.sorted.map("v" + _).mkString(",")} " +
+            s"but the index marker says v$version — a mid-swap store (one " +
+            "generation's artifact under another generation's model); " +
+            "refusing to serve it")
+      }
+    }
+  }
+
+  /** Re-train the coarse quantizer of a persisted IVF index on the
+    * CURRENT corpus and rebuild (VERDICT r13 item 2 — the operator
+    * [[ivfDriftStats]] exists to trigger): appends keep the quantizer
+    * frozen, so sustained drift erodes recall until a re-train; this is
+    * the re-train. Centroids come from the deterministic md5-sampled
+    * path ([[sampledCentroids]] — oracle-checkable); the corpus
+    * re-encodes in full into a NEW directory (the [[removeFromTextIndex]]
+    * job-commit contract: the live index stays readable throughout and
+    * the caller swaps the ROOT atomically), every artifact tagged with
+    * model version = src version + 1 and the `model` marker written
+    * last, so a query against a mid-swap store refuses loudly
+    * ([[requireConsistentModel]]).
+    *
+    * @param df the current full-precision corpus (id + vector + any
+    *        payload columns — they ride into the rebuilt store verbatim)
+    * @return number of vectors in the refreshed index
+    */
+  def refreshIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      srcPath: String, dstPath: String, nClusters: Int,
+      salt: String = "refresh"): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(srcPath != dstPath,
+      "refreshIvfIndex writes a NEW directory (caller swaps atomically)")
+    require(graft.sources.PathState.classify(s"$srcPath/vectors", hconf) ==
+      graft.sources.PathState.Data,
+      s"refreshIvfIndex requires an existing index at '$srcPath' — a " +
+        "first build is writeIvfIndex")
+    val version = readModelVersion(spark, srcPath) + 1
+    val cents = sampledCentroids(df, idCol, vecCol, nClusters, salt)
+    writeIvfIndex(df, vecCol, cents, dstPath)
+    tagModelVersion(s"$dstPath/vectors", version, hconf)
+    tagModelVersion(s"$dstPath/centroids", version, hconf)
+    writeModelMarker(spark, dstPath, version, "ivf")
+    spark.read.parquet(s"$dstPath/vectors").count()
+  }
+
+  /** [[refreshIvfIndex]] for the flat PQ family: codebooks re-train on
+    * the current corpus via the deterministic sampled recipe
+    * ([[pqSampledCodebooks]]) and every vector re-encodes under them.
+    *
+    * @return number of vectors in the refreshed index
+    */
+  def refreshPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      srcPath: String, dstPath: String, dim: Int, m: Int,
+      ksub: Int): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(srcPath != dstPath,
+      "refreshPqIndex writes a NEW directory (caller swaps atomically)")
+    require(graft.sources.PathState.classify(s"$srcPath/codes", hconf) ==
+      graft.sources.PathState.Data,
+      s"refreshPqIndex requires an existing index at '$srcPath' — a " +
+        "first build is pqWriteIndex")
+    val version = readModelVersion(spark, srcPath) + 1
+    val cb = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
+    pqWriteIndex(df, idCol, vecCol, cb, dstPath)
+    tagModelVersion(s"$dstPath/codes", version, hconf)
+    tagModelVersion(s"$dstPath/codebooks", version, hconf)
+    writeModelMarker(spark, dstPath, version, "pq")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** [[refreshIvfIndex]] for the composed IVF-PQ family: BOTH models —
+    * coarse centroids and PQ codebooks — re-train on the current corpus
+    * (md5-sampled, so the whole refresh is DuckDB-replayable — q158) and
+    * the corpus re-encodes under them.
+    *
+    * @return number of vectors in the refreshed index
+    */
+  def refreshIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      srcPath: String, dstPath: String, nClusters: Int, dim: Int, m: Int,
+      ksub: Int, salt: String = "refresh"): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(srcPath != dstPath,
+      "refreshIvfPqIndex writes a NEW directory (caller swaps atomically)")
+    require(graft.sources.PathState.classify(s"$srcPath/codes", hconf) ==
+      graft.sources.PathState.Data,
+      s"refreshIvfPqIndex requires an existing index at '$srcPath' — a " +
+        "first build is writeIvfPqIndex")
+    requirePlainIvfPq(spark, srcPath, "refreshIvfPqIndex")
+    val version = readModelVersion(spark, srcPath) + 1
+    val cents = sampledCentroids(df, idCol, vecCol, nClusters, salt)
+    val cb = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
+    writeIvfPqIndex(df, idCol, vecCol, cents, cb, dstPath)
+    tagModelVersion(s"$dstPath/codes", version, hconf)
+    tagModelVersion(s"$dstPath/centroids", version, hconf)
+    tagModelVersion(s"$dstPath/codebooks", version, hconf)
+    writeModelMarker(spark, dstPath, version, "ivfpq")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** [[refreshIvfPqIndex]] for the RESIDUAL family: centroids re-sample,
+    * residual codebooks re-train against them
+    * ([[pqResidualSampledCodebooks]]), full re-encode; the
+    * `fp_residual` encoding marker rides into the new generation (and is
+    * version-tagged like the other sidecars).
+    *
+    * @return number of vectors in the refreshed index
+    */
+  def refreshIvfPqResidualIndex(df: DataFrame, idCol: String,
+      vecCol: String, srcPath: String, dstPath: String, nClusters: Int,
+      dim: Int, m: Int, ksub: Int, salt: String = "refresh"): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(srcPath != dstPath,
+      "refreshIvfPqResidualIndex writes a NEW directory (caller swaps atomically)")
+    require(graft.sources.PathState.classify(s"$srcPath/codes", hconf) ==
+      graft.sources.PathState.Data,
+      s"refreshIvfPqResidualIndex requires an existing index at '$srcPath' " +
+        "— a first build is writeIvfPqResidualIndex")
+    requireResidualIvfPq(spark, srcPath, "refreshIvfPqResidualIndex")
+    val version = readModelVersion(spark, srcPath) + 1
+    val cents = sampledCentroids(df, idCol, vecCol, nClusters, salt)
+    val cb = pqResidualSampledCodebooks(df, idCol, vecCol, cents, dim, m, ksub)
+    writeIvfPqResidualIndex(df, idCol, vecCol, cents, cb, dstPath)
+    tagModelVersion(s"$dstPath/codes", version, hconf)
+    tagModelVersion(s"$dstPath/centroids", version, hconf)
+    tagModelVersion(s"$dstPath/codebooks", version, hconf)
+    tagModelVersion(s"$dstPath/encoding", version, hconf)
+    writeModelMarker(spark, dstPath, version, "ivfpq_residual")
+    spark.read.parquet(s"$dstPath/codes").count()
   }
 
   /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the

@@ -1041,6 +1041,185 @@ class SearchSpec extends SparkSpec {
     assert(r >= 0.5, s"learned-centroid recall@1 too low: $r")
   }
 
+  test("quantizer refresh: refreshed ≡ fresh build under the new model for all four families; versions chain; mid-swap refusal") {
+    def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val seedCents = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+    val q = vecs(0L)
+
+    // ---- IVF ----
+    val (ivf1, ivf2, ivfF) = (tmp("rfi1"), tmp("rfi2"), tmp("rfiF"))
+    Search.writeIvfIndex(corpus, "embedding", seedCents, ivf1)
+    assert(Search.readModelVersion(spark, ivf1) == 0L) // legacy: no marker
+    val n = Search.refreshIvfIndex(corpus, "vec_id", "embedding", ivf1, ivf2,
+      nClusters = 8, salt = "rf")
+    assert(n == corpus.count())
+    assert(Search.readModelVersion(spark, ivf2) == 1L)
+    // fresh build under the SAME sampled model ≡ the refreshed store
+    val sampled = Search.sampledCentroids(corpus, "vec_id", "embedding", 8, "rf")
+    Search.writeIvfIndex(corpus, "embedding", sampled, ivfF)
+    def vecSet(p: String) = spark.read.parquet(s"$p/vectors")
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(vecSet(ivf2) == vecSet(ivfF))
+    assert(Search.readIvfCentroids(spark, ivf2).map(_._1) == sampled.map(_._1))
+    assert(Search.readIvfCentroids(spark, ivf2).zip(sampled)
+      .forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(Search.ivfTopKFromIndex(spark, ivf2, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Search.ivfTopKFromIndex(spark, ivfF, "embedding", q, 5, 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+    // versions chain across refresh generations
+    val ivf3 = tmp("rfi3")
+    Search.refreshIvfIndex(corpus, "vec_id", "embedding", ivf2, ivf3,
+      nClusters = 8, salt = "rf2")
+    assert(Search.readModelVersion(spark, ivf3) == 2L)
+    // mid-swap store refuses: the vectors artifact of one generation under
+    // another generation's sidecars/marker
+    val stale = java.nio.file.Paths.get(ivf2, "vectors", "_v1")
+    java.nio.file.Files.delete(stale)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(ivf2, "vectors", "_v99"))
+    val e1 = intercept[IllegalArgumentException] {
+      Search.ivfTopKFromIndex(spark, ivf2, "embedding", q, 5, 2) }
+    assert(e1.getMessage.contains("mid-swap"))
+    // ...and an UNTAGGED artifact under a marked store refuses too (the
+    // pre-refresh generation left in place by a half-done swap)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ivf2, "vectors", "_v99"))
+    val e2 = intercept[IllegalArgumentException] {
+      Search.ivfTopKFromIndex(spark, ivf2, "embedding", q, 5, 2) }
+    assert(e2.getMessage.contains("model tag"))
+
+    // ---- flat PQ ----
+    val (pq1, pq2, pqF) = (tmp("rfp1"), tmp("rfp2"), tmp("rfpF"))
+    val cbOld = Search.pqSampledCodebooks(emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", 64, 8, 16)
+    Search.pqWriteIndex(corpus, "vec_id", "embedding", cbOld, pq1)
+    Search.refreshPqIndex(corpus, "vec_id", "embedding", pq1, pq2, 64, 8, 16)
+    assert(Search.readModelVersion(spark, pq2) == 1L)
+    val cbNew = Search.pqSampledCodebooks(corpus, "vec_id", "embedding", 64, 8, 16)
+    Search.pqWriteIndex(corpus, "vec_id", "embedding", cbNew, pqF)
+    def codeSet(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("pq_codes").cast("array<int>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSet
+    assert(codeSet(pq2) == codeSet(pqF))
+    assert(Search.pqTopKFromIndex(spark, pq2, corpus, "vec_id", "embedding",
+      q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Search.pqTopKFromIndex(spark, pqF, corpus, "vec_id", "embedding",
+        q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq)
+
+    // ---- composed IVF-PQ ----
+    val (ip1, ip2, ipF) = (tmp("rfc1"), tmp("rfc2"), tmp("rfcF"))
+    Search.writeIvfPqIndex(corpus, "vec_id", "embedding", seedCents, cbOld, ip1)
+    Search.refreshIvfPqIndex(corpus, "vec_id", "embedding", ip1, ip2,
+      nClusters = 8, dim = 64, m = 8, ksub = 16, salt = "rf")
+    assert(Search.readModelVersion(spark, ip2) == 1L)
+    Search.writeIvfPqIndex(corpus, "vec_id", "embedding", sampled, cbNew, ipF)
+    def ivfpqSet(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("cluster_id"),
+        col("pq_codes").cast("array<int>")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(ivfpqSet(ip2) == ivfpqSet(ipF))
+    assert(Search.ivfPqTopKFromIndex(spark, ip2, corpus, "vec_id",
+      "embedding", q, 10, 4, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Search.ivfPqTopKFromIndex(spark, ipF, corpus, "vec_id",
+        "embedding", q, 10, 4, 50)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+    // family guard: plain refresh refuses a residual store and vice versa
+    val (rs1, rs2, rsF) = (tmp("rfr1"), tmp("rfr2"), tmp("rfrF"))
+    val cbResOld = Search.pqResidualSampledCodebooks(corpus, "vec_id",
+      "embedding", seedCents, 64, 8, 16)
+    Search.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", seedCents,
+      cbResOld, rs1)
+    intercept[IllegalArgumentException] {
+      Search.refreshIvfPqIndex(corpus, "vec_id", "embedding", rs1,
+        tmp("rfx"), 8, 64, 8, 16) }
+    intercept[IllegalArgumentException] {
+      Search.refreshIvfPqResidualIndex(corpus, "vec_id", "embedding", ip1,
+        tmp("rfy"), 8, 64, 8, 16) }
+
+    // ---- residual IVF-PQ ----
+    Search.refreshIvfPqResidualIndex(corpus, "vec_id", "embedding", rs1, rs2,
+      nClusters = 8, dim = 64, m = 8, ksub = 16, salt = "rf")
+    assert(Search.readModelVersion(spark, rs2) == 1L)
+    val cbResNew = Search.pqResidualSampledCodebooks(corpus, "vec_id",
+      "embedding", sampled, 64, 8, 16)
+    Search.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", sampled,
+      cbResNew, rsF)
+    assert(ivfpqSet(rs2) == ivfpqSet(rsF))
+    assert(Search.ivfPqResidualTopKFromIndex(spark, rs2, corpus, "vec_id",
+      "embedding", q, 10, 4, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Search.ivfPqResidualTopKFromIndex(spark, rsF, corpus, "vec_id",
+        "embedding", q, 10, 4, 50)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+    // refresh requires an existing generation (a first build is writeX)
+    intercept[IllegalArgumentException] {
+      Search.refreshIvfIndex(corpus, "vec_id", "embedding", tmp("rfz"),
+        tmp("rfz2"), 8) }
+  }
+
+  test("quantizer refresh recovers recall after drift (the ivfDriftStats → refresh loop)") {
+    import spark.implicits._
+    // region A: 40 vectors hugging axes e0..e3; region B (the drift): 40
+    // vectors hugging axes e4..e7. The tiny perturbation rides on A-axis
+    // id%3 — DECORRELATED from the group axis id%4 — so under the frozen
+    // A-trained quantizer a B group's members scatter across clusters
+    // (their dominant axis is orthogonal to every centroid; the argmax is
+    // decided by the perturbation), which is exactly what drift does to
+    // recall. Deterministic, every vector unique (magnitude varies by id).
+    val dim = 8
+    def v(axis: Int, id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 1.0f
+      a((id % 3).toInt) = a((id % 3).toInt) + 0.02f * ((id % 5) + 1)
+      a.toSeq
+    }
+    val aRows = (1L to 40L).map(id => (id, v((id % 4).toInt, id)))
+    val bRows = (101L to 140L).map(id => (id, v(4 + (id % 4).toInt, id)))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val all = aRows ++ bRows
+    val dir1 = java.nio.file.Files.createTempDirectory("drift1").toString
+    // v1 quantizer trained when only region A existed
+    val centsA = Search.sampledCentroids(a, "vec_id", "embedding", 4, "d1")
+    Search.writeIvfIndex(a, "embedding", centsA, dir1)
+    // the corpus drifts: region B appends under the FROZEN quantizer
+    assert(Search.appendIvfIndex(b, "vec_id", "embedding", dir1) == 40L)
+    def recallAt(path: String, nProbe: Int): Double = {
+      val queries = bRows.take(10)
+      val hits = queries.map { case (qid, qv) =>
+        val exact = all.filter(_._1 != qid)
+          .map { case (id, w) => (id, cosRef(w, qv)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+        val got = Search.ivfTopKFromIndex(spark, path, "embedding",
+            qv, k = 6, nProbe = nProbe)
+          .select("vec_id").collect().map(_.getLong(0))
+          .filter(_ != qid).take(5).toSet
+        exact.intersect(got).size.toDouble / 5.0
+      }
+      hits.sum / hits.size
+    }
+    val drifted = recallAt(dir1, 1)
+    // drift stats SHOW the problem: region-B vectors sit far from every
+    // region-A centroid, so some cluster's mean similarity is poor
+    val stats = Search.ivfDriftStats(spark, dir1, "embedding").collect()
+    assert(stats.map(_.getDouble(2)).min < 0.7,
+      "drifted store should show a low mean-similarity cluster")
+    // the refresh re-trains on the CURRENT corpus and recovers recall
+    val dir2 = java.nio.file.Files.createTempDirectory("drift2").toString
+    Search.refreshIvfIndex(a.unionByName(b), "vec_id", "embedding",
+      dir1, dir2, nClusters = 8, salt = "d2")
+    val refreshed = recallAt(dir2, 1)
+    assert(refreshed > drifted,
+      s"refresh should recover recall: drifted=$drifted refreshed=$refreshed")
+    val statsAfter = Search.ivfDriftStats(spark, dir2, "embedding").collect()
+    assert(statsAfter.map(_.getDouble(2)).min > stats.map(_.getDouble(2)).min,
+      "worst-cluster mean similarity should improve after the refresh")
+  }
+
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
 
   test("mmrRerank: λ=1 is pure relevance; diversity demotes a planted near-duplicate") {
