@@ -586,6 +586,33 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // the store serves exactly the fresh-build table.
     "q157_streaming_soft_dedup_weights" -> softDedupWeightsSql,
 
+    // Weighted token rebalance (q159): the q154 weight CTEs VERBATIM
+    // (same shared string), token counts reuse the chain's own tk CTE,
+    // the per-doc multiply is integer `//` both sides, and the threshold
+    // arithmetic is q79's spelling applied to the ADJUSTED masses.
+    "q159_weighted_token_rebalance" ->
+      (softDedupWeightsCtes + raw""",
+tkc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM tk),
+wt AS (
+  SELECT a.doc_id, CAST(a.doc_id % 3 AS VARCHAR) AS grp,
+    (t.n * CAST(1000000 // s.cluster_size AS BIGINT)) // 1000000 AS w_tok
+  FROM assigned a JOIN sizes s ON a.rep = s.rep
+  JOIN tkc t ON t.doc_id = a.doc_id),
+g AS (SELECT grp, CAST(sum(w_tok) AS BIGINT) AS tg FROM wt GROUP BY grp),
+tgt AS (SELECT * FROM (VALUES ('0', 0.5), ('1', 0.3), ('2', 0.2)) s(grp, share)),
+m AS (
+  SELECT min(g.tg::DOUBLE / tgt.share) AS m
+  FROM g JOIN tgt USING (grp) WHERE g.tg > 0),
+th AS (
+  SELECT g.grp,
+    CAST(floor(least(1.0, m.m * tgt.share / g.tg::DOUBLE) * 1152921504606846976) AS BIGINT) AS thr
+  FROM g JOIN tgt USING (grp), m WHERE g.tg > 0),
+kept AS (
+  SELECT wt.grp, wt.w_tok FROM wt JOIN th USING (grp)
+  WHERE ('0x' || substr(md5('wmix' || wt.doc_id::VARCHAR), 1, 15))::BIGINT < th.thr)
+SELECT grp, count(*) AS n_kept, CAST(sum(w_tok) AS BIGINT) AS wtokens_kept
+FROM kept GROUP BY grp ORDER BY grp"""),
+
     // Duplication-aware sampling (q155): the q154 weight CTEs VERBATIM
     // (same shared string), then the weightedSamplePerGroup priority
     // replayed exactly — weight·2^40 div (md5-40bit(salt||key)+1), top-8

@@ -3485,6 +3485,38 @@ object Queries {
       .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
   }
 
+  /** Q159 — soft-dedup weights MULTIPLIED INTO a token-mass mix
+    * ([[graft.operators.Sampling.duplicationAdjustedTokens]] →
+    * [[graft.operators.Sampling.rebalanceTokenShares]] — the composition
+    * SURVEY R164 promised beyond q155's weighted draw): each doc's token
+    * count is scaled by its q154 ppm weight (integer `div`, so a near-dup
+    * cluster's total mass counts its content ONCE), and the rebalance
+    * thresholds derive from those ADJUSTED masses — a group padded with
+    * duplicate copies stops inflating its share of the mix. The oracle
+    * replays the full chain: q154's weight CTEs verbatim, the token
+    * multiply, then q79's threshold arithmetic over the adjusted masses.
+    */
+  def q159WeightedTokenRebalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.4)
+    val weighted = Dedup.softDedupWeights(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      .join(docs.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+      .withColumn("grp", (col("doc_id") % 3).cast("string"))
+      .withColumn("w_tok", Sampling.duplicationAdjustedTokens(
+        col("n_tok"), col("weight_ppm")))
+    Sampling.rebalanceTokenShares(weighted, col("grp"), col("doc_id"),
+        col("w_tok"),
+        targetShares = Map("0" -> 0.5, "1" -> 0.3, "2" -> 0.2), salt = "wmix")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("w_tok")).as("wtokens_kept"))
+      .orderBy(col("grp"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3645,5 +3677,6 @@ object Queries {
     "q156_incremental_soft_dedup_weights" -> q156IncrementalSoftDedupWeights _,
     "q157_streaming_soft_dedup_weights" -> q157StreamingSoftDedupWeights _,
     "q158_ivfpq_refresh" -> q158IvfPqRefresh _,
+    "q159_weighted_token_rebalance" -> q159WeightedTokenRebalance _,
   )
 }

@@ -256,6 +256,24 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Duplication-adjusted token count — the multiply-into-budget
+    * composition point between soft-dedup weights
+    * ([[graft.operators.Dedup.softDedupWeights]] — integer ppm, one
+    * document of total mass per near-dup cluster) and the token-mass
+    * mixers ([[rebalanceTokenShares]], [[tokenBudgetFilter]]):
+    * `token_count × weight_ppm div 1e6`, INTEGER arithmetic end to end so
+    * the oracle replays it exactly (q159). Feeding the adjusted count
+    * into a mixer makes group token masses count duplicated CONTENT once
+    * — a group padded with near-dup copies stops inflating its share /
+    * eating its budget, without hard-dropping any row. Mass conservation:
+    * a cluster of n copies each with T tokens contributes
+    * n·((T·(1e6 div n)) div 1e6) ∈ (T − n·(1 + T/1e6), T] — the ≤ n ppm
+    * floor loss per member, SamplingSpec-pinned.
+    */
+  def duplicationAdjustedTokens(tokenCount: Column, weightPpm: Column): Column =
+    call_function("div",
+      tokenCount.cast("long") * weightPpm.cast("long"), lit(1000000L))
+
   /** Stratified deterministic sampling — per-group fractions (the data-
     * mixing weights of a training corpus: "50% of src0, 10% of src1, 25%
     * of everything else"). Thresholds are computed driver-side as exact

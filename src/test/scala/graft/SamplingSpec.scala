@@ -506,4 +506,52 @@ class SamplingSpec extends SparkSpec {
     assert(out(2) == "server at <IP> is up")
     assert(out(3) == texts(3))
   }
+
+  test("duplicationAdjustedTokens: per-cluster mass conservation; dup-padded group stops inflating the mix") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // property (seeded trials): a cluster of n copies with T tokens each
+    // contributes n·((T·(1e6 div n)) div 1e6) ∈ (T − n·(1 + T/1e6), T] —
+    // the corpus counts duplicated content ONCE, up to the documented
+    // ≤1-ppm-per-member floor loss
+    val rnd = new scala.util.Random(14L)
+    val clusters = (0 until 40).map { cid =>
+      (cid.toLong, rnd.nextInt(50) + 1, rnd.nextInt(10000).toLong) // (cid, n, T)
+    }
+    val rows = clusters.flatMap { case (cid, n, t) =>
+      (0 until n).map(i => (cid * 1000 + i, cid, t, 1000000L / n))
+    }.toDF("doc_id", "cid", "n_tok", "weight_ppm")
+    val adjusted = rows
+      .withColumn("w_tok",
+        Sampling.duplicationAdjustedTokens(col("n_tok"), col("weight_ppm")))
+      .groupBy(col("cid")).agg(sum(col("w_tok")).as("mass"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters.foreach { case (cid, n, t) =>
+      val mass = adjusted(cid)
+      assert(mass <= t, s"cluster $cid: mass $mass exceeds one copy's $t")
+      val floorLoss = n * (1.0 + t.toDouble / 1000000.0)
+      assert(mass > t - floorLoss - 1,
+        s"cluster $cid (n=$n, T=$t): mass $mass lost more than the ppm floor")
+    }
+    // the composition is the point: group B padded with 9 extra copies of
+    // every doc has ~10× the RAW token mass of group A, but the SAME
+    // adjusted mass — so rebalance to 50/50 keeps thresholds honest
+    // instead of letting the duplicates claim 10× the share
+    val a = (0L until 20L).map(i => (i, "A", 100L, 1000000L))
+    val b = (0L until 20L).flatMap(i =>
+      (0 until 10).map(c => (1000L + i * 10 + c, "B", 100L, 100000L)))
+    val mix = (a ++ b).toDF("doc_id", "grp", "n_tok", "weight_ppm")
+      .withColumn("w_tok",
+        Sampling.duplicationAdjustedTokens(col("n_tok"), col("weight_ppm")))
+    val masses = mix.groupBy(col("grp")).agg(sum(col("w_tok")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(masses("A") == 2000L && masses("B") == 2000L,
+      s"adjusted masses should match across the padded group: $masses")
+    val kept = Sampling.rebalanceTokenShares(mix, col("grp"), col("doc_id"),
+        col("w_tok"), targetShares = Map("A" -> 0.5, "B" -> 0.5), salt = "mc")
+      .groupBy(col("grp")).agg(sum(col("w_tok")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal adjusted masses + equal shares ⇒ both groups kept whole
+    assert(kept == masses, s"50/50 over equal adjusted masses: $kept")
+  }
 }
