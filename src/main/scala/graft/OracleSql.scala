@@ -613,6 +613,225 @@ kept AS (
 SELECT grp, count(*) AS n_kept, CAST(sum(w_tok) AS BIGINT) AS wtokens_kept
 FROM kept GROUP BY grp ORDER BY grp"""),
 
+    // Capstone curation pipeline (q160): all eight stages replayed in one
+    // CTE chain — corpus construct (line synthesis + marker-planted
+    // copies), the q88 Gopher + trigram-LM gates, q82's line dedup over
+    // the survivors, q48/q154's minhash→closure→weights at threshold 0.3,
+    // q71's 8-gram contamination screen vs the raw doc_id<5 bench, q94's
+    // temperature thresholds over DEDUP-ADJUSTED token mass, q73's
+    // first-fit pack recursion, q113's shuffle rank. Sentinel/coalesce
+    // types mirror the Spark provenance row exactly (INT flags, BIGINT
+    // masses/ids/ranks).
+    "q160_curation_pipeline" ->
+      raw"""WITH RECURSIVE raw0 AS MATERIALIZED (
+  SELECT doc_id, lang, regexp_replace(text, ' (table|row) ', chr(10), 'g') AS text
+  FROM documents),
+planted AS (
+  SELECT doc_id + off AS doc_id, lang,
+    mk || replace(regexp_replace(text, ' (table|row) ', chr(10), 'g'),
+                  chr(10), chr(10) || mk) AS text
+  FROM (
+    SELECT doc_id, lang, text,
+      array_to_string(list_transform(generate_series(1, 6), k ->
+        CASE substr((doc_id + o.off)::VARCHAR, k, 1)
+          WHEN '0' THEN 'the' WHEN '1' THEN 'row' WHEN '2' THEN 'key'
+          WHEN '3' THEN 'data' WHEN '4' THEN 'join' WHEN '5' THEN 'sort'
+          WHEN '6' THEN 'fast' WHEN '7' THEN 'line' WHEN '8' THEN 'hash'
+          ELSE 'group' END), ' ') || ' ' AS mk,
+      o.off
+    FROM documents, (SELECT unnest([100000, 200000]) AS off) o
+    WHERE doc_id < 60)),
+corpus AS MATERIALIZED (SELECT * FROM raw0 UNION ALL SELECT * FROM planted),
+d AS (
+  SELECT doc_id, lang, text, $toks AS tk,
+    list_filter(
+      list_transform(string_split(text, chr(10)),
+        l -> regexp_replace(l, '^\s+|\s+$$', '', 'g')),
+      l -> length(l) > 0) AS ls
+  FROM corpus),
+m AS (
+  SELECT doc_id, lang, text,
+    CAST(len(tk) AS INT) AS word_cnt,
+    CASE WHEN len(tk) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) END AS mwl,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dlr,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls) END AS blr,
+    CASE WHEN len(ls) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$$'))) AS DOUBLE) / len(ls) END AS elr,
+    len(list_intersect(tk, ['the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','be','this'])) AS stop_hits
+  FROM d),
+g AS MATERIALIZED (
+  SELECT doc_id, lang, text,
+    CASE WHEN word_cnt >= 50 AND word_cnt <= 100000
+          AND mwl >= 3.0 AND mwl <= 10.0
+          AND dlr < 0.3 AND blr < 0.9 AND elr < 0.3
+          AND stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
+  FROM m),
+ref AS (SELECT text AS t FROM corpus WHERE doc_id >= 100 AND doc_id < 100000),
+rt AS (
+  SELECT unnest(list_transform(generate_series(1, length(t) - 2), i -> lower(substr(t, i, 3)))) AS tri
+  FROM ref WHERE length(t) >= 3),
+m0 AS (SELECT tri, count(*) AS n_tri FROM rt GROUP BY tri),
+mdl AS (
+  SELECT tri,
+    ln(n_tri::DOUBLE / sum(n_tri) OVER (PARTITION BY substr(tri, 1, 2))) AS logp
+  FROM m0),
+sd AS (SELECT doc_id, text FROM g WHERE gopher_pass = 1 AND length(text) >= 3),
+dt AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(text) - 2), i -> lower(substr(text, i, 3)))) AS tri
+  FROM sd),
+sc AS (
+  SELECT doc_id,
+    CAST(sum(CAST(coalesce(mdl.logp, -23.025850929940457) AS DECIMAL(24,12))) AS DOUBLE) / count(*) AS avg_logp
+  FROM dt LEFT JOIN mdl USING (tri) GROUP BY doc_id),
+rk AS (
+  SELECT doc_id, avg_logp,
+    row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rnk,
+    count(*) OVER () AS mm
+  FROM sc),
+lmk AS MATERIALIZED (SELECT doc_id FROM rk WHERE rnk * 2 <= mm + 1),
+l0 AS MATERIALIZED (SELECT g.doc_id, g.lang, g.text FROM g JOIN lmk USING (doc_id)),
+ls2 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM l0),
+l AS (
+  SELECT ls2.doc_id, i.i AS idx, ls2.l[i.i] AS line
+  FROM ls2, LATERAL (SELECT unnest(generate_series(1, len(ls2.l))) AS i) i
+  WHERE length(trim(ls2.l[i.i])) > 0),
+k AS (SELECT doc_id, idx, line,
+        row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      FROM l),
+r AS (SELECT doc_id,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx) AS txt
+      FROM k GROUP BY doc_id),
+reb AS MATERIALIZED (
+  SELECT l0.doc_id, l0.lang, r.txt AS text
+  FROM l0 JOIN r USING (doc_id) WHERE r.n_kept > 0),
+tkc AS (SELECT doc_id, lang, $toks AS tk FROM reb),
+tkn AS MATERIALIZED (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tok, tk FROM tkc),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+  FROM tkn),
+shf AS MATERIALIZED (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      s -> list_min(list_transform(sh, x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+  FROM shf),
+banded AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, 3),
+      b -> concat_ws(',', b::VARCHAR || ':',
+        array_to_string(list_transform(sig[b*3+1:b*3+3], v -> v::VARCHAR), ',')))) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+prs AS MATERIALIZED (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN shf x ON x.doc_id = c.id1 JOIN shf y ON y.doc_id = c.id2
+  WHERE len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.3),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM prs
+  UNION ALL SELECT id2, id1 FROM prs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+clusters AS (SELECT id, min(label) AS rep FROM reach GROUP BY id),
+assigned AS MATERIALIZED (
+  SELECT t.doc_id, coalesce(c.rep, t.doc_id) AS rep
+  FROM tkn t LEFT JOIN clusters c ON t.doc_id = c.id),
+sizes AS (SELECT rep, count(*) AS cluster_size FROM assigned GROUP BY rep),
+wts AS MATERIALIZED (
+  SELECT a.doc_id, CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+  FROM assigned a JOIN sizes s ON a.rep = s.rep),
+btk AS (SELECT $toks AS tk FROM raw0 WHERE doc_id < 5),
+bg AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) < 8 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' '))) END) AS gram
+  FROM btk),
+dg0 AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 8 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' '))) END AS grams
+  FROM tkn),
+ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM dg0) x
+  JOIN bg USING (gram) GROUP BY doc_id),
+s5 AS MATERIALIZED (
+  SELECT t.doc_id, t.lang, t.n_tok, w.weight_ppm,
+    CASE WHEN len(d0.grams) > 0
+          AND coalesce(ov.n_overlap, 0) * 2 >= len(d0.grams)
+         THEN 1 ELSE 0 END AS contam
+  FROM tkn t JOIN wts w USING (doc_id) JOIN dg0 d0 USING (doc_id)
+  LEFT JOIN ov USING (doc_id)),
+c5 AS MATERIALIZED (
+  SELECT *, (n_tok * weight_ppm) // 1000000 AS w_tok
+  FROM s5 WHERE contam = 0),
+mg AS MATERIALIZED (SELECT lang, CAST(sum(w_tok) AS BIGINT) AS mass FROM c5 GROUP BY lang
+       HAVING sum(w_tok) > 0),
+tot AS (SELECT CAST(sum(mass) AS DOUBLE) AS total FROM mg),
+qv AS MATERIALIZED (SELECT lang, mass, pow(mass / tot.total, 0.5) AS q FROM mg, tot),
+kv AS (SELECT min(mass / q) AS k FROM qv),
+th AS (SELECT lang,
+  CAST(floor(least(1.0, kv.k * q / mass) * 1152921504606846976) AS BIGINT) AS thr
+  FROM qv, kv),
+mixed AS MATERIALIZED (
+  SELECT c5.doc_id, c5.n_tok, c5.w_tok FROM c5 JOIN th USING (lang)
+  WHERE ('0x' || substr(md5('cp1' || c5.doc_id::VARCHAR), 1, 15))::BIGINT < th.thr),
+pt AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, n_tok AS n FROM mixed),
+lists AS (
+  SELECT shard, list(struct_pack(id := doc_id, n := n) ORDER BY doc_id) AS lst
+  FROM pt GROUP BY shard),
+f AS (
+  SELECT shard, lst, 1 AS idx,
+    CAST(0 AS BIGINT) AS pack, 0 AS pos, CAST(0 AS BIGINT) AS before_t
+  FROM lists WHERE len(lst) > 0
+  UNION ALL
+  SELECT shard, lst, idx + 1,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN pack + 1 ELSE pack END,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN 0 ELSE pos + 1 END,
+    CASE WHEN before_t + lst[idx].n + lst[idx + 1].n > 1000 THEN CAST(0 AS BIGINT)
+         ELSE before_t + lst[idx].n END
+  FROM f WHERE idx < len(lst)),
+pk AS (SELECT lst[idx].id AS doc_id, pack AS pack_id, pos AS pack_pos FROM f),
+shfl AS (
+  SELECT doc_id,
+    row_number() OVER (
+      ORDER BY ('0x' || substr(md5('cp2' || doc_id::VARCHAR), 1, 15))::BIGINT,
+               doc_id) AS shuffle_rank
+  FROM mixed)
+SELECT g.doc_id, g.gopher_pass,
+  CASE WHEN lmk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS lm_kept,
+  CASE WHEN reb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS line_kept,
+  coalesce(s5.weight_ppm, 0) AS weight_ppm,
+  coalesce(s5.contam, -1) AS contam,
+  coalesce(c5.w_tok, -1) AS w_tok,
+  CASE WHEN mixed.doc_id IS NOT NULL THEN 1 ELSE 0 END AS mix_kept,
+  coalesce(pk.pack_id, -1) AS pack_id,
+  coalesce(pk.pack_pos, -1) AS pack_pos,
+  coalesce(shfl.shuffle_rank, 0) AS shuffle_rank
+FROM g
+LEFT JOIN lmk USING (doc_id)
+LEFT JOIN reb USING (doc_id)
+LEFT JOIN s5 USING (doc_id)
+LEFT JOIN c5 USING (doc_id)
+LEFT JOIN mixed USING (doc_id)
+LEFT JOIN pk USING (doc_id)
+LEFT JOIN shfl USING (doc_id)
+ORDER BY doc_id""",
+
     // Duplication-aware sampling (q155): the q154 weight CTEs VERBATIM
     // (same shared string), then the weightedSamplePerGroup priority
     // replayed exactly — weight·2^40 div (md5-40bit(salt||key)+1), top-8

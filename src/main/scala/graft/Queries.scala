@@ -3517,6 +3517,171 @@ object Queries {
       .orderBy(col("grp"))
   }
 
+  /** Q160 — the CAPSTONE CURATION PIPELINE (VERDICT r13 item 3): every
+    * stage a real pretraining-data pipeline runs, composed end to end on
+    * one corpus and oracle-checked as ONE probe:
+    *
+    *   construct (line-synthesized corpus + marker-planted near-dup
+    *   copies of doc_id<60) → Gopher rule gate (q88) → trigram-LM gate,
+    *   top half by global rank (q88) → corpus-level line dedup across
+    *   the survivors, emptied docs dropped (q82) → near-dup SOFT WEIGHTS
+    *   over the rebuilt texts (q154, threshold 0.3 — the planted copies'
+    *   per-line markers survive line dedup but keep most 3-shingles) →
+    *   contamination screen vs the raw doc_id<5 benchmark, drop if
+    *   overlap ≥ half the doc's 8-grams (q71, integer form) →
+    *   temperature mix over DEDUP-ADJUSTED token mass
+    *   ([[graft.operators.Sampling.temperatureSampleByMass]] ×
+    *   [[graft.operators.Sampling.duplicationAdjustedTokens]], α=0.5) →
+    *   first-fit packing, 1000-token budget per doc_id%4 shard (q73) →
+    *   deterministic epoch shuffle (q113).
+    *
+    * One row per corpus doc with the FULL stage provenance (the q88
+    * per-doc-verdict discipline): each stage's verdict/assignment, with
+    * sentinels where the doc was already dropped — so per-stage survivor
+    * counts are one SUM away. The oracle replays all eight stages in a
+    * single CTE chain built from the q88/q82/q48-q154/q71/q94/q73/q113
+    * spellings.
+    */
+  def q160CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CheckpointStrategy, LmScore, Ranks, Sampling}
+    // S0 — corpus: lined base + TWO marker-planted sibling copies of each
+    // doc_id<60 original. Full-length copies keep the originals' Gopher
+    // stats and LM scores (so siblings survive the gates together —
+    // guaranteed near-dup pairs reach the weights stage); a per-doc
+    // marker PREFIXES every line, so every planted line is distinct
+    // (survives line dedup) while interior 3-shingles stay shared (real
+    // minhash pairs). The marker spells the 6-digit planted id as SIX
+    // COMMON CORPUS WORDS: anything OOV to the gate's trigram model
+    // (digit or letter jumbles, even English stopwords — the fixture text
+    // is a synthetic vocabulary) sinks every copy below the gate's
+    // median; in-vocabulary markers ride through like real prose.
+    val base = documents(s, dir).select(col("doc_id"), col("lang"),
+      regexp_replace(col("text"), " (table|row) ", "\n").as("text"))
+    // fixture-vocabulary words: the trigram gate's model is trained on
+    // THIS corpus, so markers must spell the id in its own common words —
+    // English stopwords (let alone digit/letter jumbles) are OOV trigrams
+    // that sink every planted copy below the gate's median
+    val digitWords = typedLit(Map(
+      "0" -> "the", "1" -> "row", "2" -> "key", "3" -> "data", "4" -> "join",
+      "5" -> "sort", "6" -> "fast", "7" -> "line", "8" -> "hash",
+      "9" -> "group"))
+    def plantCopy(off: Int) = {
+      val idStr = (col("doc_id") + off).cast("string")
+      val mk = concat((1 to 6).map(k =>
+        concat(element_at(digitWords, substring(idStr, k, 1)), lit(" "))): _*)
+      documents(s, dir).where(col("doc_id") < 60)
+        .select((col("doc_id") + off).as("doc_id"), col("lang"),
+          concat(mk, regexp_replace(
+            regexp_replace(col("text"), " (table|row) ", "\n"),
+            lit("\n"), concat(lit("\n"), mk))).as("text"))
+    }
+    val planted = plantCopy(100000).unionByName(plantCopy(200000))
+    // S1 — Gopher gate (materialized once: the regex-heavy rules feed the
+    // LM filter AND the final provenance join — the q88 discipline; Local
+    // is the deliberate single-JVM probe-harness choice, strategy matrix
+    // spec'd in DedupSpec)
+    val corpus = CheckpointStrategy.materialize(
+      base.unionByName(planted)
+        .withColumn("toks", TextFunctions.wordTokens(col("text")))
+        .withColumn("gopher_pass",
+          TextAnalysis.gopherRulesPass(col("text"), col("toks")))
+        .drop("toks"),
+      CheckpointStrategy.Local)
+    // S2 — trigram-LM gate: model on the untouched 100 ≤ id < 100000
+    // slice, survivors ranked shuffle-free, integer top-half rule
+    val model = LmScore.trainTrigramModel(
+      corpus.where(col("doc_id") >= 100 && col("doc_id") < 100000), col("text"))
+    val scored = CheckpointStrategy.materialize(
+      LmScore.scoreDocs(corpus.where(col("gopher_pass")), "doc_id",
+          col("text"), model)
+        .select(col("id").as("doc_id"), col("avg_logp")),
+      CheckpointStrategy.Local)
+    val total = scored.agg(count(lit(1)).as("_m"))
+    val lmKept = CheckpointStrategy.materialize(
+      Ranks.globalRank(scored,
+          Seq(col("avg_logp").desc, col("doc_id").asc), "rnk")
+        .crossJoin(broadcast(total))
+        .where(col("rnk") * 2 <= col("_m") + 1)
+        .select(col("doc_id")),
+      CheckpointStrategy.Local)
+    // S3 — corpus-level line dedup across the surviving set; docs whose
+    // every line was claimed drop out
+    val rebuilt = CheckpointStrategy.materialize(
+      Dedup.dedupLinesAcrossCorpus(
+          corpus.join(lmKept, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text")), "doc_id", "text")
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("text")),
+      CheckpointStrategy.Local)
+    val s3 = rebuilt
+      .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    // S4 — soft-dedup weights over the rebuilt survivor texts
+    val pairs = Dedup.minhashNearDupPairs(s3, "doc_id", "toks",
+      shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.3)
+    val weights = Dedup.softDedupWeights(
+      s3.select(col("doc_id")), "doc_id", pairs)
+    // S5 — contamination screen vs the RAW benchmark slice (docs 0–4 of
+    // the base corpus — an external eval set, independent of pipeline
+    // survival); integer gate: drop if overlap ≥ half the doc's 8-grams
+    val bench = base.where(col("doc_id") < 5)
+      .select(TextFunctions.wordTokens(col("text")).as("toks"))
+    val contam = Dedup.contaminationScores(
+        s3.select(col("doc_id"), col("toks")), "doc_id", "toks",
+        bench, "toks", n = 8)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_overlap"))
+    val s5 = CheckpointStrategy.materialize(
+      s3.select(col("doc_id"), col("lang"), col("n_tok"))
+        .join(weights.select(col("doc_id"), col("weight_ppm")), Seq("doc_id"))
+        .join(contam, Seq("doc_id"))
+        .withColumn("contam",
+          ((col("n_grams") > 0) && (col("n_overlap") * 2 >= col("n_grams")))
+            .cast("int")),
+      CheckpointStrategy.Local)
+    val clean5 = s5.where(col("contam") === 0)
+      .withColumn("w_tok", Sampling.duplicationAdjustedTokens(
+        col("n_tok"), col("weight_ppm")))
+    // S6 — temperature mix over dedup-adjusted token MASS (the weights
+    // folded into the mix: duplicated content counts once per share)
+    val mixed = CheckpointStrategy.materialize(
+      Sampling.temperatureSampleByMass(clean5, col("lang"), col("doc_id"),
+        col("w_tok"), alpha = 0.5, salt = "cp1"),
+      CheckpointStrategy.Local)
+    // S7 + S8 — pack the mix, then the deterministic epoch shuffle
+    val packed = Sampling.packSequences(
+      mixed.select(col("doc_id"),
+        (col("doc_id") % 4).cast("int").as("shard"), col("n_tok")),
+      "doc_id", "shard", "n_tok", budget = 1000)
+    val shuffled = Sampling.shuffleOrder(
+      mixed.select(col("doc_id")), col("doc_id"), salt = "cp2")
+    // provenance: one row per corpus doc, sentinels past the drop point
+    corpus.select(col("doc_id"), col("gopher_pass").cast("int").as("gopher_pass"))
+      .join(lmKept.withColumn("lm_kept", lit(1)), Seq("doc_id"), "left")
+      .join(rebuilt.select(col("doc_id")).withColumn("line_kept", lit(1)),
+        Seq("doc_id"), "left")
+      .join(s5.select(col("doc_id"), col("weight_ppm"), col("contam")),
+        Seq("doc_id"), "left")
+      .join(clean5.select(col("doc_id"), col("w_tok")), Seq("doc_id"), "left")
+      .join(mixed.select(col("doc_id")).withColumn("mix_kept", lit(1)),
+        Seq("doc_id"), "left")
+      .join(packed.select(col("id").as("doc_id"), col("pack_id"),
+        col("pack_pos")), Seq("doc_id"), "left")
+      .join(shuffled.select(col("doc_id"), col("shuffle_rank")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gopher_pass"),
+        coalesce(col("lm_kept"), lit(0)).as("lm_kept"),
+        coalesce(col("line_kept"), lit(0)).as("line_kept"),
+        coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"),
+        coalesce(col("contam"), lit(-1)).as("contam"),
+        coalesce(col("w_tok"), lit(-1L)).as("w_tok"),
+        coalesce(col("mix_kept"), lit(0)).as("mix_kept"),
+        coalesce(col("pack_id"), lit(-1L)).as("pack_id"),
+        coalesce(col("pack_pos"), lit(-1)).as("pack_pos"),
+        coalesce(col("shuffle_rank"), lit(0L)).as("shuffle_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3678,5 +3843,6 @@ object Queries {
     "q157_streaming_soft_dedup_weights" -> q157StreamingSoftDedupWeights _,
     "q158_ivfpq_refresh" -> q158IvfPqRefresh _,
     "q159_weighted_token_rebalance" -> q159WeightedTokenRebalance _,
+    "q160_curation_pipeline" -> q160CurationPipeline _,
   )
 }

@@ -382,6 +382,36 @@ object Sampling {
     df.where(sampleHash(keyCol, salt) < thresholdCol)
   }
 
+  /** [[temperatureSample]] over group MASS instead of row count — the
+    * form that composes with soft-dedup weights (q160): pass
+    * `massCol = duplicationAdjustedTokens(n_tok, weight_ppm)` and a
+    * group's share of the mix is its dedup-adjusted TOKEN mass, so
+    * duplicated content neither inflates a dominant domain nor steals a
+    * rare one's boost. Same driver-side exact-long + IEEE-double
+    * threshold arithmetic (the q94 spelling over sums instead of
+    * counts); groups with zero mass are dropped like
+    * [[rebalanceTokenShares]]'s empty groups.
+    */
+  def temperatureSampleByMass(df: DataFrame, groupCol: Column, keyCol: Column,
+      massCol: Column, alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val masses = df.groupBy(groupCol.as("_g"))
+      .agg(sum(massCol.cast("long")).as("_m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter { case (_, m) => m > 0 }
+    require(masses.nonEmpty, "temperatureSampleByMass: no group has mass")
+    val total = masses.values.sum.toDouble
+    val q = masses.map { case (g, m) => g -> math.pow(m / total, alpha) }
+    val k = masses.map { case (g, m) => m / q(g) }.min
+    val thresholds = masses.map { case (g, m) =>
+      g -> math.floor(math.min(1.0, k * q(g) / m) * HashSpace).toLong
+    }
+    val thresholdCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (g, t)) => when(groupCol === g, lit(t)).otherwise(acc)
+    }
+    df.where(sampleHash(keyCol, salt) < thresholdCol)
+  }
+
   /** Greedy sequence packing (EXT): assign documents to fixed-token-budget
     * training contexts ("packs"). Within each shard, documents are taken in
     * ascending id order and a document OPENS A NEW PACK iff the current

@@ -507,6 +507,40 @@ class SamplingSpec extends SparkSpec {
     assert(out(3) == texts(3))
   }
 
+  test("temperatureSampleByMass: unit mass ≡ row-count form; mass shifts the thresholds; zero-mass group dropped") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 300L).map(i => (i, if (i % 10 < 7) "big" else "small"))
+      .toDF("doc_id", "grp").withColumn("one", lit(1L))
+    // with unit mass the by-mass form IS temperatureSample (same counts,
+    // same thresholds, same hash) — row-for-row identical
+    val a = Sampling.temperatureSample(df, col("grp"), col("doc_id"),
+      alpha = 0.5, salt = "tm").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSampleByMass(df, col("grp"), col("doc_id"),
+      col("one"), alpha = 0.5, salt = "tm")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // mass (not row count) drives the damping: give the row-minority
+    // group the token majority and alpha=0 must downsample the OTHER one
+    val wdf = df.withColumn("mass",
+      when(col("grp") === "small", lit(100L)).otherwise(lit(1L)))
+    val kept = Sampling.temperatureSampleByMass(wdf, col("grp"), col("doc_id"),
+        col("mass"), alpha = 0.0, salt = "tm2")
+      .groupBy("grp").agg(sum("mass").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small holds ~9000 of ~9210 mass; at alpha=0 both groups target equal
+    // mass, so small is heavily downsampled while big keeps everything
+    assert(kept("big") == 210L, s"big should keep all its mass: $kept")
+    assert(kept("small") < 9000L / 4, s"small should be damped hard: $kept")
+    // a zero-mass group never samples
+    val zdf = df.withColumn("mass",
+      when(col("grp") === "small", lit(0L)).otherwise(lit(1L)))
+    val zg = Sampling.temperatureSampleByMass(zdf, col("grp"), col("doc_id"),
+        col("mass"), alpha = 0.5, salt = "tm3")
+      .select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(zg == Set("big"))
+  }
+
   test("duplicationAdjustedTokens: per-cluster mass conservation; dup-padded group stops inflating the mix") {
     import spark.implicits._
     import graft.operators.Sampling
