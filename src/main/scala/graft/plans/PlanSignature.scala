@@ -107,7 +107,18 @@ object PlanSignature {
     * stats (q155 — the exchange above its assignment join comes and
     * goes between runs; both variants are healthy, so gating it would
     * only make Verify flaky — caught live when the gate tripped on the
-    * variant flip, r13).
+    * variant flip, r13; q159 and q160 — same mechanism, r14: q159's
+    * checkpointed weights table feeds an inner join whose broadcast
+    * SIDE flips between runs (caught at sf0.01 on the second full
+    * Verify of the signing session), and q160's eight-stage provenance
+    * chain re-plans exchange placement around its checkpointed stage
+    * frames (caught at sf0.1 on the first gate run after signing).
+    * Both removed per the q155 protocol rather than re-snapped — the
+    * flips would come back; forcing broadcast hints to stabilize them
+    * would encode a harness-size assumption the operators explicitly
+    * reject at 100 TB (the weights map is data-scale). The gate doing
+    * the catching IS the detection mechanism working: three live
+    * catches across r13–r14.
     */
   val flagshipProbes: Seq[String] = Seq(
     "q01_pricing_summary", "q03_region_customers", "q05_big_spenders_semi",
@@ -123,16 +134,17 @@ object PlanSignature {
     "q140_bloom_pruned_join", "q148_ivf_pq", "q149_incremental_update",
     "q151_ivf_pq_residual", "q152_index_pipeline_768",
     "q154_soft_dedup_weights", "q156_incremental_soft_dedup_weights",
-    "q157_streaming_soft_dedup_weights")
+    "q157_streaming_soft_dedup_weights", "q158_ivfpq_refresh")
 
-  /** Probes signed at sf0.01 ONLY — the heavy composites (many-second
-    * sf0.1 runs) where a second scale's signature buys gate latency, not
-    * structural coverage (VERDICT r12 item 3's "keep the gate fast"
-    * guidance). Every other flagship signs at every captured scale.
+  /** Probes signed at sf0.01 ONLY. EMPTY since round 14 (VERDICT r13
+    * item 6): the heavy composites q88/q128/q149 formerly skipped sf0.1
+    * for gate latency; they now sign at both scales — the sf0.1 gate only
+    * runs in the builder's own close-out Verify (the driver gates at
+    * sf0.01), so the latency buys real two-scale coverage with no silent
+    * holes. The mechanism stays for a future probe that genuinely cannot
+    * sign at a scale — document the reason here when adding one.
     */
-  val sf001OnlyProbes: Set[String] = Set(
-    "q88_curation_funnel", "q128_incremental_sequence_dedup",
-    "q149_incremental_update")
+  val sf001OnlyProbes: Set[String] = Set.empty
 
   /** The gate set for one scale key. */
   def probesFor(sfKey: String): Seq[String] =
