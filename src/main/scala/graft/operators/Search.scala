@@ -254,6 +254,7 @@ object Search {
       .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
     spark.read.parquet(s"$srcPath/centroids")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
     spark.read.parquet(s"$dstPath/vectors").count()
   }
 
@@ -347,6 +348,7 @@ object Search {
       .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
     spark.read.parquet(s"$srcPath/centroids")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
     spark.read.parquet(s"$dstPath/vectors").count()
   }
 
@@ -1549,6 +1551,8 @@ object Search {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
     spark.read.parquet(s"$srcPath/codebooks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    carryModelMarker(spark, srcPath, dstPath,
+      Seq("codes", "centroids", "codebooks"))
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
@@ -1580,6 +1584,8 @@ object Search {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
     spark.read.parquet(s"$srcPath/codebooks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    carryModelMarker(spark, srcPath, dstPath,
+      Seq("codes", "centroids", "codebooks"))
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
@@ -1840,6 +1846,8 @@ object Search {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(s"$dstPath/codes")
     copyIvfPqSidecars(spark, srcPath, dstPath, withEncoding = true)
+    carryModelMarker(spark, srcPath, dstPath,
+      Seq("codes", "centroids", "codebooks", "encoding"))
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
@@ -1865,6 +1873,8 @@ object Search {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(s"$dstPath/codes")
     copyIvfPqSidecars(spark, srcPath, dstPath, withEncoding = true)
+    carryModelMarker(spark, srcPath, dstPath,
+      Seq("codes", "centroids", "codebooks", "encoding"))
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
@@ -1896,6 +1906,7 @@ object Search {
       .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
     spark.read.parquet(s"$srcPath/codebooks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    carryModelMarker(spark, srcPath, dstPath, Seq("codes", "codebooks"))
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
@@ -1921,6 +1932,7 @@ object Search {
       .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
     spark.read.parquet(s"$srcPath/codebooks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    carryModelMarker(spark, srcPath, dstPath, Seq("codes", "codebooks"))
     spark.read.parquet(s"$dstPath/codes").count()
   }
 
@@ -1934,6 +1946,7 @@ object Search {
     val n = removeFromPqIndex(spark, srcPath, dstPath, removeIds, idCol)
     spark.read.parquet(s"$srcPath/rotation")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    carryModelMarker(spark, srcPath, dstPath, Seq("rotation"))
     n
   }
 
@@ -1953,6 +1966,7 @@ object Search {
       idCol, vecCol)
     spark.read.parquet(s"$srcPath/rotation")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    carryModelMarker(spark, srcPath, dstPath, Seq("rotation"))
     n
   }
 
@@ -2048,7 +2062,8 @@ object Search {
     if (PathState.classify(s"$path/model", hconf) != PathState.Data) return
     val version = spark.read.parquet(s"$path/model")
       .select(col("model_version")).head().getLong(0)
-    Seq("vectors", "codes", "centroids", "codebooks", "encoding").foreach { a =>
+    Seq("vectors", "codes", "centroids", "codebooks", "encoding",
+        "rotation").foreach { a =>
       artifactTags(s"$path/$a", hconf).foreach { tags =>
         require(tags == Set(version),
           s"$op: '$path/$a' carries model tag(s) " +
@@ -2058,6 +2073,29 @@ object Search {
             "refusing to serve it")
       }
     }
+  }
+
+  /** Carry a refreshed store's model-version marker and artifact tags
+    * through a new-directory CRUD rewrite: remove/update keep the FROZEN
+    * model by contract, so the destination is the SAME model generation
+    * and must say so — without this, one update after a refresh would
+    * silently drop the mid-swap protection [[requireConsistentModel]]
+    * provides (the dst would read as a legacy unmarked store). Legacy
+    * sources (no marker) copy nothing — zero behavior change.
+    */
+  private def carryModelMarker(spark: SparkSession, srcPath: String,
+      dstPath: String, artifacts: Seq[String]): Unit = {
+    import graft.sources.PathState
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (PathState.classify(s"$srcPath/model", hconf) != PathState.Data) return
+    val row = spark.read.parquet(s"$srcPath/model")
+      .select(col("model_version"), col("family")).head()
+    artifacts.foreach { a =>
+      val p = new org.apache.hadoop.fs.Path(s"$dstPath/$a")
+      if (p.getFileSystem(hconf).exists(p))
+        tagModelVersion(s"$dstPath/$a", row.getLong(0), hconf)
+    }
+    writeModelMarker(spark, dstPath, row.getLong(0), row.getString(1))
   }
 
   /** Re-train the coarse quantizer of a persisted IVF index on the
@@ -2183,6 +2221,147 @@ object Search {
     tagModelVersion(s"$dstPath/encoding", version, hconf)
     writeModelMarker(spark, dstPath, version, "ivfpq_residual")
     spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  // ------------------------- persisted-store compaction (small files) ---
+
+  /** Compact a persisted text index ([[writeTextIndex]] +
+    * [[appendTextIndex]]): sustained appends land one unsorted file-set
+    * per batch, so after 10⁴ batches the postings are BOTH a small-files
+    * problem AND un-clustered — the original build's term-range layout
+    * (min/max row-group stats prune term-pruned reads to a few files) is
+    * what appends erode, and every BM25 query then opens every appended
+    * file. Rewrite restores it: postings re-normalized to exactly-once
+    * (term, id) rows (absorbing the crash-retry duplicates the read path
+    * tolerates via dropDuplicates — the [[updateTextIndex]] survivor
+    * discipline), re-range-partitioned and sorted on term into
+    * `targetFiles` files; doclens coalesced; stats recomputed from the
+    * WRITTEN doclens (cannot stale). Same new-directory contract as
+    * every compaction here: the live index stays readable, the caller
+    * swaps atomically. Replay idempotence is unaffected — appends key
+    * off doclens CONTENT (id anti-join), which compaction preserves
+    * row-for-row (parity-verified).
+    *
+    * @return number of documents in the compacted index
+    */
+  def compactTextIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, targetFiles: Int = 16): Long = {
+    require(srcPath != dstPath,
+      "compactTextIndex writes a NEW directory (caller swaps atomically)")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(graft.sources.PathState.classify(s"$srcPath/postings",
+      spark.sparkContext.hadoopConfiguration) == graft.sources.PathState.Data,
+      s"'$srcPath/postings' holds no parquet data files — not a text index")
+    spark.read.parquet(s"$srcPath/postings")
+      .groupBy(col("term"), col("id")).agg(first(col("tf")).as("tf"))
+      .repartitionByRange(targetFiles, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/postings")
+    val dl = spark.read.parquet(s"$srcPath/doclens")
+    val n = dl.count()
+    dl.repartitionByRange(math.max(1, targetFiles / 4), col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/doclens")
+    spark.read.parquet(s"$dstPath/doclens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .na.fill(0L, Seq("sum_dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/stats")
+    val out = spark.read.parquet(s"$dstPath/doclens").count()
+    require(out == n, s"doclens compaction row mismatch: source $n, got $out")
+    spark.read.parquet(s"$dstPath/stats").head().getLong(0)
+  }
+
+  /** Compact a cluster-partitioned IVF store ([[writeIvfIndex]] or the
+    * quantized variant): appends land one file-set per batch in EVERY
+    * touched cluster directory, so a probed-cluster read opens
+    * O(appends) files after sustained ingest. Rewrite each cluster's
+    * rows into `targetFilesPerCluster` id-sorted files (row-group stats
+    * then prune id probes too); centroids copy verbatim; a refreshed
+    * store's model marker + tags carry forward
+    * ([[carryModelMarker]] — compaction changes layout, not the model
+    * generation). Rows parity-verified.
+    *
+    * @return number of vectors in the compacted index
+    */
+  def compactIvfIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, targetFilesPerCluster: Int = 1): Long = {
+    require(srcPath != dstPath,
+      "compactIvfIndex writes a NEW directory (caller swaps atomically)")
+    require(targetFilesPerCluster > 0,
+      s"targetFilesPerCluster must be positive, got $targetFilesPerCluster")
+    val src = spark.read.parquet(s"$srcPath/vectors")
+    val n = src.count()
+    val idCol = src.columns.find(_ != "cluster_id").head
+    src.repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
+    val out = spark.read.parquet(s"$dstPath/vectors").count()
+    require(out == n, s"vectors compaction row mismatch: source $n, got $out")
+    out
+  }
+
+  /** [[compactIvfIndex]] for the composed IVF-PQ families (plain AND
+    * residual — the `encoding` sidecar rides along when present, so the
+    * two ADC semantics stay unmixable through compaction).
+    *
+    * @return number of vectors in the compacted index
+    */
+  def compactIvfPqIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, targetFilesPerCluster: Int = 1): Long = {
+    require(srcPath != dstPath,
+      "compactIvfPqIndex writes a NEW directory (caller swaps atomically)")
+    require(targetFilesPerCluster > 0,
+      s"targetFilesPerCluster must be positive, got $targetFilesPerCluster")
+    val src = spark.read.parquet(s"$srcPath/codes")
+    val n = src.count()
+    val idCol = src.columns.find(c => c != "cluster_id" && c != "pq_codes").head
+    src.repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    copyIvfPqSidecars(spark, srcPath, dstPath,
+      withEncoding = ivfPqEncoding(spark, srcPath).isDefined)
+    carryModelMarker(spark, srcPath, dstPath,
+      Seq("codes", "centroids", "codebooks", "encoding"))
+    val out = spark.read.parquet(s"$dstPath/codes").count()
+    require(out == n, s"codes compaction row mismatch: source $n, got $out")
+    out
+  }
+
+  /** [[compactIvfIndex]] for the flat PQ/OPQ stores: codes rewrite into
+    * `targetFiles` id-range-sorted files (id probes prune on row-group
+    * stats); codebooks — and the OPQ rotation when present — copy
+    * verbatim; markers carry.
+    *
+    * @return number of vectors in the compacted index
+    */
+  def compactPqIndex(spark: SparkSession, srcPath: String,
+      dstPath: String, targetFiles: Int = 16): Long = {
+    require(srcPath != dstPath,
+      "compactPqIndex writes a NEW directory (caller swaps atomically)")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val src = spark.read.parquet(s"$srcPath/codes")
+    val n = src.count()
+    val idCol = src.columns.find(_ != "pq_codes").head
+    src.repartitionByRange(targetFiles, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    val rotPath = new org.apache.hadoop.fs.Path(s"$srcPath/rotation")
+    if (rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(rotPath))
+      spark.read.parquet(s"$srcPath/rotation")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    carryModelMarker(spark, srcPath, dstPath,
+      Seq("codes", "codebooks", "rotation"))
+    val out = spark.read.parquet(s"$dstPath/codes").count()
+    require(out == n, s"codes compaction row mismatch: source $n, got $out")
+    out
   }
 
   /** Learn IVF centroids with MLlib KMeans (seeded, deterministic given the

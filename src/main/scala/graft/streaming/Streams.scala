@@ -362,8 +362,12 @@ object Streams {
     * before the stream starts (the family's write op first — appends need
     * its frozen models and fail fast without them); queries read the
     * stores as usual, no refresh hook. Model drift under a long-lived
-    * stream is the batch story's: watch `ivfDriftStats`, rebuild when the
-    * frozen models stop fitting.
+    * stream closes through the batch refresh loop (r14): watch
+    * `ivfDriftStats`, stop the query, `Search.refreshIvfIndex` (or the
+    * family's refresh) onto a new directory, swap atomically, restart
+    * against the SAME checkpoint — the refresh re-encodes every streamed
+    * id, so the content-keyed anti-join keeps absorbing at-least-once
+    * replays across the generation swap (StreamsSpec pins the full loop).
     *
     * @param family ivf | pq | opq | ivfpq | ivfpqres
     */

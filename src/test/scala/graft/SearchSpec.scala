@@ -1161,6 +1161,160 @@ class SearchSpec extends SparkSpec {
         tmp("rfz2"), 8) }
   }
 
+  test("model marker survives CRUD: append/remove/update on a refreshed store keep the generation guard") {
+    def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val q = vecs(0L)
+    val (v1, v2) = (tmp("mc1"), tmp("mc2"))
+    Search.writeIvfIndex(corpus.where(col("vec_id") < 400), "embedding",
+      (0 until 8).map(i => i -> vecs(i.toLong).toArray), v1)
+    Search.refreshIvfIndex(corpus.where(col("vec_id") < 400), "vec_id",
+      "embedding", v1, v2, nClusters = 8, salt = "mc")
+    // append IN PLACE: frozen model, marker and tags untouched — the
+    // store stays generation-consistent and serveable
+    assert(Search.appendIvfIndex(corpus.where(col("vec_id") >= 400),
+      "vec_id", "embedding", v2) > 0L)
+    assert(Search.readModelVersion(spark, v2) == 1L)
+    Search.ivfTopKFromIndex(spark, v2, "embedding", q, 5, 2).collect()
+    // remove/update write NEW directories: the marker + tags must carry
+    // (dropping them would silently demote the store to legacy-unguarded)
+    import spark.implicits._
+    val v3 = tmp("mc3")
+    Search.removeFromIvfIndex(spark, v2, v3, Seq(5L, 6L).toDF("vec_id"), "vec_id")
+    assert(Search.readModelVersion(spark, v3) == 1L)
+    Search.ivfTopKFromIndex(spark, v3, "embedding", q, 5, 2).collect()
+    val v4 = tmp("mc4")
+    Search.updateIvfIndex(spark, v3, v4, Seq(7L).toDF("vec_id"),
+      corpus.where(col("vec_id") === 8L), "vec_id", "embedding")
+    assert(Search.readModelVersion(spark, v4) == 1L)
+    Search.ivfTopKFromIndex(spark, v4, "embedding", q, 5, 2).collect()
+    // the carried guard still CATCHES a mid-swap on the updated store
+    val tag = java.nio.file.Paths.get(v4, "centroids", "_v1")
+    java.nio.file.Files.delete(tag)
+    val e = intercept[IllegalArgumentException] {
+      Search.ivfTopKFromIndex(spark, v4, "embedding", q, 5, 2) }
+    assert(e.getMessage.contains("model tag"))
+    java.nio.file.Files.createFile(tag)
+    // a second refresh on the CRUD-descended store chains the version
+    val v5 = tmp("mc5")
+    Search.refreshIvfIndex(corpus, "vec_id", "embedding", v4, v5,
+      nClusters = 8, salt = "mc2")
+    assert(Search.readModelVersion(spark, v5) == 2L)
+    // IVF-PQ variant: update carries marker + all three sidecar tags
+    val (p1, p2, p3) = (tmp("mp1"), tmp("mp2"), tmp("mp3"))
+    val cb = Search.pqSampledCodebooks(corpus, "vec_id", "embedding", 64, 8, 16)
+    Search.writeIvfPqIndex(corpus, "vec_id", "embedding",
+      (0 until 8).map(i => i -> vecs(i.toLong).toArray), cb, p1)
+    Search.refreshIvfPqIndex(corpus, "vec_id", "embedding", p1, p2,
+      nClusters = 8, dim = 64, m = 8, ksub = 16, salt = "mc")
+    Search.updateIvfPqIndex(spark, p2, p3, Seq(5L).toDF("vec_id"),
+      corpus.where(col("vec_id") === 6L), "vec_id", "embedding")
+    assert(Search.readModelVersion(spark, p3) == 1L)
+    Search.ivfPqTopKFromIndex(spark, p3, corpus, "vec_id", "embedding",
+      q, 10, 4, 50).collect()
+    // legacy stores stay legacy through CRUD: no marker appears
+    val (l1, l2) = (tmp("ml1"), tmp("ml2"))
+    Search.writeIvfIndex(corpus, "embedding",
+      (0 until 8).map(i => i -> vecs(i.toLong).toArray), l1)
+    Search.removeFromIvfIndex(spark, l1, l2, Seq(5L).toDF("vec_id"), "vec_id")
+    assert(Search.readModelVersion(spark, l2) == 0L)
+  }
+
+  test("store compaction: appended stores rewrite to bounded sorted files; answers, replays and markers unchanged") {
+    import spark.implicits._
+    def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    def parquetFiles(dir: String): Int = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).toArray.map(_.toString)
+        .count(_.endsWith(".parquet"))
+    }
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val q = vecs(0L)
+    val seedCents = (0 until 8).map(i => i -> vecs(i.toLong).toArray)
+
+    // ---- text index: build + 4 appends fragment the postings ----
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordTokens(col("text")).as("toks"))
+    val (t1, t2) = (tmp("ctx1"), tmp("ctx2"))
+    Search.writeTextIndex(docs.where(col("doc_id") < 100), "doc_id", "toks", t1)
+    (1 to 4).foreach { i =>
+      Search.appendTextIndex(
+        docs.where(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+        "doc_id", "toks", t1)
+    }
+    val before = Search.bm25TopKFromIndex(spark, t1,
+      Seq("data", "model", "search"), 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val nDocs = Search.compactTextIndex(spark, t1, t2, targetFiles = 4)
+    assert(nDocs == docs.count())
+    assert(parquetFiles(s"$t2/postings") <= 4)
+    val after = Search.bm25TopKFromIndex(spark, t2,
+      Seq("data", "model", "search"), 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before) // scores bit-identical through the rewrite
+    // replay idempotence keys off CONTENT, preserved row-for-row
+    assert(Search.appendTextIndex(docs.where(col("doc_id") < 100),
+      "doc_id", "toks", t2) == 0L)
+
+    // ---- IVF (refreshed, so the marker must carry) + appends ----
+    val (i1, i2, i3) = (tmp("civ1"), tmp("civ2"), tmp("civ3"))
+    Search.writeIvfIndex(corpus.where(col("vec_id") < 200), "embedding", seedCents, i1)
+    Search.refreshIvfIndex(corpus.where(col("vec_id") < 200), "vec_id",
+      "embedding", i1, i2, nClusters = 8, salt = "cp")
+    (1 to 3).foreach { i =>
+      Search.appendIvfIndex(
+        corpus.where(col("vec_id") >= i * 200 && col("vec_id") < (i + 1) * 200),
+        "vec_id", "embedding", i2)
+    }
+    val ivfBefore = Search.ivfTopKFromIndex(spark, i2, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val filesBefore = parquetFiles(s"$i2/vectors")
+    val nVec = Search.compactIvfIndex(spark, i2, i3)
+    assert(nVec == corpus.where(col("vec_id") < 800).count())
+    assert(parquetFiles(s"$i3/vectors") <= 8) // one file per cluster
+    assert(parquetFiles(s"$i3/vectors") < filesBefore)
+    assert(Search.readModelVersion(spark, i3) == 1L) // marker carried
+    assert(Search.ivfTopKFromIndex(spark, i3, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == ivfBefore)
+    assert(Search.appendIvfIndex(corpus.where(col("vec_id") < 200),
+      "vec_id", "embedding", i3) == 0L) // replay no-op survives compaction
+
+    // ---- residual IVF-PQ: encoding sidecar rides through ----
+    val (r1, r2) = (tmp("crs1"), tmp("crs2"))
+    val cbRes = Search.pqResidualSampledCodebooks(corpus, "vec_id",
+      "embedding", seedCents, 64, 8, 16)
+    Search.writeIvfPqResidualIndex(corpus.where(col("vec_id") < 300),
+      "vec_id", "embedding", seedCents, cbRes, r1)
+    Search.appendIvfPqResidualIndex(corpus.where(col("vec_id") >= 300),
+      "vec_id", "embedding", r1)
+    val resBefore = Search.ivfPqResidualTopKFromIndex(spark, r1, corpus,
+      "vec_id", "embedding", q, 10, 4, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Search.compactIvfPqIndex(spark, r1, r2)
+    assert(Search.ivfPqResidualTopKFromIndex(spark, r2, corpus,
+      "vec_id", "embedding", q, 10, 4, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == resBefore)
+
+    // ---- flat PQ: id-range files, answers unchanged ----
+    val (p1, p2) = (tmp("cpq1"), tmp("cpq2"))
+    val cb = Search.pqSampledCodebooks(corpus, "vec_id", "embedding", 64, 8, 16)
+    Search.pqWriteIndex(corpus.where(col("vec_id") < 300), "vec_id",
+      "embedding", cb, p1)
+    Search.appendPqIndex(corpus.where(col("vec_id") >= 300), "vec_id",
+      "embedding", p1)
+    val pqBefore = Search.pqTopKFromIndex(spark, p1, corpus, "vec_id",
+      "embedding", q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq
+    Search.compactPqIndex(spark, p1, p2, targetFiles = 2)
+    assert(parquetFiles(s"$p2/codes") <= 2)
+    assert(Search.pqTopKFromIndex(spark, p2, corpus, "vec_id",
+      "embedding", q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq == pqBefore)
+
+    // in-place compaction refused everywhere
+    intercept[IllegalArgumentException] { Search.compactTextIndex(spark, t2, t2) }
+    intercept[IllegalArgumentException] { Search.compactIvfIndex(spark, i3, i3) }
+    intercept[IllegalArgumentException] { Search.compactIvfPqIndex(spark, r2, r2) }
+    intercept[IllegalArgumentException] { Search.compactPqIndex(spark, p2, p2) }
+  }
+
   test("quantizer refresh recovers recall after drift (the ivfDriftStats → refresh loop)") {
     import spark.implicits._
     // region A: 40 vectors hugging axes e0..e3; region B (the drift): 40

@@ -436,6 +436,95 @@ class StreamsSpec extends SparkSpec {
       rix, dir("sveckx"), family = "bogus"))
   }
 
+  test("streaming maintenance × quantizer refresh: mid-stream retrain swaps generations; replay idempotence and the marker survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Search
+    // the SearchSpec drift construction: region A hugs axes e0..e3,
+    // region B (arriving on the stream) hugs e4..e7
+    val dim = 8
+    def v(axis: Int, id: Long): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 1.0f
+      a((id % 3).toInt) = a((id % 3).toInt) + 0.02f * ((id % 5) + 1)
+      a
+    }
+    val aRows = (1L to 40L).map(id => (id, v((id % 4).toInt, id)))
+    val b1 = (101L to 120L).map(id => (id, v(4 + (id % 4).toInt, id)))
+    val b2 = (121L to 140L).map(id => (id, v(4 + (id % 4).toInt, id)))
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val store = dir("drifix")
+    val ck = dir("drifck")
+    // generation 0: quantizer trained when only region A existed
+    Search.writeIvfIndex(aRows.toDF("vec_id", "embedding"), "embedding",
+      Search.sampledCentroids(aRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 4, "g0"), store)
+    // the stream drifts the corpus: region B folds in under the frozen model
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q1 = Streams.streamingVectorIndexMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      store, ck, family = "ivf")
+    try { mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    // drift OBSERVED: some cluster's mean similarity has collapsed
+    val sick = Search.ivfDriftStats(spark, store, "embedding")
+      .collect().map(_.getDouble(2)).min
+    assert(sick < 0.7, s"drifted store should show a sick cluster, got $sick")
+    // the operational loop: refresh on the CURRENT corpus → atomic swap
+    val gen2 = dir("drifg2")
+    Search.refreshIvfIndex(
+      (aRows ++ b1).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      store, gen2, nClusters = 8, salt = "g1")
+    val storeP = java.nio.file.Paths.get(store)
+    java.nio.file.Files.walk(storeP).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    java.nio.file.Files.move(java.nio.file.Paths.get(gen2), storeP)
+    assert(Search.readModelVersion(spark, store) == 1L)
+    // the stream RESUMES against the same checkpoint: new appends land
+    // under the new generation; a replay overlapping pre-refresh ids
+    // appends nothing (the refresh re-encoded every streamed id, so the
+    // content-keyed anti-join still absorbs it)
+    val q2 = Streams.streamingVectorIndexMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      store, ck, family = "ivf")
+    try {
+      mem.addData((b1 ++ b2): _*) // b1 = at-least-once replay across the swap
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$store/vectors").count() == 80L,
+      "replayed ids must append nothing across the generation swap")
+    // the swapped-and-appended store ≡ refresh-then-batch-append, and the
+    // generation guard still holds on the serving path
+    val twin = dir("driftwin")
+    Search.writeIvfIndex((aRows ++ b1).toDF("vec_id", "embedding"), "embedding",
+      Search.sampledCentroids((aRows ++ b1).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 8, "g1"), twin)
+    Search.appendIvfIndex(b2.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", twin)
+    def rows(p: String) = spark.read.parquet(s"$p/vectors")
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(store) == rows(twin))
+    // recall recovered for region-B queries (nProbe=1, the drift spec's bar)
+    val all = aRows ++ b1 ++ b2
+    def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2).sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val hits = b2.take(8).map { case (qid, qv) =>
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, w) => (id, cosRef(w.toSeq, qv.toSeq)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val got = Search.ivfTopKFromIndex(spark, store, "embedding",
+          qv.toSeq, k = 6, nProbe = 1)
+        .select("vec_id").collect().map(_.getLong(0))
+        .filter(_ != qid).take(5).toSet
+      exact.intersect(got).size.toDouble / 5.0
+    }
+    assert(hits.sum / hits.size > 0.5,
+      s"post-refresh recall should recover: ${hits.sum / hits.size}")
+  }
+
   test("streamingSequenceDedup: cross-batch pairs against the store; replay emits no duplicates into the fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
