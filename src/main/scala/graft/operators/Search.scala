@@ -1170,6 +1170,7 @@ object Search {
   def opqTopKFromIndex(spark: SparkSession, path: String,
       fullPrecision: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, rescore: Int = 50): DataFrame = {
+    requireConsistentModel(spark, path, "opqTopKFromIndex")
     val model = readOpqModel(spark, path)
     val encoded = spark.read.parquet(s"$path/codes")
       .select(col(idCol), transform(col("pq_codes"), _.cast("int")).as("pq_codes"))
@@ -2220,6 +2221,39 @@ object Search {
     tagModelVersion(s"$dstPath/codebooks", version, hconf)
     tagModelVersion(s"$dstPath/encoding", version, hconf)
     writeModelMarker(spark, dstPath, version, "ivfpq_residual")
+    spark.read.parquet(s"$dstPath/codes").count()
+  }
+
+  /** [[refreshPqIndex]] for the OPQ family — completing refresh symmetry
+    * across all five persisted vector-index families. OPQ's models
+    * (rotation + codebooks) are the seeded-KMeans QUALITY tier, not the
+    * md5-sampled determinism tier, so this refresh is spec-checked
+    * (refreshed ≡ fresh build under the same seed) rather than
+    * oracle-replayed, exactly like the family's build path (q43/q112
+    * split). Same contract otherwise: full re-encode into a NEW
+    * directory, version = src + 1, artifacts tagged, marker last.
+    *
+    * @return number of vectors in the refreshed index
+    */
+  def refreshOpqIndex(df: DataFrame, idCol: String, vecCol: String,
+      srcPath: String, dstPath: String, dim: Int, m: Int, ksub: Int,
+      seed: Long = 42L, maxIter: Int = 20, opqIters: Int = 4): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(srcPath != dstPath,
+      "refreshOpqIndex writes a NEW directory (caller swaps atomically)")
+    require(graft.sources.PathState.classify(s"$srcPath/codes", hconf) ==
+      graft.sources.PathState.Data,
+      s"refreshOpqIndex requires an existing index at '$srcPath' — a " +
+        "first build is opqWriteIndex")
+    val version = readModelVersion(spark, srcPath) + 1
+    val model = opqTrainCodebooks(df, vecCol, dim, m, ksub, seed, maxIter,
+      opqIters)
+    opqWriteIndex(df, idCol, vecCol, model, dstPath)
+    tagModelVersion(s"$dstPath/codes", version, hconf)
+    tagModelVersion(s"$dstPath/codebooks", version, hconf)
+    tagModelVersion(s"$dstPath/rotation", version, hconf)
+    writeModelMarker(spark, dstPath, version, "opq")
     spark.read.parquet(s"$dstPath/codes").count()
   }
 

@@ -1220,6 +1220,38 @@ class SearchSpec extends SparkSpec {
     assert(Search.readModelVersion(spark, l2) == 0L)
   }
 
+  test("refreshOpqIndex: refreshed ≡ fresh build under the same seed; version marker; OPQ reader guarded") {
+    def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val q = vecs(0L)
+    val (o1, o2, oF) = (tmp("rfo1"), tmp("rfo2"), tmp("rfoF"))
+    // v1 model trained on a SLICE (the stale quantizer); refresh re-trains
+    // on the full corpus
+    val mOld = Search.opqTrainCodebooks(emb.where(col("vec_id") < 100),
+      "embedding", 64, 8, 16)
+    Search.opqWriteIndex(corpus, "vec_id", "embedding", mOld, o1)
+    assert(Search.refreshOpqIndex(corpus, "vec_id", "embedding", o1, o2,
+      dim = 64, m = 8, ksub = 16) == corpus.count())
+    assert(Search.readModelVersion(spark, o2) == 1L)
+    val mNew = Search.opqTrainCodebooks(corpus, "embedding", 64, 8, 16)
+    Search.opqWriteIndex(corpus, "vec_id", "embedding", mNew, oF)
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("pq_codes").cast("array<int>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSet
+    assert(codes(o2) == codes(oF)) // seeded re-train is reproducible
+    assert(Search.opqTopKFromIndex(spark, o2, corpus, "vec_id", "embedding",
+      q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Search.opqTopKFromIndex(spark, oF, corpus, "vec_id", "embedding",
+        q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq)
+    // the OPQ reader refuses a mid-swap store (rotation from another gen)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(o2, "rotation", "_v1"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(o2, "rotation", "_v9"))
+    val e = intercept[IllegalArgumentException] {
+      Search.opqTopKFromIndex(spark, o2, corpus, "vec_id", "embedding", q, 5) }
+    assert(e.getMessage.contains("mid-swap"))
+  }
+
   test("store compaction: appended stores rewrite to bounded sorted files; answers, replays and markers unchanged") {
     import spark.implicits._
     def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString

@@ -1598,4 +1598,62 @@ class SourcesSpec extends SparkSpec {
     assert(rows.forall(_.embedding.length == 16))
     assert(rows.forall(_.filename == "doc1.txt"))
   }
+
+  test("Generations: stage → publish → resolve; torn publish invisible; vacuum keeps current; refresh integration") {
+    import graft.sources.Generations
+    import graft.operators.Search
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("gencat").toString
+    // nothing published yet: resolve refuses, history empty
+    intercept[IllegalArgumentException] { Generations.resolve(root, conf) }
+    assert(Generations.history(root, conf).isEmpty)
+    // generation 0: a real store staged and published
+    val emb = Tables.embeddings(spark, sf001).where(col("vec_id") =!= 0)
+    val vecs0 = emb.limit(200)
+    val g0 = Generations.stage(root, conf)
+    assert(g0.endsWith("gen-0"))
+    // staged-but-unpublished: publish of an EMPTY dir refuses
+    intercept[IllegalArgumentException] { Generations.publish(root, g0, conf) }
+    Search.writeIvfIndex(vecs0, "embedding",
+      Search.sampledCentroids(vecs0, "vec_id", "embedding", 4, "g"), g0)
+    assert(Generations.publish(root, g0, conf) == "gen-0")
+    assert(Generations.resolve(root, conf) == g0)
+    // a query serves through the resolved pointer
+    val q = emb.select("embedding").head().getSeq[Float](0)
+    val a0 = Search.ivfTopKFromIndex(spark, Generations.resolve(root, conf),
+      "embedding", q, 5, 2).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a0.nonEmpty)
+    // TORN PUBLISH: a crash that wrote the temp pointer but never renamed
+    // is invisible — resolve still serves gen-0
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_current.tmp"), "gen-999")
+    assert(Generations.resolve(root, conf) == g0)
+    // generation 1: the refresh loop through the catalog
+    val g1 = Generations.stage(root, conf)
+    assert(g1.endsWith("gen-1"))
+    Search.refreshIvfIndex(emb, "vec_id", "embedding", g0, g1, nClusters = 8,
+      salt = "g1")
+    assert(Generations.publish(root, g1, conf) == "gen-1")
+    assert(Generations.resolve(root, conf) == g1)
+    assert(Search.readModelVersion(spark, Generations.resolve(root, conf)) == 1L)
+    // the OLD generation stays readable until vacuum (in-flight readers)
+    assert(Search.ivfTopKFromIndex(spark, g0, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == a0)
+    // publish refuses a dir outside the root and a non-generation name
+    val alien = java.nio.file.Files.createTempDirectory("alien").toString
+    intercept[IllegalArgumentException] { Generations.publish(root, alien, conf) }
+    // vacuum keep=0 deletes every non-current generation, never the live one
+    val g2 = Generations.stage(root, conf) // a crashed publish's leftover
+    assert(Generations.history(root, conf) == Seq("gen-0", "gen-1", "gen-2"))
+    assert(Generations.vacuum(root, keep = 1, conf) == Seq("gen-0"))
+    assert(Generations.history(root, conf) == Seq("gen-1", "gen-2"))
+    assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-2"))
+    assert(Generations.resolve(root, conf) == g1)
+    assert(g2.nonEmpty) // silence unused warning
+    // the live generation still serves after the vacuum
+    assert(Search.ivfTopKFromIndex(spark, Generations.resolve(root, conf),
+      "embedding", q, 5, 2).count() == 5L)
+  }
 }
