@@ -1115,7 +1115,8 @@ object Dedup {
     * the caller swaps the two subtrees atomically (never compact in
     * place); `$storePath/neardup` is untouched (its replay idempotence
     * keys off store CONTENT via the id anti-join, and its small-files
-    * story is [[compactSequenceStore]]'s). `upToBatchId` MUST be a batch
+    * story is [[compactNearDupSketches]] — the third leg). `upToBatchId`
+    * MUST be a batch
     * id the stream's checkpoint has committed PAST (only the in-flight
     * epoch can replay concurrently) and must itself be a committed batch:
     * folding up to a FUTURE id would turn that epoch's eventual first run
@@ -2083,6 +2084,41 @@ object Dedup {
       .select(col("_cid").as(idCol), col("_eid").as(evalIdCol),
         bit_count(col("_ch").bitwiseXOR(col("_eh"))).cast("long").as("hamming"))
       .dropDuplicates(idCol, evalIdCol)
+  }
+
+  /** Compact the incremental near-dup SKETCH store
+    * ([[incrementalNearDupPairs]]' `$storePath/sketches` — one appended
+    * file-set per micro-batch, so the probe side's store scan opens
+    * O(batches) files after sustained ingest): rewrite into `targetFiles`
+    * id-range-sorted files at `$dstPath/sketches`. The
+    * [[compactSequenceStore]] discipline verbatim — NO ledger needed
+    * (replay idempotence keys off store CONTENT via the id anti-join,
+    * preserved row-for-row, parity-verified), new directory, caller
+    * swaps atomically. Together with [[compactSoftDedupWeights]] (the
+    * weights + pairs legs) this bounds ALL THREE legs of the streaming
+    * weights store's file growth.
+    *
+    * @return number of sketch rows (== source)
+    */
+  def compactNearDupSketches(spark: SparkSession, storePath: String,
+      dstPath: String, targetFiles: Int = 16): Long = {
+    require(storePath != dstPath,
+      "compactNearDupSketches writes a NEW directory (caller swaps atomically)")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val src = s"$storePath/sketches"
+    val state = graft.sources.PathState.classify(
+      src, spark.sparkContext.hadoopConfiguration)
+    require(state == graft.sources.PathState.Data,
+      s"'$src' holds no parquet data files — not a near-dup sketch store")
+    val sk = spark.read.parquet(src)
+    val n = sk.count()
+    sk.repartitionByRange(targetFiles, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dstPath/sketches")
+    val out = spark.read.parquet(s"$dstPath/sketches").count()
+    require(out == n, s"compaction row mismatch: source $n, compacted $out")
+    out
   }
 
   /** Compact the incremental sequence-signature store

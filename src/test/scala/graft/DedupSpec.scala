@@ -1284,6 +1284,28 @@ class DedupSpec extends SparkSpec {
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$store/pairs/batch_id=1")))
+    // the THIRD leg: the near-dup sketch store compacts too — bounded
+    // sorted files, rows exact, cross-batch probing and replay unchanged
+    val nd2 = root.resolve("nd2").toString
+    val sketchRows = spark.read.parquet(s"$store/neardup/sketches").count()
+    assert(Dedup.compactNearDupSketches(spark, s"$store/neardup", nd2,
+      targetFiles = 2) == sketchRows)
+    val ndCur = java.nio.file.Paths.get(s"$store/neardup")
+    java.nio.file.Files.walk(ndCur).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    java.nio.file.Files.move(java.nio.file.Paths.get(nd2), ndCur)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$store/neardup/sketches")).toArray
+      .map(_.toString).count(_.endsWith(".parquet")) <= 2)
+    // a NEW batch still probes the compacted sketches cross-batch (31
+    // duplicates doc 1's text → pair across the compaction boundary) and
+    // a replay of an absorbed batch still folds to a no-op
+    val b3 = docs(31L -> ta)
+    assert(fold(b3, 3) > 0L)
+    val served = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    assert(served.exists(r => r._1 == 31L && r._2 == 1L),
+      s"31 should join doc 1's cluster through the compacted sketches: $served")
+    assert(fold(b0, 0) == 0L)
   }
 
   test("weights store crash surface: mid-commit patch invisible until replay; durable-pairs resume across compaction; orphan-pairs refusal; Foreign refusal; typed empty read") {
