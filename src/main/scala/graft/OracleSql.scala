@@ -2788,6 +2788,29 @@ scored AS (
 SELECT doc_id, floor(1000 * score) / 1 AS score_m
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
 
+    // BM25 through the append-then-compact lifecycle (q161): SAME SQL as
+    // q97 — the oracle recomputes from the corpus and never sees the
+    // write/append/compact layout maintenance, so the hash match proves
+    // the compacted store serves the direct computation's exact answers.
+    "q161_bm25_compacted" ->
+      raw"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)::DOUBLE) AS avgdl FROM tk),
+hits AS (
+  SELECT doc_id, len(tk) AS dl, t.term, count(*)::DOUBLE AS tf
+  FROM tk, unnest(tk) AS t(term)
+  WHERE t.term IN ('data', 'model', 'search')
+  GROUP BY doc_id, len(tk), t.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT doc_id, CAST(sum(CAST(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+    AS DECIMAL(24,12))) AS DOUBLE) AS score
+  FROM hits h JOIN dfreq d USING (term), stats s
+  GROUP BY doc_id)
+SELECT doc_id, floor(1000 * score) / 1 AS score_m
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+
     // z-order key (q98): same integer bit math as Layout.zValue/gridCoord —
     // multiply-before-divide grid scaling (// = floor division; operands
     // non-negative, so it matches Spark's truncating long division), then

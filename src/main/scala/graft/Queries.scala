@@ -3682,6 +3682,38 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q161 — BM25 through the append-then-COMPACT index lifecycle
+    * ([[Search.compactTextIndex]] — round 14's compaction symmetry,
+    * oracle-checked): the staged index is built deliberately FRAGMENTED
+    * (even doc_ids written, odd doc_ids appended — the unsorted file-sets
+    * sustained ingest leaves), every invocation pays the compaction
+    * rewrite into a fresh scratch generation, and the query runs against
+    * the COMPACTED store. The oracle is q97's BM25 recompute VERBATIM —
+    * DuckDB never sees the append/compact lifecycle, so the hash match
+    * proves write → append → compact → query ≡ the direct corpus
+    * computation cross-engine (the q149/q157 discipline applied to
+    * layout maintenance).
+    */
+  def q161Bm25Compacted(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val (idxDir, fresh, commitStaged) = stagedRoot("q161idx", dir, src)
+    if (!fresh) {
+      implicit val sp: SparkSession = s
+      val docs = documents(s, dir)
+        .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+      Search.writeTextIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "toks", idxDir.toString)
+      Search.appendTextIndex(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "toks", idxDir.toString)
+      commitStaged()
+    }
+    val compacted = scratchDir("q161cmp", dir).resolve("ix").toString
+    Search.compactTextIndex(s, idxDir.toString, compacted, targetFiles = 8)
+    Search.bm25TopKFromIndex(s, compacted,
+        queryTerms = Seq("data", "model", "search"), k = 10)
+      .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3844,5 +3876,6 @@ object Queries {
     "q158_ivfpq_refresh" -> q158IvfPqRefresh _,
     "q159_weighted_token_rebalance" -> q159WeightedTokenRebalance _,
     "q160_curation_pipeline" -> q160CurationPipeline _,
+    "q161_bm25_compacted" -> q161Bm25Compacted _,
   )
 }
