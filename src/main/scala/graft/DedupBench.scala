@@ -150,6 +150,64 @@ object DedupBench {
     println(s"""{"metric":"guard_refusal_100k","docs":$n,""" +
       f""""jaccard_refusal_sec":$jacSec%.2f,"overlap_healthy_sec":$healthySec%.2f,""" +
       f""""overlap_refusal_sec":$ovSec%.2f}""")
+
+    // Compaction cost floors (VERDICT r14 item 7): the two highest-cadence
+    // store compactions frozen as wall-clock on a 100k-doc store, so
+    // "compaction is cheap at maintenance cadence" is a regression-gated
+    // number, not an assumption. The TEXT store pays a real fragmented
+    // build (write evens + append odds — the q161 construction); the
+    // WEIGHTS store's patch history is synthesized directly (n-row
+    // snapshot-sized batch 0 + two 10% patches): the fold that would
+    // produce it is the minhash pass benched above, and building it here
+    // would time that build, not the compaction.
+    val cmpRoot = java.nio.file.Files.createTempDirectory("graftcmp")
+    val textIdx = cmpRoot.resolve("tix").toString
+    implicit val sparkImplicit: SparkSession = spark
+    graft.operators.Search.writeTextIndex(
+      docs.where(col("id") % 2 === 0), "id", "toks", textIdx)
+    graft.operators.Search.appendTextIndex(
+      docs.where(col("id") % 2 === 1), "id", "toks", textIdx)
+    val textCmpSecs = (1 to 3).map { i =>
+      val dst = cmpRoot.resolve(s"tix_c$i").toString
+      val t0 = System.nanoTime()
+      val nd = graft.operators.Search.compactTextIndex(spark, textIdx, dst,
+        targetFiles = 16)
+      require(nd == n, s"text compaction doc count $nd != $n")
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val wStore = cmpRoot.resolve("wst").toString
+    def weightsPatch(b: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$wStore/weights/batch_id=$b")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$wStore/weights/batch_id=$b", "_COMMIT"))
+      spark.range(1).select(lit(b).as("id1"), lit(b + 1).as("id2"))
+        .write.mode("overwrite").parquet(s"$wStore/pairs/batch_id=$b")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$wStore/pairs/batch_id=$b", "_COMMIT"))
+    }
+    weightsPatch(0, spark.range(n).select(col("id"), col("id").as("rep"),
+      lit(1L).as("cluster_size"), lit(1000000L).as("weight_ppm")))
+    weightsPatch(1, spark.range(n / 10).select((col("id") * 10).as("id"),
+      (col("id") * 10).as("rep"), lit(2L).as("cluster_size"),
+      lit(500000L).as("weight_ppm")))
+    weightsPatch(2, spark.range(n / 10).select((col("id") * 10 + 1).as("id"),
+      (col("id") * 10 + 1).as("rep"), lit(2L).as("cluster_size"),
+      lit(500000L).as("weight_ppm")))
+    val weightsCmpSecs = (1 to 3).map { i =>
+      val dst = cmpRoot.resolve(s"wst_c$i").toString
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Dedup.compactSoftDedupWeights(spark,
+        wStore, dst, upToBatchId = 2, idCol = "id")
+      require(rows == n, s"weights snapshot rows $rows != $n")
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(s"""{"metric":"compaction_100k","docs":$n,""" +
+      f""""text_compact_min_sec":${textCmpSecs.head}%.2f,""" +
+      f""""text_compact_median_sec":${textCmpSecs(1)}%.2f,""" +
+      f""""weights_compact_min_sec":${weightsCmpSecs.head}%.2f,""" +
+      f""""weights_compact_median_sec":${weightsCmpSecs(1)}%.2f}""")
+    java.nio.file.Files.walk(cmpRoot).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
     spark.stop()
   }
 }

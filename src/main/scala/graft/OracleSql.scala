@@ -180,7 +180,7 @@ SELECT a.doc_id, a.rep, CAST(s.cluster_size AS BIGINT) AS cluster_size,
 FROM assigned a JOIN sizes s ON a.rep = s.rep
 ORDER BY a.doc_id"""
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q01_pricing_summary" ->
       raw"""SELECT l_returnflag, l_linestatus,
 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -3435,4 +3435,15 @@ SELECT doc_id, CAST(length(extracted) AS INT) AS n_chars,
 substr(md5(extracted), 1, 16) AS text_h
 FROM e ORDER BY doc_id""",
   )
+
+  /** The driver contract. Catalog-lifecycle probes share their direct
+    * twin's SQL BY REFERENCE (not a copied literal, so the spellings
+    * cannot drift): q162 answers the q148 query through a staged →
+    * updated → compacted → REFRESHED → vacuumed generation catalog, and
+    * its defined semantics are exactly the refreshed index q158 already
+    * replays relationally — DuckDB never sees staging, pointers,
+    * compaction or vacuum.
+    */
+  val all: Map[String, String] =
+    base + ("q162_catalog_lifecycle" -> base("q158_ivfpq_refresh"))
 }

@@ -3714,6 +3714,66 @@ object Queries {
       .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
   }
 
+  /** Q162 — the FULL persisted-store lifecycle served THROUGH the
+    * generation catalog ([[graft.sources.Generations]] — VERDICT r14
+    * item 2, closing R176's last inch): v1 IVF-PQ built on the odd half
+    * of the corpus inside a STAGED generation and atomically published →
+    * the fused update folds the even half in under the frozen models
+    * (resolve → stage → publish, a new directory end to end) → a
+    * compaction generation (layout only) → a quantizer-REFRESH
+    * generation (both models retrained on the full corpus — q158's
+    * recipe, salt 'rf') → `vacuum(keep = 0)` reclaims every superseded
+    * generation → the q148 query is answered through the catalog pointer
+    * ([[Search.ivfPqTopKFromCatalog]] resolves once and reads the live
+    * generation). The oracle is q158's relational retrain replay
+    * VERBATIM — DuckDB never sees staging, pointers, compaction or
+    * vacuum — so the hash match proves the catalog lifecycle collapses
+    * to the refreshed index's defined semantics (the q161 discipline
+    * applied to the serving path).
+    */
+  def q162CatalogLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Generations
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = scratchDir("q162cat", dir).toString
+    // generation 0: q148's staging models (vec_id<8 seeds, md5 codebooks)
+    val g0 = Generations.stage(root, hconf)
+    val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    Search.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", cents, cb, g0)
+    Generations.publish(root, g0, hconf)
+    // generation 1: fused update under the frozen v1 models
+    val g1 = Generations.stage(root, hconf)
+    Search.updateIvfPqIndex(s, Generations.resolve(root, hconf), g1,
+      retireIds = Seq.empty[Long].toDF("vec_id"),
+      refreshBatch = corpus.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding")
+    Generations.publish(root, g1, hconf)
+    // generation 2: compaction (layout only — models + answers carried)
+    val g2 = Generations.stage(root, hconf)
+    Search.compactIvfPqIndex(s, Generations.resolve(root, hconf), g2)
+    Generations.publish(root, g2, hconf)
+    // generation 3: quantizer refresh, both models retrained (q158)
+    val g3 = Generations.stage(root, hconf)
+    Search.refreshIvfPqIndex(corpus, "vec_id", "embedding",
+      Generations.resolve(root, hconf), g3, nClusters = 8, dim = 64,
+      m = 8, ksub = 16, salt = "rf")
+    Generations.publish(root, g3, hconf)
+    // superseded generations reclaimed; the live one keeps serving
+    Generations.vacuum(root, keep = 0, hconf)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.ivfPqTopKFromCatalog(s, root, corpus, "vec_id", "embedding",
+        query, k = 10, nProbe = 4, rescore = 50)
+      .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3877,5 +3937,6 @@ object Queries {
     "q159_weighted_token_rebalance" -> q159WeightedTokenRebalance _,
     "q160_curation_pipeline" -> q160CurationPipeline _,
     "q161_bm25_compacted" -> q161Bm25Compacted _,
+    "q162_catalog_lifecycle" -> q162CatalogLifecycle _,
   )
 }

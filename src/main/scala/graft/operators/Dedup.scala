@@ -956,6 +956,70 @@ object Dedup {
     p.getFileSystem(hconf).create(p, true).close()
   }
 
+  /** Spark's own job-commit marker: present exactly when the subdir's
+    * write JOB completed (task files all renamed into place). The
+    * `_COMMIT`/`_SUCCESS` split is what tells a LEGACY subdir (complete
+    * data written before the `_COMMIT` discipline existed — or the
+    * micro-window of a crash between job commit and marker touch) apart
+    * from a mid-job-commit crash (no `_SUCCESS`, partially-renamed task
+    * files): the former holds real data that must NOT be silently served
+    * as empty, the latter must stay invisible until its batch replays.
+    */
+  private def subdirJobCommitted(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(hconf).exists(p)
+  }
+
+  /** Refuse loudly when a weights/pairs partition root carries LEGACY
+    * batch subdirs — job-committed (`_SUCCESS`) but `_COMMIT`-less
+    * (ADVICE r14): reading past them would serve a store full of data as
+    * empty (and a fold replay would then overwrite durable pairs with
+    * nothing — the exact loss window the marker discipline closed).
+    * Mid-commit crashes (no `_SUCCESS`) are NOT legacy — they stay
+    * invisible and replay, as designed.
+    */
+  private def requireNoLegacySubdirs(root: String, op: String,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    val legacy = batchDirs(root, hconf)._2
+      .filter { case (_, p) => subdirJobCommitted(p, hconf) }
+    require(legacy.isEmpty,
+      s"$op: batches ${legacy.map(_._1).mkString(", ")} under '$root' hold " +
+        "complete data (_SUCCESS) but no _COMMIT marker — a store written " +
+        "before the commit-marker discipline. Refusing to silently treat " +
+        "them as uncommitted; run Dedup.adoptLegacySoftDedupStore once " +
+        "(single writer, store quiescent) to grandfather them in")
+  }
+
+  /** One-shot migration for weights stores written BEFORE the `_COMMIT`
+    * discipline (ADVICE r14 — the explicit grandfathering the Search
+    * model-marker gives unmarked stores): touch `_COMMIT` on every batch
+    * subdir under `weights/` and `pairs/` whose write job completed
+    * (`_SUCCESS` present). A markerless subdir WITHOUT `_SUCCESS` refuses
+    * the whole migration — its data may be a partially-committed crash,
+    * and certifying it complete is not this operator's call. Caller
+    * contract: single writer, store quiescent (no fold in flight).
+    *
+    * @return adopted (root-relative subdir, batch id) pairs, ascending
+    */
+  def adoptLegacySoftDedupStore(spark: SparkSession,
+      storePath: String): Seq[(String, Long)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq("weights", "pairs").flatMap { sub =>
+      val root = s"$storePath/$sub"
+      val unmarked = batchDirs(root, hconf)._2
+      val torn = unmarked.filterNot { case (_, p) => subdirJobCommitted(p, hconf) }
+      require(torn.isEmpty,
+        s"adoptLegacySoftDedupStore: batches ${torn.map(_._1).mkString(", ")} " +
+          s"under '$root' have neither _COMMIT nor _SUCCESS — a crashed " +
+          "write, not a legacy batch; let its batch replay instead of " +
+          "certifying incomplete data")
+      unmarked.map { case (id, p) =>
+        markSubdirCommitted(p, hconf); (s"$sub/batch_id=$id", id)
+      }
+    }
+  }
+
   /** `batch_id=N` subdirs under a weights-store partition root, split by
     * `_COMMIT` state, each side ascending by id. Driver-side listing —
     * bounded by batches since the last [[compactSoftDedupWeights]] fold
@@ -996,6 +1060,8 @@ object Dedup {
     require(state != graft.sources.PathState.Foreign,
       s"weights store '$weightsPath' holds non-parquet content — refusing " +
         "to read it as an empty store")
+    if (state == graft.sources.PathState.Data)
+      requireNoLegacySubdirs(weightsPath, "readSoftDedupWeights", hconf)
     val committed =
       if (state == graft.sources.PathState.Data)
         batchDirs(weightsPath, hconf)._1
@@ -1064,6 +1130,14 @@ object Dedup {
     val patchPath = s"$storePath/weights/batch_id=$batchId"
     if (subdirCommitted(patchPath, hconf))
       return 0L // commit marker present: completed batch replayed
+    // this batch is REPLAYING: its own unmarked leftovers (job-committed
+    // or torn) are recomputed below either way, so drop them up front —
+    // otherwise a crash in the job-commit→marker micro-window would read
+    // as a LEGACY subdir and brick the automatic replay behind the
+    // requireNoLegacySubdirs refusal
+    val ownPatch = new org.apache.hadoop.fs.Path(patchPath)
+    val ownFs = ownPatch.getFileSystem(hconf)
+    if (ownFs.exists(ownPatch)) { ownFs.delete(ownPatch, true); () }
     val pairsPath = s"$storePath/pairs/batch_id=$batchId"
     val pairsDurable = subdirCommitted(pairsPath, hconf)
     incrementalNearDupPairs(batch, idCol, tokensCol, s"$storePath/neardup",
@@ -1139,6 +1213,12 @@ object Dedup {
     require(graft.sources.PathState.classify(weightsPath, hconf) ==
       graft.sources.PathState.Data,
       s"'$weightsPath' holds no parquet data files — not a weights store")
+    // legacy (job-committed, marker-less) subdirs refuse EVERYWHERE, not
+    // just below the boundary: one above it would be silently dropped
+    // from the live carry-over — data loss on the swap (ADVICE r14)
+    requireNoLegacySubdirs(weightsPath, "compactSoftDedupWeights", hconf)
+    requireNoLegacySubdirs(s"$storePath/pairs", "compactSoftDedupWeights",
+      hconf)
     val (committed, partial) = batchDirs(weightsPath, hconf)
     val stalePartial = partial.filter(_._1 <= upToBatchId)
     require(stalePartial.isEmpty,
@@ -1159,8 +1239,15 @@ object Dedup {
       .where(col("_rn") === 1)
       .select(col(idCol), col("rep"), col("cluster_size"), col("weight_ppm"))
     val snapDir = s"$dstPath/weights/batch_id=$upToBatchId"
+    // the return count rides an Observation on the snapshot write job
+    // itself — no read-back job (VERDICT r14: the store's own R168
+    // discipline applied to its compactor). The metrics node sits ABOVE
+    // the range exchange: below it, the boundary-sampling pass executes
+    // the observed subtree a second time and doubles the count.
+    val snapObs = org.apache.spark.sql.Observation("weights_snapshot")
     snap.repartitionByRange(targetFiles, col(idCol))
       .sortWithinPartitions(idCol)
+      .observe(snapObs, count(lit(1)).as("rows"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snapDir)
     markSubdirCommitted(snapDir, hconf)
     // live patches carried over verbatim, one small job each (bounded by
@@ -1221,7 +1308,7 @@ object Dedup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
       markSubdirCommitted(dst, hconf)
     }
-    spark.read.parquet(snapDir).count()
+    snapObs.get("rows").asInstanceOf[Long]
   }
 
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.

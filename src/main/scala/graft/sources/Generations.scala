@@ -75,9 +75,13 @@ object Generations {
     val name = gp.getName
     require(name.startsWith(GenPrefix),
       s"'$genDir' is not a staged generation directory (stage() names them)")
-    require(new Path(genDir).getParent.toUri.getPath ==
-      new Path(root).getFileSystem(conf).makeQualified(new Path(root))
-        .toUri.getPath,
+    // qualify BOTH sides through the root's filesystem (ADVICE r14): a
+    // relative or differently-qualified-but-identical root must pass, and
+    // a genDir on a different filesystem must fail, so the comparison is
+    // full qualified-Path equality, not a raw path-string one
+    val rootFs = new Path(root).getFileSystem(conf)
+    require(rootFs.makeQualified(gp).getParent ==
+      rootFs.makeQualified(new Path(root)),
       s"'$genDir' is not a child of the catalog root '$root'")
     require(PathState.classify(genDir, conf) == PathState.Data,
       s"'$genDir' holds no parquet data — refusing to publish an empty " +

@@ -1247,8 +1247,19 @@ class DedupSpec extends SparkSpec {
       Dedup.compactSoftDedupWeights(spark, store,
         root.resolve("gx").toString, 99, "doc_id") }
     val gen2 = root.resolve("g2").toString
-    assert(Dedup.compactSoftDedupWeights(spark, store, gen2, 1, "doc_id",
-      targetFiles = 2) == 7L)
+    // job-count gate (VERDICT r14): the return count rides an Observation
+    // on the snapshot write, not a dst read-back. The frozen cap is the
+    // measured composition (snapshot sample+write, ledger write, closed
+    // pairs count, pairs fold sample+write, the DELIBERATE pairs parity
+    // re-read, with AQE materializing each shuffle stage as its own job)
+    // — re-adding the snapshot read-back job pushes past it.
+    val (snapRows, compactJobs) = countJobs {
+      Dedup.compactSoftDedupWeights(spark, store, gen2, 1, "doc_id",
+        targetFiles = 2) }
+    info(s"compactSoftDedupWeights jobs: $compactJobs")
+    assert(snapRows == 7L)
+    assert(compactJobs <= 16, s"compactSoftDedupWeights ran $compactJobs " +
+      "jobs — the snapshot count must ride the write's Observation, not a read-back")
     swap(gen2)
     // compacted read ≡ uncompacted, pairs rows exactly preserved
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == uncompacted)
@@ -1360,10 +1371,16 @@ class DedupSpec extends SparkSpec {
     }
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
     // mid-commit crash: parquet rows visible in a patch subdir WITHOUT the
-    // _COMMIT marker are invisible to reads and Overwritten whole on replay
+    // _COMMIT marker are invisible to reads and Overwritten whole on replay.
+    // A TRUE mid-job-commit crash leaves no _SUCCESS either — scrub the one
+    // the simulation's completed write dropped (a completed-but-unmarked
+    // subdir is the LEGACY class and refuses instead; ADVICE r14, spec'd in
+    // the legacy-store test)
     Seq((99L, 99L, 1L, 777L)).toDF("doc_id", "rep", "cluster_size", "weight_ppm")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$store/weights/batch_id=2")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=2", "_SUCCESS"))
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fresh)
     val b2 = docs(21L -> tb) // duplicates doc 3 ⇒ patch = {3, 21}
     assert(fold(b2, 2) == 2L) // replay overwrites the partial subdir
@@ -1397,6 +1414,79 @@ class DedupSpec extends SparkSpec {
     assert(empty.schema("rep").dataType ==
       org.apache.spark.sql.types.StringType)
     assert(empty.count() == 0L)
+  }
+
+  test("legacy marker-less weights store: reads refuse loudly, adoption grandfathers, crash micro-window still replays automatically") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val b0 = docs(1L -> ta, 2L -> ta, 3L -> tb)
+    val b1 = docs(11L -> ta)
+    val root = java.nio.file.Files.createTempDirectory("softwlegacy")
+    val store = root.resolve("s").toString
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.foldSoftDedupWeightsBatch(b, "doc_id", "toks", store, id)
+    assert(fold(b0, 0) == 3L); assert(fold(b1, 1) == 3L)
+    val served = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    // a pre-_COMMIT-era store: complete batches (the parquet write's own
+    // _SUCCESS present) but no markers — strip them off batch 0
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=0", "_COMMIT"))
+    // ADVICE r14: the read REFUSES (pre-fix it served the store as if
+    // batch 0 never happened — silently wrong weights), naming the cure
+    val err = intercept[IllegalArgumentException] {
+      Dedup.readSoftDedupWeights(spark, store, "doc_id") }
+    assert(err.getMessage.contains("adoptLegacySoftDedupStore"))
+    // compaction refuses the same store (a legacy dir ABOVE the boundary
+    // would silently vanish from the live carry-over)
+    intercept[IllegalArgumentException] {
+      Dedup.compactSoftDedupWeights(spark, store,
+        root.resolve("gx").toString, 1, "doc_id") }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=1", "_COMMIT"))
+    // one-shot migration: marks every job-committed subdir, both subtrees
+    val adopted = Dedup.adoptLegacySoftDedupStore(spark, store)
+    assert(adopted.map(_._1).toSet ==
+      Set("weights/batch_id=0", "pairs/batch_id=1"))
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == served)
+    assert(Dedup.adoptLegacySoftDedupStore(spark, store).isEmpty) // idempotent
+    // a legacy PAIRS subdir ALONE (weights all marked) also refuses
+    // compaction — the durable-pairs resume would lose it on the swap
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=1", "_COMMIT"))
+    val pairsErr = intercept[IllegalArgumentException] {
+      Dedup.compactSoftDedupWeights(spark, store,
+        root.resolve("gy").toString, 1, "doc_id") }
+    assert(pairsErr.getMessage.contains("pairs"))
+    assert(Dedup.adoptLegacySoftDedupStore(spark, store)
+      .map(_._1) == Seq("pairs/batch_id=1"))
+    // adoption refuses to certify a TORN subdir (no _SUCCESS): that is a
+    // crashed write that must replay, not a legacy batch
+    val torn = java.nio.file.Paths.get(s"$store/weights/batch_id=2")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-0.parquet"), "x")
+    val tornErr = intercept[IllegalArgumentException] {
+      Dedup.adoptLegacySoftDedupStore(spark, store) }
+    assert(tornErr.getMessage.contains("replay"))
+    // the torn subdir stays INVISIBLE to reads (mid-commit semantics)...
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == served)
+    // ...and the job-commit→marker micro-window replays AUTOMATICALLY: a
+    // completed patch write missing only its marker is recomputed in
+    // place by its own batch's fold, no migration needed (the fold drops
+    // its own unmarked leftovers before the legacy check can see them)
+    java.nio.file.Files.walk(torn).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    val b2 = docs(21L -> tb)
+    assert(fold(b2, 2) == 2L) // {3, 21}
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=2", "_COMMIT"))
+    assert(fold(b2, 2) == 2L) // replays, not refuses
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+      .exists(r => r._1 == 21L && r._2 == 3L))
   }
 
   test("updateSoftDedupWeights property: random multi-batch folds ≡ fresh; reps agree with dropNearDuplicates") {

@@ -1041,6 +1041,32 @@ class SearchSpec extends SparkSpec {
     assert(r >= 0.5, s"learned-centroid recall@1 too low: $r")
   }
 
+  test("sampledCentroids: rank rides a partial top-k plan; duplicate ids refuse with the honest message") {
+    // the one global-window shape in the repo that had no plan assert
+    // (VERDICT r14 watch): the `<= nClusters` filter must plan through
+    // InferWindowGroupLimit — on Spark 4.1 it lands even better, as a
+    // TakeOrderedAndProject(limit=nClusters) feeding the window (per-
+    // partition top-k + size-bounded merge) — either way a partial top-k
+    // BEFORE the single-partition exchange, never a single-task full sort
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val ranked = Search.centroidRanking(corpus, "vec_id", 8, "rf")
+    ranked.collect()
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") ||
+      plan.contains("WindowGroupLimit"),
+      s"centroid rank plan lost its partial top-k:\n$plan")
+    // duplicate ids multiply the join-back: the refusal must SAY that
+    // (ADVICE r14 — it used to claim 'fewer than nClusters rows')
+    val dup = corpus.limit(10).unionAll(corpus.limit(3))
+    val err = intercept[IllegalArgumentException] {
+      Search.sampledCentroids(dup, "vec_id", "embedding", 8, "rf") }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+    // a genuinely too-small corpus keeps its own message
+    val few = intercept[IllegalArgumentException] {
+      Search.sampledCentroids(corpus.limit(3), "vec_id", "embedding", 8, "rf") }
+    assert(few.getMessage.contains("fewer"), few.getMessage)
+  }
+
   test("quantizer refresh: refreshed ≡ fresh build under the new model for all four families; versions chain; mid-swap refusal") {
     def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
     val corpus = emb.where(col("vec_id") =!= 0)
@@ -1277,7 +1303,18 @@ class SearchSpec extends SparkSpec {
     }
     val before = Search.bm25TopKFromIndex(spark, t1,
       Seq("data", "model", "search"), 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val nDocs = Search.compactTextIndex(spark, t1, t2, targetFiles = 4)
+    // job-count gate (VERDICT r14): stats + the return count ride
+    // Observations on the doclens write job, not dst read-backs. The
+    // frozen cap is the measured composition (postings sample+write,
+    // source-doclens count, doclens sample+write, one-row stats write,
+    // with AQE materializing shuffle stages as their own jobs) — the
+    // pre-fix shape added a stats re-aggregate, a doclens re-count and a
+    // stats re-read on top of it.
+    val (nDocs, textJobs) = countJobs {
+      Search.compactTextIndex(spark, t1, t2, targetFiles = 4) }
+    info(s"compactTextIndex jobs: $textJobs")
+    assert(textJobs <= 11, s"compactTextIndex ran $textJobs jobs — a dst " +
+      "read-back crept back in (stats/count must ride the write's Observation)")
     assert(nDocs == docs.count())
     assert(parquetFiles(s"$t2/postings") <= 4)
     val after = Search.bm25TopKFromIndex(spark, t2,
@@ -1309,6 +1346,26 @@ class SearchSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSeq == ivfBefore)
     assert(Search.appendIvfIndex(corpus.where(col("vec_id") < 200),
       "vec_id", "embedding", i3) == 0L) // replay no-op survives compaction
+    // targetFilesPerCluster is HONORED above 1 (ADVICE r14 — it used to be
+    // validated then ignored): the store rewrites under a total budget of
+    // nClusters × target contiguous (cluster, id) ranges, so clusters
+    // split into multiple id-ranged files (size-proportional, not exact)
+    def filesPerCluster(dir: String): Map[String, Int] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+        .groupBy(p => p.split('/').reverse(1)).map { case (k, v) => k -> v.length }
+    val i4 = tmp("civ4")
+    assert(Search.compactIvfIndex(spark, i2, i4, targetFilesPerCluster = 4) == nVec)
+    val perCluster = filesPerCluster(s"$i4/vectors")
+    assert(perCluster.values.sum > 8,
+      s"target=4 must split clusters beyond one-file-per-cluster: $perCluster")
+    // budget: ≤ 32 range partitions, each writing ≤ 1 file per cluster it
+    // touches; a range boundary can straddle a cluster edge, so allow the
+    // straddle slack but no more
+    assert(perCluster.values.sum <= 32 + 8, s"file budget blown: $perCluster")
+    assert(Search.ivfTopKFromIndex(spark, i4, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == ivfBefore)
+    assert(Search.readModelVersion(spark, i4) == 1L)
 
     // ---- residual IVF-PQ: encoding sidecar rides through ----
     val (r1, r2) = (tmp("crs1"), tmp("crs2"))
@@ -1323,6 +1380,13 @@ class SearchSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     Search.compactIvfPqIndex(spark, r1, r2)
     assert(Search.ivfPqResidualTopKFromIndex(spark, r2, corpus,
+      "vec_id", "embedding", q, 10, 4, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == resBefore)
+    // the composed family honors the file budget too
+    val r3 = tmp("crs3")
+    Search.compactIvfPqIndex(spark, r1, r3, targetFilesPerCluster = 2)
+    assert(filesPerCluster(s"$r3/codes").values.sum > 8)
+    assert(Search.ivfPqResidualTopKFromIndex(spark, r3, corpus,
       "vec_id", "embedding", q, 10, 4, 50)
       .select("vec_id").collect().map(_.getLong(0)).toSeq == resBefore)
 
@@ -1345,6 +1409,48 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Search.compactIvfIndex(spark, i3, i3) }
     intercept[IllegalArgumentException] { Search.compactIvfPqIndex(spark, r2, r2) }
     intercept[IllegalArgumentException] { Search.compactPqIndex(spark, p2, p2) }
+  }
+
+  test("quantizer refresh at reference dimensionality (dim=768): full re-encode stays linear, refreshed ≡ fresh build") {
+    import spark.implicits._
+    // VERDICT r14 item 5: the refresh ops re-encode the WHOLE corpus —
+    // exactly the path where the r12 interpreted-eval blowup class lived
+    // (janino gives up past ~100 dims and inline expression reuse went
+    // quadratic; fixed by staging the i8 codes as a projection). The
+    // refresh specs ran at toy dims only; this one drives
+    // refreshIvfPqIndex at the reference's default 768 (the q152
+    // rationale applied to R169) — a regression to the quadratic shape
+    // would blow this test's wall-clock out by orders of magnitude.
+    val dim = 768
+    val rnd = new java.util.Random(11L)
+    val anchors = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows: Seq[(Long, Array[Float])] = (1 until 801).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, Array.tabulate(dim)(j => a(j) + 0.8f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val (v1, v2, fresh) = (tmp("rf768a"), tmp("rf768b"), tmp("rf768c"))
+    val cb0 = Search.pqSampledCodebooks(df, "vec_id", "embedding", dim, 8, 16)
+    val cents0 = Search.sampledCentroids(df, "vec_id", "embedding", 8, "v1")
+    Search.writeIvfPqIndex(df, "vec_id", "embedding", cents0, cb0, v1)
+    val n = Search.refreshIvfPqIndex(df, "vec_id", "embedding", v1, v2,
+      nClusters = 8, dim = dim, m = 8, ksub = 16, salt = "rf768")
+    assert(n == 800L)
+    assert(Search.readModelVersion(spark, v2) == 1L)
+    // refreshed ≡ fresh build under the same re-sampled models, code for code
+    Search.writeIvfPqIndex(df, "vec_id", "embedding",
+      Search.sampledCentroids(df, "vec_id", "embedding", 8, "rf768"),
+      Search.pqSampledCodebooks(df, "vec_id", "embedding", dim, 8, 16), fresh)
+    def codeSet(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("cluster_id"),
+        col("pq_codes").cast("array<int>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(codeSet(v2) == codeSet(fresh))
+    // the refreshed index answers through the standard funnel
+    val q = rows.head._2.toSeq
+    assert(Search.ivfPqTopKFromIndex(spark, v2, df, "vec_id", "embedding",
+      q, k = 5, nProbe = 2, rescore = 20).count() == 5L)
   }
 
   test("quantizer refresh recovers recall after drift (the ivfDriftStats → refresh loop)") {
@@ -1404,6 +1510,86 @@ class SearchSpec extends SparkSpec {
     val statsAfter = Search.ivfDriftStats(spark, dir2, "embedding").collect()
     assert(statsAfter.map(_.getDouble(2)).min > stats.map(_.getDouble(2)).min,
       "worst-cluster mean similarity should improve after the refresh")
+  }
+
+  test("maintainVectorIndex: healthy catalog no-ops; drifted catalog refreshes + publishes and recall recovers through the catalog read path") {
+    import spark.implicits._
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the drift construction from the recall test above, run through the
+    // OPERATOR form of the loop (VERDICT r14 item 6): observe → refresh →
+    // publish is one call against a Generations catalog
+    val dim = 8
+    def v(axis: Int, id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 1.0f
+      a((id % 3).toInt) = a((id % 3).toInt) + 0.02f * ((id % 5) + 1)
+      a.toSeq
+    }
+    val aRows = (1L to 40L).map(id => (id, v((id % 4).toInt, id)))
+    val bRows = (101L to 140L).map(id => (id, v(4 + (id % 4).toInt, id)))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val all = aRows ++ bRows
+    val corpus = a.unionByName(b)
+    val root = java.nio.file.Files.createTempDirectory("maintcat").toString
+    val g0 = Generations.stage(root, conf)
+    Search.writeIvfIndex(a, "embedding",
+      Search.sampledCentroids(a, "vec_id", "embedding", 4, "d1"), g0)
+    Generations.publish(root, g0, conf)
+    def observe(p: String): Double = Search.minClusterSimilarity(spark, p,
+      "embedding")
+    def maintain(threshold: Double) = Search.maintainVectorIndex(spark,
+      root, threshold, observe,
+      refresh = (src, dst) => Search.refreshIvfIndex(corpus, "vec_id",
+        "embedding", src, dst, nClusters = 8, salt = "d2"))
+    // thresholds are relative to the construction's own measured health
+    // (4 sampled data-point centroids over 40 axis-spread vectors have no
+    // absolute floor): at exactly the healthy minimum the policy is a
+    // no-op — no new generation is even STAGED, the pointer never moves
+    val healthyMin = observe(Generations.resolve(root, conf))
+    assert(maintain(healthyMin).isEmpty)
+    assert(Generations.history(root, conf) == Seq("gen-0"))
+    // drift: region B appends into the live generation (the streaming
+    // maintenance path — appends are in-place by that family's contract)
+    assert(Search.appendIvfIndex(b, "vec_id", "embedding",
+      Generations.resolve(root, conf)) == 40L)
+    assert(observe(Generations.resolve(root, conf)) < healthyMin,
+      "appending the orthogonal region must drag some cluster's mean down")
+    def recallViaCatalog(): Double = {
+      val queries = bRows.take(10)
+      val hits = queries.map { case (qid, qv) =>
+        val exact = all.filter(_._1 != qid)
+          .map { case (id, w) => (id, cosRef(w, qv)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+        val got = Search.ivfTopKFromCatalog(spark, root, "embedding",
+            qv, k = 6, nProbe = 1)
+          .select("vec_id").collect().map(_.getLong(0))
+          .filter(_ != qid).take(5).toSet
+        exact.intersect(got).size.toDouble / 5.0
+      }
+      hits.sum / hits.size
+    }
+    val drifted = recallViaCatalog()
+    // the drifted store trips the threshold: one call refreshes on the
+    // current corpus, publishes atomically, and the CATALOG read path
+    // picks the new generation up on its next resolve
+    assert(maintain(healthyMin).contains("gen-1"))
+    assert(Generations.resolve(root, conf).endsWith("gen-1"))
+    assert(Search.readModelVersion(spark,
+      Generations.resolve(root, conf)) == 1L)
+    val refreshedMin = observe(Generations.resolve(root, conf))
+    assert(refreshedMin > observe(g0),
+      "the refreshed generation's worst cluster must beat the drifted one")
+    val refreshed = recallViaCatalog()
+    assert(refreshed > drifted,
+      s"maintain should recover recall: drifted=$drifted refreshed=$refreshed")
+    // healthy again: the next tick no-ops and the pointer stays
+    assert(maintain(refreshedMin).isEmpty)
+    assert(Generations.resolve(root, conf).endsWith("gen-1"))
+    // vacuum stays a SEPARATE decision; the live generation keeps serving
+    assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-0"))
+    assert(recallViaCatalog() == refreshed)
   }
 
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)

@@ -1626,10 +1626,22 @@ class SourcesSpec extends SparkSpec {
       "embedding", q, 5, 2).select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(a0.nonEmpty)
     // TORN PUBLISH: a crash that wrote the temp pointer but never renamed
-    // is invisible — resolve still serves gen-0
+    // is invisible — resolve still serves gen-0, and so does the PROBE
+    // PATH (the q162 read entry point — VERDICT r14 item 2's done bar)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(root, "_current.tmp"), "gen-999")
     assert(Generations.resolve(root, conf) == g0)
+    assert(Search.ivfTopKFromCatalog(spark, root, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == a0)
+    // ...as does a crash that staged a data-bearing generation but died
+    // BEFORE publish: the unreferenced dir changes nothing a reader sees
+    val gStale = Generations.stage(root, conf)
+    vecs0.limit(10).select("vec_id", "embedding").write.parquet(s"$gStale/vectors")
+    assert(Search.ivfTopKFromCatalog(spark, root, "embedding", q, 5, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == a0)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(gStale))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
     // generation 1: the refresh loop through the catalog
     val g1 = Generations.stage(root, conf)
     assert(g1.endsWith("gen-1"))
@@ -1655,5 +1667,18 @@ class SourcesSpec extends SparkSpec {
     // the live generation still serves after the vacuum
     assert(Search.ivfTopKFromIndex(spark, Generations.resolve(root, conf),
       "embedding", q, 5, 2).count() == 5L)
+    // RELATIVE root (ADVICE r14): stage() hands back an unqualified child
+    // path, and publish's child-of-root check must qualify BOTH sides —
+    // pre-fix the round-trip spuriously refused a legitimate child
+    val relRoot = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(java.nio.file.Files.createTempDirectory("genrel")).toString
+    val rg = Generations.stage(relRoot, conf)
+    vecs0.select("vec_id").write.parquet(s"$rg/ids")
+    assert(Generations.publish(relRoot, rg, conf) == "gen-0")
+    assert(new org.apache.hadoop.fs.Path(Generations.resolve(relRoot, conf))
+      .getName == "gen-0")
+    // cross-filesystem genDir still refuses (qualification, not string play)
+    intercept[IllegalArgumentException] {
+      Generations.publish(relRoot, s"file:/nonexistent/gen-0", conf) }
   }
 }

@@ -30,4 +30,31 @@ abstract class SparkSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(minTests), p)
     assert(res.passed, res.status.toString)
   }
+
+  /** Run `body` and return (result, Spark jobs started by it) — the
+    * regression gate for "no read-back job" contracts (VERDICT r14: the
+    * Observation discipline in the store compactors). The listener bus is
+    * async, so the count is read only once it has been stable for 300 ms.
+    */
+  def countJobs[T](body: => T): (T, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = n.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      (r, n.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
