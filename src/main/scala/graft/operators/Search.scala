@@ -2368,6 +2368,52 @@ object Search {
     }
   }
 
+  /** Visible parquet data files under one store subdir (driver-side
+    * listing — the fragmentation observable a layout policy needs).
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** [[maintainVectorIndex]] on the LAYOUT axis for the text index: a
+    * text store has no model to drift — what sustained
+    * [[appendTextIndex]] ingest erodes is the postings' term-range
+    * layout and file count (R175). This observes the live generation's
+    * postings fragmentation (one driver-side listing) and, only past
+    * `maxPostingsFiles`, pays the [[compactTextIndex]] rewrite into a
+    * staged generation and publishes it atomically. Appends keep landing
+    * in whatever generation is live (their idempotence keys off doclens
+    * CONTENT, which compaction preserves row-for-row, so replays no-op
+    * across the swap); healthy stores cost one fs listing and nothing
+    * else. Returns the published generation name, or None when healthy.
+    */
+  def maintainTextIndex(spark: SparkSession, catalogRoot: String,
+      maxPostingsFiles: Int, targetFiles: Int = 16): Option[String] = {
+    require(maxPostingsFiles >= targetFiles,
+      s"maxPostingsFiles ($maxPostingsFiles) below targetFiles " +
+        s"($targetFiles) would re-trigger compaction on every tick")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = graft.sources.Generations.resolve(catalogRoot, hconf)
+    if (dataFileCount(spark, s"$live/postings") <= maxPostingsFiles) None
+    else {
+      val staged = graft.sources.Generations.stage(catalogRoot, hconf)
+      compactTextIndex(spark, live, staged, targetFiles)
+      Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
+    }
+  }
+
   // ------------------------- persisted-store compaction (small files) ---
 
   /** Compact a persisted text index ([[writeTextIndex]] +
