@@ -3444,6 +3444,7 @@ FROM e ORDER BY doc_id""",
     * replays relationally — DuckDB never sees staging, pointers,
     * compaction or vacuum.
     */
-  val all: Map[String, String] =
-    base + ("q162_catalog_lifecycle" -> base("q158_ivfpq_refresh"))
+  val all: Map[String, String] = base +
+    ("q162_catalog_lifecycle" -> base("q158_ivfpq_refresh")) +
+    ("q163_text_policy_lifecycle" -> base("q97_bm25_from_index"))
 }

@@ -3774,6 +3774,47 @@ object Queries {
       .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
   }
 
+  /** Q163 — the TEXT-index catalog lifecycle driven by the LAYOUT POLICY
+    * ([[Search.maintainTextIndex]] — q162's symmetry for the family with
+    * no model to drift): a deliberately FRAGMENTED index (evens written,
+    * odds appended — q161's construction) is built inside generation 0
+    * of a fresh catalog and published; ONE policy tick observes the
+    * fragmentation past its budget, pays the compaction into a staged
+    * generation and publishes it; a second tick no-ops (healthy — the
+    * require pins both policy verdicts); the query is answered through
+    * the pointer ([[Search.bm25TopKFromCatalog]]). The oracle is q97's
+    * BM25 recompute BY REFERENCE — DuckDB never sees the policy, the
+    * catalog or the layout — so the hash match proves the policy's
+    * rewrite + swap is answer-invariant. The budget is 1/1 so the trip
+    * is partitioning-invariant (the fragmented store holds ≥ 2 files —
+    * two write jobs — under ANY shuffle-partition count, the sweep's
+    * sp=1 floor included).
+    */
+  def q163TextPolicyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Generations
+    implicit val sp: SparkSession = s
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = scratchDir("q163cat", dir).toString
+    val docs = documents(s, dir)
+      .select(col("doc_id"), TextFunctions.wordTokens(col("text")).as("toks"))
+    val g0 = Generations.stage(root, hconf)
+    Search.writeTextIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "toks", g0)
+    Search.appendTextIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "toks", g0)
+    Generations.publish(root, g0, hconf)
+    val tick = Search.maintainTextIndex(s, root,
+      maxPostingsFiles = 1, targetFiles = 1)
+    require(tick.contains("gen-1"),
+      s"the fragmented generation must trip the layout policy, got $tick")
+    require(Search.maintainTextIndex(s, root,
+        maxPostingsFiles = 1, targetFiles = 1).isEmpty,
+      "the compacted generation must read healthy on the next tick")
+    Search.bm25TopKFromCatalog(s, root,
+        queryTerms = Seq("data", "model", "search"), k = 10)
+      .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3938,5 +3979,6 @@ object Queries {
     "q160_curation_pipeline" -> q160CurationPipeline _,
     "q161_bm25_compacted" -> q161Bm25Compacted _,
     "q162_catalog_lifecycle" -> q162CatalogLifecycle _,
+    "q163_text_policy_lifecycle" -> q163TextPolicyLifecycle _,
   )
 }

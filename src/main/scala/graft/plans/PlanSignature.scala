@@ -135,7 +135,8 @@ object PlanSignature {
     "q151_ivf_pq_residual", "q152_index_pipeline_768",
     "q154_soft_dedup_weights", "q156_incremental_soft_dedup_weights",
     "q157_streaming_soft_dedup_weights", "q158_ivfpq_refresh",
-    "q161_bm25_compacted", "q162_catalog_lifecycle")
+    "q161_bm25_compacted", "q162_catalog_lifecycle",
+    "q163_text_policy_lifecycle")
 
   /** Probes signed at sf0.01 ONLY. EMPTY since round 14 (VERDICT r13
     * item 6): the heavy composites q88/q128/q149 formerly skipped sf0.1
