@@ -1311,6 +1311,71 @@ object Dedup {
     snapObs.get("rows").asInstanceOf[Long]
   }
 
+  /** Committed (`_COMMIT`-marked) weights-batch ids of a
+    * [[foldSoftDedupWeightsBatch]] store, ascending — the patch-history
+    * observable a maintenance policy thresholds on (one driver-side
+    * listing; the latest-wins reader's cost is linear in this count).
+    */
+  def committedWeightsBatches(spark: SparkSession,
+      storePath: String): Seq[Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val weightsPath = s"$storePath/weights"
+    if (graft.sources.PathState.classify(weightsPath, hconf) !=
+      graft.sources.PathState.Data) Seq.empty
+    else batchDirs(weightsPath, hconf)._1.map(_._1)
+  }
+
+  /** The maintenance POLICY for the streaming weights store —
+    * [[graft.operators.Search.maintainTextIndex]]'s contract on the
+    * PATCH-HISTORY axis, closing the store's last manual runbook (the
+    * probes' caller-side subtree swap): what sustained micro-batch
+    * ingest erodes is the batch-subdir COUNT the latest-wins reader
+    * scans, so the policy observes the LIVE generation's committed
+    * weights batches (one driver-side listing — a healthy store costs
+    * nothing else) and only past `maxBatches` pays the
+    * [[compactSoftDedupWeights]] fold into a staged generation of a
+    * [[graft.sources.Generations]] catalog, then publishes atomically.
+    *
+    * The catalog holds WHOLE-STORE generations: compaction writes the
+    * weights + pairs subtrees; the `neardup` sketch store — untouched
+    * by the fold's contract — is carried into the new generation by a
+    * driver-side VERBATIM copy (every marker preserved), so each
+    * generation is self-contained and vacuuming a superseded one can
+    * never pull the live generation's sketches out from under it (its
+    * own growth axis is [[compactNearDupSketches]], a separate policy).
+    *
+    * `committedBatchId` is the fold boundary: the caller's stream
+    * checkpoint MUST have committed past it (only the in-flight epoch
+    * may replay concurrently — [[compactSoftDedupWeights]]'s contract;
+    * synchronous drivers pass their last-folded batch id). Folds keep
+    * running against `Generations.resolve(root)`: the carried `_folded`
+    * ledger keeps absorbed replays no-op across the swap, and
+    * later-epoch subdirs carry over live.
+    *
+    * @return the published generation name, or None when healthy
+    */
+  def maintainSoftDedupWeights(spark: SparkSession, catalogRoot: String,
+      maxBatches: Int, committedBatchId: Long,
+      idCol: String = "id", targetFiles: Int = 4): Option[String] = {
+    require(maxBatches >= 1,
+      s"maxBatches must be >= 1 (a snapshot IS one batch subdir), got $maxBatches")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = graft.sources.Generations.resolve(catalogRoot, hconf)
+    if (committedWeightsBatches(spark, live).size <= maxBatches) None
+    else {
+      val staged = graft.sources.Generations.stage(catalogRoot, hconf)
+      compactSoftDedupWeights(spark, live, staged, committedBatchId,
+        idCol, targetFiles)
+      val srcNd = new org.apache.hadoop.fs.Path(s"$live/neardup")
+      val fs = srcNd.getFileSystem(hconf)
+      if (fs.exists(srcNd))
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcNd, fs,
+          new org.apache.hadoop.fs.Path(s"$staged/neardup"),
+          false, hconf)
+      Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
+    }
+  }
+
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.
     * Portable: bit i of md5-hash(token) taken via integer div/mod — identical
     * in DuckDB. Near-dups = fingerprints within small Hamming distance.

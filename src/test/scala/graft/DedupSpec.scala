@@ -1489,6 +1489,69 @@ class DedupSpec extends SparkSpec {
       .exists(r => r._1 == 21L && r._2 == 3L))
   }
 
+  test("maintainSoftDedupWeights: healthy catalog no-ops; past-budget tick folds + publishes; folds, replays and cross-batch probes survive the swap") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    val td = "nu xi omicron pi rho"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val b0 = docs(1L -> ta, 2L -> ta, 3L -> tb)
+    val b1 = docs(11L -> ta, 12L -> td)
+    val b2 = docs(21L -> tb)
+    val b3 = docs(31L -> ta)
+    val root = java.nio.file.Files.createTempDirectory("maintsw").toString
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.foldSoftDedupWeightsBatch(b, "doc_id", "toks",
+        Generations.resolve(root, conf), id)
+    def maintain(maxBatches: Int, boundary: Long) =
+      Dedup.maintainSoftDedupWeights(spark, root, maxBatches, boundary,
+        idCol = "doc_id")
+    // generation 0 bootstraps by folding INTO the staged dir, then publishes
+    val g0 = Generations.stage(root, conf)
+    assert(Dedup.foldSoftDedupWeightsBatch(b0, "doc_id", "toks", g0, 0) == 3L)
+    Generations.publish(root, g0, conf)
+    assert(fold(b1, 1) == 4L) // folds run against resolve()
+    // within budget: a TRUE no-op — nothing staged, the pointer unmoved
+    assert(maintain(maxBatches = 2, boundary = 1).isEmpty)
+    assert(Generations.history(root, conf) == Seq("gen-0"))
+    assert(fold(b2, 2) == 2L) // {3, 21} — third subdir, past budget
+    // past budget: fold into a staged generation + atomic publish
+    assert(maintain(maxBatches = 2, boundary = 2).contains("gen-1"))
+    val live = Generations.resolve(root, conf)
+    assert(live.endsWith("gen-1"))
+    assert(Dedup.committedWeightsBatches(spark, live) == Seq(2L))
+    // the generation is SELF-CONTAINED: the sketch store rode along
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(live, "neardup", "sketches")))
+    // read-through-resolve ≡ fresh recompute over the union corpus
+    val all = docs(1L -> ta, 2L -> ta, 3L -> tb, 11L -> ta, 12L -> td,
+      21L -> tb)
+    val fresh = tup(Dedup.softDedupWeights(all.select(col("doc_id")),
+      "doc_id", Dedup.minhashNearDupPairs(all, "doc_id", "toks")))
+    assert(tup(Dedup.readSoftDedupWeights(spark, live, "doc_id")) == fresh)
+    // absorbed replays no-op through the CARRIED ledger
+    assert(fold(b0, 0) == 0L); assert(fold(b1, 1) == 0L); assert(fold(b2, 2) == 0L)
+    // a NEW batch folds into the new generation and still probes the
+    // carried sketches cross-batch (31 duplicates doc 1's text)
+    assert(fold(b3, 3) > 0L)
+    assert(tup(Dedup.readSoftDedupWeights(spark, live, "doc_id"))
+      .exists(r => r._1 == 31L && r._2 == 1L))
+    // healthy again (snapshot + one live patch ≤ budget); vacuum separate
+    assert(maintain(maxBatches = 2, boundary = 3).isEmpty)
+    assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-0"))
+    assert(tup(Dedup.readSoftDedupWeights(spark,
+      Generations.resolve(root, conf), "doc_id"))
+      .exists(r => r._1 == 31L && r._2 == 1L))
+    // a zero budget would re-trigger every tick (the snapshot itself is
+    // one subdir)
+    intercept[IllegalArgumentException] { maintain(0, 3) }
+  }
+
   test("updateSoftDedupWeights property: random multi-batch folds ≡ fresh; reps agree with dropNearDuplicates") {
     import spark.implicits._
     def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
