@@ -964,6 +964,14 @@ object Dedup {
     * from a mid-job-commit crash (no `_SUCCESS`, partially-renamed task
     * files): the former holds real data that must NOT be silently served
     * as empty, the latter must stay invisible until its batch replays.
+    *
+    * Premise limit: deployments writing with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` produce no
+    * `_SUCCESS` at all, so their complete LEGACY batches classify as
+    * mid-commit crashes here (invisible, never adopted automatically) —
+    * stores written by THIS code are unaffected (`_COMMIT` is ours), and
+    * [[adoptLegacySoftDedupStore]]'s `assumeJobCommitted` hatch is the
+    * documented migration for such legacy stores.
     */
   private def subdirJobCommitted(path: String,
       hconf: org.apache.hadoop.conf.Configuration): Boolean = {
@@ -977,11 +985,13 @@ object Dedup {
     * empty (and a fold replay would then overwrite durable pairs with
     * nothing — the exact loss window the marker discipline closed).
     * Mid-commit crashes (no `_SUCCESS`) are NOT legacy — they stay
-    * invisible and replay, as designed.
+    * invisible and replay, as designed. Callers that already hold a
+    * [[batchDirs]] listing pass its PARTIAL side to avoid re-listing.
     */
   private def requireNoLegacySubdirs(root: String, op: String,
-      hconf: org.apache.hadoop.conf.Configuration): Unit = {
-    val legacy = batchDirs(root, hconf)._2
+      hconf: org.apache.hadoop.conf.Configuration,
+      partialListed: Option[Seq[(Long, String)]] = None): Unit = {
+    val legacy = partialListed.getOrElse(batchDirs(root, hconf)._2)
       .filter { case (_, p) => subdirJobCommitted(p, hconf) }
     require(legacy.isEmpty,
       s"$op: batches ${legacy.map(_._1).mkString(", ")} under '$root' hold " +
@@ -997,24 +1007,38 @@ object Dedup {
     * subdir under `weights/` and `pairs/` whose write job completed
     * (`_SUCCESS` present). A markerless subdir WITHOUT `_SUCCESS` refuses
     * the whole migration — its data may be a partially-committed crash,
-    * and certifying it complete is not this operator's call. Caller
-    * contract: single writer, store quiescent (no fold in flight).
+    * and certifying it complete is not this operator's call — UNLESS the
+    * caller passes `assumeJobCommitted = true`: the escape hatch for
+    * deployments that write with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (common on
+    * object stores), where complete legacy batches carry no `_SUCCESS`
+    * either and the caller must certify completeness themselves (the
+    * flag adopts every markerless subdir that holds parquet data).
+    * Caller contract: single writer, store quiescent (no fold in
+    * flight).
     *
     * @return adopted (root-relative subdir, batch id) pairs, ascending
     */
-  def adoptLegacySoftDedupStore(spark: SparkSession,
-      storePath: String): Seq[(String, Long)] = {
+  def adoptLegacySoftDedupStore(spark: SparkSession, storePath: String,
+      assumeJobCommitted: Boolean = false): Seq[(String, Long)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     Seq("weights", "pairs").flatMap { sub =>
       val root = s"$storePath/$sub"
       val unmarked = batchDirs(root, hconf)._2
       val torn = unmarked.filterNot { case (_, p) => subdirJobCommitted(p, hconf) }
-      require(torn.isEmpty,
+      require(assumeJobCommitted || torn.isEmpty,
         s"adoptLegacySoftDedupStore: batches ${torn.map(_._1).mkString(", ")} " +
           s"under '$root' have neither _COMMIT nor _SUCCESS — a crashed " +
           "write, not a legacy batch; let its batch replay instead of " +
-          "certifying incomplete data")
-      unmarked.map { case (id, p) =>
+          "certifying incomplete data (or pass assumeJobCommitted = true " +
+          "ONLY for _SUCCESS-less deployments after certifying completeness)")
+      val adoptable =
+        if (assumeJobCommitted)
+          unmarked.filter { case (_, p) =>
+            graft.sources.PathState.classify(p, hconf) ==
+              graft.sources.PathState.Data }
+        else unmarked
+      adoptable.map { case (id, p) =>
         markSubdirCommitted(p, hconf); (s"$sub/batch_id=$id", id)
       }
     }
@@ -1060,12 +1084,13 @@ object Dedup {
     require(state != graft.sources.PathState.Foreign,
       s"weights store '$weightsPath' holds non-parquet content — refusing " +
         "to read it as an empty store")
-    if (state == graft.sources.PathState.Data)
-      requireNoLegacySubdirs(weightsPath, "readSoftDedupWeights", hconf)
     val committed =
-      if (state == graft.sources.PathState.Data)
-        batchDirs(weightsPath, hconf)._1
-      else Seq.empty
+      if (state == graft.sources.PathState.Data) {
+        val (ok, partial) = batchDirs(weightsPath, hconf)
+        requireNoLegacySubdirs(weightsPath, "readSoftDedupWeights", hconf,
+          Some(partial))
+        ok
+      } else Seq.empty
     if (committed.isEmpty)
       return spark.range(0).select(col("id").cast(idType).as(idCol),
         col("id").cast(idType).as("rep"), col("id").as("cluster_size"),
@@ -1138,6 +1163,22 @@ object Dedup {
     val ownPatch = new org.apache.hadoop.fs.Path(patchPath)
     val ownFs = ownPatch.getFileSystem(hconf)
     if (ownFs.exists(ownPatch)) { ownFs.delete(ownPatch, true); () }
+    // LEGACY pairs refuse BEFORE the probe runs, not after (review r15):
+    // a legacy store's sketches already contain this batch's ids, so the
+    // probe's recompute would be EMPTY — and its onPairs write would
+    // OVERWRITE the durable job-committed pairs and certify the loss
+    // with a _COMMIT marker. This includes the OWN batch's pairs subdir:
+    // a job-committed-but-unmarked pairs dir is either legacy or the
+    // pairs micro-window, and in BOTH cases adoption (mark, then resume
+    // from the durable rows) is the correct recovery — recompute is not.
+    requireNoLegacySubdirs(s"$storePath/pairs", "foldSoftDedupWeightsBatch",
+      hconf)
+    // ...and the weights side refuses before the sketch store mutates
+    // too (recoverable either way — the content-keyed sketch fold
+    // re-absorbs on the post-adoption retry — but refusing first keeps
+    // the store bit-identical through a refused fold)
+    requireNoLegacySubdirs(s"$storePath/weights", "foldSoftDedupWeightsBatch",
+      hconf)
     val pairsPath = s"$storePath/pairs/batch_id=$batchId"
     val pairsDurable = subdirCommitted(pairsPath, hconf)
     incrementalNearDupPairs(batch, idCol, tokensCol, s"$storePath/neardup",
@@ -1215,11 +1256,11 @@ object Dedup {
       s"'$weightsPath' holds no parquet data files — not a weights store")
     // legacy (job-committed, marker-less) subdirs refuse EVERYWHERE, not
     // just below the boundary: one above it would be silently dropped
-    // from the live carry-over — data loss on the swap (ADVICE r14)
-    requireNoLegacySubdirs(weightsPath, "compactSoftDedupWeights", hconf)
-    requireNoLegacySubdirs(s"$storePath/pairs", "compactSoftDedupWeights",
-      hconf)
+    // from the live carry-over — data loss on the swap (ADVICE r14).
+    // One listing per root feeds both the legacy check and the plan.
     val (committed, partial) = batchDirs(weightsPath, hconf)
+    requireNoLegacySubdirs(weightsPath, "compactSoftDedupWeights", hconf,
+      Some(partial))
     val stalePartial = partial.filter(_._1 <= upToBatchId)
     require(stalePartial.isEmpty,
       s"weights batches ${stalePartial.map(_._1).mkString(", ")} at or below " +
@@ -1280,6 +1321,8 @@ object Dedup {
     // ---- pairs: closed rows fold to the boundary subdir, rows exact ----
     val pairsPath = s"$storePath/pairs"
     val (pairsCommitted, pairsPartial) = batchDirs(pairsPath, hconf)
+    requireNoLegacySubdirs(pairsPath, "compactSoftDedupWeights", hconf,
+      Some(pairsPartial))
     val pairsOrphan = (pairsCommitted ++ pairsPartial)
       .filter(p => p._1 <= upToBatchId && !closed.exists(_._1 == p._1))
     require(pairsOrphan.isEmpty,
@@ -1338,11 +1381,13 @@ object Dedup {
     *
     * The catalog holds WHOLE-STORE generations: compaction writes the
     * weights + pairs subtrees; the `neardup` sketch store — untouched
-    * by the fold's contract — is carried into the new generation by a
-    * driver-side VERBATIM copy (every marker preserved), so each
-    * generation is self-contained and vacuuming a superseded one can
-    * never pull the live generation's sketches out from under it (its
-    * own growth axis is [[compactNearDupSketches]], a separate policy).
+    * by the fold's contract — is carried into the new generation
+    * through [[compactNearDupSketches]] (a distributed, parity-verified,
+    * file-bounded rewrite — NOT a driver-side byte copy, which would be
+    * serial in total sketch bytes), so each generation is
+    * self-contained, vacuuming a superseded one can never pull the live
+    * generation's sketches out from under it, and ALL THREE of the
+    * store's growth legs are bounded by the one tick.
     *
     * `committedBatchId` is the fold boundary: the caller's stream
     * checkpoint MUST have committed past it (only the in-flight epoch
@@ -1351,6 +1396,17 @@ object Dedup {
     * running against `Generations.resolve(root)`: the carried `_folded`
     * ledger keeps absorbed replays no-op across the swap, and
     * later-epoch subdirs carry over live.
+    *
+    * QUIESCENCE: the tick must not race a fold that COMPLETES
+    * mid-compaction — its subdirs (and late sketch rows) would be
+    * missing from the staged generation. The policy detects this: the
+    * live generation's committed weights AND pairs batch sets are
+    * re-listed after the rewrite and any change REFUSES the publish
+    * (the staged generation is abandoned unpublished — vacuum reclaims
+    * it); re-run the tick while the stream is paused. Detection is
+    * best-effort (a fold landing between the re-check and the pointer
+    * rename is not seen) — pausing the single writer for the tick is
+    * the contract, the check is the tripwire.
     *
     * @return the published generation name, or None when healthy
     */
@@ -1361,17 +1417,25 @@ object Dedup {
       s"maxBatches must be >= 1 (a snapshot IS one batch subdir), got $maxBatches")
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = graft.sources.Generations.resolve(catalogRoot, hconf)
-    if (committedWeightsBatches(spark, live).size <= maxBatches) None
+    def pairsBatches() = batchDirs(s"$live/pairs", hconf)._1.map(_._1)
+    val weightsBefore = committedWeightsBatches(spark, live)
+    if (weightsBefore.size <= maxBatches) None
     else {
+      val pairsBefore = pairsBatches()
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       compactSoftDedupWeights(spark, live, staged, committedBatchId,
         idCol, targetFiles)
-      val srcNd = new org.apache.hadoop.fs.Path(s"$live/neardup")
-      val fs = srcNd.getFileSystem(hconf)
-      if (fs.exists(srcNd))
-        org.apache.hadoop.fs.FileUtil.copy(fs, srcNd, fs,
-          new org.apache.hadoop.fs.Path(s"$staged/neardup"),
-          false, hconf)
+      if (graft.sources.PathState.classify(s"$live/neardup/sketches",
+          hconf) == graft.sources.PathState.Data)
+        compactNearDupSketches(spark, s"$live/neardup", s"$staged/neardup")
+      val (weightsAfter, pairsAfter) =
+        (committedWeightsBatches(spark, live), pairsBatches())
+      require(weightsAfter == weightsBefore && pairsAfter == pairsBefore,
+        s"maintainSoftDedupWeights: fold(s) landed in the live generation " +
+          s"mid-compaction (weights $weightsBefore -> $weightsAfter, pairs " +
+          s"$pairsBefore -> $pairsAfter) — refusing to publish a generation " +
+          "missing them; the staged dir is abandoned (vacuum reclaims it). " +
+          "Re-run the tick with the stream paused")
       Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
     }
   }

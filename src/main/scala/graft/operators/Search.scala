@@ -2370,18 +2370,26 @@ object Search {
 
   /** Visible parquet data files under one store subdir (driver-side
     * listing — the fragmentation observable a layout policy needs).
+    * Visibility is judged on EVERY path component below the target
+    * (the [[graft.sources.PathState]] rule), so in-flight or
+    * crash-orphaned task files under `_temporary/...` never count — a
+    * name-only check would let them trip compactions the real visible
+    * file count does not justify.
     */
   def dataFileCount(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else {
+      val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(p, true)
       var n = 0
       while (it.hasNext) {
         val f = it.next().getPath
-        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")) n += 1
+        val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        val hidden = rel.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden && f.getName.endsWith(".parquet")) n += 1
       }
       n
     }
@@ -2398,6 +2406,17 @@ object Search {
     * CONTENT, which compaction preserves row-for-row, so replays no-op
     * across the swap); healthy stores cost one fs listing and nothing
     * else. Returns the published generation name, or None when healthy.
+    *
+    * QUIESCENCE: an append whose job COMMITS between the compaction's
+    * source reads and the publish would exist only in the superseded
+    * generation — and a committed epoch never replays, so it would be
+    * silent loss. The policy re-lists the live postings after the
+    * rewrite and REFUSES the publish if the file count moved (the
+    * staged generation is abandoned; vacuum reclaims it) — re-run the
+    * tick with the append stream paused. Best-effort tripwire, same
+    * contract as [[graft.operators.Dedup.maintainSoftDedupWeights]]:
+    * the single writer pauses for the tick; the check catches the
+    * violation.
     */
   def maintainTextIndex(spark: SparkSession, catalogRoot: String,
       maxPostingsFiles: Int, targetFiles: Int = 16): Option[String] = {
@@ -2406,10 +2425,17 @@ object Search {
         s"($targetFiles) would re-trigger compaction on every tick")
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = graft.sources.Generations.resolve(catalogRoot, hconf)
-    if (dataFileCount(spark, s"$live/postings") <= maxPostingsFiles) None
+    val before = dataFileCount(spark, s"$live/postings")
+    if (before <= maxPostingsFiles) None
     else {
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       compactTextIndex(spark, live, staged, targetFiles)
+      val after = dataFileCount(spark, s"$live/postings")
+      require(after == before,
+        s"maintainTextIndex: append(s) landed in the live generation " +
+          s"mid-compaction (postings files $before -> $after) — refusing " +
+          "to publish a generation missing them; the staged dir is " +
+          "abandoned (vacuum reclaims it). Re-run with the stream paused")
       Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
     }
   }
@@ -2488,7 +2514,10 @@ object Search {
     * parameter was previously validated but ignored).
     */
   private def clusterCompactionLayout(src: DataFrame, idCol: String,
-      nClusters: Long, targetFilesPerCluster: Int): DataFrame = {
+      nClusters: => Long, targetFilesPerCluster: Int): DataFrame = {
+    // nClusters is by-name: the default one-file-per-cluster path never
+    // evaluates it, so the centroids-count job only runs when the file
+    // budget actually needs it (review r15)
     val laid =
       if (targetFilesPerCluster == 1) src.repartition(col("cluster_id"))
       else src.repartitionByRange(
@@ -2520,8 +2549,9 @@ object Search {
     val src = spark.read.parquet(s"$srcPath/vectors")
     val n = src.count()
     val idCol = src.columns.find(_ != "cluster_id").head
-    val nClusters = spark.read.parquet(s"$srcPath/centroids").count()
-    clusterCompactionLayout(src, idCol, nClusters, targetFilesPerCluster)
+    clusterCompactionLayout(src, idCol,
+        spark.read.parquet(s"$srcPath/centroids").count(),
+        targetFilesPerCluster)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
     spark.read.parquet(s"$srcPath/centroids")
@@ -2547,8 +2577,9 @@ object Search {
     val src = spark.read.parquet(s"$srcPath/codes")
     val n = src.count()
     val idCol = src.columns.find(c => c != "cluster_id" && c != "pq_codes").head
-    val nClusters = spark.read.parquet(s"$srcPath/centroids").count()
-    clusterCompactionLayout(src, idCol, nClusters, targetFilesPerCluster)
+    clusterCompactionLayout(src, idCol,
+        spark.read.parquet(s"$srcPath/centroids").count(),
+        targetFilesPerCluster)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(s"$dstPath/codes")
     copyIvfPqSidecars(spark, srcPath, dstPath,

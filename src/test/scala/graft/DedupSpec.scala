@@ -1462,6 +1462,17 @@ class DedupSpec extends SparkSpec {
       Dedup.compactSoftDedupWeights(spark, store,
         root.resolve("gy").toString, 1, "doc_id") }
     assert(pairsErr.getMessage.contains("pairs"))
+    // ...and the FOLD refuses it too, BEFORE its probe can overwrite the
+    // durable rows with an empty recompute and certify the loss with a
+    // marker (review r15 — the one mutation path the read-side guard
+    // could not reach in time)
+    val durablePairRows =
+      spark.read.parquet(s"$store/pairs/batch_id=1").count()
+    val foldLegacyErr = intercept[IllegalArgumentException] {
+      fold(docs(41L -> tb), 4) }
+    assert(foldLegacyErr.getMessage.contains("adoptLegacySoftDedupStore"))
+    assert(spark.read.parquet(s"$store/pairs/batch_id=1").count()
+      == durablePairRows) // the legacy pairs are byte-for-byte unharmed
     assert(Dedup.adoptLegacySoftDedupStore(spark, store)
       .map(_._1) == Seq("pairs/batch_id=1"))
     // adoption refuses to certify a TORN subdir (no _SUCCESS): that is a
@@ -1487,6 +1498,20 @@ class DedupSpec extends SparkSpec {
     assert(fold(b2, 2) == 2L) // replays, not refuses
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
       .exists(r => r._1 == 21L && r._2 == 3L))
+    // _SUCCESS-less deployments (marksuccessfuljobs=false): a complete
+    // legacy batch carries NEITHER marker — default adoption refuses it
+    // (indistinguishable from a crash), the caller-certified hatch
+    // grandfathers it, and the store serves identically afterwards
+    val pre = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=2", "_COMMIT"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=2", "_SUCCESS"))
+    intercept[IllegalArgumentException] {
+      Dedup.adoptLegacySoftDedupStore(spark, store) }
+    assert(Dedup.adoptLegacySoftDedupStore(spark, store,
+      assumeJobCommitted = true).map(_._1) == Seq("weights/batch_id=2"))
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == pre)
   }
 
   test("maintainSoftDedupWeights: healthy catalog no-ops; past-budget tick folds + publishes; folds, replays and cross-batch probes survive the swap") {

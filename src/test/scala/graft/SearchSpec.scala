@@ -1431,6 +1431,14 @@ class SearchSpec extends SparkSpec {
     val frag = Search.dataFileCount(spark,
       s"${Generations.resolve(root, conf)}/postings")
     assert(frag > 8, s"append sequence should fragment the postings: $frag")
+    // the observable ignores hidden path COMPONENTS (review r15): a
+    // crash-orphaned task file under _temporary must not trip the policy
+    val orphan = java.nio.file.Paths.get(
+      Generations.resolve(root, conf), "postings", "_temporary", "0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-junk.parquet"), "x")
+    assert(Search.dataFileCount(spark,
+      s"${Generations.resolve(root, conf)}/postings") == frag)
     val before = Search.bm25TopKFromCatalog(spark, root,
         Seq("data", "model", "search"), 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
