@@ -1073,6 +1073,22 @@ object Dedup {
     * the first fold needs no special base case; a Foreign path (non-store
     * content) refuses loudly like every other store. One partitioned
     * window on id — the only shuffle.
+    *
+    * In-flight tolerance (ADVICE r15): every healthy fold passes through
+    * a job-committed-but-`_COMMIT`-less patch subdir between its write
+    * job and [[markSubdirCommitted]], so a reader racing a normal fold
+    * would otherwise hit the legacy hard-refusal mid-window. The single
+    * TRAILING such subdir — batch id above every committed batch, the
+    * only shape a single-writer fold can produce — is therefore treated
+    * as in-flight/replayable (invisible: the read serves the pre-batch
+    * view), and the hard legacy refusal is reserved for every other
+    * shape (multiple unmarked-with-`_SUCCESS` subdirs, or one at/below a
+    * committed id — states only a pre-discipline store produces). The
+    * degenerate case this tolerance accepts: a LEGACY store holding
+    * exactly one batch also reads as empty here — but the first fold or
+    * compaction against it still refuses loudly before any mutation, so
+    * the loss window stays closed; only the read-side diagnosis is
+    * deferred to the write side.
     */
   def readSoftDedupWeights(spark: SparkSession, storePath: String,
       idCol: String = "id",
@@ -1087,8 +1103,16 @@ object Dedup {
     val committed =
       if (state == graft.sources.PathState.Data) {
         val (ok, partial) = batchDirs(weightsPath, hconf)
+        val maxCommitted = ok.lastOption.map(_._1)
+        val jobCommitted = partial
+          .filter { case (_, p) => subdirJobCommitted(p, hconf) }
+        val inFlight = jobCommitted
+          .filter { case (id, _) => maxCommitted.forall(id > _) } match {
+          case Seq(one) => Some(one._1) // the single trailing micro-window
+          case _ => None
+        }
         requireNoLegacySubdirs(weightsPath, "readSoftDedupWeights", hconf,
-          Some(partial))
+          Some(partial.filterNot(e => inFlight.contains(e._1))))
         ok
       } else Seq.empty
     if (committed.isEmpty)
@@ -1155,31 +1179,42 @@ object Dedup {
     val patchPath = s"$storePath/weights/batch_id=$batchId"
     if (subdirCommitted(patchPath, hconf))
       return 0L // commit marker present: completed batch replayed
-    // this batch is REPLAYING: its own unmarked leftovers (job-committed
-    // or torn) are recomputed below either way, so drop them up front —
-    // otherwise a crash in the job-commit→marker micro-window would read
-    // as a LEGACY subdir and brick the automatic replay behind the
-    // requireNoLegacySubdirs refusal
+    val pairsPath = s"$storePath/pairs/batch_id=$batchId"
+    // SELF-ADOPT the own batch's job-committed-but-unmarked pairs subdir
+    // (ADVICE r15): a crash in the pairs job-commit→`_COMMIT` micro-window
+    // and a legacy subdir for this very batch id are indistinguishable,
+    // and in BOTH cases adoption — mark, then resume from the durable
+    // rows — is the correct recovery (the sketch fold may already hold
+    // this batch's ids, so the probe's recompute could be EMPTY and its
+    // onPairs write would overwrite the durable pairs with nothing).
+    // Previously this state hard-refused and demanded a manual
+    // adoptLegacySoftDedupStore run; a streaming restart now resumes
+    // automatically.
+    if (!subdirCommitted(pairsPath, hconf) &&
+        subdirJobCommitted(pairsPath, hconf))
+      markSubdirCommitted(pairsPath, hconf)
+    // LEGACY refusals run BEFORE any mutation (review r15 + ADVICE r15):
+    // a legacy store's sketches already contain other batches' ids, so
+    // running the probe against one would recompute empty pairs and
+    // certify the loss. The OWN batch id is excluded from both listings —
+    // its unmarked leftovers are this replay's to recompute (weights) or
+    // adopt (pairs, above), not evidence of a legacy store — and the own
+    // weights patch is deleted only AFTER both checks pass, so a refused
+    // fold leaves the store bit-identical (the delete previously ran
+    // first and could destroy a colliding genuinely-legacy subdir before
+    // the refusal fired).
+    def ownExcluded(root: String): Seq[(Long, String)] =
+      batchDirs(root, hconf)._2.filter(_._1 != batchId)
+    requireNoLegacySubdirs(s"$storePath/pairs", "foldSoftDedupWeightsBatch",
+      hconf, Some(ownExcluded(s"$storePath/pairs")))
+    requireNoLegacySubdirs(s"$storePath/weights", "foldSoftDedupWeightsBatch",
+      hconf, Some(ownExcluded(s"$storePath/weights")))
+    // only now drop the own unmarked weights leftovers (job-committed or
+    // torn — recomputed below either way); doing it behind the checks
+    // keeps a refused fold mutation-free
     val ownPatch = new org.apache.hadoop.fs.Path(patchPath)
     val ownFs = ownPatch.getFileSystem(hconf)
     if (ownFs.exists(ownPatch)) { ownFs.delete(ownPatch, true); () }
-    // LEGACY pairs refuse BEFORE the probe runs, not after (review r15):
-    // a legacy store's sketches already contain this batch's ids, so the
-    // probe's recompute would be EMPTY — and its onPairs write would
-    // OVERWRITE the durable job-committed pairs and certify the loss
-    // with a _COMMIT marker. This includes the OWN batch's pairs subdir:
-    // a job-committed-but-unmarked pairs dir is either legacy or the
-    // pairs micro-window, and in BOTH cases adoption (mark, then resume
-    // from the durable rows) is the correct recovery — recompute is not.
-    requireNoLegacySubdirs(s"$storePath/pairs", "foldSoftDedupWeightsBatch",
-      hconf)
-    // ...and the weights side refuses before the sketch store mutates
-    // too (recoverable either way — the content-keyed sketch fold
-    // re-absorbs on the post-adoption retry — but refusing first keeps
-    // the store bit-identical through a refused fold)
-    requireNoLegacySubdirs(s"$storePath/weights", "foldSoftDedupWeightsBatch",
-      hconf)
-    val pairsPath = s"$storePath/pairs/batch_id=$batchId"
     val pairsDurable = subdirCommitted(pairsPath, hconf)
     incrementalNearDupPairs(batch, idCol, tokensCol, s"$storePath/neardup",
       shingleN = shingleN, numHashes = numHashes, numBands = numBands,

@@ -1514,6 +1514,84 @@ class DedupSpec extends SparkSpec {
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == pre)
   }
 
+  test("weights store fold/read hardening (ADVICE r15): reads tolerate the trailing fold micro-window; own pairs micro-window self-adopts; a refused fold mutates nothing") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def tup(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val root = java.nio.file.Files.createTempDirectory("softwharden")
+    val store = root.resolve("s").toString
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.foldSoftDedupWeightsBatch(b, "doc_id", "toks", store, id)
+    val b0 = docs(1L -> ta, 2L -> ta, 3L -> tb)
+    val b1 = docs(11L -> ta)
+    assert(fold(b0, 0) == 3L)
+    val preBatchView = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    assert(fold(b1, 1) == 3L)
+    val fullView = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    // 1) the job-commit→marker micro-window of a HEALTHY fold: the single
+    // TRAILING unmarked-with-_SUCCESS patch is in-flight, so a racing
+    // reader serves the PRE-BATCH view instead of a misleading legacy
+    // hard-failure (ADVICE r15 medium)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=1", "_COMMIT"))
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+      == preBatchView)
+    // the window closes by the batch's own replay, and the read catches up
+    assert(fold(b1, 1) == 3L)
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == fullView)
+    // ...but a trailing unmarked patch BELOW a committed id is still the
+    // legacy class (no single-writer fold produces that shape) and refuses
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=0", "_COMMIT"))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.readSoftDedupWeights(spark, store, "doc_id") }
+    assert(err.getMessage.contains("adoptLegacySoftDedupStore"))
+    Dedup.adoptLegacySoftDedupStore(spark, store)
+    // 2) the OWN batch's pairs micro-window self-adopts (ADVICE r15): a
+    // crash between the pairs job commit and its _COMMIT leaves durable
+    // pairs the replay must RESUME from, not recompute (the sketch fold
+    // may already hold the batch's ids, making the recompute empty) —
+    // previously this hard-refused and demanded a manual adoption run
+    val b2 = docs(21L -> tb, 22L -> tb)
+    assert(fold(b2, 2) == 3L) // {3, 21, 22} cluster
+    val durablePairs = spark.read.parquet(s"$store/pairs/batch_id=2")
+      .orderBy("id1", "id2").collect().toSeq
+    val afterB2 = tup(Dedup.readSoftDedupWeights(spark, store, "doc_id"))
+    // simulate the crash: pairs durable but unmarked, patch gone,
+    // sketches already folded (the dangerous half of the window)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=2", "_COMMIT"))
+    val patch2 = java.nio.file.Paths.get(s"$store/weights/batch_id=2")
+    java.nio.file.Files.walk(patch2).sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    assert(fold(b2, 2) == 3L) // resumes automatically — no operator step
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=2", "_COMMIT")))
+    assert(spark.read.parquet(s"$store/pairs/batch_id=2")
+      .orderBy("id1", "id2").collect().toSeq == durablePairs,
+      "the durable pairs must be resumed from, not recomputed over")
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == afterB2)
+    // 3) a REFUSED fold is mutation-free (ADVICE r15 low): with a legacy
+    // weights subdir from ANOTHER batch present, the replaying fold
+    // refuses BEFORE deleting its own unmarked patch leftovers
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=0", "_COMMIT"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/weights/batch_id=2", "_COMMIT"))
+    val ownFiles = java.nio.file.Files.list(patch2).count()
+    val refuse = intercept[IllegalArgumentException] { fold(b2, 2) }
+    assert(refuse.getMessage.contains("adoptLegacySoftDedupStore"))
+    assert(java.nio.file.Files.exists(patch2) &&
+      java.nio.file.Files.list(patch2).count() == ownFiles,
+      "a refused fold must leave the store bit-identical — own leftovers included")
+    Dedup.adoptLegacySoftDedupStore(spark, store)
+    assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == afterB2)
+  }
+
   test("maintainSoftDedupWeights: healthy catalog no-ops; past-budget tick folds + publishes; folds, replays and cross-batch probes survive the swap") {
     import spark.implicits._
     import graft.functions.TextFunctions
