@@ -2354,16 +2354,39 @@ object Search {
     * any streaming maintenance against the new generation is the
     * caller's move (checkpoint-preserving — the R174 loop), since only
     * the caller owns the stream handle.
+    *
+    * QUIESCENCE (ADVICE r15 — the tripwire both sibling policies carry):
+    * an append whose job COMMITS into the live generation between
+    * `observe` and the publish would exist only in the superseded
+    * generation — the refresh closure rebuilds from the caller's corpus
+    * snapshot, so the published store would silently drop it. The policy
+    * re-counts the live generation's data files (`vectors` + `codes` —
+    * whichever the family stores) after the refresh and REFUSES the
+    * publish on change (the staged generation is abandoned unpublished;
+    * vacuum reclaims it) — re-run the tick with the append stream
+    * paused. Best-effort detection, same contract as
+    * [[maintainTextIndex]]: pausing the single writer for the tick is
+    * the contract, the check is the tripwire.
     */
   def maintainVectorIndex(spark: SparkSession, catalogRoot: String,
       threshold: Double, observe: String => Double,
       refresh: (String, String) => Long): Option[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = graft.sources.Generations.resolve(catalogRoot, hconf)
+    def liveFiles(): Int =
+      dataFileCount(spark, s"$live/vectors") + dataFileCount(spark, s"$live/codes")
+    val before = liveFiles()
     if (observe(live) >= threshold) None
     else {
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       refresh(live, staged)
+      val after = liveFiles()
+      require(after == before,
+        s"maintainVectorIndex: append(s) landed in the live generation " +
+          s"mid-refresh (data files $before -> $after) — refusing to " +
+          "publish a generation rebuilt from a corpus snapshot that " +
+          "misses them; the staged dir is abandoned (vacuum reclaims " +
+          "it). Re-run the tick with the append stream paused")
       Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
     }
   }

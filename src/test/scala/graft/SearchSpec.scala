@@ -1648,6 +1648,44 @@ class SearchSpec extends SparkSpec {
     assert(recallViaCatalog() == refreshed)
   }
 
+  test("maintainVectorIndex: an append landing mid-refresh refuses the publish (quiescence tripwire)") {
+    import spark.implicits._
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dim = 4
+    def vec(id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a((id % dim).toInt) = 1.0f; a.toSeq
+    }
+    val a = (1L to 12L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val late = Seq((101L, vec(101L))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("mainttrip").toString
+    val g0 = Generations.stage(root, conf)
+    Search.writeIvfIndex(a, "embedding",
+      Search.sampledCentroids(a, "vec_id", "embedding", 2, "t"), g0)
+    Generations.publish(root, g0, conf)
+    // threshold above any cosine → the tick always takes the refresh path;
+    // the refresh closure simulates the race: a streaming append COMMITS
+    // into the live generation while the retrain rebuilds from the
+    // caller's corpus snapshot (which misses it)
+    val err = intercept[IllegalArgumentException] {
+      Search.maintainVectorIndex(spark, root, threshold = 2.0,
+        observe = p => Search.minClusterSimilarity(spark, p, "embedding"),
+        refresh = (src, dst) => {
+          assert(Search.appendIvfIndex(late, "vec_id", "embedding", src) == 1L)
+          Search.refreshIvfIndex(a, "vec_id", "embedding", src, dst,
+            nClusters = 2, salt = "t2")
+        })
+    }
+    assert(err.getMessage.contains("mid-refresh"))
+    // the pointer never moved — the generation missing the append was
+    // NOT published — and the live store still serves the late append
+    assert(Generations.resolve(root, conf).endsWith("gen-0"))
+    assert(spark.read.parquet(s"${Generations.resolve(root, conf)}/vectors")
+      .where(col("vec_id") === 101L).count() == 1L)
+    // the abandoned staged generation is vacuum's to reclaim
+    assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-1"))
+  }
+
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
 
   test("mmrRerank: λ=1 is pure relevance; diversity demotes a planted near-duplicate") {
