@@ -239,7 +239,11 @@ object Search {
     * minus the given ids into a NEW directory. The vector store is
     * cluster-partitioned, so the anti-join is a partition-preserving
     * filter re-written partitionBy cluster_id; centroids copy verbatim
-    * (deletion does not move the frozen quantizer).
+    * (deletion does not move the frozen quantizer). The drift-stats
+    * sidecar is NOT carried (removal changes the statistic and this
+    * entry point does not know the vector column) — the destination's
+    * next append or [[seedIvfDriftStats]] heals it; until then
+    * [[minClusterSimilarity]] falls back to the exact recompute.
     *
     * @return number of surviving vectors
     */
@@ -349,7 +353,9 @@ object Search {
     spark.read.parquet(s"$srcPath/centroids")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
     carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
-    spark.read.parquet(s"$dstPath/vectors").count()
+    // the count read-back doubles as the new store's drift-stats seed:
+    // the same one-pass scan now also records the sidecar (R183)
+    seedIvfDriftStats(spark, dstPath, vecCol)
   }
 
   /** BM25 top-k against a persisted [[writeTextIndex]] index. Same formula
@@ -646,6 +652,13 @@ object Search {
     centroids.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cluster_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // seed the drift-stats sidecar from the input frame (one extra narrow
+    // aggregate pass — never a re-read of the store just written), so a
+    // healthy maintainVectorIndex tick observes KB of stats instead of
+    // re-scoring the store (VERDICT r15 #2)
+    seedDriftStatsFrom(ivfAssign(df, vecCol, centroids), vecCol, centroids,
+      path)
+    ()
   }
 
   /** Incrementally maintain a persisted IVF index: assign a NEW batch to
@@ -688,10 +701,31 @@ object Search {
       .dropDuplicates(idCol).persist()
     try {
       val n = fresh.count()
-      if (n > 0)
+      if (n > 0) {
+        // sidecar currency is judged BEFORE the write: if the recorded
+        // fingerprint matches the pre-append listing, this batch's delta
+        // rows extend it incrementally (exact long sums — associative);
+        // otherwise the store is pre-sidecar or crash-staled and ONE
+        // re-seed scan heals it, after which appends are incremental again.
+        // The delta is also COLLECTED before the write: writing into
+        // `vectors` invalidates `fresh`'s cache and refreshes the path's
+        // file index, so a post-write re-evaluation would anti-join the
+        // batch against itself and see zero rows
+        val validBefore = readDriftMarker(spark, path)
+          .contains(storeFingerprint(spark, s"$path/vectors"))
+        val delta =
+          if (validBefore) collectDriftRows(
+            ivfAssign(fresh, vecCol, centroids), vecCol, centroids)
+          else Seq.empty[(Int, Long, Long)]
         ivfAssign(fresh, vecCol, centroids)
           .write.mode(SaveMode.Append)
           .partitionBy("cluster_id").parquet(s"$path/vectors")
+        if (validBefore) {
+          writeDriftRows(spark, path, delta, SaveMode.Append)
+          writeDriftMarker(spark, path,
+            storeFingerprint(spark, s"$path/vectors"))
+        } else { seedIvfDriftStats(spark, path, vecCol); () }
+      }
       n
     } finally { fresh.unpersist(); () }
   }
@@ -710,6 +744,172 @@ object Search {
       .agg(count(lit(1)).as("n"),
         avg(cosine(col(vecCol), col("_c"))).as("mean_sim"))
       .orderBy(col("cluster_id"))
+  }
+
+  // --------------------- O(stats) drift observation (VERDICT r15 #2) ---
+
+  /** Fixed-point scale for the drift-stats sidecar: per-row cosines round
+    * to 1e-9 before the long sum, so the accumulated statistic is
+    * combine-order independent and EXACTLY reproducible — the same
+    * discipline as the engine's decimal score sums. The sidecar can
+    * therefore be maintained as associative per-batch deltas: appends
+    * add their own rows and the reader sums, with no float drift between
+    * the incremental total and a from-scratch recompute.
+    */
+  private val DriftFpScale = 1000000000L
+
+  /** Per-cluster sufficient drift statistics — (cluster_id, n,
+    * Σ round(cos·1e9)) — of an ASSIGNED frame (`vecCol` + `cluster_id`)
+    * against broadcast centroids. The rows the `driftstats` sidecar
+    * stores; exact longs, so deltas from independent batches sum to the
+    * full-store statistic.
+    */
+  private def driftStatRows(assigned: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster_id", "_c")
+      .select(col("cluster_id"), col("_c").cast("array<float>").as("_c"))
+    assigned.join(broadcast(cents), "cluster_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(cosine(col(vecCol), col("_c")) * DriftFpScale).cast("long"))
+          .as("sim_fp_sum"))
+  }
+
+  /** [[ivfDriftStats]] in the sidecar's EXACT fixed-point form —
+    * (cluster_id, n, sim_fp_sum) by a full store scan. This is the
+    * ground truth the incremental sidecar is spec-compared against, and
+    * the fallback [[minClusterSimilarity]] pays when the sidecar is
+    * stale or absent.
+    */
+  def ivfDriftStatsExact(spark: SparkSession, path: String,
+      vecCol: String): DataFrame =
+    driftStatRows(spark.read.parquet(s"$path/vectors"), vecCol,
+      readIvfCentroids(spark, path))
+
+  /** Content fingerprint of a store subdir: md5 over the sorted
+    * (relative path, length) list of its visible parquet data files —
+    * ONE driver-side listing, no data read. This is what lets the
+    * `driftstats` sidecar be trusted without scanning a vector: every
+    * sidecar write records the vectors dir's fingerprint at that moment,
+    * and a reader re-lists and compares. A crash between a vectors
+    * commit and the sidecar update leaves the fingerprint stale, so the
+    * reader falls back to the full recompute instead of serving an
+    * undercount — the sidecar is a verified cache, never a second source
+    * of truth.
+    */
+  def storeFingerprint(spark: SparkSession, dir: String): String = {
+    val entries = visibleParquetFiles(spark, dir)
+      .map { case (rel, len) => s"$rel:$len" }.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def driftStatsDir(path: String): String = s"$path/driftstats"
+
+  /** Atomically (temp + overwrite-rename, the [[graft.sources.Generations]]
+    * pointer discipline) record the vectors fingerprint the sidecar rows
+    * are valid for. Written LAST in every sidecar update, so a crash at
+    * any earlier point invalidates rather than corrupts.
+    */
+  private def writeDriftMarker(spark: SparkSession, path: String,
+      digest: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(driftStatsDir(path))
+    val fs = dir.getFileSystem(hconf)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_valid.tmp")
+    val cur = new org.apache.hadoop.fs.Path(dir, "_valid")
+    val out = fs.create(tmp, true)
+    out.write(digest.getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hconf)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readDriftMarker(spark: SparkSession,
+      path: String): Option[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(driftStatsDir(path), "_valid")
+    val fs = cur.getFileSystem(hconf)
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Collected stat rows are nClusters-bounded (the coarse quantizer's
+    * size, hundreds at most) — a documented driver-bounded collect.
+    */
+  private def writeDriftRows(spark: SparkSession, path: String,
+      rows: Seq[(Int, Long, Long)], mode: SaveMode): Unit = {
+    import spark.implicits._
+    rows.toDF("cluster_id", "n", "sim_fp_sum")
+      .coalesce(1).write.mode(mode).parquet(driftStatsDir(path))
+  }
+
+  private def collectDriftRows(assigned: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): Seq[(Int, Long, Long)] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    driftStatRows(assigned, vecCol, centroids)
+      .select(col("cluster_id").cast("int"), col("n"), col("sim_fp_sum"))
+      .as[(Int, Long, Long)].collect().toSeq
+  }
+
+  /** Seed (or re-seed) the drift-stats sidecar of a persisted IVF store
+    * from the frame in hand — the mutators call this with the batch they
+    * are already scanning, so seeding is one extra NARROW aggregate pass
+    * over the input, never a re-read of the store just written.
+    *
+    * @return total vectors accounted (Σ n)
+    */
+  private def seedDriftStatsFrom(assigned: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], path: String): Long = {
+    val spark = assigned.sparkSession
+    val rows = collectDriftRows(assigned, vecCol, centroids)
+    writeDriftRows(spark, path, rows, SaveMode.Overwrite)
+    writeDriftMarker(spark, path, storeFingerprint(spark, s"$path/vectors"))
+    rows.map(_._2).sum
+  }
+
+  /** Re-seed a store's sidecar from the STORE (one narrow scan of
+    * vec + cluster_id) — the self-heal path for a pre-sidecar store or a
+    * crash-staled one. After one seed, maintenance is incremental again.
+    *
+    * @return total vectors accounted (Σ n)
+    */
+  def seedIvfDriftStats(spark: SparkSession, path: String,
+      vecCol: String): Long =
+    seedDriftStatsFrom(spark.read.parquet(s"$path/vectors"), vecCol,
+      readIvfCentroids(spark, path), path)
+
+  /** The sidecar's per-cluster totals IF they are provably current for
+    * the store's content (recorded fingerprint == one fresh listing of
+    * `vectors`): (cluster_id, n, sim_fp_sum) with per-batch delta rows
+    * summed. None = stale/absent — fall back to
+    * [[ivfDriftStatsExact]]. Reading the sidecar moves KB regardless of
+    * store size: this is what makes a healthy [[maintainVectorIndex]]
+    * tick O(stats) instead of a full-store re-score (VERDICT r15 #2).
+    */
+  def ivfDriftStatsFromSidecar(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    import graft.sources.PathState
+    val hconf = spark.sparkContext.hadoopConfiguration
+    readDriftMarker(spark, path) match {
+      case Some(digest)
+          if digest == storeFingerprint(spark, s"$path/vectors") &&
+            PathState.classify(driftStatsDir(path), hconf) == PathState.Data =>
+        Some(spark.read.parquet(driftStatsDir(path))
+          .groupBy(col("cluster_id"))
+          .agg(sum(col("n")).as("n"), sum(col("sim_fp_sum")).as("sim_fp_sum")))
+      case _ => None
+    }
   }
 
   /** Load the sidecar centroids of a persisted IVF index (driver-side). */
@@ -2318,6 +2518,68 @@ object Search {
     ivfPqTopKFromIndex(spark, resolved(spark, catalogRoot), fullPrecision,
       idCol, vecCol, query, k, nProbe, rescore)
 
+  /** [[bm25TopKFromCatalog]] for the quantized-IVF family (VERDICT r15
+    * item 4 — every read entry point gets a catalog twin, so no caller
+    * ever passes a raw generation path again).
+    */
+  def ivfTopKFromCatalogQuantized(spark: SparkSession, catalogRoot: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 1,
+      rescore: Int = 50): DataFrame =
+    ivfTopKFromIndexQuantized(spark, resolved(spark, catalogRoot),
+      fullPrecision, idCol, vecCol, query, k, nProbe, rescore)
+
+  /** [[bm25TopKFromCatalog]] for the flat PQ family. */
+  def pqTopKFromCatalog(spark: SparkSession, catalogRoot: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rescore: Int = 50): DataFrame =
+    pqTopKFromIndex(spark, resolved(spark, catalogRoot), fullPrecision,
+      idCol, vecCol, query, k, rescore)
+
+  /** [[bm25TopKFromCatalog]] for the OPQ family. */
+  def opqTopKFromCatalog(spark: SparkSession, catalogRoot: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rescore: Int = 50): DataFrame =
+    opqTopKFromIndex(spark, resolved(spark, catalogRoot), fullPrecision,
+      idCol, vecCol, query, k, rescore)
+
+  /** [[bm25TopKFromCatalog]] for the residual IVF-PQ family. */
+  def ivfPqResidualTopKFromCatalog(spark: SparkSession, catalogRoot: String,
+      fullPrecision: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 1,
+      rescore: Int = 50): DataFrame =
+    ivfPqResidualTopKFromIndex(spark, resolved(spark, catalogRoot),
+      fullPrecision, idCol, vecCol, query, k, nProbe, rescore)
+
+  /** [[bm25TopKFromCatalog]] for the seeded-LSH pair reader. */
+  def seededLshPairsFromCatalog(spark: SparkSession, catalogRoot: String,
+      simThreshold: Double = 0.9): DataFrame =
+    seededLshPairsFromIndex(spark, resolved(spark, catalogRoot),
+      simThreshold)
+
+  /** [[minClusterSimilarity]] for the families that store only CODES
+    * (PQ / IVF-PQ / residual): the store has no raw vectors to score, so
+    * drift is observed on the caller's FULL-PRECISION primary corpus
+    * against the live generation's coarse centroids — one narrow
+    * map-side aggregate pass over the corpus (assign + fixed-point
+    * cosine, no shuffle of vectors), reading nothing from the store but
+    * the KB centroids sidecar. Same 1e-9 fixed-point mean as the
+    * vectors-family observable, so thresholds are comparable across
+    * families. Refuses an empty corpus — "nothing to observe" is a
+    * lifecycle bug, not a drift signal.
+    */
+  def minCorpusClusterSimilarity(spark: SparkSession, path: String,
+      corpus: DataFrame, vecCol: String): Double = {
+    val cents = readIvfCentroids(spark, path)
+    val h = driftStatRows(ivfAssign(corpus, vecCol, cents), vecCol, cents)
+      .agg(min(col("sim_fp_sum").cast("double") /
+        (col("n").cast("double") * lit(DriftFpScale.toDouble))).as("m"))
+      .head()
+    require(!h.isNullAt(0),
+      "empty corpus — nothing to observe drift on")
+    h.getDouble(0)
+  }
+
   /** The minimum per-cluster mean cosine-to-centroid of a store holding
     * raw vectors ([[ivfDriftStats]] collapsed to the one number a
     * threshold policy needs). Refuses an empty store — "no vectors" is a
@@ -2325,8 +2587,18 @@ object Search {
     */
   def minClusterSimilarity(spark: SparkSession, path: String,
       vecCol: String): Double = {
-    val h = ivfDriftStats(spark, path, vecCol)
-      .agg(min(col("mean_sim")).as("m")).head()
+    // O(stats) when the sidecar is provably current (VERDICT r15 #2):
+    // the healthy policy tick then reads KB of per-cluster totals and
+    // never re-scores a vector. Stale/absent → the exact fixed-point
+    // full recompute, same value bit-for-bit (both paths are the 1e-9
+    // fixed-point mean, so the threshold comparison cannot flap on
+    // which path served it).
+    val stats = ivfDriftStatsFromSidecar(spark, path)
+      .getOrElse(ivfDriftStatsExact(spark, path, vecCol))
+    val h = stats
+      .agg(min(col("sim_fp_sum").cast("double") /
+        (col("n").cast("double") * lit(DriftFpScale.toDouble))).as("m"))
+      .head()
     require(!h.isNullAt(0),
       s"'$path' holds no vectors — nothing to observe drift on")
     h.getDouble(0)
@@ -2399,22 +2671,32 @@ object Search {
     * name-only check would let them trip compactions the real visible
     * file count does not justify.
     */
-  def dataFileCount(spark: SparkSession, dir: String): Int = {
+  def dataFileCount(spark: SparkSession, dir: String): Int =
+    visibleParquetFiles(spark, dir).size
+
+  /** (relative path, length) of every visible parquet data file under
+    * `dir` — the one recursive listing [[dataFileCount]] and
+    * [[storeFingerprint]] share. Visibility is judged on EVERY path
+    * component below the target (the [[graft.sources.PathState]] rule).
+    */
+  private def visibleParquetFiles(spark: SparkSession,
+      dir: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
+    if (!fs.exists(p)) Seq.empty
     else {
       val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(p, true)
-      var n = 0
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) {
-        val f = it.next().getPath
+        val st = it.next()
+        val f = st.getPath
         val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         val hidden = rel.split('/')
           .exists(c => c.startsWith("_") || c.startsWith("."))
-        if (!hidden && f.getName.endsWith(".parquet")) n += 1
+        if (!hidden && f.getName.endsWith(".parquet")) buf += ((rel, st.getLen))
       }
-      n
+      buf.toSeq
     }
   }
 
@@ -2582,6 +2864,18 @@ object Search {
     carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
     val out = spark.read.parquet(s"$dstPath/vectors").count()
     require(out == n, s"vectors compaction row mismatch: source $n, got $out")
+    // compaction preserves content row-for-row, so a VALID source sidecar
+    // carries verbatim (aggregated — the per-batch delta rows collapse);
+    // a stale/absent one is simply not carried and heals later (R183)
+    ivfDriftStatsFromSidecar(spark, srcPath).foreach { st =>
+      import spark.implicits._
+      val rows = st
+        .select(col("cluster_id").cast("int"), col("n"), col("sim_fp_sum"))
+        .as[(Int, Long, Long)].collect().toSeq
+      writeDriftRows(spark, dstPath, rows, SaveMode.Overwrite)
+      writeDriftMarker(spark, dstPath,
+        storeFingerprint(spark, s"$dstPath/vectors"))
+    }
     out
   }
 

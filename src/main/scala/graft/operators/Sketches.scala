@@ -71,6 +71,29 @@ object Sketches {
     * batches when `batchIds` is empty): one scan of the sketch rows, one
     * partial-aggregatable union per group. The raw history is never read.
     */
+  /** [[estimateDistinct]] / [[estimateSetOp]] / [[estimateQuantiles]]
+    * against a [[graft.sources.Generations]] catalog (VERDICT r15 item 4
+    * — the sketch stores' catalog twins): resolve the live generation
+    * once, then read it undisturbed by any publish landing meanwhile.
+    */
+  def estimateDistinctFromCatalog(spark: SparkSession, catalogRoot: String,
+      batchIds: Seq[String] = Nil): DataFrame =
+    estimateDistinct(spark, graft.sources.Generations.resolve(catalogRoot,
+      spark.sparkContext.hadoopConfiguration), batchIds)
+
+  /** [[estimateDistinctFromCatalog]] for the theta set-op store. */
+  def estimateSetOpFromCatalog(spark: SparkSession, catalogRoot: String,
+      op: String, batchIdsA: Seq[String], batchIdsB: Seq[String]): DataFrame =
+    estimateSetOp(spark, graft.sources.Generations.resolve(catalogRoot,
+      spark.sparkContext.hadoopConfiguration), op, batchIdsA, batchIdsB)
+
+  /** [[estimateDistinctFromCatalog]] for the KLL quantile store. */
+  def estimateQuantilesFromCatalog(spark: SparkSession, catalogRoot: String,
+      ranks: Seq[Double], batchIds: Seq[String] = Nil,
+      k: Int = 200): DataFrame =
+    estimateQuantiles(spark, graft.sources.Generations.resolve(catalogRoot,
+      spark.sparkContext.hadoopConfiguration), ranks, batchIds, k)
+
   def estimateDistinct(spark: SparkSession, storeDir: String,
       batchIds: Seq[String] = Nil): DataFrame = {
     val base = spark.read.parquet(storeDir)

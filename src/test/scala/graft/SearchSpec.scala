@@ -1686,6 +1686,135 @@ class SearchSpec extends SparkSpec {
     assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-1"))
   }
 
+  test("drift-stats sidecar: incremental totals equal the exact fixed-point recompute through write/append/replay/update/compact; staleness falls back and one append heals") {
+    import spark.implicits._
+    val dim = 6
+    def v(id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.1f)
+      a((id % dim).toInt) = 1.0f
+      a(((id / dim) % dim).toInt) += 0.3f
+      a.toSeq
+    }
+    val a = (1L to 25L).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    val b = (26L to 40L).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    val c = (41L to 50L).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    def sidecar(p: String): Option[Seq[(Int, Long, Long)]] =
+      Search.ivfDriftStatsFromSidecar(spark, p).map(
+        _.select(col("cluster_id").cast("int"), col("n"), col("sim_fp_sum"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq)
+    def exact(p: String): Seq[(Int, Long, Long)] =
+      Search.ivfDriftStatsExact(spark, p, "embedding")
+        .select(col("cluster_id").cast("int"), col("n"), col("sim_fp_sum"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("driftsc").toString
+    val cents = Search.sampledCentroids(a, "vec_id", "embedding", 3, "sc")
+    Search.writeIvfIndex(a, "embedding", cents, dir)
+    assert(sidecar(dir).contains(exact(dir)), "build must seed the sidecar")
+    assert(Search.appendIvfIndex(b, "vec_id", "embedding", dir) == 15L)
+    assert(sidecar(dir).contains(exact(dir)),
+      "append's delta rows must sum to the recompute EXACTLY (fixed-point)")
+    assert(Search.appendIvfIndex(b, "vec_id", "embedding", dir) == 0L)
+    assert(sidecar(dir).contains(exact(dir)), "a pure replay changes nothing")
+    val dir2 = java.nio.file.Files.createTempDirectory("driftsc2").toString
+    Search.updateIvfIndex(spark, dir, dir2,
+      retireIds = Seq(3L, 7L).toDF("vec_id"), refreshBatch = c,
+      "vec_id", "embedding")
+    assert(sidecar(dir2).contains(exact(dir2)),
+      "update's read-back pass must seed the new store's sidecar")
+    val dir3 = java.nio.file.Files.createTempDirectory("driftsc3").toString
+    Search.compactIvfIndex(spark, dir2, dir3)
+    assert(sidecar(dir3).contains(exact(dir3)),
+      "compaction must carry the (content-identical) sidecar forward")
+    // crash-window simulation: a vectors change the sidecar never saw —
+    // duplicate one data file under a new name; the fingerprint moves, the
+    // sidecar reads stale, and minClusterSimilarity serves the exact
+    // fallback (which sees the duplicated rows) instead of the undercount
+    val vdir = java.nio.file.Paths.get(dir3, "vectors")
+    val part = java.nio.file.Files.walk(vdir)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.copy(part,
+      part.resolveSibling("part-zz-crashwindow.parquet"))
+    assert(sidecar(dir3).isEmpty, "a changed listing must invalidate")
+    val fallbackMin = Search.minClusterSimilarity(spark, dir3, "embedding")
+    val exactRows = exact(dir3)
+    val wantMin = exactRows
+      .map { case (_, n, fp) => fp.toDouble / (n.toDouble * 1e9) }.min
+    assert(fallbackMin == wantMin,
+      "fallback and sidecar paths share the fixed-point formula bit-for-bit")
+    // one append re-seeds (self-heal) and maintenance is incremental again
+    val d = Seq((60L, v(60L))).toDF("vec_id", "embedding")
+    assert(Search.appendIvfIndex(d, "vec_id", "embedding", dir3) == 1L)
+    assert(sidecar(dir3).contains(exact(dir3)), "the next append heals")
+    // removal does not carry the sidecar (no vecCol at that entry point):
+    // absent → exact fallback, never a stale answer
+    val dir4 = java.nio.file.Files.createTempDirectory("driftsc4").toString
+    Search.removeFromIvfIndex(spark, dir3, dir4,
+      Seq(10L).toDF("vec_id"), "vec_id")
+    assert(sidecar(dir4).isEmpty)
+    assert(Search.minClusterSimilarity(spark, dir4, "embedding") ==
+      exact(dir4).map { case (_, n, fp) => fp.toDouble / (n.toDouble * 1e9) }.min)
+  }
+
+  test("maintainVectorIndex: a healthy tick is O(stats) — reads the sidecar, runs no vector-scanning job") {
+    import spark.implicits._
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dim = 4
+    def vec(id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a((id % dim).toInt) = 1.0f; a.toSeq
+    }
+    val a = (1L to 20L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("maintstats").toString
+    val g0 = Generations.stage(root, conf)
+    Search.writeIvfIndex(a, "embedding",
+      Search.sampledCentroids(a, "vec_id", "embedding", 2, "os"), g0)
+    Generations.publish(root, g0, conf)
+    var observed = Double.NaN
+    def maintain() = Search.maintainVectorIndex(spark, root,
+      threshold = -2.0, // below any cosine mean — every store is healthy
+      observe = p => {
+        observed = Search.minClusterSimilarity(spark, p, "embedding")
+        observed
+      },
+      refresh = (_, _) => fail("a healthy tick must never reach the refresh"))
+    val live = Generations.resolve(root, conf)
+    val (verdict, statJobs) = countJobs(maintain())
+    assert(verdict.isEmpty)
+    val viaSidecar = observed
+    // same tick with the sidecar invalidated: the observe VALUE is
+    // bit-identical (both paths share the fixed-point formula) but the
+    // cost is the full-store re-score the sidecar exists to avoid
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(live, "driftstats", "_valid"))
+    val (verdict2, scanJobs) = countJobs(maintain())
+    assert(verdict2.isEmpty)
+    assert(observed == viaSidecar,
+      "fallback and sidecar must observe the identical fixed-point value")
+    assert(scanJobs > statJobs,
+      s"fallback must cost more jobs than the sidecar ($scanJobs vs $statJobs)")
+    Search.seedIvfDriftStats(spark, live, "embedding")
+    // the hard proof of "no vector-scanning job": overwrite every vectors
+    // data file IN PLACE with same-length garbage — the (path, length)
+    // fingerprint still matches, so the sidecar stays trusted, and ANY
+    // attempt to actually read a vector would throw on the mangled
+    // parquet. The healthy tick must still answer, bit-identically.
+    java.nio.file.Files.walk(java.nio.file.Paths.get(live, "vectors"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .forEach { p =>
+        val len = java.nio.file.Files.size(p).toInt
+        java.nio.file.Files.write(p, Array.fill[Byte](len)('x'.toByte))
+        ()
+      }
+    assert(maintain().isEmpty)
+    assert(observed == viaSidecar,
+      "a healthy tick on the mangled store proves zero vector bytes read")
+    assertThrows[org.apache.spark.SparkException](
+      Search.ivfDriftStatsExact(spark, live, "embedding").collect())
+  }
+
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
 
   test("mmrRerank: λ=1 is pure relevance; diversity demotes a planted near-duplicate") {
