@@ -3446,5 +3446,12 @@ FROM e ORDER BY doc_id""",
     */
   val all: Map[String, String] = base +
     ("q162_catalog_lifecycle" -> base("q158_ivfpq_refresh")) +
-    ("q163_text_policy_lifecycle" -> base("q97_bm25_from_index"))
+    ("q163_text_policy_lifecycle" -> base("q97_bm25_from_index")) +
+    // the maintenance-policy trio's remaining two axes (round 16): the
+    // DRIFT policy's refresh is exactly the retrain q158 replays, and
+    // the PATCH-HISTORY policy's compaction is latest-wins-invariant
+    // over q154's weights — the policies, catalogs and thresholds are
+    // engine mechanics DuckDB never sees
+    ("q164_vector_policy_lifecycle" -> base("q158_ivfpq_refresh")) +
+    ("q165_weights_policy_lifecycle" -> base("q154_soft_dedup_weights"))
 }

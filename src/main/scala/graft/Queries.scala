@@ -3815,6 +3815,108 @@ object Queries {
       .select(col("id").as("doc_id"), fl(col("score") * 1000, 0).as("score_m"))
   }
 
+  /** Q164 — the VECTOR drift policy under CORRECTNESS
+    * ([[Search.maintainVectorIndex]] — VERDICT r15 item 1, q163's
+    * construction applied to the MODEL axis): v1 IVF-PQ built on the odd
+    * half of the corpus inside generation 0 of a fresh catalog and
+    * published; ONE policy tick at the live store's own measured health
+    * is pinned as a TRUE no-op (threshold = the observed value itself —
+    * `>=` holds, nothing is even staged, the pointer never moves); a
+    * second tick past any attainable cosine mean trips the drift branch,
+    * which RE-TRAINS both models on the FULL corpus (q158's recipe, salt
+    * 'rf') into a staged generation and publishes it atomically; the
+    * query is answered through the pointer
+    * ([[Search.ivfPqTopKFromCatalog]]). The observable is the
+    * codes-family form ([[Search.minCorpusClusterSimilarity]] — the
+    * store holds PQ codes, so drift is scored on the full-precision
+    * corpus against the live generation's centroids). The oracle is
+    * q158's relational retrain replay BY REFERENCE — DuckDB never sees
+    * the policy, the catalog, or the thresholds — so the hash match
+    * proves the policy's observe → refresh → publish collapses to the
+    * refreshed index's defined semantics.
+    */
+  def q164VectorPolicyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Generations
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = scratchDir("q164cat", dir).toString
+    val g0 = Generations.stage(root, hconf)
+    val cb = Search.pqSampledCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    Search.writeIvfPqIndex(corpus.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", cents, cb, g0)
+    Generations.publish(root, g0, hconf)
+    def tick(threshold: Double) = Search.maintainVectorIndex(s, root,
+      threshold,
+      observe = p => Search.minCorpusClusterSimilarity(s, p, corpus,
+        "embedding"),
+      refresh = (src, dst) => Search.refreshIvfPqIndex(corpus, "vec_id",
+        "embedding", src, dst, nClusters = 8, dim = 64, m = 8, ksub = 16,
+        salt = "rf"))
+    val healthyNow = Search.minCorpusClusterSimilarity(s,
+      Generations.resolve(root, hconf), corpus, "embedding")
+    require(tick(healthyNow).isEmpty,
+      "the live store at its own measured health must read healthy")
+    require(Generations.history(root, hconf) == Seq("gen-0"),
+      "a healthy tick must not even stage a generation")
+    val tick2 = tick(1.01) // above any attainable cosine mean — drifted
+    require(tick2.contains("gen-1"),
+      s"the drifted tick must refresh and publish gen-1, got $tick2")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Search.ivfPqTopKFromCatalog(s, root, corpus, "vec_id", "embedding",
+        query, k = 10, nProbe = 4, rescore = 50)
+      .select(col("vec_id"), fl(col("score"), 3).as("cos_sim"))
+  }
+
+  /** Q165 — the WEIGHTS patch-history policy under CORRECTNESS
+    * ([[Dedup.maintainSoftDedupWeights]] — VERDICT r15 item 3,
+    * completing the maintenance-policy trio's oracle story): q157's
+    * store driven THROUGH the generation catalog with the policy doing
+    * the swap the probe previously hand-rolled — two patch batches fold
+    * into generation 0 and publish; ONE policy tick observes the patch
+    * history past its budget (maxBatches = 1), compacts into a staged
+    * generation and publishes it atomically; a second tick no-ops (the
+    * snapshot IS one batch — healthy); a third batch folds into the NEW
+    * live generation (replay protection carries — the compacted ledger
+    * and sketches survive the swap); the read goes through the pointer
+    * ([[Dedup.readSoftDedupWeightsFromCatalog]]). The oracle is q154's
+    * SQL BY REFERENCE — DuckDB never sees batching, compaction, the
+    * catalog or the policy — so the hash match proves the policy's
+    * observe → compact → publish is latest-wins-invariant.
+    */
+  def q165WeightsPolicyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Generations
+    val hconf = s.sparkContext.hadoopConfiguration
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val root = scratchDir("q165cat", dir).toString
+    val g0 = Generations.stage(root, hconf)
+    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") < 30),
+      "doc_id", "toks", g0, batchId = 0, threshold = 0.4)
+    Dedup.foldSoftDedupWeightsBatch(
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 100000),
+      "doc_id", "toks", g0, batchId = 1, threshold = 0.4)
+    Generations.publish(root, g0, hconf)
+    val tick = Dedup.maintainSoftDedupWeights(s, root, maxBatches = 1,
+      committedBatchId = 1, idCol = "doc_id")
+    require(tick.contains("gen-1"),
+      s"two patch batches past a budget of one must trip the policy, got $tick")
+    require(Dedup.maintainSoftDedupWeights(s, root, maxBatches = 1,
+        committedBatchId = 1, idCol = "doc_id").isEmpty,
+      "the compacted generation must read healthy on the next tick")
+    Dedup.foldSoftDedupWeightsBatch(docs.where(col("doc_id") >= 100000),
+      "doc_id", "toks", Generations.resolve(root, hconf), batchId = 2,
+      threshold = 0.4)
+    Dedup.readSoftDedupWeightsFromCatalog(s, root, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -3980,5 +4082,7 @@ object Queries {
     "q161_bm25_compacted" -> q161Bm25Compacted _,
     "q162_catalog_lifecycle" -> q162CatalogLifecycle _,
     "q163_text_policy_lifecycle" -> q163TextPolicyLifecycle _,
+    "q164_vector_policy_lifecycle" -> q164VectorPolicyLifecycle _,
+    "q165_weights_policy_lifecycle" -> q165WeightsPolicyLifecycle _,
   )
 }
