@@ -1509,6 +1509,47 @@ class SearchSpec extends SparkSpec {
       q, k = 5, nProbe = 2, rescore = 20).count() == 5L)
   }
 
+  test("maintainVectorIndex at reference dimensionality (dim=768): the policy's drift-refresh cycle holds at the real width") {
+    import spark.implicits._
+    import graft.sources.Generations
+    // the R180 canary discipline applied to the POLICY path (VERDICT r15
+    // item 6): the tick runs observe (minCorpusClusterSimilarity — a
+    // 768-wide codegen'd cosine aggregate) and the full refreshIvfPqIndex
+    // re-encode inside one call; a janino fallback or quadratic re-eval
+    // at real width would blow the wall-clock out by orders of magnitude.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dim = 768
+    val rnd = new java.util.Random(13L)
+    val anchors = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows: Seq[(Long, Array[Float])] = (1 until 401).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, Array.tabulate(dim)(j => a(j) + 0.8f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    val root = java.nio.file.Files.createTempDirectory("maint768").toString
+    val g0 = Generations.stage(root, conf)
+    Search.writeIvfPqIndex(df, "vec_id", "embedding",
+      Search.sampledCentroids(df, "vec_id", "embedding", 8, "m768"),
+      Search.pqSampledCodebooks(df, "vec_id", "embedding", dim, 8, 16), g0)
+    Generations.publish(root, g0, conf)
+    def tick(threshold: Double) = Search.maintainVectorIndex(spark, root,
+      threshold,
+      observe = p => Search.minCorpusClusterSimilarity(spark, p, df,
+        "embedding"),
+      refresh = (src, dst) => Search.refreshIvfPqIndex(df, "vec_id",
+        "embedding", src, dst, nClusters = 8, dim = dim, m = 8, ksub = 16,
+        salt = "m768r"))
+    val healthy = Search.minCorpusClusterSimilarity(spark, g0, df,
+      "embedding")
+    assert(tick(healthy).isEmpty, "at its own measured health: a no-op")
+    assert(tick(1.01).contains("gen-1"), "past any cosine mean: refresh")
+    assert(Search.readModelVersion(spark,
+      Generations.resolve(root, conf)) == 1L)
+    val q = rows.head._2.toSeq
+    assert(Search.ivfPqTopKFromCatalog(spark, root, df, "vec_id",
+      "embedding", q, k = 5, nProbe = 2, rescore = 20).count() == 5L)
+  }
+
   test("quantizer refresh recovers recall after drift (the ivfDriftStats → refresh loop)") {
     import spark.implicits._
     // region A: 40 vectors hugging axes e0..e3; region B (the drift): 40

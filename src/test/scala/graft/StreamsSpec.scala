@@ -835,4 +835,196 @@ class StreamsSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  // ---- maintenance policies composed with LIVE streams (VERDICT r15
+  // item 5): the quiescence contract exercised against real streaming
+  // queries in the same JVM, not simulated — a quiescent-but-running
+  // stream publishes cleanly, a racing append refuses cleanly, and in
+  // neither case is a document or vector ever lost.
+
+  test("text layout policy under a LIVE maintenance stream: quiescent tick publishes; restarted stream folds into the new generation; replay no-ops across the swap") {
+    import spark.implicits._
+    import graft.operators.Search
+    import graft.sources.Generations
+    import graft.functions.TextFunctions
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root0 = java.nio.file.Files.createTempDirectory("tpstream")
+    val src = root0.resolve("src").toString
+    val ckpt = root0.resolve("ckpt").toString
+    val cat = root0.resolve("cat").toString
+    def docsOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+      .select("doc_id", "toks")
+    val a = Seq(1L -> "data model data", 2L -> "search engine")
+    val b = Seq(3L -> "data lake", 4L -> "model registry")
+    val c = Seq(5L -> "vector search data")
+    val g0 = Generations.stage(cat, conf)
+    Search.writeTextIndex(docsOf(a), "doc_id", "toks", g0)
+    Generations.publish(cat, g0, conf)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def stream() = Streams.streamingTextIndexMaintenance(
+      spark.readStream.schema(schema).parquet(src), "doc_id",
+      TextFunctions.wordTokens(col("text")),
+      Generations.resolve(cat, conf), ckpt)
+    b.toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = stream()
+    try {
+      q1.processAllAvailable() // batch B folds into the LIVE generation
+      // the tick runs while the stream is ALIVE but drained (the
+      // single-writer quiescence contract): the fragmented store trips,
+      // compacts into gen-1 and publishes — cleanly, under a live query
+      assert(q1.isActive)
+      assert(Search.maintainTextIndex(spark, cat,
+        maxPostingsFiles = 1, targetFiles = 1).contains("gen-1"))
+      assert(Search.maintainTextIndex(spark, cat,
+        maxPostingsFiles = 1, targetFiles = 1).isEmpty)
+    } finally q1.stop()
+    // the caller's restart move (checkpoint-preserving): the new stream
+    // runs against the NEW live generation; batch C lands there, and a
+    // REPLAY of batch B's documents no-ops — appendTextIndex keys off
+    // doclens content, which the compaction preserved row-for-row
+    c.toDF("doc_id", "text").write.mode("append").parquet(src)
+    b.toDF("doc_id", "text").write.mode("append").parquet(src) // replay
+    val q2 = stream()
+    try q2.processAllAvailable() finally q2.stop()
+    val live = Generations.resolve(cat, conf)
+    assert(live.endsWith("gen-1"))
+    assert(spark.read.parquet(s"$live/doclens").count() == 5L,
+      "every document exactly once: no loss, no replay duplication")
+    val got = Search.bm25TopKFromCatalog(spark, cat, Seq("data"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    val want = Search.bm25TopK(docsOf(a ++ b ++ c), "doc_id", "toks",
+      Seq("data"), 5).collect().map(_.getLong(0)).toSeq
+    assert(got == want, "the policy-swapped store ranks like a fresh build")
+  }
+
+  test("weights policy under a LIVE maintenance stream: quiescent tick publishes; restarted stream folds into the new generation; read-through-catalog equals the fresh recompute") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.Generations
+    import graft.functions.TextFunctions
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root0 = java.nio.file.Files.createTempDirectory("wpstream")
+    val src = root0.resolve("src").toString
+    val ckpt = root0.resolve("ckpt").toString
+    val cat = root0.resolve("cat").toString
+    val texts = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu")
+    def t(i: Long) = texts((i % 3).toInt)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def stream(storePath: String) = Streams.streamingSoftDedupWeights(
+      spark.readStream.schema(schema).parquet(src)
+        .withColumn("toks", TextFunctions.wordTokens(col("text")))
+        .select("doc_id", "toks"),
+      "doc_id", "toks", storePath, ckpt)
+    // the stream itself bootstraps generation 0 (folds into the staged
+    // dir), and only then is it published — no manual fold whose batch id
+    // could collide with the stream's epoch sequence
+    val g0 = Generations.stage(cat, conf)
+    (1L to 4L).map(i => (i, t(i))).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q1 = stream(g0)
+    try {
+      q1.processAllAvailable() // epoch 0 into the staged store
+      Generations.publish(cat, g0, conf)
+      (5L to 8L).map(i => (i, t(i))).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable() // epoch 1 into the (now live) generation
+      // the policy tick runs while the stream is ALIVE but drained: two
+      // patch batches past a budget of one → compact + publish gen-1
+      assert(q1.isActive)
+      assert(Dedup.maintainSoftDedupWeights(spark, cat, maxBatches = 1,
+        committedBatchId = 1, idCol = "doc_id").contains("gen-1"))
+      assert(Dedup.maintainSoftDedupWeights(spark, cat, maxBatches = 1,
+        committedBatchId = 1, idCol = "doc_id").isEmpty)
+    } finally q1.stop()
+    // restart against the NEW live generation from the SAME checkpoint;
+    // epoch 2 folds there (the carried ledger + sketches keep cross-batch
+    // pairs and replay protection across the swap)
+    (9L to 12L).map(i => (i, t(i))).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q2 = stream(Generations.resolve(cat, conf))
+    try q2.processAllAvailable() finally q2.stop()
+    val served = Dedup.readSoftDedupWeightsFromCatalog(spark, cat, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val all = (1L to 12L).map(i => (i, t(i))).toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val fresh = Dedup.softDedupWeights((1L to 12L).toDF("doc_id"), "doc_id",
+        Dedup.minhashNearDupPairs(all, "doc_id", "toks"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == fresh,
+      "stream → policy swap → stream must serve the fresh-build table")
+  }
+
+  test("vector policy racing a LIVE maintenance stream: the mid-refresh append refuses the publish; nothing is lost; the paused retry publishes") {
+    import spark.implicits._
+    import graft.operators.Search
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dim = 4
+    def vec(id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a((id % dim).toInt) = 1.0f; a.toSeq
+    }
+    val root0 = java.nio.file.Files.createTempDirectory("vpstream")
+    val src = root0.resolve("src").toString
+    val ckpt = root0.resolve("ckpt").toString
+    val cat = root0.resolve("cat").toString
+    val a = (1L to 12L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val g0 = Generations.stage(cat, conf)
+    Search.writeIvfIndex(a, "embedding",
+      Search.sampledCentroids(a, "vec_id", "embedding", 2, "vp"), g0)
+    Generations.publish(cat, g0, conf)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    Seq((101L, vec(101L))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    val q = Streams.streamingVectorIndexMaintenance(
+      spark.readStream.schema(schema).parquet(src), "vec_id", "embedding",
+      Generations.resolve(cat, conf), ckpt, family = "ivf")
+    try {
+      q.processAllAvailable()
+      // the race, LIVE: the refresh closure lets the running stream
+      // deliver an append into the live generation mid-retrain — the
+      // tripwire must refuse the publish built from the stale snapshot
+      val err = intercept[IllegalArgumentException] {
+        Search.maintainVectorIndex(spark, cat, threshold = 2.0,
+          observe = p => Search.minClusterSimilarity(spark, p, "embedding"),
+          refresh = (srcGen, dst) => {
+            Seq((102L, vec(102L))).toDF("vec_id", "embedding")
+              .write.mode("append").parquet(src)
+            q.processAllAvailable() // the stream commits into the live gen
+            Search.refreshIvfIndex(a, "vec_id", "embedding", srcGen, dst,
+              nClusters = 2, salt = "vp2")
+          })
+      }
+      assert(err.getMessage.contains("mid-refresh"))
+      assert(Generations.resolve(cat, conf).endsWith("gen-0"))
+      assert(spark.read.parquet(
+          s"${Generations.resolve(cat, conf)}/vectors")
+        .where(col("vec_id").isin(101L, 102L)).count() == 2L,
+        "both streamed appends survive the refused publish")
+    } finally q.stop()
+    // the contract's happy path: with the writer PAUSED (stream stopped),
+    // the retry retrains on the full corpus — streamed ids included — and
+    // publishes; vacuum reclaims the abandoned staged generation
+    val live = Generations.resolve(cat, conf)
+    val full = a.unionByName(
+      spark.read.parquet(s"$live/vectors")
+        .where(col("vec_id") > 100L).select("vec_id", "embedding"))
+    assert(Search.maintainVectorIndex(spark, cat, threshold = 2.0,
+      observe = p => Search.minClusterSimilarity(spark, p, "embedding"),
+      refresh = (srcGen, dst) => Search.refreshIvfIndex(full, "vec_id",
+        "embedding", srcGen, dst, nClusters = 2, salt = "vp3"))
+      .contains("gen-2"))
+    assert(spark.read.parquet(
+        s"${Generations.resolve(cat, conf)}/vectors")
+      .where(col("vec_id").isin(101L, 102L)).count() == 2L,
+      "the published generation carries the streamed ids — never loss")
+  }
 }
