@@ -1038,9 +1038,15 @@ object Dedup {
             graft.sources.PathState.classify(p, hconf) ==
               graft.sources.PathState.Data }
         else unmarked
-      adoptable.map { case (id, p) =>
+      // mark in DESCENDING batch-id order: a crash mid-loop then leaves
+      // the unmarked leftovers at ids BELOW some marked batch — a shape
+      // the read path hard-refuses as legacy — never the single
+      // trailing-max shape readSoftDedupWeights tolerates as an in-flight
+      // fold (which would silently and permanently hide the unadopted
+      // batch's data; legacy batches have no stream epoch to replay them)
+      adoptable.sortBy(-_._1).map { case (id, p) =>
         markSubdirCommitted(p, hconf); (s"$sub/batch_id=$id", id)
-      }
+      }.sortBy(_._2)
     }
   }
 
@@ -1083,7 +1089,9 @@ object Dedup {
     * as in-flight/replayable (invisible: the read serves the pre-batch
     * view), and the hard legacy refusal is reserved for every other
     * shape (multiple unmarked-with-`_SUCCESS` subdirs, or one at/below a
-    * committed id — states only a pre-discipline store produces). The
+    * committed id — states only a pre-discipline store produces).
+    * [[adoptLegacySoftDedupStore]] marks in DESCENDING id order precisely
+    * so a crashed adoption can never counterfeit the tolerated shape. The
     * degenerate case this tolerance accepts: a LEGACY store holding
     * exactly one batch also reads as empty here — but the first fold or
     * compaction against it still refuses loudly before any mutation, so
@@ -1192,6 +1200,21 @@ object Dedup {
     if (subdirCommitted(patchPath, hconf))
       return 0L // commit marker present: completed batch replayed
     val pairsPath = s"$storePath/pairs/batch_id=$batchId"
+    // LEGACY refusals run BEFORE any mutation — the own pairs self-adopt
+    // included (review r15 + r16 + ADVICE r15): a legacy store's sketches
+    // already contain other batches' ids, so running the probe against
+    // one would recompute empty pairs and certify the loss; and marking
+    // the own-id pairs subdir on a store that then refuses as legacy
+    // would certify a pre-discipline subdir's foreign content as durable.
+    // The OWN batch id is excluded from both listings — its unmarked
+    // leftovers are this replay's to recompute (weights) or adopt
+    // (pairs, below), not evidence of a legacy store.
+    def ownExcluded(root: String): Seq[(Long, String)] =
+      batchDirs(root, hconf)._2.filter(_._1 != batchId)
+    requireNoLegacySubdirs(s"$storePath/pairs", "foldSoftDedupWeightsBatch",
+      hconf, Some(ownExcluded(s"$storePath/pairs")))
+    requireNoLegacySubdirs(s"$storePath/weights", "foldSoftDedupWeightsBatch",
+      hconf, Some(ownExcluded(s"$storePath/weights")))
     // SELF-ADOPT the own batch's job-committed-but-unmarked pairs subdir
     // (ADVICE r15): a crash in the pairs job-commit→`_COMMIT` micro-window
     // and a legacy subdir for this very batch id are indistinguishable,
@@ -1201,26 +1224,11 @@ object Dedup {
     // onPairs write would overwrite the durable pairs with nothing).
     // Previously this state hard-refused and demanded a manual
     // adoptLegacySoftDedupStore run; a streaming restart now resumes
-    // automatically.
+    // automatically. Runs AFTER the refusals: a refused fold must not
+    // have certified anything.
     if (!subdirCommitted(pairsPath, hconf) &&
         subdirJobCommitted(pairsPath, hconf))
       markSubdirCommitted(pairsPath, hconf)
-    // LEGACY refusals run BEFORE any mutation (review r15 + ADVICE r15):
-    // a legacy store's sketches already contain other batches' ids, so
-    // running the probe against one would recompute empty pairs and
-    // certify the loss. The OWN batch id is excluded from both listings —
-    // its unmarked leftovers are this replay's to recompute (weights) or
-    // adopt (pairs, above), not evidence of a legacy store — and the own
-    // weights patch is deleted only AFTER both checks pass, so a refused
-    // fold leaves the store bit-identical (the delete previously ran
-    // first and could destroy a colliding genuinely-legacy subdir before
-    // the refusal fired).
-    def ownExcluded(root: String): Seq[(Long, String)] =
-      batchDirs(root, hconf)._2.filter(_._1 != batchId)
-    requireNoLegacySubdirs(s"$storePath/pairs", "foldSoftDedupWeightsBatch",
-      hconf, Some(ownExcluded(s"$storePath/pairs")))
-    requireNoLegacySubdirs(s"$storePath/weights", "foldSoftDedupWeightsBatch",
-      hconf, Some(ownExcluded(s"$storePath/weights")))
     // only now drop the own unmarked weights leftovers (job-committed or
     // torn — recomputed below either way); doing it behind the checks
     // keeps a refused fold mutation-free

@@ -353,8 +353,11 @@ object Search {
     spark.read.parquet(s"$srcPath/centroids")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
     carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
-    // the count read-back doubles as the new store's drift-stats seed:
-    // the same one-pass scan now also records the sidecar (R183)
+    // the return count now comes from the drift-stats seed — a narrow
+    // (vec + cluster_id) scan of the NEW store, which is MORE than the
+    // metadata-only count() it replaces but is bounded by the full-store
+    // rewrite this op just paid, and it keeps every policy tick after an
+    // update O(stats) instead of O(store) (R183)
     seedIvfDriftStats(spark, dstPath, vecCol)
   }
 
@@ -652,12 +655,15 @@ object Search {
     centroids.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cluster_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    // seed the drift-stats sidecar from the input frame (one extra narrow
-    // aggregate pass — never a re-read of the store just written), so a
-    // healthy maintainVectorIndex tick observes KB of stats instead of
-    // re-scoring the store (VERDICT r15 #2)
-    seedDriftStatsFrom(ivfAssign(df, vecCol, centroids), vecCol, centroids,
-      path)
+    // seed the drift-stats sidecar from a READ-BACK of the written store,
+    // never from a second evaluation of `df`: a non-deterministic input
+    // (sample, rand-derived) re-evaluates to different rows, and the seed
+    // would then certify stats that describe rows not in the store (the
+    // fingerprint matches — the fallback never triggers). One narrow
+    // (vec + cluster_id) scan, bounded by the write that just produced it;
+    // a healthy maintainVectorIndex tick then observes KB of stats
+    // instead of re-scoring the store (VERDICT r15 #2)
+    seedIvfDriftStats(spark, path, vecCol)
     ()
   }
 
@@ -771,12 +777,33 @@ object Search {
     val cents = centroids.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cluster_id", "_c")
       .select(col("cluster_id"), col("_c").cast("array<float>").as("_c"))
-    assigned.join(broadcast(cents), "cluster_id")
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(cosine(col(vecCol), col("_c")) * DriftFpScale).cast("long"))
-          .as("sim_fp_sum"))
+    guardDriftStatOverflow(
+      assigned.join(broadcast(cents), "cluster_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(cosine(col(vecCol), col("_c")) * DriftFpScale)
+            .cast("long")).as("sim_fp_sum")))
   }
+
+  /** Long.MaxValue / DriftFpScale, floored to a round bound. */
+  private val DriftStatMaxClusterRows = 9000000000L
+
+  /** Each row contributes at most ±1e9 to a cluster's fixed-point sum, so
+    * the long accumulation is exact up to ~9.2e9 rows PER CLUSTER — past
+    * that it would wrap silently. Refuse loudly instead (applied to every
+    * per-cluster aggregation, the summed sidecar deltas included): a
+    * nine-billion-vector cluster is itself the drift/skew signal — the
+    * probed-cluster scan unit is broken long before the statistic is —
+    * the same posture as the engine's quadratic-cell refusals.
+    */
+  private def guardDriftStatOverflow(stats: DataFrame): DataFrame =
+    stats.withColumn("n",
+      when(col("n") <= DriftStatMaxClusterRows, col("n"))
+        .otherwise(raise_error(concat(
+          lit("drift stats: cluster "), col("cluster_id").cast("string"),
+          lit(s" holds more than $DriftStatMaxClusterRows vectors — the " +
+            "fixed-point sum would overflow; re-train the coarse " +
+            "quantizer (this cluster size is itself the drift signal)")))))
 
   /** [[ivfDriftStats]] in the sidecar's EXACT fixed-point form —
     * (cluster_id, n, sim_fp_sum) by a full store scan. This is the
@@ -905,9 +932,9 @@ object Search {
       case Some(digest)
           if digest == storeFingerprint(spark, s"$path/vectors") &&
             PathState.classify(driftStatsDir(path), hconf) == PathState.Data =>
-        Some(spark.read.parquet(driftStatsDir(path))
+        Some(guardDriftStatOverflow(spark.read.parquet(driftStatsDir(path))
           .groupBy(col("cluster_id"))
-          .agg(sum(col("n")).as("n"), sum(col("sim_fp_sum")).as("sim_fp_sum")))
+          .agg(sum(col("n")).as("n"), sum(col("sim_fp_sum")).as("sim_fp_sum"))))
       case _ => None
     }
   }

@@ -71,6 +71,17 @@ object Sketches {
     * batches when `batchIds` is empty): one scan of the sketch rows, one
     * partial-aggregatable union per group. The raw history is never read.
     */
+  def estimateDistinct(spark: SparkSession, storeDir: String,
+      batchIds: Seq[String] = Nil): DataFrame = {
+    val base = spark.read.parquet(storeDir)
+    val scoped =
+      if (batchIds.isEmpty) base else base.where(col("batch_id").isin(batchIds: _*))
+    scoped.groupBy(col("group_key"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").cast("long")
+        .as("n_distinct_est"))
+      .orderBy(col("group_key"))
+  }
+
   /** [[estimateDistinct]] / [[estimateSetOp]] / [[estimateQuantiles]]
     * against a [[graft.sources.Generations]] catalog (VERDICT r15 item 4
     * — the sketch stores' catalog twins): resolve the live generation
@@ -93,17 +104,6 @@ object Sketches {
       k: Int = 200): DataFrame =
     estimateQuantiles(spark, graft.sources.Generations.resolve(catalogRoot,
       spark.sparkContext.hadoopConfiguration), ranks, batchIds, k)
-
-  def estimateDistinct(spark: SparkSession, storeDir: String,
-      batchIds: Seq[String] = Nil): DataFrame = {
-    val base = spark.read.parquet(storeDir)
-    val scoped =
-      if (batchIds.isEmpty) base else base.where(col("batch_id").isin(batchIds: _*))
-    scoped.groupBy(col("group_key"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").cast("long")
-        .as("n_distinct_est"))
-      .orderBy(col("group_key"))
-  }
 
   // ---- mergeable QUANTILE sketches (KLL) — the HLL store's sibling -----
   //

@@ -1575,19 +1575,27 @@ class DedupSpec extends SparkSpec {
       .orderBy("id1", "id2").collect().toSeq == durablePairs,
       "the durable pairs must be resumed from, not recomputed over")
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == afterB2)
-    // 3) a REFUSED fold is mutation-free (ADVICE r15 low): with a legacy
-    // weights subdir from ANOTHER batch present, the replaying fold
-    // refuses BEFORE deleting its own unmarked patch leftovers
+    // 3) a REFUSED fold is mutation-free (ADVICE r15 low + review r16):
+    // with a legacy weights subdir from ANOTHER batch present, the
+    // replaying fold refuses BEFORE deleting its own unmarked patch
+    // leftovers AND before self-adopting its own pairs subdir — marking
+    // the own pairs on a store that then refuses as legacy would certify
+    // pre-discipline content as durable
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$store/weights/batch_id=0", "_COMMIT"))
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$store/weights/batch_id=2", "_COMMIT"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=2", "_COMMIT"))
     val ownFiles = java.nio.file.Files.list(patch2).count()
     val refuse = intercept[IllegalArgumentException] { fold(b2, 2) }
     assert(refuse.getMessage.contains("adoptLegacySoftDedupStore"))
     assert(java.nio.file.Files.exists(patch2) &&
       java.nio.file.Files.list(patch2).count() == ownFiles,
       "a refused fold must leave the store bit-identical — own leftovers included")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/pairs/batch_id=2", "_COMMIT")),
+      "a refused fold must not have self-adopted (certified) its own pairs")
     Dedup.adoptLegacySoftDedupStore(spark, store)
     assert(tup(Dedup.readSoftDedupWeights(spark, store, "doc_id")) == afterB2)
   }
