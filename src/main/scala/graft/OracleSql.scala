@@ -3453,5 +3453,14 @@ FROM e ORDER BY doc_id""",
     // over q154's weights — the policies, catalogs and thresholds are
     // engine mechanics DuckDB never sees
     ("q164_vector_policy_lifecycle" -> base("q158_ivfpq_refresh")) +
-    ("q165_weights_policy_lifecycle" -> base("q154_soft_dedup_weights"))
+    ("q165_weights_policy_lifecycle" -> base("q154_soft_dedup_weights")) +
+    // the fourth and fifth store axes (round 16): the sketch policy's
+    // merge is estimate-invariant and the exact recount is
+    // sketch-independent (q120's own discipline), and the sequence
+    // policy's pairs compaction is content-parity by contract (q128's
+    // planted construction) — sketches, epochs, catalogs and policies
+    // are engine mechanics DuckDB never sees
+    ("q166_sketch_policy_lifecycle" -> base("q120_compacted_hh")) +
+    ("q167_sequence_policy_lifecycle" ->
+      base("q128_incremental_sequence_dedup"))
 }

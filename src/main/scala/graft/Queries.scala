@@ -3917,6 +3917,139 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q166 — the SKETCH-STORE maintenance policy under CORRECTNESS
+    * ([[graft.operators.Sketches.maintainSketchStore]] — the policy
+    * discipline's FOURTH store axis, round 16): q120's frequency-sketch
+    * store built as three appended batches inside generation 0 of a
+    * fresh catalog and published; ONE policy tick observes the data-file
+    * count past its budget (three append file-sets > 2), folds the
+    * caller-named CLOSED range {batch0, batch1} into a staged generation
+    * and publishes it atomically; a second tick reads healthy (the
+    * compaction's file budget — both verdicts require-pinned); the
+    * heavy-hitter candidates are read through the pointer
+    * ([[graft.operators.Sketches.heavyHitterCandidatesFromCatalog]]) and
+    * verified exactly, q120's discipline (candidates are a superset of
+    * the true heavy hitters by the sketch's no-false-negative guarantee,
+    * invariant under merge; the exact recount drops false positives).
+    * The oracle is q120's exact heavy-hitter SQL BY REFERENCE — DuckDB
+    * never sees sketches, the catalog or the policy.
+    */
+  def q166SketchPolicyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import graft.sources.Generations
+    val item = when(col("event_id") % 4 < 3,
+        concat(lit("hot_"), col("event_id") % 8))
+      .otherwise(concat(lit("cold_"), col("event_id"))).as("item")
+    def stream = events(s, dir).select(item, col("event_id"))
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = scratchDir("q166cat", dir).toString
+    val g0 = Generations.stage(root, hconf)
+    for (b <- 0 to 2)
+      Sketches.appendFrequencySketches(
+        stream.where(col("event_id") % 3 === b).withColumn("grp", lit("all")),
+        "grp", "item", batchId = s"batch$b", storeDir = g0)
+    Generations.publish(root, g0, hconf)
+    val tick = Sketches.maintainSketchStore(s, root, "freq",
+      closedBatchIds = Seq("batch0", "batch1"),
+      compactedBatchId = "batch0-1", maxDataFiles = 2, targetFiles = 2)
+    require(tick.contains("gen-1"),
+      s"three append file-sets past a budget of two must trip the policy, got $tick")
+    require(Sketches.maintainSketchStore(s, root, "freq", Seq("batch2"),
+        "batch2c", maxDataFiles = 2, targetFiles = 2).isEmpty,
+      "the compacted generation must read healthy on the next tick")
+    val total = stream.count()
+    val minCount = total / 100 // 1% support, integer threshold (DuckDB //)
+    val cand = Sketches.heavyHitterCandidatesFromCatalog(s, root,
+      minCount = minCount)
+    stream
+      .join(broadcast(cand.select(col("item"))), Seq("item"), "left_semi")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= minCount) // drop sketch false positives
+      .orderBy(col("item"))
+  }
+
+  /** Q167 — the PERCEPTUAL SEQUENCE store's maintenance policy under
+    * CORRECTNESS ([[Dedup.maintainSequenceStore]] — the policy
+    * discipline's FIFTH store axis, round 16): q128's two-batch
+    * construction driven through a generation catalog with the streaming
+    * sink's epoch-keyed durable-pairs discipline — batch 1 (25 originals,
+    * zero pairs — require-pinned) folds into generation 0 and publishes;
+    * batch 2 (trimmed + exact + composed near-dups) folds into the live
+    * generation; ONE policy tick observes the sigs fragmentation past its
+    * budget, compacts BOTH legs (sigs re-range-sorted, the closed pairs
+    * epochs folded to one bounded subdir) into a staged generation and
+    * publishes atomically; a second tick reads healthy; a REPLAY of
+    * batch 2 against the compacted store no-ops (the sigs anti-join keys
+    * off content, preserved row-for-row — require-pinned); the answer is
+    * the pairs store read through the pointer. The oracle is q128's SQL
+    * BY REFERENCE — pair-content parity through compaction is exactly the
+    * compactor's contract, and DuckDB never sees epochs, the catalog or
+    * the policy.
+    */
+  def q167SequencePolicyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.sources.{Generations, Multimodal}
+    val nFrames = 8
+    val (base, decoy) = shiftDiverseVideoSeeds
+    def clips(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("media_id", "seed", "decoy")
+        .as[(Long, Long, Long)]
+        .map { case (id, seed, dec) =>
+          val bytes = dec match {
+            case -1L => Multimodal.synthAvi(seed, nFrames)
+            case -2L => Multimodal.synthAviTrimmed(seed, nFrames - 2, 2)
+            case d => Multimodal.synthAviComposed(
+              (seed, 3) +: (1 until nFrames).map(p => (d, p)))
+          }
+          (id, bytes)
+        }
+        .toDF("media_id", "content")
+    def sigs(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
+      Multimodal.videoSequenceDHashes(clips(rows), "media_id", "content", stride = 1)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = scratchDir("q167cat", dir).toString
+    val batch1 = (0 until 25).map(i => (i.toLong, base(i), -1L))
+    val batch2 = (0 until 25).flatMap { i =>
+      Seq((i + 1000L, base(i), -2L), (i + 2000L, base(i), -1L),
+        (i + 3000L, base(i), decoy(i)))
+    }
+    // the streaming sink's fold shape: pairs land epoch-keyed, durable
+    // subdirs never rewritten (Streams.streamingSequenceDedup)
+    def fold(rows: Seq[(Long, Long, Long)], store: String,
+        epoch: Long): org.apache.spark.sql.DataFrame =
+      Dedup.incrementalSequenceNearDups(sigs(rows), "media_id",
+        "frame_idx", "vhash", store, maxHamming = 3, numBands = 4,
+        minVoteFrac = 0.7, maxShift = 3,
+        onPairs = out => {
+          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$store/pairs/batch_id=$epoch")
+          ()
+        })
+    val g0 = Generations.stage(root, hconf)
+    require(fold(batch1, g0, 0L).isEmpty,
+      "batch 1 originals must not pair with each other")
+    Generations.publish(root, g0, hconf)
+    fold(batch2, Generations.resolve(root, hconf), 1L)
+    val tick = Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
+      maxSigFiles = 1, targetFiles = 1)
+    require(tick.contains("gen-1"),
+      s"two fold file-sets past a budget of one must trip the policy, got $tick")
+    require(Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
+        maxSigFiles = 1, targetFiles = 1).isEmpty,
+      "the compacted generation must read healthy on the next tick")
+    require(Dedup.incrementalSequenceNearDups(sigs(batch2), "media_id",
+        "frame_idx", "vhash", Generations.resolve(root, hconf),
+        maxHamming = 3, numBands = 4, minVoteFrac = 0.7,
+        maxShift = 3).isEmpty,
+      "a replay against the compacted store must no-op (content-keyed)")
+    s.read.parquet(s"${Generations.resolve(root, hconf)}/pairs")
+      .select(col("id1"), col("id2"), col("frame_offset"),
+        col("matched_frames"), col("total_frames"), col("vote_frac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -4084,5 +4217,7 @@ object Queries {
     "q163_text_policy_lifecycle" -> q163TextPolicyLifecycle _,
     "q164_vector_policy_lifecycle" -> q164VectorPolicyLifecycle _,
     "q165_weights_policy_lifecycle" -> q165WeightsPolicyLifecycle _,
+    "q166_sketch_policy_lifecycle" -> q166SketchPolicyLifecycle _,
+    "q167_sequence_policy_lifecycle" -> q167SequencePolicyLifecycle _,
   )
 }

@@ -1495,6 +1495,62 @@ object Dedup {
     }
   }
 
+  /** The perceptual sequence store's maintenance policy —
+    * [[maintainSoftDedupWeights]]'s contract on the FIFTH store axis
+    * (R190): sustained [[incrementalSequenceNearDups]] ingest appends one
+    * sigs file-set and one `pairs/batch_id=<epoch>` subdir per
+    * micro-batch, so both the banded self-join's scan and any pairs read
+    * open O(batches) files forever. This observes the live generation's
+    * sigs data-file count (ONE driver listing — a healthy store costs
+    * nothing else) and, only past `maxSigFiles`, pays BOTH rewrites into
+    * a staged generation — [[compactSequenceStore]] (sigs re-range-sorted
+    * on (id, frame) into `targetFiles` files) and, when a pairs store
+    * exists, [[compactSequencePairs]] (closed epochs `<= committedBatchId`
+    * folded to one bounded subdir, live epochs carried untouched) — then
+    * publishes atomically. Fold replay stays idempotent across the swap
+    * (the sigs anti-join keys off store CONTENT, preserved row-for-row);
+    * the boundary is the caller's checkpoint-committed epoch, per the
+    * pairs compactor's contract.
+    *
+    * QUIESCENCE: a fold whose job COMMITS between the compaction's source
+    * reads and the publish would exist only in the superseded generation
+    * — the policy re-lists the live sigs AND pairs file counts after the
+    * rewrite and REFUSES the publish on change (the staged generation is
+    * abandoned; vacuum reclaims it). Same best-effort tripwire +
+    * pause-the-writer contract as the other policies.
+    *
+    * @return the published generation name, or None when healthy
+    */
+  def maintainSequenceStore(spark: SparkSession, catalogRoot: String,
+      committedBatchId: Long, maxSigFiles: Int,
+      targetFiles: Int = 16): Option[String] = {
+    require(maxSigFiles >= targetFiles,
+      s"maxSigFiles ($maxSigFiles) below targetFiles ($targetFiles) " +
+        "would re-trigger compaction on every tick")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = graft.sources.Generations.resolve(catalogRoot, hconf)
+    def sigFiles() = Search.dataFileCount(spark, s"$live/sigs")
+    def pairFiles() = Search.dataFileCount(spark, s"$live/pairs")
+    val (sigsBefore, pairsBefore) = (sigFiles(), pairFiles())
+    if (sigsBefore <= maxSigFiles) None
+    else {
+      val staged = graft.sources.Generations.stage(catalogRoot, hconf)
+      compactSequenceStore(spark, live, staged, targetFiles)
+      if (graft.sources.PathState.classify(s"$live/pairs", hconf) ==
+          graft.sources.PathState.Data)
+        compactSequencePairs(spark, live, staged, committedBatchId,
+          targetFiles)
+      val (sigsAfter, pairsAfter) = (sigFiles(), pairFiles())
+      require(sigsAfter == sigsBefore && pairsAfter == pairsBefore,
+        s"maintainSequenceStore: fold(s) landed in the live generation " +
+          s"mid-compaction (sigs $sigsBefore -> $sigsAfter, pairs " +
+          s"$pairsBefore -> $pairsAfter) — refusing to publish a " +
+          "generation missing them; the staged dir is abandoned (vacuum " +
+          "reclaims it). Re-run the tick with the stream paused")
+      Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
+    }
+  }
+
   /** SimHash fingerprint (bitwise majority of per-token hashes), `bits` wide.
     * Portable: bit i of md5-hash(token) taken via integer div/mod — identical
     * in DuckDB. Near-dups = fingerprints within small Hamming distance.

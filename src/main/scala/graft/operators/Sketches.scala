@@ -463,10 +463,11 @@ object Sketches {
     */
   def compactSketchStore(spark: SparkSession, srcDir: String, dstDir: String,
       family: String, batchIds: Seq[String], compactedBatchId: String,
-      k: Int = 200, maxMapSize: Int = 1024): Long = {
+      k: Int = 200, maxMapSize: Int = 1024, targetFiles: Int = 16): Long = {
     import spark.implicits._
     require(srcDir != dstDir,
       "compactSketchStore writes a NEW directory (caller swaps atomically)")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     require(Set("hll", "kll", "freq", "theta").contains(family),
       s"family must be hll|kll|freq|theta, got '$family'")
     require(batchIds.nonEmpty, "batchIds must name the closed range to fold")
@@ -521,8 +522,11 @@ object Sketches {
     val merged = mergedPairs.withColumn("batch_id", lit(compactedBatchId))
     // the store body first, the ledger second: a crash in between leaves a
     // dstDir whose ledger is missing — the caller has not swapped yet, so
-    // nothing reads it; the retry overwrites both
+    // nothing reads it; the retry overwrites both. Bounded to `targetFiles`
+    // (blob rows are KB-sized; the whole point of compaction is that the
+    // store stops being a file-count problem)
     keep.unionByName(merged)
+      .coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(dstDir)
     import graft.sources.PathState
     val prior =
@@ -538,5 +542,67 @@ object Sketches {
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/_folded")
     spark.read.parquet(dstDir)
       .where(col("batch_id") === compactedBatchId).count()
+  }
+
+  /** [[heavyHitterCandidates]] against a [[graft.sources.Generations]]
+    * catalog — the freq store's read twin (R187 discipline).
+    */
+  def heavyHitterCandidatesFromCatalog(spark: SparkSession,
+      catalogRoot: String, minCount: Long, batchIds: Seq[String] = Nil,
+      maxMapSize: Int = 1024): DataFrame =
+    heavyHitterCandidates(spark, graft.sources.Generations.resolve(
+      catalogRoot, spark.sparkContext.hadoopConfiguration),
+      minCount, batchIds, maxMapSize)
+
+  /** The sketch stores' maintenance policy —
+    * [[graft.operators.Search.maintainTextIndex]]'s contract on the
+    * FOURTH store axis (R190): sketch blobs have no model to drift and no
+    * layout to erode — what sustained [[appendDistinctSketches]]-family
+    * ingest grows is the blob-row count (one per (group, batch)) and the
+    * data-file count (one file-set per append), and every estimate scans
+    * one blob per (group, batch) forever. This observes the live
+    * generation's data-file count (ONE driver listing — a healthy store
+    * costs nothing else) and, only past `maxDataFiles`, pays the
+    * [[compactSketchStore]] merge of the caller-named CLOSED range into a
+    * staged generation and publishes it atomically. The closed range
+    * stays the CALLER's to name — batch ids are opaque and only the
+    * caller knows which ranges no query will ever scope into (the
+    * compactor's own contract); the policy owns observe, swap and the
+    * tripwire. Estimates are invariant through the swap (sketch-merge
+    * associativity); absorbed replays stay no-ops via the carried
+    * `_folded` ledger.
+    *
+    * QUIESCENCE: an append whose job COMMITS between the compaction's
+    * source read and the publish would exist only in the superseded
+    * generation — the policy re-lists the live generation's data files
+    * after the rewrite and REFUSES the publish on change (the staged
+    * generation is abandoned; vacuum reclaims it). Same best-effort
+    * tripwire + pause-the-writer contract as the other three policies.
+    *
+    * @return the published generation name, or None when healthy
+    */
+  def maintainSketchStore(spark: SparkSession, catalogRoot: String,
+      family: String, closedBatchIds: Seq[String], compactedBatchId: String,
+      maxDataFiles: Int, targetFiles: Int = 16, k: Int = 200,
+      maxMapSize: Int = 1024): Option[String] = {
+    require(maxDataFiles >= targetFiles,
+      s"maxDataFiles ($maxDataFiles) below targetFiles ($targetFiles) " +
+        "would re-trigger compaction on every tick")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = graft.sources.Generations.resolve(catalogRoot, hconf)
+    val before = Search.dataFileCount(spark, live)
+    if (before <= maxDataFiles) None
+    else {
+      val staged = graft.sources.Generations.stage(catalogRoot, hconf)
+      compactSketchStore(spark, live, staged, family, closedBatchIds,
+        compactedBatchId, k, maxMapSize, targetFiles)
+      val after = Search.dataFileCount(spark, live)
+      require(after == before,
+        s"maintainSketchStore: append(s) landed in the live generation " +
+          s"mid-compaction (data files $before -> $after) — refusing to " +
+          "publish a generation missing them; the staged dir is abandoned " +
+          "(vacuum reclaims it). Re-run the tick with the stream paused")
+      Some(graft.sources.Generations.publish(catalogRoot, staged, hconf))
+    }
   }
 }

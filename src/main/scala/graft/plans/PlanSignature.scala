@@ -137,7 +137,8 @@ object PlanSignature {
     "q157_streaming_soft_dedup_weights", "q158_ivfpq_refresh",
     "q161_bm25_compacted", "q162_catalog_lifecycle",
     "q163_text_policy_lifecycle", "q164_vector_policy_lifecycle",
-    "q165_weights_policy_lifecycle")
+    "q165_weights_policy_lifecycle", "q166_sketch_policy_lifecycle",
+    "q167_sequence_policy_lifecycle")
 
   /** Probes signed at sf0.01 ONLY. EMPTY since round 14 (VERDICT r13
     * item 6): the heavy composites q88/q128/q149 formerly skipped sf0.1

@@ -402,31 +402,50 @@ object Streams {
     * pairs land under `$storePath/pairs/batch_id=<epoch>` BEFORE the fold.
     * The fold side is idempotent via the store's id anti-join; the pairs
     * side is made idempotent too by keying the write on the foreachBatch
-    * epoch id: a replayed micro-batch OVERWRITES its own batch_id subdir
-    * with identical content instead of appending duplicates (exactly-once
-    * pairs output under at-least-once delivery). Readers of
-    * `$storePath/pairs` see batch_id as a trailing partition column;
+    * epoch id — and a JOB-COMMITTED epoch subdir (its `_SUCCESS` present)
+    * is never rewritten: a replay whose FOLD already committed (the
+    * crash window between the sigs append and the epoch's checkpoint
+    * commit) recomputes EMPTY pairs — the batch's ids anti-join away —
+    * and an unconditional overwrite would replace the durable pairs with
+    * nothing (the exact loss class the weights store's pairs-resume
+    * closed, review r16). Skipping is also correct for a pre-fold
+    * replay, whose recompute is identical to what is already durable;
+    * only a TORN previous write (no `_SUCCESS`) is overwritten. Readers
+    * of `$storePath/pairs` see batch_id as a trailing partition column;
     * sustained ingest folds the closed epochs' subdirs with
     * [[graft.operators.Dedup.compactSequencePairs]] (the sigs side has
-    * [[graft.operators.Dedup.compactSequenceStore]]). The
+    * [[graft.operators.Dedup.compactSequenceStore]]; the whole swap is
+    * [[graft.operators.Dedup.maintainSequenceStore]]'s tick). The
     * [[streamingLshMaintenance]] discipline for the video/audio dedup
     * tier; upstream decode (videoSequenceDHashes /
     * audioSequenceEnvelopeHashes) runs inside the stream's own
     * mapPartitions, so only signatures reach the sink.
+    *
+    * @param afterFold test seam, called after the fold inside the epoch
+    *        (before the checkpoint commit) — the crash-window recovery
+    *        proof in StreamsSpec throws here
     */
   def streamingSequenceDedup(sigs: DataFrame, idCol: String, frameCol: String,
       hashCol: String, storePath: String, checkpoint: String,
       maxHamming: Int = 3, numBands: Int = 4, minVoteFrac: Double = 0.8,
-      maxShift: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxShift: Int = 3, afterFold: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     sigs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dir = s"$storePath/pairs/batch_id=$batchId"
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+        val durable = success.getFileSystem(hconf).exists(success)
         graft.operators.Dedup.incrementalSequenceNearDups(
           batch.toDF(), idCol, frameCol, hashCol, storePath,
           maxHamming = maxHamming, numBands = numBands,
           minVoteFrac = minVoteFrac, maxShift = maxShift,
-          onPairs = _.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$storePath/pairs/batch_id=$batchId"))
+          onPairs = out => if (!durable) {
+            out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+            ()
+          })
+        afterFold(batchId)
         ()
       }
       .outputMode("update")

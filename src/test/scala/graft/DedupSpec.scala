@@ -771,6 +771,76 @@ class DedupSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("pairsdst").toString, 3L))
   }
 
+  test("maintainSequenceStore: healthy catalog no-ops; past-budget tick compacts sigs + closed pairs epochs and publishes; folds and replays survive the swap") {
+    import graft.operators.Dedup
+    import graft.sources.Generations
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rnd = new scala.util.Random(654)
+    def rows(seqs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.DataFrame =
+      seqs.flatMap { case (id, hs) =>
+        hs.zipWithIndex.map { case (h, f) => (id, f, h) } }.toDF("id", "f", "h")
+    val baseSeqs: Seq[(Long, Seq[Long])] =
+      (0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    val root = java.nio.file.Files.createTempDirectory("seqpol").toString
+    def fold(b: Seq[(Long, Seq[Long])], store: String, epoch: Long) =
+      Dedup.incrementalSequenceNearDups(rows(b), "id", "f", "h", store,
+          minVoteFrac = 0.7, maxShift = 3,
+          onPairs = out => {
+            out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$store/pairs/batch_id=$epoch")
+            ()
+          })
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val g0 = Generations.stage(root, conf)
+    assert(fold(baseSeqs, g0, 0L) === Set.empty)
+    Generations.publish(root, g0, conf)
+    // epoch 1 into the live generation: a trimmed dup of history id 1
+    val batch2 = Seq((200L, baseSeqs(1)._2.drop(2)))
+    assert(fold(batch2, Generations.resolve(root, conf), 1L) ===
+      Set((1L, 200L, -2)))
+    val pairsBefore = spark.read
+      .parquet(s"${Generations.resolve(root, conf)}/pairs")
+      .select("id1", "id2", "frame_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // healthy at the current footprint: nothing staged, the pointer stays
+    val files = graft.operators.Search.dataFileCount(spark,
+      s"${Generations.resolve(root, conf)}/sigs")
+    assert(files >= 2, "two folds must leave at least two sigs file-sets")
+    assert(Dedup.maintainSequenceStore(spark, root, committedBatchId = 1L,
+      maxSigFiles = files, targetFiles = 1).isEmpty)
+    assert(Generations.history(root, conf) == Seq("gen-0"))
+    // past budget: BOTH legs compact into gen-1 and the pointer swings
+    assert(Dedup.maintainSequenceStore(spark, root, committedBatchId = 1L,
+      maxSigFiles = 1, targetFiles = 1).contains("gen-1"))
+    assert(Generations.resolve(root, conf).endsWith("gen-1"))
+    // the next tick reads healthy (compaction honored its file budget)
+    assert(Dedup.maintainSequenceStore(spark, root, committedBatchId = 1L,
+      maxSigFiles = 1, targetFiles = 1).isEmpty)
+    // pairs content parity through the swap (epochs folded to one subdir)
+    val live = Generations.resolve(root, conf)
+    val pairsAfter = spark.read.parquet(s"$live/pairs")
+      .select("id1", "id2", "frame_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairsAfter === pairsBefore)
+    // replay of epoch 1 no-ops against the compacted sigs (content-keyed)
+    assert(Dedup.incrementalSequenceNearDups(rows(batch2), "id", "f", "h",
+      live, minVoteFrac = 0.7, maxShift = 3).isEmpty)
+    // a fresh fold into the NEW live generation cross-batch-probes the
+    // carried history
+    val batch3 = Seq((300L, baseSeqs(3)._2.drop(1)))
+    assert(Dedup.incrementalSequenceNearDups(rows(batch3), "id", "f", "h",
+        live, minVoteFrac = 0.7, maxShift = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      Set((3L, 300L, -1)))
+    // vacuum stays separate; the live generation keeps serving
+    assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-0"))
+    assert(spark.read.parquet(s"$live/sigs").count() > 0)
+    // a budget below the compaction target refuses (self-thrash)
+    intercept[IllegalArgumentException](Dedup.maintainSequenceStore(spark,
+      root, committedBatchId = 1L, maxSigFiles = 1, targetFiles = 2))
+  }
+
   test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
     // boundary discipline (R133): a pair at EXACTLY minVoteFrac must be kept
     // deterministically — the ppm cross-multiply, not a double divide,

@@ -301,4 +301,53 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("partial_hll_union_agg") || plan.contains("partial_"),
       plan.take(1200))
   }
+
+  test("maintainSketchStore: healthy catalog no-ops; past-budget tick folds the closed range + publishes; estimates invariant; absorbed replays no-op; self-thrash refused") {
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = Files.createTempDirectory("skpol").toString
+    val b1 = batch(0 until 2000, 2)
+    val b2 = batch(1000 until 4000, 2)
+    val b3 = batch(3000 until 5000, 2)
+    val g0 = Generations.stage(root, conf)
+    Seq(("m1", b1), ("m2", b2), ("m3", b3)).foreach { case (id, df) =>
+      Sketches.appendDistinctSketches(df, "domain", "uid", id, g0); ()
+    }
+    Generations.publish(root, g0, conf)
+    val before = Sketches.estimateDistinctFromCatalog(spark, root)
+      .as[(String, Long)].collect().toMap
+    val files = graft.operators.Search.dataFileCount(spark,
+      Generations.resolve(root, conf))
+    assert(files >= 3, "three appends must leave at least three file-sets")
+    // healthy at the current footprint: nothing staged, the pointer stays
+    assert(Sketches.maintainSketchStore(spark, root, "hll", Seq("m1", "m2"),
+      "m1-2", maxDataFiles = files, targetFiles = 1).isEmpty)
+    assert(Generations.history(root, conf) == Seq("gen-0"))
+    // past budget: the caller-named closed range folds into gen-1
+    assert(Sketches.maintainSketchStore(spark, root, "hll", Seq("m1", "m2"),
+      "m1-2", maxDataFiles = files - 1, targetFiles = 1).contains("gen-1"))
+    assert(Generations.resolve(root, conf).endsWith("gen-1"))
+    // estimates invariant through the swap, all scopings
+    val after = Sketches.estimateDistinctFromCatalog(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(after === before, "all-batches estimate must survive the swap")
+    assert(Sketches.estimateDistinctFromCatalog(spark, root, Seq("m1-2", "m3"))
+      .as[(String, Long)].collect().toMap === before)
+    // compaction honored its file budget: the next tick reads healthy at
+    // a budget of targetFiles, under any shuffle-partition count
+    assert(Sketches.maintainSketchStore(spark, root, "hll", Seq("m3"),
+      "m3c", maxDataFiles = 1, targetFiles = 1).isEmpty)
+    // absorbed replay no-ops via the carried ledger, THROUGH the catalog
+    assert(Sketches.appendDistinctSketches(b1, "domain", "uid", "m1",
+      Generations.resolve(root, conf)) === 0L)
+    // a genuinely new batch appends to the live generation
+    assert(Sketches.appendDistinctSketches(batch(5000 until 5500, 2),
+      "domain", "uid", "m4", Generations.resolve(root, conf)) === 2L)
+    // vacuum stays separate; the live generation keeps serving
+    assert(Generations.vacuum(root, keep = 0, conf) == Seq("gen-0"))
+    assert(Sketches.estimateDistinctFromCatalog(spark, root).count() === 2L)
+    // a budget below the compaction target refuses (self-thrash)
+    intercept[IllegalArgumentException](Sketches.maintainSketchStore(spark,
+      root, "hll", Seq("m4"), "m4c", maxDataFiles = 1, targetFiles = 2))
+  }
 }

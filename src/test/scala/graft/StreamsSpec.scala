@@ -554,6 +554,63 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequence-dedup crash recovery: kill between fold and epoch commit; the replay must not empty the durable pairs") {
+    // Executable proof of the sequence sink's durable-pairs discipline
+    // (review r16): the fold appends sigs BEFORE the epoch's checkpoint
+    // commit, so a crash in that window replays an epoch whose batch ids
+    // are ALREADY in the store — the pairs recompute is EMPTY, and an
+    // unconditional epoch-keyed overwrite would replace the durable pairs
+    // with nothing. The sink now skips job-committed epoch subdirs; this
+    // drives the exact window and asserts the pairs survive.
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val seqs: Seq[(Long, Seq[Long])] =
+      (0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    def rows(ss: Seq[(Long, Seq[Long])]): Seq[(Long, Int, Long)] =
+      ss.flatMap { case (id, hs) => hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    val root = java.nio.file.Files.createTempDirectory("sseqcrash")
+    val src = root.resolve("src").toString
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    def feed(ss: Seq[(Long, Seq[Long])]): Unit = {
+      rows(ss).toDF("id", "f", "h").write.mode("append").parquet(src); ()
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("f", "int").add("h", "long")
+    def stream(crashEpoch: Long) = Streams.streamingSequenceDedup(
+      spark.readStream.schema(schema).parquet(src), "id", "f", "h",
+      store, ckpt, minVoteFrac = 0.7,
+      afterFold = b => if (b == crashEpoch)
+        throw new RuntimeException("injected crash between fold and commit"))
+    feed(seqs) // epoch 0: six originals, no pairs
+    val q1 = stream(crashEpoch = 1L)
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      feed(Seq((100L, seqs(0)._2.drop(2)))) // epoch 1: dup of history id 0
+      q1.processAllAvailable()
+    }
+    assert(failure.getMessage.contains("injected crash"))
+    q1.stop()
+    // the window's state: pairs durable AND sigs folded, epoch uncommitted
+    def pairSet() = spark.read.parquet(s"$store/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet() === Set((0L, 100L, -2)))
+    assert(spark.read.parquet(s"$store/sigs")
+      .where(col("id") === 100L).count() === 6L)
+    // restart from the same checkpoint: epoch 1 replays, its ids anti-join
+    // out, and the DURABLE pairs subdir is skipped — not emptied
+    val q2 = stream(crashEpoch = -1L)
+    try {
+      q2.processAllAvailable()
+      assert(pairSet() === Set((0L, 100L, -2)),
+        "the replay must not overwrite the durable pairs with its empty recompute")
+      // the loop keeps working: a fresh dup pairs against carried history
+      feed(Seq((300L, seqs(3)._2.drop(1))))
+      q2.processAllAvailable()
+      assert(pairSet() === Set((0L, 100L, -2), (3L, 300L, -1)))
+    } finally q2.stop()
+  }
+
   test("parquet streaming sink: durable append with checkpoint, read-back matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
