@@ -1531,9 +1531,10 @@ object Dedup {
     val live = graft.sources.Generations.resolve(catalogRoot, hconf)
     def sigFiles() = Search.dataFileCount(spark, s"$live/sigs")
     def pairFiles() = Search.dataFileCount(spark, s"$live/pairs")
-    val (sigsBefore, pairsBefore) = (sigFiles(), pairFiles())
-    if (sigsBefore <= maxSigFiles) None
+    val sigsBefore = sigFiles()
+    if (sigsBefore <= maxSigFiles) None // ONE listing — the healthy cost
     else {
+      val pairsBefore = pairFiles()
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       compactSequenceStore(spark, live, staged, targetFiles)
       if (graft.sources.PathState.classify(s"$live/pairs", hconf) ==

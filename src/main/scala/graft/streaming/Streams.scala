@@ -402,15 +402,20 @@ object Streams {
     * pairs land under `$storePath/pairs/batch_id=<epoch>` BEFORE the fold.
     * The fold side is idempotent via the store's id anti-join; the pairs
     * side is made idempotent too by keying the write on the foreachBatch
-    * epoch id — and a JOB-COMMITTED epoch subdir (its `_SUCCESS` present)
-    * is never rewritten: a replay whose FOLD already committed (the
-    * crash window between the sigs append and the epoch's checkpoint
-    * commit) recomputes EMPTY pairs — the batch's ids anti-join away —
-    * and an unconditional overwrite would replace the durable pairs with
+    * epoch id — and a DURABLE epoch subdir (its `_SUCCESS` present, or
+    * visible data files: a [[graft.operators.Dedup.compactSequencePairs]]
+    * carry leaves the job marker at the pairs root, not per subdir) is
+    * never rewritten: a replay whose FOLD already committed (the crash
+    * window between the sigs append and the epoch's checkpoint commit)
+    * recomputes EMPTY pairs — the batch's ids anti-join away — and an
+    * unconditional overwrite would replace the durable pairs with
     * nothing (the exact loss class the weights store's pairs-resume
-    * closed, review r16). Skipping is also correct for a pre-fold
-    * replay, whose recompute is identical to what is already durable;
-    * only a TORN previous write (no `_SUCCESS`) is overwritten. Readers
+    * closed, review r16). A pre-fold replay's NON-empty recompute is
+    * set-compared against the durable rows (identical → skip,
+    * idempotent); durable-but-DIFFERENT content means a fresh-checkpoint
+    * stream is colliding with a previous stream's epochs, where skipping
+    * and overwriting each silently lose one side — the sink refuses
+    * loudly instead. Only a TORN previous write is overwritten. Readers
     * of `$storePath/pairs` see batch_id as a trailing partition column;
     * sustained ingest folds the closed epochs' subdirs with
     * [[graft.operators.Dedup.compactSequencePairs]] (the sigs side has
@@ -434,17 +439,44 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val dir = s"$storePath/pairs/batch_id=$batchId"
-        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        // durability is data-or-marker, not the marker alone:
+        // compactSequencePairs carries live epochs via a partitionBy
+        // write whose single `_SUCCESS` sits at the pairs ROOT — a
+        // marker-only probe would read a carried subdir as non-durable
+        // and let the post-swap replay empty it (review r16)
         val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-        val durable = success.getFileSystem(hconf).exists(success)
+        val durable = success.getFileSystem(hconf).exists(success) ||
+          graft.sources.PathState.classify(dir, hconf) ==
+            graft.sources.PathState.Data
         graft.operators.Dedup.incrementalSequenceNearDups(
           batch.toDF(), idCol, frameCol, hashCol, storePath,
           maxHamming = maxHamming, numBands = numBands,
           minVoteFrac = minVoteFrac, maxShift = maxShift,
-          onPairs = out => if (!durable) {
-            out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-            ()
-          })
+          onPairs = out =>
+            if (!durable) {
+              out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(dir)
+              ()
+            } else if (!out.isEmpty) {
+              // a durable subdir plus a NON-empty recompute is either the
+              // pre-fold crash retry (recompute ≡ durable rows — skip,
+              // idempotent) or a FRESH-checkpoint stream whose epoch ids
+              // collide with a previous stream's durable epochs — there
+              // both skipping and overwriting silently lose one side's
+              // pairs, so refuse loudly instead (review r16). The set
+              // compare is two anti-joins on per-epoch frames, no collect
+              val existing = spark.read.parquet(dir)
+                .select(out.columns.map(org.apache.spark.sql.functions.col): _*)
+              require(out.exceptAll(existing).isEmpty &&
+                  existing.exceptAll(out).isEmpty,
+                s"pairs epoch subdir '$dir' already holds DIFFERENT " +
+                  "durable content — a stream restarted with a fresh " +
+                  "checkpoint is colliding with a previous stream's " +
+                  "epochs; resume from the original checkpoint or point " +
+                  "the stream at a new store generation")
+            })
         afterFold(batchId)
         ()
       }

@@ -611,6 +611,85 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("sequence-dedup pairs survive the policy swap's carried epochs; a fresh-checkpoint collision refuses instead of losing a side") {
+    // review r16 follow-up on the durable-pairs fix: (1) compactSequencePairs
+    // carries live epochs via a partitionBy write whose _SUCCESS sits at the
+    // pairs ROOT — durability must read the carried subdir's DATA, or the
+    // post-swap replay of a crashed epoch empties it; (2) a stream restarted
+    // with a FRESH checkpoint over an existing store re-numbers epochs from
+    // zero — where its recompute differs from a durable subdir, skipping and
+    // overwriting each silently lose one side, so the sink must refuse.
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.Generations
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rnd = new scala.util.Random(88)
+    val seqs: Seq[(Long, Seq[Long])] =
+      (0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    def rows(ss: Seq[(Long, Seq[Long])]): Seq[(Long, Int, Long)] =
+      ss.flatMap { case (id, hs) => hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+    val root0 = java.nio.file.Files.createTempDirectory("sseqswap")
+    val src = root0.resolve("src").toString
+    val ckpt = root0.resolve("ckpt").toString
+    val cat = root0.resolve("cat").toString
+    def feed(ss: Seq[(Long, Seq[Long])]): Unit = {
+      rows(ss).toDF("id", "f", "h").write.mode("append").parquet(src); ()
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("f", "int").add("h", "long")
+    def stream(storePath: String, checkpoint: String, crashEpoch: Long) =
+      Streams.streamingSequenceDedup(
+        spark.readStream.schema(schema).parquet(src), "id", "f", "h",
+        storePath, checkpoint, minVoteFrac = 0.7,
+        afterFold = b => if (b == crashEpoch)
+          throw new RuntimeException("injected crash between fold and commit"))
+    val g0 = Generations.stage(cat, conf)
+    feed(seqs) // epoch 0: six originals, no pairs
+    val q1 = stream(g0, ckpt, crashEpoch = 1L)
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      Generations.publish(cat, g0, conf)
+      feed(Seq((100L, seqs(0)._2.drop(2)))) // epoch 1: dup of history id 0
+      q1.processAllAvailable() // folds, writes durable pairs, crashes pre-commit
+    }
+    assert(failure.getMessage.contains("injected crash"))
+    q1.stop()
+    // the policy swaps with the crashed epoch CARRIED (boundary = last
+    // committed epoch 0): its subdir loses the per-subdir _SUCCESS
+    assert(Dedup.maintainSequenceStore(spark, cat, committedBatchId = 0L,
+      maxSigFiles = 1, targetFiles = 1).contains("gen-1"))
+    val live = Generations.resolve(cat, conf)
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(live, "pairs", "batch_id=1", "_SUCCESS")),
+      "the carried epoch must have lost its per-subdir marker (the trap)")
+    def pairSet(p: String) = spark.read.parquet(s"$p/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet(live) === Set((0L, 100L, -2)))
+    // restart against the new generation, SAME checkpoint: epoch 1
+    // replays with an empty recompute — the carried subdir's DATA must
+    // keep it durable (a marker-only probe would empty it here)
+    val q2 = stream(live, ckpt, crashEpoch = -1L)
+    try {
+      q2.processAllAvailable()
+      assert(pairSet(live) === Set((0L, 100L, -2)),
+        "the post-swap replay must not empty the carried durable pairs")
+    } finally q2.stop()
+    // a FRESH checkpoint over the same store re-numbers epochs: its
+    // epoch 1 recomputes DIFFERENT pairs than the durable batch_id=1 —
+    // the sink refuses loudly, and the durable side is unharmed
+    val ckpt2 = root0.resolve("ckpt2").toString
+    val q3 = stream(live, ckpt2, crashEpoch = -1L)
+    val collide = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable() // epoch 0: full replayed history, no fresh ids
+      feed(Seq((400L, seqs(4)._2.drop(2)))) // its epoch 1: dup of id 4
+      q3.processAllAvailable()
+    }
+    assert(collide.getMessage.contains("DIFFERENT durable content"))
+    q3.stop()
+    assert(pairSet(live) === Set((0L, 100L, -2)),
+      "a refused collision must leave the durable pairs unharmed")
+  }
+
   test("parquet streaming sink: durable append with checkpoint, read-back matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
