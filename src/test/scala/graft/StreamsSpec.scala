@@ -573,7 +573,21 @@ class StreamsSpec extends SparkSpec {
     val store = root.resolve("store").toString
     val ckpt = root.resolve("ckpt").toString
     def feed(ss: Seq[(Long, Seq[Long])]): Unit = {
-      rows(ss).toDF("id", "f", "h").write.mode("append").parquet(src); ()
+      // ATOMIC single-file feed: a multi-part write can be caught
+      // mid-listing by the file source and split across micro-batches,
+      // tearing a clip's frames apart and shifting epoch numbers (flaked
+      // under full-suite load); one coalesced file moved in by rename is
+      // one epoch's worth, indivisibly
+      val tmp = java.nio.file.Files.createTempDirectory("seqfeed")
+      rows(ss).toDF("id", "f", "h").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(src,
+        s"feed-${System.nanoTime()}.parquet"))
+      ()
     }
     val schema = new org.apache.spark.sql.types.StructType()
       .add("id", "long").add("f", "int").add("h", "long")
@@ -633,7 +647,21 @@ class StreamsSpec extends SparkSpec {
     val ckpt = root0.resolve("ckpt").toString
     val cat = root0.resolve("cat").toString
     def feed(ss: Seq[(Long, Seq[Long])]): Unit = {
-      rows(ss).toDF("id", "f", "h").write.mode("append").parquet(src); ()
+      // ATOMIC single-file feed: a multi-part write can be caught
+      // mid-listing by the file source and split across micro-batches,
+      // tearing a clip's frames apart and shifting epoch numbers (flaked
+      // under full-suite load); one coalesced file moved in by rename is
+      // one epoch's worth, indivisibly
+      val tmp = java.nio.file.Files.createTempDirectory("seqfeed")
+      rows(ss).toDF("id", "f", "h").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(src,
+        s"feed-${System.nanoTime()}.parquet"))
+      ()
     }
     val schema = new org.apache.spark.sql.types.StructType()
       .add("id", "long").add("f", "int").add("h", "long")
@@ -1067,14 +1095,22 @@ class StreamsSpec extends SparkSpec {
       Generations.publish(cat, g0, conf)
       (5L to 8L).map(i => (i, t(i))).toDF("doc_id", "text")
         .write.mode("append").parquet(src)
-      q1.processAllAvailable() // epoch 1 into the (now live) generation
-      // the policy tick runs while the stream is ALIVE but drained: two
-      // patch batches past a budget of one → compact + publish gen-1
+      q1.processAllAvailable() // epoch(s) into the (now live) generation
+      // the policy tick runs while the stream is ALIVE but drained. The
+      // fold boundary is DISCOVERED from the drained store (the file
+      // source may split a feed across micro-batches under load, so epoch
+      // numbers are not assumable): every committed patch batch is below
+      // the boundary, so the compaction folds the whole history and the
+      // next tick must read the one-snapshot store as healthy
       assert(q1.isActive)
+      val live0 = Generations.resolve(cat, conf)
+      val boundary = new java.io.File(s"$live0/weights").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).max
       assert(Dedup.maintainSoftDedupWeights(spark, cat, maxBatches = 1,
-        committedBatchId = 1, idCol = "doc_id").contains("gen-1"))
+        committedBatchId = boundary, idCol = "doc_id").contains("gen-1"))
       assert(Dedup.maintainSoftDedupWeights(spark, cat, maxBatches = 1,
-        committedBatchId = 1, idCol = "doc_id").isEmpty)
+        committedBatchId = boundary, idCol = "doc_id").isEmpty)
     } finally q1.stop()
     // restart against the NEW live generation from the SAME checkpoint;
     // epoch 2 folds there (the carried ledger + sketches keep cross-batch
