@@ -1519,11 +1519,26 @@ object Dedup {
     * abandoned; vacuum reclaims it). Same best-effort tripwire +
     * pause-the-writer contract as the other policies.
     *
+    * A pairs store whose every epoch holds ZERO rows (a dedup stream that
+    * has found no duplicates yet — the sink still lands an empty epoch
+    * subdir per micro-batch as its durability marker) is skipped rather
+    * than folded: [[compactSequencePairs]] refuses an empty source, and
+    * letting that refusal abort the tick would wedge the policy forever
+    * while the sigs fragmentation it exists to bound keeps growing
+    * (ADVICE r16). Dropping the empty subdirs loses nothing — pair rows
+    * are preserved 0-for-0, and a replay of the in-flight epoch
+    * recomputes the same (empty) content against the row-for-row
+    * preserved sigs and lands it fresh in the new generation.
+    *
+    * @param afterRewrite test seam: runs after both rewrites, before the
+    *        quiescence re-listing — crash/race proofs inject a
+    *        mid-compaction fold here
     * @return the published generation name, or None when healthy
     */
   def maintainSequenceStore(spark: SparkSession, catalogRoot: String,
       committedBatchId: Long, maxSigFiles: Int,
-      targetFiles: Int = 16): Option[String] = {
+      targetFiles: Int = 16,
+      afterRewrite: () => Unit = () => ()): Option[String] = {
     require(maxSigFiles >= targetFiles,
       s"maxSigFiles ($maxSigFiles) below targetFiles ($targetFiles) " +
         "would re-trigger compaction on every tick")
@@ -1538,9 +1553,11 @@ object Dedup {
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       compactSequenceStore(spark, live, staged, targetFiles)
       if (graft.sources.PathState.classify(s"$live/pairs", hconf) ==
-          graft.sources.PathState.Data)
+          graft.sources.PathState.Data &&
+          spark.read.parquet(s"$live/pairs").limit(1).count() > 0)
         compactSequencePairs(spark, live, staged, committedBatchId,
           targetFiles)
+      afterRewrite()
       val (sigsAfter, pairsAfter) = (sigFiles(), pairFiles())
       require(sigsAfter == sigsBefore && pairsAfter == pairsBefore,
         s"maintainSequenceStore: fold(s) landed in the live generation " +

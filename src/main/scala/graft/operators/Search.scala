@@ -817,19 +817,26 @@ object Search {
       readIvfCentroids(spark, path))
 
   /** Content fingerprint of a store subdir: md5 over the sorted
-    * (relative path, length) list of its visible parquet data files —
-    * ONE driver-side listing, no data read. This is what lets the
-    * `driftstats` sidecar be trusted without scanning a vector: every
-    * sidecar write records the vectors dir's fingerprint at that moment,
-    * and a reader re-lists and compares. A crash between a vectors
-    * commit and the sidecar update leaves the fingerprint stale, so the
-    * reader falls back to the full recompute instead of serving an
-    * undercount — the sidecar is a verified cache, never a second source
-    * of truth.
+    * (relative path, length, mtime) list of its visible parquet data
+    * files — ONE driver-side listing, no data read. This is what lets
+    * the `driftstats` sidecar be trusted without scanning a vector:
+    * every sidecar write records the vectors dir's fingerprint at that
+    * moment, and a reader re-lists and compares. A crash between a
+    * vectors commit and the sidecar update leaves the fingerprint stale,
+    * so the reader falls back to the full recompute instead of serving
+    * an undercount — the sidecar is a verified cache, never a second
+    * source of truth. The mtime term closes the same-name same-length
+    * in-place rewrite hole (ADVICE r16): an external restore/rewrite
+    * tool that preserves names and sizes still moves the filesystem's
+    * modification stamp, so the sidecar is distrusted and the exact
+    * recompute serves. (A rewrite that forges all three terms is outside
+    * the contract — the fingerprint is a listing-metadata cache key, not
+    * a content hash; hashing bytes would cost the full-store read the
+    * sidecar exists to avoid.)
     */
   def storeFingerprint(spark: SparkSession, dir: String): String = {
     val entries = visibleParquetFiles(spark, dir)
-      .map { case (rel, len) => s"$rel:$len" }.sorted
+      .map { case (rel, len, mtime) => s"$rel:$len:$mtime" }.sorted
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -894,15 +901,31 @@ object Search {
     * are already scanning, so seeding is one extra NARROW aggregate pass
     * over the input, never a re-read of the store just written.
     *
-    * @return total vectors accounted (Σ n)
+    * Parity-checked before certifying (ADVICE r16): the stat rows come
+    * from an inner join against the centroids sidecar, so a vectors row
+    * whose `cluster_id` is missing from `centroids` (a corrupt or
+    * hand-edited store) would silently drop from both the count and the
+    * drift statistic — the seed compares Σn against a plain count of the
+    * frame and refuses loudly on mismatch, mirroring the compaction
+    * row-parity requires. The count is a second pass, but only on seed
+    * paths that are already O(store) by construction.
+    *
+    * @return total vectors accounted (Σ n, == the frame's row count)
     */
   private def seedDriftStatsFrom(assigned: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Float])], path: String): Long = {
     val spark = assigned.sparkSession
     val rows = collectDriftRows(assigned, vecCol, centroids)
+    val accounted = rows.map(_._2).sum
+    val total = assigned.count()
+    require(accounted == total,
+      s"drift-stats seed at '$path' accounted $accounted of $total " +
+        s"vectors — ${total - accounted} row(s) carry a cluster_id " +
+        "missing from the centroids sidecar (corrupt or hand-edited " +
+        "store); refusing to certify statistics that undercount")
     writeDriftRows(spark, path, rows, SaveMode.Overwrite)
     writeDriftMarker(spark, path, storeFingerprint(spark, s"$path/vectors"))
-    rows.map(_._2).sum
+    accounted
   }
 
   /** Re-seed a store's sidecar from the STORE (one narrow scan of
@@ -2701,27 +2724,28 @@ object Search {
   def dataFileCount(spark: SparkSession, dir: String): Int =
     visibleParquetFiles(spark, dir).size
 
-  /** (relative path, length) of every visible parquet data file under
-    * `dir` — the one recursive listing [[dataFileCount]] and
+  /** (relative path, length, mtime) of every visible parquet data file
+    * under `dir` — the one recursive listing [[dataFileCount]] and
     * [[storeFingerprint]] share. Visibility is judged on EVERY path
     * component below the target (the [[graft.sources.PathState]] rule).
     */
   private def visibleParquetFiles(spark: SparkSession,
-      dir: String): Seq[(String, Long)] = {
+      dir: String): Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else {
       val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
       while (it.hasNext) {
         val st = it.next()
         val f = st.getPath
         val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         val hidden = rel.split('/')
           .exists(c => c.startsWith("_") || c.startsWith("."))
-        if (!hidden && f.getName.endsWith(".parquet")) buf += ((rel, st.getLen))
+        if (!hidden && f.getName.endsWith(".parquet"))
+          buf += ((rel, st.getLen, st.getModificationTime))
       }
       buf.toSeq
     }

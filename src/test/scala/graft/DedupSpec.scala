@@ -841,6 +841,66 @@ class DedupSpec extends SparkSpec {
       root, committedBatchId = 1L, maxSigFiles = 1, targetFiles = 2))
   }
 
+  test("maintainSequenceStore: a zero-row pairs store (empty epoch subdirs) is skipped, not a permanent wedge (ADVICE r16)") {
+    // a dedup stream that has found no duplicates yet still lands one
+    // EMPTY pairs epoch subdir per micro-batch (the sink's durability
+    // marker); empty parquet classifies as Data, so the pre-fix policy
+    // handed compactSequencePairs an empty source and its n>0 require
+    // aborted EVERY tick past the sigs budget — the fragmentation the
+    // policy exists to bound grew forever
+    import graft.operators.Dedup
+    import graft.sources.Generations
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rnd = new scala.util.Random(991)
+    def rows(seqs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.DataFrame =
+      seqs.flatMap { case (id, hs) =>
+        hs.zipWithIndex.map { case (h, f) => (id, f, h) } }.toDF("id", "f", "h")
+    val root = java.nio.file.Files.createTempDirectory("seqpolempty").toString
+    def fold(b: Seq[(Long, Seq[Long])], store: String, epoch: Long) =
+      Dedup.incrementalSequenceNearDups(rows(b), "id", "f", "h", store,
+        minVoteFrac = 0.7, maxShift = 3,
+        onPairs = out => {
+          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$store/pairs/batch_id=$epoch")
+          ()
+        })
+    // two all-original epochs: both pairs subdirs land EMPTY
+    val g0 = Generations.stage(root, conf)
+    val b0 = (0L until 4L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    val b1 = (10L until 14L).map(i => (i, Seq.fill(8)(rnd.nextLong())))
+    assert(fold(b0, g0, 0L).isEmpty)
+    Generations.publish(root, g0, conf)
+    assert(fold(b1, Generations.resolve(root, conf), 1L).isEmpty)
+    assert(spark.read
+      .parquet(s"${Generations.resolve(root, conf)}/pairs").count() === 0L)
+    val sigsBefore = spark.read
+      .parquet(s"${Generations.resolve(root, conf)}/sigs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // the tick must PUBLISH (sigs leg compacted, pairs leg skipped) —
+    // not abort on the empty pairs source
+    assert(Dedup.maintainSequenceStore(spark, root, committedBatchId = 1L,
+      maxSigFiles = 1, targetFiles = 1).contains("gen-1"))
+    val live = Generations.resolve(root, conf)
+    assert(live.endsWith("gen-1"))
+    val sigsAfter = spark.read.parquet(s"$live/sigs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(sigsAfter === sigsBefore, "sigs carried row-for-row")
+    // nothing was lost: zero pair rows before, zero (or no dir) after
+    assert(graft.sources.PathState.classify(s"$live/pairs", conf) !=
+      graft.sources.PathState.Data ||
+      spark.read.parquet(s"$live/pairs").count() === 0L)
+    // the next tick reads healthy, and the stream keeps working against
+    // the new generation: a real duplicate now lands pairs fresh
+    assert(Dedup.maintainSequenceStore(spark, root, committedBatchId = 1L,
+      maxSigFiles = 1, targetFiles = 1).isEmpty)
+    val dup = Seq((500L, b0.head._2.drop(2)))
+    assert(fold(dup, live, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      Set((0L, 500L, -2)))
+    assert(spark.read.parquet(s"$live/pairs").count() === 1L)
+  }
+
   test("sequenceVoteNearDupPairs: exact-threshold votes are kept (integer compare)") {
     // boundary discipline (R133): a pair at EXACTLY minVoteFrac must be kept
     // deterministically — the ppm cross-multiply, not a double divide,

@@ -1838,15 +1838,20 @@ class SearchSpec extends SparkSpec {
       s"fallback must cost more jobs than the sidecar ($scanJobs vs $statJobs)")
     Search.seedIvfDriftStats(spark, live, "embedding")
     // the hard proof of "no vector-scanning job": overwrite every vectors
-    // data file IN PLACE with same-length garbage — the (path, length)
-    // fingerprint still matches, so the sidecar stays trusted, and ANY
-    // attempt to actually read a vector would throw on the mangled
-    // parquet. The healthy tick must still answer, bit-identically.
+    // data file IN PLACE with same-length garbage, restoring each file's
+    // mtime — the (path, length, mtime) fingerprint still matches, so the
+    // sidecar stays trusted, and ANY attempt to actually read a vector
+    // would throw on the mangled parquet. The healthy tick must still
+    // answer, bit-identically. (Restoring mtime is the point: the
+    // fingerprint is a listing-metadata cache key, and this simulates the
+    // one change no listing can see.)
     java.nio.file.Files.walk(java.nio.file.Paths.get(live, "vectors"))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .forEach { p =>
         val len = java.nio.file.Files.size(p).toInt
+        val mtime = java.nio.file.Files.getLastModifiedTime(p)
         java.nio.file.Files.write(p, Array.fill[Byte](len)('x'.toByte))
+        java.nio.file.Files.setLastModifiedTime(p, mtime)
         ()
       }
     assert(maintain().isEmpty)
@@ -1854,6 +1859,58 @@ class SearchSpec extends SparkSpec {
       "a healthy tick on the mangled store proves zero vector bytes read")
     assertThrows[org.apache.spark.SparkException](
       Search.ivfDriftStatsExact(spark, live, "embedding").collect())
+  }
+
+  test("drift-stats sidecar: a same-name same-length in-place rewrite is distrusted (mtime in the fingerprint — ADVICE r16)") {
+    import spark.implicits._
+    val dim = 4
+    def v(id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a((id % dim).toInt) = 1.0f; a.toSeq
+    }
+    val a = (1L to 16L).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("driftmt").toString
+    Search.writeIvfIndex(a, "embedding",
+      Search.sampledCentroids(a, "vec_id", "embedding", 2, "mt"), dir)
+    assert(Search.ivfDriftStatsFromSidecar(spark, dir).nonEmpty)
+    // an external restore/rewrite that preserves every name and length
+    // but not the modification stamp: rewrite one data file with its own
+    // bytes and bump mtime — the sidecar must read STALE (fall back),
+    // never serve statistics for content it cannot vouch for
+    val part = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "vectors"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(part)
+    val old = java.nio.file.Files.getLastModifiedTime(part)
+    java.nio.file.Files.write(part, bytes)
+    java.nio.file.Files.setLastModifiedTime(part,
+      java.nio.file.attribute.FileTime.fromMillis(old.toMillis + 2000))
+    assert(Search.ivfDriftStatsFromSidecar(spark, dir).isEmpty,
+      "a changed mtime must invalidate the fingerprint")
+  }
+
+  test("drift-stats seed: a vectors row whose cluster_id is missing from the centroids sidecar refuses loudly (ADVICE r16)") {
+    import spark.implicits._
+    val dim = 4
+    def v(id: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a((id % dim).toInt) = 1.0f; a.toSeq
+    }
+    val a = (1L to 12L).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("driftorphan").toString
+    Search.writeIvfIndex(a, "embedding",
+      Search.sampledCentroids(a, "vec_id", "embedding", 2, "or"), dir)
+    // corrupt the store: append a vectors row under a cluster_id no
+    // centroid knows — the seed's inner join would silently drop it
+    Seq((99L, v(99L))).toDF("vec_id", "embedding")
+      .withColumn("cluster_id", lit(7777))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster_id").parquet(s"$dir/vectors")
+    val err = intercept[IllegalArgumentException](
+      Search.seedIvfDriftStats(spark, dir, "embedding"))
+    assert(err.getMessage.contains("missing from the centroids sidecar"))
+    // and the sidecar was NOT certified for the corrupt content: the
+    // append moved the fingerprint, so the reader falls back
+    assert(Search.ivfDriftStatsFromSidecar(spark, dir).isEmpty)
   }
 
   // ---- Catalyst plan assertions (SURVEY.md §4.2: asserted, not built)
