@@ -3462,5 +3462,14 @@ FROM e ORDER BY doc_id""",
     // are engine mechanics DuckDB never sees
     ("q166_sketch_policy_lifecycle" -> base("q120_compacted_hh")) +
     ("q167_sequence_policy_lifecycle" ->
-      base("q128_incremental_sequence_dedup"))
+      base("q128_incremental_sequence_dedup")) +
+    // the operational closes (round 17): q168 sweeps BOTH catalogs with
+    // maintainAll and answers through the sequence pairs store (q128's
+    // planted construction — the sketch leg is require-pinned in the
+    // probe); q169 drives refusal → vacuum → re-tick → publish on the
+    // same catalog, and the injected mid-compaction fold pairs with
+    // nothing by construction, so the pairs answer is unchanged —
+    // sweeps, refusals and vacuum are engine mechanics DuckDB never sees
+    ("q168_maintain_all_sweep" -> base("q128_incremental_sequence_dedup")) +
+    ("q169_vacuum_under_policy" -> base("q128_incremental_sequence_dedup"))
 }

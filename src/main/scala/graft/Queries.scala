@@ -3988,12 +3988,41 @@ object Queries {
     * the policy.
     */
   def q167SequencePolicyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Generations
+    val hconf = s.sparkContext.hadoopConfiguration
+    // the streaming sink's fold shape: pairs land epoch-keyed, durable
+    // subdirs never rewritten (Streams.streamingSequenceDedup) — the
+    // construction shared with q168/q169 ([[seedSequenceCatalogWithReplay]])
+    val (root, refoldBatch2) = seedSequenceCatalogWithReplay(s, "q167cat", dir)
+    val tick = Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
+      maxSigFiles = 1, targetFiles = 1)
+    require(tick.contains("gen-1"),
+      s"two fold file-sets past a budget of one must trip the policy, got $tick")
+    require(Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
+        maxSigFiles = 1, targetFiles = 1).isEmpty,
+      "the compacted generation must read healthy on the next tick")
+    require(refoldBatch2(Generations.resolve(root, hconf)).isEmpty,
+      "a replay against the compacted store must no-op (content-keyed)")
+    sequenceCatalogPairs(s, root)
+  }
+
+  /** Q167's video-sequence catalog construction, shared with q168/q169:
+    * batch 1 (25 screened originals — zero pairs, require-pinned) folds
+    * into generation 0 and publishes; batch 2 (trimmed + exact + composed
+    * near-dups per original) folds epoch 1 into the live generation
+    * through the streaming sink's epoch-keyed pairs layout. Leaves the
+    * catalog exactly two sigs file-sets deep — one tick past a
+    * maxSigFiles=1 budget. Returns the catalog root plus a batch-2
+    * refold closure (q167 pins replay idempotence with it).
+    */
+  private def seedSequenceCatalogWithReplay(s: SparkSession, tag: String,
+      dir: String): (String, String => DataFrame) = {
     implicit val sp: SparkSession = s
     import s.implicits._
     import graft.sources.{Generations, Multimodal}
     val nFrames = 8
     val (base, decoy) = shiftDiverseVideoSeeds
-    def clips(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
+    def clips(rows: Seq[(Long, Long, Long)]): DataFrame =
       rows.toDF("media_id", "seed", "decoy")
         .as[(Long, Long, Long)]
         .map { case (id, seed, dec) =>
@@ -4006,19 +4035,18 @@ object Queries {
           (id, bytes)
         }
         .toDF("media_id", "content")
-    def sigs(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
-      Multimodal.videoSequenceDHashes(clips(rows), "media_id", "content", stride = 1)
+    def sigs(rows: Seq[(Long, Long, Long)]): DataFrame =
+      Multimodal.videoSequenceDHashes(clips(rows), "media_id", "content",
+        stride = 1)
     val hconf = s.sparkContext.hadoopConfiguration
-    val root = scratchDir("q167cat", dir).toString
+    val root = scratchDir(tag, dir).toString
     val batch1 = (0 until 25).map(i => (i.toLong, base(i), -1L))
     val batch2 = (0 until 25).flatMap { i =>
       Seq((i + 1000L, base(i), -2L), (i + 2000L, base(i), -1L),
         (i + 3000L, base(i), decoy(i)))
     }
-    // the streaming sink's fold shape: pairs land epoch-keyed, durable
-    // subdirs never rewritten (Streams.streamingSequenceDedup)
     def fold(rows: Seq[(Long, Long, Long)], store: String,
-        epoch: Long): org.apache.spark.sql.DataFrame =
+        epoch: Long): DataFrame =
       Dedup.incrementalSequenceNearDups(sigs(rows), "media_id",
         "frame_idx", "vhash", store, maxHamming = 3, numBands = 4,
         minVoteFrac = 0.7, maxShift = 3,
@@ -4032,23 +4060,169 @@ object Queries {
       "batch 1 originals must not pair with each other")
     Generations.publish(root, g0, hconf)
     fold(batch2, Generations.resolve(root, hconf), 1L)
-    val tick = Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
-      maxSigFiles = 1, targetFiles = 1)
-    require(tick.contains("gen-1"),
-      s"two fold file-sets past a budget of one must trip the policy, got $tick")
-    require(Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
-        maxSigFiles = 1, targetFiles = 1).isEmpty,
-      "the compacted generation must read healthy on the next tick")
-    require(Dedup.incrementalSequenceNearDups(sigs(batch2), "media_id",
-        "frame_idx", "vhash", Generations.resolve(root, hconf),
-        maxHamming = 3, numBands = 4, minVoteFrac = 0.7,
-        maxShift = 3).isEmpty,
-      "a replay against the compacted store must no-op (content-keyed)")
-    s.read.parquet(s"${Generations.resolve(root, hconf)}/pairs")
+    (root, store => Dedup.incrementalSequenceNearDups(sigs(batch2),
+      "media_id", "frame_idx", "vhash", store, maxHamming = 3,
+      numBands = 4, minVoteFrac = 0.7, maxShift = 3))
+  }
+
+  private def seedSequenceCatalog(s: SparkSession, tag: String,
+      dir: String): String = seedSequenceCatalogWithReplay(s, tag, dir)._1
+
+  /** The sequence catalog's answer surface: the pairs store read through
+    * the live pointer — q128's expected pair set when only the
+    * seed construction's folds contributed pairs.
+    */
+  private def sequenceCatalogPairs(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"${graft.sources.Generations.resolve(root,
+        s.sparkContext.hadoopConfiguration)}/pairs")
       .select(col("id1"), col("id2"), col("frame_offset"),
         col("matched_frames"), col("total_frames"), col("vote_frac"))
       .orderBy(col("id1"), col("id2"))
+
+  /** Q168 — [[graft.operators.Maintenance.maintainAll]], the scheduler's
+    * one-call sweep over registered store policies (VERDICT r16 item 2),
+    * composed over TWO families: q166's frequency-sketch catalog (three
+    * append file-sets past a budget of two) and q167's video-sequence
+    * catalog (two fold file-sets past a budget of one), both fragmented.
+    * ONE sweep observes both, ticks both — per-store verdicts, observed
+    * file counts and published generation names all require-pinned — and
+    * a second sweep reads the whole fleet healthy. The sketch leg's
+    * heavy-hitter candidates are re-read through the compacted catalog
+    * (the sketch no-false-negative guarantee, q166's discipline); the
+    * answer is the sequence catalog's pairs store read through the
+    * pointer, so the oracle is q128's SQL BY REFERENCE — DuckDB never
+    * sees catalogs, policies or the sweep.
+    */
+  def q168MaintainAllSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Maintenance, Sketches}
+    import graft.operators.Maintenance.{SketchPolicy, SequencePolicy}
+    import graft.sources.Generations
+    val hconf = s.sparkContext.hadoopConfiguration
+    // sketch leg: q166's construction (hot/cold event items, 3 appends)
+    val item = when(col("event_id") % 4 < 3,
+        concat(lit("hot_"), col("event_id") % 8))
+      .otherwise(concat(lit("cold_"), col("event_id"))).as("item")
+    def stream = events(s, dir).select(item, col("event_id"))
+    val skRoot = scratchDir("q168sk", dir).toString
+    val skG0 = Generations.stage(skRoot, hconf)
+    for (b <- 0 to 2)
+      Sketches.appendFrequencySketches(
+        stream.where(col("event_id") % 3 === b).withColumn("grp", lit("all")),
+        "grp", "item", batchId = s"batch$b", storeDir = skG0)
+    Generations.publish(skRoot, skG0, hconf)
+    // sequence leg: q167's construction
+    val seqRoot = seedSequenceCatalog(s, "q168cat", dir)
+    val policies = Seq(
+      SketchPolicy(skRoot, "freq", closedBatchIds = Seq("batch0", "batch1"),
+        compactedBatchId = "batch0-1", maxDataFiles = 2, targetFiles = 2),
+      SequencePolicy(seqRoot, committedBatchId = 1L, maxSigFiles = 1,
+        targetFiles = 1))
+    val sweep = Maintenance.maintainAll(s, policies)
+    require(sweep.map(_.verdict) == Seq("published", "published"),
+      s"both fragmented stores must tick in one sweep, got $sweep")
+    require(sweep.forall(_.published.contains("gen-1")),
+      s"both catalogs publish their first compacted generation, got $sweep")
+    require(sweep.head.observed == 3.0 && sweep(1).observed >= 2.0,
+      s"the report carries each policy's own observable, got $sweep")
+    val again = Maintenance.maintainAll(s, policies)
+    require(again.map(_.verdict) == Seq("healthy", "healthy"),
+      s"the whole fleet reads healthy on the next sweep, got $again")
+    // the compacted sketch catalog still serves (no-false-negative):
+    // every hot item survives as a candidate at 1% support
+    val total = stream.count()
+    val cand = Sketches.heavyHitterCandidatesFromCatalog(s, skRoot,
+      minCount = total / 100).select("item")
+      .collect().map(_.getString(0)).toSet
+    // residues with r % 4 == 3 route to cold_<id>, so only six hot items
+    // exist by construction
+    require((0 to 7).filter(_ % 4 < 3).forall(h => cand.contains(s"hot_$h")),
+      s"compacted sketches must keep every true heavy hitter, got $cand")
+    sequenceCatalogPairs(s, seqRoot)
   }
+
+  /** Q169 — VACUUM under the maintenance policies (VERDICT r16 item 4,
+    * the close of the refusal story): the policies abandon a staged
+    * generation when the quiescence tripwire fires, and this drives the
+    * full recovery arc against q167's sequence catalog. A policy tick is
+    * interrupted mid-compaction (the test seam folds a third batch of
+    * screened-diverse synthetic signatures into the LIVE generation
+    * after the rewrite, before the re-listing) → the tick REFUSES the
+    * publish (message require-pinned) and the pointer never moves;
+    * [[graft.sources.Generations.vacuum]] reclaims exactly the abandoned
+    * generation; a quiet re-tick compacts everything INCLUDING the
+    * mid-compaction fold's sigs (nothing lost — a replay of that batch
+    * no-ops against the published store, require-pinned) and publishes;
+    * the answer is the pairs store read through the pointer, unchanged by
+    * the whole detour (the injected batch pairs with nothing), so the
+    * oracle is q128's SQL BY REFERENCE.
+    */
+  def q169VacuumUnderPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Generations
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = seedSequenceCatalog(s, "q169cat", dir)
+    // synthetic 8-frame signature sequences from a fixed seed: pairwise
+    // far from every real dHash in the store (require-pinned below) —
+    // the injection only needs to MOVE the sigs listing
+    val rnd = new scala.util.Random(424217)
+    val inject = (0 until 4).flatMap(i =>
+      (0 until 8).map(f => (9000L + i, f, rnd.nextLong())))
+      .toDF("media_id", "frame_idx", "vhash")
+    // replayOnly: the post-publish idempotence check must NOT carry the
+    // sink's epoch write — after compaction, `batch_id=2` IS the folded
+    // subdir holding every closed pair, and a raw overwrite with the
+    // replay's empty recompute would be exactly the durable-pairs loss
+    // the sink's discipline (Streams.streamingSequenceDedup) refuses
+    def foldInject(store: String, replayOnly: Boolean): DataFrame =
+      Dedup.incrementalSequenceNearDups(inject, "media_id", "frame_idx",
+        "vhash", store, maxHamming = 3, numBands = 4, minVoteFrac = 0.7,
+        maxShift = 3,
+        onPairs = out => {
+          if (!replayOnly) {
+            out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$store/pairs/batch_id=2")
+          }
+          ()
+        })
+    val refusal = intercept(
+      Dedup.maintainSequenceStore(s, root, committedBatchId = 1L,
+        maxSigFiles = 1, targetFiles = 1,
+        afterRewrite = () => {
+          require(foldInject(Generations.resolve(root, hconf),
+              replayOnly = false).isEmpty,
+            "the injected batch must pair with nothing")
+          ()
+        }))
+    require(refusal.getMessage.contains("mid-compaction"),
+      s"the tripwire must refuse the publish, got: ${refusal.getMessage}")
+    require(Generations.resolve(root, hconf).endsWith("gen-0"),
+      "a refused publish never moves the pointer")
+    // vacuum reclaims exactly the abandoned staged generation
+    val reclaimed = Generations.vacuum(root, keep = 0, hconf)
+    require(reclaimed == Seq("gen-1"),
+      s"vacuum must reclaim the abandoned generation, got $reclaimed")
+    // quiet re-tick: compacts sigs INCLUDING the injected fold, publishes
+    val retick = Dedup.maintainSequenceStore(s, root, committedBatchId = 2L,
+      maxSigFiles = 1, targetFiles = 1)
+    require(retick.contains("gen-1"),
+      s"the re-tick must publish into the reclaimed slot, got $retick")
+    require(Dedup.maintainSequenceStore(s, root, committedBatchId = 2L,
+        maxSigFiles = 1, targetFiles = 1).isEmpty,
+      "the published generation reads healthy on the next tick")
+    // nothing was lost to the detour: the mid-compaction fold's sigs are
+    // in the published generation — its replay no-ops (content-keyed)
+    require(foldInject(Generations.resolve(root, hconf),
+        replayOnly = true).isEmpty &&
+        s.read.parquet(s"${Generations.resolve(root, hconf)}/sigs")
+          .where(col("id") >= 9000L).count() == 32L, // store-normalized cols
+      "the mid-compaction fold must survive into the published generation")
+    sequenceCatalogPairs(s, root)
+  }
+
+  /** Probe-local `intercept` (the probes run outside scalatest). */
+  private def intercept(body: => Any): Throwable =
+    try { body; sys.error("expected an exception, none was thrown") }
+    catch { case e: IllegalArgumentException => e }
 
   /** All queries exposed to the driver contract. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4219,5 +4393,7 @@ object Queries {
     "q165_weights_policy_lifecycle" -> q165WeightsPolicyLifecycle _,
     "q166_sketch_policy_lifecycle" -> q166SketchPolicyLifecycle _,
     "q167_sequence_policy_lifecycle" -> q167SequencePolicyLifecycle _,
+    "q168_maintain_all_sweep" -> q168MaintainAllSweep _,
+    "q169_vacuum_under_policy" -> q169VacuumUnderPolicy _,
   )
 }

@@ -1,0 +1,153 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Codegen-fallback census (VERDICT r16 item 1): Spark degrades silently
+  * when generated code cannot compile — whole-stage codegen falls back to
+  * the interpreted per-operator path on a janino "Code grows beyond 64 KB"
+  * CompileException, abandons codegen when a generated method's bytecode
+  * exceeds `spark.sql.codegen.hugeMethodLimit`, and expression codegen can
+  * drop to interpreter mode. All three keep answers CORRECT but walk the
+  * hot path out of Tungsten, which at 100 TB is a silent multi-× slowdown
+  * no correctness gate sees. This suite makes the degradation LOUD:
+  *
+  *   1. a census over the 45 plan-gated flagship probes — every fallback
+  *      log signal is captured per probe and must be either absent or
+  *      present in the committed inventory below (with its reason in
+  *      PLANS.md §codegen-census);
+  *   2. a hard audit of the engine's native vector kernels at dim 768
+  *      (the reference's default embedding width, index_documents.py:263)
+  *      under CODEGEN_ONLY + fallback=false, where any codegen failure
+  *      throws instead of degrading.
+  */
+class CodegenCensusSpec extends SparkSpec {
+
+  /** The accepted-fallback inventory: (probe, signal) -> one-line reason.
+    * Every entry here must also be explained in PLANS.md §codegen-census.
+    * An empty map means the flagship surface is fallback-free.
+    */
+  private val accepted: Map[(String, String), String] = Map.empty
+
+  /** Fallback signals, keyed by the log line Spark emits at the moment of
+    * degradation (message texts pinned against the Spark 4.1.2 jars):
+    *   - wholestage-compile-fallback: WholeStageCodegenExec caught a
+    *     CompileException and re-executed interpreted;
+    *   - wholestage-huge-method: compiled fine but a method exceeded
+    *     hugeMethodLimit bytecode, so codegen was abandoned for the plan;
+    *   - expr-interpreted-fallback: an expression-level codegen object
+    *     (projection/predicate/ordering) dropped to interpreter mode.
+    */
+  private def signalKind(msg: String): Option[String] =
+    if (msg.contains("Whole-stage codegen disabled for plan"))
+      Some("wholestage-compile-fallback")
+    else if (msg.contains("Found too long generated codes"))
+      Some("wholestage-huge-method")
+    else if (msg.contains("Expr codegen error and falling back to interpreter mode"))
+      Some("expr-interpreted-fallback")
+    else None
+
+  /** Run `body` with a root-logger appender capturing fallback signals
+    * (local mode: executor threads log into this JVM's log4j context, so
+    * the capture sees task-side compilation too).
+    */
+  private def captureFallbacks[T](body: => T): (T, Seq[String]) = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        s"graft-codegen-census-${java.util.UUID.randomUUID()}", null,
+        org.apache.logging.log4j.core.layout.PatternLayout.createDefaultLayout(),
+        true, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        signalKind(m).foreach(k => buf.add(k))
+        ()
+      }
+    }
+    app.start()
+    cfg.getRootLogger.addAppender(app, org.apache.logging.log4j.Level.INFO, null)
+    ctx.updateLoggers()
+    val result =
+      try body
+      finally {
+        cfg.getRootLogger.removeAppender(app.getName)
+        ctx.updateLoggers()
+        app.stop()
+      }
+    (result, buf.asScala.toSeq)
+  }
+
+  test("census: the 45 plan-gated flagships run fallback-free (or inventoried)") {
+    val observed = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    graft.plans.PlanSignature.flagshipProbes.foreach { name =>
+      val (_, signals) = captureFallbacks {
+        // the noop sink executes the FULL plan (forcing every codegen
+        // compile) without materializing results driver-side
+        Queries.all(name)(spark, sf001)
+          .write.mode("overwrite").format("noop").save()
+      }
+      signals.distinct.foreach(k => observed += ((name, k)))
+    }
+    val unexplained = observed.toSet -- accepted.keySet
+    assert(unexplained.isEmpty,
+      s"codegen fallbacks with no inventory entry (add to `accepted` WITH a " +
+        s"PLANS.md §codegen-census reason, or fix the plan): $unexplained")
+    val stale = accepted.keySet -- observed.toSet
+    assert(stale.isEmpty,
+      s"inventory entries that no longer fire (the fallback was fixed — " +
+        s"remove them): $stale")
+  }
+
+  test("dim-768 kernel audit: the native vector kernels compile under CODEGEN_ONLY + fallback=false at the reference's default width") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.VectorColumns
+    val dim = 768
+    def v(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextFloat())
+    }
+    val rows = (1L to 64L).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    val q = v(0L)
+    val factoryBefore = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val fallbackBefore = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val (_, signals) = captureFallbacks {
+        // cosine + dot + l2 in ONE projection — the q15/q16 hot shape
+        val scored = rows.select(col("vec_id"),
+          VectorColumns.cosineFast(col("embedding"), typedLit(q)).as("cos"),
+          VectorColumns.dotFast(col("embedding"), typedLit(q)).as("dot"),
+          VectorColumns.l2Fast(col("embedding"), typedLit(q)).as("l2"))
+        assert(scored.where(col("cos").isNotNull).count() == 64L)
+        // nearest-centroid at 768 over 16 broadcast-literal centroids —
+        // the ivfAssign kernel
+        val cents = (0 until 16).map(c => v(1000L + c))
+        val assigned = rows.select(
+          VectorColumns.nearestCentroidIdx(col("embedding"),
+            typedLit(cents)).as("cluster_id"))
+        assert(assigned.groupBy(col("cluster_id")).count().count() >= 1L)
+        // ADC sum at 768/8 = 96 subspaces × 16 centers — the PQ serving
+        // kernel (96 element_at lookups + adds in one codegen span)
+        val rnd = new scala.util.Random(7)
+        val tables = Seq.fill(96)(Array.fill(16)(rnd.nextDouble()))
+        val codes = (1L to 64L).map(id => (id,
+          Seq.fill(96)((id % 16).toInt))).toDF("vec_id", "pq_codes")
+        val adc = codes.select(
+          graft.operators.Search.pqAdcScoreCol(col("pq_codes"), tables).as("s"))
+        assert(adc.where(col("s").isNotNull).count() == 64L)
+      }
+      assert(signals.isEmpty,
+        s"the dim-768 kernels must not degrade (CODEGEN_ONLY would throw " +
+          s"on expression fallback; these signals are the silent kinds): $signals")
+    } finally {
+      factoryBefore.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      fallbackBefore.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+}
