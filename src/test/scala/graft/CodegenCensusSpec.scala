@@ -49,13 +49,36 @@ class CodegenCensusSpec extends SparkSpec {
   /** Run `body` with a root-logger appender capturing fallback signals
     * (local mode: executor threads log into this JVM's log4j context, so
     * the capture sees task-side compilation too).
+    *
+    * The emitting loggers' LEVELS are raised for the capture window:
+    * [[SparkSpec]] pins the root logger at ERROR to keep suite logs
+    * readable, and log4j filters an event at its logger BEFORE any
+    * appender sees it — so the WARN compile-fallback and INFO
+    * huge-method signals would be dropped and the census would read
+    * clean no matter what the plans did (a blind capture, caught in
+    * round 17; the canary test below keeps it from regressing). Only
+    * the two emitters are raised — WholeStageCodegenExec to INFO (both
+    * whole-stage signals) and the catalyst.expressions package to WARN
+    * (the CodeGeneratorWithInterpretedFallback subclasses log under
+    * their own object names, e.g. UnsafeProjection) — so the rest of
+    * the suite's logging stays quiet.
     */
   private def captureFallbacks[T](body: => T): (T, Seq[String]) = {
-    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.Configurator
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val cfg = ctx.getConfiguration
+    val raised = Seq(
+      "org.apache.spark.sql.execution.WholeStageCodegenExec" -> Level.INFO,
+      "org.apache.spark.sql.catalyst.expressions" -> Level.WARN)
+    // remember which raised names already had an explicit LoggerConfig
+    // (restore its level) vs inherited from root (remove ours entirely)
+    val preexisting: Map[String, Level] = raised.flatMap { case (n, _) =>
+      Option(cfg.getLoggers.get(n)).map(lc => n -> lc.getLevel)
+    }.toMap
+    raised.foreach { case (n, lvl) => Configurator.setLevel(n, lvl) }
     val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
         s"graft-codegen-census-${java.util.UUID.randomUUID()}", null,
         org.apache.logging.log4j.core.layout.PatternLayout.createDefaultLayout(),
@@ -67,16 +90,42 @@ class CodegenCensusSpec extends SparkSpec {
       }
     }
     app.start()
-    cfg.getRootLogger.addAppender(app, org.apache.logging.log4j.Level.INFO, null)
+    cfg.getRootLogger.addAppender(app, Level.INFO, null)
     ctx.updateLoggers()
     val result =
       try body
       finally {
         cfg.getRootLogger.removeAppender(app.getName)
+        raised.foreach { case (n, _) =>
+          preexisting.get(n) match {
+            case Some(lvl) => Configurator.setLevel(n, lvl)
+            case None => cfg.removeLogger(n)
+          }
+        }
         ctx.updateLoggers()
         app.stop()
       }
     (result, buf.asScala.toSeq)
+  }
+
+  test("capture canary: a deterministically-induced fallback IS observed — the capture is not blind") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hugeMethodLimit=1: every successfully-compiled whole-stage method
+    // exceeds the limit, so Spark logs the INFO huge-method signal and
+    // abandons codegen for the plan — a deterministic end-to-end probe
+    // of logger-level + appender routing + message pinning. If this
+    // canary fails, the census below proves nothing.
+    val before = spark.conf.get("spark.sql.codegen.hugeMethodLimit")
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "1")
+    try {
+      val (_, signals) = captureFallbacks {
+        val agg = (1 to 100).toDF("x").groupBy(col("x") % 7).agg(sum("x"))
+        assert(agg.where(col("sum(x)").isNotNull).count() == 7L)
+      }
+      assert(signals.contains("wholestage-huge-method"),
+        s"the induced fallback was not captured (blind census): $signals")
+    } finally spark.conf.set("spark.sql.codegen.hugeMethodLimit", before)
   }
 
   test("census: the 45 plan-gated flagships run fallback-free (or inventoried)") {
