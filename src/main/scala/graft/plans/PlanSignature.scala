@@ -138,7 +138,8 @@ object PlanSignature {
     "q161_bm25_compacted", "q162_catalog_lifecycle",
     "q163_text_policy_lifecycle", "q164_vector_policy_lifecycle",
     "q165_weights_policy_lifecycle", "q166_sketch_policy_lifecycle",
-    "q167_sequence_policy_lifecycle")
+    "q167_sequence_policy_lifecycle", "q168_maintain_all_sweep",
+    "q169_vacuum_under_policy")
 
   /** Probes signed at sf0.01 ONLY. EMPTY since round 14 (VERDICT r13
     * item 6): the heavy composites q88/q128/q149 formerly skipped sf0.1

@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
   * hot path out of Tungsten, which at 100 TB is a silent multi-× slowdown
   * no correctness gate sees. This suite makes the degradation LOUD:
   *
-  *   1. a census over the 45 plan-gated flagship probes — every fallback
+  *   1. a census over the 47 plan-gated flagship probes — every fallback
   *      log signal is captured per probe and must be either absent or
   *      present in the committed inventory below (with its reason in
   *      PLANS.md §codegen-census);
@@ -128,7 +128,7 @@ class CodegenCensusSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.hugeMethodLimit", before)
   }
 
-  test("census: the 45 plan-gated flagships run fallback-free (or inventoried)") {
+  test("census: the 47 plan-gated flagships run fallback-free (or inventoried)") {
     val observed = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
     graft.plans.PlanSignature.flagshipProbes.foreach { name =>
       val (_, signals) = captureFallbacks {
