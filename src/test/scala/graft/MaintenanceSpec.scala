@@ -157,6 +157,90 @@ class MaintenanceSpec extends SparkSpec {
     assert(Generations.resolve(vecRoot, conf).endsWith("gen-1"))
   }
 
+  test("maintainAll: one sweep spans ALL FIVE policy families — mixed healthy/fragmented, every ticked store answers unchanged") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // vector (healthy), text (fragmented), weights (fragmented),
+    // sketch (healthy), sequence (fragmented) — the full fleet a
+    // scheduler would register, in one registration list
+    val (vecRoot, _) = vectorCatalog(12)
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"),
+      TextFunctions.wordTokens(col("text")).as("toks"))
+    val textRoot = tmp("maintalltext")
+    val tg0 = Generations.stage(textRoot, conf)
+    Search.writeTextIndex(docs.where(col("doc_id") < 100), "doc_id", "toks",
+      tg0)
+    Generations.publish(textRoot, tg0, conf)
+    (1 to 4).foreach { i =>
+      Search.appendTextIndex(
+        docs.where(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+        "doc_id", "toks", Generations.resolve(textRoot, conf))
+    }
+    val bmBefore = Search.bm25TopKFromCatalog(spark, textRoot,
+      Seq("data", "model", "search"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ta = "alpha beta gamma delta"; val tb = "epsilon zeta eta theta"
+    def wdocs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.wordTokens(col("text")))
+    val wRoot = tmp("maintallw")
+    val wg0 = Generations.stage(wRoot, conf)
+    assert(Dedup.foldSoftDedupWeightsBatch(wdocs(1L -> ta, 2L -> ta,
+      3L -> tb), "doc_id", "toks", wg0, 0) > 0L)
+    Generations.publish(wRoot, wg0, conf)
+    assert(Dedup.foldSoftDedupWeightsBatch(wdocs(11L -> ta), "doc_id",
+      "toks", Generations.resolve(wRoot, conf), 1) > 0L)
+    assert(Dedup.foldSoftDedupWeightsBatch(wdocs(21L -> tb), "doc_id",
+      "toks", Generations.resolve(wRoot, conf), 2) > 0L)
+    def weightsRead() = Dedup.readSoftDedupWeightsFromCatalog(spark, wRoot,
+        idCol = "doc_id").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val wBefore = weightsRead()
+    val skRoot = sketchCatalog(batches = 3)
+    val seqRoot = sequenceCatalog(4217)
+    val pairsBefore = spark.read.parquet(
+        s"${Generations.resolve(seqRoot, conf)}/pairs")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    def fleet = Seq(
+      VectorPolicy(vecRoot, threshold = -2.0,
+        observe = p => Search.minClusterSimilarity(spark, p, "embedding"),
+        refresh = (_, _) => fail("a healthy store must never refresh")),
+      TextPolicy(textRoot, maxPostingsFiles = 8, targetFiles = 4),
+      WeightsPolicy(wRoot, maxBatches = 2, committedBatchId = 2L,
+        idCol = "doc_id"),
+      SketchPolicy(skRoot, "freq", closedBatchIds = Seq("b0", "b1"),
+        compactedBatchId = "b0-1", maxDataFiles = 10, targetFiles = 2),
+      SequencePolicy(seqRoot, committedBatchId = 1L, maxSigFiles = 1,
+        targetFiles = 1))
+    val sweep = Maintenance.maintainAll(spark, fleet)
+    assert(sweep.map(r => (r.kind, r.verdict)) == Seq(
+      "vector" -> "healthy", "text" -> "published",
+      "weights" -> "published", "sketch" -> "healthy",
+      "sequence" -> "published"),
+      s"one sweep, five families, only the fragmented three tick: $sweep")
+    assert(sweep(1).observed > 8.0, "text observable = live postings files")
+    assert(sweep(2).observed == 3.0, "weights observable = committed batches")
+    assert(sweep(3).observed == 3.0, "sketch observable = live data files")
+    // every ticked store's answer is unchanged through its swap
+    assert(Search.bm25TopKFromCatalog(spark, textRoot,
+      Seq("data", "model", "search"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == bmBefore,
+      "bm25 scores bit-identical through the text compaction")
+    assert(Search.dataFileCount(spark,
+      s"${Generations.resolve(textRoot, conf)}/postings") <= 4)
+    assert(weightsRead() == wBefore,
+      "weights read-through-catalog identical through the fold")
+    assert(spark.read.parquet(s"${Generations.resolve(seqRoot, conf)}/pairs")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == pairsBefore,
+      "sequence pairs identical through the compaction")
+    // the whole five-family fleet reads healthy on the next sweep (the
+    // vector policy's refresh closure fails the test if it ever runs)
+    assert(Maintenance.maintainAll(spark, fleet)
+      .map(_.verdict).forall(_ == "healthy"))
+  }
+
   test("maintainAll: a store that errors (no published generation) is reported and isolated") {
     val skRoot = sketchCatalog(batches = 2)
     val reports = Maintenance.maintainAll(spark, Seq(
