@@ -149,6 +149,26 @@ class CodegenCensusSpec extends SparkSpec {
         s"remove them): $stale")
   }
 
+  test("full-surface census (opt-in: SPARK_GRAFT_CENSUS=all): every registered probe runs fallback-free (or inventoried)") {
+    // the flagship census above is the committed gate; this sweeps the
+    // ENTIRE probe registry — an order-of-magnitude more execution, so
+    // it is opt-in for diagnostic runs (results recorded in PLANS.md
+    // §codegen-census) rather than part of every suite run
+    assume(sys.env.get("SPARK_GRAFT_CENSUS").contains("all"),
+      "opt-in diagnostic — run with SPARK_GRAFT_CENSUS=all")
+    val observed = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    Queries.all.keys.toSeq.sorted.foreach { name =>
+      val (_, signals) = captureFallbacks {
+        Queries.all(name)(spark, sf001)
+          .write.mode("overwrite").format("noop").save()
+      }
+      signals.distinct.foreach(k => observed += ((name, k)))
+    }
+    val unexplained = observed.toSet -- accepted.keySet
+    assert(unexplained.isEmpty,
+      s"codegen fallbacks with no inventory entry: $unexplained")
+  }
+
   test("dim-768 kernel audit: the native vector kernels compile under CODEGEN_ONLY + fallback=false at the reference's default width") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
