@@ -4122,7 +4122,11 @@ object Queries {
       s"both fragmented stores must tick in one sweep, got $sweep")
     require(sweep.forall(_.published.contains("gen-1")),
       s"both catalogs publish their first compacted generation, got $sweep")
-    require(sweep.head.observed == 3.0 && sweep(1).observed >= 2.0,
+    // file-count observables scale with the WRITER's partitioning (each
+    // append lands >= 1 data file, more under high shuffle-partition
+    // configs), so the pins are lower bounds — the partitioning sweep
+    // caught an exact ==3.0 here at shuffle.partitions=200
+    require(sweep.head.observed >= 3.0 && sweep(1).observed >= 2.0,
       s"the report carries each policy's own observable, got $sweep")
     val again = Maintenance.maintainAll(s, policies)
     require(again.map(_.verdict) == Seq("healthy", "healthy"),
