@@ -1269,11 +1269,20 @@ object Search {
     require(rotation.length == cb.dim, "rotation dim must match codebooks")
   }
 
-  /** R·vec as d codegen'd fused dots over literal rotation rows — narrow,
-    * whole-stage codegen, no shuffle (the assignNearestCentroid shape).
+  /** R·vec as ONE codegen'd mat-vec kernel over the literal rotation —
+    * narrow, whole-stage codegen, no shuffle. Previously composed as d
+    * independent `dot(vec, row_i)` expressions in one `array(...)`: at
+    * dim 768 that projection's generated method blew janino's 64 KB
+    * bytecode limit and the rotation silently ran INTERPRETED (the only
+    * janino failures in the whole build, caught by the round-17 live
+    * fallback census). [[org.apache.spark.sql.graft.MatVecFloatExpr]]'s
+    * generated code is one nested loop, size-independent of the
+    * dimension, bit-identical accumulation (VectorExprSpec pins it
+    * against the composed form at dims 4 and 768).
     */
   def rotateCol(vec: Column, rotation: IndexedSeq[Array[Float]]): Column =
-    array(rotation.map(row => dot(vec, typedLit(row.toSeq)).cast("float")): _*)
+    org.apache.spark.sql.graft.VectorColumns.matVecFloat(
+      vec, typedLit(rotation.map(_.toSeq)))
 
   /** Driver-side R·q with the same left-to-right double accumulation as
     * the fused dot kernel.

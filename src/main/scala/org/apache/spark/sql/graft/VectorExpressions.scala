@@ -221,6 +221,101 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dense matrix·vector product as ONE codegen'd expression:
+  * `out[r] = (float) Σ_j (double)vec[j] · (double)matrix[r][j]` — the OPQ
+  * rotation kernel (`Search.rotateCol`). `left` is the vector
+  * (`array<float>`), `right` the matrix (`array<array<float>>`, normally a
+  * broadcast literal).
+  *
+  * WHY one expression instead of `array(dot(vec, row_0), …, dot(vec,
+  * row_{d-1}))`: the composed form emits d independent dot kernels into
+  * one generated projection method — at the reference's default width
+  * (768) that is 768 loops plus 768 literal references, the method blows
+  * janino's 64 KB bytecode limit, and whole-stage codegen silently
+  * re-executes the rotation INTERPRETED (caught by the round-17 live
+  * fallback census: the only janino failures in the whole build were this
+  * site at dim 768). Here the generated code is one nested loop whose
+  * SIZE is independent of the dimension, so the hot OPQ encode path stays
+  * inside whole-stage codegen at any width.
+  *
+  * Bit-identical to the composed form on well-formed input: same
+  * left-to-right double accumulation per output element, same operand
+  * order ((double)v[j] · (double)row[j]), same final (float) cast —
+  * VectorExprSpec pins the equivalence element-for-element at dims 4 and
+  * 768. Edge semantics differ ONLY off the contract: a row whose length
+  * mismatches the vector nulls the WHOLE result (the composed form
+  * nulled that element), unreachable for the square rotations
+  * [[graft.operators.Search.OpqModel]] enforces.
+  */
+case class MatVecFloatExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(FloatType, containsNull = false),
+    ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(v: Any, m: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val rows = mat.numElements()
+    val out = new Array[Float](rows)
+    var r = 0
+    while (r < rows) {
+      val row = mat.getArray(r)
+      if (row.numElements() != n) return null
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += vec.getFloat(j).toDouble * row.getFloat(j).toDouble
+        j += 1
+      }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val n = ctx.freshName("n")
+      val rows = ctx.freshName("rows")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val ok = ctx.freshName("ok")
+      s"""
+         |int $n = $v.numElements();
+         |int $rows = $m.numElements();
+         |float[] $out = new float[$rows];
+         |boolean $ok = true;
+         |for (int $r = 0; $ok && $r < $rows; $r++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($r);
+         |  if ($row.numElements() != $n) { $ok = false; break; }
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += ((double) $v.getFloat($j)) * ((double) $row.getFloat($j));
+         |  }
+         |  $out[$r] = (float) $acc;
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column ⇄ Expression bridge for the DataFrame API (ExpressionUtils is
   * private[sql], hence this package).
   */
@@ -232,4 +327,6 @@ object VectorColumns {
   def l2Fast(a: Column, b: Column): Column = toCol(L2DistanceExpr(ex(a), ex(b)))
   def nearestCentroidIdx(vec: Column, centroids: Column): Column =
     toCol(NearestCentroidExpr(ex(vec), ex(centroids)))
+  def matVecFloat(vec: Column, matrix: Column): Column =
+    toCol(MatVecFloatExpr(ex(vec), ex(matrix)))
 }

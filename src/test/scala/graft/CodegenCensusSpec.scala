@@ -208,6 +208,14 @@ class CodegenCensusSpec extends SparkSpec {
         val adc = codes.select(
           graft.operators.Search.pqAdcScoreCol(col("pq_codes"), tables).as("s"))
         assert(adc.where(col("s").isNotNull).count() == 64L)
+        // the OPQ rotation at 768 — THE site the round-17 live census
+        // caught falling back (768 composed dot kernels blew janino's
+        // 64 KB method limit); the mat-vec kernel must stay compiled
+        val rotation: IndexedSeq[Array[Float]] =
+          (0 until dim).map(_ => Array.fill(dim)(rnd.nextFloat()))
+        val rotated = rows.select(
+          graft.operators.Search.rotateCol(col("embedding"), rotation).as("rv"))
+        assert(rotated.where(size(col("rv")) === dim).count() == 64L)
       }
       assert(signals.isEmpty,
         s"the dim-768 kernels must not degrade (CODEGEN_ONLY would throw " +

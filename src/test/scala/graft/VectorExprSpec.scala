@@ -238,4 +238,54 @@ class VectorExprSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan.take(600))
   }
+
+  test("mat-vec kernel ≡ the composed array-of-dots rotation, bit-for-bit at dims 4 and 768") {
+    // the OPQ rotation (Search.rotateCol) switched from d composed dot
+    // expressions — whose generated projection blew janino's 64 KB limit
+    // at dim 768 and silently ran interpreted — to MatVecFloatExpr; the
+    // swap is only sound if every output float is BIT-identical to the
+    // composed form (same double accumulation order, same final cast)
+    import org.apache.spark.sql.graft.VectorColumns
+    import spark.implicits._
+    for (dim <- Seq(4, 768)) {
+      val rnd = new scala.util.Random(dim * 7919)
+      def v(): Seq[Float] = Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      val rotation: IndexedSeq[Array[Float]] =
+        (0 until dim).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val rows = (1L to 8L).map(id => (id, v())).toDF("id", "vec")
+      val composed = array(rotation.map(r =>
+        VectorFunctions.dot(col("vec"), typedLit(r.toSeq)).cast("float")): _*)
+      val got = rows.select(col("id"),
+          VectorColumns.matVecFloat(col("vec"),
+            typedLit(rotation.map(_.toSeq))).as("mv"),
+          composed.as("ref"))
+        .collect()
+      got.foreach { r =>
+        val mv = r.getSeq[Float](1)
+        val ref = r.getSeq[Float](2)
+        assert(mv.length == dim && ref.length == dim)
+        mv.indices.foreach { i =>
+          assert(java.lang.Float.floatToRawIntBits(mv(i)) ==
+            java.lang.Float.floatToRawIntBits(ref(i)),
+            s"dim=$dim id=${r.getLong(0)} element $i: ${mv(i)} vs ${ref(i)}")
+        }
+      }
+    }
+  }
+
+  test("mat-vec kernel null semantics: null vector → null; row-length mismatch → null result") {
+    import org.apache.spark.sql.graft.VectorColumns
+    import spark.implicits._
+    val rows = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("id", "vec")
+    val square = typedLit(Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+    val ragged = typedLit(Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f, 5.0f)))
+    val out = rows.select(col("id"),
+        VectorColumns.matVecFloat(col("vec"), square).as("sq"),
+        VectorColumns.matVecFloat(col("vec"), ragged).as("rg"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Float](1) == Seq(1.0f, 2.0f))
+    assert(out(0).isNullAt(2), "a length-mismatched row nulls the result")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "null vector → null")
+  }
 }
