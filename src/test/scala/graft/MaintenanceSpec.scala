@@ -241,6 +241,36 @@ class MaintenanceSpec extends SparkSpec {
       .map(_.verdict).forall(_ == "healthy"))
   }
 
+  test("the five policies' quiescence refusals keep the vocabulary maintainAll classifies on") {
+    // isQuiescenceRefusal keys on "mid-compaction"/"mid-refresh" in the
+    // tripwire require messages (the shared vocabulary its scaladoc
+    // declares); rewording one policy's refusal would silently
+    // reclassify an operationally-expected REFUSED verdict as `error`.
+    // Pin the five emitting sites by source scan (the
+    // CollectInventorySpec discipline): one mid-refresh (vector) + four
+    // mid-compaction (text, sketch, weights, sequence) message literals.
+    val sites = Map(
+      "graft/operators/Search.scala" -> Map(
+        "mid-refresh (" -> 1, "mid-compaction (" -> 1),
+      "graft/operators/Dedup.scala" -> Map("mid-compaction (" -> 2),
+      "graft/operators/Sketches.scala" -> Map("mid-compaction (" -> 1))
+    sites.foreach { case (file, tokens) =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/$file")), "UTF-8")
+      tokens.foreach { case (tok, want) =>
+        def countIn(s: String): Int = {
+          var i = 0; var n = 0
+          while ({ i = s.indexOf(tok, i); i >= 0 }) { n += 1; i += 1 }
+          n
+        }
+        assert(countIn(src) == want,
+          s"$file: expected $want refusal message(s) containing '$tok' — " +
+            "a reworded quiescence require breaks Maintenance." +
+            "isQuiescenceRefusal's classification (update both together)")
+      }
+    }
+  }
+
   test("maintainAll: a store that errors (no published generation) is reported and isolated") {
     val skRoot = sketchCatalog(batches = 2)
     val reports = Maintenance.maintainAll(spark, Seq(
