@@ -1485,7 +1485,8 @@ object Dedup {
         compactNearDupSketches(spark, s"$live/neardup", s"$staged/neardup")
       val (weightsAfter, pairsAfter) =
         (committedWeightsBatches(spark, live), pairsBatches())
-      require(weightsAfter == weightsBefore && pairsAfter == pairsBefore,
+      QuiescenceRefusal.refuseUnless(
+        weightsAfter == weightsBefore && pairsAfter == pairsBefore,
         s"maintainSoftDedupWeights: fold(s) landed in the live generation " +
           s"mid-compaction (weights $weightsBefore -> $weightsAfter, pairs " +
           s"$pairsBefore -> $pairsAfter) — refusing to publish a generation " +
@@ -1559,7 +1560,8 @@ object Dedup {
           targetFiles)
       afterRewrite()
       val (sigsAfter, pairsAfter) = (sigFiles(), pairFiles())
-      require(sigsAfter == sigsBefore && pairsAfter == pairsBefore,
+      QuiescenceRefusal.refuseUnless(
+        sigsAfter == sigsBefore && pairsAfter == pairsBefore,
         s"maintainSequenceStore: fold(s) landed in the live generation " +
           s"mid-compaction (sigs $sigsBefore -> $sigsAfter, pairs " +
           s"$pairsBefore -> $pairsAfter) — refusing to publish a " +

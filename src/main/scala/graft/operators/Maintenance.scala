@@ -108,16 +108,16 @@ object Maintenance {
       policies: Seq[StorePolicy]): Seq[StoreReport] =
     policies.map(p => sweepOne(spark, p))
 
-  /** The quiescence requires share this vocabulary across the five
-    * policies ("mid-compaction" / "mid-refresh") — it is what separates
-    * a REFUSED publish (operationally expected: pause the writer and
-    * re-tick) from a genuine error.
+  /** The five policies' tripwires throw the typed
+    * [[QuiescenceRefusalException]] (via [[QuiescenceRefusal.refuseUnless]])
+    * — that TYPE is what separates a REFUSED publish (operationally
+    * expected: pause the writer and re-tick) from a genuine error.
+    * Classification no longer depends on message text; the
+    * "mid-compaction"/"mid-refresh" vocabulary stays pinned by spec only
+    * as a belt for the human-readable report detail.
     */
   private def isQuiescenceRefusal(e: Throwable): Boolean =
-    e.isInstanceOf[IllegalArgumentException] && {
-      val m = Option(e.getMessage).getOrElse("")
-      m.contains("mid-compaction") || m.contains("mid-refresh")
-    }
+    e.isInstanceOf[QuiescenceRefusalException]
 
   private def sweepOne(spark: SparkSession, p: StorePolicy): StoreReport = {
     var observed = Double.NaN

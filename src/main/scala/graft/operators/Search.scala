@@ -2712,7 +2712,7 @@ object Search {
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       refresh(live, staged)
       val after = liveFiles()
-      require(after == before,
+      QuiescenceRefusal.refuseUnless(after == before,
         s"maintainVectorIndex: append(s) landed in the live generation " +
           s"mid-refresh (data files $before -> $after) — refusing to " +
           "publish a generation rebuilt from a corpus snapshot that " +
@@ -2796,7 +2796,7 @@ object Search {
       val staged = graft.sources.Generations.stage(catalogRoot, hconf)
       compactTextIndex(spark, live, staged, targetFiles)
       val after = dataFileCount(spark, s"$live/postings")
-      require(after == before,
+      QuiescenceRefusal.refuseUnless(after == before,
         s"maintainTextIndex: append(s) landed in the live generation " +
           s"mid-compaction (postings files $before -> $after) — refusing " +
           "to publish a generation missing them; the staged dir is " +

@@ -597,7 +597,7 @@ object Sketches {
       compactSketchStore(spark, live, staged, family, closedBatchIds,
         compactedBatchId, k, maxMapSize, targetFiles)
       val after = Search.dataFileCount(spark, live)
-      require(after == before,
+      graft.operators.QuiescenceRefusal.refuseUnless(after == before,
         s"maintainSketchStore: append(s) landed in the live generation " +
           s"mid-compaction (data files $before -> $after) — refusing to " +
           "publish a generation missing them; the staged dir is abandoned " +

@@ -245,7 +245,11 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
   * 768. Edge semantics differ ONLY off the contract: a row whose length
   * mismatches the vector nulls the WHOLE result (the composed form
   * nulled that element), unreachable for the square rotations
-  * [[graft.operators.Search.OpqModel]] enforces.
+  * [[graft.operators.Search.OpqModel]] enforces. Null ELEMENTS inside
+  * the arrays are likewise off the contract: Spark's input type check
+  * ignores `containsNull`, so a null element is accepted and read as
+  * 0.0f (UnsafeArrayData's null slot) — same precondition as every
+  * other kernel in this file; OpqModel only ever feeds non-null floats.
   */
 case class MatVecFloatExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Maintenance, Search, Sketches}
+import graft.operators.{Dedup, Maintenance, QuiescenceRefusalException, Search, Sketches}
 import graft.operators.Maintenance._
 import graft.sources.Generations
 
@@ -241,33 +241,73 @@ class MaintenanceSpec extends SparkSpec {
       .map(_.verdict).forall(_ == "healthy"))
   }
 
-  test("the five policies' quiescence refusals keep the vocabulary maintainAll classifies on") {
-    // isQuiescenceRefusal keys on "mid-compaction"/"mid-refresh" in the
-    // tripwire require messages (the shared vocabulary its scaladoc
-    // declares); rewording one policy's refusal would silently
-    // reclassify an operationally-expected REFUSED verdict as `error`.
-    // Pin the five emitting sites by source scan (the
-    // CollectInventorySpec discipline): one mid-refresh (vector) + four
-    // mid-compaction (text, sketch, weights, sequence) message literals.
-    val sites = Map(
-      "graft/operators/Search.scala" -> Map(
-        "mid-refresh (" -> 1, "mid-compaction (" -> 1),
+  test("maintainAll classifies refusals by TYPE: a plain IllegalArgumentException with refusal vocabulary is an error, the typed exception is refused") {
+    // The classification contract since r18 is the
+    // QuiescenceRefusalException TYPE (thrown via
+    // QuiescenceRefusal.refuseUnless at the five tripwires), not the
+    // message text — a reworded require can no longer silently
+    // reclassify an expected refusal. Drive both directions through a
+    // vector policy whose observe throws.
+    val (root, _) = vectorCatalog(12)
+    def reportFor(e: => Nothing): String =
+      Maintenance.maintainAll(spark, Seq(
+        VectorPolicy(root, threshold = 2.0,
+          observe = _ => e,
+          refresh = (_, _) => fail("refresh must not run")))).head.verdict
+    assert(reportFor(throw new QuiescenceRefusalException(
+      "synthetic refusal with NO vocabulary at all")) == "refused",
+      "the typed exception alone must classify as refused")
+    assert(reportFor(throw new IllegalArgumentException(
+      "untyped but vocabulary-bearing: mid-compaction (files 1 -> 2)"))
+      == "error",
+      "an untyped exception must classify as error even with the vocabulary")
+  }
+
+  test("the five policies' quiescence refusals keep the vocabulary and the typed-throw discipline (whole-src scan)") {
+    // Belt for the report TEXT (classification itself is by type, above):
+    // the "mid-compaction ("/"mid-refresh (" vocabulary operators read in
+    // StoreReport.detail stays pinned, and — per ADVICE r17 — the scan
+    // walks ALL of src/main/scala so a sixth policy family emitting its
+    // refusal from a new file must register here. Every emitting site
+    // must throw via QuiescenceRefusal.refuseUnless (the typed path);
+    // Queries.scala's single hit is a probe-scaladoc mention, pinned as
+    // comment-only.
+    def countIn(s: String, tok: String): Int = {
+      var i = 0; var n = 0
+      while ({ i = s.indexOf(tok, i); i >= 0 }) { n += 1; i += 1 }
+      n
+    }
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val found = scala.collection.mutable.Map[String, Map[String, Int]]()
+    val walk = java.nio.file.Files.walk(root)
+    try walk.forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val m = Seq("mid-refresh (", "mid-compaction (")
+          .map(t => t -> countIn(src, t)).filter(_._2 > 0).toMap
+        if (m.nonEmpty) found(root.relativize(p).toString) = m
+      }
+    } finally walk.close()
+    val want = Map(
+      "graft/operators/Search.scala" ->
+        Map("mid-refresh (" -> 1, "mid-compaction (" -> 1),
       "graft/operators/Dedup.scala" -> Map("mid-compaction (" -> 2),
-      "graft/operators/Sketches.scala" -> Map("mid-compaction (" -> 1))
-    sites.foreach { case (file, tokens) =>
+      "graft/operators/Sketches.scala" -> Map("mid-compaction (" -> 1),
+      "graft/Queries.scala" -> Map("mid-compaction (" -> 1))
+    assert(found.toMap == want,
+      "quiescence-vocabulary sites drifted — a new/reworded refusal " +
+        "must keep the vocabulary AND throw QuiescenceRefusalException " +
+        "via QuiescenceRefusal.refuseUnless (update this pin with it)")
+    // and the five policy tripwires all use the typed throw
+    val typedSites = Map(
+      "graft/operators/Search.scala" -> 2,
+      "graft/operators/Dedup.scala" -> 2,
+      "graft/operators/Sketches.scala" -> 1)
+    typedSites.foreach { case (file, n) =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/$file")), "UTF-8")
-      tokens.foreach { case (tok, want) =>
-        def countIn(s: String): Int = {
-          var i = 0; var n = 0
-          while ({ i = s.indexOf(tok, i); i >= 0 }) { n += 1; i += 1 }
-          n
-        }
-        assert(countIn(src) == want,
-          s"$file: expected $want refusal message(s) containing '$tok' — " +
-            "a reworded quiescence require breaks Maintenance." +
-            "isQuiescenceRefusal's classification (update both together)")
-      }
+      assert(countIn(src, "QuiescenceRefusal.refuseUnless(") == n,
+        s"$file: expected $n typed refusal throw(s)")
     }
   }
 
