@@ -33,12 +33,23 @@ import org.apache.spark.sql.SparkSession
   * PHASE: after the batch suite completes, the batch SparkSession is torn
   * down, a FRESH session starts (clean heap, clean block manager, no
   * suite debris), and each streaming probe runs
-  * `SPARK_GRAFT_BENCH_STREAM_REPS` reps (default 5 — more samples for the
-  * noisier class; the committed number stays the median, the floor rides
-  * along in `queries_min`). Cross-round comparisons for these five should
-  * read medians-vs-floors first and reach for the interleaved worktree
-  * A/B only when the isolated-phase median itself moved (BASELINE r14
-  * addendum).
+  * `SPARK_GRAFT_BENCH_STREAM_REPS` reps (default 7 since round 18 —
+  * VERDICT r17 item 5: this phase dominated every cross-round noise
+  * scare three rounds running, and two extra samples materially narrow
+  * the median's spread for wall-clock-integrating probes; the committed
+  * number stays the median, the floor rides along in `queries_min`).
+  * Cross-round comparisons for these five should read medians-vs-floors
+  * first and reach for the interleaved worktree A/B only when the
+  * isolated-phase median itself moved (BASELINE r14 addendum).
+  *
+  * Round-18 (VERDICT r17 item 3): the artifact is self-comparable — the
+  * JSON carries the FROZEN round-2 gate subset sum (`gate_subset_sum`,
+  * median-based), its min-of-reps floor (`gate_subset_sum_min` — the
+  * noise-damped comparator: a median move with a flat min is ambient
+  * drift by definition), the frozen 46.6 s denominator, and their ratio.
+  * If a cross-round common-probe sum moves >1.25× and a worktree A/B is
+  * run, record its verdict as an `ab_verdict` string field appended to
+  * the committed bench artifact at record time.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -52,6 +63,41 @@ object Bench {
     "q50_streaming", "q147_watermark_drops", "q150_session_drain",
     "q156_incremental_soft_dedup_weights",
     "q157_streaming_soft_dedup_weights")
+
+  /** The FROZEN round-2 gate subset (VERDICT r17 item 3 — the bench
+    * artifact must carry its own cross-round comparator): the 57 probes
+    * BENCH_r02 recorded, and the 46.6 s final round-2 suite figure
+    * BASELINE.md froze as the ≤2× performance bar. Every later round's
+    * raw suite sum grows with the suite (169 probes now), so raw totals
+    * are NOT comparable across rounds — this subset is. The JSON line
+    * carries `gate_subset_sum` (median-based), `gate_subset_sum_min`
+    * (min-of-reps — the load-noise-damped floor; prefer it when the
+    * median moved but the min did not, which is ambient drift by
+    * definition), and `gate_ratio` = gate_subset_sum / 46.6. These names
+    * and the denominator are frozen forever — do not regenerate them
+    * from a newer run.
+    */
+  val frozenGateProbes: Seq[String] =
+    ("q01_pricing_summary,q02_mktsegment_revenue,q03_region_customers," +
+      "q04_customer_orders_outer,q05_big_spenders_semi,q06_no_events_anti," +
+      "q07_events_range_join,q08_asof_purchase_view,q09_setops," +
+      "q10_rollup_region_nation,q11_top_orders_per_customer,q12_clean_text," +
+      "q13_fixed_chunker,q14_paragraph_chunks,q15_cosine_topk," +
+      "q16_inner_product_label,q17_running_sum,q18_hourly_tumbling," +
+      "q19_json_extract,q20_exact_dup_triples,q21_minhash_neardup," +
+      "q22_simhash,q23_jaccard_pairs,q24_embedding_neardup,q25_langid," +
+      "q26_event_type_sets,q27_token_counts,q28_fingerprint,q29_centroids," +
+      "q30_ivf_ann,q31_math_funcs,q32_quality_score,q33_strings," +
+      "q34_sessions,q35_exact_dedup_keepmin,q36_lag_lead,q37_cube," +
+      "q38_ntile,q39_dates,q40_index_pipeline,q41_search_text," +
+      "q42_sentence_chunks,q43_lsh_ann,q44_centroid_typed,q45_multimodal," +
+      "q46_salted_join,q47_tfidf,q48_neardup_clusters,q49_winnowing," +
+      "q50_streaming,q51_file_ingest,q52_pivot,q53_grouping_sets," +
+      "q54_unpivot,q55_full_outer,q56_predicates,q57_date_arith")
+      .split(",").toSeq
+
+  /** BASELINE.md "Final round-2 suite: 57 probes in 46.6 s" — frozen. */
+  val frozenGateBaselineSec: Double = 46.6
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -96,7 +142,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val streamReps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "5").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "7").toInt)
     // optional comma-separated probe filter for local iteration (the
     // driver never sets it — full suite by default)
     val only: Option[Set[String]] =
@@ -136,11 +182,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val medians = timed.map { case (_, rs) => if (rs.exists(_ < 0)) -1.0 else median(rs) }
     val total = medians.filter(_ >= 0).sum
+    // The frozen round-2 gate subset rides in the artifact itself
+    // (VERDICT r17 item 3): gate_subset_sum is the only number comparable
+    // across rounds; gate_subset_sum_min damps streaming/ambient noise
+    // (min over successful reps); -1 when a gate probe is absent from
+    // this run (probe-filtered local runs) or failed every rep.
+    val byName = timed.toMap
+    def gateSum(sel: Seq[Double] => Double): Double = {
+      val vals = frozenGateProbes.map { p =>
+        byName.get(p).map(_.filter(_ >= 0)) match {
+          case Some(ok) if ok.nonEmpty => sel(ok)
+          case _ => -1.0
+        }
+      }
+      if (vals.exists(_ < 0)) -1.0 else vals.sum
+    }
+    val gateSubsetSum = gateSum(median)
+    val gateSubsetSumMin = gateSum(_.min)
+    val gateRatio =
+      if (gateSubsetSum < 0) -1.0 else gateSubsetSum / frozenGateBaselineSec
     // min/median/max per probe (VERDICT r10 item 6): the reps exist
     // anyway, and the spread lets a judge separate ambient drift from a
     // plan regression without a worktree A/B — a probe whose min matches
     // the old record but whose max is 2× is load noise, not code.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_reps":$streamReps,"queries":${fmt(median, allOrNothing = true)},"queries_min":${fmt(_.min, allOrNothing = false)},"queries_max":${fmt(_.max, allOrNothing = false)},"queries_failed_reps":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_reps":$streamReps,"gate_subset_sum":$gateSubsetSum,"gate_subset_sum_min":$gateSubsetSumMin,"gate_baseline_sec":$frozenGateBaselineSec,"gate_ratio":$gateRatio,"queries":${fmt(median, allOrNothing = true)},"queries_min":${fmt(_.min, allOrNothing = false)},"queries_max":${fmt(_.max, allOrNothing = false)},"queries_failed_reps":$failed,"sf":"$sfDir"}"""
     println(line)
     // the driver truncates its stdout capture; a file keeps EVERY probe's
     // median visible (VERDICT r6 item 2 — q100+ were invisible in r6)

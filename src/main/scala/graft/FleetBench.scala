@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Maintenance, Search, Sketches}
+import graft.operators.Maintenance._
+import graft.sources.Generations
+
+/** Fleet-scale maintenance-sweep floor (VERDICT r17 item 4): the claim
+  * that an hourly [[Maintenance.maintainAll]] over hundreds of registered
+  * stores is "metadata-cheap" was scaladoc, not a measurement — this main
+  * makes it a number.
+  *
+  * Shape: ONE real store per layout family (text postings, soft-dedup
+  * weights, frequency sketches, perceptual sequences) is seeded with the
+  * engine's own writers, then its published catalog directory is CLONED
+  * driver-side into `SPARK_GRAFT_FLEET_STORES` (default 100) independent
+  * catalog roots — byte-identical layout to 100 organically-written
+  * stores, fabricated in seconds. All budgets are generous, so every
+  * store is HEALTHY: the sweep's contract is that a healthy tick costs
+  * one recursive driver-side listing and runs ZERO Spark jobs, and the
+  * bench enforces that with a listener (any job → hard failure), so the
+  * recorded floor cannot silently absorb a regression into job-land.
+  *
+  * The vector family is excluded by design: its healthy tick reads the
+  * driftstats sidecar through the caller-supplied `observe` (a small
+  * parquet read — KB, but a job), so it is not zero-job and would
+  * dominate a fleet floor with noise; its per-tick cost is bounded and
+  * probed by q164/q168 instead.
+  *
+  * Output: one JSON line `{"metric":"fleet_sweep","stores":N,"jobs":0,
+  * "min_sec":…,"median_sec":…,"max_sec":…}` — recorded in BASELINE.md.
+  */
+object FleetBench {
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_FLEET_STORES", "100").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(tag).toString
+
+    // ---- seed one real store per family (untimed) --------------------
+    val textSeed = tmp("fleettext")
+    locally {
+      val g0 = Generations.stage(textSeed, conf)
+      val docs = (1L to 50L)
+        .map(i => (i, Seq("alpha", "beta", s"tok$i")))
+        .toDF("id", "toks")
+      Search.writeTextIndex(docs, "id", "toks", g0)
+      Generations.publish(textSeed, g0, conf)
+    }
+    val weightsSeed = tmp("fleetweights")
+    locally {
+      val g0 = Generations.stage(weightsSeed, conf)
+      val batch = (1L to 40L)
+        .map(i => (i, Seq.fill(12)(s"w${i % 7}")))
+        .toDF("id", "toks")
+      Dedup.foldSoftDedupWeightsBatch(batch, "id", "toks", g0, batchId = 0L)
+      Generations.publish(weightsSeed, g0, conf)
+    }
+    val sketchSeed = tmp("fleetsketch")
+    locally {
+      val g0 = Generations.stage(sketchSeed, conf)
+      Sketches.appendFrequencySketches(
+        (0 until 40).map(i => ("all", s"item_${i % 5}")).toDF("grp", "item"),
+        "grp", "item", batchId = "b0", storeDir = g0)
+      Generations.publish(sketchSeed, g0, conf)
+    }
+    val seqSeed = tmp("fleetseq")
+    locally {
+      val g0 = Generations.stage(seqSeed, conf)
+      val rnd = new scala.util.Random(42)
+      val rows = (0L until 5L).flatMap(id =>
+        (0 until 8).map(f => (id, f, rnd.nextLong()))).toDF("id", "f", "h")
+      Dedup.incrementalSequenceNearDups(rows, "id", "f", "h", g0,
+        minVoteFrac = 0.7, maxShift = 3).count()
+      Generations.publish(seqSeed, g0, conf)
+    }
+
+    // ---- clone into n independent catalog roots (driver-side) --------
+    val fleetRoot = java.nio.file.Files.createTempDirectory("fleet")
+    val seeds = Seq(
+      ("text", textSeed), ("weights", weightsSeed),
+      ("sketch", sketchSeed), ("sequence", seqSeed))
+    val policies: Seq[StorePolicy] = (0 until n).map { i =>
+      val (family, seed) = seeds(i % seeds.length)
+      val root = fleetRoot.resolve(s"store_$i").toString
+      copyTree(java.nio.file.Paths.get(seed), java.nio.file.Paths.get(root))
+      family match {
+        case "text"   => TextPolicy(root, maxPostingsFiles = 1000)
+        case "weights" => WeightsPolicy(root, maxBatches = 10,
+          committedBatchId = 0L)
+        case "sketch" => SketchPolicy(root, "freq", Seq("b0"), "b0c",
+          maxDataFiles = 1000)
+        case _        => SequencePolicy(root, committedBatchId = 0L,
+          maxSigFiles = 1000)
+      }
+    }
+
+    // ---- the sweep, job-counted ---------------------------------------
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val runs = (1 to reps).map { _ =>
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      val reports = Maintenance.maintainAll(spark, policies)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus is async: wait for the count to go stable
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = jobs.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val bad = reports.filterNot(_.verdict == "healthy")
+      require(bad.isEmpty,
+        s"fleet must read healthy, got: ${bad.take(3).mkString("; ")}")
+      require(jobs.get == 0,
+        s"a healthy fleet sweep must run ZERO Spark jobs, saw ${jobs.get}")
+      sec
+    }.sorted
+    println(s"""{"metric":"fleet_sweep","stores":$n,"jobs":0,""" +
+      s""""min_sec":${runs.head},"median_sec":${runs(runs.length / 2)},""" +
+      s""""max_sec":${runs.last}}""")
+    spark.stop()
+  }
+}

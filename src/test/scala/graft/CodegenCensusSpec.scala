@@ -50,6 +50,16 @@ class CodegenCensusSpec extends SparkSpec {
     * (local mode: executor threads log into this JVM's log4j context, so
     * the capture sees task-side compilation too).
     *
+    * MULTI-PROCESS BLIND SPOT (documented per VERDICT r17 item 1): under
+    * a `local-cluster` or real-cluster master, task-side codegen happens
+    * in executor JVMs whose log4j events never reach this appender — the
+    * census only sees driver-side compilation there. That is acceptable
+    * because janino compiles the SAME generated source on every JVM
+    * (fallbacks are deterministic in the plan, not the process), so the
+    * local[...] census's verdicts transfer; the multi-JVM gate
+    * (ClusterGate + SPARK_GRAFT_MASTER, r18) checks result CORRECTNESS
+    * with real executors rather than re-running this census there.
+    *
     * The emitting loggers' LEVELS are raised for the capture window:
     * [[SparkSpec]] pins the root logger at ERROR to keep suite logs
     * readable, and log4j filters an event at its logger BEFORE any
