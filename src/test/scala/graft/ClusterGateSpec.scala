@@ -46,11 +46,16 @@ class ClusterGateSpec extends AnyFunSuite {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
     pb.redirectErrorStream(true)
+    // redirect to a file so the wait below actually bounds a hung child
+    // (reading the pipe inline would block past any waitFor timeout)
+    val logFile = java.nio.file.Files.createTempFile("clusgate", ".log").toFile
+    pb.redirectOutput(logFile)
     val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val exited = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
     if (!exited) proc.destroyForcibly()
-    assert(exited, "local-cluster Verify smoke timed out")
+    val log = new String(
+      java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+    assert(exited, s"local-cluster Verify smoke timed out:\n${log.takeRight(2000)}")
     assert(proc.exitValue() == 0,
       s"local-cluster Verify smoke failed:\n${log.takeRight(4000)}")
     assert(!log.contains("] q01_pricing_summary failed") &&
