@@ -52,7 +52,7 @@ import org.apache.spark.sql.SparkSession
   * the committed bench artifact at record time.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
@@ -184,21 +184,28 @@ object Bench {
     val total = medians.filter(_ >= 0).sum
     // The frozen round-2 gate subset rides in the artifact itself
     // (VERDICT r17 item 3): gate_subset_sum is the only number comparable
-    // across rounds; gate_subset_sum_min damps streaming/ambient noise
-    // (min over successful reps); -1 when a gate probe is absent from
-    // this run (probe-filtered local runs) or failed every rep.
+    // across rounds. Bases (review r18): the median-based sum follows the
+    // SAME any-failed-rep → -1 rule as `queries` (a judge recomputing it
+    // from the queries map must land on the identical number, and a flaky
+    // rep poisons the comparator loudly instead of shifting it); the min
+    // floor computes over successful reps only (it is a diagnostic, and a
+    // probe's real floor survives a flaked sibling rep). Either is -1
+    // when a gate probe is absent (probe-filtered local runs) or wholly
+    // failed.
     val byName = timed.toMap
-    def gateSum(sel: Seq[Double] => Double): Double = {
-      val vals = frozenGateProbes.map { p =>
-        byName.get(p).map(_.filter(_ >= 0)) match {
-          case Some(ok) if ok.nonEmpty => sel(ok)
-          case _ => -1.0
-        }
-      }
+    def gateSum(perProbe: Seq[Double] => Double): Double = {
+      val vals = frozenGateProbes.map(p => byName.get(p) match {
+        case Some(rs) => perProbe(rs)
+        case None => -1.0
+      })
       if (vals.exists(_ < 0)) -1.0 else vals.sum
     }
-    val gateSubsetSum = gateSum(median)
-    val gateSubsetSumMin = gateSum(_.min)
+    val gateSubsetSum =
+      gateSum(rs => if (rs.exists(_ < 0)) -1.0 else median(rs))
+    val gateSubsetSumMin = gateSum { rs =>
+      val ok = rs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     val gateRatio =
       if (gateSubsetSum < 0) -1.0 else gateSubsetSum / frozenGateBaselineSec
     // min/median/max per probe (VERDICT r10 item 6): the reps exist

@@ -20,30 +20,41 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterGate {
 
-  /** The `--add-opens` list Spark 4.x needs on JDK 17+, matching
-    * `org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()`
-    * and the build.sbt driver list.
+  /** The JVM options Spark 4.x needs on JDK 17+ — taken from Spark's OWN
+    * `org.apache.spark.launcher.JavaModuleOptions` (on the runtime
+    * classpath), not a hand-maintained copy that would rot on Spark
+    * upgrades and diverge from what spark-submit injects (review r18:
+    * the hand copy missed jdk.internal.ref and the krb5/native-access
+    * entries).
     */
-  val jdk17AddOpens: Seq[String] = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-    .map(p => s"--add-opens=$p=ALL-UNNAMED")
+  val executorJvmOptions: Seq[String] =
+    org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptionArray().toSeq
+
+  /** Where THIS JVM loaded the graft classes from — cwd-independent (the
+    * code-source location), so executors get the same classes no matter
+    * the launch directory. Fails fast if it can't be resolved to a real
+    * path (a cryptic task-side ClassNotFoundException otherwise).
+    */
+  def graftClasspathEntry(): String = {
+    val src = getClass.getProtectionDomain.getCodeSource
+    require(src != null && src.getLocation != null,
+      "ClusterGate: cannot resolve the graft code source for the " +
+        "executor classpath — launch with a file-based classpath entry")
+    val f = new java.io.File(src.getLocation.toURI)
+    require(f.exists,
+      s"ClusterGate: graft code source ${f.getAbsolutePath} does not exist")
+    f.getAbsolutePath
+  }
 
   /** Apply the executor-process config a `local-cluster` master needs.
     * `SPARK_GRAFT_EXEC_MEM` sizes each executor heap (default 3g — under
     * the 4096 MB per-worker offer the recommended master string grants).
     */
-  def configure(builder: SparkSession.Builder): SparkSession.Builder = {
-    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+  def configure(builder: SparkSession.Builder): SparkSession.Builder =
     builder
       .config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
-      .config("spark.executor.extraClassPath", classesDir)
-      .config("spark.executor.extraJavaOptions", jdk17AddOpens.mkString(" "))
-  }
+      .config("spark.executor.extraClassPath", graftClasspathEntry())
+      .config("spark.executor.extraJavaOptions",
+        executorJvmOptions.mkString(" "))
 }

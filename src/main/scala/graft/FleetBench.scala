@@ -125,30 +125,37 @@ object FleetBench {
         jobs.incrementAndGet(); ()
       }
     }
-    val runs = (1 to reps).map { _ =>
-      spark.sparkContext.addSparkListener(listener)
-      jobs.set(0)
-      val t0 = System.nanoTime()
-      val reports = Maintenance.maintainAll(spark, policies)
-      val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async: wait for the count to go stable
+    // listener bus is async: wait for the count to stop moving (the
+    // seeding jobs above may still be draining through the bus — zeroing
+    // too early would blame them on the sweep; review r18)
+    def awaitStable(): Unit = {
       var last = -1; var stable = 0
       while (stable < 3) {
         Thread.sleep(100)
         val c = jobs.get
         if (c == last) stable += 1 else { stable = 0; last = c }
       }
-      spark.sparkContext.removeSparkListener(listener)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    awaitStable()
+    val runs = (1 to reps).map { _ =>
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      val reports = Maintenance.maintainAll(spark, policies)
+      val sec = (System.nanoTime() - t0) / 1e9
+      awaitStable()
       val bad = reports.filterNot(_.verdict == "healthy")
       require(bad.isEmpty,
         s"fleet must read healthy, got: ${bad.take(3).mkString("; ")}")
       require(jobs.get == 0,
         s"a healthy fleet sweep must run ZERO Spark jobs, saw ${jobs.get}")
       sec
-    }.sorted
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    val sorted = runs.sorted
     println(s"""{"metric":"fleet_sweep","stores":$n,"jobs":0,""" +
-      s""""min_sec":${runs.head},"median_sec":${runs(runs.length / 2)},""" +
-      s""""max_sec":${runs.last}}""")
+      s""""min_sec":${sorted.head},"median_sec":${Bench.median(runs)},""" +
+      s""""max_sec":${sorted.last}}""")
     spark.stop()
   }
 }

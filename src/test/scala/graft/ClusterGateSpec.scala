@@ -17,12 +17,15 @@ class ClusterGateSpec extends AnyFunSuite {
 
   test("ClusterGate.configure wires executor classpath, heap, and JDK17 opens") {
     val b = org.apache.spark.sql.SparkSession.builder()
-    // Builder has no public getter; round-trip through its private map via
-    // the config it produces on an existing session is overkill — assert
-    // on the documented constants instead.
-    assert(ClusterGate.jdk17AddOpens.nonEmpty)
-    assert(ClusterGate.jdk17AddOpens.forall(_.startsWith("--add-opens=")))
-    assert(ClusterGate.jdk17AddOpens.exists(_.contains("java.base/sun.nio.ch")))
+    // The options come from Spark's own JavaModuleOptions (no hand copy
+    // to rot): they must include the add-opens the engine is known to
+    // need plus the entries the r18 review found missing from the old
+    // hand-maintained list.
+    assert(ClusterGate.executorJvmOptions.nonEmpty)
+    assert(ClusterGate.executorJvmOptions.exists(_.contains("java.base/sun.nio.ch")))
+    assert(ClusterGate.executorJvmOptions.exists(_.contains("jdk.internal.ref")))
+    // the executor classpath entry resolves cwd-independently and exists
+    assert(new java.io.File(ClusterGate.graftClasspathEntry()).exists)
     // configure() must not throw and must return the same builder chain
     assert(ClusterGate.configure(b) != null)
   }
@@ -36,7 +39,7 @@ class ClusterGateSpec extends AnyFunSuite {
     // q01: shuffle agg (closure + codegen through real executors);
     // q15: cosine top-k (graft custom Expression classes must load in the
     // executor JVMs via spark.executor.extraClassPath)
-    val cmd: Seq[String] = Seq(javaBin) ++ ClusterGate.jdk17AddOpens ++ Seq(
+    val cmd: Seq[String] = Seq(javaBin) ++ ClusterGate.executorJvmOptions ++ Seq(
       "-Xmx3g", "-Dspark.ui.enabled=false", "-cp", cp,
       "graft.Verify", "/root/testdata/sf0.001", out,
       "q01_pricing_summary,q15_cosine_topk")
