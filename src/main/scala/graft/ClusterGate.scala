@@ -34,6 +34,14 @@ object ClusterGate {
     * code-source location), so executors get the same classes no matter
     * the launch directory. Fails fast if it can't be resolved to a real
     * path (a cryptic task-side ClassNotFoundException otherwise).
+    *
+    * ASSUMPTION (ADVICE r18): this single entry suffices because every
+    * non-Spark runtime dependency of the engine is either under
+    * `SPARK_HOME/jars` (on the executor classpath for free) or test-only
+    * (`build.sbt` has no compile-scope managed deps). If a compile-scope
+    * dependency is ever added, its jar must ALSO be appended here, or
+    * tasks will die executor-side with a ClassNotFoundException that
+    * does not point at this file.
     */
   def graftClasspathEntry(): String = {
     val src = getClass.getProtectionDomain.getCodeSource
@@ -46,15 +54,46 @@ object ClusterGate {
     f.getAbsolutePath
   }
 
-  /** Apply the executor-process config a `local-cluster` master needs.
-    * `SPARK_GRAFT_EXEC_MEM` sizes each executor heap (default 3g — under
-    * the 4096 MB per-worker offer the recommended master string grants).
+  /** Fail fast on the multi-JVM gate's one silent launch prerequisite
+    * (VERDICT r18 item 6): without `SPARK_SCALA_VERSION` exported, Spark's
+    * launcher probes `$SPARK_HOME/launcher/target` (a dev-build layout
+    * absent from the /opt/spark distribution) and aborts EXECUTOR launch
+    * with the cryptic "Cannot find any build directories" — at first task,
+    * long after the session built fine. The recipe belongs in the error.
     */
-  def configure(builder: SparkSession.Builder): SparkSession.Builder =
-    builder
-      .config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
-      .config("spark.executor.extraClassPath", graftClasspathEntry())
-      .config("spark.executor.extraJavaOptions",
-        executorJvmOptions.mkString(" "))
+  def requireScalaVersionPinned(env: Map[String, String]): Unit =
+    require(env.contains("SPARK_SCALA_VERSION"),
+      "ClusterGate: SPARK_SCALA_VERSION is not exported — a local-cluster " +
+        "master would abort executor launch with Spark's \"Cannot find any " +
+        "build directories\" probe failure. Export SPARK_SCALA_VERSION=2.13 " +
+        "(full recipe: SPARK_SCALA_VERSION=2.13 " +
+        "SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' sbt \"runMain " +
+        "graft.Verify <sfDir> <outDir>\").")
+
+  /** The executor-process configs a `local-cluster` master needs, as a
+    * plain map (the builder exposes no getters — this is the testable
+    * surface ClusterGateSpec asserts on). `SPARK_GRAFT_EXEC_MEM` sizes
+    * each executor heap (default 3g — under the 4096 MB per-worker offer
+    * the recommended master string grants). When `SPARK_GRAFT_CENSUS_DIR`
+    * is set, the executor JVMs additionally route codegen-fallback log
+    * signals to a census file there (see [[CensusChannel]]) — the
+    * executor-side half of the codegen census (VERDICT r18 item 1).
+    */
+  def executorConfigs(env: Map[String, String] = sys.env): Map[String, String] = {
+    requireScalaVersionPinned(env)
+    val censusDir = env.get("SPARK_GRAFT_CENSUS_DIR")
+    val censusOpts = censusDir.toSeq.flatMap(_ => CensusChannel.executorOptions(
+      canary = env.get("SPARK_GRAFT_CENSUS_CANARY").contains("throw")))
+    Map(
+      "spark.executor.memory" -> env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"),
+      "spark.executor.extraClassPath" -> graftClasspathEntry(),
+      "spark.executor.extraJavaOptions" ->
+        (executorJvmOptions ++ censusOpts).mkString(" ")) ++
+      censusDir.map(CensusChannel.configs).getOrElse(Map.empty)
+  }
+
+  /** Apply the executor-process config a `local-cluster` master needs. */
+  def configure(builder: SparkSession.Builder,
+      env: Map[String, String] = sys.env): SparkSession.Builder =
+    executorConfigs(env).foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
 }

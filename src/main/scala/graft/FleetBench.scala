@@ -128,9 +128,16 @@ object FleetBench {
     // listener bus is async: wait for the count to stop moving (the
     // seeding jobs above may still be draining through the bus — zeroing
     // too early would blame them on the sweep; review r18)
+    // deadline (ADVICE r18): if the counter never settles — a periodic
+    // background job or a stuck listener bus — fail loudly with the count
+    // instead of hanging the bench forever
     def awaitStable(): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var last = -1; var stable = 0
       while (stable < 3) {
+        require(System.nanoTime() < deadline,
+          s"fleet bench: job counter did not settle within 30s " +
+            s"(count=${jobs.get}) — something keeps scheduling Spark jobs")
         Thread.sleep(100)
         val c = jobs.get
         if (c == last) stable += 1 else { stable = 0; last = c }

@@ -15,8 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ClusterGateSpec extends AnyFunSuite {
 
-  test("ClusterGate.configure wires executor classpath, heap, and JDK17 opens") {
-    val b = org.apache.spark.sql.SparkSession.builder()
+  private val pinnedEnv = Map("SPARK_SCALA_VERSION" -> "2.13")
+
+  test("ClusterGate.executorConfigs wires executor classpath, heap, and JDK17 opens") {
     // The options come from Spark's own JavaModuleOptions (no hand copy
     // to rot): they must include the add-opens the engine is known to
     // need plus the entries the r18 review found missing from the old
@@ -26,41 +27,100 @@ class ClusterGateSpec extends AnyFunSuite {
     assert(ClusterGate.executorJvmOptions.exists(_.contains("jdk.internal.ref")))
     // the executor classpath entry resolves cwd-independently and exists
     assert(new java.io.File(ClusterGate.graftClasspathEntry()).exists)
-    // configure() must not throw and must return the same builder chain
-    assert(ClusterGate.configure(b) != null)
+    // the configured VALUES land (ADVICE r18: the old `configure(b) != null`
+    // assertion was vacuous — the builder chain always returns itself)
+    val cfgs = ClusterGate.executorConfigs(pinnedEnv)
+    assert(cfgs("spark.executor.memory") == "3g")
+    assert(cfgs("spark.executor.extraClassPath") == ClusterGate.graftClasspathEntry())
+    val opts = cfgs("spark.executor.extraJavaOptions")
+    assert(ClusterGate.executorJvmOptions.forall(opts.contains))
+    // heap override honored
+    assert(ClusterGate.executorConfigs(pinnedEnv +
+      ("SPARK_GRAFT_EXEC_MEM" -> "1g"))("spark.executor.memory") == "1g")
+    // no census dir → no plugin, no canary -D (the channel is opt-in)
+    assert(!cfgs.contains("spark.plugins"))
+    assert(!opts.contains("graft.census.canary"))
   }
 
-  test("Verify under local-cluster[2,2,1536]: real executor processes run a shuffle probe and a custom-kernel probe oracle-dump green") {
-    val out = java.nio.file.Files.createTempDirectory("clusgate").toString
+  test("ClusterGate.executorConfigs fails fast when SPARK_SCALA_VERSION is not exported (VERDICT r18 item 6)") {
+    // Without the pin, Spark's launcher probes $SPARK_HOME/launcher/target
+    // (a dev-build layout absent from /opt/spark) and aborts EXECUTOR
+    // launch at first task with "Cannot find any build directories" —
+    // long after the session built fine. The gate must refuse up front
+    // with the recipe in the message.
+    val e = intercept[IllegalArgumentException] {
+      ClusterGate.executorConfigs(Map.empty)
+    }
+    assert(e.getMessage.contains("SPARK_SCALA_VERSION"))
+    assert(e.getMessage.contains("local-cluster"))
+  }
+
+  test("ClusterGate.executorConfigs wires the census channel when SPARK_GRAFT_CENSUS_DIR is set") {
+    val cfgs = ClusterGate.executorConfigs(pinnedEnv ++ Map(
+      "SPARK_GRAFT_CENSUS_DIR" -> "/tmp/census-x",
+      "SPARK_GRAFT_CENSUS_CANARY" -> "throw"))
+    assert(cfgs("spark.plugins") == classOf[CensusPlugin].getName)
+    assert(cfgs(CensusChannel.DirConf) == "/tmp/census-x")
+    // the canary -D rides the EXECUTOR JVM options only — the driver JVM
+    // of any session built from these configs is never armed
+    assert(cfgs("spark.executor.extraJavaOptions")
+      .contains("-Dgraft.census.canary=throw"))
+    // without the canary env the -D must be absent (an armed production
+    // run would fall back on every ordering containing the canary expr)
+    assert(!ClusterGate.executorConfigs(pinnedEnv +
+      ("SPARK_GRAFT_CENSUS_DIR" -> "/tmp/census-x"))(
+      "spark.executor.extraJavaOptions").contains("graft.census.canary"))
+  }
+
+  /** Spawn `main` in a fresh JVM with the given env, capture output to a
+    * file, bound the wait, and on timeout kill the WHOLE process tree —
+    * under local-cluster the child driver spawns Worker/executor JVMs, and
+    * SIGKILLing only the driver skips the shutdown hooks that reap them
+    * (ADVICE r18: orphaned 1g executor JVMs polluted subsequent runs).
+    */
+  private def runChild(main: String, args: Seq[String],
+      env: Map[String, String], timeoutSec: Long): (Int, String) = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java")
       .getAbsolutePath
     val cp = System.getProperty("java.class.path")
-    // q01: shuffle agg (closure + codegen through real executors);
-    // q15: cosine top-k (graft custom Expression classes must load in the
-    // executor JVMs via spark.executor.extraClassPath)
-    val cmd: Seq[String] = Seq(javaBin) ++ ClusterGate.executorJvmOptions ++ Seq(
-      "-Xmx3g", "-Dspark.ui.enabled=false", "-cp", cp,
-      "graft.Verify", "/root/testdata/sf0.001", out,
-      "q01_pricing_summary,q15_cosine_topk")
+    val cmd: Seq[String] = Seq(javaBin) ++ ClusterGate.executorJvmOptions ++
+      Seq("-Xmx3g", "-Dspark.ui.enabled=false", "-cp", cp, main) ++ args
     val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_MASTER", "local-cluster[2,2,1536]")
-    pb.environment().put("SPARK_GRAFT_EXEC_MEM", "1g")
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(true)
     // redirect to a file so the wait below actually bounds a hung child
     // (reading the pipe inline would block past any waitFor timeout)
     val logFile = java.nio.file.Files.createTempFile("clusgate", ".log").toFile
     pb.redirectOutput(logFile)
     val proc = pb.start()
-    val exited = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    if (!exited) proc.destroyForcibly()
+    val exited = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!exited) {
+      proc.descendants().forEach(_.destroyForcibly())
+      proc.destroyForcibly()
+      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      proc.descendants().forEach(_.destroyForcibly())
+    }
     val log = new String(
       java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
-    assert(exited, s"local-cluster Verify smoke timed out:\n${log.takeRight(2000)}")
-    assert(proc.exitValue() == 0,
-      s"local-cluster Verify smoke failed:\n${log.takeRight(4000)}")
+    assert(exited, s"$main under local-cluster timed out:\n${log.takeRight(2000)}")
+    (proc.exitValue(), log)
+  }
+
+  test("Verify under local-cluster[2,2,1536]: real executor processes run a shuffle probe and a custom-kernel probe oracle-dump green") {
+    val out = java.nio.file.Files.createTempDirectory("clusgate").toString
+    // q01: shuffle agg (closure + codegen through real executors);
+    // q15: cosine top-k (graft custom Expression classes must load in the
+    // executor JVMs via spark.executor.extraClassPath)
+    val (exit, log) = runChild("graft.Verify",
+      Seq("/root/testdata/sf0.001", out, "q01_pricing_summary,q15_cosine_topk"),
+      Map(
+        "SPARK_GRAFT_MASTER" -> "local-cluster[2,2,1536]",
+        "SPARK_GRAFT_EXEC_MEM" -> "1g",
+        "SPARK_SCALA_VERSION" -> "2.13",
+        "SPARK_GRAFT_CPUS" -> "4"),
+      timeoutSec = 300)
+    assert(exit == 0, s"local-cluster Verify smoke failed:\n${log.takeRight(4000)}")
     assert(!log.contains("] q01_pricing_summary failed") &&
       !log.contains("] q15_cosine_topk failed"),
       s"probe failed under local-cluster:\n${log.takeRight(4000)}")
@@ -69,5 +129,29 @@ class ClusterGateSpec extends AnyFunSuite {
       assert(dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")),
         s"$probe produced no parquet under local-cluster")
     }
+  }
+
+  test("census channel canary under local-cluster[2,2,1536]: an executor-only induced codegen fallback is captured through the files (VERDICT r18 item 1)") {
+    val censusDir = java.nio.file.Files.createTempDirectory("census").toString
+    val (exit, log) = runChild("graft.CensusChannel", Seq(censusDir),
+      Map(
+        "SPARK_GRAFT_MASTER" -> "local-cluster[2,2,1536]",
+        "SPARK_GRAFT_EXEC_MEM" -> "1g",
+        "SPARK_SCALA_VERSION" -> "2.13",
+        "SPARK_GRAFT_CPUS" -> "4",
+        "SPARK_GRAFT_CENSUS_DIR" -> censusDir,
+        "SPARK_GRAFT_CENSUS_CANARY" -> "throw"),
+      timeoutSec = 300)
+    assert(exit == 0, s"census canary smoke failed:\n${log.takeRight(4000)}")
+    // re-assert from the parent on the raw files: the signal must exist,
+    // classified, and attributed to a NON-driver JVM label
+    val sigs = CensusChannel.readSignals(censusDir)
+    assert(sigs.exists { case (label, kind) =>
+      label != "driver" && kind == "expr-interpreted-fallback" },
+      s"no executor-attributed fallback signal in $censusDir: $sigs")
+    assert(!sigs.exists { case (label, kind) =>
+      label == "driver" && kind == "expr-interpreted-fallback" },
+      s"the canary fired in the DRIVER JVM — it no longer proves " +
+        s"cross-process capture: $sigs")
   }
 }

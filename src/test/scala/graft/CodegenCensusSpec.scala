@@ -28,37 +28,29 @@ class CodegenCensusSpec extends SparkSpec {
     */
   private val accepted: Map[(String, String), String] = Map.empty
 
-  /** Fallback signals, keyed by the log line Spark emits at the moment of
-    * degradation (message texts pinned against the Spark 4.1.2 jars):
-    *   - wholestage-compile-fallback: WholeStageCodegenExec caught a
-    *     CompileException and re-executed interpreted;
-    *   - wholestage-huge-method: compiled fine but a method exceeded
-    *     hugeMethodLimit bytecode, so codegen was abandoned for the plan;
-    *   - expr-interpreted-fallback: an expression-level codegen object
-    *     (projection/predicate/ordering) dropped to interpreter mode.
+  /** Fallback-signal classification — shared with [[CensusChannel]] (the
+    * executor-side file channel), so the two capture paths can never pin
+    * different message texts. See CensusChannel.signalKind for the three
+    * kinds and their meaning.
     */
   private def signalKind(msg: String): Option[String] =
-    if (msg.contains("Whole-stage codegen disabled for plan"))
-      Some("wholestage-compile-fallback")
-    else if (msg.contains("Found too long generated codes"))
-      Some("wholestage-huge-method")
-    else if (msg.contains("Expr codegen error and falling back to interpreter mode"))
-      Some("expr-interpreted-fallback")
-    else None
+    CensusChannel.signalKind(msg)
 
   /** Run `body` with a root-logger appender capturing fallback signals
     * (local mode: executor threads log into this JVM's log4j context, so
     * the capture sees task-side compilation too).
     *
-    * MULTI-PROCESS BLIND SPOT (documented per VERDICT r17 item 1): under
-    * a `local-cluster` or real-cluster master, task-side codegen happens
-    * in executor JVMs whose log4j events never reach this appender — the
-    * census only sees driver-side compilation there. That is acceptable
-    * because janino compiles the SAME generated source on every JVM
-    * (fallbacks are deterministic in the plan, not the process), so the
-    * local[...] census's verdicts transfer; the multi-JVM gate
-    * (ClusterGate + SPARK_GRAFT_MASTER, r18) checks result CORRECTNESS
-    * with real executors rather than re-running this census there.
+    * MULTI-PROCESS CAPTURE (VERDICT r18 item 1 — the r17 blind spot is
+    * closed): under a `local-cluster` master, task-side codegen happens in
+    * executor JVMs whose log4j events never reach this appender. When the
+    * suite runs with `SPARK_GRAFT_MASTER=local-cluster[...]` AND
+    * `SPARK_GRAFT_CENSUS_DIR` exported, every executor JVM writes its own
+    * classified signals to per-JVM census files (CensusChannel, installed
+    * at executor startup via `spark.plugins`), and this capture MERGES the
+    * per-probe file delta from non-driver JVMs with its in-process view —
+    * so the census attributes executor-side degradation too. The channel's
+    * own liveness is proven by ClusterGateSpec's canary smoke (an induced
+    * executor-only codegen failure must arrive through the files).
     *
     * The emitting loggers' LEVELS are raised for the capture window:
     * [[SparkSpec]] pins the root logger at ERROR to keep suite logs
@@ -102,6 +94,13 @@ class CodegenCensusSpec extends SparkSpec {
     app.start()
     cfg.getRootLogger.addAppender(app, Level.INFO, null)
     ctx.updateLoggers()
+    // executor-side channel: snapshot the per-kind counts in the census
+    // files before/after the body; the delta is what EXECUTOR JVMs logged
+    // during this probe (driver events are excluded there — this appender
+    // already sees them; counting both would double-report)
+    val censusDir = sys.env.get("SPARK_GRAFT_CENSUS_DIR")
+    val execBefore = censusDir.map(CensusChannel.executorSignalCounts)
+      .getOrElse(Map.empty)
     val result =
       try body
       finally {
@@ -115,7 +114,13 @@ class CodegenCensusSpec extends SparkSpec {
         ctx.updateLoggers()
         app.stop()
       }
-    (result, buf.asScala.toSeq)
+    val execDelta = censusDir.map(CensusChannel.executorSignalCounts)
+      .getOrElse(Map.empty)
+      .flatMap { case (kind, n) =>
+        val extra = n - execBefore.getOrElse(kind, 0)
+        Seq.fill(math.max(0, extra))(kind)
+      }
+    (result, buf.asScala.toSeq ++ execDelta)
   }
 
   test("capture canary: a deterministically-induced fallback IS observed — the capture is not blind") {
@@ -166,10 +171,15 @@ class CodegenCensusSpec extends SparkSpec {
     // §codegen-census) rather than part of every suite run
     assume(sys.env.get("SPARK_GRAFT_CENSUS").contains("all"),
       "opt-in diagnostic — run with SPARK_GRAFT_CENSUS=all")
+    // the diagnostic's scale/topology are caller-chosen: SPARK_GRAFT_CENSUS_SF
+    // points at a fixture dir (default sf0.001), and combined with
+    // SPARK_GRAFT_MASTER=local-cluster[...] + SPARK_GRAFT_CENSUS_DIR the
+    // sweep runs against REAL executor JVMs with their signals merged in
+    val censusSf = sys.env.getOrElse("SPARK_GRAFT_CENSUS_SF", sf001)
     val observed = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
     Queries.all.keys.toSeq.sorted.foreach { name =>
       val (_, signals) = captureFallbacks {
-        Queries.all(name)(spark, sf001)
+        Queries.all(name)(spark, censusSf)
           .write.mode("overwrite").format("noop").save()
       }
       signals.distinct.foreach(k => observed += ((name, k)))
