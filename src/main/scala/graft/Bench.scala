@@ -99,6 +99,21 @@ object Bench {
   /** BASELINE.md "Final round-2 suite: 57 probes in 46.6 s" — frozen. */
   val frozenGateBaselineSec: Double = 46.6
 
+  /** The per-probe watch set (VERDICT r18 item 2): probes whose history
+    * shows real cross-round drift sensitivity (q87's min moved 1.54× in
+    * r18 on untouched code) get their min-of-reps floor surfaced as a
+    * FIRST-CLASS artifact field, `watch_mins`, so the min-gating rule can
+    * adjudicate them individually: a watch-probe MIN moving >1.3× across
+    * rounds triggers the worktree A/B ([[AbBench]] automates it) and the
+    * verdict is recorded as `ab_verdict` in the committed artifact. The
+    * members are the heavy dedup/ANN flagships the judge tracks; adding a
+    * probe here is cheap (the reps exist anyway) — remove only with a
+    * BASELINE note.
+    */
+  val watchProbes: Seq[String] = Seq(
+    "q21_minhash_neardup", "q43_lsh_ann", "q87_semantic_dedup",
+    "q112_seeded_lsh", "q116_jaccard_join")
+
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -208,11 +223,23 @@ object Bench {
     }
     val gateRatio =
       if (gateSubsetSum < 0) -1.0 else gateSubsetSum / frozenGateBaselineSec
+    // the watch set's floors as their own field (VERDICT r18 item 2):
+    // min over successful reps, -1 when the probe is absent (filtered
+    // local run) or every rep failed — same basis as queries_min, pulled
+    // out so a judge reads the five adjudicable floors without diffing
+    // the full map
+    val watchMins = Bench.watchProbes.map { p =>
+      val v = byName.get(p).map(_.filter(_ >= 0)) match {
+        case Some(ok) if ok.nonEmpty => ok.min
+        case _ => -1.0
+      }
+      "\"" + p + "\":" + v
+    }.mkString("{", ",", "}")
     // min/median/max per probe (VERDICT r10 item 6): the reps exist
     // anyway, and the spread lets a judge separate ambient drift from a
     // plan regression without a worktree A/B — a probe whose min matches
     // the old record but whose max is 2× is load noise, not code.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_reps":$streamReps,"gate_subset_sum":$gateSubsetSum,"gate_subset_sum_min":$gateSubsetSumMin,"gate_baseline_sec":$frozenGateBaselineSec,"gate_ratio":$gateRatio,"queries":${fmt(median, allOrNothing = true)},"queries_min":${fmt(_.min, allOrNothing = false)},"queries_max":${fmt(_.max, allOrNothing = false)},"queries_failed_reps":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stream_reps":$streamReps,"gate_subset_sum":$gateSubsetSum,"gate_subset_sum_min":$gateSubsetSumMin,"gate_baseline_sec":$frozenGateBaselineSec,"gate_ratio":$gateRatio,"watch_mins":$watchMins,"queries":${fmt(median, allOrNothing = true)},"queries_min":${fmt(_.min, allOrNothing = false)},"queries_max":${fmt(_.max, allOrNothing = false)},"queries_failed_reps":$failed,"sf":"$sfDir"}"""
     println(line)
     // the driver truncates its stdout capture; a file keeps EVERY probe's
     // median visible (VERDICT r6 item 2 — q100+ were invisible in r6)
