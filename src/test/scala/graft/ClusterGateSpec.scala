@@ -72,39 +72,12 @@ class ClusterGateSpec extends AnyFunSuite {
       "spark.executor.extraJavaOptions").contains("graft.census.canary"))
   }
 
-  /** Spawn `main` in a fresh JVM with the given env, capture output to a
-    * file, bound the wait, and on timeout kill the WHOLE process tree —
-    * under local-cluster the child driver spawns Worker/executor JVMs, and
-    * SIGKILLing only the driver skips the shutdown hooks that reap them
-    * (ADVICE r18: orphaned 1g executor JVMs polluted subsequent runs).
-    */
+  /** [[ChildJvm.run]] with the timeout turned into a spec failure. */
   private def runChild(main: String, args: Seq[String],
       env: Map[String, String], timeoutSec: Long): (Int, String) = {
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
-      .getAbsolutePath
-    val cp = System.getProperty("java.class.path")
-    val cmd: Seq[String] = Seq(javaBin) ++ ClusterGate.executorJvmOptions ++
-      Seq("-Xmx3g", "-Dspark.ui.enabled=false", "-cp", cp, main) ++ args
-    val pb = new ProcessBuilder(cmd: _*)
-    env.foreach { case (k, v) => pb.environment().put(k, v) }
-    pb.redirectErrorStream(true)
-    // redirect to a file so the wait below actually bounds a hung child
-    // (reading the pipe inline would block past any waitFor timeout)
-    val logFile = java.nio.file.Files.createTempFile("clusgate", ".log").toFile
-    pb.redirectOutput(logFile)
-    val proc = pb.start()
-    val exited = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-    if (!exited) {
-      proc.descendants().forEach(_.destroyForcibly())
-      proc.destroyForcibly()
-      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
-      proc.descendants().forEach(_.destroyForcibly())
-    }
-    val log = new String(
-      java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+    val (exited, exit, log) = ChildJvm.run(main, args, env, timeoutSec)
     assert(exited, s"$main under local-cluster timed out:\n${log.takeRight(2000)}")
-    (proc.exitValue(), log)
+    (exit, log)
   }
 
   test("Verify under local-cluster[2,2,1536]: real executor processes run a shuffle probe and a custom-kernel probe oracle-dump green") {
