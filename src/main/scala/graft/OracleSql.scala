@@ -453,6 +453,19 @@ GROUP BY label, i ORDER BY label, pos""",
     // DECIMAL(18,9)-quantized floats as exact integers + group count —
     // the decimal quantization is the same cast q29 already pins cross-
     // engine; everything after it is integer arithmetic.
+    // q43's bounded-pass oracle (VERDICT r18 item 5): DuckDB cannot run
+    // MLlib's RP-LSH, but it CAN census the exact pairs at the same radius
+    // — the real half of the probe's row. The recall verdict replays as a
+    // literal TRUE: the Spark side computes recall against its own exact
+    // leg and emits false whenever the frozen 0.90 floor is broken, so a
+    // quality regression hash-mismatches this row. No per-sf literals —
+    // the same SQL is green at every fixture scale.
+    "q43_lsh_ann" ->
+      raw"""SELECT count(*)::BIGINT AS exact_pairs,
+TRUE AS lsh_recall_ge_floor, 900000::BIGINT AS recall_floor_u
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 1.18""",
+
     "q44_centroid_typed" ->
       raw"""SELECT label, CAST(i AS INT) AS pos,
 CAST(sum(CAST(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS sum_u,

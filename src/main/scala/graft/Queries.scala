@@ -568,12 +568,41 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Q43 — MLlib random-projection LSH approximate near-dup pairs (V3). */
-  def q43LshAnn(s: SparkSession, dir: String): DataFrame =
-    new Search.LshIndex(bucketLength = 0.5, numTables = 3, seed = 42L)
-      .approxPairs(embeddings(s, dir), "vec_id", "embedding", maxL2Dist = 1.18)
-      .select(col("id1"), col("id2"), fl(col("l2_dist"), 3).as("l2_dist"))
-      .orderBy(col("id1"), col("id2"))
+  /** Q43 — MLlib random-projection LSH approximate near-dup pairs (V3),
+    * promoted from rows-only to a BOUNDED oracle pass (VERDICT r18 item
+    * 5). The approximate pair SET is oracle-impossible (DuckDB has no
+    * MLlib RP-LSH; q112's seeded-LSH twin carries the family's exact
+    * oracle), but its QUALITY is machine-checkable: the probe emits the
+    * exact-pair census at the same radius and the recall of the LSH pairs
+    * against it, gated on the frozen floor (BASELINE §ANN-recall r19:
+    * observed 0.934 / 0.944 / 0.938 at sf0.001/0.01/0.1 — deterministic
+    * per scale, seed 42 — floor frozen at 0.90). MLlib's
+    * approxSimilarityJoin post-filters candidates on TRUE distance, so
+    * the LSH pairs are a subset of the exact pairs by construction; the
+    * semi join is a guard against canonicalization drift, not an
+    * estimate. The O(N²) exact leg is the measurement harness a recall
+    * number needs at probe scale, NOT the serving path — at 100 TB the
+    * serving path stays the banded LSH join, and ground truth comes from
+    * a sampled query set (RecallBench's protocol).
+    */
+  def q43LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val lsh = new Search.LshIndex(bucketLength = 0.5, numTables = 3, seed = 42L)
+      .approxPairs(emb, "vec_id", "embedding", maxL2Dist = 1.18)
+      .select(col("id1"), col("id2"))
+    val exact = emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(VectorFunctions.l2Distance(
+        col("a.embedding"), col("b.embedding")) <= 1.18)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val hits = lsh.join(exact, Seq("id1", "id2"), "left_semi")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("_hits")))
+      .select(col("exact_pairs"),
+        (col("_hits").cast("double") / col("exact_pairs") >= lit(0.90))
+          .as("lsh_recall_ge_floor"),
+        lit(900000L).as("recall_floor_u"))
+  }
 
   /** Q44 — the TYPED centroid Aggregator path (A6), promoted to oracle-green
     * via [[Dedup.QuantizedCentroidAggregator]]: element sums carried as
