@@ -38,14 +38,22 @@ package graft
   */
 object AbBench {
 
-  /** Extract probe seconds from a child's Bench JSON line: the FIRST
-    * `"name":<num>` occurrence is the `queries` median, which at
-    * REPS=1 equals the single measured rep (min == median == max).
+  /** Extract a probe's seconds from the `queries` (median) object of a
+    * child's Bench JSON line. Anchored INSIDE that object (review r19):
+    * the artifact emits `watch_mins` before `queries`, and the A/B's
+    * usual subjects ARE the watch set, so a first-match scan over the
+    * whole line would read the min field — coincidentally equal at the
+    * REPS=1 the children run today, silently wrong for any other reps.
     */
   private[graft] def probeSeconds(json: String, probe: String): Double = {
+    val qm = java.util.regex.Pattern
+      .compile("\"queries\":\\{([^}]*)\\}").matcher(json)
+    require(qm.find(), s"AbBench: no queries object in child output: " +
+      json.take(400))
+    val queries = qm.group(1)
     val m = java.util.regex.Pattern
       .compile("\"" + java.util.regex.Pattern.quote(probe) + "\":(-?[0-9.Ee+-]+)")
-      .matcher(json)
+      .matcher(queries)
     require(m.find(), s"AbBench: probe $probe missing from child output: " +
       json.take(400))
     m.group(1).toDouble
@@ -57,43 +65,30 @@ object AbBench {
     require(classes.isDirectory,
       s"AbBench: $tree is not an sbt-compiled checkout (missing $classes " +
         "— run `sbt compile` in that worktree first)")
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
-      .getAbsolutePath
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
-    val cp = s"${classes.getAbsolutePath}:$sparkHome/jars/*"
     val outFile = java.nio.file.Files
       .createTempFile(s"ab-$label-$round", ".json").toFile
-    val heap = sys.env.getOrElse("SPARK_GRAFT_AB_HEAP", "8g")
-    val cmd = Seq(javaBin) ++ ClusterGate.executorJvmOptions ++ Seq(
-      s"-Xmx$heap", "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-    pb.environment().put("SPARK_GRAFT_BENCH_REPS", "1")
-    pb.environment().put("SPARK_GRAFT_BENCH_STREAM_REPS", "1")
-    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", probes)
-    pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.getAbsolutePath)
-    pb.redirectErrorStream(true)
-    val log = java.nio.file.Files.createTempFile(s"ab-$label-$round", ".log").toFile
-    pb.redirectOutput(log)
-    val proc = pb.start()
     // generous bound: a bench child that hangs must fail the A/B loudly,
-    // not silently stall an adjudication (same rationale as FleetBench's
-    // awaitStable deadline)
+    // not silently stall an adjudication — and ChildJvm's tree kill must
+    // leave no orphan Spark daemon inflating the LATER interleave rounds'
+    // floors (review r19: that contamination is exactly what the
+    // interleave protocol exists to remove)
     val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_AB_TIMEOUT_MIN", "30").toLong
-    val exited = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
-    if (!exited) {
-      proc.descendants().forEach(_.destroyForcibly())
-      proc.destroyForcibly()
-    }
-    require(exited && proc.exitValue() == 0,
+    val (exited, exit, log) = ChildJvm.run("graft.Bench", Seq.empty,
+      env = Map(
+        "SPARK_GRAFT_SF_DIR" -> sfDir,
+        "SPARK_GRAFT_CPUS" -> cpus,
+        "SPARK_GRAFT_BENCH_REPS" -> "1",
+        "SPARK_GRAFT_BENCH_STREAM_REPS" -> "1",
+        "SPARK_GRAFT_BENCH_ONLY" -> probes,
+        "SPARK_GRAFT_BENCH_OUT" -> outFile.getAbsolutePath),
+      timeoutSec = timeoutMin * 60,
+      heap = sys.env.getOrElse("SPARK_GRAFT_AB_HEAP", "8g"),
+      classpath = s"${classes.getAbsolutePath}:$sparkHome/jars/*")
+    require(exited && exit == 0,
       s"AbBench: child ($label round $round, tree $tree) " +
-        (if (exited) s"exited ${proc.exitValue()}" else "timed out") +
-        s" — log tail:\n" + {
-          val l = new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")
-          l.takeRight(2000)
-        })
+        (if (exited) s"exited $exit" else "timed out") +
+        s" — log tail:\n${log.takeRight(2000)}")
     new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
   }
 

@@ -48,6 +48,28 @@ object FleetBench {
     } finally walk.close()
   }
 
+  /** Wait for an async-listener-bus job counter to stop moving (3 quiet
+    * polls), with a 30 s deadline so a periodic background job or a stuck
+    * bus fails loudly instead of hanging the bench (ADVICE r18). One
+    * implementation for both sweep phases (review r19).
+    *
+    * @return the settled count
+    */
+  private def settle(counter: java.util.concurrent.atomic.AtomicInteger,
+      what: String): Int = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var last = -1; var stable = 0
+    while (stable < 3) {
+      require(System.nanoTime() < deadline,
+        s"$what bench: job counter did not settle within 30s " +
+          s"(count=${counter.get}) — something keeps scheduling Spark jobs")
+      Thread.sleep(100)
+      val c = counter.get
+      if (c == last) stable += 1 else { stable = 0; last = c }
+    }
+    counter.get
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_FLEET_STORES", "100").toInt
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
@@ -134,21 +156,7 @@ object FleetBench {
     // listener bus is async: wait for the count to stop moving (the
     // seeding jobs above may still be draining through the bus — zeroing
     // too early would blame them on the sweep; review r18)
-    // deadline (ADVICE r18): if the counter never settles — a periodic
-    // background job or a stuck listener bus — fail loudly with the count
-    // instead of hanging the bench forever
-    def awaitStable(): Unit = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var last = -1; var stable = 0
-      while (stable < 3) {
-        require(System.nanoTime() < deadline,
-          s"fleet bench: job counter did not settle within 30s " +
-            s"(count=${jobs.get}) — something keeps scheduling Spark jobs")
-        Thread.sleep(100)
-        val c = jobs.get
-        if (c == last) stable += 1 else { stable = 0; last = c }
-      }
-    }
+    def awaitStable(): Unit = { settle(jobs, "fleet"); () }
     spark.sparkContext.addSparkListener(listener)
     awaitStable()
     val runs = (1 to reps).map { _ =>
@@ -208,19 +216,7 @@ object FleetBench {
       }
     }
     spark.sparkContext.addSparkListener(vecListener)
-    def awaitVecStable(): Int = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var last = -1; var stable = 0
-      while (stable < 3) {
-        require(System.nanoTime() < deadline,
-          s"vector fleet: job counter did not settle within 30s " +
-            s"(count=${vecJobs.get})")
-        Thread.sleep(100)
-        val c = vecJobs.get
-        if (c == last) stable += 1 else { stable = 0; last = c }
-      }
-      vecJobs.get
-    }
+    def awaitVecStable(): Int = settle(vecJobs, "vector fleet")
     awaitVecStable()
     var vecJobCount = 0
     val vecRuns = (1 to reps).map { _ =>

@@ -12,12 +12,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AbBenchSpec extends AnyFunSuite {
 
-  test("probeSeconds reads the queries median (first occurrence) and rejects a missing probe") {
-    val line = """{"metric":"total","queries":{"q31_math_funcs":0.42,"q01_pricing_summary":1.5},""" +
+  test("probeSeconds reads the queries median — anchored past watch_mins — and rejects a missing probe") {
+    // the real artifact emits watch_mins BEFORE queries and the A/B's
+    // usual subjects ARE watch probes (review r19): the fixture plants a
+    // DIFFERENT value there to prove the parser is anchored inside the
+    // queries object, not first-match over the line
+    val line = """{"metric":"total","watch_mins":{"q31_math_funcs":0.11},""" +
+      """"queries":{"q31_math_funcs":0.42,"q01_pricing_summary":1.5},""" +
       """"queries_min":{"q31_math_funcs":0.40,"q01_pricing_summary":1.4}}"""
     assert(AbBench.probeSeconds(line, "q31_math_funcs") == 0.42)
     assert(AbBench.probeSeconds(line, "q01_pricing_summary") == 1.5)
     intercept[IllegalArgumentException](AbBench.probeSeconds(line, "q99_absent"))
+    intercept[IllegalArgumentException](AbBench.probeSeconds("{}", "q31_math_funcs"))
   }
 
   test("A/A smoke: the same compiled tree on both sides produces a structurally-complete verdict line") {

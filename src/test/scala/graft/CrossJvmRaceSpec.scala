@@ -78,8 +78,7 @@ class CrossJvmRaceSpec extends SparkSpec {
         s"foreign writer failed (exit $exit):\n${log.takeRight(2000)}")
     } finally {
       // belt: never leave the writer running on an assertion failure
-      child._1.descendants().forEach(_.destroyForcibly())
-      child._1.destroyForcibly()
+      ChildJvm.killTree(child._1)
     }
 
     // pointer unmoved; the foreign fold is INTACT in the live generation
