@@ -27,7 +27,8 @@ class CollectInventorySpec extends AnyFunSuite {
     "graft/functions/Bpe.scala" -> 1,
     "graft/DedupBench.scala" -> 1,
     "graft/Bench.scala" -> 1,
-    "graft/PlanDump.scala" -> 1)
+    "graft/PlanDump.scala" -> 1,
+    "graft/CensusChannel.scala" -> 1)
 
   test("every .collect() in src/main is inventoried in PLANS.md") {
     val root = java.nio.file.Paths.get("src/main/scala")
