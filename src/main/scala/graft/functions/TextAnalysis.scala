@@ -117,7 +117,7 @@ object TextAnalysis {
     */
   def rollingTokenHash(tokens: Column): Column =
     aggregate(tokens, lit(0L),
-      (acc, t) => (acc * 131L + conv(substring(md5(t), 1, 7), 16, 10).cast("long")) % 1000000007L)
+      (acc, t) => (acc * 131L + org.apache.spark.sql.graft.HashColumns.md5PrefixLong(t, 7)) % 1000000007L)
 
   /** Winnowing fingerprints (the MOSS local-minimum scheme): hash every
     * k-char gram of the text, slide a window of `w` consecutive gram hashes,
@@ -135,7 +135,7 @@ object TextAnalysis {
     val nGrams = length(text) - (k - 1) // gram count (may be <= 0)
     val grams = transform(
       sequence(lit(1), greatest(nGrams, lit(1))), // 1-based gram start positions
-      p => conv(substring(md5(substr(text, p, lit(k))), 1, 15), 16, 10).cast("long"))
+      p => org.apache.spark.sql.graft.HashColumns.md5PrefixLong(substr(text, p, lit(k))))
     val nWins = nGrams - (w - 1)
     val mins = transform(
       sequence(lit(1), greatest(nWins, lit(1))),

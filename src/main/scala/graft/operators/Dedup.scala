@@ -556,9 +556,13 @@ object Dedup {
         transform(
           sequence(lit(0), lit(numHashes - 1)),
           seed =>
+            // fused digest-bytes kernel ≡ the conv(substring(md5(concat(
+            // seed, '|', s)), 1, 15), 16, 10) spelling bit-for-bit
+            // (HashExpressions scaladoc; equivalence spec-pinned) — the
+            // hex round-trips dominated the signature pass
             array_min(transform(shinglesCol, s =>
-              conv(substring(md5(concat(seed.cast("string"), lit("|"), s)), 1, 15), 16, 10)
-                .cast("long")))))
+              org.apache.spark.sql.graft.HashColumns
+                .md5SeedPrefixLong(seed, s)))))
 
   /** LSH banding over a minhash signature: `numBands` band keys, each a
     * concatenation of `rowsPerBand` consecutive signature entries. Docs
@@ -611,7 +615,7 @@ object Dedup {
         col("id"),
         minhashSignature(col("sh0"), numHashes).as("sig"),
         transform(col("sh0"), s =>
-          conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shl"))
+          org.apache.spark.sql.graft.HashColumns.md5PrefixLong(s)).as("shl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh
       .select(col("id"), explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
@@ -773,8 +777,14 @@ object Dedup {
       })
     val edges = cut(pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))), "edges")
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")), "labels0")
+    // labels0 folds the FIRST neighbor-min propagation into the init
+    // (r19 optimization round): rep₀(id) = min(id, min neighbor) costs the
+    // same single aggregation the old `distinct()` init did, reaches the
+    // same fixpoint, and saves one full loop round on the common shallow
+    // (star/short-chain) graphs — one row per distinct id, as before.
+    var labels = cut(edges.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"), least(col("src"), col("_m")).as("rep")),
+      "labels0")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -782,8 +792,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("nbr_rep"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
-        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // `next` is cut BEFORE the pointer-jump self-join (r19 optimization
+      // round): without the cut both join sides re-evaluate the whole
+      // viaNeighbors subtree — the loop's dominant exchange — doubling the
+      // per-round work; `prev` rides along so convergence below is a scan
+      // of the checkpointed frame, not another shuffle join.
+      val next = cut(labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
+          col("rep").as("prev")), s"next$i")
       // pointer jumping: rep := rep(rep). With it each round squares the
       // reach (O(log diameter) rounds), so maxIter=10 covers chains of
       // ~2¹⁰ hops that plain neighbor-min would need 1024 rounds for.
@@ -792,10 +809,10 @@ object Dedup {
         .join(next.select(col("id").as("_rid"), col("rep").as("_rrep")),
           col("a.rep") === col("_rid"), "left")
         .select(col("a.id").as("id"),
-          coalesce(col("_rrep"), col("a.rep")).as("rep")), s"iter$i")
-      converged = jumped.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .where(col("rep") =!= col("prev")).isEmpty
-      labels = jumped
+          coalesce(col("_rrep"), col("a.rep")).as("rep"),
+          col("a.prev").as("prev")), s"iter$i")
+      converged = jumped.where(col("rep") =!= col("prev")).isEmpty
+      labels = jumped.select(col("id"), col("rep"))
       i += 1
     }
     // silence would mean WRONG components (chains longer than the budget
@@ -1577,7 +1594,7 @@ object Dedup {
     */
   def simhash(tokensCol: Column, bits: Int = 16): Column = {
     val hashes = transform(tokensCol,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+      t => org.apache.spark.sql.graft.HashColumns.md5PrefixLong(t))
     aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0L),
@@ -2336,7 +2353,7 @@ object Dedup {
       .select(col("id"),
         minhashSignature(col("sh0"), numHashes).as("sig"),
         transform(col("sh0"), s =>
-          conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shl"))
+          org.apache.spark.sql.graft.HashColumns.md5PrefixLong(s)).as("shl"))
       .dropDuplicates("id")
       .join(store.select(col("id")), Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

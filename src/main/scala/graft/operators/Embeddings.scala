@@ -144,7 +144,7 @@ object Embeddings {
     * DuckDB equivalent: `('0x' || substr(md5(x),1,15))::BIGINT % dim`.
     */
   def md5BucketCol(c: Column, dim: Int): Column =
-    (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % dim).cast("int")
+    (org.apache.spark.sql.graft.HashColumns.md5PrefixLong(c) % dim).cast("int")
 
   /** Relational hashed-TF embedding as ONE Column: equivalent to
     * [[HashingTfEmbedder]] (tested), expressible in DuckDB for the oracle.

@@ -20,7 +20,7 @@ object Sampling {
     * draw independent samples of the same data).
     */
   def sampleHash(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.HashColumns.md5PrefixLong(concat(lit(salt), key.cast("string")))
 
   /** TOPIC-BALANCED sample over an embedding column — equal representation
     * per semantic cluster instead of per corpus share (the mixture cut
@@ -243,8 +243,8 @@ object Sampling {
         s"overflow a long (negative priorities = wrong sample), got $maxWeight")
     import org.apache.spark.sql.expressions.Window
     val pow40 = 1099511627776L // 2^40
-    val u = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 10), 16, 10)
-      .cast("long") + 1L
+    val u = org.apache.spark.sql.graft.HashColumns.md5PrefixLong(
+      concat(lit(salt), key.cast("string")), 10) + 1L
     val w = when(weight.cast("long") < 0 || weight.cast("long") > maxWeight,
         expr(s"raise_error('weighted sample: weight out of [0, $maxWeight]')")
           .cast("long"))
@@ -515,7 +515,7 @@ object Sampling {
       .otherwise(array().cast("array<string>"))
     val feats = concat(toks, bigrams)
     val bucket = pmod(
-      conv(substring(md5(col("_f")), 1, 15), 16, 10).cast("long"), lit(buckets))
+      org.apache.spark.sql.graft.HashColumns.md5PrefixLong(col("_f")), lit(buckets))
     def bucketCounts(df: DataFrame): DataFrame =
       df.select(explode(feats).as("_f"))
         .select(bucket.as("_b"))

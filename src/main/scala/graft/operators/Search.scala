@@ -225,14 +225,21 @@ object Search {
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$dstPath/postings")
-    val kept = spark.read.parquet(s"$srcPath/doclens")
+    // stats observed ON the doclens write (r19 optimization round — the
+    // R168 no-read-back discipline): the job-committed write's own counts
+    // are exactly what a re-read would aggregate, without the extra scan
+    val obs = org.apache.spark.sql.Observation()
+    spark.read.parquet(s"$srcPath/doclens")
       .join(drop, Seq("id"), "left_anti")
-    kept.write.mode("overwrite").parquet(s"$dstPath/doclens")
-    val survivors = spark.read.parquet(s"$dstPath/doclens")
-    survivors.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .na.fill(0L, Seq("sum_dl"))
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dstPath/doclens")
+    val n = obs.get("n_docs").asInstanceOf[Long]
+    import spark.implicits._
+    Seq((n, obs.get("sum_dl").asInstanceOf[Long]))
+      .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").parquet(s"$dstPath/stats")
-    survivors.count()
+    n
   }
 
   /** The IVF twin of [[removeFromTextIndex]]: copy a persisted IVF index
@@ -252,14 +259,12 @@ object Search {
     require(srcPath != dstPath,
       "removeFromIvfIndex writes a NEW directory (caller swaps atomically)")
     val drop = removeIds.select(col(idCol)).distinct()
-    spark.read.parquet(s"$srcPath/vectors")
-      .join(drop, Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
-    spark.read.parquet(s"$srcPath/centroids")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/vectors")
+        .join(drop, Seq(idCol), "left_anti"),
+      s"$dstPath/vectors", partitionCol = Some("cluster_id"))
+    copySidecarFiles(spark, s"$srcPath/centroids", s"$dstPath/centroids")
     carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
-    spark.read.parquet(s"$dstPath/vectors").count()
+    n
   }
 
   /** FUSED text-index update — the remove-then-append composition
@@ -313,15 +318,22 @@ object Search {
         .repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(s"$dstPath/postings")
+      // stats observed ON the doclens write (r19 optimization round —
+      // the R168 no-read-back discipline): same exact values as the
+      // re-read aggregate, two fewer jobs per update
+      val obs = org.apache.spark.sql.Observation()
       spark.read.parquet(s"$srcPath/doclens")
         .join(drop, Seq("id"), "left_anti")
         .unionByName(doclensOf(base))
+        .observe(obs, count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
         .write.mode("overwrite").parquet(s"$dstPath/doclens")
-      spark.read.parquet(s"$dstPath/doclens")
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .na.fill(0L, Seq("sum_dl"))
+      val n = obs.get("n_docs").asInstanceOf[Long]
+      import spark.implicits._
+      Seq((n, obs.get("sum_dl").asInstanceOf[Long]))
+        .toDF("n_docs", "sum_dl")
         .write.mode("overwrite").parquet(s"$dstPath/stats")
-      spark.read.parquet(s"$dstPath/stats").head().getLong(0)
+      n
     } finally { base.unpersist(); () }
   }
 
@@ -350,8 +362,7 @@ object Search {
       .unionByName(ivfAssign(fresh, vecCol, centroids))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(s"$dstPath/vectors")
-    spark.read.parquet(s"$srcPath/centroids")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
+    copySidecarFiles(spark, s"$srcPath/centroids", s"$dstPath/centroids")
     carryModelMarker(spark, srcPath, dstPath, Seq("vectors", "centroids"))
     // the return count now comes from the drift-stats seed — a narrow
     // (vec + cluster_id) scan of the NEW store, which is MORE than the
@@ -645,7 +656,7 @@ object Search {
     * SearchSpec), so scan cost divides by nClusters/nProbe at any scale.
     */
   def writeIvfIndex(df: DataFrame, vecCol: String,
-      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
+      centroids: Seq[(Int, Array[Float])], path: String): Long = {
     import org.apache.spark.sql.SaveMode
     ivfAssign(df, vecCol, centroids)
       .write.mode(SaveMode.Overwrite)
@@ -662,9 +673,10 @@ object Search {
     // fingerprint matches — the fallback never triggers). One narrow
     // (vec + cluster_id) scan, bounded by the write that just produced it;
     // a healthy maintainVectorIndex tick then observes KB of stats
-    // instead of re-scoring the store (VERDICT r15 #2)
+    // instead of re-scoring the store (VERDICT r15 #2). The seed's count
+    // doubles as the builder's return value (r19 optimization round), so
+    // refresh callers need no read-back count job.
     seedIvfDriftStats(spark, path, vecCol)
-    ()
   }
 
   /** Incrementally maintain a persisted IVF index: assign a NEW batch to
@@ -1189,9 +1201,8 @@ object Search {
     val subdim = dim / m
     val ranked = codes.select(col("_id"))
       .crossJoin(spark_range_df(codes, m))
-      .withColumn("_h", conv(substring(md5(
-        concat(col("_s").cast("string"), lit("|"), col("_id").cast("string"))),
-        1, 15), 16, 10).cast("long"))
+      .withColumn("_h", org.apache.spark.sql.graft.HashColumns.md5PrefixLong(
+        concat(col("_s").cast("string"), lit("|"), col("_id").cast("string"))))
       .withColumn("_rk", row_number().over(
         Window.partitionBy("_s").orderBy(col("_h"), col("_id"))))
       .where(col("_rk") <= ksub)
@@ -1405,8 +1416,8 @@ object Search {
     * session state; appends reuse [[appendPqIndex]] on the rotated batch.
     */
   def opqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
-      model: OpqModel, path: String): Unit = {
-    pqWriteIndex(df.select(col(idCol),
+      model: OpqModel, path: String): Long = {
+    val n = pqWriteIndex(df.select(col(idCol),
         rotateCol(col(vecCol), model.rotation).as(vecCol)),
       idCol, vecCol, model.cb, path)
     val spark = df.sparkSession
@@ -1414,6 +1425,7 @@ object Search {
     model.rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
       .toDF("i", "row")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/rotation")
+    n
   }
 
   /** Load a persisted OPQ model (codebook + rotation sidecars). */
@@ -1576,17 +1588,18 @@ object Search {
     * by [[pqTopKFromIndex]] with no session state.
     */
   def pqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
-      cb: PqCodebooks, path: String): Unit = {
+      cb: PqCodebooks, path: String): Long = {
     require(cb.ksub <= 128, s"ksub=${cb.ksub} > 128 codes do not fit tinyint")
-    pqEncode(df, idCol, vecCol, cb)
-      .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    val n = writeCounted(pqEncode(df, idCol, vecCol, cb)
+      .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes")),
+      s"$path/codes")
     val spark = df.sparkSession
     import spark.implicits._
     cb.centers.zipWithIndex.flatMap { case (cents, s) =>
       cents.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toDF("s", "j", "center")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    n
   }
 
   /** Load the sidecar codebooks of a persisted PQ index (driver-side). */
@@ -1678,11 +1691,10 @@ object Search {
     */
   def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], cb: PqCodebooks,
-      path: String): Unit = {
+      path: String): Long = {
     require(cb.ksub <= 128, s"ksub=${cb.ksub} > 128 codes do not fit tinyint")
-    ivfPqEncoded(df, idCol, vecCol, centroids, cb)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$path/codes")
+    val n = writeCounted(ivfPqEncoded(df, idCol, vecCol, centroids, cb),
+      s"$path/codes", partitionCol = Some("cluster_id"))
     val spark = df.sparkSession
     import spark.implicits._
     centroids.map { case (cid, v) => (cid, v.toSeq) }
@@ -1692,6 +1704,7 @@ object Search {
       cents.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toDF("s", "j", "center")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    n
   }
 
   /** ANN top-k against a persisted [[writeIvfPqIndex]] index: probe
@@ -1803,17 +1816,14 @@ object Search {
       "removeFromIvfPqIndex writes a NEW directory (caller swaps atomically)")
     requirePlainIvfPq(spark, srcPath, "removeFromIvfPqIndex")
     val drop = removeIds.select(col(idCol)).distinct()
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
-    spark.read.parquet(s"$srcPath/centroids")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
-    spark.read.parquet(s"$srcPath/codebooks")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq(idCol), "left_anti"),
+      s"$dstPath/codes", partitionCol = Some("cluster_id"))
+    copySidecarFiles(spark, s"$srcPath/centroids", s"$dstPath/centroids")
+    copySidecarFiles(spark, s"$srcPath/codebooks", s"$dstPath/codebooks")
     carryModelMarker(spark, srcPath, dstPath,
       Seq("codes", "centroids", "codebooks"))
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** FUSED IVF-PQ update — the [[updateIvfIndex]] contract on the
@@ -1835,18 +1845,15 @@ object Search {
     val fresh = refreshBatch.dropDuplicates(idCol)
     val drop = retireIds.select(col(idCol))
       .unionByName(fresh.select(col(idCol))).distinct()
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq(idCol), "left_anti")
-      .unionByName(ivfPqEncoded(fresh, idCol, vecCol, centroids, cb))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
-    spark.read.parquet(s"$srcPath/centroids")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
-    spark.read.parquet(s"$srcPath/codebooks")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq(idCol), "left_anti")
+        .unionByName(ivfPqEncoded(fresh, idCol, vecCol, centroids, cb)),
+      s"$dstPath/codes", partitionCol = Some("cluster_id"))
+    copySidecarFiles(spark, s"$srcPath/centroids", s"$dstPath/centroids")
+    copySidecarFiles(spark, s"$srcPath/codebooks", s"$dstPath/codebooks")
     carryModelMarker(spark, srcPath, dstPath,
       Seq("codes", "centroids", "codebooks"))
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   // ------------------------------------------- residual IVF-PQ (IVFADC) ---
@@ -1972,11 +1979,11 @@ object Search {
     */
   def writeIvfPqResidualIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], cb: PqCodebooks,
-      path: String): Unit = {
+      path: String): Long = {
     require(cb.ksub <= 128, s"ksub=${cb.ksub} > 128 codes do not fit tinyint")
-    ivfPqResidualEncoded(df, idCol, vecCol, centroids, cb)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$path/codes")
+    val n = writeCounted(
+      ivfPqResidualEncoded(df, idCol, vecCol, centroids, cb),
+      s"$path/codes", partitionCol = Some("cluster_id"))
     val spark = df.sparkSession
     import spark.implicits._
     centroids.map { case (cid, v) => (cid, v.toSeq) }
@@ -1988,6 +1995,7 @@ object Search {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
     Seq("fp_residual").toDF("encoding")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/encoding")
+    n
   }
 
   /** The ADC candidate stage of [[ivfPqResidualTopKFromIndex]]: one
@@ -2101,14 +2109,13 @@ object Search {
       "removeFromIvfPqResidualIndex writes a NEW directory (caller swaps atomically)")
     requireResidualIvfPq(spark, srcPath, "removeFromIvfPqResidualIndex")
     val drop = removeIds.select(col(idCol)).distinct()
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq(idCol), "left_anti"),
+      s"$dstPath/codes", partitionCol = Some("cluster_id"))
     copyIvfPqSidecars(spark, srcPath, dstPath, withEncoding = true)
     carryModelMarker(spark, srcPath, dstPath,
       Seq("codes", "centroids", "codebooks", "encoding"))
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** FUSED residual-index update — [[updateIvfPqIndex]]'s one-write
@@ -2127,27 +2134,79 @@ object Search {
     val fresh = refreshBatch.dropDuplicates(idCol)
     val drop = retireIds.select(col(idCol))
       .unionByName(fresh.select(col(idCol))).distinct()
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq(idCol), "left_anti")
-      .unionByName(ivfPqResidualEncoded(fresh, idCol, vecCol, centroids, cb))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(s"$dstPath/codes")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq(idCol), "left_anti")
+        .unionByName(ivfPqResidualEncoded(fresh, idCol, vecCol, centroids, cb)),
+      s"$dstPath/codes", partitionCol = Some("cluster_id"))
     copyIvfPqSidecars(spark, srcPath, dstPath, withEncoding = true)
     carryModelMarker(spark, srcPath, dstPath,
       Seq("codes", "centroids", "codebooks", "encoding"))
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** Copy the frozen-model sidecars of an IVF-PQ store verbatim. */
   private def copyIvfPqSidecars(spark: SparkSession, srcPath: String,
       dstPath: String, withEncoding: Boolean): Unit = {
-    spark.read.parquet(s"$srcPath/centroids")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/centroids")
-    spark.read.parquet(s"$srcPath/codebooks")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    copySidecarFiles(spark, s"$srcPath/centroids", s"$dstPath/centroids")
+    copySidecarFiles(spark, s"$srcPath/codebooks", s"$dstPath/codebooks")
     if (withEncoding)
-      spark.read.parquet(s"$srcPath/encoding")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/encoding")
+      copySidecarFiles(spark, s"$srcPath/encoding", s"$dstPath/encoding")
+  }
+
+  /** Verbatim sidecar carry-over as a DRIVER-SIDE byte copy of the
+    * parquet data files (+ `_SUCCESS` last), replacing the
+    * `spark.read.parquet(src).coalesce(1).write.parquet(dst)` rewrite
+    * (r19 optimization round, guide §5): sidecars are MODEL-scale
+    * (centroids / codebooks / rotation / encoding — KBs by construction),
+    * so moving them through a distributed read+shuffle+write job is two
+    * Spark jobs of pure overhead per maintenance op. A byte copy yields
+    * bit-identical files; version tags / model markers are written by the
+    * caller afterwards exactly as before (they are separate `_`-files and
+    * are deliberately NOT copied here, matching what the Spark rewrite
+    * carried — nothing). `_SUCCESS` copies last so a torn copy never
+    * classifies as a complete sidecar.
+    */
+  private def copySidecarFiles(spark: SparkSession, src: String,
+      dst: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val fs = srcP.getFileSystem(hconf)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    if (fs.exists(dstP)) { fs.delete(dstP, true); () }
+    fs.mkdirs(dstP)
+    val files = fs.listStatus(srcP).filter(_.isFile)
+      .filter { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    files.foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(dstP, f.getPath.getName),
+        false, hconf)
+    }
+    val success = new org.apache.hadoop.fs.Path(srcP, "_SUCCESS")
+    if (fs.exists(success)) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, success, fs,
+        new org.apache.hadoop.fs.Path(dstP, "_SUCCESS"), false, hconf)
+      ()
+    }
+  }
+
+  /** Row count observed ON the write job itself — the R168 "no read-back
+    * job" discipline applied to the index maintainers (r19 optimization
+    * round): every remove/update/refresh previously re-listed and
+    * re-counted the store it had just written, one full extra Spark job
+    * per maintenance op whose only output was the return value. The
+    * Observation's count is exactly the rows the (all-or-nothing,
+    * job-committed) write landed, so the value is identical.
+    */
+  private def writeCounted(df: DataFrame, path: String,
+      partitionCol: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode(mode)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** The delete half of flat-PQ index maintenance (same contract as
@@ -2161,13 +2220,12 @@ object Search {
     require(srcPath != dstPath,
       "removeFromPqIndex writes a NEW directory (caller swaps atomically)")
     val drop = removeIds.select(col(idCol)).distinct()
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
-    spark.read.parquet(s"$srcPath/codebooks")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq(idCol), "left_anti"),
+      s"$dstPath/codes")
+    copySidecarFiles(spark, s"$srcPath/codebooks", s"$dstPath/codebooks")
     carryModelMarker(spark, srcPath, dstPath, Seq("codes", "codebooks"))
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** FUSED flat-PQ update ([[updateIvfIndex]] contract, id-keyed flat
@@ -2185,15 +2243,14 @@ object Search {
     val fresh = refreshBatch.dropDuplicates(idCol)
     val drop = retireIds.select(col(idCol))
       .unionByName(fresh.select(col(idCol))).distinct()
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq(idCol), "left_anti")
-      .unionByName(pqEncode(fresh, idCol, vecCol, cb)
-        .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
-    spark.read.parquet(s"$srcPath/codebooks")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codebooks")
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq(idCol), "left_anti")
+        .unionByName(pqEncode(fresh, idCol, vecCol, cb)
+          .select(col(idCol), transform(col("pq_codes"), _.cast("byte")).as("pq_codes"))),
+      s"$dstPath/codes")
+    copySidecarFiles(spark, s"$srcPath/codebooks", s"$dstPath/codebooks")
     carryModelMarker(spark, srcPath, dstPath, Seq("codes", "codebooks"))
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** The delete half of OPQ index maintenance: [[removeFromPqIndex]] plus
@@ -2204,8 +2261,7 @@ object Search {
   def removeFromOpqIndex(spark: SparkSession, srcPath: String,
       dstPath: String, removeIds: DataFrame, idCol: String): Long = {
     val n = removeFromPqIndex(spark, srcPath, dstPath, removeIds, idCol)
-    spark.read.parquet(s"$srcPath/rotation")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    copySidecarFiles(spark, s"$srcPath/rotation", s"$dstPath/rotation")
     carryModelMarker(spark, srcPath, dstPath, Seq("rotation"))
     n
   }
@@ -2224,8 +2280,7 @@ object Search {
       refreshBatch.select(col(idCol),
         rotateCol(col(vecCol), model.rotation).as(vecCol)),
       idCol, vecCol)
-    spark.read.parquet(s"$srcPath/rotation")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/rotation")
+    copySidecarFiles(spark, s"$srcPath/rotation", s"$dstPath/rotation")
     carryModelMarker(spark, srcPath, dstPath, Seq("rotation"))
     n
   }
@@ -2282,9 +2337,8 @@ object Search {
   private[graft] def centroidRanking(df: DataFrame, idCol: String,
       nClusters: Int, salt: String): DataFrame =
     df.select(col(idCol).as("_id"))
-      .withColumn("_h", conv(substring(md5(
-        concat(lit(salt), lit("|"), col("_id").cast("string"))),
-        1, 15), 16, 10).cast("long"))
+      .withColumn("_h", org.apache.spark.sql.graft.HashColumns.md5PrefixLong(
+        concat(lit(salt), lit("|"), col("_id").cast("string"))))
       .withColumn("_rk", row_number().over(
         Window.orderBy(col("_h"), col("_id"))))
       .where(col("_rk") <= nClusters)
@@ -2409,11 +2463,11 @@ object Search {
         "first build is writeIvfIndex")
     val version = readModelVersion(spark, srcPath) + 1
     val cents = sampledCentroids(df, idCol, vecCol, nClusters, salt)
-    writeIvfIndex(df, vecCol, cents, dstPath)
+    val n = writeIvfIndex(df, vecCol, cents, dstPath)
     tagModelVersion(s"$dstPath/vectors", version, hconf)
     tagModelVersion(s"$dstPath/centroids", version, hconf)
     writeModelMarker(spark, dstPath, version, "ivf")
-    spark.read.parquet(s"$dstPath/vectors").count()
+    n
   }
 
   /** [[refreshIvfIndex]] for the flat PQ family: codebooks re-train on
@@ -2435,11 +2489,11 @@ object Search {
         "first build is pqWriteIndex")
     val version = readModelVersion(spark, srcPath) + 1
     val cb = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
-    pqWriteIndex(df, idCol, vecCol, cb, dstPath)
+    val n = pqWriteIndex(df, idCol, vecCol, cb, dstPath)
     tagModelVersion(s"$dstPath/codes", version, hconf)
     tagModelVersion(s"$dstPath/codebooks", version, hconf)
     writeModelMarker(spark, dstPath, version, "pq")
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** [[refreshIvfIndex]] for the composed IVF-PQ family: BOTH models —
@@ -2464,12 +2518,12 @@ object Search {
     val version = readModelVersion(spark, srcPath) + 1
     val cents = sampledCentroids(df, idCol, vecCol, nClusters, salt)
     val cb = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
-    writeIvfPqIndex(df, idCol, vecCol, cents, cb, dstPath)
+    val n = writeIvfPqIndex(df, idCol, vecCol, cents, cb, dstPath)
     tagModelVersion(s"$dstPath/codes", version, hconf)
     tagModelVersion(s"$dstPath/centroids", version, hconf)
     tagModelVersion(s"$dstPath/codebooks", version, hconf)
     writeModelMarker(spark, dstPath, version, "ivfpq")
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** [[refreshIvfPqIndex]] for the RESIDUAL family: centroids re-sample,
@@ -2495,13 +2549,13 @@ object Search {
     val version = readModelVersion(spark, srcPath) + 1
     val cents = sampledCentroids(df, idCol, vecCol, nClusters, salt)
     val cb = pqResidualSampledCodebooks(df, idCol, vecCol, cents, dim, m, ksub)
-    writeIvfPqResidualIndex(df, idCol, vecCol, cents, cb, dstPath)
+    val n = writeIvfPqResidualIndex(df, idCol, vecCol, cents, cb, dstPath)
     tagModelVersion(s"$dstPath/codes", version, hconf)
     tagModelVersion(s"$dstPath/centroids", version, hconf)
     tagModelVersion(s"$dstPath/codebooks", version, hconf)
     tagModelVersion(s"$dstPath/encoding", version, hconf)
     writeModelMarker(spark, dstPath, version, "ivfpq_residual")
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   /** [[refreshPqIndex]] for the OPQ family — completing refresh symmetry
@@ -2529,12 +2583,12 @@ object Search {
     val version = readModelVersion(spark, srcPath) + 1
     val model = opqTrainCodebooks(df, vecCol, dim, m, ksub, seed, maxIter,
       opqIters)
-    opqWriteIndex(df, idCol, vecCol, model, dstPath)
+    val n = opqWriteIndex(df, idCol, vecCol, model, dstPath)
     tagModelVersion(s"$dstPath/codes", version, hconf)
     tagModelVersion(s"$dstPath/codebooks", version, hconf)
     tagModelVersion(s"$dstPath/rotation", version, hconf)
     writeModelMarker(spark, dstPath, version, "opq")
-    spark.read.parquet(s"$dstPath/codes").count()
+    n
   }
 
   // ------------- catalog-resolved serving + the drift-policy loop ---
@@ -3221,13 +3275,12 @@ object Search {
       .join(drop, Seq("id"), "left_anti")
       .dropDuplicates("id", "t", "bucket")
       .write.mode(SaveMode.Overwrite).partitionBy("t").parquet(s"$dstPath/bands")
-    spark.read.parquet(s"$srcPath/codes")
-      .join(drop, Seq("id"), "left_anti")
-      .dropDuplicates("id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
-    spark.read.parquet(s"$srcPath/meta")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/meta")
-    spark.read.parquet(s"$dstPath/codes").count()
+    val n = writeCounted(spark.read.parquet(s"$srcPath/codes")
+        .join(drop, Seq("id"), "left_anti")
+        .dropDuplicates("id"),
+      s"$dstPath/codes")
+    copySidecarFiles(spark, s"$srcPath/meta", s"$dstPath/meta")
+    n
   }
 
   /** FUSED seeded-LSH update ([[updateIvfIndex]] contract): survivors
@@ -3259,22 +3312,22 @@ object Search {
         .unionByName(fresh.select(col(idCol).as("id"))).distinct()
       val codes = seededCodes(fresh, idCol, vecCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        spark.read.parquet(s"$srcPath/bands")
-          .join(drop, Seq("id"), "left_anti")
-          .dropDuplicates("id", "t", "bucket")
-          .unionByName(seededBands(codes, dim, nt, bpt)
-            .select(col("_id").as("id"), col("_t").as("t"), col("_b").as("bucket")))
-          .write.mode(SaveMode.Overwrite).partitionBy("t").parquet(s"$dstPath/bands")
-        spark.read.parquet(s"$srcPath/codes")
-          .join(drop, Seq("id"), "left_anti")
-          .dropDuplicates("id")
-          .unionByName(codes.select(col("_id").as("id"), col("_c").as("code")))
-          .write.mode(SaveMode.Overwrite).parquet(s"$dstPath/codes")
-      } finally { codes.unpersist(false); () }
-      spark.read.parquet(s"$srcPath/meta")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dstPath/meta")
-      spark.read.parquet(s"$dstPath/codes").count()
+      val out =
+        try {
+          spark.read.parquet(s"$srcPath/bands")
+            .join(drop, Seq("id"), "left_anti")
+            .dropDuplicates("id", "t", "bucket")
+            .unionByName(seededBands(codes, dim, nt, bpt)
+              .select(col("_id").as("id"), col("_t").as("t"), col("_b").as("bucket")))
+            .write.mode(SaveMode.Overwrite).partitionBy("t").parquet(s"$dstPath/bands")
+          writeCounted(spark.read.parquet(s"$srcPath/codes")
+              .join(drop, Seq("id"), "left_anti")
+              .dropDuplicates("id")
+              .unionByName(codes.select(col("_id").as("id"), col("_c").as("code"))),
+            s"$dstPath/codes")
+        } finally { codes.unpersist(false); () }
+      copySidecarFiles(spark, s"$srcPath/meta", s"$dstPath/meta")
+      out
     } finally { fresh.unpersist(); () }
   }
 
@@ -3338,16 +3391,33 @@ object Search {
     /** Approximate self-join: pairs within `maxL2Dist`, id1 < id2.
       *
       * The hashed frame is computed ONCE and persisted before the join —
-      * approxSimilarityJoin skips its internal transform when the output
-      * column already exists, so the self-join's two sides share one
-      * hashing pass instead of re-deriving it per side (this recompute was
-      * the round-2 bench's 3.5–16 s run-to-run variance: two concurrent
+      * one hashing pass for both join sides (the recompute was the
+      * round-2 bench's 3.5–16 s run-to-run variance: two concurrent
       * hashing subplans GC-thrashing). The small result is materialized
       * eagerly and the hash cache released — no session-lifetime blocks.
+      *
+      * r19 optimization round: the candidate join is EXPLICIT instead of
+      * `model.approxSimilarityJoin` — MLlib's join explodes FULL rows
+      * (vectors + hash arrays), runs `distinct()` over the row pairs and
+      * scores every ordered pair (both directions and self-pairs) through
+      * a non-codegen keyDistance UDF. Here only `(table, bucket, id)`
+      * crosses the exchange (guide §2.3 — shuffle the proxy, not the
+      * payload), the distinct runs on bare id pairs with id1 < id2 (half
+      * the candidates, no self-pairs), and vectors are re-attached once
+      * per surviving pair for ONE fused-codegen l2 evaluation.
+      * Equivalence is bit-exact: the buckets come from the SAME fitted
+      * model's `transform`, membership means sharing ≥ 1 `(table,
+      * bucket)` exactly as MLlib's exploded equi-join, and
+      * [[graft.functions.VectorFunctions.l2Distance]] accumulates
+      * left-to-right in double over the float→double-exact inputs —
+      * bit-identical to `Vectors.sqdist` + sqrt, with the same STRICT
+      * `< maxL2Dist` filter (SearchSpec pins set equality against
+      * approxSimilarityJoin).
       */
     def approxPairs(df: DataFrame, idCol: String, vecCol: String,
         maxL2Dist: Double,
         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      import org.apache.spark.ml.functions.vector_to_array
       val prepared = withVec(df, vecCol)
       val model = new BucketedRandomProjectionLSH()
         .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
@@ -3355,10 +3425,25 @@ object Search {
         .fit(prepared)
       val hashed = model.transform(prepared)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = model.approxSimilarityJoin(hashed, hashed, maxL2Dist, "l2_dist")
-        .select(col(s"datasetA.$idCol").as("id1"),
-          col(s"datasetB.$idCol").as("id2"), col("l2_dist"))
+      // BRP-LSH emits one 1-element vector per table: bucket =
+      // floor(dot/bucketLength), a whole double — cast to long for a
+      // narrow, exact join key
+      val buckets = hashed.select(col(idCol).as("_id"),
+          posexplode(col("_hashes")).as(Seq("_t", "_h")))
+        .select(col("_id"), col("_t"),
+          vector_to_array(col("_h")).getItem(0).cast("long").as("_b"))
+      val cand = buckets.select(col("_id").as("id1"), col("_t"), col("_b"))
+        .join(buckets.select(col("_id").as("id2"), col("_t"), col("_b")),
+          Seq("_t", "_b"))
         .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+      val pairs = cand
+        .join(hashed.select(col(idCol).as("id1"), col(vecCol).as("_v1")), "id1")
+        .join(hashed.select(col(idCol).as("id2"), col(vecCol).as("_v2")), "id2")
+        .withColumn("l2_dist",
+          graft.functions.VectorFunctions.l2Distance(col("_v1"), col("_v2")))
+        .where(col("l2_dist") < maxL2Dist)
+        .select(col("id1"), col("id2"), col("l2_dist"))
       // eager cut so `hashed` can be released immediately (round-2 variance
       // fix); the cut's durability is the caller's CheckpointStrategy —
       // default Local is single-JVM, cluster runs pass Reliable/Parquet.

@@ -286,6 +286,34 @@ class SearchSpec extends SparkSpec {
     assert(approx.subsetOf(exact.union(exact))) // no pair beyond threshold (join filters)
   }
 
+  test("approxPairs: explicit narrow candidate join ≡ MLlib approxSimilarityJoin, distances bit-equal") {
+    // r19 optimization round: approxPairs no longer calls
+    // approxSimilarityJoin (full-row explode join + non-codegen UDF
+    // distance) — this pins the rewrite to MLlib's exact semantics on the
+    // same fitted model: identical pair SET and bit-identical l2_dist
+    // (same strict < threshold, same double accumulation as
+    // Vectors.sqdist + sqrt).
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val got = new Search.LshIndex(bucketLength = 0.5, numTables = 3, seed = 42L)
+      .approxPairs(emb, "vec_id", "embedding", maxL2Dist = 1.18)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val prepared = emb.withColumn("_features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
+      .setInputCol("_features").setOutputCol("_hashes").fit(prepared)
+    val want = model.approxSimilarityJoin(prepared, prepared, 1.18, "l2_dist")
+      .select(col("datasetA.vec_id").as("id1"),
+        col("datasetB.vec_id").as("id2"), col("l2_dist"))
+      .where(col("id1") < col("id2"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    assert(got.nonEmpty)
+    got.foreach { case (k, d) =>
+      assert(java.lang.Double.compare(d, want(k)) == 0, s"l2_dist drift at $k") }
+  }
+
   test("recall gate: frozen BASELINE.md floors hold (IVF by nProbe, quantized rescore)") {
     // Floors are the round-5 RecallBench numbers at sf0.001 minus margin
     // (BASELINE.md §ANN-recall: np1 0.368, np2 0.460, np4 0.602, qivf ==

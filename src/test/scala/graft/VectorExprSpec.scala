@@ -288,4 +288,42 @@ class VectorExprSpec extends SparkSpec {
     assert(out(0).isNullAt(2), "a length-mismatched row nulls the result")
     assert(out(1).isNullAt(1) && out(1).isNullAt(2), "null vector → null")
   }
+
+  test("fused md5-prefix kernels ≡ the conv(substring(md5)) chain, bit-for-bit") {
+    // r19 optimization round: the minhash/sampling hot paths switched from
+    // the 4-expression hex round-trip to HashColumns.md5PrefixLong /
+    // md5SeedPrefixLong — this pins value equality (incl. unicode, empty
+    // strings, every digit width in use: 7, 10, 15) and null behavior, so
+    // every md5-hashed oracle twin stays green by construction.
+    import org.apache.spark.sql.graft.HashColumns
+    import spark.implicits._
+    val strs = Seq("", "a", "hello world", "ünïcødé ⚡ 漢字", "|", "0|x",
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "line\nbreak\ttab") ++ (0 until 50).map(i => s"tok_$i salt")
+    val df = strs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    for (d <- Seq(7, 10, 15)) {
+      val bad = df.select(
+          HashColumns.md5PrefixLong(col("s"), d).as("fast"),
+          conv(substring(md5(col("s")), 1, d), 16, 10).cast("long").as("ref"))
+        .where(col("fast") =!= col("ref") ||
+          (col("fast").isNull =!= col("ref").isNull))
+        .count()
+      assert(bad == 0, s"md5PrefixLong digits=$d drifted from the chain")
+    }
+    val badSeed = df.crossJoin(Seq(0, 1, 7, 11).toDF("seed"))
+      .select(
+        HashColumns.md5SeedPrefixLong(col("seed"), col("s")).as("fast"),
+        conv(substring(md5(concat(col("seed").cast("string"), lit("|"),
+          col("s"))), 1, 15), 16, 10).cast("long").as("ref"))
+      .where(col("fast") =!= col("ref") ||
+        (col("fast").isNull =!= col("ref").isNull))
+      .count()
+    assert(badSeed == 0, "md5SeedPrefixLong drifted from the concat chain")
+    // null propagation matches the chain: null in → null out
+    val nulls = Seq((1, null: String)).toDF("i", "s")
+      .select(HashColumns.md5PrefixLong(col("s")).as("a"),
+        HashColumns.md5SeedPrefixLong(lit(3), col("s")).as("b"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }
