@@ -769,7 +769,8 @@ object Dedup {
     * @return (id, rep) — one row per id appearing in any pair
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
-      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+      maxDriverEdges: Long = 262144L): DataFrame = {
     def cut(df: DataFrame, step: String): DataFrame =
       CheckpointStrategy.materialize(df, checkpoint match {
         case CheckpointStrategy.Parquet(dir) => CheckpointStrategy.Parquet(s"$dir/$step")
@@ -777,6 +778,51 @@ object Dedup {
       })
     val edges = cut(pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))), "edges")
+    // SCALE-ADAPTIVE small-graph path (r19 optimization round, guide §1.2
+    // "the distributed algorithm" + §2's derive-from-input-size rule): the
+    // iterative loop costs ~3 jobs per round however small the graph, and
+    // in the weights-fold probes the pair graphs are a few THOUSAND edges
+    // — pure scheduling overhead. When the materialized edge list is
+    // driver-bounded (≤ maxDriverEdges ≈ 4 MB of id pairs — the same
+    // order as a broadcast build side), the ids are integral, and the cut
+    // is the single-JVM Local strategy (Reliable/Parquet callers signal a
+    // cluster posture AND a durability contract — the per-step cut dirs —
+    // that the driver path must not silently skip), an exact union-find
+    // over the collected edges produces the identical min-reachable-id
+    // labels in ONE collect instead of per-round shuffle joins. Above the
+    // bound the distributed loop runs unchanged, so 100 TB graphs never
+    // touch the driver (inventoried in PLANS.md; CollectInventorySpec).
+    val idType = edges.schema("src").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    val nEdges = edges.count()
+    if (checkpoint == CheckpointStrategy.Local && integralIds &&
+        nEdges <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.get(0).asInstanceOf[Number].longValue
+        val b = row.get(1).asInstanceOf[Number].longValue
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // roots carry the component min by construction (unions always point
+      // the larger root at the smaller), so rep(id) = find(id)
+      val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+      import spark.implicits._
+      val out = ids.map(id => (id.longValue, find(id.longValue))).toSeq
+        .toDF("id", "rep")
+      return out.select(col("id").cast(idType).as("id"),
+        col("rep").cast(idType).as("rep"))
+    }
     // labels0 folds the FIRST neighbor-min propagation into the init
     // (r19 optimization round): rep₀(id) = min(id, min neighbor) costs the
     // same single aggregation the old `distinct()` init did, reaches the

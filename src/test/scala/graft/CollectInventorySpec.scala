@@ -18,7 +18,7 @@ class CollectInventorySpec extends AnyFunSuite {
     "graft/operators/Search.scala" -> 7,
     "graft/RecallBench.scala" -> 7,
     "graft/operators/Sampling.scala" -> 5,
-    "graft/operators/Dedup.scala" -> 5,
+    "graft/operators/Dedup.scala" -> 6,
     "graft/plans/PlanSignature.scala" -> 1,
     "graft/operators/Sketches.scala" -> 1,
     "graft/operators/Profile.scala" -> 1,

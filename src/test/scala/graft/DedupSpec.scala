@@ -1200,6 +1200,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 100 && labels.values.forall(_ == 1L))
   }
 
+  test("resolveClusters: driver union-find path ≡ distributed loop on random graphs") {
+    // r19 optimization round: graphs whose edge cut is driver-bounded
+    // resolve via an exact in-memory union-find (Local strategy only) —
+    // this pins label-for-label equality against the distributed loop
+    // (forced via maxDriverEdges = 0) across chains, stars, merged
+    // components and singleton pairs
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = ((1L to 80L).map(i => (i, i + 1)) ++ // one long chain
+      (0 until 60).map(_ => { val a = 200L + rnd.nextInt(50)
+        val b = 200L + rnd.nextInt(50); (math.min(a, b), math.max(a, b)) })
+        .filter(p => p._1 != p._2) ++
+      Seq((500L, 900L), (900L, 1300L), (100L, 1300L))) // bridge merge
+      .toDF("id1", "id2")
+    val small = Dedup.resolveClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.resolveClusters(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(small == dist)
+    assert(small.nonEmpty)
+  }
+
   test("resolveClusters: transitive min-label over chains and separate clusters") {
     import spark.implicits._
     // cluster {1,2,3,9} via chain 1-2, 2-3, 3-9; cluster {5,7}; singleton pairs absent
